@@ -1,0 +1,64 @@
+"""Table registry over a directory of parquet files.
+
+Replaces the reference's Glue Data Catalog + Athena registration
+(``/root/reference/README.md:51-53,144-148``): tables live as files in
+object storage and are addressed by name. Here a scale-factor directory
+(``/root/testdata/sf0.01``) holds one parquet per table; ``register_all``
+exposes them as temp views so ``spark.sql`` works exactly like the
+reference's Athena surface (``/root/reference/sql/athena_queries.sql``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan; Catalyst handles column pruning + predicate pushdown.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
+    as long nanos under ``spark.sql.legacy.parquet.nanosAsLong``; truncate
+    to a microsecond timestamp here (same floor semantics as DuckDB's
+    ns->us cast) so every downstream query sees a proper timestamp column.
+    """
+    # Runtime-settable; required for TIMESTAMP(NANOS) footers. Set here (not
+    # only in the session factory) because the driver may hand us a vanilla
+    # SparkSession.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_all(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> dict[str, DataFrame]:
+    """Register every table in ``sf_dir`` as a temp view (SQL surface)."""
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            df = spark.read.parquet(path)
+            df.createOrReplaceTempView(name)
+            out[name] = df
+    return out

@@ -1,0 +1,5 @@
+"""Import every query module so the registry is fully populated."""
+
+from . import callcenter  # noqa: F401
+
+from .registry import REGISTRY  # noqa: F401  (re-export)
