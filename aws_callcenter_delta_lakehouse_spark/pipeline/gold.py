@@ -85,10 +85,10 @@ def key_performance(
 
 def duration_metrics(df: DataFrame, date_col: str, duration_col: str) -> DataFrame:
     """avg/min/max metrics (gold_call_duration_metrics shape,
-    ``02_gold_analytics.py:116-129``). Caller is responsible for the
-    negative-duration filter (quirk Q4, ``02_gold_analytics.py:43``)."""
+    ``02_gold_analytics.py:116-129`` — exactly these three metrics, no
+    count). Caller is responsible for the negative-duration filter
+    (quirk Q4, ``02_gold_analytics.py:43``)."""
     return df.groupBy(date_col).agg(
-        F.count("*").alias("total_calls"),
         F.round(F.avg(duration_col), 2).alias("avg_call_duration_seconds"),
         F.min(duration_col).alias("min_call_duration_seconds"),
         F.max(duration_col).alias("max_call_duration_seconds"),

@@ -1,5 +1,7 @@
 """Import every query module so the registry is fully populated."""
 
+from . import athena  # noqa: F401
 from . import callcenter  # noqa: F401
+from . import relational  # noqa: F401
 
 from .registry import REGISTRY  # noqa: F401  (re-export)

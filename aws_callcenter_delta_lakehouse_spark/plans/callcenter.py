@@ -88,7 +88,6 @@ def agent_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duration_metrics",
     oracle="""
     SELECT CAST(ts AS DATE) AS event_date,
-           COUNT(*) AS total_calls,
            ROUND(AVG(value), 2) AS avg_call_duration_seconds,
            MIN(value) AS min_call_duration_seconds,
            MAX(value) AS max_call_duration_seconds
