@@ -1,0 +1,49 @@
+"""Range join (points into intervals) — SURVEY.md §2.3 gap row.
+
+A naive ``points JOIN intervals ON lo <= p AND p < hi`` has no equi
+conjunct, so Spark plans a broadcast-nested-loop join — quadratic and
+fatal at 100 TB. The scale path bucketizes: each interval is exploded
+into the fixed-width buckets it covers, points map to one bucket, and
+the join becomes an equi-join on the bucket id followed by an exact
+range filter. Shuffle volume = |points| + sum(interval widths)/width,
+not |points| x |intervals|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__range_bucket"
+
+
+def range_join(
+    points: DataFrame,
+    point_col: str,
+    intervals: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``lo <= point < hi`` (half-open). ``bucket_width`` should be on the
+    order of the typical interval width: too small explodes the interval
+    side, too large degrades to a near-cross-join within buckets.
+    """
+    p = points.withColumn(
+        _BUCKET, F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
+    )
+    iv = intervals.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(iv, on=_BUCKET, how=how).filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop(_BUCKET)

@@ -1,0 +1,109 @@
+"""Queries exercising the custom operators (as-of join, range join,
+sessionization) with DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+from ..operators.rangejoin import range_join
+from ..operators.sessionize import sessionize
+from .registry import query
+
+
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    SELECT v.event_id, v.user_id,
+           epoch_us(p.ts) AS purchase_us_asof
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN
+         (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase') p
+    ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each view event, the timestamp (epoch micros) of
+    that user's latest purchase at-or-before the view. Output payload is
+    the time value (not an id) so exact-tie behavior is value-stable."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.unix_micros("ts").alias("purchase_us")
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        left_time="ts",
+        right_time="ts",
+        payload=["purchase_us"],
+    )
+    return out.select("event_id", "user_id", "purchase_us_asof")
+
+
+@query(
+    "range_join_price_bands",
+    oracle="""
+    SELECT band_id, COUNT(*) AS n_orders
+    FROM (SELECT i AS band_id, i * 30000.0 AS lo, i * 30000.0 + 60000.0 AS hi
+          FROM generate_series(0, 19) t(i))
+    JOIN orders ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band_id
+    """,
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketization: orders priced into 20 overlapping
+    [i*30k, i*30k+60k) bands — each order matches <=2 bands. The plan is
+    an equi-join on bucket id, NOT a broadcast-nested-loop."""
+    bands = spark.range(20).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 30000.0).alias("lo"),
+        (F.col("id") * 30000.0 + 60000.0).alias("hi"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    joined = range_join(orders, "o_totalprice", bands, "lo", "hi", bucket_width=30000.0)
+    return joined.groupBy("band_id").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "sessionize_users",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                         > 3600000000::BIGINT
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    tagged AS (
+        SELECT user_id, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+               AS session_id
+        FROM ordered)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS first_event_id
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1h gap) + per-session rollup."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    sessions = sessionize(
+        events, ["user_id"], "ts", gap_seconds=3600, order_tiebreak=["event_id"]
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+    )

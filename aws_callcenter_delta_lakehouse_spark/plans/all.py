@@ -1,5 +1,6 @@
 """Import every query module so the registry is fully populated."""
 
+from . import advanced  # noqa: F401
 from . import athena  # noqa: F401
 from . import callcenter  # noqa: F401
 from . import relational  # noqa: F401
