@@ -1,0 +1,148 @@
+"""Golden end-to-end medallion pipeline tests with a pinned
+processing_date — covers reference quirks Q1-Q7 (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_callcenter_delta_lakehouse_spark.pipeline.gold_job import gold_job
+from aws_callcenter_delta_lakehouse_spark.pipeline.silver import silver_job
+from aws_callcenter_delta_lakehouse_spark.sources import managed_table
+from tests.fixtures import make_call_center_csv, make_reprocess_csv
+
+PDATE = dt.date(2026, 8, 13)
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, tmp_path_factory):
+    """Run silver+gold once on the fixture; share outputs across tests."""
+    root = tmp_path_factory.mktemp("medallion")
+    csv1 = str(root / "call_center_raw.csv")
+    meta = make_call_center_csv(csv1)
+    paths = {
+        "csv1": csv1,
+        "csv2": str(root / "call_center_raw_v2.csv"),
+        "silver": str(root / "silver"),
+        "exception": str(root / "exception"),
+        "gold": str(root / "gold"),
+    }
+    stats = silver_job(spark, csv1, paths["silver"], paths["exception"],
+                       processing_date=PDATE, run_id="r1")
+    actions = gold_job(spark, paths["silver"], paths["gold"], processing_date=PDATE)
+    return {"meta": meta, "paths": paths, "stats": stats, "actions": actions}
+
+
+def test_silver_counts_and_initial_load(pipeline):
+    assert pipeline["stats"]["action"] == "initial"
+    assert pipeline["stats"]["valid"] == pipeline["meta"]["n_valid"]
+    assert pipeline["stats"]["invalid"] == pipeline["meta"]["n_invalid"]
+
+
+def test_silver_schema_and_partitions(spark, pipeline):
+    silver = managed_table.read(spark, pipeline["paths"]["silver"])
+    assert set(silver.columns) == {
+        "call_id", "caller_id", "agent_id", "call_start_time",
+        "call_end_time", "call_status", "year", "month",
+    }
+    ym = silver.select("year", "month").distinct().collect()
+    assert [(r.year, r.month) for r in ym] == [(2026, 8)]
+
+
+def test_exception_reasons(spark, pipeline):
+    """Q1/Q2: exact Reject_reason strings, incl. negative-id numeric
+    rejection and multi-error ' | ' fold."""
+    exc = spark.read.parquet(pipeline["paths"]["exception"])
+    got = {str(r.call_id): r.Reject_reason for r in exc.collect() if r.call_id is not None}
+    for call_id, reason in pipeline["meta"]["expected_reasons"].items():
+        assert got[call_id] == reason, f"call_id={call_id}"
+    # NULL-id rows: reason starts with the null message
+    null_rows = [r for r in exc.collect() if r.call_id is None]
+    assert all(r.Reject_reason.startswith("call_id must not be NULL") for r in null_rows)
+    assert len(null_rows) == 3  # blank, 'ABC12' (NULL under INT schema), multi-error
+
+
+def test_gold_daily_summary_quirks(spark, pipeline):
+    """Q3 (case-sensitive counting) + Q5 (one processing-date group)."""
+    gold = managed_table.read(
+        spark, pipeline["paths"]["gold"] + "/gold_call_daily_summary"
+    ).collect()
+    assert len(gold) == 1
+    row = gold[0]
+    assert row.call_date == PDATE
+    assert row.total_calls == pipeline["meta"]["n_valid"]
+    # 'Completed' (mixed case) + '25:61:99' row are in total but only the
+    # 25:61:99 row (status COMPLETED) is in completed_calls.
+    assert row.completed_calls + row.dropped_calls + row.failed_calls == row.total_calls - 1
+    expected_rate = round(row.completed_calls / row.total_calls * 100, 2)
+    assert abs(row.completion_rate - expected_rate) < 1e-9
+
+
+def test_gold_duration_drops_midnight_and_unparseable(spark, pipeline):
+    """Q4: midnight-crossing (negative duration) and unparseable
+    25:61:99 rows are excluded from duration metrics only."""
+    dur = managed_table.read(
+        spark, pipeline["paths"]["gold"] + "/gold_call_duration_metrics"
+    ).collect()
+    assert len(dur) == 1
+    assert dur[0].min_call_duration_seconds >= 0
+    assert dur[0].max_call_duration_seconds <= 3600
+    assert set(dur[0].asDict()) == {
+        "call_date", "avg_call_duration_seconds", "min_call_duration_seconds",
+        "max_call_duration_seconds", "year", "month",
+    }
+
+
+def test_agent_grain(spark, pipeline):
+    agent = managed_table.read(
+        spark, pipeline["paths"]["gold"] + "/gold_agent_performance"
+    )
+    total = agent.agg(F.sum("total_calls")).collect()[0][0]
+    assert total == pipeline["meta"]["n_valid"]
+    assert agent.count() == agent.select("agent_id", "call_date").distinct().count()
+
+
+def test_rerun_idempotent_silver_duplicating_exceptions(spark, pipeline):
+    """Q6: re-running the same file leaves Silver unchanged (MERGE) but
+    appends duplicate exception rows (append-only audit)."""
+    p = pipeline["paths"]
+    before = managed_table.read(spark, p["silver"]).count()
+    exc_before = spark.read.parquet(p["exception"]).count()
+
+    stats2 = silver_job(spark, p["csv1"], p["silver"], p["exception"],
+                        processing_date=PDATE, run_id="r2")
+    assert stats2["action"] == "merged"
+    assert managed_table.read(spark, p["silver"]).count() == before
+    assert spark.read.parquet(p["exception"]).count() == exc_before * 2
+
+
+def test_reprocess_merge_updates_and_inserts(spark, pipeline):
+    """Q6/MERGE: v2 file updates 20 overlapping call_ids (status ->
+    DROPPED) and inserts 10 new ones."""
+    p = pipeline["paths"]
+    meta2 = make_reprocess_csv(p["csv2"])
+    before = managed_table.read(spark, p["silver"]).count()
+
+    silver_job(spark, p["csv2"], p["silver"], p["exception"],
+               processing_date=PDATE, run_id="r3")
+    silver = managed_table.read(spark, p["silver"])
+    assert silver.count() == before + meta2["n_inserts"]
+    updated = silver.filter(F.col("call_id") <= meta2["n_updates"])
+    assert updated.count() == meta2["n_updates"]
+    assert updated.filter(F.col("call_status") == "DROPPED").count() == meta2["n_updates"]
+    # key uniqueness preserved after merge
+    assert silver.select("call_id").distinct().count() == silver.count()
+
+
+def test_gold_rerun_merges_single_date(spark, pipeline):
+    """Q5: gold re-run after reprocess re-merges onto the same
+    processing date — still one row per grain."""
+    p = pipeline["paths"]
+    actions = gold_job(spark, p["silver"], p["gold"], processing_date=PDATE)
+    assert actions["gold_call_daily_summary"] == "merged"
+    daily = managed_table.read(spark, p["gold"] + "/gold_call_daily_summary")
+    assert daily.count() == 1
+    # total now includes the 10 inserted rows
+    assert daily.collect()[0].total_calls == pipeline["meta"]["n_valid"] + 10
