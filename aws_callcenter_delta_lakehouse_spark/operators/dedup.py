@@ -1,0 +1,226 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Engine extension surface (BASELINE.json north star; the reference's only
+dedup-adjacent machinery is the MERGE key-uniqueness guarantee,
+01_silver_delta_upsert.py:104-108). All operators are pure DataFrame
+built-ins — no Python UDFs — so they whole-stage-codegen and scale:
+
+- exact_dedup            hash groupBy on a normalized key (1 shuffle)
+- shingle / minhash LSH  explode -> 64 xxhash64 mins -> banded buckets;
+                         shuffle carries candidate PAIRS only
+- verify_jaccard         exact n-gram Jaccard on candidate pairs
+- simhash                64 signed bit-sums per doc + banded Hamming
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep one row (the min id) per duplicate group — a deterministic
+    ``dropDuplicates``. One hash-aggregate shuffle on the key."""
+    keep = df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, on=[*key_cols, id_col], how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram shingles + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingle(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams. Docs with < n words
+    produce no rows (matching the SQL-oracle formulation)."""
+    words = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        df.filter(F.size(words) >= n)
+        .select(F.col(id_col), F.explode(grams).alias("sh"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    candidates: DataFrame | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard for doc pairs.
+
+    With ``candidates`` (d1/d2 columns) only those pairs are scored —
+    the LSH verify path. Without, all pairs sharing >= 1 shingle are
+    scored (safe only when a blocking key bounds the join).
+    Returns (d1, d2, jaccard).
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = shingles.select(F.col(id_col).alias("d1"), "sh")
+    b = shingles.select(F.col(id_col).alias("d2"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("k"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates.select("d1", "d2"), on=["d1", "d2"], how="left_semi")
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "d1", "n": "n1"}), on="d1")
+        .join(sizes.withColumnsRenamed({id_col: "d2", "n": "n2"}), on="d2")
+        .select(
+            "d1",
+            "d2",
+            (F.col("k") / (F.col("n1") + F.col("n2") - F.col("k"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    shingles: DataFrame, id_col: str, num_hashes: int = 64
+) -> DataFrame:
+    """64 permutation-min hashes per doc: h_i = min(xxhash64(sh, i)).
+    One shuffle (the groupBy); the 64 hash expressions are codegen'd
+    per row, no UDF."""
+    hashed = shingles.select(
+        id_col,
+        *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    return hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band bucket
+    become a candidate pair. P(candidate | jaccard=s) = 1-(1-s^r)^b —
+    16x4 gives ~.9998 recall at s=0.9. Shuffle = (doc, band) rows, then
+    pairs within buckets only."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    F.lit(b),
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = signatures.select(
+        F.col(id_col), F.explode(band_structs).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    l = buckets.select(F.col(id_col).alias("d1"), "band", "bucket")
+    r = buckets.select(F.col(id_col).alias("d2"), "band", "bucket")
+    return (
+        l.join(r, on=["band", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH candidates ->
+    exact-Jaccard verify. Output (d1, d2, jaccard) with jaccard >=
+    threshold. False positives are eliminated by the verify step; false
+    negatives are bounded by the banding curve."""
+    sh = shingle(df, id_col, text_col, n)
+    sigs = minhash_signature(sh, id_col, num_hashes)
+    cands = lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    return jaccard_pairs(sh, id_col, candidates=cands, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word unigrams: per bit, sum +-1 weighted by
+    the word-hash bit, sign -> fingerprint bit. Wide (64 agg columns)
+    but a single shuffle and fully codegen'd."""
+    words = df.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    h = F.xxhash64("w")
+    sums = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        bit = F.shiftleft((F.col(f"b{i}") > 0).cast("long"), i)
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return sums.select(id_col, fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    16-bit chunks (pigeonhole: hamming <= 3 pairs share >= 1 of 4
+    chunks), bucket-join, verify with bit_count(xor)."""
+    fps = simhash(df, id_col, text_col)
+    width = 64 // chunks
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bucket"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    buckets = fps.select(id_col, "simhash", F.explode(chunk_structs).alias("cb")).select(
+        id_col, "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.bucket").alias("bucket")
+    )
+    l = buckets.select(F.col(id_col).alias("d1"), F.col("simhash").alias("s1"), "chunk", "bucket")
+    r = buckets.select(F.col(id_col).alias("d2"), F.col("simhash").alias("s2"), "chunk", "bucket")
+    return (
+        l.join(r, on=["chunk", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

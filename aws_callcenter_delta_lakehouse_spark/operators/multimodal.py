@@ -1,0 +1,94 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata (BASELINE.json north star).
+
+The Spark-side machinery is real and tested — schema, Arrow-batched
+``mapInPandas`` operators, partition-friendly shapes. The *codec* layer
+(actual JPEG/audio decode) is stubbed: the image/audio libraries are
+not in this container, so ``decode_image`` raises ``NotImplementedError``
+unless ``fake=True``, which substitutes a deterministic fake decoder
+(byte-length-derived "dimensions") that keeps the pipeline end-to-end
+testable.
+
+Scale notes: mapInPandas streams Arrow record batches — binary payloads
+never materialize row-at-a-time in Python; metadata extraction happens
+per-batch with vectorized pandas ops. Keep payloads out of shuffles:
+extract features first, then drop/offload the binary column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "doc_id long, media_type string, payload binary"
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, header_hex string, "
+    "fake_width int, fake_height int"
+)
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Testdata has no real media files; treat each document's UTF-8
+    bytes as an opaque payload so the binary-column path has real data
+    to move."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit("application/fake").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
+    """STUB — real decode needs an image library not present in this
+    container. The deterministic fake derives a plausible (w, h) from
+    the byte length so downstream logic is exercisable."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an image codec library (e.g. Pillow); "
+            "not available in this environment — pass fake=True for the "
+            "deterministic test double"
+        )
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1)
+
+
+def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column:
+    byte length, 4-byte header hex (magic-number sniffing), and the
+    (stub) decoded dimensions."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = payloads.map(lambda b: decode_image(b, fake=fake_decode))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.str.len().astype("int64"),
+                    "header_hex": payloads.map(lambda b: bytes(b[:4]).hex()),
+                    "fake_width": dims.map(lambda d: d[0]).astype("int32"),
+                    "fake_height": dims.map(lambda d: d[1]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' on the opaque payload: one row per sampled
+    offset (video-frame analogue). Built-in explode over a computed
+    offset sequence — no Python in the flow."""
+    return media.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.length("payload") - 1, F.lit(0)),
+                F.lit(every_n_bytes),
+            )
+        ).alias("frame_offset"),
+    )

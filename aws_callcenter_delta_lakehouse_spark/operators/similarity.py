@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Engine extension surface (BASELINE.json north star). Two paths:
+
+- ``cosine`` / ``brute_force_topk``: exact, all built-in array ops
+  (``zip_with`` + ``aggregate`` run JVM-side). The baseline, and the
+  verifier for the approximate paths.
+- ``hyperplane_lsh_buckets`` / ``ann_topk``: random-hyperplane LSH —
+  sign bits against D fixed pseudo-random hyperplanes bucket the
+  corpus; queries probe only their bucket (optionally multi-probe).
+  At 100 TB the corpus is bucketed once (one shuffle, then
+  partition-pruned parquet), and each query touches ~corpus/2^D rows.
+
+Hyperplanes are generated from a seeded xxhash64 of (dim_index, plane)
+so both sides of a differential test can reproduce them — no driver-side
+randomness, no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    # cast BEFORE multiplying: float*float loses bits a double multiply
+    # keeps, and differential oracles compute in double.
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact top-k by cosine. ``orderBy().limit()`` plans as
+    TakeOrderedAndProject — a full scan but no full sort. Ties broken by
+    id for determinism; similarity rounded so float-accumulation order
+    cannot flip ranks across engines."""
+    scored = corpus.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), query_vec), round_digits).alias("sim"),
+    )
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
+def _hyperplane(dim: int, plane: int) -> Column:
+    """Deterministic pseudo-random unit-free hyperplane: component j is
+    xxhash64(j, plane) scaled to [-1, 1). Seeded, reproducible, and
+    computable identically in any engine with a 64-bit xxhash."""
+    return F.array(
+        *[
+            (F.xxhash64(F.lit(j), F.lit(plane)) / F.lit(float(1 << 63)))
+            for j in range(dim)
+        ]
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Append ``bucket``: the sign-bit signature against ``num_planes``
+    fixed hyperplanes. Cosine-similar vectors collide with high
+    probability; 2^num_planes buckets."""
+    bucket = None
+    for p in range(num_planes):
+        bit = F.shiftleft((dot(F.col(vec_col), _hyperplane(dim, p)) > 0).cast("long"), p)
+        bucket = bit if bucket is None else bucket.bitwiseOR(bit)
+    return df.withColumn("bucket", bucket)
+
+
+def ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    dim: int = 64,
+    num_planes: int = 6,
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k for a *set* of queries: bucket both sides with
+    the same hyperplanes, equi-join on bucket, then exact cosine + window
+    top-k within the candidates. Recall < 1 by construction (single
+    probe); raise recall with fewer planes or multi-probe."""
+    from pyspark.sql import Window
+
+    c = hyperplane_lsh_buckets(corpus, vec_col, dim, num_planes)
+    q = hyperplane_lsh_buckets(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias(vec_col)
+        ),
+        vec_col,
+        dim,
+        num_planes,
+    ).withColumnsRenamed({vec_col: query_vec_col})
+    cand = q.join(c, on="bucket").select(
+        query_id_col,
+        F.col(id_col),
+        F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 4).alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

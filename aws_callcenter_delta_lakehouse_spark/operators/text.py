@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting (BASELINE.json north star).
+
+Everything is built-in Column expressions — the hot path never leaves
+the JVM. Language ID is a two-pass DataFrame computation (profile
+build + scoring) with no driver-side collect, so the profile build
+scales with a single (lang, word) aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import round_portable
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def _words(text):
+    return F.split(text, " ")
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + char count + avg token length."""
+    words = _words(F.col(text_col))
+    return df.select(
+        id_col,
+        F.size(words).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        round_portable(
+            (F.length(text_col) - F.size(words) + 1) / F.size(words), 4
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality in [0,1]:
+    0.5 * min(tokens/50, 1)            (enough content)
+    + 0.3 * (1 - stopword_ratio)       (information density)
+    + 0.2 * min(distinct_ratio*2, 1)   (vocabulary diversity)
+    All ratios are exact rationals (bigint/bigint) so the score is
+    engine-portable."""
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(words))
+    score = (
+        0.5 * F.least(n / F.lit(50.0), F.lit(1.0))
+        + 0.3 * (1 - n_stop / n)
+        + 0.2 * F.least(n_distinct / n * 2, F.lit(1.0))
+    )
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        round_portable(n_stop / n, 4).alias("stopword_ratio"),
+        round_portable(score, 4).alias("quality_score"),
+    )
+
+
+def language_profiles(
+    df: DataFrame, lang_col: str, text_col: str, top_n: int = 10
+) -> DataFrame:
+    """(lang, word) profile: the top-N most frequent words per language
+    (count desc, word asc tiebreak). One aggregate + one window."""
+    counts = (
+        df.select(lang_col, F.explode(_words(F.col(text_col))).alias("word"))
+        .groupBy(lang_col, "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy(lang_col).orderBy(F.desc("cnt"), F.asc("word"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select(lang_col, "word")
+    )
+
+
+def language_id(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    profiles: DataFrame,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Score each doc against each language profile (fraction of tokens
+    that hit the profile, bag semantics) and pick the argmax
+    (score desc, lang asc). Join fans out by |langs| — the profile side
+    is tiny, so Spark broadcasts it."""
+    toks = df.select(
+        id_col, F.explode(_words(F.col(text_col))).alias("word")
+    )
+    n_tokens = toks.groupBy(id_col).agg(F.count("*").alias("n"))
+    hits = (
+        toks.join(F.broadcast(profiles), on="word")
+        .groupBy(id_col, lang_col)
+        .agg(F.count("*").alias("h"))
+    )
+    scored = hits.join(n_tokens, on=id_col).select(
+        id_col, lang_col, (F.col("h") / F.col("n")).alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc(lang_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, F.col(lang_col).alias("predicted_lang"))
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprints: md5 (engine-portable exact-dup key) +
+    a winnowing-style rolling min-hash over word 3-grams (xxhash64),
+    robust to small edits."""
+    words = _words(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            )
+        ),
+    )
+    return df.select(
+        id_col,
+        F.md5(text_col).alias("md5_fingerprint"),
+        F.array_min(grams).alias("winnow_fingerprint"),
+    )

@@ -1,0 +1,281 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal columns (BASELINE.json north star) — oracle-checked where
+DuckDB can express the semantics, rows-only otherwise (hash-seeded ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import round_portable
+from ..operators import multimodal, text
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_dedup_pairs,
+    shingle,
+    simhash_near_pairs,
+)
+from ..operators.similarity import ann_topk, brute_force_topk
+from .registry import query
+
+_SHINGLE_CTE = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM words),
+    shingles AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM idx),
+    sizes AS (SELECT doc_id, count(*) n FROM shingles GROUP BY doc_id),
+    inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) k
+              FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    JOIN (SELECT lang, source, MIN(doc_id) AS doc_id
+          FROM documents GROUP BY lang, source) k
+    USING (lang, source, doc_id)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per (lang, source)
+    key — hash groupBy + semi join, one shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return exact_dedup(docs, ["lang", "source"], "doc_id")
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT d1, d2, floor(k * 1.0 / (s1.n + s2.n - k) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE k * 1.0 / (s1.n + s2.n - k) >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (3-gram shingles, 64 hashes, 16x4
+    bands, exact-Jaccard verify at 0.8). The oracle is the *exact*
+    all-pairs Jaccard — LSH recall at j>=0.8 with 16x4 banding makes
+    the outputs identical at test scale (verify step removes all false
+    positives)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    return pairs.select("d1", "d2", round_portable(F.col("jaccard"), 4).alias("jaccard"))
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT d1, d2, floor(k * 1.0 / (s1.n + s2.n - k) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE k * 1.0 / (s1.n + s2.n - k) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs (>= 0.5) without LSH — the shared-
+    shingle join bounds the candidate set; at 100 TB this needs a
+    blocking key (LSH is that key: see dedup_minhash_lsh)."""
+    sh = shingle(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    pairs = jaccard_pairs(sh, "doc_id", threshold=0.5)
+    return pairs.select("d1", "d2", round_portable(F.col("jaccard"), 4).alias("jaccard"))
+
+
+@query("dedup_simhash")  # xxhash64-seeded — not expressible in DuckDB
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 over 64-bit fingerprints,
+    16-bit chunk banding). Rows-only check; exactness covered by unit
+    tests on constructed duplicates."""
+    return simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "similarity_topk_bruteforce",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           floor(
+             list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+             * 10000 + 0.5) / 10000 AS sim
+    FROM embeddings e, q
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 to the vec_id=0 embedding — zip_with +
+    aggregate (JVM-side), TakeOrderedAndProject plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    corpus = emb.join(F.broadcast(qvec))
+    from ..operators.similarity import cosine
+
+    scored = corpus.select(
+        "vec_id", round_portable(cosine(F.col("embedding"), F.col("q")), 4).alias("sim")
+    )
+    return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(10)
+
+
+@query("similarity_ann_lsh")  # approximate by construction — rows-only
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: first 5 vectors as queries, top-5 within the
+    query's bucket. Recall vs brute force asserted in unit tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ann_topk(emb, queries, dim=64, num_planes=6, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars,
+           floor((length(text) - len(string_split(text, ' ')) + 1) * 1.0
+                 / len(string_split(text, ' ')) * 10000 + 0.5) / 10000 AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + char stats."""
+    return text.token_stats(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    m AS (SELECT doc_id,
+                 len(w) AS n,
+                 len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is'))) AS n_stop,
+                 len(list_distinct(w)) AS n_distinct
+          FROM t)
+    SELECT doc_id, n AS n_tokens,
+           floor(n_stop * 1.0 / n * 10000 + 0.5) / 10000 AS stopword_ratio,
+           floor((0.5 * least(n / 50.0, 1.0)
+                 + 0.3 * (1 - n_stop * 1.0 / n)
+                 + 0.2 * least(n_distinct * 1.0 / n * 2, 1.0)) * 10000 + 0.5) / 10000 AS quality_score
+    FROM m
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (length / stopword / diversity mix)."""
+    return text.quality_score(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "text_language_id",
+    oracle="""
+    WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+    counts AS (SELECT lang, word, count(*) cnt FROM w GROUP BY 1, 2),
+    profiles AS (SELECT lang, word FROM (
+        SELECT lang, word, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) rn
+        FROM counts) WHERE rn <= 10),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    n AS (SELECT doc_id, count(*) n FROM toks GROUP BY 1),
+    hits AS (SELECT t.doc_id, p.lang, count(*) h
+             FROM toks t JOIN profiles p ON t.word = p.word GROUP BY 1, 2),
+    scored AS (SELECT h.doc_id, h.lang, h.h * 1.0 / n.n AS score
+               FROM hits h JOIN n ON h.doc_id = n.doc_id)
+    SELECT doc_id, lang AS predicted_lang FROM (
+        SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY score DESC, lang) rn
+        FROM scored) WHERE rn = 1
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram(1) frequency-profile language ID: per-language top-10 word
+    profiles built from the corpus itself, docs scored by profile-hit
+    ratio, argmax wins."""
+    docs = load_table(spark, sf_dir, "documents")
+    profiles = text.language_profiles(docs, "lang", "text", top_n=10)
+    return text.language_id(docs, "doc_id", "text", profiles)
+
+
+@query(
+    "text_fingerprint_md5",
+    oracle="SELECT doc_id, md5(text) AS md5_fingerprint FROM documents",
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable exact-dup fingerprint."""
+    return text.fingerprint(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "md5_fingerprint")
+
+
+@query("text_fingerprint_winnow")  # xxhash64-seeded — rows-only
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing-style) fingerprint, robust to small
+    edits; exactness covered by unit tests."""
+    return text.fingerprint(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select("doc_id", "winnow_fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           'application/fake' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           lower(hex(encode(substring(text, 1, 4)))) AS header_hex,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS fake_width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction via Arrow-batched mapInPandas
+    (decode stubbed with the deterministic fake — see
+    operators/multimodal.py)."""
+    media = multimodal.attach_binary_payload(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return multimodal.extract_features(media, fake_decode=True)
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id, unnest(range(0, greatest(octet_length(encode(text)), 1), 64)) AS frame_offset
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape over the opaque payload (every 64 bytes)."""
+    media = multimodal.attach_binary_payload(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return multimodal.frame_sample(media, every_n_bytes=64)
