@@ -1,0 +1,96 @@
+"""Streaming queries for the registry: each runs its stream to
+completion on a memory sink (file source + processAllAvailable is
+deterministic) and returns the materialized result, so tumbling/session
+aggregations get full DuckDB oracles."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming.streams import (
+    run_to_memory,
+    session_counts,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+from .registry import query
+
+
+def _sink(prefix: str) -> str:
+    return f"{prefix}_{uuid.uuid4().hex[:8]}"
+
+
+@query(
+    "streaming_tumbling_counts",
+    oracle="""
+    SELECT to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600) AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 6h tumbling windows, complete mode — final state
+    equals the batch GROUP BY on the time bucket."""
+    return run_to_memory(
+        tumbling_counts(stream_events(spark, sf_dir)), _sink("tumbling")
+    )
+
+
+@query(
+    "streaming_sliding_counts",
+    oracle="""
+    WITH buckets AS (
+        SELECT epoch(CAST(ts AS TIMESTAMP)) AS es FROM events),
+    hits AS (
+        SELECT to_timestamp(floor(es / 21600) * 21600) AS window_start, es FROM buckets
+        UNION ALL
+        SELECT to_timestamp((floor(es / 21600) - 1) * 21600) AS window_start, es FROM buckets)
+    SELECT window_start, COUNT(*) AS n_events
+    FROM hits
+    WHERE es >= epoch(window_start) AND es < epoch(window_start) + 43200
+    GROUP BY 1
+    """,
+)
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12h windows sliding every 6h — every event lands in exactly two
+    windows; the oracle enumerates both candidate windows per event."""
+    return run_to_memory(
+        sliding_counts(stream_events(spark, sf_dir)), _sink("sliding")
+    )
+
+
+@query(
+    "streaming_session_counts",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                         > 3600000000::BIGINT
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    tagged AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+        FROM ordered)
+    SELECT user_id, MIN(ts) AS session_start,
+           COUNT(*) AS n_events, MIN(event_id) AS first_event_id
+    FROM tagged
+    GROUP BY user_id, session_id
+    """,
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, 1h) per user — final state equals batch
+    gap-sessionization (same 1h gap)."""
+    return run_to_memory(
+        session_counts(stream_events(spark, sf_dir)), _sink("session")
+    )

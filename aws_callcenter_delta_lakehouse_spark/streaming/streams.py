@@ -1,0 +1,152 @@
+"""Streaming operators over event streams.
+
+The reference handles late data in batch via Delta MERGE
+(``/root/reference/README.md:105-108``) — no streaming exists there.
+This module provides the Structured Streaming analogue (SURVEY.md §7.2
+M5): watermarked tumbling/sliding/session windows, in-stream dedup, and
+a foreachBatch MERGE sink that reuses the managed-table upsert so late
+micro-batches re-merge exactly like the reference's reprocessed files.
+
+Scale notes: windowed aggregations shuffle on (key, window) with
+partial aggregation map-side; watermarks bound state. The file source
+here is the test harness — swap for Kafka in production; every operator
+is source-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (schema pinned from the
+    batch read; TIMESTAMP(NANOS) normalized to microseconds exactly as
+    catalog.load_table does)."""
+    from ..catalog import table_path
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = table_path(sf_dir, "events")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory: stream the sf_dir, glob-filtered
+    # to the events table file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window_size: str = "6 hours",
+    watermark: str = "1 day",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Watermarked tumbling-window count/sum aggregate."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size), *keys)
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    stream: DataFrame,
+    window_size: str = "12 hours",
+    slide: str = "6 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in size/slide windows)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_size, slide))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    stream: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = "1 day",
+    keys: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Session-window aggregation (dynamic, gap-closed windows) — the
+    streaming twin of operators.sessionize."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), *keys)
+        .agg(F.count("*").alias("n_events"), F.min("event_id").alias("first_event_id"))
+        .select(
+            *keys,
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "first_event_id",
+        )
+    )
+
+
+def dedup_stream(
+    stream: DataFrame, keys: Sequence[str], watermark: str = "1 day"
+) -> DataFrame:
+    """Stateful streaming dedup: first occurrence wins, state bounded by
+    the watermark (dropDuplicatesWithinWatermark)."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion against a memory sink
+    and return the materialized batch result (deterministic for file
+    sources: processAllAvailable drains everything)."""
+    spark = df.sparkSession
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+) -> "object":
+    """Streaming MERGE sink: every micro-batch upserts into the managed
+    table — the streaming analogue of the reference's batch late-data
+    MERGE (01_silver_delta_upsert.py:103-112). Returns the query handle."""
+    from ..sources import managed_table
+
+    def _upsert(batch_df: DataFrame, epoch_id: int) -> None:
+        managed_table.write_or_merge(
+            batch_df.sparkSession, batch_df, path, keys
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

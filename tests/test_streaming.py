@@ -1,0 +1,83 @@
+"""Streaming-surface tests: stateful dedup and the foreachBatch MERGE
+sink (the streaming analogue of the reference's batch late-data MERGE)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_callcenter_delta_lakehouse_spark.sources import managed_table
+from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+    dedup_stream,
+    foreach_batch_upsert,
+    run_to_memory,
+    stream_events,
+    tumbling_counts,
+)
+from tests.conftest import SF001
+
+
+def test_dedup_stream_by_user(spark):
+    """dropDuplicatesWithinWatermark keyed by user_id: one row per user
+    after draining (single micro-batch -> deterministic)."""
+    stream = stream_events(spark, SF001)
+    out = run_to_memory(
+        dedup_stream(stream, ["user_id"]), "dedup_t", output_mode="append"
+    )
+    n_users = out.select("user_id").distinct().count()
+    assert out.count() == n_users > 0
+
+
+def test_foreach_batch_upsert(spark, tmp_path):
+    """Each micro-batch MERGEs into the managed table; the final table
+    equals the batch aggregate."""
+    target = str(tmp_path / "agg_table")
+    agg = tumbling_counts(stream_events(spark, SF001))
+    # complete-mode foreachBatch re-merges the whole aggregate per batch
+    q = (
+        agg.writeStream.foreachBatch(
+            lambda df, _eid: managed_table.write_or_merge(
+                df.sparkSession, df, target, ["window_start"]
+            )
+        )
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = managed_table.read(spark, target)
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+
+    want = (
+        load_table(spark, SF001, "events")
+        .groupBy(F.window("ts", "6 hours"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), "n_events")
+    )
+    g = {(r.window_start, r.n_events) for r in got.select("window_start", "n_events").collect()}
+    w = {(r.window_start, r.n_events) for r in want.collect()}
+    assert g == w
+
+
+def test_foreach_batch_upsert_handles_restart(spark, tmp_path):
+    """Re-running the same stream against an existing table must merge,
+    not duplicate (idempotent reprocessing, reference quirk Q6 analogue)."""
+    target = str(tmp_path / "agg_table2")
+    for i in range(2):
+        agg = tumbling_counts(stream_events(spark, SF001))
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _eid: managed_table.write_or_merge(
+                    df.sparkSession, df, target, ["window_start"]
+                )
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / f"ckpt{i}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        if i == 0:
+            first = managed_table.read(spark, target).count()
+    assert managed_table.read(spark, target).count() == first
