@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Queries execute against the noop sink — full plan execution (scan ->
+shuffle -> agg) without driver-side materialization, which is what a
+cluster would measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY  # noqa: E402
+from aws_callcenter_delta_lakehouse_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # JVM/codegen warmup on the flagship query (excluded from timings).
+    REGISTRY["daily_event_summary"].fn(spark, SF_DIR).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        t0 = time.perf_counter()
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"total_registry_query_seconds_sf{sf}",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
