@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import round_portable
+
 
 def dot(a: Column, b: Column) -> Column:
     # cast BEFORE multiplying: float*float loses bits a double multiply
@@ -58,7 +60,7 @@ def brute_force_topk(
     cannot flip ranks across engines."""
     scored = corpus.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), query_vec), round_digits).alias("sim"),
+        round_portable(cosine(F.col(vec_col), query_vec), round_digits).alias("sim"),
     )
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
@@ -120,7 +122,7 @@ def ann_topk(
     cand = q.join(c, on="bucket").select(
         query_id_col,
         F.col(id_col),
-        F.round(cosine(F.col(query_vec_col), F.col(vec_col)), 4).alias("sim"),
+        round_portable(cosine(F.col(query_vec_col), F.col(vec_col)), 4).alias("sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
     return (

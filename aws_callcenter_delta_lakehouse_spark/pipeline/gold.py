@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.scalars import round_portable
+
 
 def status_counts(status_col: str, statuses: Sequence[str]) -> list[Column]:
     """Conditional counts — one ``sum(when(status==s,1).otherwise(0))``
@@ -48,7 +50,7 @@ def with_rate(
     return df.withColumn(
         out,
         F.when(
-            F.col(denom) > 0, F.round(F.col(numer) / F.col(denom) * 100, 2)
+            F.col(denom) > 0, round_portable(F.col(numer) / F.col(denom) * 100, 2)
         ).otherwise(F.lit(0.0)),
     )
 
@@ -89,7 +91,7 @@ def duration_metrics(df: DataFrame, date_col: str, duration_col: str) -> DataFra
     count). Caller is responsible for the negative-duration filter
     (quirk Q4, ``02_gold_analytics.py:43``)."""
     return df.groupBy(date_col).agg(
-        F.round(F.avg(duration_col), 2).alias("avg_call_duration_seconds"),
+        round_portable(F.avg(duration_col), 2).alias("avg_call_duration_seconds"),
         F.min(duration_col).alias("min_call_duration_seconds"),
         F.max(duration_col).alias("max_call_duration_seconds"),
     )

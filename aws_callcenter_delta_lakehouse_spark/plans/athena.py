@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.scalars import round_portable
 from ..pipeline.gold import daily_summary, duration_metrics, key_performance
 from .registry import query
 
@@ -38,8 +39,8 @@ _DAILY_CTE = """
                SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS dropped_calls,
                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS failed_calls,
                CASE WHEN COUNT(*) > 0
-                    THEN ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
-                               / COUNT(*), 2)
+                    THEN floor((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
+                               / COUNT(*)) * 1e2 + 0.5) / 1e2
                     ELSE 0.0 END AS completion_rate
         FROM events GROUP BY 1)
 """
@@ -53,8 +54,8 @@ _AGENT_CTE = """
                SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS dropped_calls,
                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS failed_calls,
                CASE WHEN COUNT(*) > 0
-                    THEN ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
-                               / COUNT(*), 2)
+                    THEN floor((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
+                               / COUNT(*)) * 1e2 + 0.5) / 1e2
                     ELSE 0.0 END AS completion_rate
         FROM events GROUP BY 1, 2)
 """
@@ -149,7 +150,7 @@ def athena_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH gold_call_duration_metrics AS (
         SELECT CAST(ts AS DATE) AS call_date,
-               ROUND(AVG(value), 2) AS avg_call_duration_seconds,
+               floor((AVG(value)) * 1e2 + 0.5) / 1e2 AS avg_call_duration_seconds,
                MIN(value) AS min_call_duration_seconds,
                MAX(value) AS max_call_duration_seconds
         FROM events WHERE value >= 0 GROUP BY 1)
@@ -175,7 +176,7 @@ def athena_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_AGENT_CTE
     + """
     SELECT agent_id,
-           ROUND(AVG(completion_rate), 4) AS avg_completion_rate
+           floor((AVG(completion_rate)) * 1e4 + 0.5) / 1e4 AS avg_completion_rate
     FROM gold_agent_performance
     GROUP BY agent_id
     ORDER BY avg_completion_rate DESC, agent_id LIMIT 5
@@ -184,11 +185,11 @@ def athena_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def athena_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Athena Q4 (sql/athena_queries.sql:45-51): top agents by
     avg-of-rates (unweighted, as the reference computes it) — A8/O3.
-    ROUND(.,4) added on both sides for float-hash stability."""
+    Portable round(.,4) added on both sides for float-hash stability."""
     return (
         _gold_agent(spark, sf_dir)
         .groupBy("agent_id")
-        .agg(F.round(F.avg("completion_rate"), 4).alias("avg_completion_rate"))
+        .agg(round_portable(F.avg("completion_rate"), 4).alias("avg_completion_rate"))
         .orderBy(F.desc("avg_completion_rate"), F.asc("agent_id"))
         .limit(5)
     )
@@ -199,7 +200,7 @@ def athena_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_DAILY_CTE
     + """
     SELECT call_date, failed_calls, total_calls,
-           ROUND((failed_calls * 100.0) / total_calls, 2) AS failure_rate_pct
+           floor(((failed_calls * 100.0) / total_calls) * 1e2 + 0.5) / 1e2 AS failure_rate_pct
     FROM gold_call_daily_summary
     WHERE total_calls > 0
     ORDER BY failure_rate_pct DESC, call_date LIMIT 10
@@ -215,7 +216,7 @@ def athena_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "call_date",
             "failed_calls",
             "total_calls",
-            F.round(F.col("failed_calls") * 100.0 / F.col("total_calls"), 2).alias(
+            round_portable(F.col("failed_calls") * 100.0 / F.col("total_calls"), 2).alias(
                 "failure_rate_pct"
             ),
         )

@@ -42,8 +42,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS total_calls,
            {_COUNT_CASES},
            CASE WHEN COUNT(*) > 0
-                THEN ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
-                           / COUNT(*), 2)
+                THEN floor((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
+                           / COUNT(*)) * 1e2 + 0.5) / 1e2
                 ELSE 0.0 END AS completion_rate
     FROM events
     GROUP BY 1
@@ -65,8 +65,8 @@ def daily_event_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS total_calls,
            {_COUNT_CASES},
            CASE WHEN COUNT(*) > 0
-                THEN ROUND(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
-                           / COUNT(*), 2)
+                THEN floor((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
+                           / COUNT(*)) * 1e2 + 0.5) / 1e2
                 ELSE 0.0 END AS completion_rate
     FROM events
     GROUP BY 1, 2
@@ -88,7 +88,7 @@ def agent_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duration_metrics",
     oracle="""
     SELECT CAST(ts AS DATE) AS event_date,
-           ROUND(AVG(value), 2) AS avg_call_duration_seconds,
+           floor((AVG(value)) * 1e2 + 0.5) / 1e2 AS avg_call_duration_seconds,
            MIN(value) AS min_call_duration_seconds,
            MAX(value) AS max_call_duration_seconds
     FROM events

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.scalars import round_portable
 from .registry import query
 
 
@@ -225,7 +226,7 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_aggregate",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n_rows
+           floor((SUM(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -235,7 +236,7 @@ def rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_rows"))
+        .agg(round_portable(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_rows"))
     )
 
 
@@ -243,13 +244,13 @@ def rollup_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 2) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 2) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
+           floor((SUM(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+           floor((SUM(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+           floor((SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 1e2 + 0.5) / 1e2 AS sum_charge,
+           floor((AVG(l_quantity)) * 1e2 + 0.5) / 1e2 AS avg_qty,
+           floor((AVG(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS avg_price,
+           floor((AVG(l_discount)) * 1e4 + 0.5) / 1e4 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -264,13 +265,13 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        F.round(F.sum(disc), 2).alias("sum_disc_price"),
-        F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        round_portable(F.sum("l_quantity"), 2).alias("sum_qty"),
+        round_portable(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        round_portable(F.sum(disc), 2).alias("sum_disc_price"),
+        round_portable(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        round_portable(F.avg("l_quantity"), 2).alias("avg_qty"),
+        round_portable(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        round_portable(F.avg("l_discount"), 4).alias("avg_disc"),
         F.count("*").alias("count_order"),
     )
 
@@ -285,7 +286,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT r_name,
            COUNT(*) AS n_customers,
-           ROUND(AVG(c_acctbal), 2) AS avg_acctbal
+           floor((AVG(c_acctbal)) * 1e2 + 0.5) / 1e2 AS avg_acctbal
     FROM customer
     JOIN nation ON c_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
@@ -304,7 +305,7 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+            round_portable(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
         )
     )
 
@@ -313,7 +314,7 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_fact_revenue",
     oracle="""
     SELECT o_orderpriority,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           floor((SUM(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue,
            COUNT(DISTINCT o_orderkey) AS n_orders
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     GROUP BY o_orderpriority
@@ -328,7 +329,7 @@ def join_fact_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-            F.round(
+            round_portable(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
@@ -449,10 +450,10 @@ def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           ROUND(SUM(l_quantity) OVER (
+           floor((SUM(l_quantity) OVER (
                PARTITION BY l_suppkey
                ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2 AS running_qty
     FROM lineitem
     """,
 )
@@ -468,7 +469,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         "l_orderkey",
         "l_linenumber",
-        F.round(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+        round_portable(F.sum("l_quantity").over(w), 2).alias("running_qty"),
     )
 
 

@@ -28,7 +28,7 @@ def _sink(prefix: str) -> str:
     oracle="""
     SELECT to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600) AS window_start,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           floor((SUM(value)) * 1e2 + 0.5) / 1e2 AS sum_value
     FROM events
     GROUP BY 1
     """,

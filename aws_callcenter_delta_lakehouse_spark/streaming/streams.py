@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.scalars import round_portable
+
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (schema pinned from the
@@ -53,7 +55,10 @@ def tumbling_counts(
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_size), *keys)
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            round_portable(F.sum("value"), 2).alias("sum_value"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             *keys,
