@@ -82,3 +82,9 @@ def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0")
     assert decode_image(b"x" * 100, fake=True) == (100 % 640 + 1, 100 % 480 + 1)
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY
+    row = REGISTRY["approx_distinct_parts"].fn(spark, SF001).collect()[0]
+    assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.1
