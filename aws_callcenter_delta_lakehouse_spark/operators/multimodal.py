@@ -58,13 +58,30 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int]:
 def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     """Arrow-batched feature extraction over the binary column:
     byte length, 4-byte header hex (magic-number sniffing), and the
-    (stub) decoded dimensions."""
+    (stub) decoded dimensions.
+
+    The worker function is deliberately SELF-CONTAINED (no references to
+    module-level symbols): cloudpickle then ships it by value, so Python
+    workers do not need this package on their import path — the driver
+    process may be launched from anywhere.
+    """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd  # worker-side import, no module capture
+
+        def _decode(b: bytes) -> tuple[int, int]:
+            if not fake_decode:  # mirrors decode_image's stub contract
+                raise NotImplementedError(
+                    "image decode requires an image codec library; "
+                    "pass fake_decode=True for the deterministic test double"
+                )
+            n = len(b)
+            return (n % 640 + 1, n % 480 + 1)
+
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = payloads.map(lambda b: decode_image(b, fake=fake_decode))
-            yield pd.DataFrame(
+            dims = payloads.map(_decode)
+            yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
