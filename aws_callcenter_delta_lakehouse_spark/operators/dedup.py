@@ -34,9 +34,15 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingle(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) pairs: distinct word n-grams. Docs with < n words
-    produce no rows (matching the SQL-oracle formulation)."""
+def shingle(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs: word n-grams. Docs with < n words produce no
+    rows (matching the SQL-oracle formulation).
+
+    ``distinct=True`` (set semantics) is required for Jaccard; the
+    MinHash signature path passes ``distinct=False`` — min() is
+    duplicate-insensitive, so it saves a whole shuffle."""
     words = F.split(F.col(text_col), " ")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(words) - (n - 1)),
@@ -44,11 +50,10 @@ def shingle(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
             " ", *[F.element_at(words, i + j) for j in range(n)]
         ),
     )
-    return (
-        df.filter(F.size(words) >= n)
-        .select(F.col(id_col), F.explode(grams).alias("sh"))
-        .distinct()
+    out = df.filter(F.size(words) >= n).select(
+        F.col(id_col), F.explode(grams).alias("sh")
     )
+    return out.distinct() if distinct else out
 
 
 def jaccard_pairs(
@@ -65,16 +70,24 @@ def jaccard_pairs(
     Returns (d1, d2, jaccard).
     """
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    if candidates is not None:
+        # prune the shingle set to candidate docs BEFORE the pair join —
+        # at scale this is the difference between |candidates| work and
+        # |corpus|^2 work.
+        cand_docs = (
+            candidates.select(F.col("d1").alias(id_col))
+            .union(candidates.select(F.col("d2").alias(id_col)))
+            .distinct()
+        )
+        shingles = shingles.join(cand_docs, on=id_col, how="left_semi")
     a = shingles.select(F.col(id_col).alias("d1"), "sh")
     b = shingles.select(F.col(id_col).alias("d2"), "sh")
-    inter = (
-        a.join(b, on="sh")
-        .filter(F.col("d1") < F.col("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("k"))
-    )
+    pair_rows = a.join(b, on="sh").filter(F.col("d1") < F.col("d2"))
     if candidates is not None:
-        inter = inter.join(candidates.select("d1", "d2"), on=["d1", "d2"], how="left_semi")
+        pair_rows = pair_rows.join(
+            candidates.select("d1", "d2"), on=["d1", "d2"], how="left_semi"
+        )
+    inter = pair_rows.groupBy("d1", "d2").agg(F.count("*").alias("k"))
     return (
         inter.join(sizes.withColumnsRenamed({id_col: "d1", "n": "n1"}), on="d1")
         .join(sizes.withColumnsRenamed({id_col: "d2", "n": "n2"}), on="d2")
@@ -95,12 +108,15 @@ def jaccard_pairs(
 def minhash_signature(
     shingles: DataFrame, id_col: str, num_hashes: int = 64
 ) -> DataFrame:
-    """64 permutation-min hashes per doc: h_i = min(xxhash64(sh, i)).
-    One shuffle (the groupBy); the 64 hash expressions are codegen'd
-    per row, no UDF."""
+    """64 permutation-min hashes per doc: h_i = min(xxhash64(base, i))
+    where base = xxhash64(shingle). Hashing the (variable-length) string
+    once and permuting the 8-byte base is ~n_hashes× cheaper than
+    re-hashing the string per permutation. One shuffle (the groupBy,
+    with map-side partial min); all codegen'd, no UDF."""
+    base = F.xxhash64("sh")
     hashed = shingles.select(
         id_col,
-        *[F.xxhash64("sh", F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
+        *[F.xxhash64(base, F.lit(i)).alias(f"h{i}") for i in range(num_hashes)],
     )
     return hashed.groupBy(id_col).agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
@@ -155,9 +171,11 @@ def minhash_lsh_dedup_pairs(
     exact-Jaccard verify. Output (d1, d2, jaccard) with jaccard >=
     threshold. False positives are eliminated by the verify step; false
     negatives are bounded by the banding curve."""
-    sh = shingle(df, id_col, text_col, n)
-    sigs = minhash_signature(sh, id_col, num_hashes)
+    sigs = minhash_signature(
+        shingle(df, id_col, text_col, n, distinct=False), id_col, num_hashes
+    )
     cands = lsh_candidates(sigs, id_col, bands, num_hashes // bands)
+    sh = shingle(df, id_col, text_col, n, distinct=True)
     return jaccard_pairs(sh, id_col, candidates=cands, threshold=threshold)
 
 
