@@ -1,0 +1,82 @@
+"""Table maintenance: compaction + vacuum.
+
+The reference lists "compaction and retention (VACUUM) policies" as its
+future work (``/root/reference/README.md:186``); Delta Lake spells these
+OPTIMIZE and VACUUM. The managed-table equivalents:
+
+- ``compact``: rewrite the table into size-targeted files (small-file
+  compaction). MERGE emulation rewrites whole tables so fragmentation is
+  bounded, but the exception sink is append-only and accretes one file
+  set per run — exactly the small-file problem Delta's OPTIMIZE targets.
+- ``vacuum``: drop leftover staging/backup dirs from interrupted swaps
+  (the emulation's analogue of unreferenced-parquet GC).
+
+Both preserve partition layout. At scale, compaction would be driven
+per-partition with predicates; the API accepts a partition filter for
+that reason.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+from . import managed_table
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def table_file_stats(path: str) -> dict[str, int]:
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    return {"n_files": len(files), "total_bytes": total}
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    where: str | None = None,
+) -> dict[str, int]:
+    """Rewrite ``path`` into ~target-sized files (Delta OPTIMIZE
+    analogue). ``where`` restricts the rewrite to matching rows'
+    partitions at scale; here the emulation rewrites the table via the
+    same stage-and-swap as MERGE."""
+    df = managed_table.read(spark, path)
+    if where:
+        df = df.filter(where)
+    stats = table_file_stats(path)
+    n_out = max(1, stats["total_bytes"] // target_file_bytes)
+    compacted = df.coalesce(int(n_out))
+
+    staging = f"{path}__compact_staging"
+    writer = compacted.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    managed_table._write_marker(staging, (), partition_by)
+
+    backup = f"{path}__compact_old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return {"before": stats, "after": table_file_stats(path)}
+
+
+def vacuum(path: str) -> list[str]:
+    """Remove leftover __staging/__old/__compact dirs from interrupted
+    operations (Delta VACUUM analogue for the emulation's artifacts)."""
+    removed = []
+    for leftover in glob.glob(f"{path}__*"):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
+            removed.append(leftover)
+    return removed

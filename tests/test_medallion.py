@@ -146,3 +146,24 @@ def test_gold_rerun_merges_single_date(spark, pipeline):
     assert daily.count() == 1
     # total now includes the 10 inserted rows
     assert daily.collect()[0].total_calls == pipeline["meta"]["n_valid"] + 10
+
+
+def test_compact_and_vacuum(spark, pipeline, tmp_path):
+    """Maintenance ops (reference future-work: README.md:186): compaction
+    reduces exception-sink file count without changing row count; vacuum
+    clears leftover staging dirs."""
+    import os
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        compact, table_file_stats, vacuum,
+    )
+    exc = pipeline["paths"]["exception"]
+    before_rows = spark.read.parquet(exc).count()
+    before = table_file_stats(exc)
+    stats = compact(spark, exc, partition_by=("year", "month"), target_file_bytes=10**9)
+    assert stats["after"]["n_files"] <= before["n_files"]
+    assert spark.read.parquet(exc).count() == before_rows
+
+    leftover = exc + "__staging_zombie"
+    os.makedirs(leftover, exist_ok=True)
+    assert leftover in vacuum(exc)
+    assert not os.path.exists(leftover)
