@@ -130,3 +130,85 @@ def ann_topk(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF (inverted-file) index with deterministic seeding: the
+    ``num_centroids`` lowest-id vectors serve as centroids (a k-means
+    iteration could refine them — the partitioning shape is identical).
+    Returns (centroids, assigned) where ``assigned`` adds
+    ``centroid_id`` to every corpus row.
+
+    Scale: centroids broadcast (tiny); assignment is one narrow pass +
+    a window per row group; the assigned corpus would be WRITTEN
+    partitioned by centroid_id so query probes prune partitions."""
+    from pyspark.sql import Window
+
+    centroids = (
+        corpus.orderBy(id_col)
+        .limit(num_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("centroid_vec"),
+        )
+    )
+    scored = corpus.join(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        "centroid_id",
+        cosine(F.col(vec_col), F.col("centroid_vec")).alias("__csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__csim")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """IVF ANN: probe the ``nprobe`` nearest centroids per query, exact
+    cosine within the probed cells, window top-k. Recall grows with
+    nprobe (nprobe = num_centroids -> exact)."""
+    from pyspark.sql import Window
+
+    centroids, assigned = ivf_index(corpus, id_col, vec_col, num_centroids)
+    q_scored = queries.join(F.broadcast(centroids)).select(
+        query_id_col,
+        query_vec_col,
+        "centroid_id",
+        cosine(F.col(query_vec_col), F.col("centroid_vec")).alias("__csim"),
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "centroid_id")
+    )
+    cand = probes.join(assigned, on="centroid_id").select(
+        query_id_col,
+        F.col(id_col),
+        round_portable(cosine(F.col(query_vec_col), F.col(vec_col)), 4).alias("sim"),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        cand.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -279,3 +279,28 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
     )
     return multimodal.frame_sample(media, every_n_bytes=64)
+
+
+@query("similarity_ivf")  # approximate by construction — rows-only
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (16 deterministic centroids, nprobe=4): first 5 vectors
+    as queries. Recall vs brute force asserted in unit tests."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(emb, queries, num_centroids=16, nprobe=4, k=5)
+
+
+@query("sample_stratified")  # sampling — rows-only (seeded, engine-specific)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (sampleBy): 20% of COMPLETED-analog purchase
+    events, 5% of the rest — the training-data downsampling primitive.
+    Fraction accuracy asserted in unit tests."""
+    events = load_table(spark, sf_dir, "events")
+    fractions = {"purchase": 0.2, "click": 0.05, "error": 0.05, "signup": 0.05, "view": 0.05}
+    return events.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "event_type"
+    )

@@ -88,3 +88,32 @@ def test_approx_distinct_within_tolerance(spark):
     from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY
     row = REGISTRY["approx_distinct_parts"].fn(spark, SF001).collect()[0]
     assert abs(row.approx_parts - row.exact_parts) / row.exact_parts < 0.1
+
+
+def test_ivf_topk_recall(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.similarity import ivf_topk
+    emb = load_table(spark, SF001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = ivf_topk(emb, queries, num_centroids=16, nprobe=4, k=5)
+    # self-vector must be found (its own cell is always probed: sim=1.0)
+    assert out.filter(F.col("q_id") == F.col("vec_id")).count() == 10
+
+
+def test_sample_stratified_fractions(spark):
+    from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY
+    q = REGISTRY["sample_stratified"].fn
+    got = q(spark, SF001).groupBy("event_type").count().collect()
+    totals = {
+        r.event_type: r["count"]
+        for r in load_table(spark, SF001, "events").groupBy("event_type").count().collect()
+    }
+    for r in got:
+        frac = r["count"] / totals[r.event_type]
+        want = 0.2 if r.event_type == "purchase" else 0.05
+        assert abs(frac - want) < 0.08, (r.event_type, frac)
+    # deterministic for a fixed seed + same input splits
+    a = sorted(x.event_id for x in q(spark, SF001).collect())
+    b = sorted(x.event_id for x in q(spark, SF001).collect())
+    assert a == b
