@@ -167,3 +167,15 @@ def test_compact_and_vacuum(spark, pipeline, tmp_path):
     os.makedirs(leftover, exist_ok=True)
     assert leftover in vacuum(exc)
     assert not os.path.exists(leftover)
+
+
+def test_analytics_queries_over_gold(spark, pipeline):
+    """The reference's five Athena queries run unchanged (minus catalog
+    prefix) over our Gold tables via spark.sql."""
+    from aws_callcenter_delta_lakehouse_spark.pipeline.cli import run_analytics
+    results = run_analytics(spark, pipeline["paths"]["gold"])
+    assert set(results) == {1, 2, 3, 4, 5}
+    q1 = results[1].collect()
+    assert len(q1) >= 1 and q1[0].total_calls > 0
+    q5 = results[5].collect()
+    assert all(r.failure_rate_pct is not None for r in q5)
