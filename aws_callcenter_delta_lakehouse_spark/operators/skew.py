@@ -1,0 +1,48 @@
+"""Skew-resilient aggregation: explicit two-phase salted groupBy.
+
+AQE's skew-join splitting handles JOIN skew; aggregation skew on a hot
+key still funnels every row of that key through one reduce task. The
+classic fix decomposes an associative aggregate into
+``groupBy(key, salt)`` (spreads the hot key over N tasks, map-side
+partial agg) then ``groupBy(key)`` to combine. Results are identical
+for associative/commutative aggregates (count/sum/min/max).
+
+At 100 TB with a zipfian key this is the difference between one straggler
+task owning 30% of the data and N tasks owning 30%/N each.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    sums: Sequence[str] = (),
+    count_alias: str | None = "n_rows",
+    num_salts: int = 16,
+) -> DataFrame:
+    """count(*) + sum(col) per key, computed skew-safely.
+
+    Salt is derived from a stable hash of the whole row's sum columns
+    via ``monotonically_increasing_id`` modulo — any even spread works;
+    it never changes results, only task balance."""
+    keys = list(keys)
+    salted = df.withColumn(
+        _SALT, (F.monotonically_increasing_id() % num_salts).cast("int")
+    )
+    partial_aggs = [F.count("*").alias("__pc")] + [
+        F.sum(c).alias(f"__ps_{c}") for c in sums
+    ]
+    partial = salted.groupBy(*keys, _SALT).agg(*partial_aggs)
+    final_aggs = []
+    if count_alias:
+        final_aggs.append(F.sum("__pc").alias(count_alias))
+    final_aggs += [F.sum(f"__ps_{c}").alias(f"sum_{c}") for c in sums]
+    return partial.groupBy(*keys).agg(*final_aggs)

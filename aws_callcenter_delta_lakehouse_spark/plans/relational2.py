@@ -301,3 +301,37 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flag_eq_status"
         ),
     )
+
+
+@query(
+    "salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           floor((SUM(value)) * 1e2 + 0.5) / 1e2 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) — identical
+    results to a plain groupBy (the oracle), skew-safe task balance."""
+    from ..operators.skew import salted_agg
+
+    out = salted_agg(
+        load_table(spark, sf_dir, "events"), ["event_type"], sums=["value"]
+    )
+    return out.select(
+        "event_type", "n_rows", round_portable(F.col("sum_value"), 2).alias("sum_value")
+    )
+
+
+@query("hll_sketch_distinct")  # sketch estimate — rows-only
+def hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL datasketch build + estimate (mergeable across partitions /
+    days — the 100 TB distinct-count tool); accuracy asserted vs the
+    exact count in unit tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

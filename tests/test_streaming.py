@@ -81,3 +81,51 @@ def test_foreach_batch_upsert_handles_restart(spark, tmp_path):
         if i == 0:
             first = managed_table.read(spark, target).count()
     assert managed_table.read(spark, target).count() == first
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState carries per-key state across micro-batches
+    (forced via maxFilesPerTrigger=1 over two files)."""
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+    from aws_callcenter_delta_lakehouse_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    events = load_table(spark, SF001, "events").select("user_id", "value")
+    half1, half2 = events.randomSplit([0.5, 0.5], seed=7)
+    src = str(tmp_path / "src")
+    half1.coalesce(1).write.parquet(src)
+    half2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("running_t")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    # last emitted row per user == the full batch aggregate
+    import pyspark.sql.functions as F
+    got = (
+        spark.table("running_t")
+        .groupBy("user_id")
+        .agg(
+            F.max("running_events").alias("n"),
+            F.max("running_value").alias("v"),
+        )
+    )
+    want = events.groupBy("user_id").agg(
+        F.count("*").alias("n"), F.sum("value").alias("v")
+    )
+    diff = got.join(want, "user_id").filter(got["n"] != want["n"])
+    assert diff.count() == 0
+    vdiff = got.join(want, "user_id").filter(F.abs(got["v"] - want["v"]) > 1e-6)
+    assert vdiff.count() == 0
