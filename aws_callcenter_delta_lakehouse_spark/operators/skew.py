@@ -46,3 +46,28 @@ def salted_agg(
         final_aggs.append(F.sum("__pc").alias(count_alias))
     final_aggs += [F.sum(f"__ps_{c}").alias(f"sum_{c}") for c in sums]
     return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-resilient equi-join: the (large, skewed) left side gets a
+    random salt appended to the key; the (smaller) right side is
+    replicated once per salt value. The join key becomes (key, salt), so
+    a hot key spreads across ``num_salts`` tasks. Same results as the
+    plain join; right side grows x num_salts (keep it the smaller one).
+    AQE's skew-join split does this adaptively for sort-merge joins —
+    this explicit form also covers aggregation-feeding joins AQE can't
+    split."""
+    on = list(on)
+    l = left.withColumn(
+        _SALT, (F.monotonically_increasing_id() % num_salts).cast("int")
+    )
+    r = right.withColumn(
+        _SALT, F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return l.join(r, on=on + [_SALT], how=how).drop(_SALT)

@@ -117,3 +117,18 @@ def test_sample_stratified_fractions(spark):
     a = sorted(x.event_id for x in q(spark, SF001).collect())
     b = sorted(x.event_id for x in q(spark, SF001).collect())
     assert a == b
+
+
+def test_salted_join_matches_plain_join(spark):
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+    from aws_callcenter_delta_lakehouse_spark.operators.skew import salted_join
+
+    orders = load_table(spark, SF001, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, SF001, "customer").select("c_custkey", "c_mktsegment")
+    plain = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    salted = salted_join(
+        orders.withColumnsRenamed({"o_custkey": "k"}),
+        cust.withColumnsRenamed({"c_custkey": "k"}),
+        on=["k"],
+    ).count()
+    assert salted == plain

@@ -1,0 +1,94 @@
+"""Physical-plan assertions: pin the scale properties the engine claims
+(README §Scale design) so a regression that silently de-optimizes a plan
+fails CI — pushdown reaches the scan, dims broadcast, the range join is
+never a nested loop, top-k avoids a full sort, and bucketed tables join
+without a shuffle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY
+from tests.conftest import SF01
+
+
+def _plan(spark, name):
+    df = REGISTRY[name].fn(spark, SF01)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_and_projection_reach_scan(spark):
+    p = _plan(spark, "projection_pruning")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+    # pruned read schema: only the 3 referenced columns
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" in read_schema
+    assert "l_quantity" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark):
+    p = _plan(spark, "join_broadcast_star")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_range_join_is_not_nested_loop(spark):
+    p = _plan(spark, "range_join_price_bands")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_topk_plans_take_ordered(spark):
+    p = _plan(spark, "athena_q1_daily_summary")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_anti_plan_as_joins(spark):
+    assert "LeftSemi" in _plan(spark, "join_semi")
+    assert "LeftAnti" in _plan(spark, "join_anti")
+
+
+def test_asof_join_single_shuffle(spark):
+    p = _plan(spark, "asof_join_last_purchase")
+    # exactly one shuffle (the window partitioning); no join operator at
+    # all — the whole as-of is union + carry-forward
+    tree_exchanges = [
+        l for l in p.splitlines() if l.strip().endswith(")") and "Exchange (" in l
+    ]
+    assert len(tree_exchanges) == 1, tree_exchanges
+    assert "Join" not in p
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """bucketBy co-located join: both sides bucketed on the key by the
+    same bucket count join with ZERO exchanges — the 100 TB fact-fact
+    join strategy."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+
+    orders = load_table(spark, SF01, "orders")
+    lineitem = load_table(spark, SF01, "lineitem")
+    orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("b_orders")
+    lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("b_lineitem")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
