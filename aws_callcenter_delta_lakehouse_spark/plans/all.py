@@ -8,5 +8,6 @@ from . import relational  # noqa: F401
 from . import relational2  # noqa: F401
 from . import scd2_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
+from . import tpch  # noqa: F401
 
 from .registry import REGISTRY  # noqa: F401  (re-export)
