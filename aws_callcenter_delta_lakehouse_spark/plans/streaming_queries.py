@@ -26,7 +26,8 @@ def _sink(prefix: str) -> str:
 @query(
     "streaming_tumbling_counts",
     oracle="""
-    SELECT to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600) AS window_start,
+    SELECT CAST(to_timestamp(floor(epoch(CAST(ts AS TIMESTAMP)) / 21600) * 21600)
+                AS TIMESTAMP) AS window_start,
            COUNT(*) AS n_events,
            floor((SUM(value)) * 1e2 + 0.5) / 1e2 AS sum_value
     FROM events
@@ -47,9 +48,11 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH buckets AS (
         SELECT epoch(CAST(ts AS TIMESTAMP)) AS es FROM events),
     hits AS (
-        SELECT to_timestamp(floor(es / 21600) * 21600) AS window_start, es FROM buckets
+        SELECT CAST(to_timestamp(floor(es / 21600) * 21600) AS TIMESTAMP) AS window_start,
+               es FROM buckets
         UNION ALL
-        SELECT to_timestamp((floor(es / 21600) - 1) * 21600) AS window_start, es FROM buckets)
+        SELECT CAST(to_timestamp((floor(es / 21600) - 1) * 21600) AS TIMESTAMP) AS window_start,
+               es FROM buckets)
     SELECT window_start, COUNT(*) AS n_events
     FROM hits
     WHERE es >= epoch(window_start) AND es < epoch(window_start) + 43200
