@@ -68,7 +68,12 @@ def brute_force_topk(
 def _hyperplane(dim: int, plane: int) -> Column:
     """Deterministic pseudo-random unit-free hyperplane: component j is
     xxhash64(j, plane) scaled to [-1, 1). Seeded, reproducible, and
-    computable identically in any engine with a 64-bit xxhash."""
+    computable identically in any engine with a 64-bit xxhash.
+
+    Note: an unrolled element_at*literal sum was tried and is WORSE —
+    384 flat terms exceed Janino's method limit, codegen falls back to
+    interpreted mode and the query runs 2x slower. The array literal +
+    zip_with formulation stays inside whole-stage codegen."""
     return F.array(
         *[
             (F.xxhash64(F.lit(j), F.lit(plane)) / F.lit(float(1 << 63)))
