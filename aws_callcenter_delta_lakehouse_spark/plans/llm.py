@@ -304,3 +304,26 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sampleBy("event_type", fractions, seed=42).select(
         "event_id", "event_type"
     )
+
+
+@query(
+    "text_regex_token_count",
+    oracle=r"""
+    SELECT event_id,
+           len(regexp_extract_all(props, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+           len(string_split(props, ' ')) AS n_ws_tokens
+    FROM events
+    """,
+)
+def text_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (letters / digit-runs / punctuation
+    as separate tokens) next to the whitespace count — run over the
+    JSON props column, the only punctuation-bearing text in testdata."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.size(
+            F.regexp_extract_all("props", F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0)
+        ).alias("n_bpe_tokens"),
+        F.size(F.split("props", " ")).alias("n_ws_tokens"),
+    )
