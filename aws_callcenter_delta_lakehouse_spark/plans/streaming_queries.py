@@ -97,3 +97,27 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         session_counts(stream_events(spark, sf_dir)), _sink("session")
     )
+
+
+@query(
+    "streaming_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
+          WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
+          WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 3600 SECOND
+     AND v.ts <= p.ts
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream attribution join (views within 1h
+    before each purchase) — drained result equals the batch interval
+    join."""
+    from ..streaming.streams import stream_stream_join
+
+    return run_to_memory(
+        stream_stream_join(spark, sf_dir), _sink("ssjoin"), output_mode="append"
+    )

@@ -155,3 +155,42 @@ def foreach_batch_upsert(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    window_seconds: int = 3600,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase joined to the
+    same user's view events in the preceding ``window_seconds``. Both
+    sides are watermarked so Spark can bound the join state buffer —
+    the canonical attribution-join shape. File-source drain makes the
+    result equal to the batch interval join (the oracle)."""
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
