@@ -95,6 +95,7 @@ def merge_upsert(
     keys: Sequence[str],
     partition_by: Sequence[str] = (),
     broadcast_source: bool = False,
+    schema_evolution: bool = False,
 ) -> None:
     """UPSERT keyed on ``keys`` — whenMatchedUpdateAll +
     whenNotMatchedInsertAll (01_silver_delta_upsert.py:103-112).
@@ -102,6 +103,11 @@ def merge_upsert(
     The caller must supply a key-unique source (true for the reference:
     one row per call_id per file; Delta MERGE throws on duplicate source
     matches anyway).
+
+    ``schema_evolution=True`` mirrors Delta's mergeSchema: source
+    columns missing from the target are added (existing rows get NULL);
+    target columns missing from the source are kept (source rows get
+    NULL). Off by default — silent widening should be a choice.
     """
     keys = list(keys)
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
@@ -118,7 +124,16 @@ def merge_upsert(
     target = read(spark, path)
     src = F.broadcast(source) if broadcast_source else source
     untouched = target.join(src, on=keys, how="left_anti")
-    merged = untouched.unionByName(source.select(*target.columns))
+    if schema_evolution:
+        merged = untouched.unionByName(source, allowMissingColumns=True)
+    else:
+        extra = set(source.columns) - set(target.columns)
+        if extra:
+            raise ValueError(
+                f"source has columns {sorted(extra)} not in the target; "
+                "pass schema_evolution=True to widen the table"
+            )
+        merged = untouched.unionByName(source.select(*target.columns))
 
     # Stage-and-swap: never leave the table half-written.
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"

@@ -179,3 +179,25 @@ def test_analytics_queries_over_gold(spark, pipeline):
     assert len(q1) >= 1 and q1[0].total_calls > 0
     q5 = results[5].collect()
     assert all(r.failure_rate_pct is not None for r in q5)
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """mergeSchema parity: an evolved source widens the table; without
+    the flag, widening is a loud error."""
+    import pytest as _pytest
+    from aws_callcenter_delta_lakehouse_spark.sources.managed_table import (
+        initial_write, merge_upsert, read,
+    )
+    path = str(tmp_path / "evolving")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    initial_write(base, path, keys=("id",))
+
+    evolved = spark.createDataFrame(
+        [(2, "b2", 9.5), (3, "c", 1.0)], "id long, v string, score double"
+    )
+    with _pytest.raises(ValueError, match="schema_evolution"):
+        merge_upsert(spark, path, evolved, ["id"])
+
+    merge_upsert(spark, path, evolved, ["id"], schema_evolution=True)
+    got = {r.id: (r.v, r.score) for r in read(spark, path).collect()}
+    assert got == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.0)}
