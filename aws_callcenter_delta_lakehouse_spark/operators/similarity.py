@@ -108,11 +108,15 @@ def ann_topk(
     dim: int = 64,
     num_planes: int = 6,
     k: int = 5,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k for a *set* of queries: bucket both sides with
     the same hyperplanes, equi-join on bucket, then exact cosine + window
-    top-k within the candidates. Recall < 1 by construction (single
-    probe); raise recall with fewer planes or multi-probe."""
+    top-k within the candidates. Recall < 1 by construction with a single
+    probe; ``multiprobe=True`` additionally probes every Hamming-1
+    neighbor bucket (each sign bit flipped — the planes the query is
+    closest to are the likeliest to disagree for a true neighbor),
+    multiplying candidates by ~(num_planes+1) for a large recall gain."""
     from pyspark.sql import Window
 
     c = hyperplane_lsh_buckets(corpus, vec_col, dim, num_planes)
@@ -124,6 +128,15 @@ def ann_topk(
         dim,
         num_planes,
     ).withColumnsRenamed({vec_col: query_vec_col})
+    if multiprobe:
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(num_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probe_buckets))
     cand = q.join(c, on="bucket").select(
         query_id_col,
         F.col(id_col),
