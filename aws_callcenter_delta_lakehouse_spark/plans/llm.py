@@ -327,3 +327,36 @@ def text_regex_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_bpe_tokens"),
         F.size(F.split("props", " ")).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "dedup_cluster_summary",
+    oracle=_SHINGLE_CTE
+    + """
+    , pairs AS (
+        SELECT d1, d2
+        FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE k * 1.0 / (s1.n + s2.n - k) >= 0.8),
+    sym AS (SELECT d1 AS v, d2 AS u FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach AS (
+        WITH RECURSIVE r(v, l) AS (
+            SELECT v, v FROM (SELECT DISTINCT v FROM sym)
+            UNION
+            SELECT s.v, r.l FROM sym s JOIN r ON s.u = r.v)
+        SELECT * FROM r),
+    comp AS (SELECT v, MIN(l) AS component FROM reach GROUP BY v)
+    SELECT component, COUNT(*) AS n_members, MIN(v) AS representative
+    FROM comp GROUP BY component
+    """,
+)
+def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the verified
+    jaccard>=0.8 pair graph (label propagation; the oracle recomputes
+    components with a recursive CTE), one canonical representative per
+    cluster."""
+    from ..operators.components import cluster_summary, connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
+    comps = connected_components(pairs)
+    return cluster_summary(comps)

@@ -168,3 +168,19 @@ def test_multiprobe_ann_improves_recall(spark):
     # absolute recall (clustered real-world embeddings bucket far better).
     assert rm > r1, (r1, rm)
     assert rm >= 0.3, (r1, rm)
+
+
+def test_connected_components_chain_and_triangle(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.components import (
+        cluster_summary, connected_components,
+    )
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated pair 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "d1 long, d2 long",
+    )
+    comps = {r.v: r.component for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    summary = {r.component: (r.n_members, r.representative)
+               for r in cluster_summary(connected_components(edges)).collect()}
+    assert summary == {1: (4, 1), 10: (3, 10), 20: (2, 20)}
