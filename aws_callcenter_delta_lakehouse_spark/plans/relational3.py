@@ -206,3 +206,39 @@ def funnel_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("conversion_pct"),
     )
+
+
+@query(
+    "profile_lineitem",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(l_quantity) AS n_nonnull,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           floor((MIN(l_quantity)) * 1e4 + 0.5) / 1e4 AS min_value,
+           floor((MAX(l_quantity)) * 1e4 + 0.5) / 1e4 AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(l_discount), COUNT(DISTINCT l_discount),
+           floor((MIN(l_discount)) * 1e4 + 0.5) / 1e4,
+           floor((MAX(l_discount)) * 1e4 + 0.5) / 1e4
+    FROM lineitem
+    """,
+)
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (DQ observability): row/non-null/distinct counts
+    + min/max per numeric column, one output row per column — the
+    monitoring companion to the validation rule engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            round_portable(F.min(col), 4).alias("min_value"),
+            round_portable(F.max(col), 4).alias("max_value"),
+        )
+
+    return profile("l_quantity").unionByName(profile("l_discount"))

@@ -197,3 +197,31 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_revenue_pct")
         )
     )
+
+
+@query(
+    "tpch_q19_disjunctive_predicates",
+    oracle=f"""
+    SELECT {_REV} AS revenue, COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunction of conjunctive predicate groups over a
+    join — Catalyst extracts the common partkey equi-conjunct so the
+    plan stays a hash join with the OR as a post-join filter."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    grp = lambda brand, qlo, qhi, slo, shi: (
+        (F.col("p_brand") == brand)
+        & F.col("l_quantity").between(qlo, qhi)
+        & F.col("p_size").between(slo, shi)
+    )
+    return (
+        l.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(grp("Brand#1", 1, 11, 1, 5) | grp("Brand#2", 10, 20, 1, 10) | grp("Brand#3", 20, 30, 1, 15))
+        .agg(_rev_col().alias("revenue"), F.count("*").alias("n_lines"))
+    )
