@@ -79,3 +79,52 @@ def asof_join(
         *[c for c in left_cols if c not in on and c != left_time],
         *[f"{p}_asof" for p in payload],
     )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time: str,
+    right_time: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """Alternative as-of backend: cogrouped ``applyInPandas`` running
+    ``pd.merge_asof`` per key group. The built-in-ops formulation
+    (``asof_join``) is preferred — Pandas is the fallback tier for
+    operator semantics DataFrame ops can't express; this backend exists
+    for parity testing and for the tolerance/nearest variants
+    merge_asof supports natively.
+
+    Scale: one shuffle on ``on`` (the cogroup), Arrow-batched transfer;
+    each key group must fit in one executor's memory — salt mega-keys.
+    The worker fn is self-contained (no module references).
+    """
+    on = list(on)
+    payload = list(payload)
+    l_cols = [c for c in left.columns]
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields]
+        + [f"{p}_asof {right.schema[p].dataType.simpleString()}" for p in payload]
+    )
+    lt, rt = left_time, right_time
+    pay = payload
+
+    def merge_group(lpdf, rpdf):
+        import pandas as _pd
+
+        lpdf = lpdf.sort_values(lt, kind="mergesort")
+        rsel = rpdf[[rt, *pay]].sort_values(rt, kind="mergesort")
+        rsel = rsel.rename(columns={p: f"{p}_asof" for p in pay})
+        merged = _pd.merge_asof(
+            lpdf, rsel, left_on=lt, right_on=rt, direction="backward",
+            suffixes=("", "__r"),
+        )
+        drop = [c for c in merged.columns if c.endswith("__r") or (c == rt and rt not in lpdf.columns)]
+        return merged.drop(columns=drop)
+
+    return (
+        left.groupBy(*on)
+        .cogroup(right.groupBy(*on))
+        .applyInPandas(merge_group, schema=out_schema)
+    )

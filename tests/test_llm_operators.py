@@ -184,3 +184,21 @@ def test_connected_components_chain_and_triangle(spark):
     summary = {r.component: (r.n_members, r.representative)
                for r in cluster_summary(connected_components(edges)).collect()}
     assert summary == {1: (4, 1), 10: (3, 10), 20: (2, 20)}
+
+
+def test_asof_pandas_backend_matches_window_backend(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.asof import (
+        asof_join, asof_join_pandas,
+    )
+    events = load_table(spark, SF001, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.unix_micros("ts").alias("purchase_us")
+    )
+    a = asof_join(views, purchases, ["user_id"], "ts", "ts", ["purchase_us"])
+    b = asof_join_pandas(views, purchases, ["user_id"], "ts", "ts", ["purchase_us"])
+    ka = {(r.event_id, r.purchase_us_asof) for r in a.collect()}
+    kb = {(r.event_id, r.purchase_us_asof) for r in b.collect()}
+    assert ka == kb
