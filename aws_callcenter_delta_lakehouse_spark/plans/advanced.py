@@ -86,8 +86,8 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events),
     tagged AS (
         SELECT user_id, event_id,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
                AS session_id
         FROM ordered)
     SELECT user_id, session_id,

@@ -35,9 +35,9 @@ _DAILY_CTE = """
     WITH gold_call_daily_summary AS (
         SELECT CAST(ts AS DATE) AS call_date,
                COUNT(*) AS total_calls,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS completed_calls,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS dropped_calls,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS failed_calls,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS completed_calls,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_calls,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed_calls,
                CASE WHEN COUNT(*) > 0
                     THEN floor((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
                                / COUNT(*)) * 1e2 + 0.5) / 1e2
@@ -50,9 +50,9 @@ _AGENT_CTE = """
         SELECT user_id AS agent_id,
                CAST(ts AS DATE) AS call_date,
                COUNT(*) AS total_calls,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS completed_calls,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS dropped_calls,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS failed_calls,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS completed_calls,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_calls,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed_calls,
                CASE WHEN COUNT(*) > 0
                     THEN floor((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
                                / COUNT(*)) * 1e2 + 0.5) / 1e2

@@ -21,8 +21,10 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 # Shared SQL fragment: one CASE-count per event type, matching
 # pipeline.gold.status_counts output names.
+# CAST: DuckDB promotes SUM(int) to HUGEINT, which pandas renders as
+# float (45.0 vs Spark's 45) — pin BIGINT so values compare exactly.
 _COUNT_CASES = ",\n       ".join(
-    f"SUM(CASE WHEN event_type = '{s}' THEN 1 ELSE 0 END) AS {s}_count"
+    f"CAST(SUM(CASE WHEN event_type = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s}_count"
     for s in EVENT_TYPES
 )
 

@@ -184,8 +184,8 @@ def membership_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "case_sensitivity_counts",
     oracle="""
-    SELECT SUM(CASE WHEN event_type = 'PURCHASE' THEN 1 ELSE 0 END) AS sensitive_count,
-           SUM(CASE WHEN upper(event_type) = 'PURCHASE' THEN 1 ELSE 0 END) AS insensitive_count
+    SELECT CAST(SUM(CASE WHEN event_type = 'PURCHASE' THEN 1 ELSE 0 END) AS BIGINT) AS sensitive_count,
+           CAST(SUM(CASE WHEN upper(event_type) = 'PURCHASE' THEN 1 ELSE 0 END) AS BIGINT) AS insensitive_count
     FROM events
     """,
 )

@@ -25,11 +25,11 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     "pivot_event_counts",
     oracle="""
     SELECT CAST(ts AS DATE) AS event_date,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY 1
     """,
 )
@@ -55,7 +55,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH daily AS (
         SELECT CAST(ts AS DATE) AS event_date,
-               COUNT(*) AS total, SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS purchases
+               COUNT(*) AS total, CAST(SUM(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
         FROM events GROUP BY 1)
     SELECT event_date, 'total' AS metric, total AS metric_value FROM daily
     UNION ALL

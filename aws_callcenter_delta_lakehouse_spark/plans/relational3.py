@@ -169,8 +169,8 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
         FROM events GROUP BY 1, 2)
     SELECT event_date,
-           SUM(viewed) AS n_viewers,
-           SUM(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END) AS n_converted,
+           CAST(SUM(viewed) AS BIGINT) AS n_viewers,
+           CAST(SUM(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
            CASE WHEN SUM(viewed) > 0
                 THEN floor((SUM(CASE WHEN viewed = 1 AND purchased = 1 THEN 1 ELSE 0 END) * 100.0
                            / SUM(viewed)) * 1e2 + 0.5) / 1e2
