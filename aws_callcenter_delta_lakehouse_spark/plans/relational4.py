@@ -1,0 +1,130 @@
+"""Fourth relational batch: array explosion (posexplode / LATERAL VIEW),
+from_json struct parsing, bag-semantics set ops, and a cogroup-free
+grouped-map normalization (the Pandas tier, tolerance-tested)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table, register_all
+from .registry import query
+
+
+@query(
+    "posexplode_words",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(w, 1) - 1 AS INTEGER) AS pos,
+           unnest(w) AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id < 10)
+    """,
+)
+def posexplode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: one row per array element with its position."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+
+
+@query(
+    "lateral_view_sql",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents WHERE doc_id < 10
+    """,
+)
+def lateral_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW explode through the SQL surface."""
+    register_all(spark, sf_dir, ["documents"])
+    return spark.sql(
+        """
+        SELECT doc_id, word
+        FROM documents LATERAL VIEW explode(split(text, ' ')) t AS word
+        WHERE doc_id < 10
+        """
+    )
+
+
+@query(
+    "from_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed
+    FROM events
+    """,
+)
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit struct schema (typed JSON parsing, vs
+    the stringly get_json_object in json_props_extract)."""
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("props_struct", F.from_json("props", schema))
+        .select("event_id", F.col("props_struct.k").alias("k_typed"))
+    )
+
+
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — multiplicity = min of the sides)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .intersectAll(
+            load_table(spark, sf_dir, "supplier").select(
+                F.col("s_nationkey").alias("nationkey")
+            )
+        )
+    )
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag semantics — multiplicity = left minus right)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+        .exceptAll(
+            load_table(spark, sf_dir, "supplier").select(
+                F.col("s_nationkey").alias("nationkey")
+            )
+        )
+    )
+
+
+@query("grouped_map_zscore")  # Pandas-tier; tolerance-tested vs SQL in tests
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-language z-score of document
+    length. The Pandas tier exists for semantics built-ins can't express;
+    this one CAN be (and is, in tests) cross-checked against the
+    window-function formulation. Worker fn self-contained."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def zscore(pdf):
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=1)
+        out = pdf.copy()
+        out["z"] = 0.0 if sd == 0 else (pdf["n_chars"] - mu) / sd
+        return out
+
+    return docs.groupBy("lang").applyInPandas(
+        zscore, schema="doc_id long, lang string, n_chars long, z double"
+    )

@@ -202,3 +202,18 @@ def test_asof_pandas_backend_matches_window_backend(spark):
     ka = {(r.event_id, r.purchase_us_asof) for r in a.collect()}
     kb = {(r.event_id, r.purchase_us_asof) for r in b.collect()}
     assert ka == kb
+
+
+def test_grouped_map_zscore_matches_window_formulation(spark):
+    from pyspark.sql import Window
+    from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY
+
+    got = REGISTRY["grouped_map_zscore"].fn(spark, SF001).toPandas()
+    docs = load_table(spark, SF001, "documents").select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang")
+    want = docs.select(
+        "doc_id",
+        ((F.col("n_chars") - F.avg("n_chars").over(w)) / F.stddev_samp("n_chars").over(w)).alias("z"),
+    ).toPandas()
+    merged = got.merge(want, on="doc_id", suffixes=("_p", "_w"))
+    assert ((merged.z_p - merged.z_w).abs() < 1e-9).all()
