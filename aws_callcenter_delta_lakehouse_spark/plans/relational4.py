@@ -128,3 +128,29 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("lang").applyInPandas(
         zscore, schema="doc_id long, lang string, n_chars long, z double"
     )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT event_id,
+           'k' AS map_key,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS map_value,
+           1 AS map_size
+    FROM events
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: from_json to map<string,int>, explode to
+    (key, value) rows, map cardinality. The testdata props carry exactly
+    one key, which keeps the oracle enumerable."""
+    m = F.from_json("props", T.MapType(T.StringType(), T.IntegerType()))
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("props_map", m)
+        .select(
+            "event_id",
+            F.explode("props_map").alias("map_key", "map_value"),
+            F.size(m).alias("map_size"),
+        )
+    )
