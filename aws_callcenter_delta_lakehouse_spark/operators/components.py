@@ -27,11 +27,14 @@ def connected_components(
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in ``edges``;
     component = min vertex id in the connected component."""
+    # Materialize the edge list ONCE — without this every iteration
+    # re-executes the (possibly expensive) upstream plan that produced
+    # the edges, e.g. a full MinHash-LSH pipeline.
     sym = (
         edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
         .union(edges.select(F.col(dst).alias("v"), F.col(src).alias("u")))
         .distinct()
-    )
+    ).localCheckpoint()
     labels = (
         sym.select("v").distinct().withColumn("component", F.col("v"))
     ).localCheckpoint()
