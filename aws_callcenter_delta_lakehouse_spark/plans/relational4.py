@@ -154,3 +154,30 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(m).alias("map_size"),
         )
     )
+
+
+@query(
+    "struct_functions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status_field,
+           o_totalprice AS price_field,
+           regexp_replace(o_orderpriority, '[0-9]-', '') AS priority_name
+    FROM orders
+    """,
+)
+def struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction + field access + regexp_replace. The struct
+    is built and accessed in the plan, but only scalar fields are
+    output — nested values render engine-specifically (Row vs dict) and
+    would make the differential hash fragile."""
+    o = load_table(spark, sf_dir, "orders")
+    info = F.struct(
+        F.col("o_orderstatus").alias("status"), F.col("o_totalprice").alias("price")
+    )
+    return o.select(
+        "o_orderkey",
+        info.getField("status").alias("status_field"),
+        info.getField("price").alias("price_field"),
+        F.regexp_replace("o_orderpriority", "[0-9]-", "").alias("priority_name"),
+    )
