@@ -119,18 +119,29 @@ def run_to_memory(
 ) -> DataFrame:
     """Drive a streaming DataFrame to completion against a memory sink
     and return the materialized batch result (deterministic for file
-    sources: processAllAvailable drains everything)."""
+    sources: processAllAvailable drains everything).
+
+    Shuffle partitions are right-sized for the duration of the run: the
+    state-store partition count is fixed at query start, and a vanilla
+    session's 200 partitions means 200-task stateful stages for test-
+    scale data. Restored afterwards."""
     spark = df.sparkSession
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "16")
     try:
-        q.processAllAvailable()
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set(key, old)
     return spark.table(name)
 
 
