@@ -201,3 +201,29 @@ def test_merge_schema_evolution(spark, tmp_path):
     merge_upsert(spark, path, evolved, ["id"], schema_evolution=True)
     got = {r.id: (r.v, r.score) for r in read(spark, path).collect()}
     assert got == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.0)}
+
+
+def test_interrupted_swap_leaves_table_readable(spark, tmp_path):
+    """Crash-consistency: a leftover staging dir from an interrupted
+    merge never corrupts the live table; vacuum clears it and a
+    subsequent merge succeeds."""
+    import os
+    from aws_callcenter_delta_lakehouse_spark.sources.managed_table import (
+        initial_write, merge_upsert, read,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import vacuum
+
+    path = str(tmp_path / "t")
+    initial_write(spark.createDataFrame([(1, "a")], "id long, v string"), path, keys=("id",))
+
+    # simulate a crashed writer: stale staging next to the live table
+    stale = f"{path}__staging_dead"
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+
+    assert read(spark, path).count() == 1  # live table unaffected
+    assert stale in vacuum(path)
+
+    merge_upsert(spark, path, spark.createDataFrame([(2, "b")], "id long, v string"), ["id"])
+    assert {r.id for r in read(spark, path).collect()} == {1, 2}
