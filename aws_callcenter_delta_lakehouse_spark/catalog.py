@@ -53,12 +53,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def register_all(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> dict[str, DataFrame]:
-    """Register every table in ``sf_dir`` as a temp view (SQL surface)."""
+    """Register every table in ``sf_dir`` as a temp view (SQL surface).
+
+    Routes through ``load_table`` so views get the exact same conf
+    handling and normalization as the DataFrame path — in particular the
+    events TIMESTAMP(NANOS) -> microsecond-timestamp conversion (a raw
+    ``spark.read.parquet`` view would throw on a vanilla session, or
+    silently expose ``ts`` as long nanos)."""
     out: dict[str, DataFrame] = {}
     for name in tables:
-        path = table_path(sf_dir, name)
-        if os.path.exists(path):
-            df = spark.read.parquet(path)
+        if os.path.exists(table_path(sf_dir, name)):
+            df = load_table(spark, sf_dir, name)
             df.createOrReplaceTempView(name)
             out[name] = df
     return out

@@ -11,12 +11,26 @@ neighbors' labels; stop when no label changed. Rounds = graph diameter
 one join + one aggregate, all shuffles on the vertex key. The driver
 loop checks only a scalar convergence count per round — no data is
 collected.
+
+Fault tolerance: iterative algorithms must truncate lineage each round
+(else the plan grows unboundedly), which severs Spark's recompute path.
+``localCheckpoint`` (the local-mode default) stores the blocks on
+executors — an executor loss mid-iteration kills the job. On a real
+cluster pass ``checkpoint_dir``: each round is then a RELIABLE
+``df.checkpoint()`` to HDFS/S3, surviving any executor loss.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Label propagation exhausted max_iterations without converging —
+    the returned labels would be silently WRONG (partially propagated)."""
 
 
 def connected_components(
@@ -24,28 +38,53 @@ def connected_components(
     src: str = "d1",
     dst: str = "d2",
     max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """(vertex, component) for every vertex appearing in ``edges``;
-    component = min vertex id in the connected component."""
+    component = min vertex id in the connected component.
+
+    ``checkpoint_dir``: when set, per-round materialization uses
+    reliable ``df.checkpoint()`` into that directory (cluster-safe);
+    when None, executor-local ``localCheckpoint`` (fine on local mode /
+    when executor loss is acceptable as a job retry).
+
+    ``on_nonconverged``: "raise" (default — non-converged labels are
+    wrong labels) or "warn" if the caller prefers the partial result.
+    Convergence needs ~graph-diameter rounds; near-dup clusters are
+    shallow, so hitting 25 usually means a pathological chain graph.
+    """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError("on_nonconverged must be 'raise' or 'warn'")
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        # truncate lineage: reliable checkpoint on a cluster, local
+        # blocks otherwise
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     # Materialize the edge list ONCE — without this every iteration
     # re-executes the (possibly expensive) upstream plan that produced
     # the edges, e.g. a full MinHash-LSH pipeline.
-    sym = (
+    sym = _materialize(
         edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
         .union(edges.select(F.col(dst).alias("v"), F.col(src).alias("u")))
         .distinct()
-    ).localCheckpoint()
-    labels = (
+    )
+    labels = _materialize(
         sym.select("v").distinct().withColumn("component", F.col("v"))
-    ).localCheckpoint()
+    )
 
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels.withColumnsRenamed({"v": "u", "component": "u_comp"}), on="u")
             .groupBy("v")
             .agg(F.min("u_comp").alias("n_comp"))
         )
-        updated = (
+        updated = _materialize(
             labels.join(neighbor_min, on="v", how="left")
             .select(
                 "v",
@@ -56,11 +95,21 @@ def connected_components(
                     "__changed"
                 ),
             )
-        ).localCheckpoint()  # truncate the lineage each round
+        )
         changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            "iterations — labels are partially propagated (wrong). "
+            "Raise max_iterations (rounds needed ~= graph diameter)."
+        )
+        if on_nonconverged == "raise":
+            raise ConvergenceError(msg)
+        warnings.warn(msg, RuntimeWarning)
     return labels.select(F.col("v"), "component")
 
 

@@ -61,14 +61,29 @@ def jaccard_pairs(
     id_col: str,
     candidates: DataFrame | None = None,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for doc pairs.
 
     With ``candidates`` (d1/d2 columns) only those pairs are scored —
     the LSH verify path. Without, all pairs sharing >= 1 shingle are
-    scored (safe only when a blocking key bounds the join).
+    scored, and ``max_shingle_df`` is REQUIRED: shingles appearing in
+    more than that many documents are excluded from the pair join
+    (standard df-blocking from the dedup literature — a shingle shared
+    by d documents contributes d^2/2 pair rows, so one hot 3-gram over
+    millions of docs is a trillion-row join). Per-doc set sizes
+    (denominators) still count every shingle, so the score is a
+    conservative lower bound on true Jaccard; pairs whose overlap is
+    exclusively hot shingles are the deliberate trade.
     Returns (d1, d2, jaccard).
     """
+    if candidates is None and max_shingle_df is None:
+        raise ValueError(
+            "jaccard_pairs without candidates needs max_shingle_df: an "
+            "unblocked shared-shingle self-join is quadratic in the "
+            "documents sharing a hot shingle"
+        )
+    # true set sizes — computed BEFORE any df cap
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     if candidates is not None:
         # prune the shingle set to candidate docs BEFORE the pair join —
@@ -80,6 +95,14 @@ def jaccard_pairs(
             .distinct()
         )
         shingles = shingles.join(cand_docs, on=id_col, how="left_semi")
+    if max_shingle_df is not None:
+        hot = (
+            shingles.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") > max_shingle_df)
+            .select("sh")
+        )
+        shingles = shingles.join(hot, on="sh", how="left_anti")
     a = shingles.select(F.col(id_col).alias("d1"), "sh")
     b = shingles.select(F.col(id_col).alias("d2"), "sh")
     pair_rows = a.join(b, on="sh").filter(F.col("d1") < F.col("d2"))

@@ -30,7 +30,20 @@ def range_join(
     ``lo <= point < hi`` (half-open). ``bucket_width`` should be on the
     order of the typical interval width: too small explodes the interval
     side, too large degrades to a near-cross-join within buckets.
+
+    Only ``how="inner"`` is supported: the exact range predicate is
+    applied as a post-join filter, which would silently discard the
+    null-extended rows any outer variant exists to keep. (An outer
+    range join additionally can't be expressed on the bucketized
+    equi-join without also deduplicating the multi-bucket fan-out of
+    unmatched intervals.)
     """
+    if how != "inner":
+        raise ValueError(
+            f"range_join supports how='inner' only (got {how!r}): the exact "
+            "range predicate is a post-join filter, which drops the "
+            "null-extended rows of outer joins"
+        )
     p = points.withColumn(
         _BUCKET, F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long")
     )

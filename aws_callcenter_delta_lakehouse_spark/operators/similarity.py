@@ -150,6 +150,33 @@ def ann_topk(
     )
 
 
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """Fold the (tiny) centroid table into ONE row holding an
+    ``array<struct<centroid_id, centroid_vec>>`` column ``__cents``.
+    Broadcast-joined onto a big side this adds a constant column —
+    no fan-out, no shuffle of the big side."""
+    return centroids.agg(
+        F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("__cents")
+    )
+
+
+def _nearest_centroids(vec_col: str) -> Column:
+    """``array<struct<__negsim, centroid_id>>`` scored against
+    ``__cents``, ascending-sortable: smallest ``__negsim`` = highest
+    cosine, ties broken by smallest centroid_id. Pure projection."""
+    # named_struct, not struct(...).alias: aliases inside a higher-order-
+    # function lambda don't survive analysis (fields come out as `col`).
+    return F.transform(
+        F.col("__cents"),
+        lambda c: F.named_struct(
+            F.lit("__negsim"),
+            -cosine(F.col(vec_col), c["centroid_vec"]),
+            F.lit("centroid_id"),
+            c["centroid_id"],
+        ),
+    )
+
+
 def ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -162,11 +189,15 @@ def ivf_index(
     Returns (centroids, assigned) where ``assigned`` adds
     ``centroid_id`` to every corpus row.
 
-    Scale: centroids broadcast (tiny); assignment is one narrow pass +
-    a window per row group; the assigned corpus would be WRITTEN
-    partitioned by centroid_id so query probes prune partitions."""
-    from pyspark.sql import Window
-
+    Scale: assignment is a ZERO-SHUFFLE projection — the centroids fold
+    into a one-row array (``_centroid_array``), broadcast onto the
+    corpus, and the nearest centroid is an ``array_min`` argmax per row.
+    (The previous formulation fanned every corpus row out
+    ×num_centroids through a join and took the argmax with a
+    per-row window — a num_centroids× data shuffle at 100 TB;
+    ``tests/test_scale_plans.py`` pins the shuffle-free plan.) The
+    assigned corpus would be WRITTEN partitioned by centroid_id so
+    query probes prune partitions."""
     centroids = (
         corpus.orderBy(id_col)
         .limit(num_centroids)
@@ -175,17 +206,15 @@ def ivf_index(
             F.col(vec_col).alias("centroid_vec"),
         )
     )
-    scored = corpus.join(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        "centroid_id",
-        cosine(F.col(vec_col), F.col("centroid_vec")).alias("__csim"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
     assigned = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__csim")
+        corpus.join(F.broadcast(_centroid_array(centroids)))
+        .select(
+            id_col,
+            vec_col,
+            F.array_min(_nearest_centroids(vec_col))["centroid_id"].alias(
+                "centroid_id"
+            ),
+        )
     )
     return centroids, assigned
 
@@ -203,21 +232,26 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest centroids per query, exact
     cosine within the probed cells, window top-k. Recall grows with
-    nprobe (nprobe = num_centroids -> exact)."""
+    nprobe (nprobe = num_centroids -> exact).
+
+    Probe selection is the same zero-shuffle projection as index
+    assignment: sort the per-row centroid-score array, slice nprobe,
+    explode — no fan-out join, no window shuffle on the query side."""
     from pyspark.sql import Window
 
     centroids, assigned = ivf_index(corpus, id_col, vec_col, num_centroids)
-    q_scored = queries.join(F.broadcast(centroids)).select(
-        query_id_col,
-        query_vec_col,
-        "centroid_id",
-        cosine(F.col(query_vec_col), F.col("centroid_vec")).alias("__csim"),
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("__csim"), F.asc("centroid_id"))
     probes = (
-        q_scored.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select(query_id_col, query_vec_col, "centroid_id")
+        queries.join(F.broadcast(_centroid_array(centroids)))
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.explode(
+                F.slice(F.array_sort(_nearest_centroids(query_vec_col)), 1, nprobe)
+            ).alias("__probe"),
+        )
+        .select(
+            query_id_col, query_vec_col, F.col("__probe.centroid_id").alias("centroid_id")
+        )
     )
     cand = probes.join(assigned, on="centroid_id").select(
         query_id_col,

@@ -62,7 +62,18 @@ def salted_join(
     plain join; right side grows x num_salts (keep it the smaller one).
     AQE's skew-join split does this adaptively for sort-merge joins —
     this explicit form also covers aggregation-feeding joins AQE can't
-    split."""
+    split.
+
+    ``how`` is limited to inner/left/left_semi/left_anti: the right side
+    is replicated ``num_salts`` times, so right/full outer would emit
+    each unmatched right row once per salt replica."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "semi", "left_anti", "leftanti", "anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/semi/anti only (got {how!r}): "
+            "the right side is replicated num_salts times, so right/full "
+            "outer joins would duplicate unmatched right rows"
+        )
     on = list(on)
     l = left.withColumn(
         _SALT, (F.monotonically_increasing_id() % num_salts).cast("int")

@@ -73,21 +73,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", round_portable(F.col("jaccard"), 4).alias("jaccard"))
 
 
+_NGRAM_DF_CAP = 10
+
 @query(
     "dedup_ngram_jaccard",
-    oracle=_SHINGLE_CTE
-    + """
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i FROM words),
+    shingles AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh FROM idx),
+    sizes AS (SELECT doc_id, count(*) n FROM shingles GROUP BY doc_id),
+    hot AS (SELECT sh FROM shingles GROUP BY sh HAVING count(*) > 10),
+    kept AS (SELECT * FROM shingles s WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)),
+    inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) k
+              FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
     SELECT d1, d2, floor(k * 1.0 / (s1.n + s2.n - k) * 10000 + 0.5) / 10000 AS jaccard
     FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
     WHERE k * 1.0 / (s1.n + s2.n - k) >= 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard pairs (>= 0.5) without LSH — the shared-
-    shingle join bounds the candidate set; at 100 TB this needs a
-    blocking key (LSH is that key: see dedup_minhash_lsh)."""
+    """Exact n-gram Jaccard pairs (>= 0.5) without LSH, df-blocked:
+    shingles in > 10 docs are dropped before the pair join (mirrored in
+    the oracle), bounding the self-join to ~df_cap^2/2 rows per shingle.
+    Without the cap a hot 3-gram over millions of docs makes the join
+    quadratic — the production path for uncapped recall is
+    dedup_minhash_lsh."""
     sh = shingle(load_table(spark, sf_dir, "documents"), "doc_id", "text")
-    pairs = jaccard_pairs(sh, "doc_id", threshold=0.5)
+    pairs = jaccard_pairs(sh, "doc_id", threshold=0.5, max_shingle_df=_NGRAM_DF_CAP)
     return pairs.select("d1", "d2", round_portable(F.col("jaccard"), 4).alias("jaccard"))
 
 

@@ -96,6 +96,35 @@ def cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_events_hourly",
+    oracle="""
+    SELECT event_type,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+           COUNT(*) AS n_events,
+           floor(SUM(value) * 1e2 + 0.5) / 1e2 AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+    """,
+)
+def sql_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rollup via spark.sql over a registered ``events`` VIEW —
+    proves register_all applies the TIMESTAMP(NANOS) -> microsecond
+    normalization (a raw-parquet view would throw on a vanilla session
+    or expose ``ts`` as long nanos and diverge from the oracle)."""
+    register_all(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_trunc('hour', ts) AS hr,
+               COUNT(*) AS n_events,
+               floor(SUM(value) * 1e2 + 0.5) / 1e2 AS total_value
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
+        """
+    )
+
+
+@query(
     "grouping_sets_sql",
     oracle="""
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows

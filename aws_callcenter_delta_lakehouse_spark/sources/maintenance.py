@@ -47,12 +47,20 @@ def compact(
     where: str | None = None,
 ) -> dict[str, int]:
     """Rewrite ``path`` into ~target-sized files (Delta OPTIMIZE
-    analogue). ``where`` restricts the rewrite to matching rows'
-    partitions at scale; here the emulation rewrites the table via the
-    same stage-and-swap as MERGE."""
-    df = managed_table.read(spark, path)
+    analogue).
+
+    ``where`` restricts the rewrite to the *partition directories* whose
+    partition-column values match the predicate (Delta's
+    ``OPTIMIZE ... WHERE``): only those directories are rewritten
+    in-place; every other partition's files are left untouched, so no
+    row is ever dropped. ``where`` therefore requires ``partition_by``
+    and must reference partition columns only. Without ``where`` the
+    whole table is rewritten via the same stage-and-swap as MERGE.
+    """
     if where:
-        df = df.filter(where)
+        return _compact_partitions(spark, path, partition_by, target_file_bytes, where)
+
+    df = managed_table.read(spark, path)
     stats = table_file_stats(path)
     n_out = max(1, stats["total_bytes"] // target_file_bytes)
     compacted = df.coalesce(int(n_out))
@@ -69,6 +77,52 @@ def compact(
     os.rename(staging, path)
     shutil.rmtree(backup)
     return {"before": stats, "after": table_file_stats(path)}
+
+
+def _compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...],
+    target_file_bytes: int,
+    where: str,
+) -> dict[str, int]:
+    """Partition-scoped compaction: rewrite only the partition dirs
+    selected by ``where``; all other data stays in place on disk.
+
+    The only driver-side materialization is the distinct matching
+    partition-value tuples — partition *metadata* (bounded by partition
+    count, not row count), the same listing Delta's OPTIMIZE planner
+    does on the driver.
+    """
+    if not partition_by:
+        raise ValueError(
+            "compact(where=...) requires partition_by: the predicate selects "
+            "partition directories to rewrite, not rows"
+        )
+    df = managed_table.read(spark, path)
+    part_rows = df.filter(where).select(*partition_by).distinct().collect()
+
+    before = table_file_stats(path)
+    for row in part_rows:
+        subdir = os.path.join(path, *(f"{c}={row[c]}" for c in partition_by))
+        if not os.path.isdir(subdir):  # pragma: no cover - defensive
+            continue
+        stats = table_file_stats(subdir)
+        n_out = max(1, stats["total_bytes"] // target_file_bytes)
+        # Partition dirs hold the non-partition columns only (hive
+        # layout) — read/write the dir directly, no partitionBy.
+        part_df = spark.read.parquet(subdir).coalesce(int(n_out))
+        # Stage as a SIBLING of the table root (never inside it: a
+        # stray dir under the root would corrupt partition discovery),
+        # then swap the one directory.
+        key = "_".join(f"{c}={row[c]}" for c in partition_by)
+        staging = f"{path}__compact_staging_{key}"
+        backup = f"{path}__compact_old_{key}"
+        part_df.write.mode("overwrite").parquet(staging)
+        os.rename(subdir, backup)
+        os.rename(staging, subdir)
+        shutil.rmtree(backup)
+    return {"before": before, "after": table_file_stats(path)}
 
 
 def vacuum(path: str) -> list[str]:

@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """Benchmark harness: runs every registered query at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE compact JSON line:
 
-    {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"<name>": sec, ...}, "sf": <sf>}
+    {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+     "n_queries": N}
+
+Per-query timings go to ``bench_detail.json`` next to this script (the
+full map is ~3 KB — too long for a single captured stdout line, which is
+how round 1's bench signal was lost).
 
 Queries execute against the noop sink — full plan execution (scan ->
 shuffle -> agg) without driver-side materialization, which is what a
@@ -43,14 +47,21 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {"sf": float(sf), "total_sec": total, "queries": timings}, fh, indent=1
+        )
     print(
         json.dumps(
             {
                 "metric": f"total_registry_query_seconds_sf{sf}",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": float(sf),
+                "n_queries": len(timings),
             }
         )
     )

@@ -51,6 +51,48 @@ def test_minhash_lsh_catches_constructed_near_dup(spark):
     assert got == {(1, 2)}
 
 
+def test_jaccard_df_cap_bounds_candidate_set(spark):
+    """The df cap drops hot shingles BEFORE the pair join: a shingle
+    shared by every doc contributes zero pair rows once df > cap, and an
+    unblocked call (no candidates, no cap) is a loud error."""
+    from aws_callcenter_delta_lakehouse_spark.operators.dedup import (
+        jaccard_pairs, shingle,
+    )
+
+    # 40 docs all sharing one hot 3-gram ("common filler words"), plus
+    # two genuine near-dups sharing rare shingles.
+    words = [f"u{i}" for i in range(30)]
+    rows = [(i, f"common filler words only doc {i}") for i in range(40)]
+    rows += [(100, " ".join(words)), (101, " ".join(words[:-1] + ["changed"]))]
+    df = _docs(spark, rows)
+    sh = shingle(df, "doc_id", "text")
+
+    with pytest.raises(ValueError, match="max_shingle_df"):
+        jaccard_pairs(sh, "doc_id")
+
+    capped = jaccard_pairs(sh, "doc_id", threshold=0.5, max_shingle_df=10)
+    got = {(r.d1, r.d2) for r in capped.collect()}
+    assert (100, 101) in got  # rare-shingle near-dups survive the cap
+    # no pair among the 40 hot-shingle-only docs: the hot shingle was
+    # excluded from the join, so the candidate set stayed linear
+    assert all(d1 >= 100 for d1, _ in got)
+
+    # row bound: with the cap, pair-join rows ≤ sum over kept shingles
+    # of df^2; the hot shingle (df=40) would alone have contributed
+    # C(40,2)=780 pair rows.
+    a = sh.join(
+        sh.groupBy("sh").agg(F.count("*").alias("df")).filter(F.col("df") <= 10),
+        on="sh", how="left_semi",
+    )
+    pair_rows = (
+        a.withColumnsRenamed({"doc_id": "d1"})
+        .join(a.withColumnsRenamed({"doc_id": "d2"}), on="sh")
+        .filter(F.col("d1") < F.col("d2"))
+        .count()
+    )
+    assert pair_rows < 780
+
+
 def test_ann_topk_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF001, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -134,6 +176,24 @@ def test_salted_join_matches_plain_join(spark):
     assert salted == plain
 
 
+def test_join_how_restrictions_are_loud(spark):
+    """range_join and salted_join reject `how` values whose semantics
+    they cannot preserve (outer rows dropped / replicated num_salts x)."""
+    from aws_callcenter_delta_lakehouse_spark.operators.rangejoin import range_join
+    from aws_callcenter_delta_lakehouse_spark.operators.skew import salted_join
+
+    pts = spark.createDataFrame([(1.0,)], "p double")
+    iv = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with pytest.raises(ValueError, match="inner"):
+        range_join(pts, "p", iv, "lo", "hi", bucket_width=1.0, how="left")
+    l = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="replicated"):
+        salted_join(l, l, on=["k"], how="full")
+    # left-anti stays supported and correct: every key is present at
+    # every salt on the replicated side
+    assert salted_join(l, l, on=["k"], how="left_anti").count() == 0
+
+
 def test_multiprobe_ann_improves_recall(spark):
     from aws_callcenter_delta_lakehouse_spark.operators.similarity import (
         ann_topk, brute_force_topk,
@@ -170,7 +230,7 @@ def test_multiprobe_ann_improves_recall(spark):
     assert rm >= 0.3, (r1, rm)
 
 
-def test_connected_components_chain_and_triangle(spark):
+def test_connected_components_chain_and_triangle(spark, tmp_path):
     from aws_callcenter_delta_lakehouse_spark.operators.components import (
         cluster_summary, connected_components,
     )
@@ -179,11 +239,37 @@ def test_connected_components_chain_and_triangle(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
         "d1 long, d2 long",
     )
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     comps = {r.v: r.component for r in connected_components(edges).collect()}
-    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert comps == expected
+    # reliable-checkpoint mode (the cluster path) gives identical labels
+    ckpt = str(tmp_path / "cc_ckpt")
+    comps_r = {
+        r.v: r.component
+        for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+    }
+    assert comps_r == expected
     summary = {r.component: (r.n_members, r.representative)
                for r in cluster_summary(connected_components(edges)).collect()}
     assert summary == {1: (4, 1), 10: (3, 10), 20: (2, 20)}
+
+
+def test_connected_components_nonconvergence_is_loud(spark):
+    """Exhausting max_iterations must not silently return wrong labels."""
+    from aws_callcenter_delta_lakehouse_spark.operators.components import (
+        ConvergenceError, connected_components,
+    )
+    # a chain of 8 vertices needs ~7 rounds; cap at 2 to force failure
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "d1 long, d2 long"
+    )
+    with pytest.raises(ConvergenceError, match="did not converge"):
+        connected_components(edges, max_iterations=2).collect()
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        partial = connected_components(
+            edges, max_iterations=2, on_nonconverged="warn"
+        )
+        assert partial.count() == 8
 
 
 def test_asof_pandas_backend_matches_window_backend(spark):

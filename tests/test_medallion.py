@@ -169,6 +169,47 @@ def test_compact_and_vacuum(spark, pipeline, tmp_path):
     assert not os.path.exists(leftover)
 
 
+def test_compact_where_is_partition_scoped(spark, tmp_path):
+    """compact(where=...) rewrites ONLY the matching partition dirs:
+    total row count is preserved, non-matching partitions' files are
+    untouched on disk, and where without partition_by is a loud error."""
+    import glob
+    import os
+    import pytest as _pytest
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import compact
+
+    path = str(tmp_path / "part_table")
+    df = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(300)], "id long, bucket long, v string"
+    )
+    # many small files per partition
+    df.repartition(8).write.partitionBy("bucket").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+
+    untouched_files = sorted(glob.glob(os.path.join(path, "bucket=2", "*.parquet")))
+    untouched_mtimes = [os.path.getmtime(f) for f in untouched_files]
+
+    stats = compact(
+        spark, path, partition_by=("bucket",), where="bucket < 2",
+        target_file_bytes=10**9,
+    )
+    assert stats["after"]["n_files"] < stats["before"]["n_files"]
+    # no data loss: every row of every partition still present
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    assert after.groupBy("bucket").count().count() == 3
+    # bucket=2 was not rewritten: same files, same mtimes
+    assert sorted(glob.glob(os.path.join(path, "bucket=2", "*.parquet"))) == untouched_files
+    assert [os.path.getmtime(f) for f in untouched_files] == untouched_mtimes
+    # matching partitions were compacted to one file each
+    assert len(glob.glob(os.path.join(path, "bucket=0", "*.parquet"))) == 1
+    # no staging/backup siblings left behind
+    assert glob.glob(f"{path}__*") == []
+
+    with _pytest.raises(ValueError, match="partition_by"):
+        compact(spark, path, where="bucket = 0")
+
+
 def test_analytics_queries_over_gold(spark, pipeline):
     """The reference's five Athena queries run unchanged (minus catalog
     prefix) over our Gold tables via spark.sql."""

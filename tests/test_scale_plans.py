@@ -62,6 +62,23 @@ def test_asof_join_single_shuffle(spark):
     assert "Join" not in p
 
 
+def test_ivf_assignment_is_shuffle_free(spark):
+    """IVF centroid assignment must be a pure projection over the corpus:
+    no shuffle Exchange, no Window, no fan-out join (the r1 formulation
+    shuffled num_centroids× the corpus through a per-row window)."""
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+    from aws_callcenter_delta_lakehouse_spark.operators.similarity import ivf_index
+
+    emb = load_table(spark, SF01, "embeddings")
+    _, assigned = ivf_index(emb, num_centroids=16)
+    p = assigned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange hashpartitioning" not in p
+    assert "Window" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
 def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     """bucketBy co-located join: both sides bucketed on the key by the
     same bucket count join with ZERO exchanges — the 100 TB fact-fact
