@@ -107,24 +107,62 @@ def language_id(
     )
 
 
-def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Content fingerprints: md5 (engine-portable exact-dup key) +
-    a winnowing-style rolling min-hash over word 3-grams (xxhash64),
-    robust to small edits."""
+def _gram_hashes(text_col: str, n: int = 3):
+    """xxhash64 per word n-gram, in document order (array Column)."""
     words = _words(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
         lambda i: F.xxhash64(
-            F.concat_ws(
-                " ",
-                F.element_at(words, i),
-                F.element_at(words, i + 1),
-                F.element_at(words, i + 2),
-            )
+            F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])
         ),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """TRUE winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003, the
+    MOSS fingerprint): hash every word ``n``-gram, slide a window of
+    ``window`` consecutive hashes, select the min of each window; the
+    fingerprint is the distinct set of selected hashes (sorted for
+    determinism). Guarantee: two documents sharing any run of
+    ``window + n - 1`` consecutive words share >= 1 fingerprint, and a
+    single-word edit only disturbs the <= window + n - 1 windows that
+    overlap it — unlike a global min-hash (k=1 MinHash), which a single
+    edit can replace wholesale.
+
+    All built-in array ops (transform/slice/array_min) — JVM-side,
+    no shuffle: a pure projection per document."""
+    grams = _gram_hashes(text_col, n)
+    m = F.size(grams)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(grams, i, window)),
+    )
+    return df.select(
+        id_col,
+        F.array_sort(F.array_distinct(wins)).alias("winnow_fps"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str, text_col: str, window: int = 4
+) -> DataFrame:
+    """Content fingerprints: md5 (engine-portable exact-dup key) +
+    windowed-winnowing hash set over word 3-grams (robust to small,
+    local edits — see ``winnow_fingerprints``)."""
+    grams = _gram_hashes(text_col, 3)
+    m = F.size(grams)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(grams, i, window)),
     )
     return df.select(
         id_col,
         F.md5(text_col).alias("md5_fingerprint"),
-        F.array_min(grams).alias("winnow_fingerprint"),
+        F.array_sort(F.array_distinct(wins)).alias("winnow_fps"),
     )

@@ -245,11 +245,19 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("text_fingerprint_winnow")  # xxhash64-seeded — rows-only
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash (winnowing-style) fingerprint, robust to small
-    edits; exactness covered by unit tests."""
-    return text.fingerprint(
+    """True windowed winnowing (Schleimer et al. SIGMOD 2003): distinct
+    set of per-window min gram hashes. Local-edit robustness (a
+    single-word edit preserves the fingerprints of non-overlapping
+    windows) covered by a property test; scalar columns derived from the
+    set keep the rows-only check schema-stable."""
+    fps = text.winnow_fingerprints(
         load_table(spark, sf_dir, "documents"), "doc_id", "text"
-    ).select("doc_id", "winnow_fingerprint")
+    )
+    return fps.select(
+        "doc_id",
+        F.size("winnow_fps").alias("n_fingerprints"),
+        F.xxhash64(F.to_json(F.col("winnow_fps"))).alias("fp_set_hash"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -112,12 +112,38 @@ def test_ann_topk_recall_vs_bruteforce(spark):
 
 
 def test_winnow_fingerprint_edit_robustness(spark):
+    """True winnowing is robust to a single-word edit even when that
+    edit destroys the GLOBAL min gram hash (the r1 'winnow' was a global
+    array_min — one adversarial edit replaced the whole fingerprint)."""
+    from aws_callcenter_delta_lakehouse_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
     words = [f"tok{i}" for i in range(100)]
+    # locate the gram with the GLOBAL min hash, using the same xxhash64
+    grams = spark.createDataFrame(
+        [(i, " ".join(words[i : i + 3])) for i in range(98)], "i int, g string"
+    ).select("i", F.xxhash64("g").alias("h")).collect()
+    argmin = min(grams, key=lambda r: r.h).i
+    edited = list(words)
+    edited[argmin + 1] = "EDIT"  # kills the global-min gram
+
     a = " ".join(words)
-    b = " ".join(["XX"] + words[1:])  # early edit; min-gram usually survives
-    df = _docs(spark, [(1, a), (2, a), (3, b)])
-    fps = {r.doc_id: r.winnow_fingerprint for r in fingerprint(df, "doc_id", "text").collect()}
-    assert fps[1] == fps[2]  # identical text -> identical fingerprint
+    df = _docs(spark, [(1, a), (2, a), (3, " ".join(edited))])
+    fps = {
+        r.doc_id: set(r.winnow_fps)
+        for r in winnow_fingerprints(df, "doc_id", "text").collect()
+    }
+    assert fps[1] == fps[2]  # identical text -> identical fingerprint set
+    # the global-min fingerprint (k=1 MinHash) did NOT survive this edit
+    assert min(fps[1]) not in fps[3]
+    # ...but windowed winnowing preserves the fingerprints of every
+    # window not overlapping the edit
+    overlap = len(fps[1] & fps[3]) / len(fps[1])
+    assert overlap >= 0.7, overlap
+    # Schleimer guarantee: any shared run of window+n-1 words shares a
+    # fingerprint — docs 1 and 3 still share long runs
+    assert fps[1] & fps[3]
 
 
 def test_decode_stub_contract():
