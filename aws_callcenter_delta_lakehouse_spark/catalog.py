@@ -52,6 +52,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def register_persistent(
+    spark: SparkSession,
+    sf_dir: str,
+    tables=TPCH_TABLES,
+    database: str = "lakehouse",
+) -> list[str]:
+    """Metastore-backed registration — the Glue Data Catalog analogue
+    (the reference registers Silver/Gold tables for Athena,
+    ``/root/reference/README.md:51-53,144-148``). ``saveAsTable`` writes
+    managed parquet into the warehouse and records schema + stats in the
+    catalog, so ``spark.table("db.name")`` works across sessions (and
+    other engines via the metastore), unlike temp views.
+
+    Always overwrites: a table left behind by a run at a DIFFERENT
+    scale factor (one metastore per working dir, many sf dirs) would
+    otherwise silently serve stale data. Returns the fully-qualified
+    names registered.
+    """
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    out: list[str] = []
+    for name in tables:
+        if not os.path.exists(table_path(sf_dir, name)):
+            continue
+        fq = f"{database}.{name}"
+        load_table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(fq)
+        out.append(fq)
+    return out
+
+
 def register_all(spark: SparkSession, sf_dir: str, tables=TPCH_TABLES) -> dict[str, DataFrame]:
     """Register every table in ``sf_dir`` as a temp view (SQL surface).
 

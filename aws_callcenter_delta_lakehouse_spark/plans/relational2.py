@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, register_all
+from ..catalog import load_table, register_all, register_persistent
 from ..functions.scalars import round_portable
 from .registry import query
 
@@ -92,6 +92,32 @@ def cube_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
         .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "catalog_persistent_table",
+    oracle="""
+    SELECT n.n_regionkey, r.r_name, COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_regionkey, r.r_name
+    """,
+)
+def catalog_persistent_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metastore-backed tables (Glue Catalog analogue): register dims
+    persistently via saveAsTable, then query through
+    ``spark.table("lakehouse.x")`` — the cross-session catalog surface
+    the reference gets from Glue+Athena."""
+    register_persistent(spark, sf_dir, ["nation", "region"])
+    nation = spark.table("lakehouse.nation")
+    region = spark.table("lakehouse.region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("n_regionkey", "r_name")
+        .agg(F.count("*").alias("n_nations"))
     )
 
 

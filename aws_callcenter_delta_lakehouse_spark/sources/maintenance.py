@@ -125,11 +125,16 @@ def _compact_partitions(
     return {"before": before, "after": table_file_stats(path)}
 
 
-def vacuum(path: str) -> list[str]:
+def vacuum(path: str, retain_history: bool = False) -> list[str]:
     """Remove leftover __staging/__old/__compact dirs from interrupted
-    operations (Delta VACUUM analogue for the emulation's artifacts)."""
+    operations, plus retained ``__history`` version snapshots (Delta
+    VACUUM analogue: unreferenced files AND expired time-travel
+    snapshots). ``retain_history=True`` keeps the version snapshots —
+    the equivalent of a retention window that hasn't elapsed."""
     removed = []
     for leftover in glob.glob(f"{path}__*"):
+        if retain_history and leftover == f"{path}__history":
+            continue
         if os.path.isdir(leftover):
             shutil.rmtree(leftover)
             removed.append(leftover)

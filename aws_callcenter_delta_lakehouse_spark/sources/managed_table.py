@@ -56,18 +56,73 @@ def is_table(spark: SparkSession, path: str) -> bool:
     return os.path.exists(os.path.join(path, _MARKER))
 
 
-def _write_marker(path: str, keys: Sequence[str], partition_by: Sequence[str]) -> None:
+def _write_marker(
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+    version: int = 0,
+) -> None:
     with open(os.path.join(path, _MARKER), "w") as f:
         json.dump(
-            {"keys": list(keys), "partition_by": list(partition_by), "ts": time.time()},
+            {
+                "keys": list(keys),
+                "partition_by": list(partition_by),
+                "version": version,
+                "ts": time.time(),
+            },
             f,
         )
 
 
-def read(spark: SparkSession, path: str) -> DataFrame:
-    if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):
-        return spark.read.format("delta").load(path)
-    return spark.read.parquet(path)
+def _read_marker(path: str) -> dict:
+    marker = os.path.join(path, _MARKER)
+    if not os.path.exists(marker):
+        return {}
+    with open(marker) as f:
+        return json.load(f)
+
+
+def _history_dir(path: str) -> str:
+    return f"{path}__history"
+
+
+def table_version(path: str) -> int:
+    """Current (live) version number; 0 for a fresh initial load."""
+    return int(_read_marker(path).get("version", 0))
+
+
+def list_versions(path: str) -> list[int]:
+    """Readable versions: retained history snapshots + the live one."""
+    hist = _history_dir(path)
+    out = []
+    if os.path.isdir(hist):
+        out = sorted(int(d[1:]) for d in os.listdir(hist) if d.startswith("v"))
+    return out + [table_version(path)]
+
+
+def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Read the live table, or a retained historical snapshot via
+    ``version=N`` (time-travel-lite: each MERGE keeps the replaced
+    snapshot as version N-1 under ``<path>__history/``, bounded by
+    ``merge_upsert(max_history=...)``; ``maintenance.vacuum`` prunes)."""
+    if version is None:
+        if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):
+            return spark.read.format("delta").load(path)
+        return spark.read.parquet(path)
+    if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
+        return (
+            spark.read.format("delta").option("versionAsOf", version).load(path)
+        )
+    if version == table_version(path):
+        return spark.read.parquet(path)
+    snap = os.path.join(_history_dir(path), f"v{version:06d}")
+    if not os.path.isdir(snap):
+        raise ValueError(
+            f"version {version} of {path} is not retained "
+            f"(available: {list_versions(path)}) — pruned by max_history "
+            "or vacuum"
+        )
+    return spark.read.parquet(snap)
 
 
 def initial_write(
@@ -96,18 +151,28 @@ def merge_upsert(
     partition_by: Sequence[str] = (),
     broadcast_source: bool = False,
     schema_evolution: bool = False,
+    validate_source: bool = True,
+    max_history: int = 2,
 ) -> None:
     """UPSERT keyed on ``keys`` — whenMatchedUpdateAll +
     whenNotMatchedInsertAll (01_silver_delta_upsert.py:103-112).
 
-    The caller must supply a key-unique source (true for the reference:
-    one row per call_id per file; Delta MERGE throws on duplicate source
-    matches anyway).
+    ``validate_source=True`` enforces the documented Delta MERGE
+    contract: multiple source rows matching the SAME target row is an
+    error (Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW —
+    the update would be nondeterministic). Costs one extra key-agg +
+    semi-join job per merge; disable only when the source is key-unique
+    by construction.
 
     ``schema_evolution=True`` mirrors Delta's mergeSchema: source
     columns missing from the target are added (existing rows get NULL);
     target columns missing from the source are kept (source rows get
     NULL). Off by default — silent widening should be a choice.
+
+    ``max_history``: the replaced snapshot is retained as version N-1
+    under ``<path>__history/`` (time-travel-lite — Delta keeps old
+    files until VACUUM); only the newest ``max_history`` snapshots are
+    kept, 0 disables retention entirely.
     """
     keys = list(keys)
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
@@ -123,6 +188,21 @@ def merge_upsert(
 
     target = read(spark, path)
     src = F.broadcast(source) if broadcast_source else source
+    if validate_source:
+        dup_matched = (
+            src.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .join(target, on=keys, how="left_semi")
+        )
+        if not dup_matched.isEmpty():
+            raise ValueError(
+                "merge_upsert: multiple source rows match the same target "
+                "row for at least one key — the update is nondeterministic "
+                "(Delta MERGE contract: "
+                "DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW). "
+                "Deduplicate the source on the merge keys first."
+            )
     untouched = target.join(src, on=keys, how="left_anti")
     if schema_evolution:
         merged = untouched.unionByName(source, allowMissingColumns=True)
@@ -135,18 +215,28 @@ def merge_upsert(
             )
         merged = untouched.unionByName(source.select(*target.columns))
 
+    version = table_version(path)
+
     # Stage-and-swap: never leave the table half-written.
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     writer = merged.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    _write_marker(staging, keys, partition_by)
+    _write_marker(staging, keys, partition_by, version=version + 1)
 
     backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, backup)
     os.rename(staging, path)
-    shutil.rmtree(backup)
+    if max_history > 0:
+        hist = _history_dir(path)
+        os.makedirs(hist, exist_ok=True)
+        os.rename(backup, os.path.join(hist, f"v{version:06d}"))
+        snaps = sorted(d for d in os.listdir(hist) if d.startswith("v"))
+        for stale in snaps[:-max_history]:
+            shutil.rmtree(os.path.join(hist, stale))
+    else:
+        shutil.rmtree(backup)
 
 
 def write_or_merge(

@@ -244,6 +244,72 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert got == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.0)}
 
 
+def test_merge_duplicate_source_match_is_error(spark, tmp_path):
+    """Documented Delta MERGE contract: > 1 source row matching the same
+    target row raises (the update would be nondeterministic); duplicate
+    source keys that match NO target row insert normally."""
+    import pytest as _pytest
+    from aws_callcenter_delta_lakehouse_spark.sources.managed_table import (
+        initial_write, merge_upsert, read,
+    )
+    path = str(tmp_path / "t")
+    initial_write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"),
+        path, keys=("id",),
+    )
+    dup_on_match = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id long, v string"
+    )
+    with _pytest.raises(ValueError, match="MULTIPLE_SOURCE_ROW"):
+        merge_upsert(spark, path, dup_on_match, ["id"])
+    # table unchanged by the failed merge
+    assert {r.v for r in read(spark, path).collect()} == {"a", "b"}
+    # duplicate keys matching NOTHING are plain inserts (both rows)
+    dup_no_match = spark.createDataFrame(
+        [(9, "p"), (9, "q")], "id long, v string"
+    )
+    merge_upsert(spark, path, dup_no_match, ["id"])
+    assert read(spark, path).filter(F.col("id") == 9).count() == 2
+
+
+def test_merge_time_travel_versions(spark, tmp_path):
+    """Time-travel-lite: each merge retains the replaced snapshot as
+    version N-1, bounded by max_history; vacuum prunes history."""
+    import pytest as _pytest
+    from aws_callcenter_delta_lakehouse_spark.sources.managed_table import (
+        initial_write, list_versions, merge_upsert, read, table_version,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import vacuum
+
+    path = str(tmp_path / "t")
+    initial_write(
+        spark.createDataFrame([(1, "v0")], "id long, v string"), path, keys=("id",)
+    )
+    assert table_version(path) == 0
+    merge_upsert(spark, path, spark.createDataFrame([(1, "v1")], "id long, v string"), ["id"])
+    merge_upsert(spark, path, spark.createDataFrame([(1, "v2")], "id long, v string"), ["id"])
+    assert table_version(path) == 2
+    assert list_versions(path) == [0, 1, 2]
+    assert read(spark, path).collect()[0].v == "v2"
+    assert read(spark, path, version=2).collect()[0].v == "v2"  # live
+    assert read(spark, path, version=1).collect()[0].v == "v1"
+    assert read(spark, path, version=0).collect()[0].v == "v0"
+
+    # bounded retention: a third merge with max_history=2 prunes v0
+    merge_upsert(spark, path, spark.createDataFrame([(1, "v3")], "id long, v string"), ["id"])
+    assert list_versions(path) == [1, 2, 3]
+    with _pytest.raises(ValueError, match="not retained"):
+        read(spark, path, version=0)
+
+    # vacuum(retain_history=True) keeps snapshots; plain vacuum prunes
+    vacuum(path, retain_history=True)
+    assert read(spark, path, version=2).collect()[0].v == "v2"
+    vacuum(path)
+    with _pytest.raises(ValueError, match="not retained"):
+        read(spark, path, version=2)
+    assert read(spark, path).collect()[0].v == "v3"  # live unaffected
+
+
 def test_interrupted_swap_leaves_table_readable(spark, tmp_path):
     """Crash-consistency: a leftover staging dir from an interrupted
     merge never corrupts the live table; vacuum clears it and a
