@@ -11,5 +11,6 @@ from . import relational4  # noqa: F401
 from . import scd2_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import tpch  # noqa: F401
+from . import tpch2  # noqa: F401
 
 from .registry import REGISTRY  # noqa: F401  (re-export)
