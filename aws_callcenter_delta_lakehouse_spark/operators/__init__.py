@@ -24,6 +24,7 @@ from .similarity import (
     ann_topk,
     brute_force_topk,
     cosine,
+    cosine_near_dup_pairs,
     hyperplane_lsh_buckets,
     ivf_index,
     ivf_topk,
@@ -50,6 +51,7 @@ __all__ = [
     "ann_topk",
     "brute_force_topk",
     "cosine",
+    "cosine_near_dup_pairs",
     "hyperplane_lsh_buckets",
     "ivf_index",
     "ivf_topk",

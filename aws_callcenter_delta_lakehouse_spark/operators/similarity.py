@@ -177,6 +177,85 @@ def _nearest_centroids(vec_col: str) -> Column:
     )
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    block_col: str | None = None,
+    dim: int = 64,
+    num_planes: int = 6,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (d1, d2, cos_sim >=
+    threshold, d1 < d2) — the embedding-space member of the dedup
+    family (exact / MinHash / SimHash / n-gram live in dedup.py).
+
+    Blocking decides scale behavior:
+    - ``block_col`` set: EXACT within blocks — a self equi-join on the
+      block key (an IVF cell / cluster id / shard key). Shuffle is one
+      hash partition on the block; pair work is sum(block^2), bounded
+      by the block sizes, never |corpus|^2. Recall = 1 within blocks
+      by construction.
+    - ``block_col`` None: hyperplane-LSH buckets (+ Hamming-1
+      multiprobe on one side) generate candidates, then exact cosine
+      verifies. Approximate (banding curve), but needs no precomputed
+      clustering; right for genuinely-near duplicates (cos >= ~0.9),
+      where sign-bit collision probability is high.
+    """
+    if block_col is not None:
+        a = corpus.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col).alias("d1"),
+            F.col(vec_col).alias("__v1"),
+        )
+        b = corpus.select(
+            F.col(block_col).alias("__blk"),
+            F.col(id_col).alias("d2"),
+            F.col(vec_col).alias("__v2"),
+        )
+        pairs = a.join(b, on="__blk").filter(F.col("d1") < F.col("d2"))
+    else:
+        bucketed = hyperplane_lsh_buckets(corpus, vec_col, dim, num_planes)
+        a = bucketed.select("bucket", F.col(id_col).alias("d1"))
+        # multiprobe the left side: each row also visits every
+        # Hamming-1 neighbor bucket, so pairs disagreeing on one plane
+        # still collide
+        probe = F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+            )
+        )
+        a = a.withColumn("bucket", probe)
+        b = bucketed.select("bucket", F.col(id_col).alias("d2"))
+        # keep the candidate shuffle NARROW: dedupe (d1, d2) ids only,
+        # then fetch vectors with two hash joins — never shuffle the
+        # vector payload through the bucket join + distinct
+        cand = (
+            a.select("bucket", "d1")
+            .join(b, on="bucket")
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+        )
+        v1 = corpus.select(
+            F.col(id_col).alias("d1"), F.col(vec_col).alias("__v1")
+        )
+        v2 = corpus.select(
+            F.col(id_col).alias("d2"), F.col(vec_col).alias("__v2")
+        )
+        pairs = cand.join(v1, on="d1").join(v2, on="d2")
+    scored = pairs.select(
+        "d1",
+        "d2",
+        round_portable(cosine(F.col("__v1"), F.col("__v2")), round_digits).alias(
+            "cos_sim"
+        ),
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
 def ivf_index(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -206,17 +285,61 @@ def ivf_index(
             F.col(vec_col).alias("centroid_vec"),
         )
     )
-    assigned = (
-        corpus.join(F.broadcast(_centroid_array(centroids)))
-        .select(
-            id_col,
-            vec_col,
-            F.array_min(_nearest_centroids(vec_col))["centroid_id"].alias(
-                "centroid_id"
-            ),
-        )
+    return centroids, _assign(corpus, centroids, id_col, vec_col)
+
+
+def _assign(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment as a zero-shuffle projection."""
+    return corpus.join(F.broadcast(_centroid_array(centroids))).select(
+        id_col,
+        vec_col,
+        F.array_min(_nearest_centroids(vec_col))["centroid_id"].alias("centroid_id"),
     )
-    return centroids, assigned
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 2,
+) -> DataFrame:
+    """Lloyd's k-means over DataFrame ops: assign (zero-shuffle argmax
+    projection, see ``ivf_index``) then recompute each centroid as the
+    elementwise mean of its members. The mean is a posexplode +
+    avg(centroid_id, pos) — hash aggregation with MAP-SIDE partial
+    combine, so the shuffle is #partitions x centroids x dim
+    floats, independent of corpus size — then array re-assembly via
+    sorted collect_list (centroids x dim rows: tiny).
+
+    Returns refined centroids (centroid_id, centroid_vec). Iterations
+    are few and the plan is re-derived per round from the corpus scan —
+    no lineage blow-up at 2-3 iterations (checkpoint beyond that).
+    """
+    for _ in range(iterations):
+        assigned = (
+            corpus.join(F.broadcast(_centroid_array(centroids)))
+            .select(
+                F.array_min(_nearest_centroids(vec_col))["centroid_id"].alias(
+                    "centroid_id"
+                ),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+        )
+        means = (
+            assigned.groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform("pm", lambda s: s["m"]).alias("centroid_vec"),
+            )
+        )
+        centroids = means
+    return centroids
 
 
 def ivf_topk(
@@ -229,6 +352,7 @@ def ivf_topk(
     num_centroids: int = 16,
     nprobe: int = 4,
     k: int = 5,
+    refine_iterations: int = 0,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest centroids per query, exact
     cosine within the probed cells, window top-k. Recall grows with
@@ -236,10 +360,19 @@ def ivf_topk(
 
     Probe selection is the same zero-shuffle projection as index
     assignment: sort the per-row centroid-score array, slice nprobe,
-    explode — no fan-out join, no window shuffle on the query side."""
+    explode — no fan-out join, no window shuffle on the query side.
+
+    ``refine_iterations`` > 0 runs Lloyd's k-means (``kmeans_refine``)
+    on the seed centroids first — tighter cells, better recall per
+    probe."""
     from pyspark.sql import Window
 
     centroids, assigned = ivf_index(corpus, id_col, vec_col, num_centroids)
+    if refine_iterations > 0:
+        centroids = kmeans_refine(
+            corpus, centroids, id_col, vec_col, refine_iterations
+        )
+        assigned = _assign(corpus, centroids, id_col, vec_col)
     probes = (
         queries.join(F.broadcast(_centroid_array(centroids)))
         .select(

@@ -114,6 +114,33 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           floor(list_cosine_similarity(a.embedding, b.embedding) * 1e4 + 0.5) / 1e4
+             AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE floor(list_cosine_similarity(a.embedding, b.embedding) * 1e4 + 0.5) / 1e4
+          >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, EXACT within blocks: the
+    ``label`` column is the blocking key (an IVF cell / cluster id in
+    production), so the self-join shuffles once on the block and pair
+    work is sum(block_size^2), never |corpus|^2. The LSH-blocked
+    variant (no precomputed clustering) is unit-tested on constructed
+    duplicates — this corpus has no natural cos>=0.9 pairs to catch."""
+    from ..operators.similarity import cosine_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, block_col="label"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -313,6 +340,23 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivf_topk(emb, queries, num_centroids=16, nprobe=4, k=5)
+
+
+@query("similarity_ivf_kmeans")  # iterative/approximate — rows-only
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with 2 Lloyd iterations refining the seed centroids before
+    assignment — the iterative-algorithm surface (per-iteration: a
+    zero-shuffle assign + a map-side-combined (centroid, dim) mean).
+    Quantization-error improvement asserted in unit tests."""
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivf_topk(
+        emb, queries, num_centroids=16, nprobe=4, k=5, refine_iterations=2
+    )
 
 
 @query("sample_stratified")  # sampling — rows-only (seeded, engine-specific)

@@ -169,6 +169,31 @@ def test_ivf_topk_recall(spark):
     assert out.filter(F.col("q_id") == F.col("vec_id")).count() == 10
 
 
+def test_kmeans_refine_reduces_quantization_error(spark):
+    """Lloyd iterations must move centroids toward cluster means:
+    mean cosine similarity of each vector to its assigned centroid
+    strictly improves over the seed (lowest-id) centroids."""
+    from aws_callcenter_delta_lakehouse_spark.operators.similarity import (
+        _assign, cosine, ivf_index, kmeans_refine,
+    )
+    emb = load_table(spark, SF001, "embeddings")
+    seed_cent, seed_assign = ivf_index(emb, num_centroids=8)
+
+    def mean_sim(assigned, cents):
+        joined = assigned.join(
+            F.broadcast(cents), on="centroid_id"
+        ).select(cosine(F.col("embedding"), F.col("centroid_vec")).alias("s"))
+        return joined.agg(F.avg("s")).collect()[0][0]
+
+    before = mean_sim(seed_assign, seed_cent)
+    refined = kmeans_refine(emb, seed_cent, iterations=2)
+    after = mean_sim(_assign(emb, refined, "vec_id", "embedding"), refined)
+    assert after > before, (before, after)
+    # refined centroids keep the id space and dimensionality
+    assert refined.count() <= 8
+    assert len(refined.collect()[0].centroid_vec) == 64
+
+
 def test_sample_stratified_fractions(spark):
     from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY
     q = REGISTRY["sample_stratified"].fn
@@ -218,6 +243,35 @@ def test_join_how_restrictions_are_loud(spark):
     # left-anti stays supported and correct: every key is present at
     # every salt on the replicated side
     assert salted_join(l, l, on=["k"], how="left_anti").count() == 0
+
+
+def test_cosine_near_dup_lsh_catches_constructed_dups(spark):
+    """LSH-blocked embedding dedup: near-identical vectors (cos ~0.999)
+    are caught; orthogonal vectors are not; and the blocked-exact path
+    agrees with the LSH path on the constructed dups."""
+    import math
+    from aws_callcenter_delta_lakehouse_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    dim = 16
+    base = [math.sin(i * 1.7) + 1.5 for i in range(dim)]
+    near = list(base)
+    near[0] += 0.01  # cos ~0.99997
+    ortho = [(1.0 if i % 2 else -1.0) * (i + 1) for i in range(dim)]
+    rows = [(1, base, 0), (2, near, 0), (3, ortho, 1)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    lsh = cosine_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95, dim=dim
+    )
+    got = {(r.d1, r.d2) for r in lsh.collect()}
+    assert got == {(1, 2)}
+    blocked = cosine_near_dup_pairs(
+        df, "vec_id", "embedding", threshold=0.95, block_col="label"
+    )
+    assert {(r.d1, r.d2) for r in blocked.collect()} == {(1, 2)}
 
 
 def test_multiprobe_ann_improves_recall(spark):
