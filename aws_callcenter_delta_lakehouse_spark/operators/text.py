@@ -107,6 +107,143 @@ def language_id(
     )
 
 
+# RE2-safe patterns (no backrefs/lookarounds) — the common subset of
+# Java regex (Spark) and RE2 (DuckDB/Go tooling), so oracles can mirror
+# them verbatim.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "<SSN>"),
+    ("phone", r"\d{3}[-. ]\d{3}[-. ]\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII scrubbing for training corpora: replace emails, SSNs and
+    phone numbers with typed placeholders, and count the redactions
+    (the audit signal a compliance pipeline keeps). Order matters: SSN
+    before phone, since every SSN also matches the looser phone shape.
+    Pure regexp_replace/regexp_count Column ops — JVM-side projection,
+    no shuffle."""
+    redacted = F.col(text_col)
+    n_redactions = F.lit(0)
+    for _, pat, rep in PII_PATTERNS:
+        n_redactions = n_redactions + F.regexp_count(redacted, F.lit(pat))
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return df.select(
+        id_col,
+        redacted.alias("clean_text"),
+        n_redactions.alias("n_redactions"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_size: int = 20,
+    overlap: int = 5,
+) -> DataFrame:
+    """Sliding-window chunking for training examples: word windows of
+    ``chunk_size`` with ``overlap`` words shared between consecutive
+    chunks (stride = chunk_size - overlap). The final chunk clamps at
+    the document end. One explode — output rows ~= tokens/stride per
+    doc; everything else is array projection."""
+    stride = chunk_size - overlap
+    words = _words(F.col(text_col))
+    n = F.size(words)
+    starts = F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride))
+    # named_struct: aliases inside higher-order-function lambdas don't
+    # survive analysis (fields would come out as `col`)
+    chunks = F.transform(
+        starts,
+        lambda s: F.named_struct(
+            F.lit("chunk_text"),
+            F.array_join(F.slice(words, s, chunk_size), " "),
+            F.lit("n_tokens"),
+            F.size(F.slice(words, s, chunk_size)),
+        ),
+    )
+    exploded = df.select(id_col, F.posexplode(chunks).alias("chunk_id", "c"))
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms: tf = in-doc term count, idf =
+    ln(N/df) with df = docs containing the term. Two aggregates (term
+    counts, document frequency) + a broadcast scalar N + one window for
+    the top-k; ranking uses the ROUNDED score so cross-engine double
+    noise cannot flip the k-th row. Shuffles on (doc, term) then term —
+    both keys well-distributed."""
+    terms = df.select(
+        id_col, F.explode(_words(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.groupBy("term").agg(F.count("*").alias("df"))
+    )
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            round_portable(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), round_digits
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(id_col, "term", "tfidf", F.col("rn").alias("rank"))
+    )
+
+
+def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals, per document:
+    - top_bigram_frac: occurrences of the most frequent bigram / total
+      bigrams (Gopher flags > 0.18)
+    - dup_trigram_frac: 1 - distinct/total trigrams
+    Pure array projection (transform/filter over the per-doc gram list,
+    O(distinct x total) per row — documents are bounded); counts are
+    exact integers so the ratios are engine-portable single divisions."""
+    words = _words(F.col(text_col))
+
+    def grams(n):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(n)]
+            ),
+        )
+
+    bi, tri = grams(2), grams(3)
+    top_bi = F.array_max(
+        F.transform(
+            F.array_distinct(bi),
+            lambda x: F.size(F.filter(bi, lambda y: y == x)),
+        )
+    )
+    return df.filter(F.size(words) >= 3).select(
+        id_col,
+        (top_bi / F.size(bi)).alias("top_bigram_frac"),
+        (1 - F.size(F.array_distinct(tri)) / F.size(tri)).alias("dup_trigram_frac"),
+    )
+
+
 def _gram_hashes(text_col: str, n: int = 3):
     """xxhash64 per word n-gram, in document order (array Column)."""
     words = _words(F.col(text_col))

@@ -146,6 +146,45 @@ def test_winnow_fingerprint_edit_robustness(spark):
     assert fps[1] & fps[3]
 
 
+def test_pii_redaction_on_constructed_text(spark):
+    """The corpus has no PII, so pin the redaction behavior on
+    constructed inputs: all three pattern families, SSN-before-phone
+    precedence, and counts."""
+    from aws_callcenter_delta_lakehouse_spark.operators.text import redact_pii
+
+    df = _docs(spark, [
+        (1, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
+        (2, "ssn 123-45-6789 is not a phone"),
+        (3, "clean text with no pii at all"),
+    ])
+    got = {r.doc_id: (r.clean_text, r.n_redactions)
+           for r in redact_pii(df, "doc_id", "text").collect()}
+    assert got[1] == ("contact <EMAIL> or <PHONE> today", 2)
+    assert got[2] == ("ssn <SSN> is not a phone", 1)  # SSN wins over phone
+    assert got[3] == ("clean text with no pii at all", 0)
+
+
+def test_chunking_overlap_and_clamp(spark):
+    """Chunks stride by size-overlap, share `overlap` words, and the
+    last chunk clamps at the doc end; short docs yield one chunk."""
+    from aws_callcenter_delta_lakehouse_spark.operators.text import chunk_documents
+
+    words = [f"w{i}" for i in range(33)]
+    df = _docs(spark, [(1, " ".join(words)), (2, "a b c")])
+    rows = chunk_documents(df, "doc_id", "text", chunk_size=10, overlap=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text, r.n_tokens))
+    d1 = sorted(by_doc[1])
+    # stride 6: starts 1,7,13,19,25 -> greatest(33-4,1)=29 covers start 25
+    assert [c[0] for c in d1] == [0, 1, 2, 3, 4]
+    assert d1[0][1].split() == words[0:10]
+    assert d1[1][1].split() == words[6:16]          # 4-word overlap
+    assert d1[-1][1].split() == words[24:33]        # clamped, 9 tokens
+    assert d1[-1][2] == 9
+    assert by_doc[2] == [(0, "a b c", 3)]           # short doc: one chunk
+
+
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0")
