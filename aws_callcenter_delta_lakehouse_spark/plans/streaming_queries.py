@@ -100,6 +100,55 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful in-stream dedup (dropDuplicatesWithinWatermark on
+    (user_id, event_type)): state bounded by the 1-day watermark.
+    Which physical row survives is arrival-order-dependent, so the
+    query projects the KEY COLUMNS — the deduped key set is
+    deterministic and equals batch DISTINCT."""
+    from ..streaming.streams import dedup_stream
+
+    deduped = dedup_stream(
+        stream_events(spark, sf_dir), keys=("user_id", "event_type")
+    ).select("user_id", "event_type")
+    return run_to_memory(deduped, _sink("dedup"), output_mode="append")
+
+
+@query(
+    "streaming_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS running_events,
+           floor((SUM(value)) * 1e2 + 0.5) / 1e2 AS running_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running (count, sum) across micro-batches. The memory sink holds
+    one row per key per batch; the final row per key (max
+    running_events — strictly increasing) equals the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from ..functions.scalars import round_portable
+    from ..streaming.stateful import running_totals
+
+    totals = run_to_memory(
+        running_totals(stream_events(spark, sf_dir)),
+        _sink("running"),
+        output_mode="update",
+    )
+    return totals.groupBy("user_id").agg(
+        F.max("running_events").alias("running_events"),
+        round_portable(
+            F.max_by("running_value", "running_events"), 2
+        ).alias("running_value"),
+    )
+
+
+@query(
     "streaming_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
