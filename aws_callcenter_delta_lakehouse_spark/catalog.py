@@ -11,6 +11,7 @@ reference's Athena surface (``/root/reference/sql/athena_queries.sql``).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,11 +72,21 @@ def register_persistent(
     names registered.
     """
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
     out: list[str] = []
     for name in tables:
         if not os.path.exists(table_path(sf_dir, name)):
             continue
         fq = f"{database}.{name}"
+        # A previous JVM's warehouse dir persists on disk while this
+        # session's in-memory metastore has no entry for it, so
+        # mode("overwrite") never cleans it and saveAsTable throws
+        # LOCATION_ALREADY_EXISTS. Drop both the entry and the orphan dir.
+        spark.sql(f"DROP TABLE IF EXISTS {fq}")
+        stale = os.path.join(warehouse, f"{database}.db", name)
+        if os.path.isdir(stale):
+            shutil.rmtree(stale, ignore_errors=True)
         load_table(spark, sf_dir, name).write.mode("overwrite").saveAsTable(fq)
         out.append(fq)
     return out
