@@ -1,0 +1,133 @@
+"""Corpus-curation operators: benchmark decontamination, deterministic
+sharding, and the filter->dedup->shard pipeline a training-data export
+runs end-to-end.
+
+Scale notes (100 TB):
+- Decontamination joins TRAIN grams against the BENCHMARK gram set. The
+  benchmark side (eval suites) is small by construction — distinct its
+  grams and broadcast them, so the only shuffle is the per-doc overlap
+  count. With ``broadcast_benchmark=False`` the gram join becomes a
+  shuffle hash join for pathologically large benchmark sets.
+- Shard assignment is a pure projection (md5 prefix mod N) — no shuffle;
+  the WRITE repartitions by shard so each output file is one shard.
+- ``curate`` dedups on md5(text), never shuffling full document text:
+  the aggregate carries (hash, min id, chars) only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _gram_col(text_col: str, n: int):
+    """Distinct whitespace n-gram strings of ``text_col`` as an array
+    column. Guarded: ``sequence(1, k)`` is DESCENDING for k < 1 in
+    Spark, so short documents must short-circuit to an empty array."""
+    toks = F.split(F.col(text_col), " ")
+    starts = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), starts),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(starts >= 1, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Flag training documents sharing any whitespace ``n``-gram with a
+    benchmark/eval set — the standard pre-training decontamination pass
+    (n-gram collision against eval suites). Returns
+    ``(id_col, n_overlap_grams)`` for contaminated documents only.
+
+    Gram comparison is on distinct grams per side, so the count is
+    "distinct benchmark grams this document contains", insensitive to
+    repetition on either side.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(_gram_col(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    train_grams = train.select(
+        F.col(id_col), F.explode(_gram_col(text_col, n)).alias("gram")
+    )
+    return (
+        train_grams.join(bench_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("int").alias("n_overlap_grams"))
+    )
+
+
+def shard_expr(text_col: str, num_shards: int):
+    """Deterministic content shard: first 8 hex chars of md5 -> int mod
+    ``num_shards``. Portable (DuckDB: ``CAST('0x'||substr(md5(t),1,8) AS
+    BIGINT) % N``) and uniform; 8 hex chars < 2^32 so never negative."""
+    return (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
+        % num_shards
+    ).cast("int")
+
+
+def curate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str = "lang",
+    keep_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 30,
+    min_chars: int = 100,
+    max_chars: int = 20000,
+    num_shards: int = 16,
+) -> DataFrame:
+    """Filter -> exact-dedup -> shard: the training-export pipeline.
+
+    1. Keep ``keep_langs`` documents within token/char bounds (pure
+       scan-side filters — pushed to parquet).
+    2. Exact dedup on md5(text), keeping the lowest id. The aggregate
+       key is the 32-char hash, so full text never shuffles.
+    3. Assign a deterministic shard from the same hash prefix.
+
+    Returns one row per surviving document:
+    ``(id_col, shard, n_chars)``.
+    """
+    toks = F.split(F.col(text_col), " ")
+    filtered = df.filter(
+        F.col(lang_col).isin(*keep_langs)
+        & (F.size(toks) >= min_tokens)
+        & (F.length(text_col).between(min_chars, max_chars))
+    )
+    hashed = filtered.select(
+        F.md5(F.col(text_col)).alias("__h"),
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+    )
+    deduped = hashed.groupBy("__h").agg(
+        F.min(id_col).alias(id_col), F.min("n_chars").alias("n_chars")
+    )
+    return deduped.select(
+        id_col,
+        (F.conv(F.substring("__h", 1, 8), 16, 10).cast("long") % num_shards)
+        .cast("int")
+        .alias("shard"),
+        "n_chars",
+    )
+
+
+def curation_summary(curated: DataFrame) -> DataFrame:
+    """Per-shard doc/byte counts — the export manifest. One narrow
+    aggregate over the curated id/shard/chars rows."""
+    return curated.groupBy("shard").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )

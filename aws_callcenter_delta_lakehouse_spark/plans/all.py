@@ -5,6 +5,7 @@ from . import athena  # noqa: F401
 from . import callcenter  # noqa: F401
 from . import llm  # noqa: F401
 from . import llm2  # noqa: F401
+from . import llm3  # noqa: F401
 from . import relational  # noqa: F401
 from . import relational2  # noqa: F401
 from . import relational3  # noqa: F401

@@ -109,3 +109,20 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_decontaminate_benchmark_side_broadcasts(spark):
+    """The benchmark gram set must broadcast (eval suites are small);
+    a SortMergeJoin here would shuffle every training gram by value."""
+    p = _plan(spark, "decontaminate_benchmark_overlap")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_curation_dedup_never_shuffles_text(spark):
+    """The curate() dedup aggregates on md5(text); full document text
+    must not appear in any Exchange output — only the 32-char hash."""
+    p = _plan(spark, "curation_pipeline")
+    import re
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", p):
+        assert "text" not in m.group(1), m.group(0)
