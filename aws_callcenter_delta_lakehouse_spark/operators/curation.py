@@ -16,7 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -120,6 +120,40 @@ def curate(
         .cast("int")
         .alias("shard"),
         "n_chars",
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    token_budget: int = 512,
+) -> DataFrame:
+    """Sequential packing: assign documents to fixed-token-budget
+    training batches. Within each ``group_col`` partition (shard,
+    source file — the parallelism unit), documents are laid out in
+    ``id_col`` order and cut every ``token_budget`` tokens:
+    ``batch_id = floor(exclusive_cumsum_tokens / budget)`` — exactly how
+    concat-and-split pretraining packing behaves, and deterministic.
+
+    Scale: one window per group partition — the shuffle is
+    hash(group_col); no global ordering is ever required (a global
+    window would single-partition the corpus)."""
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_n = df.select(
+        F.col(group_col), F.col(id_col), n_tokens.alias("n_tokens")
+    )
+    return with_n.withColumn(
+        "batch_id",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / token_budget
+        ).cast("int"),
     )
 
 

@@ -65,6 +65,55 @@ def brute_force_topk(
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "qvec"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: each component maps to
+    round(x / scale) with scale = max|x| / 127. A pure projection — no
+    shuffle — that shrinks every downstream exchange/cache of the
+    vector column ~4x (tinyint vs float).
+
+    Cosine is invariant to per-vector uniform scaling, so similarity on
+    the quantized vectors needs NO dequantization — the only error is
+    the <=0.5-ulp rounding per component (recall pinned by
+    ``tests/test_similarity.py``)."""
+    v = F.col(vec_col)
+    scale = (
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+        )
+        / 127.0
+    )
+    q = F.transform(
+        v, lambda x: F.floor(x.cast("double") / scale + 0.5).cast("tinyint")
+    )
+    return df.withColumn(
+        out_col, F.when(scale > 0, q).otherwise(v.cast("array<tinyint>"))
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    query_vec: Column,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Top-k cosine over int8-quantized vectors — the memory-bandwidth
+    path: scan + rank identical to ``brute_force_topk`` but every vector
+    byte moved is 1/4 the size. Approximate (quantization error), so
+    rows-only; recall vs the exact path is pinned in tests."""
+    q = quantize_int8(corpus, vec_col)
+    scored = q.select(
+        F.col(id_col),
+        round_portable(cosine(F.col("qvec"), query_vec), round_digits).alias("sim"),
+    )
+    return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
+
+
 def _hyperplane(dim: int, plane: int) -> Column:
     """Deterministic pseudo-random unit-free hyperplane: component j is
     xxhash64(j, plane) scaled to [-1, 1). Seeded, reproducible, and

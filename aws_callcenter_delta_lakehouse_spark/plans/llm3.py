@@ -9,7 +9,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.curation import curate, curation_summary, decontaminate
+from ..functions.scalars import round_portable
+from ..operators.curation import (
+    curate,
+    curation_summary,
+    decontaminate,
+    pack_sequences,
+)
+from ..operators.similarity import quantized_topk
 from .registry import query
 
 
@@ -70,3 +77,69 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-prefix shard assignment, per-shard manifest."""
     docs = load_table(spark, sf_dir, "documents")
     return curation_summary(curate(docs, "doc_id", "text"))
+
+
+@query(
+    "pack_training_batches",
+    oracle="""
+    WITH n AS (SELECT source, doc_id,
+                      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+               FROM documents),
+    packed AS (SELECT source, doc_id, n_tokens,
+                      CAST(floor(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        / 512.0) AS INT) AS batch_id
+               FROM n)
+    SELECT source, batch_id, CAST(COUNT(*) AS INT) AS n_docs,
+           SUM(n_tokens) AS batch_tokens, MIN(doc_id) AS first_doc_id
+    FROM packed GROUP BY source, batch_id
+    """,
+)
+def pack_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget batch packing (concat-and-split layout): one
+    window per source partition assigns each doc a batch, then a batch
+    manifest aggregate. No global ordering — parallel across sources."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs, "doc_id", "text", "source", token_budget=512)
+    return packed.groupBy("source", "batch_id").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_tokens").alias("batch_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+@query("similarity_quantized_int8")  # approximate by construction — rows-only
+def similarity_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-10 to vec_id=0 over int8-quantized vectors — the
+    4x-smaller memory-bandwidth path. Recall vs the exact float path is
+    pinned in tests (cosine is scale-invariant so no dequantization)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    corpus = emb.join(F.broadcast(qvec))
+    return quantized_topk(corpus, F.col("q"), k=10)
+
+
+@query("events_approx_percentiles")  # sketch-based — rows-only
+def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate percentiles of event value per
+    type — the sketch path for 100 TB (exact percentiles need a full
+    sort; the sketch is one mergeable aggregate). Accuracy vs the exact
+    quantiles is pinned in tests."""
+    ev = load_table(spark, sf_dir, "events")
+    pcts = F.percentile_approx(
+        "value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)), 10000
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(pcts.alias("p"))
+        .select(
+            "event_type",
+            round_portable(F.col("p")[0], 4).alias("p25"),
+            round_portable(F.col("p")[1], 4).alias("p50"),
+            round_portable(F.col("p")[2], 4).alias("p75"),
+            round_portable(F.col("p")[3], 4).alias("p95"),
+        )
+    )

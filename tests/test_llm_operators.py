@@ -422,3 +422,72 @@ def test_grouped_map_zscore_matches_window_formulation(spark):
     ).toPandas()
     merged = got.merge(want, on="doc_id", suffixes=("_p", "_w"))
     assert ((merged.z_p - merged.z_w).abs() < 1e-9).all()
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization must preserve the cosine ranking almost
+    exactly: top-10 overlap >= 8/10 for each of 5 query vectors, and
+    the self-hit (cosine 1.0) always survives."""
+    from aws_callcenter_delta_lakehouse_spark.operators.similarity import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    emb = load_table(spark, SF001, "embeddings")
+    for qid in range(5):
+        qvec = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("q")
+        )
+        corpus = emb.join(F.broadcast(qvec))
+        exact = {
+            r.vec_id for r in brute_force_topk(corpus, F.col("q"), k=10).collect()
+        }
+        quant = {
+            r.vec_id for r in quantized_topk(corpus, F.col("q"), k=10).collect()
+        }
+        assert qid in quant
+        assert len(exact & quant) >= 8, (qid, exact, quant)
+
+
+def test_quantize_int8_is_tinyint_and_bounded(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.similarity import (
+        quantize_int8,
+    )
+    from pyspark.sql import types as T
+
+    emb = load_table(spark, SF001, "embeddings")
+    q = quantize_int8(emb)
+    assert isinstance(q.schema["qvec"].dataType.elementType, T.ByteType)
+    bounds = q.select(
+        F.array_max("qvec").alias("hi"), F.array_min("qvec").alias("lo")
+    ).agg(F.max("hi").alias("hi"), F.min("lo").alias("lo")).first()
+    assert bounds.hi <= 127 and bounds.lo >= -127
+
+
+def test_approx_percentiles_within_tolerance(spark):
+    """The GK sketch at accuracy 10k must sit within the exact rank
+    neighborhood: compare against exact percentile per event_type."""
+    from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY
+
+    approx = {
+        r.event_type: (r.p25, r.p50, r.p75, r.p95)
+        for r in REGISTRY["events_approx_percentiles"].fn(spark, SF001).collect()
+    }
+    ev = load_table(spark, SF001, "events")
+    exact = {
+        r.event_type: (r.p25, r.p50, r.p75, r.p95)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.25)).alias("p25"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.75)).alias("p75"),
+            F.percentile("value", F.lit(0.95)).alias("p95"),
+        )
+        .collect()
+    }
+    for et, ap in approx.items():
+        ex = exact[et]
+        # value-domain tolerance: events.value spans ~[0, 1000]; the
+        # sketch at 10k accuracy on ~2k rows/type is near-exact.
+        for a, e in zip(ap, ex):
+            assert abs(a - e) <= max(0.05 * abs(e), 0.5), (et, ap, ex)
