@@ -53,6 +53,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_parallel(
+    spark: SparkSession, sf_dir: str, name: str, min_partitions: int | None = None
+) -> DataFrame:
+    """``load_table`` for CPU-DENSE consumers (gram hashing, minhash,
+    vector math): when the scan yields fewer partitions than cores —
+    locally a small table is one parquet file = ONE task, serializing a
+    32-core box — round-robin repartition up to ``min_partitions``.
+
+    At 100 TB the scan already has thousands of splits, the guard is
+    false, and this is a no-op — the repartition only ever fires on
+    degenerate small scans where the shuffled bytes are trivial. Keep
+    plain ``load_table`` for scan-speed projections and queries whose
+    first shuffle comes immediately (agg/join) anyway."""
+    df = load_table(spark, sf_dir, name)
+    minimum = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < minimum:
+        return df.repartition(minimum)
+    return df
+
+
 def register_persistent(
     spark: SparkSession,
     sf_dir: str,

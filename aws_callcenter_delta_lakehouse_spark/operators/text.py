@@ -230,14 +230,23 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         )
 
-    bi, tri = grams(2), grams(3)
+    # Materialize the gram arrays in their OWN projection: referencing
+    # an expression (not an attribute) inside a higher-order-function
+    # lambda re-evaluates the whole gram construction PER ELEMENT —
+    # O(len^3) per row (this exact op ran 160x slower before the split;
+    # CollapseProject keeps the split because the refs are non-cheap
+    # and multiply used).
+    staged = df.filter(F.size(words) >= 3).select(
+        id_col, grams(2).alias("__bi"), grams(3).alias("__tri")
+    )
+    bi, tri = F.col("__bi"), F.col("__tri")
     top_bi = F.array_max(
         F.transform(
             F.array_distinct(bi),
             lambda x: F.size(F.filter(bi, lambda y: y == x)),
         )
     )
-    return df.filter(F.size(words) >= 3).select(
+    return staged.select(
         id_col,
         (top_bi / F.size(bi)).alias("top_bigram_frac"),
         (1 - F.size(F.array_distinct(tri)) / F.size(tri)).alias("dup_trigram_frac"),
@@ -273,14 +282,19 @@ def winnow_fingerprints(
     edit can replace wholesale.
 
     All built-in array ops (transform/slice/array_min) — JVM-side,
-    no shuffle: a pure projection per document."""
-    grams = _gram_hashes(text_col, n)
+    no shuffle: two stacked projections per document. The gram-hash
+    array is materialized as a column FIRST: sliding the window over
+    the raw gram expression would re-hash every gram per window
+    position (lambda bodies re-evaluate embedded expressions per
+    element — O(len^2) hashes per row)."""
+    staged = df.select(id_col, _gram_hashes(text_col, n).alias("__grams"))
+    grams = F.col("__grams")
     m = F.size(grams)
     wins = F.transform(
         F.sequence(F.lit(1), F.greatest(m - (window - 1), F.lit(1))),
         lambda i: F.array_min(F.slice(grams, i, window)),
     )
-    return df.select(
+    return staged.select(
         id_col,
         F.array_sort(F.array_distinct(wins)).alias("winnow_fps"),
     )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_parallel
 from ..functions.scalars import round_portable
 from ..operators import multimodal, text
 from ..operators.dedup import (
@@ -68,7 +68,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs Jaccard — LSH recall at j>=0.8 with 16x4 banding makes
     the outputs identical at test scale (verify step removes all false
     positives)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
     return pairs.select("d1", "d2", round_portable(F.col("jaccard"), 4).alias("jaccard"))
 
@@ -99,7 +99,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Without the cap a hot 3-gram over millions of docs makes the join
     quadratic — the production path for uncapped recall is
     dedup_minhash_lsh."""
-    sh = shingle(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    sh = shingle(load_table_parallel(spark, sf_dir, "documents"), "doc_id", "text")
     pairs = jaccard_pairs(sh, "doc_id", threshold=0.5, max_shingle_df=_NGRAM_DF_CAP)
     return pairs.select("d1", "d2", round_portable(F.col("jaccard"), 4).alias("jaccard"))
 
@@ -110,7 +110,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-bit chunk banding). Rows-only check; exactness covered by unit
     tests on constructed duplicates."""
     return simhash_near_pairs(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        load_table_parallel(spark, sf_dir, "documents"), "doc_id", "text"
     )
 
 
@@ -135,7 +135,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates — this corpus has no natural cos>=0.9 pairs to catch."""
     from ..operators.similarity import cosine_near_dup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(
         emb, "vec_id", "embedding", threshold=0.3, block_col="label"
     )
@@ -163,7 +163,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 to the vec_id=0 embedding — zip_with +
     aggregate (JVM-side), TakeOrderedAndProject plan."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q")
     )
@@ -180,7 +180,7 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN: first 5 vectors as queries, top-5 within the
     query's bucket. Recall vs brute force asserted in unit tests."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -254,7 +254,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram(1) frequency-profile language ID: per-language top-10 word
     profiles built from the corpus itself, docs scored by profile-hit
     ratio, argmax wins."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     profiles = text.language_profiles(docs, "lang", "text", top_n=10)
     return text.language_id(docs, "doc_id", "text", profiles)
 
@@ -266,7 +266,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable exact-dup fingerprint."""
     return text.fingerprint(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        load_table_parallel(spark, sf_dir, "documents"), "doc_id", "text"
     ).select("doc_id", "md5_fingerprint")
 
 
@@ -278,7 +278,7 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows) covered by a property test; scalar columns derived from the
     set keep the rows-only check schema-stable."""
     fps = text.winnow_fingerprints(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        load_table_parallel(spark, sf_dir, "documents"), "doc_id", "text"
     )
     return fps.select(
         "doc_id",
@@ -335,7 +335,7 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     as queries. Recall vs brute force asserted in unit tests."""
     from ..operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -350,7 +350,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Quantization-error improvement asserted in unit tests."""
     from ..operators.similarity import ivf_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -421,7 +421,7 @@ def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster."""
     from ..operators.components import cluster_summary, connected_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
     comps = connected_components(pairs)
     return cluster_summary(comps)

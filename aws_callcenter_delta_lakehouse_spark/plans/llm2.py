@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_parallel
 from ..operators.text import (
     chunk_documents,
     redact_pii,
@@ -104,7 +104,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     two aggregates + a broadcast scalar doc count; ranking on the
     ROUNDED score so engines can't disagree on the k-th row."""
     return tfidf_top_terms(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", k=5
+        load_table_parallel(spark, sf_dir, "documents"), "doc_id", "text", k=5
     )
 
 
@@ -130,5 +130,5 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-trigram fraction, per document. Exact integer counts, one
     portable double division each — pure array projection, no shuffle."""
     return repetition_signals(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        load_table_parallel(spark, sf_dir, "documents"), "doc_id", "text"
     )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_parallel
 from ..functions.scalars import round_portable
 from ..operators.curation import (
     curate,
@@ -42,7 +42,7 @@ def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     5-gram with a held-out benchmark set (here: every 20th doc stands in
     for the eval suite). The benchmark gram set is distinct'd and
     broadcast — the only shuffle is the per-doc overlap count."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     train = docs.filter(F.col("doc_id") % 20 != 0)
     return decontaminate(train, bench, "doc_id", "text", n=5)
@@ -114,12 +114,93 @@ def similarity_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-10 to vec_id=0 over int8-quantized vectors — the
     4x-smaller memory-bandwidth path. Recall vs the exact float path is
     pinned in tests (cosine is scale-invariant so no dequantization)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q")
     )
     corpus = emb.join(F.broadcast(qvec))
     return quantized_topk(corpus, F.col("q"), k=10)
+
+
+@query(
+    "dedup_levenshtein_blocked",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, substr(text, 1, 80) AS prefix,
+                      CAST(floor(len(text) / 100) AS INT) AS len_bucket
+               FROM documents)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(levenshtein(a.prefix, b.prefix) AS INT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 20
+    """,
+)
+def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by edit distance on 80-char prefixes, BLOCKED on
+    (lang, length-bucket) so the quadratic comparison runs only within
+    blocks — the classic blocking-key pattern (levenshtein is O(n*m)
+    per pair; never run it all-pairs). Pair work is sum over blocks of
+    block-size², bounded by the blocking key's selectivity."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 80).alias("prefix"),
+        F.floor(F.length("text") / 100).cast("int").alias("len_bucket"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("d1"),
+        "lang",
+        "len_bucket",
+        F.col("prefix").alias("p1"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("d2"),
+        "lang",
+        "len_bucket",
+        F.col("prefix").alias("p2"),
+    )
+    return (
+        a.join(b, on=["lang", "len_bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.levenshtein("p1", "p2").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 20)
+    )
+
+
+@query(
+    "stats_battery",
+    oracle="""
+    SELECT l_returnflag,
+           floor(stddev_samp(l_quantity) * 1e4 + 0.5) / 1e4 AS sd_qty,
+           floor(var_pop(l_quantity) * 1e4 + 0.5) / 1e4 AS var_qty,
+           floor(corr(l_quantity, l_extendedprice) * 1e4 + 0.5) / 1e4 AS corr_qp,
+           floor(covar_pop(l_quantity, l_extendedprice) * 1e2 + 0.5) / 1e2
+             AS covar_qp,
+           floor(regr_slope(l_extendedprice, l_quantity) * 1e4 + 0.5) / 1e4
+             AS slope_pq
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate battery: stddev/variance/correlation/
+    covariance/regression slope per return flag — all single-pass
+    mergeable aggregates (one shuffle, map-side partials), all
+    engine-portable to 4 decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("double")
+    return li.groupBy("l_returnflag").agg(
+        round_portable(F.stddev_samp(q), 4).alias("sd_qty"),
+        round_portable(F.var_pop(q), 4).alias("var_qty"),
+        round_portable(F.corr(q, p), 4).alias("corr_qp"),
+        round_portable(F.covar_pop(q, p), 2).alias("covar_qp"),
+        round_portable(F.regr_slope(p, q), 4).alias("slope_pq"),
+    )
 
 
 @query("events_approx_percentiles")  # sketch-based — rows-only

@@ -149,6 +149,26 @@ def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+           floor((SUM(value)) * 1e2 + 0.5) / 1e2 AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (stateless join, the dim
+    re-resolves per micro-batch) + complete-mode aggregate — drained
+    result equals the batch join+GROUP BY."""
+    from ..streaming.streams import stream_static_enrich
+
+    return run_to_memory(
+        stream_static_enrich(spark, sf_dir), _sink("enrich")
+    )
+
+
+@query(
     "streaming_stream_join",
     oracle="""
     SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id

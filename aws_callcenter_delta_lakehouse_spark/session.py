@@ -47,6 +47,13 @@ def get_spark(
         # so read as long and let the catalog truncate to microseconds
         # (matches DuckDB's CAST(ts AS TIMESTAMP) ns->us truncation).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Split parquet scans at 8 MB (default 128 MB): CPU-dense
+        # projections (gram hashing, winnowing, vector math) over a
+        # single small file otherwise run as ONE task and serialize a
+        # 32-core box. On a real cluster with many multi-hundred-MB
+        # files this only adds split metadata; openCostInBytes still
+        # packs genuinely tiny files together.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

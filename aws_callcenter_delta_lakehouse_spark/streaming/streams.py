@@ -168,6 +168,37 @@ def foreach_batch_upsert(
     )
 
 
+def stream_static_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-static join + windowless aggregate: each micro-batch of
+    events joins the static customer dimension (broadcast — stateless,
+    the dim is re-resolved per micro-batch so slowly-changing dims pick
+    up updates) and feeds a per-(segment, event_type) count.
+
+    The canonical streaming-enrichment shape: join carries NO state
+    (unlike stream-stream), so the only stateful operator is the final
+    aggregate."""
+    from ..catalog import load_table
+
+    ev = stream_events(spark, sf_dir).withWatermark("ts", watermark)
+    dim = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    return (
+        ev.join(dim, ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            round_portable(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def stream_stream_join(
     spark: SparkSession,
     sf_dir: str,

@@ -126,3 +126,27 @@ def test_curation_dedup_never_shuffles_text(spark):
     import re
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+),", p):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A partitioned fact joined to a filtered dim must prune fact
+    partitions at RUNTIME (DPP) — at 100 TB this is the difference
+    between scanning one partition and scanning the table."""
+    fact = (
+        spark.range(0, 10_000)
+        .withColumn("pk", F.col("id") % 20)
+        .withColumn("v", F.col("id") * 2)
+    )
+    fact.write.partitionBy("pk").mode("overwrite").parquet(str(tmp_path / "fact"))
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    dim = (
+        spark.range(0, 20)
+        .select(F.col("id").alias("pk"), (F.col("id") % 7).alias("attr"))
+    )
+    joined = f.join(dim, "pk").filter(F.col("attr") == 1)
+    plan = joined._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "dynamicpruning" in plan.lower(), plan
