@@ -1,0 +1,59 @@
+"""Python Data Source API (Spark 4): a custom batch source the engine
+registers like any built-in format — the extension point for reading
+systems Spark has no connector for (internal doc stores, feature
+services) without leaving the DataFrame surface.
+
+The example source generates deterministic synthetic documents with
+real partition planning (``partitions()`` -> one ``InputPartition`` per
+shard, each read independently by an executor), so the scan
+parallelizes exactly like a file source.
+
+The classes are defined INSIDE the factory: cloudpickle then serializes
+them BY VALUE, so executors never import this package (Python workers
+do not inherit the driver's sys.path — learned round 1)."""
+
+from __future__ import annotations
+
+
+def make_synthetic_docs_source():
+    """Return a self-contained DataSource class for
+    ``spark.dataSource.register``; read back with
+    ``spark.read.format("synthetic_docs").option("numdocs", N)
+    .option("partitions", P).load()``."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class _Reader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("numdocs", 100))
+            self.parts = int(options.get("partitions", 4))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            shard = partition.value
+            # round-robin shard ownership: deterministic, disjoint, and
+            # every doc_id in [0, n) appears exactly once across shards
+            for doc_id in range(shard, self.n, self.parts):
+                yield (
+                    doc_id,
+                    shard,
+                    f"synthetic document {doc_id} body word{doc_id % 7}",
+                )
+
+    class SyntheticDocs(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_docs"
+
+        def schema(self):
+            return "doc_id BIGINT, shard INT, text STRING"
+
+        def reader(self, schema):
+            return _Reader(self.options)
+
+    return SyntheticDocs

@@ -59,3 +59,62 @@ def running_totals(stream: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+PEAKS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("peak_value", T.DoubleType()),
+    ]
+)
+
+
+def user_peaks(stream: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key running (count, max(value)) via transformWithStateInPandas
+    — the Spark 4 arbitrary-stateful API (typed value state on a
+    versioned state store; supersedes applyInPandasWithState and adds
+    timers/TTL/multiple state variables).
+
+    REQUIRES google.protobuf (the Python<->JVM state-server protocol);
+    the registry gates the query on that import (absent in this
+    container), so ``running_totals`` above remains the exercised
+    stateful path here.
+
+    The processor class is defined INSIDE this function so cloudpickle
+    ships it by value — executors never import this module."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Peaks(StatefulProcessor):
+        def init(self, handle):
+            self._s = handle.getValueState(
+                "peak_state", "n BIGINT, peak DOUBLE"
+            )
+
+        def handleInputRows(self, key_tuple, rows, timer_values):
+            import pandas as pd
+
+            n, peak = (
+                self._s.get() if self._s.exists() else (0, float("-inf"))
+            )
+            for pdf in rows:
+                n += len(pdf)
+                peak = max(peak, float(pdf["value"].max()))
+            self._s.update((n, peak))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key_tuple[0]],
+                    "n_events": [n],
+                    "peak_value": [peak],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return stream.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=_Peaks(),
+        outputStructType=PEAKS_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

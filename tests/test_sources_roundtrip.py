@@ -31,3 +31,26 @@ def test_orc_json_csv_roundtrips(spark, tmp_path):
         "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"
     ).csv(csv, header=True)
     assert got.count() == n and got.agg(F.sum("o_orderkey")).collect()[0][0] == total
+
+
+def test_python_datasource_partitioned_scan(spark):
+    """Spark 4 Python Data Source API: the synthetic source plans one
+    InputPartition per shard (real scan parallelism) and yields each
+    doc_id exactly once with the declared schema."""
+    from aws_callcenter_delta_lakehouse_spark.sources.pydatasource import (
+        make_synthetic_docs_source,
+    )
+
+    spark.dataSource.register(make_synthetic_docs_source())
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("numdocs", 97)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    rows = df.collect()
+    assert len(rows) == 97
+    assert {r.doc_id for r in rows} == set(range(97))
+    assert all(r.shard == r.doc_id % 5 for r in rows)
+    assert all(r.text.startswith("synthetic document") for r in rows)

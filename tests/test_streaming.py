@@ -129,3 +129,19 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert diff.count() == 0
     vdiff = got.join(want, "user_id").filter(F.abs(got["v"] - want["v"]) > 1e-6)
     assert vdiff.count() == 0
+
+
+def test_user_peaks_requires_protobuf_gate(spark):
+    """transformWithStateInPandas needs google.protobuf; the registry
+    must gate the query on that import so a vanilla driver session never
+    crashes. When protobuf IS available the query must match its
+    batch-aggregate oracle (covered by the oracle suite then)."""
+    from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    assert ("streaming_user_peaks" in REGISTRY) == has_pb
