@@ -45,6 +45,13 @@ def main() -> None:
         df = REGISTRY[name].fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Drop the query's leftovers (memory-sink tables, temp views,
+        # cached plans): 100+ queries in one JVM otherwise accumulate
+        # sink buffers and drag later (streaming) queries 2-3x.
+        spark.catalog.clearCache()
+        for t in spark.catalog.listTables():
+            if t.isTemporary:
+                spark.catalog.dropTempView(t.name)
 
     total = round(sum(timings.values()), 3)
     detail_path = os.path.join(
