@@ -95,6 +95,64 @@ def extract_features(media: DataFrame, fake_decode: bool = True) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+AUDIO_WINDOW_SCHEMA = (
+    "doc_id long, window_idx int, start_ms double, end_ms double, "
+    "n_samples int, rms double"
+)
+
+
+def audio_windows(
+    media: DataFrame,
+    sample_rate: int = 16000,
+    window_samples: int = 400,
+    hop_samples: int = 160,
+) -> DataFrame:
+    """Sliding analysis windows over an opaque audio payload — the
+    25ms-window / 10ms-hop framing every speech pipeline runs before
+    feature extraction. The framing math (window/hop/timestamps) is
+    real; the *decode* treats each payload byte as one int8 PCM sample
+    (deterministic stand-in — no audio codec exists in this container;
+    swap ``_samples`` for a soundfile/ffmpeg call in production).
+
+    Arrow-batched ``mapInPandas``; the worker closure is self-contained
+    (workers never import this package). Output is metadata + per-window
+    RMS only — the payload itself never leaves the scan stage."""
+
+    def _frame(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "window_idx": [],
+                "start_ms": [],
+                "end_ms": [],
+                "n_samples": [],
+                "rms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = _np.frombuffer(bytes(payload), dtype=_np.int8)
+                n = len(samples)
+                idx = 0
+                for start in range(0, max(n - window_samples + 1, 1), hop_samples):
+                    w = samples[start : start + window_samples]
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(idx)
+                    out["start_ms"].append(start * 1000.0 / sample_rate)
+                    out["end_ms"].append((start + len(w)) * 1000.0 / sample_rate)
+                    out["n_samples"].append(len(w))
+                    out["rms"].append(
+                        float(_np.sqrt(_np.mean(w.astype("float64") ** 2)))
+                        if len(w)
+                        else 0.0
+                    )
+                    idx += 1
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(_frame, schema=AUDIO_WINDOW_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' on the opaque payload: one row per sampled
     offset (video-frame analogue). Built-in explode over a computed

@@ -187,6 +187,54 @@ def dedup_levenshtein_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_word_split",
+    oracle="""
+    SELECT doc_id,
+           CAST(generate_subscripts(w, 1) - 1 AS INTEGER) AS word_idx,
+           unnest(w) AS word
+    FROM (SELECT doc_id, string_split(text, ' ') AS w
+          FROM documents WHERE doc_id < 10)
+    """,
+)
+def udtf_word_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): per-row word explosion as
+    a lateral join. The PYTHON-TIER escape hatch for one-row-to-many
+    transforms the built-ins can't express — deliberately oracle-checked
+    against the same semantics as the built-in posexplode formulation
+    (`posexplode_words`), which remains the production path. The UDTF
+    class is defined inline so cloudpickle ships it by value."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_idx int, word string")
+    class _WordSplit:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield (i, w)
+
+    spark.udtf.register("word_split", _WordSplit)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.word_idx, s.word
+        FROM __udtf_docs d, LATERAL word_split(d.text) s
+        """
+    )
+
+
+@query("multimodal_audio_windows")  # fake int8 decode — rows-only
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing (25ms window / 10ms hop at 16kHz) over opaque
+    payloads via Arrow-batched mapInPandas — window timestamps + RMS
+    per frame, payloads never shuffled. Decode is the declared
+    deterministic stand-in (no audio codec in this container)."""
+    from ..operators.multimodal import attach_binary_payload, audio_windows
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return audio_windows(attach_binary_payload(docs, "doc_id", "text"))
+
+
+@query(
     "stats_battery",
     oracle="""
     SELECT l_returnflag,

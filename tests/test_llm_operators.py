@@ -491,3 +491,24 @@ def test_approx_percentiles_within_tolerance(spark):
         # sketch at 10k accuracy on ~2k rows/type is near-exact.
         for a, e in zip(ap, ex):
             assert abs(a - e) <= max(0.05 * abs(e), 0.5), (et, ap, ex)
+
+
+def test_audio_windows_framing_math(spark):
+    """Window/hop framing must be exact: a 1000-byte payload at
+    window=400/hop=160 yields full windows starting 0,160,320,480
+    (starts are hop multiples <= n - window = 600)."""
+    from aws_callcenter_delta_lakehouse_spark.operators.multimodal import (
+        audio_windows,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "audio/fake", bytes(range(250)) * 4)],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = audio_windows(media).orderBy("window_idx").collect()
+    starts = [r.start_ms for r in rows]
+    assert starts == [i * 160 * 1000.0 / 16000 for i in range(4)]
+    assert all(r.n_samples == 400 for r in rows)
+    assert rows[0].end_ms == 400 * 1000.0 / 16000
+    # int8 interpretation: RMS is deterministic and positive
+    assert all(r.rms > 0 for r in rows)

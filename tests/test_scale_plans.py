@@ -150,3 +150,39 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         )
     )
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_runtime_bloom_filter_injected_for_selective_join(spark, tmp_path):
+    """A selective filter on one side of a shuffle join must inject a
+    runtime bloom filter (might_contain) on the other side's scan — the
+    runtime row-pruning that cuts shuffle volume when neither side
+    broadcasts at 100 TB. Thresholds are relaxed only because local
+    test scans are tiny; the optimizer rule is what's pinned."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        spark.range(0, 100_000).withColumn("k", F.col("id")).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "big"))
+        spark.range(0, 10_000).withColumn("k", F.col("id") * 7).withColumn(
+            "attr", F.col("id") % 100
+        ).write.mode("overwrite").parquet(str(tmp_path / "small"))
+        big = spark.read.parquet(str(tmp_path / "big"))
+        small = spark.read.parquet(str(tmp_path / "small")).filter(
+            F.col("attr") == 3
+        )
+        p = big.join(small, "k")._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "might_contain" in p.lower(), p
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
