@@ -85,6 +85,27 @@ def validate(df: DataFrame, rules: Sequence[ColumnRule]) -> DataFrame:
     )
 
 
+def validate_observed(df: DataFrame, rules: Sequence["ColumnRule"]):
+    """``validate`` plus a single-pass metrics side-channel: returns
+    (validated_df, Observation). The Observation yields
+    ``{n_rows, n_invalid}`` after the FIRST action on the returned
+    DataFrame — pipeline observability with ZERO extra scans (the
+    reference-style alternative is a second count() pass over Silver).
+
+    At 100 TB a second metrics pass is a second 100 TB scan;
+    ``df.observe`` folds the aggregates into the existing job."""
+    from pyspark.sql import Observation
+
+    validated = validate(df, rules)
+    obs = Observation("validation")
+    observed = validated.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(REJECT_COL).isNotNull().cast("long")).alias("n_invalid"),
+    )
+    return observed, obs
+
+
 def split_valid_invalid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """One validated input, two complementary outputs
     (01_silver_delta_upsert.py:91-92)."""

@@ -265,6 +265,35 @@ def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pagerank_suppliers")  # iterative float algorithm — rows-only
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer->supplier purchase graph (edges from
+    orders x lineitem): authority scoring as an iterative DataFrame
+    power-iteration — 2 vertex-keyed shuffles per round, scalars only to
+    the driver, lineage checkpoint-truncated per round. Invariants
+    (sum = N, uniform cycle, star center) pinned in unit tests."""
+    from ..operators.components import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("o_custkey").alias("src"),
+        # supplier vertices offset so customer/supplier key spaces
+        # cannot collide in one vertex id space
+        (F.col("l_suppkey") + F.lit(10_000_000)).alias("dst"),
+    )
+    pr = pagerank(edges, iterations=5)
+    return (
+        pr.filter(F.col("v") >= 10_000_000)
+        .select(
+            (F.col("v") - 10_000_000).alias("suppkey"),
+            round_portable(F.col("rank"), 4).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), F.asc("suppkey"))
+        .limit(20)
+    )
+
+
 @query("events_approx_percentiles")  # sketch-based — rows-only
 def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate percentiles of event value per

@@ -512,3 +512,37 @@ def test_audio_windows_framing_math(spark):
     assert rows[0].end_ms == 400 * 1000.0 / 16000
     # int8 interpretation: RMS is deterministic and positive
     assert all(r.rms > 0 for r in rows)
+
+
+def test_pagerank_invariants(spark):
+    """Sum of ranks == n_vertices; a uniform cycle is rank-1 everywhere;
+    a star's center outranks its leaves."""
+    from aws_callcenter_delta_lakehouse_spark.operators.components import pagerank
+
+    # 4-cycle: perfectly uniform
+    cycle = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    ranks = {r.v: r.rank for r in pagerank(cycle, iterations=8).collect()}
+    assert abs(sum(ranks.values()) - 4) < 1e-6
+    assert all(abs(r - 1.0) < 1e-6 for r in ranks.values())
+
+    # star: all leaves point at center 0, center points at leaf 1
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], "src long, dst long"
+    )
+    sranks = {r.v: r.rank for r in pagerank(star, iterations=15).collect()}
+    assert abs(sum(sranks.values()) - 6) < 1e-6
+    assert sranks[0] == max(sranks.values())
+    assert all(sranks[0] > sranks[i] for i in range(2, 6))
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    """A vertex with no out-edges must redistribute its rank (sum stays
+    n), not leak it."""
+    from aws_callcenter_delta_lakehouse_spark.operators.components import pagerank
+
+    chain = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    ranks = {r.v: r.rank for r in pagerank(chain, iterations=12).collect()}
+    assert abs(sum(ranks.values()) - 3) < 1e-6
+    assert ranks[3] == max(ranks.values())

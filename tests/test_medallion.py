@@ -334,3 +334,32 @@ def test_interrupted_swap_leaves_table_readable(spark, tmp_path):
 
     merge_upsert(spark, path, spark.createDataFrame([(2, "b")], "id long, v string"), ["id"])
     assert {r.id for r in read(spark, path).collect()} == {1, 2}
+
+
+def test_validate_observed_single_pass_metrics(spark):
+    """df.observe folds DQ metrics into the existing action — the
+    Observation must report (n_rows, n_invalid) matching the split,
+    with no second scan issued by the engine code."""
+    from aws_callcenter_delta_lakehouse_spark.functions.validation import (
+        ColumnRule,
+        not_null,
+        numeric,
+        split_valid_invalid,
+        validate_observed,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "a"), ("x", "b"), ("2", None), ("4", "d")],
+        "num string, name string",
+    )
+    rules = [
+        ColumnRule("name", [not_null("name")]),
+        ColumnRule("num", [numeric("num")]),
+    ]
+    observed, obs = validate_observed(df, rules)
+    valid, invalid = split_valid_invalid(observed)
+    n_valid = valid.count()
+    m = obs.get
+    assert m["n_rows"] == 4
+    assert m["n_invalid"] == 2
+    assert n_valid == 2 and invalid.count() == 2
