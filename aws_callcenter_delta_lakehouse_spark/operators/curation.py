@@ -157,6 +157,89 @@ def pack_sequences(
     )
 
 
+def length_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Length-decile bucketing: group documents of similar token length
+    so fixed-shape training batches waste minimal padding. ntile over
+    (n_tokens, id) within each ``group_col`` partition — deterministic
+    (full tie-break), one window shuffle on the group key, never a
+    global sort."""
+    n_tokens = F.size(F.split(F.col(text_col), " "))
+    w = Window.partitionBy(group_col).orderBy("n_tokens", id_col)
+    return (
+        df.select(F.col(group_col), F.col(id_col), n_tokens.alias("n_tokens"))
+        .withColumn("bucket", F.ntile(n_buckets).over(w))
+    )
+
+
+def write_training_shards(
+    curated: DataFrame,
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize the curated export: join the curated (id, shard)
+    manifest back to the document payloads and write parquet
+    PARTITIONED BY shard — each shard is an independently consumable
+    training input split. The join is keyed on the id (the only time
+    payloads move); the write repartitions by shard so each partition
+    directory is written by the tasks owning that shard (no tiny-file
+    spray: one shuffle, shard-count output groups).
+
+    Returns the per-shard manifest of what was written."""
+    joined = docs.join(curated.select(id_col, "shard"), on=id_col)
+    (
+        joined.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = curated.sparkSession
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard")
+        .agg(F.count("*").cast("int").alias("n_docs"))
+    )
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """zlib compression ratio per document — the RefinedWeb-style
+    quality signal (highly repetitive or templated text compresses far
+    below natural prose). No built-in Column compressor exists, so this
+    is a documented PYTHON-TIER operator: Arrow-batched ``mapInPandas``
+    with stdlib zlib, self-contained closure (workers never import this
+    package). Output is (id, n_bytes, n_compressed, ratio) — metadata
+    only."""
+    schema = (
+        f"{id_col} long, n_bytes int, n_compressed int, ratio double"
+    )
+
+    def _compress(batches):
+        import zlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            raw = pdf[text_col].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n.astype("int32"),
+                    "n_compressed": comp.astype("int32"),
+                    "ratio": (comp / n.where(n > 0, 1)).astype("float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(_compress, schema=schema)
+
+
 def curation_summary(curated: DataFrame) -> DataFrame:
     """Per-shard doc/byte counts — the export manifest. One narrow
     aggregate over the curated id/shard/chars rows."""

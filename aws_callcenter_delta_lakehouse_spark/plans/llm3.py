@@ -265,6 +265,45 @@ def stats_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "length_decile_buckets",
+    oracle="""
+    WITH n AS (SELECT source, doc_id,
+                      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+               FROM documents)
+    SELECT source, doc_id, n_tokens,
+           CAST(ntile(10) OVER (PARTITION BY source
+                                ORDER BY n_tokens, doc_id) AS INT) AS bucket
+    FROM n
+    """,
+)
+def length_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-decile bucketing per source (padding-efficient batch
+    grouping): deterministic ntile with a full tie-break, one window
+    shuffle on the group key — never a global sort."""
+    from ..operators.curation import length_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return length_buckets(docs, "doc_id", "text", "source")
+
+
+@query("text_compression_ratio")  # zlib (no SQL equivalent) — rows-only
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio per doc (repetitive/templated text
+    compresses far below prose — the RefinedWeb-style signal).
+    Python-tier mapInPandas with stdlib zlib; known-value behavior
+    pinned in unit tests."""
+    from ..operators.curation import compression_ratio
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return compression_ratio(docs, "doc_id", "text").select(
+        "doc_id",
+        "n_bytes",
+        "n_compressed",
+        round_portable(F.col("ratio"), 4).alias("ratio"),
+    )
+
+
 @query("pagerank_suppliers")  # iterative float algorithm — rows-only
 def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer->supplier purchase graph (edges from

@@ -546,3 +546,44 @@ def test_pagerank_dangling_mass_conserved(spark):
     ranks = {r.v: r.rank for r in pagerank(chain, iterations=12).collect()}
     assert abs(sum(ranks.values()) - 3) < 1e-6
     assert ranks[3] == max(ranks.values())
+
+
+def test_compression_ratio_separates_repetitive_text(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.curation import (
+        compression_ratio,
+    )
+
+    rep = "spam " * 200
+    import random
+    rng = random.Random(7)
+    prose = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(200)
+    )
+    df = _docs(spark, [(1, rep), (2, prose)])
+    got = {r.doc_id: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert got[1].ratio < 0.1          # pure repetition collapses
+    assert got[2].ratio > 0.5          # high-entropy text barely compresses
+    assert got[1].n_bytes == len(rep.encode())
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """The export writer must produce one partition dir per shard with
+    exactly the curated docs, readable back with partition pruning."""
+    from aws_callcenter_delta_lakehouse_spark.operators.curation import (
+        curate,
+        write_training_shards,
+    )
+
+    docs = load_table(spark, SF001, "documents")
+    curated = curate(docs, "doc_id", "text", num_shards=4)
+    manifest = write_training_shards(
+        curated, docs, str(tmp_path / "export")
+    ).collect()
+    assert sum(r.n_docs for r in manifest) == curated.count()
+    import os
+    dirs = {d for d in os.listdir(tmp_path / "export") if d.startswith("shard=")}
+    assert dirs == {f"shard={r.shard}" for r in manifest}
+    # partition pruning: reading one shard touches one partition dir
+    one = spark.read.parquet(str(tmp_path / "export")).filter(F.col("shard") == manifest[0].shard)
+    assert one.count() == manifest[0].n_docs
