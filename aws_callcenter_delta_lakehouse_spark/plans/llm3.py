@@ -5,6 +5,7 @@ the shard hash is an md5 prefix both engines compute identically.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -354,3 +355,63 @@ def events_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_portable(F.col("p")[3], 4).alias("p95"),
         )
     )
+
+
+@query(
+    "pandas_udaf_geomean",
+    oracle="""
+    SELECT lang,
+           floor(exp(AVG(ln(n_chars))) * 1e4 + 0.5) / 1e4 AS geo_mean_chars
+    FROM documents WHERE n_chars > 0
+    GROUP BY lang
+    """,
+)
+def pandas_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate Pandas UDF (the UDAF tier: one scalar per
+    group, Arrow-batched): geometric mean of document length per
+    language. Deliberately oracle-checked against the exp(avg(ln))
+    built-in identity — the UDAF tier exists for aggregations built-ins
+    can't express; this one can, so it doubles as a parity check."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return docs.groupBy("lang").agg(
+        round_portable(geo_mean("n_chars"), 4).alias("geo_mean_chars")
+    )
+
+
+@query(
+    "arrow_batch_bytelen",
+    oracle="""
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_utf8_bytes
+    FROM documents
+    """,
+)
+def arrow_batch_bytelen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow (zero-copy Arrow RecordBatch tier — below mapInPandas,
+    no pandas conversion): UTF-8 byte length per doc via
+    pyarrow.compute. Oracle-checked against the built-in
+    octet_length-equivalent semantics; the Arrow tier exists for
+    batch-level ops where even pandas materialization is waste."""
+
+    def _bytelen(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            n = pc.cast(
+                pc.binary_length(pc.cast(batch.column("text"), pa.binary())),
+                pa.int64(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), n], names=["doc_id", "n_utf8_bytes"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(_bytelen, schema="doc_id long, n_utf8_bytes long")

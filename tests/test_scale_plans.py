@@ -186,3 +186,39 @@ def test_runtime_bloom_filter_injected_for_selective_join(spark, tmp_path):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """Join hints must reach the planner: SHUFFLE_HASH avoids the sort
+    of a SortMergeJoin (the right call when one side is modest but
+    over the broadcast line); MERGE forces SMJ. At 100 TB picking the
+    join strategy per join is routine tuning surface."""
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+
+    o = load_table(spark, SF01, "orders")
+    li = load_table(spark, SF01, "lineitem")
+    shj = li.join(o.hint("shuffle_hash"), F.col("o_orderkey") == F.col("l_orderkey"))
+    p1 = shj._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ShuffledHashJoin" in p1
+    smj = li.join(o.hint("merge"), F.col("o_orderkey") == F.col("l_orderkey"))
+    p2 = smj._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" in p2
+
+
+def test_range_partitioned_sort_plan(spark):
+    """Globally-ordered output at scale = repartitionByRange (sampled
+    range boundaries) + sortWithinPartitions — the plan must show a
+    rangepartitioning Exchange and NO global single-partition sort."""
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+
+    li = load_table(spark, SF01, "lineitem").select("l_orderkey", "l_shipdate")
+    out = li.repartitionByRange(8, "l_shipdate").sortWithinPartitions("l_shipdate")
+    p = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "rangepartitioning" in p.lower()
+    assert "Exchange SinglePartition" not in p

@@ -145,3 +145,39 @@ def test_user_peaks_requires_protobuf_gate(spark):
     except ImportError:
         has_pb = False
     assert ("streaming_user_peaks" in REGISTRY) == has_pb
+
+
+def test_available_now_trigger_drains_to_batch_equivalence(spark):
+    """Trigger.AvailableNow (the production drain-then-stop trigger)
+    must process everything and stop on its own, matching the batch
+    aggregate — unlike processAllAvailable it needs no explicit stop."""
+    from pyspark.sql import functions as F
+
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        stream_events,
+        tumbling_counts,
+    )
+    from tests.conftest import SF001
+
+    agg = tumbling_counts(stream_events(spark, SF001))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("avail_now_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.window_start: r.n_events
+        for r in spark.table("avail_now_sink").collect()
+    }
+    ev = load_table(spark, SF001, "events")
+    want = {
+        r.ws: r.n
+        for r in ev.groupBy(
+            F.window("ts", "6 hours").start.alias("ws")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == want
