@@ -125,6 +125,53 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     return spark.read.parquet(snap)
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change-data-feed-lite (Delta CDF analogue): the row-level diff
+    between two retained versions, tagged ``_change_type`` in
+    {insert, delete, update_postimage, update_preimage}.
+
+    Computed as two bag-subtracts between snapshots (rows identical in
+    both versions cancel), then classified by key presence on the other
+    side when ``keys`` is given (a changed row whose key exists in both
+    versions is an update pre/post image; otherwise insert/delete).
+    Without ``keys`` every diff row reports insert/delete only.
+
+    Scale: subtract is one hash shuffle per side on full rows; the
+    classifier is a semi-join on the keys. CDC consumers read the diff,
+    never rescan the table."""
+    to_version = table_version(path) if to_version is None else to_version
+    old = read(spark, path, version=from_version)
+    new = read(spark, path, version=to_version)
+    added = new.subtract(old)
+    removed = old.subtract(new)
+    if not keys:
+        return added.withColumn("_change_type", F.lit("insert")).unionByName(
+            removed.withColumn("_change_type", F.lit("delete"))
+        )
+    key_cols = list(keys)
+    removed_keys = removed.select(*key_cols)
+    added_keys = added.select(*key_cols)
+    post = added.join(removed_keys, on=key_cols, how="left_semi").withColumn(
+        "_change_type", F.lit("update_postimage")
+    )
+    ins = added.join(removed_keys, on=key_cols, how="left_anti").withColumn(
+        "_change_type", F.lit("insert")
+    )
+    pre = removed.join(added_keys, on=key_cols, how="left_semi").withColumn(
+        "_change_type", F.lit("update_preimage")
+    )
+    dele = removed.join(added_keys, on=key_cols, how="left_anti").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    return post.unionByName(ins).unionByName(pre).unionByName(dele)
+
+
 def initial_write(
     df: DataFrame,
     path: str,

@@ -363,3 +363,43 @@ def test_validate_observed_single_pass_metrics(spark):
     assert m["n_rows"] == 4
     assert m["n_invalid"] == 2
     assert n_valid == 2 and invalid.count() == 2
+
+
+def test_read_changes_cdc_between_versions(spark, tmp_path):
+    """CDF-lite: merging a source with one update + one insert against
+    v0 must yield exactly update_pre/postimage for the changed key and
+    insert for the new key; an untouched key produces no change rows."""
+    from aws_callcenter_delta_lakehouse_spark.sources.managed_table import (
+        initial_write,
+        merge_upsert,
+        read_changes,
+    )
+
+    path = str(tmp_path / "cdc")
+    initial_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+        ),
+        path,
+        keys=("id",),
+    )
+    merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, "B"), (4, "d")], "id long, v string"),
+        ["id"],
+    )
+    changes = {
+        (r.id, r.v, r._change_type)
+        for r in read_changes(spark, path, from_version=0, keys=["id"]).collect()
+    }
+    assert changes == {
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+        (4, "d", "insert"),
+    }
+    # keyless mode: pure bag diff
+    from pyspark.sql import functions as F
+    keyless = read_changes(spark, path, from_version=0)
+    assert keyless.filter(F.col("_change_type") == "insert").count() == 2
+    assert keyless.filter(F.col("_change_type") == "delete").count() == 1

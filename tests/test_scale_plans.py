@@ -222,3 +222,43 @@ def test_range_partitioned_sort_plan(spark):
     )
     assert "rangepartitioning" in p.lower()
     assert "Exchange SinglePartition" not in p
+
+
+def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS must land in the catalog and
+    reach the optimizer (CBO reads rowCount/sizeInBytes for join
+    planning) — the stats-collection surface a 100 TB warehouse runs
+    after loads."""
+    import os
+    import shutil
+
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(warehouse.removeprefix("file:"), "stats_nation")
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
+    load_table(spark, SF01, "nation").write.mode("overwrite").saveAsTable(
+        "stats_nation"
+    )
+    spark.sql("ANALYZE TABLE stats_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+    old_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        stats = (
+            spark.table("stats_nation")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+        )
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == 25
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", old_cbo)
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql("DESC EXTENDED stats_nation").collect()
+    }
+    assert "25 rows" in desc.get("Statistics", "")
+    spark.sql("DROP TABLE stats_nation")
