@@ -15,5 +15,6 @@ from . import spark4  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import tpch  # noqa: F401
 from . import tpch2  # noqa: F401
+from . import tpch3  # noqa: F401
 
 from .registry import REGISTRY  # noqa: F401  (re-export)

@@ -6,8 +6,9 @@ queries exist to exercise are preserved: EXISTS/NOT EXISTS semi/anti
 joins, two-level aggregation, scalar subqueries, revenue-view max,
 decorrelated per-group averages).
 
-partsupp does not exist in the testdata, so Q2/Q9/Q11/Q16/Q20 are out of
-scope by data, not by capability.
+partsupp does not exist in the testdata; the five queries that need it
+(Q2/Q9/Q11/Q16/Q20) live in tpch3.py with the part-supplier relation
+derived from lineitem.
 """
 
 from __future__ import annotations
