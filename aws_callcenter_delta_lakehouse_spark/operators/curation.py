@@ -20,17 +20,27 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _gram_col(text_col: str, n: int):
-    """Distinct whitespace n-gram strings of ``text_col`` as an array
-    column. Guarded: ``sequence(1, k)`` is DESCENDING for k < 1 in
-    Spark, so short documents must short-circuit to an empty array."""
-    toks = F.split(F.col(text_col), " ")
+def _gram_col(toks_col: str, n: int, distinct: bool = True):
+    """Whitespace n-gram strings from a MATERIALIZED token-array column.
+
+    ``toks_col`` must name a column that already holds the split token
+    array (produced in its own ``select``), never an inline ``split()``
+    expression: a non-trivial expression referenced inside the
+    ``transform`` lambda re-evaluates PER ELEMENT (no CSE across lambda
+    invocations — the winnow trap), turning gram extraction O(len^2)
+    per document. A bare column reference is a BoundReference and free.
+
+    Guarded: ``sequence(1, k)`` is DESCENDING for k < 1 in Spark, so
+    short documents must short-circuit to an empty array."""
+    toks = F.col(toks_col)
     starts = F.size(toks) - (n - 1)
     grams = F.transform(
         F.sequence(F.lit(1), starts),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
-    return F.when(starts >= 1, F.array_distinct(grams)).otherwise(
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(starts >= 1, grams).otherwise(
         F.array().cast("array<string>")
     )
 
@@ -53,14 +63,15 @@ def decontaminate(
     repetition on either side.
     """
     bench_grams = (
-        benchmark.select(F.explode(_gram_col(text_col, n)).alias("gram"))
+        benchmark.select(F.split(F.col(text_col), " ").alias("__toks"))
+        .select(F.explode(_gram_col("__toks", n)).alias("gram"))
         .distinct()
     )
     if broadcast_benchmark:
         bench_grams = F.broadcast(bench_grams)
     train_grams = train.select(
-        F.col(id_col), F.explode(_gram_col(text_col, n)).alias("gram")
-    )
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    ).select(F.col(id_col), F.explode(_gram_col("__toks", n)).alias("gram"))
     return (
         train_grams.join(bench_grams, "gram")
         .groupBy(id_col)
@@ -247,4 +258,77 @@ def curation_summary(curated: DataFrame) -> DataFrame:
         F.count("*").cast("int").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def top_ngrams(df: DataFrame, text_col: str, n: int = 2, k: int = 50) -> DataFrame:
+    """Corpus-wide most-frequent word n-grams, exact.
+
+    Scale (100 TB): the explode emits one row per gram but partial
+    (map-side) aggregation collapses each partition to its distinct
+    grams before the shuffle, so the exchange carries (gram, count)
+    pairs — hot grams are exactly the ones partial agg compresses
+    best. Top-k is TakeOrderedAndProject (no global sort)."""
+    toks_df = df.select(F.split(F.col(text_col), " ").alias("__toks"))
+    grams = toks_df.select(
+        F.explode(_gram_col("__toks", n, distinct=False)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def vocab_coverage(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
+    """Token-frequency head with cumulative corpus coverage — the
+    Zipf curve a tokenizer-training pass reads ("how many types cover
+    X% of tokens"). Returns (word, cnt, cum_frac) for the top ``k``
+    words by frequency.
+
+    Scale (100 TB): the cumulative sum is windowed over the ALREADY
+    top-k-limited head (<= k rows on one task), never over the full
+    vocabulary — a global ordered window would serialize on a single
+    partition. The corpus token total joins in as a broadcast scalar;
+    counts are exact integers so the coverage fractions are
+    cross-engine deterministic."""
+    words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    head = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("word"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    from ..functions.scalars import round_portable
+
+    return (
+        head.join(F.broadcast(total), F.lit(True))
+        .withColumn("__cum", F.sum("cnt").over(w))
+        .select(
+            "word",
+            "cnt",
+            round_portable(F.col("__cum") / F.col("__total"), 6).alias("cum_frac"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("word"))
+    )
+
+
+def per_source_cap(
+    df: DataFrame, id_col: str, group_col: str, order_col: str, k: int
+) -> DataFrame:
+    """C4/RefinedWeb-style per-domain document cap: keep at most ``k``
+    documents per ``group_col`` (source/domain), preferring the highest
+    ``order_col`` with ``id_col`` as the deterministic tie-break.
+
+    Scale (100 TB): one shuffle on the group key; rank-k selection is
+    a running row_number, so each group streams — no per-group
+    materialization. Skewed hot domains are exactly the ones the cap
+    truncates, bounding their output to k rows."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )

@@ -211,10 +211,15 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     """64-bit SimHash over word unigrams: per bit, sum +-1 weighted by
     the word-hash bit, sign -> fingerprint bit. Wide (64 agg columns)
     but a single shuffle and fully codegen'd."""
+    # Materialize the word hash ONCE before the aggregate: referencing
+    # F.xxhash64("w") inside all 64 agg expressions would recompute the
+    # hash per bit (no CSE across independent aggregate expressions) —
+    # same class of bug as the per-element lambda trap (CLAUDE.md perf
+    # trap #1).
     words = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
-    )
-    h = F.xxhash64("w")
+    ).select(id_col, F.xxhash64("w").alias("__h"))
+    h = F.col("__h")
     sums = words.groupBy(id_col).agg(
         *[
             F.sum(

@@ -1,0 +1,123 @@
+"""Fourth LLM-pipeline batch: corpus-level token statistics and
+source-cap curation, plus event cohort analytics.
+
+- text_top_bigrams — exact corpus-wide frequent n-grams (the phrase
+  inventory a tokenizer/quality pass reads),
+- text_vocab_coverage — Zipf head with cumulative token coverage,
+- curation_source_cap — C4/RefinedWeb-style per-domain document cap,
+- events_retention_cohorts — first-seen cohort x day-offset retention.
+
+All oracle-checked against DuckDB at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, load_table_parallel
+from ..operators.curation import per_source_cap, top_ngrams, vocab_coverage
+from .registry import query
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH b AS (
+      SELECT unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i + 1])) AS ngram
+      FROM (SELECT string_split(text, ' ') AS l FROM documents))
+    SELECT ngram, COUNT(*) AS cnt
+    FROM b GROUP BY ngram
+    ORDER BY cnt DESC, ngram LIMIT 50
+    """,
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word bigrams across the corpus, exact counts. Map-side
+    partial aggregation collapses hot grams before the shuffle; top-k
+    plans as TakeOrderedAndProject."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", n=2, k=50)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH counts AS (
+      SELECT w AS word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      GROUP BY w),
+    total AS (SELECT SUM(cnt) AS t FROM counts),
+    head AS (SELECT word, cnt FROM counts ORDER BY cnt DESC, word LIMIT 100)
+    SELECT word, cnt,
+           floor((SUM(cnt) OVER (ORDER BY cnt DESC, word
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) * 1.0 / t) * 1e6 + 0.5)
+             / 1e6 AS cum_frac
+    FROM head, total
+    ORDER BY cnt DESC, word
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-frequency head with cumulative corpus coverage (the Zipf
+    curve tokenizer training reads). The cumulative window runs over
+    the top-k head only — never a global single-partition window."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", k=100)
+
+
+@query(
+    "curation_source_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars
+    FROM (SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents)
+    WHERE rn <= 50
+    ORDER BY source, n_chars DESC, doc_id
+    """,
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (keep the 50 longest per source) — the
+    domain-balancing pass that stops one hot domain from dominating the
+    training mix. One shuffle on the source key."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return per_source_cap(docs, "doc_id", "source", "n_chars", k=50).orderBy(
+        "source", F.desc("n_chars"), "doc_id"
+    )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date
+      FROM events GROUP BY user_id),
+    acts AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT cohort_date, (d - cohort_date) AS day_offset,
+           COUNT(*) AS active_users
+    FROM firsts JOIN acts USING (user_id)
+    GROUP BY cohort_date, day_offset
+    ORDER BY cohort_date, day_offset
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date, counted at
+    each day offset they return. Both the cohort aggregate and the
+    distinct-activity set shuffle on user_id, so the join between them
+    is co-partitioned — one exchange per side, reused by the join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    acts = ev.distinct()
+    return (
+        firsts.join(acts, "user_id")
+        .groupBy("cohort_date", F.datediff("d", "cohort_date").alias("day_offset"))
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_date", "day_offset")
+    )

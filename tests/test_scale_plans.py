@@ -262,3 +262,27 @@ def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
     }
     assert "25 rows" in desc.get("Statistics", "")
     spark.sql("DROP TABLE stats_nation")
+
+
+def test_top_ngrams_partial_agg_and_topk(spark):
+    # corpus bigram counts: map-side partial aggregation must collapse
+    # grams before the exchange, and the top-k must never global-sort
+    p = _plan(spark, "text_top_bigrams")
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_vocab_coverage_window_is_post_limit(spark):
+    # the global-ordered cumulative window is only legal because it runs
+    # over the top-k head: a GlobalLimit must sit below the Window node
+    p = _plan(spark, "text_vocab_coverage")
+    lines = p.splitlines()
+    win = next(i for i, l in enumerate(lines) if "Window (" in l)
+    limit = next(
+        i
+        for i, l in enumerate(lines)
+        if "GlobalLimit" in l or "TakeOrderedAndProject" in l
+    )
+    # the formatted tree prints root-first, so the Window must appear
+    # ABOVE the limit that feeds it (limit is the window's descendant)
+    assert win < limit, p
