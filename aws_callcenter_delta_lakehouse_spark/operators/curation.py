@@ -332,3 +332,29 @@ def per_source_cap(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def assign_split(
+    df: DataFrame,
+    text_col: str,
+    train_pct: int = 96,
+    val_pct: int = 2,
+) -> DataFrame:
+    """Deterministic content-hash train/val/test split: md5-prefix
+    bucket 0-99 -> split label. Content-keyed (not id-keyed) so exact
+    duplicates always land in the same split — re-runs and re-shards
+    can never leak a train document into eval.
+
+    Scale (100 TB): a pure projection — no shuffle, no sampling state;
+    the split is reproducible from the text alone on any cluster
+    layout."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
+        % 100
+    ).cast("int")
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )

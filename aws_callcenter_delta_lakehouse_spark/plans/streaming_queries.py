@@ -190,3 +190,45 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(
         stream_stream_join(spark, sf_dir), _sink("ssjoin"), output_mode="append"
     )
+
+
+@query(
+    "streaming_stream_join_outer",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+        MAX(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ts AS TIMESTAMP) END),
+        MAX(CASE WHEN event_type = 'view'
+                 THEN CAST(ts AS TIMESTAMP) END)) AS w
+      FROM events)
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id
+    FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
+               WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts >= p.ts - INTERVAL 3600 SECOND
+     AND v.ts <= p.ts
+    CROSS JOIN wm
+    WHERE v.event_id IS NOT NULL OR p.ts < w
+    """,
+)
+def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER attribution join:
+    unconverted purchases surface as null-extended rows once their join
+    state can close. The global watermark is the MIN across both
+    watermark nodes (multipleWatermarkPolicy=min), i.e. with zero delay
+    least(max purchase ts, max view ts), and a left row's state closes
+    only when its event time is STRICTLY below it — so even a fully
+    drained finite source withholds the null-extended row for an
+    unmatched purchase sitting exactly at the slower stream's maximum.
+    The oracle states exactly that: batch LEFT JOIN minus null rows at
+    or past the final watermark."""
+    from ..streaming.streams import stream_stream_join
+
+    return run_to_memory(
+        stream_stream_join(spark, sf_dir, watermark="0 seconds", how="left_outer"),
+        _sink("ssjoin_outer"),
+        output_mode="append",
+    )

@@ -204,12 +204,21 @@ def stream_stream_join(
     sf_dir: str,
     window_seconds: int = 3600,
     watermark: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: each purchase joined to the
+    """Watermarked stream-stream join: each purchase joined to the
     same user's view events in the preceding ``window_seconds``. Both
     sides are watermarked so Spark can bound the join state buffer —
     the canonical attribution-join shape. File-source drain makes the
-    result equal to the batch interval join (the oracle)."""
+    result equal to the batch interval join (the oracle).
+
+    ``how="left_outer"`` adds unconverted purchases (no view in the
+    window) as null-extended rows. Outer results are emitted only once
+    the watermark passes the row's event time — state for a purchase
+    can be closed only when no matching view can still arrive — so a
+    drained file stream equals the batch LEFT JOIN only for purchases
+    older than ``max(event time) - watermark delay``; callers wanting
+    full drain-equality on a finite source use a zero watermark delay."""
     purchases = (
         stream_events(spark, sf_dir)
         .filter(F.col("event_type") == "purchase")
@@ -235,4 +244,5 @@ def stream_stream_join(
         (F.col("p_user") == F.col("v_user"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
         & (F.col("v_ts") <= F.col("p_ts")),
+        how=how,
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
