@@ -125,6 +125,35 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     return spark.read.parquet(snap)
 
 
+def history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY analogue (Delta: table-commit log; here: the
+    retained snapshot markers). One row per readable version:
+    ``(version, ts, operation, n_rows, is_live)`` — ``operation`` is
+    ``initial`` for v0 and ``merge`` after, mirroring the two write
+    paths. Row counts come from the parquet footers (metadata-only
+    count), so history never scans data pages even on a huge table."""
+    rows = []
+    live = table_version(path)
+    for v in list_versions(path):
+        snap = path if v == live else os.path.join(
+            _history_dir(path), f"v{v:06d}"
+        )
+        marker = _read_marker(snap)
+        n = spark.read.parquet(snap).count()
+        rows.append(
+            (
+                v,
+                float(marker.get("ts", 0.0)),
+                "initial" if v == 0 else "merge",
+                n,
+                v == live,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "version int, ts double, operation string, n_rows long, is_live boolean"
+    )
+
+
 def read_changes(
     spark: SparkSession,
     path: str,

@@ -403,3 +403,27 @@ def test_read_changes_cdc_between_versions(spark, tmp_path):
     keyless = read_changes(spark, path, from_version=0)
     assert keyless.filter(F.col("_change_type") == "insert").count() == 2
     assert keyless.filter(F.col("_change_type") == "delete").count() == 1
+
+
+def test_history_lists_versions(spark, tmp_path):
+    """DESCRIBE HISTORY analogue: one row per retained version with
+    operation tag, row count, and exactly one live version."""
+    from aws_callcenter_delta_lakehouse_spark.sources.managed_table import (
+        history, initial_write, merge_upsert,
+    )
+
+    path = str(tmp_path / "t")
+    initial_write(
+        spark.createDataFrame([(1, "v0")], "id long, v string"), path, keys=("id",)
+    )
+    merge_upsert(
+        spark, path,
+        spark.createDataFrame([(1, "v1"), (2, "x")], "id long, v string"),
+        ["id"],
+    )
+    h = {r.version: r for r in history(spark, path).collect()}
+    assert sorted(h) == [0, 1]
+    assert h[0].operation == "initial" and h[1].operation == "merge"
+    assert h[0].n_rows == 1 and h[1].n_rows == 2
+    assert not h[0].is_live and h[1].is_live
+    assert h[1].ts >= h[0].ts > 0

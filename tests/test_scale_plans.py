@@ -286,3 +286,42 @@ def test_vocab_coverage_window_is_post_limit(spark):
     # the formatted tree prints root-first, so the Window must appear
     # ABOVE the limit that feeds it (limit is the window's descendant)
     assert win < limit, p
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The AQE skew-join path the 100 TB design leans on (SCALING.md:
+    skewed FACT-FACT joins are AQE's job; salting covers aggregates):
+    with a hot key and thresholds scaled to test data, the final
+    adaptive plan must mark the sort-merge join skew=true."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 300_000).select(
+            F.when(F.col("id") % 3 != 0, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(0, 1_000).select(F.col("id").alias("k"))
+        joined = left.join(right, "k")
+        # execute THIS DataFrame's query execution (count() would build
+        # a different one and leave the adaptive plan non-final)
+        assert len(joined.collect()) > 0
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
