@@ -358,3 +358,31 @@ def assign_split(
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    text_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    buckets: int = 10000,
+) -> DataFrame:
+    """Deterministic source-mixture downsampling: keep fraction
+    ``weights[source]`` of each source's documents by content-hash
+    bucket — the data-mixing step that rebalances domains toward target
+    proportions before training.
+
+    Scale (100 TB): a pure projection (hash + literal-map lookup +
+    filter), no shuffle and no sampling state; the kept set is
+    reproducible from content alone, so re-runs, retries, and different
+    cluster layouts all keep exactly the same documents. Weights are a
+    literal map (a handful of sources); a large weights TABLE would
+    broadcast-join instead."""
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+    frac = F.coalesce(wmap[F.col(source_col)], F.lit(default_weight))
+    return df.filter(bucket < frac * buckets)

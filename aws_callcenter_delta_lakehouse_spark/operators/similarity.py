@@ -446,3 +446,29 @@ def ivf_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 16,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings
+    (zero-shuffle IVF assignment), find within-cluster cosine
+    near-duplicates (exact within blocks — pair work is sum(cluster²),
+    never corpus²), and keep the lowest-id member of every near-dup
+    pair. Greedy min-id survivorship: for a chain a~b~c the survivors
+    are exactly the ids that are no pair's larger member (a), matching
+    the keep-one-per-neighborhood behavior of SemDeDup (Abbas et al.,
+    2023) without an iterative component step.
+
+    Returns the surviving rows of ``assigned`` (id, vec, centroid_id).
+    """
+    _, assigned = ivf_index(corpus, id_col, vec_col, num_centroids)
+    pairs = cosine_near_dup_pairs(
+        assigned, id_col, vec_col, threshold, block_col="centroid_id"
+    )
+    losers = pairs.select(F.col("d2").alias(id_col)).distinct()
+    return assigned.join(losers, id_col, "left_anti")

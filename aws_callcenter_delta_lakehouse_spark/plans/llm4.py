@@ -7,7 +7,9 @@ source-cap curation, plus event cohort analytics.
 - curation_source_cap — C4/RefinedWeb-style per-domain document cap,
 - curation_train_split — deterministic content-hash train/val/test split,
 - text_unigram_logprob — unigram-LM mean log-prob (CCNet filter signal),
-- events_retention_cohorts — first-seen cohort x day-offset retention.
+- events_retention_cohorts — first-seen cohort x day-offset retention,
+- curation_mixture_sample — deterministic source-mixing weights,
+- dedup_semantic — SemDeDup-style cluster-blocked cosine dedup.
 
 All oracle-checked against DuckDB at sf0.01.
 """
@@ -195,3 +197,53 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         round_portable(F.col("avg_logprob"), 4).alias("avg_logprob"),
     ).orderBy("doc_id")
+
+
+@query(
+    "curation_mixture_sample",
+    oracle="""
+    WITH s AS (
+      SELECT source, n_chars,
+             CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 10000 AS b
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s
+    WHERE b < (CASE source WHEN 'src0' THEN 0.25
+                           WHEN 'src1' THEN 0.5
+                           ELSE 1.0 END) * 10000
+    GROUP BY source ORDER BY source
+    """,
+)
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixing: downsample src0 to 25% and src1 to
+    50% by content-hash bucket (projection-only, reproducible on any
+    cluster layout); per-source counts of the kept mix."""
+    from ..operators.curation import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(docs, "text", "source", {"src0": 0.25, "src1": 0.5})
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("dedup_semantic")  # iterative-free but cluster-seeded — rows-only
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table:
+    zero-shuffle IVF cluster assignment, exact within-cluster cosine
+    pairs (work bounded by sum(cluster²)), greedy min-id survivors.
+    Behavior pinned by unit tests on constructed duplicates."""
+    from ..catalog import load_table_parallel
+    from ..operators.similarity import semantic_dedup
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    survivors = semantic_dedup(emb, threshold=0.98)
+    return survivors.groupBy("centroid_id").agg(
+        F.count("*").alias("n_survivors"), F.min("vec_id").alias("min_vec_id")
+    ).orderBy("centroid_id")

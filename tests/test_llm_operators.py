@@ -587,3 +587,31 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     # partition pruning: reading one shard touches one partition dir
     one = spark.read.parquet(str(tmp_path / "export")).filter(F.col("shard") == manifest[0].shard)
     assert one.count() == manifest[0].n_docs
+
+
+def test_semantic_dedup_drops_near_dup_keeps_distinct(spark):
+    """SemDeDup composition: within-cluster near-duplicates lose all but
+    the lowest id; distinct vectors and all cluster seeds survive."""
+    import math
+    from aws_callcenter_delta_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    dim = 16
+    base = [math.sin(i * 1.7) + 1.5 for i in range(dim)]
+    near = list(base)
+    near[0] += 0.01  # cos ~0.99997 with base
+    near2 = list(base)
+    near2[1] += 0.01  # chain: near2 ~ base too
+    ortho = [(1.0 if i % 2 else -1.0) * (i + 1) for i in range(dim)]
+    # ids chosen so the two IVF seeds (lowest ids) are the two DISTINCT
+    # vectors — blocking recall depends on clustering quality, exactly
+    # as in SemDeDup itself
+    rows = [(1, base), (2, ortho), (3, near), (4, near2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    surv = semantic_dedup(df, num_centroids=2, threshold=0.99)
+    ids = sorted(r.vec_id for r in surv.collect())
+    # 3 and 4 are near-dups of 1 (the min id) -> dropped; 2 distinct
+    assert ids == [1, 2]
+    # survivors carry their cluster assignment
+    assert {c for c in surv.columns} >= {"vec_id", "embedding", "centroid_id"}
