@@ -57,3 +57,67 @@ def make_synthetic_docs_source():
             return _Reader(self.options)
 
     return SyntheticDocs
+
+
+def make_synthetic_stream_source():
+    """Return a self-contained STREAMING DataSource class (Spark 4
+    ``DataSourceStreamReader``) — the extension point for streaming
+    systems Spark has no connector for, with real offset tracking and
+    per-partition planning (one ``InputPartition`` per shard and batch
+    range, read independently by executors, exactly like a Kafka
+    topic-partition).
+
+    Offsets are ``{"batch": N}``; ``latestOffset`` advances one batch
+    per trigger up to ``maxbatches``, so ``processAllAvailable`` drains
+    a bounded deterministic stream. Register and read back with
+    ``spark.readStream.format("synthetic_stream").option(...)``."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _StreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.rows_per_batch = int(options.get("rowsperbatch", 10))
+            self.parts = int(options.get("partitions", 2))
+            self.max_batches = int(options.get("maxbatches", 3))
+            self._cur = 0
+
+        def initialOffset(self):
+            return {"batch": 0}
+
+        def latestOffset(self):
+            if self._cur < self.max_batches:
+                self._cur += 1
+            return {"batch": self._cur}
+
+        def partitions(self, start, end):
+            return [
+                InputPartition((shard, start["batch"], end["batch"]))
+                for shard in range(self.parts)
+            ]
+
+        def read(self, partition):
+            shard, lo, hi = partition.value
+            # executors own disjoint row ranges per batch; ids are
+            # globally unique and deterministic across retries
+            for batch in range(lo, hi):
+                for i in range(shard, self.rows_per_batch, self.parts):
+                    yield (batch, shard, batch * self.rows_per_batch + i)
+
+        def commit(self, end):
+            pass
+
+    class SyntheticStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_stream"
+
+        def schema(self):
+            return "batch INT, shard INT, event_id BIGINT"
+
+        def streamReader(self, schema):
+            return _StreamReader(self.options)
+
+    return SyntheticStream

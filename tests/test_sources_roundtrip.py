@@ -54,3 +54,30 @@ def test_python_datasource_partitioned_scan(spark):
     assert {r.doc_id for r in rows} == set(range(97))
     assert all(r.shard == r.doc_id % 5 for r in rows)
     assert all(r.text.startswith("synthetic document") for r in rows)
+
+
+def test_python_streaming_datasource_drains_bounded_stream(spark):
+    """Spark 4 streaming Python Data Source: offset tracking advances
+    one batch per trigger, partitions plan per (shard, batch range),
+    and a full drain yields every (batch, row) exactly once."""
+    from aws_callcenter_delta_lakehouse_spark.sources.pydatasource import (
+        make_synthetic_stream_source,
+    )
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        run_to_memory,
+    )
+
+    spark.dataSource.register(make_synthetic_stream_source())
+    stream = (
+        spark.readStream.format("synthetic_stream")
+        .option("rowsperbatch", 10)
+        .option("partitions", 2)
+        .option("maxbatches", 3)
+        .load()
+    )
+    out = run_to_memory(stream, "pystream_sink", output_mode="append")
+    rows = out.collect()
+    assert len(rows) == 30
+    assert {r.batch for r in rows} == {0, 1, 2}
+    assert {r.shard for r in rows} == {0, 1}
+    assert sorted(r.event_id for r in rows) == list(range(30))
