@@ -29,6 +29,24 @@ from aws_callcenter_delta_lakehouse_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Fixed representative subset: one query per operator family, FROZEN so
+# the headline number stays comparable across rounds while the registry
+# grows (the total over all queries moves every time coverage widens).
+HEADLINE = (
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "athena_q1_daily_summary",
+    "join_fact_revenue",
+    "window_topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_quality_score",
+    "curation_pipeline",
+    "streaming_tumbling_counts",
+    "asof_join_last_purchase",
+)
+
 
 def main() -> None:
     spark = get_spark(app_name="bench")
@@ -54,12 +72,21 @@ def main() -> None:
                 spark.catalog.dropTempView(t.name)
 
     total = round(sum(timings.values()), 3)
+    headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
     with open(detail_path, "w") as fh:
         json.dump(
-            {"sf": float(sf), "total_sec": total, "queries": timings}, fh, indent=1
+            {
+                "sf": float(sf),
+                "total_sec": total,
+                "headline_sec": headline,
+                "headline_queries": list(HEADLINE),
+                "queries": timings,
+            },
+            fh,
+            indent=1,
         )
     print(
         json.dumps(
@@ -69,6 +96,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf),
                 "n_queries": len(timings),
+                "headline_sec": headline,
             }
         )
     )
