@@ -67,9 +67,14 @@ def make_synthetic_stream_source():
     range, read independently by executors, exactly like a Kafka
     topic-partition).
 
-    Offsets are ``{"batch": N}``; ``latestOffset`` advances one batch
-    per trigger up to ``maxbatches``, so ``processAllAvailable`` drains
-    a bounded deterministic stream. Register and read back with
+    Offsets are ``{"batch": N}``. ``latestOffset`` reports the end of
+    AVAILABLE data (``maxbatches``) — never per-reader-instance state:
+    offsets must be derivable from the external system alone, because
+    on restart Spark hands the restored offset to ``partitions()`` but
+    a fresh reader object answers ``latestOffset()``; a reader-local
+    counter would restart behind the checkpoint and re-emit committed
+    batches (verified the hard way in the resume test). Register and
+    read back with
     ``spark.readStream.format("synthetic_stream").option(...)``."""
     from pyspark.sql.datasource import (
         DataSource,
@@ -82,15 +87,14 @@ def make_synthetic_stream_source():
             self.rows_per_batch = int(options.get("rowsperbatch", 10))
             self.parts = int(options.get("partitions", 2))
             self.max_batches = int(options.get("maxbatches", 3))
-            self._cur = 0
 
         def initialOffset(self):
             return {"batch": 0}
 
         def latestOffset(self):
-            if self._cur < self.max_batches:
-                self._cur += 1
-            return {"batch": self._cur}
+            # the "external system's" current end — stateless in the
+            # reader, stable across restarts
+            return {"batch": self.max_batches}
 
         def partitions(self, start, end):
             return [

@@ -81,3 +81,45 @@ def test_python_streaming_datasource_drains_bounded_stream(spark):
     assert {r.batch for r in rows} == {0, 1, 2}
     assert {r.shard for r in rows} == {0, 1}
     assert sorted(r.event_id for r in rows) == list(range(30))
+
+
+def test_python_streaming_datasource_resumes_from_checkpoint(spark, tmp_path):
+    """Exactly-once resume: a restarted query on the same checkpoint
+    continues from the committed offset — a fresh reader object starts
+    its own counter at 0, but the checkpointed offset wins, so the
+    second run emits NO duplicate batches."""
+    from aws_callcenter_delta_lakehouse_spark.sources.pydatasource import (
+        make_synthetic_stream_source,
+    )
+
+    spark.dataSource.register(make_synthetic_stream_source())
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        stream = (
+            spark.readStream.format("synthetic_stream")
+            .option("rowsperbatch", 6)
+            .option("partitions", 2)
+            .option("maxbatches", 2)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    first = spark.read.parquet(out_dir).count()
+    assert first == 12
+    run_once()  # fresh reader, same checkpoint
+    rows = spark.read.parquet(out_dir).collect()
+    assert len(rows) == 12, "restart must not re-emit committed batches"
+    assert sorted(r.event_id for r in rows) == list(range(12))
