@@ -472,3 +472,47 @@ def semantic_dedup(
     )
     losers = pairs.select(F.col("d2").alias(id_col)).distinct()
     return assigned.join(losers, id_col, "left_anti")
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-dimension z-score standardization — the feature-scaling pass
+    before clustering/ANN when dimensions have wildly different ranges.
+    Returns (id, z_embedding) with each element rounded so float
+    accumulation order cannot flip values across engines.
+
+    Scale (100 TB): posexplode fans rows ×dim, but the per-dimension
+    stats aggregate reduces map-side to (pos, moments) — ``dim`` rows
+    total, broadcast back. Reassembly is one id-keyed aggregate;
+    ``array_sort`` on (pos, z) structs makes element order
+    deterministic, never dependent on shuffle arrival. Zero-variance
+    dimensions standardize to 0.0 rather than NaN."""
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "v")
+    ).select(id_col, "pos", F.col("v").cast("double").alias("val"))
+    stats = ex.groupBy("pos").agg(
+        F.avg("val").alias("mu"), F.stddev_pop("val").alias("sigma")
+    )
+    z = ex.join(F.broadcast(stats), "pos").select(
+        F.col(id_col),
+        F.col("pos"),
+        F.when(
+            F.col("sigma") > 0, (F.col("val") - F.col("mu")) / F.col("sigma")
+        )
+        .otherwise(0.0)
+        .alias("z"),
+    )
+    return (
+        z.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "z"))).alias("__pz"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("__pz"), lambda s: round_portable(s["z"], round_digits)
+            ).alias("z_embedding"),
+        )
+    )

@@ -247,3 +247,34 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.groupBy("centroid_id").agg(
         F.count("*").alias("n_survivors"), F.min("vec_id").alias("min_vec_id")
     ).orderBy("centroid_id")
+
+
+@query(
+    "embedding_standardize",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings),
+    stats AS (
+      SELECT pos, AVG(val) AS mu, stddev_pop(val) AS sigma
+      FROM ex GROUP BY pos),
+    z AS (
+      SELECT vec_id, ex.pos,
+             CASE WHEN sigma > 0 THEN (val - mu) / sigma
+                  ELSE 0.0 END AS zv
+      FROM ex JOIN stats USING (pos))
+    SELECT vec_id,
+           list_transform(list(zv ORDER BY pos),
+                          x -> floor(x * 1e4 + 0.5) / 1e4) AS z_embedding
+    FROM z GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embeddings table —
+    dimension stats reduce to dim rows and broadcast back; element
+    order is deterministic via (pos, z) struct sort."""
+    from ..operators.similarity import standardize_embeddings
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    return standardize_embeddings(emb).orderBy("vec_id")
