@@ -107,3 +107,94 @@ def sessionize_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min("event_id").alias("first_event_id"),
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= 5)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e2.s1 = e1.s1 AND e2.s2 > e1.s2
+    JOIN e e3 ON e3.s1 = e1.s2 AND e3.s2 = e2.s2
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the supplier co-supply graph (edges: supplier pairs
+    sharing >= 5 orders). Engine side is degree-oriented
+    node-iterator++ — wedge work bounded m^1.5 on any graph; the naive
+    three-way self-join stays in the oracle only, where DuckDB runs it
+    on the small thresholded sf0.01 graph."""
+    from ..operators.components import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    edges = (
+        a.join(b, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.countDistinct("ok").alias("__w"))
+        .filter(F.col("__w") >= 5)
+        .select("s1", "s2")
+    )
+    return triangle_count(edges)
+
+
+@query(
+    "events_sequence_funnel",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY CAST(ts AS TIMESTAMP),
+                        event_id) AS path
+      FROM events GROUP BY user_id)
+    SELECT CASE WHEN regexp_matches(path, 'signup(>.*)?>purchase')
+                THEN 1 ELSE 0 END AS converted,
+           split_part(path, '>', 1) AS first_event,
+           COUNT(*) AS n_users
+    FROM paths
+    GROUP BY 1, 2
+    ORDER BY converted, first_event
+    """,
+)
+def events_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-sequence mining: each user's full event path (time
+    order, event_id tie-break) matched against a signup-then-purchase
+    pattern — the sequence-pattern class funnels/journey analytics
+    need. One id-keyed aggregate builds the path; order comes from a
+    deterministic (ts, event_id, type) struct sort, never shuffle
+    arrival."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("__evs")
+        )
+        .select(
+            "user_id",
+            F.concat_ws(
+                ">", F.transform(F.col("__evs"), lambda s: s["event_type"])
+            ).alias("path"),
+        )
+    )
+    return (
+        paths.select(
+            F.when(
+                F.col("path").rlike("signup(>.*)?>purchase"), F.lit(1)
+            )
+            .otherwise(0)
+            .alias("converted"),
+            F.split_part(F.col("path"), F.lit(">"), F.lit(1)).alias("first_event"),
+        )
+        .groupBy("converted", "first_event")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("converted", "first_event")
+    )

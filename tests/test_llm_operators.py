@@ -615,3 +615,18 @@ def test_semantic_dedup_drops_near_dup_keeps_distinct(spark):
     assert ids == [1, 2]
     # survivors carry their cluster assignment
     assert {c for c in surv.columns} >= {"vec_id", "embedding", "centroid_id"}
+
+
+def test_triangle_count_known_graph(spark):
+    """node-iterator++ on a known graph: K4 minus one edge has 2
+    triangles; a dangling pendant edge adds none."""
+    from aws_callcenter_delta_lakehouse_spark.operators.components import (
+        triangle_count,
+    )
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "s1 long, s2 long")
+    assert triangle_count(df).collect()[0].n_triangles == 2
+    # hub star: no triangles at all
+    star = spark.createDataFrame([(0, i) for i in range(1, 8)], "s1 long, s2 long")
+    assert triangle_count(star).collect()[0].n_triangles == 0
