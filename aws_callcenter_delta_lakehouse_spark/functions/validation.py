@@ -106,6 +106,42 @@ def validate_observed(df: DataFrame, rules: Sequence["ColumnRule"]):
     return observed, obs
 
 
+def expectation_report(
+    df: DataFrame, expectations: Sequence[tuple[str, Column]]
+) -> DataFrame:
+    """Delta-Live-Tables-style expectations: each (name, predicate that
+    should HOLD) becomes one row of ``(expectation, violations, total)``
+    — the per-rule quality dashboard a pipeline publishes per batch.
+
+    Single aggregate pass: every expectation is a ``sum(when(~p, 1))``
+    over the same scan (no per-rule scans, no explode); the unpivot to
+    rows touches only the k-row aggregate result. NULL predicate
+    results count as violations (a rule that cannot evaluate did not
+    hold)."""
+    aggs = [F.count(F.lit(1)).alias("__total")] + [
+        F.sum(F.when(F.coalesce(pred, F.lit(False)), 0).otherwise(1)).alias(
+            f"__e{i}"
+        )
+        for i, (_, pred) in enumerate(expectations)
+    ]
+    row = df.agg(*aggs)
+    stacked = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("expectation"),
+                        F.col(f"__e{i}").cast("long").alias("violations"),
+                        F.col("__total").cast("long").alias("total"),
+                    )
+                    for i, (name, _) in enumerate(expectations)
+                ]
+            )
+        ).alias("s")
+    )
+    return stacked.select("s.expectation", "s.violations", "s.total")
+
+
 def split_valid_invalid(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """One validated input, two complementary outputs
     (01_silver_delta_upsert.py:91-92)."""

@@ -201,25 +201,40 @@ def ann_topk(
 
 def _centroid_array(centroids: DataFrame) -> DataFrame:
     """Fold the (tiny) centroid table into ONE row holding an
-    ``array<struct<centroid_id, centroid_vec>>`` column ``__cents``.
-    Broadcast-joined onto a big side this adds a constant column —
-    no fan-out, no shuffle of the big side."""
-    return centroids.agg(
+    ``array<struct<centroid_id, centroid_vec>>`` column ``__cents``,
+    with each centroid vector L2-NORMALIZED once here (16 rows) so the
+    per-corpus-row scoring needs no norms at all: ``argmax cos(v, c) =
+    argmax dot(v, ĉ)`` — the row's own norm is a positive constant
+    across centroids and cannot change the argmax. Broadcast-joined
+    onto a big side this adds a constant column — no fan-out, no
+    shuffle of the big side."""
+    normed = centroids.select(
+        "centroid_id", "centroid_vec", norm(F.col("centroid_vec")).alias("__n")
+    ).select(
+        "centroid_id",
+        F.transform(
+            "centroid_vec", lambda x: x.cast("double") / F.col("__n")
+        ).alias("centroid_vec"),
+    )
+    return normed.agg(
         F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("__cents")
     )
 
 
 def _nearest_centroids(vec_col: str) -> Column:
-    """``array<struct<__negsim, centroid_id>>`` scored against
-    ``__cents``, ascending-sortable: smallest ``__negsim`` = highest
-    cosine, ties broken by smallest centroid_id. Pure projection."""
+    """``array<struct<__negsim, centroid_id>>`` scored against the
+    pre-normalized ``__cents``, ascending-sortable: smallest
+    ``__negsim`` = highest cosine, ties broken by smallest centroid_id.
+    Pure projection; one dot product per centroid, no norms (the naive
+    ``cosine`` here recomputed the ROW norm once per centroid inside
+    the lambda — no CSE across lambda invocations)."""
     # named_struct, not struct(...).alias: aliases inside a higher-order-
     # function lambda don't survive analysis (fields come out as `col`).
     return F.transform(
         F.col("__cents"),
         lambda c: F.named_struct(
             F.lit("__negsim"),
-            -cosine(F.col(vec_col), c["centroid_vec"]),
+            -dot(F.col(vec_col), c["centroid_vec"]),
             F.lit("centroid_id"),
             c["centroid_id"],
         ),
@@ -354,6 +369,7 @@ def kmeans_refine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iterations: int = 2,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Lloyd's k-means over DataFrame ops: assign (zero-shuffle argmax
     projection, see ``ivf_index``) then recompute each centroid as the
@@ -363,10 +379,19 @@ def kmeans_refine(
     floats, independent of corpus size — then array re-assembly via
     sorted collect_list (centroids x dim rows: tiny).
 
-    Returns refined centroids (centroid_id, centroid_vec). Iterations
-    are few and the plan is re-derived per round from the corpus scan —
-    no lineage blow-up at 2-3 iterations (checkpoint beyond that).
+    Returns refined centroids (centroid_id, centroid_vec). Each round's
+    output (a centroids x dim table — 16x64 doubles here) is eagerly
+    materialized with ``localCheckpoint``: without it, every downstream
+    broadcast of the centroids (next iteration's assign, the final
+    index assign, the query-side probe selection) re-derives the whole
+    refinement lineage, multiplying corpus passes by the number of
+    consumers. With it, Lloyd's costs exactly one corpus pass per
+    iteration. (Same executor-local caveat as the graph operators —
+    callers on a real cluster pass ``checkpoint_dir`` for a reliable
+    fault-tolerant truncation instead, as in ``connected_components``.)
     """
+    if checkpoint_dir is not None:
+        corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     for _ in range(iterations):
         assigned = (
             corpus.join(F.broadcast(_centroid_array(centroids)))
@@ -387,7 +412,11 @@ def kmeans_refine(
                 F.transform("pm", lambda s: s["m"]).alias("centroid_vec"),
             )
         )
-        centroids = means
+        centroids = (
+            means.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else means.localCheckpoint(eager=True)
+        )
     return centroids
 
 

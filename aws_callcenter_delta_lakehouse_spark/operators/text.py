@@ -350,3 +350,57 @@ def unigram_logprob(
             F.avg("logp").alias("avg_logprob"),
         )
     )
+
+
+def hashed_linear_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int = 2001,
+) -> DataFrame:
+    """fastText-style hashed-feature linear quality model: each word
+    hashes into one of ``buckets`` weight slots, the document's raw
+    score is the mean slot weight, and the keep-probability is its
+    sigmoid — the shape of the model-based quality filters used by
+    GPT-3/CCNet-era pipelines (a trained model would broadcast a real
+    weight table keyed by the same hash; here the weights are the
+    deterministic pseudo-random values ``(h % buckets - (buckets-1)/2) /
+    ((buckets-1)/2)`` so both engines can recompute them).
+
+    Pure projection — no join, no shuffle, no UDF: the hash is the
+    engine-portable md5-prefix integer, the mean is an array aggregate
+    over the materialized weight array (the split and the weights are
+    each built in their OWN select so no per-element re-evaluation of
+    the split occurs). Returns (id, n_words, raw_score, keep_prob).
+    """
+    half = (buckets - 1) // 2
+    words = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("l"))
+    weights = words.select(
+        id_col,
+        F.size("l").alias("n_words"),
+        F.transform(
+            "l",
+            lambda w: (
+                F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+                % buckets
+                - half
+            )
+            / F.lit(float(half)),
+        ).alias("wts"),
+    )
+    raw = weights.select(
+        id_col,
+        "n_words",
+        (
+            F.aggregate(
+                "wts", F.lit(0.0), lambda acc, x: acc + x
+            )
+            / F.col("n_words")
+        ).alias("raw"),
+    )
+    return raw.select(
+        id_col,
+        "n_words",
+        F.col("raw").alias("raw_score"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("raw")))).alias("keep_prob"),
+    )

@@ -1,42 +1,76 @@
-"""Data-skipping layout: clustered writes produce disjoint per-file key
-ranges (prunable); naive writes don't."""
+"""Z-order layout: the Morton key must actually tighten per-file
+min/max statistics on BOTH clustered columns (that is the entire point
+of the operator — data skipping at read time)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from aws_callcenter_delta_lakehouse_spark.catalog import load_table
-from aws_callcenter_delta_lakehouse_spark.sources.layout import (
-    file_key_ranges,
-    write_clustered,
+from aws_callcenter_delta_lakehouse_spark.operators.layout import (
+    zorder_key,
+    zorder_layout,
 )
 from tests.conftest import SF01
 
 
-def _overlap_fraction(ranges):
-    """Fraction of file pairs whose key ranges overlap."""
-    n, overlapping = 0, 0
-    for i in range(len(ranges)):
-        for j in range(i + 1, len(ranges)):
-            n += 1
-            (a_lo, a_hi), (b_lo, b_hi) = ranges[i], ranges[j]
-            if a_lo <= b_hi and b_lo <= a_hi:
-                overlapping += 1
-    return overlapping / n if n else 0.0
+def _avg_span_fraction(spark, path, cols):
+    """Per-parquet-file (max-min) span of each column, averaged over
+    files, as a fraction of the global span."""
+    df = spark.read.parquet(path).withColumn("__f", F.input_file_name())
+    per_file = df.groupBy("__f").agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    )
+    gl = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    out = {}
+    for c in cols:
+        spans = (
+            per_file.select((F.col(f"mx_{c}") - F.col(f"mn_{c}")).alias("s"))
+            .agg(F.avg("s"))
+            .first()[0]
+        )
+        out[c] = spans / (gl[f"mx_{c}"] - gl[f"mn_{c}"])
+    return out
 
 
-def test_clustered_write_gives_disjoint_file_ranges(spark, tmp_path):
-    li = load_table(spark, SF01, "lineitem")
+def test_zorder_tightens_file_stats_on_both_dims(spark, tmp_path):
+    orders = load_table(spark, SF01, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("long")
+        .alias("order_day"),
+    )
+    zpath = str(tmp_path / "zordered")
+    zorder_layout(orders, ["o_custkey", "order_day"], num_files=16).write.parquet(
+        zpath
+    )
+    frac = _avg_span_fraction(spark, zpath, ["o_custkey", "order_day"])
+    # 16 Z-range files over 2 dims ~ a 4x4 grid: each file should cover
+    # roughly a quarter of each dimension; unclustered files cover ~all.
+    assert frac["o_custkey"] < 0.6, frac
+    assert frac["order_day"] < 0.6, frac
 
-    naive = str(tmp_path / "naive")
-    li.repartition(8).write.parquet(naive)
-    clustered = str(tmp_path / "clustered")
-    write_clustered(li, clustered, ["l_orderkey"], num_files=8)
 
-    naive_ranges = file_key_ranges(naive, "l_orderkey")
-    clus_ranges = file_key_ranges(clustered, "l_orderkey")
-    assert len(clus_ranges) >= 4
-    # round-robin files all span ~the full key range; clustered are disjoint
-    assert _overlap_fraction(naive_ranges) > 0.9
-    assert _overlap_fraction(clus_ranges) == 0.0
-
-    # row preservation
-    assert spark.read.parquet(clustered).count() == li.count()
+def test_zorder_key_bit_interleaving(spark):
+    """Known Morton codes on a 4x4 grid: x occupies even bit positions,
+    y odd ones."""
+    df = spark.range(16).select(
+        (F.col("id") % 4).alias("x"), (F.col("id") / 4).cast("long").alias("y")
+    )
+    keyed = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")
+    )
+    rows = {(r.x, r.y): r.z for r in keyed.collect()}
+    assert rows[(0, 0)] == 0
+    assert rows[(1, 0)] == 1
+    assert rows[(0, 1)] == 2
+    assert rows[(1, 1)] == 3
+    assert rows[(2, 0)] == 4
+    assert rows[(0, 2)] == 8
+    assert rows[(2, 2)] == 12
+    assert rows[(3, 3)] == 15
