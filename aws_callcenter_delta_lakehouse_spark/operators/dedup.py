@@ -42,17 +42,22 @@ def shingle(
 
     ``distinct=True`` (set semantics) is required for Jaccard; the
     MinHash signature path passes ``distinct=False`` — min() is
-    duplicate-insensitive, so it saves a whole shuffle."""
-    words = F.split(F.col(text_col), " ")
+    duplicate-insensitive, so it saves a whole shuffle.
+
+    The split is materialized in its OWN projection before the gram
+    lambda: referencing ``split(text)`` inside the lambda re-evaluates
+    the split per gram element ×n (no CSE across lambda invocations —
+    CLAUDE.md perf trap 1)."""
+    split_df = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__w")
+    ).filter(F.size("__w") >= n)
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(words) - (n - 1)),
+        F.sequence(F.lit(1), F.size("__w") - (n - 1)),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
+            " ", *[F.element_at(F.col("__w"), i + j) for j in range(n)]
         ),
     )
-    out = df.filter(F.size(words) >= n).select(
-        F.col(id_col), F.explode(grams).alias("sh")
-    )
+    out = split_df.select(F.col(id_col), F.explode(grams).alias("sh"))
     return out.distinct() if distinct else out
 
 
