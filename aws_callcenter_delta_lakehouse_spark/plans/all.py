@@ -17,6 +17,7 @@ from . import relational4  # noqa: F401
 from . import scd2_queries  # noqa: F401
 from . import spark4  # noqa: F401
 from . import streaming_queries  # noqa: F401
+from . import timeseries_queries  # noqa: F401
 from . import tpch  # noqa: F401
 from . import tpch2  # noqa: F401
 from . import tpch3  # noqa: F401

@@ -325,3 +325,37 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ngram_span_join_is_hash_not_cartesian(spark):
+    p = _plan(spark, "dedup_duplicated_ngram_spans")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_zorder_key_is_pure_projection(spark):
+    """The Morton key must be codegen bit math: no Python worker, no
+    shuffle — the only shuffle ever comes from the WRITE's range
+    partitioning, not the key computation."""
+    p = _plan(spark, "layout_zorder_orders")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "Exchange" not in p
+
+
+def test_linkage_blocks_as_broadcast_hash_join(spark):
+    p = _plan(spark, "linkage_customer_supplier")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_rolling_time_window_single_shuffle(spark):
+    p = _plan(spark, "events_rolling_7day")
+    # exactly one Exchange node header: the window's hash partitioning
+    headers = [l for l in p.splitlines() if "Exchange (" in l]
+    assert len(headers) == 1, headers
+    assert "Window" in p
+
+
+def test_quality_classifier_no_python_worker(spark):
+    p = _plan(spark, "text_quality_classifier")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
