@@ -291,11 +291,22 @@ def merge_upsert(
             )
         merged = untouched.unionByName(source.select(*target.columns))
 
-    version = table_version(path)
+    _commit_snapshot(merged, path, keys, partition_by, max_history)
 
-    # Stage-and-swap: never leave the table half-written.
+
+def _commit_snapshot(
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    partition_by: Sequence[str],
+    max_history: int,
+) -> None:
+    """Stage-and-swap commit: never leave the table half-written; the
+    replaced snapshot is retained under ``<path>__history/`` for
+    time-travel reads (Delta keeps old files until VACUUM)."""
+    version = table_version(path)
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
-    writer = merged.write.mode("overwrite")
+    writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
@@ -313,6 +324,73 @@ def merge_upsert(
             shutil.rmtree(os.path.join(hist, stale))
     else:
         shutil.rmtree(backup)
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    max_history: int = 2,
+) -> None:
+    """Delta ``DELETE FROM t WHERE cond`` analogue — the erasure
+    surface (GDPR right-to-be-forgotten runs through exactly this op on
+    a lakehouse). Rows where the condition is TRUE are removed; rows
+    where it is NULL are KEPT (SQL DELETE semantics — an unevaluable
+    predicate deletes nothing). The previous snapshot stays readable
+    via ``read(version=)`` until ``maintenance.vacuum`` — a compliance
+    pipeline must vacuum after erasing.
+
+    Emulation rewrites the whole table (real Delta rewrites only files
+    containing matches — with the Z-order/clustered layouts in
+    ``operators/layout.py`` those are few); the Delta backend delegates
+    to ``DeltaTable.delete``."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
+        DeltaTable.forPath(spark, path).delete(cond)
+        return
+    marker = _read_marker(path)
+    target = read(spark, path)
+    kept = target.filter(~F.coalesce(cond, F.lit(False)))
+    _commit_snapshot(
+        kept,
+        path,
+        marker.get("keys", []),
+        marker.get("partition_by", []),
+        max_history,
+    )
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    assignments: dict,
+    max_history: int = 2,
+) -> None:
+    """Delta ``UPDATE t SET ... WHERE cond`` analogue. ``assignments``
+    maps column name -> Column expression (evaluated against the
+    current row); non-matching rows (condition FALSE or NULL) are
+    untouched. Single projection + snapshot commit — no join."""
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
+        DeltaTable.forPath(spark, path).update(cond, assignments)
+        return
+    marker = _read_marker(path)
+    target = read(spark, path)
+    hit = F.coalesce(cond, F.lit(False))
+    updated = target.withColumns(
+        {
+            name: F.when(hit, expr).otherwise(F.col(name))
+            for name, expr in assignments.items()
+        }
+    )
+    _commit_snapshot(
+        updated,
+        path,
+        marker.get("keys", []),
+        marker.get("partition_by", []),
+        max_history,
+    )
 
 
 def write_or_merge(

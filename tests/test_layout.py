@@ -74,3 +74,47 @@ def test_zorder_key_bit_interleaving(spark):
     assert rows[(0, 2)] == 8
     assert rows[(2, 2)] == 12
     assert rows[(3, 3)] == 15
+
+
+def test_stats_manifest_file_skipping(spark, tmp_path):
+    """A clustered write + stats manifest must let a range read open
+    only the files whose min/max intersect the predicate, with results
+    identical to the full-scan filter."""
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        pruned_file_list,
+        read_with_skipping,
+        write_clustered,
+        write_stats_manifest,
+    )
+
+    orders = load_table(spark, SF01, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = str(tmp_path / "clustered")
+    write_clustered(orders, path, ["o_custkey"], num_files=8)
+    write_stats_manifest(path, ["o_custkey"])
+
+    files, total = pruned_file_list(path, "o_custkey", lo=100, hi=200)
+    assert total == 8
+    assert 0 < len(files) < total  # actual pruning happened
+
+    got = read_with_skipping(spark, path, "o_custkey", lo=100, hi=200)
+    want = orders.filter(F.col("o_custkey").between(100, 200))
+    assert got.count() == want.count()
+    assert got.select(F.sum("o_orderkey")).first()[0] == want.select(
+        F.sum("o_orderkey")
+    ).first()[0]
+
+
+def test_skipping_without_manifest_uses_footers(spark, tmp_path):
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        pruned_file_list,
+        write_clustered,
+    )
+
+    orders = load_table(spark, SF01, "orders").select("o_orderkey", "o_custkey")
+    path = str(tmp_path / "nofooter")
+    write_clustered(orders, path, ["o_custkey"], num_files=4)
+    files, total = pruned_file_list(path, "o_custkey", lo=0, hi=10)
+    assert total == 4
+    assert len(files) == 1
