@@ -138,3 +138,39 @@ def bpe_train(
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_apply(
+    df: DataFrame, text_col: str, merges: DataFrame, rounds: int
+) -> DataFrame:
+    """Tokenize a corpus with a learned merge list: every word starts
+    as characters and each merge (in training order) is applied with
+    the same greedy left-to-right semantics the trainer used. Returns
+    the (token, count) vocabulary distribution of the tokenized corpus.
+
+    The merge list stays a DataFrame — each round's (pair_a, pair_b)
+    reaches the words as a 1-row broadcast join, so nothing is ever
+    collected to the driver (a real tokenizer's merge table is exactly
+    this broadcast, just wider)."""
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(_chars(F.col("w")).alias("syms"), "freq")
+    )
+    for r in range(1, rounds + 1):
+        step = F.broadcast(
+            merges.where(F.col("round") == r).select("pair_a", "pair_b")
+        )
+        words = words.join(step).select(
+            _merge_pair(F.col("syms"), F.col("pair_a"), F.col("pair_b")).alias(
+                "syms"
+            ),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return (
+        words.select(F.explode("syms").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("count"))
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, load_table_parallel
-from ..operators.bpe import bpe_train
+from ..operators.bpe import bpe_apply, bpe_train
 from ..operators.linkage import linkage_topk
 from .registry import query
 
@@ -27,6 +27,18 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     table only."""
     docs = load_table_parallel(spark, sf_dir, "documents")
     return bpe_train(docs, "text", rounds=5)
+
+
+@query("bpe_tokenize_top_tokens")  # rows-only; Python parity in tests
+def bpe_tokenize_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 5 BPE merges, tokenize the corpus with them (greedy
+    left-to-right, merge order preserved via per-round 1-row broadcast
+    joins — the merge table never touches the driver), and return the
+    top-20 tokens of the resulting vocabulary distribution."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", rounds=5)
+    toks = bpe_apply(docs, "text", merges, rounds=5)
+    return toks.orderBy(F.desc("count"), F.asc("token")).limit(20)
 
 
 @query(

@@ -68,3 +68,47 @@ def test_bpe_known_toy_corpus(spark):
     # 'lo' is in every word (freq 9); then 'lo'+'w' (freq 9).
     assert rows[1] == ("l", "o", "lo")
     assert rows[2] == ("lo", "w", "low")
+
+
+def _python_apply(word_freqs: dict[str, int], merges):
+    """Tokenize with the learned merges, in order; return token counts."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for w, f in word_freqs.items():
+        syms = list(w)
+        for _, a, b, _m, _n in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        for s in syms:
+            counts[s] += f
+    return counts
+
+
+def test_bpe_apply_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from aws_callcenter_delta_lakehouse_spark.operators.bpe import bpe_apply
+
+    docs = load_table(spark, SF001, "documents")
+    merges_df = bpe_train(docs, "text", rounds=3)
+    toks = {
+        r.token: r["count"]
+        for r in bpe_apply(docs, "text", merges_df, rounds=3).collect()
+    }
+
+    freqs: Counter = Counter()
+    for row in docs.select("text").collect():
+        for w in row.text.split(" "):
+            if w:
+                freqs[w] += 1
+    merges = _python_bpe(dict(freqs), 3)
+    want = _python_apply(dict(freqs), merges)
+    assert toks == dict(want)
