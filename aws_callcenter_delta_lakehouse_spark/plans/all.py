@@ -12,10 +12,12 @@ from . import llm6  # noqa: F401
 from . import llm7  # noqa: F401
 from . import llm8  # noqa: F401
 from . import llm9  # noqa: F401
+from . import llm10  # noqa: F401
 from . import relational  # noqa: F401
 from . import relational2  # noqa: F401
 from . import relational3  # noqa: F401
 from . import relational4  # noqa: F401
+from . import relational5  # noqa: F401
 from . import scd2_queries  # noqa: F401
 from . import spark4  # noqa: F401
 from . import streaming_queries  # noqa: F401

@@ -1,0 +1,227 @@
+"""Fifth relational batch: the modern SQL surface Spark 4 added on top
+of the reference's Athena dialect — recursive CTEs, SQL pipe syntax,
+LISTAGG, aggregate FILTER clauses, LIMIT/OFFSET pagination, null-safe
+equality joins, and GROUP BY ALL / ORDER BY ALL.
+
+The reference's query layer is five Athena SQL statements
+(`/root/reference/athena_queries.sql`); these queries extend the same
+catalog-backed SQL surface (capability extension, not a port).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, register_all
+from .registry import query
+
+
+@query(
+    "sql_recursive_cte_months",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+    )
+    SELECT m.m AS month,
+           COUNT(o.o_orderkey) AS n_orders,
+           floor(COALESCE(SUM(o.o_totalprice), 0) * 100 + 0.5) / 100 AS revenue
+    FROM months m LEFT JOIN orders o ON month(o.o_orderdate) = m.m
+    GROUP BY m.m
+    ORDER BY month
+    """,
+)
+def sql_recursive_cte_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4): a recursively generated 1..12 month
+    spine LEFT JOINed to order revenue — months with no orders survive
+    with zero revenue, which a plain GROUP BY over the fact table drops.
+    The recursion materializes 12 rows on the driver side of the plan;
+    the fact scan and aggregate stay distributed."""
+    register_all(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT 1 UNION ALL SELECT m + 1 FROM months WHERE m < 12
+        )
+        SELECT m.m AS month,
+               COUNT(o.o_orderkey) AS n_orders,
+               floor(COALESCE(SUM(o.o_totalprice), 0) * 100 + 0.5) / 100 AS revenue
+        FROM months m LEFT JOIN orders o ON month(o.o_orderdate) = m.m
+        GROUP BY m.m
+        ORDER BY month
+        """
+    )
+
+
+@query(
+    "sql_pipe_priority_totals",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           floor(SUM(o_totalprice) * 100 + 0.5) / 100 AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_priority_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4): the same logical plan as a nested
+    SELECT, written as a linear |> dataflow. Compiles to an identical
+    Catalyst plan — filter pushdown and partial aggregation are
+    unchanged."""
+    register_all(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     floor(SUM(o_totalprice) * 100 + 0.5) / 100 AS total
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    ).select("o_orderpriority", "n_orders", "total")
+
+
+@query(
+    "sql_listagg_region_nations",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def sql_listagg_region_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG ... WITHIN GROUP (Spark 4): ordered string concatenation
+    per group — deterministic because the within-group ORDER BY is a
+    unique key. (DuckDB spells it string_agg.)"""
+    register_all(spark, sf_dir, ["region", "nation"])
+    return spark.sql(
+        """
+        SELECT r.r_name,
+               listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
+               COUNT(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+        """
+    )
+
+
+@query(
+    "sql_filter_clause_counts",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           floor(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0)
+                 * 100 + 0.5) / 100 AS filled_revenue
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_filter_clause_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate FILTER (WHERE ...) clauses — the ANSI spelling of the
+    sum(when(...)) conditional-count idiom the Gold job uses
+    (`/root/reference/glue_jobs/02_gold_analytics.py` success/failure
+    counts). One scan, N conditional aggregates, map-side partials."""
+    register_all(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+               COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+               floor(COALESCE(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0)
+                     * 100 + 0.5) / 100 AS filled_revenue
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "sql_order_offset_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           floor(o_totalprice * 100 + 0.5) / 100 AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def sql_order_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (page 3 of 20) with a unique tie-break so
+    the page boundary is deterministic. Spark plans OFFSET+LIMIT as a
+    single bounded TakeOrderedAndProject — no full sort materializes."""
+    register_all(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               floor(o_totalprice * 100 + 0.5) / 100 AS price
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+        """
+    )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH c AS (SELECT NULLIF(c_nationkey % 5, 0) AS k, COUNT(*) AS n_cust
+               FROM customer GROUP BY 1),
+         s AS (SELECT NULLIF(s_nationkey % 5, 0) AS k, COUNT(*) AS n_supp
+               FROM supplier GROUP BY 1)
+    SELECT c.k AS k, c.n_cust AS n_cust, s.n_supp AS n_supp
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of silently dropping, so the NULL bucket
+    survives the join. Stays a hash join (null-safe equality is still an
+    equi-join key for the shuffle)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.nullif(F.col("s_nationkey") % 5, F.lit(0)).alias("ks"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return cust.join(supp, cust["k"].eqNullSafe(supp["ks"])).select(
+        "k", "n_cust", "n_supp"
+    )
+
+
+@query(
+    "sql_group_order_by_all",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL — group on every non-aggregate output
+    column, order on every output column (deterministic here because the
+    grouping key set is unique per row)."""
+    register_all(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
