@@ -307,3 +307,72 @@ def kcore(
     raise ConvergenceError(
         f"kcore did not stabilize within {max_iterations} rounds"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over an undirected edge list — the non-overlapping
+    community primitive a corpus pipeline uses to group near-duplicate
+    *clusters* into topical/site-level families (coarser-grained control
+    than ``connected_components``, which only merges touching vertices).
+
+    Determinized: labels init to the vertex id; each round every vertex
+    adopts its neighbors' MOST FREQUENT label, ties broken by the
+    smallest label (``max_by`` over ``struct(count, -label)`` — no
+    random visit order, so the result is reproducible). Synchronous LPA
+    can oscillate on bipartite-ish structures (on a clean bipartite
+    graph the two sides swap labels every round and NEVER converge —
+    run it on the unipartite projection instead, as
+    ``graph_community_labels`` does), so the loop is bounded by
+    ``max_iterations`` and also early-stops on a fixed point.
+
+    Per round: one join keyed on the vertex + two aggregates — the same
+    shuffle shape as ``connected_components``; lineage truncates per
+    round (reliable ``checkpoint`` when ``checkpoint_dir`` is given,
+    ``localCheckpoint`` otherwise). Only a scalar change-count reaches
+    the driver. Returns (v, label).
+    """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    sym = _materialize(
+        edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
+        .union(edges.select(F.col(dst).alias("v"), F.col(src).alias("u")))
+        .filter(F.col("v") != F.col("u"))
+        .distinct()
+    )
+    labels = _materialize(sym.select("v").distinct().withColumn("label", F.col("v")))
+
+    for _ in range(max_iterations):
+        nbr = sym.join(
+            labels.withColumnsRenamed({"v": "u", "label": "u_label"}), on="u"
+        )
+        counts = nbr.groupBy("v", "u_label").agg(F.count("*").alias("cnt"))
+        new_labels = counts.groupBy("v").agg(
+            F.max_by(
+                "u_label", F.struct(F.col("cnt"), (-F.col("u_label")).alias("neg"))
+            ).alias("label")
+        )
+        updated = _materialize(
+            labels.withColumnRenamed("label", "old_label")
+            .join(new_labels, on="v")
+            .select(
+                "v",
+                "label",
+                (F.col("label") != F.col("old_label")).alias("__changed"),
+            )
+        )
+        changed = updated.filter(F.col("__changed")).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels
