@@ -232,3 +232,36 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sink("ssjoin_outer"),
         output_mode="append",
     )
+
+
+@query(
+    "streaming_window_rollup",
+    oracle="""
+    WITH e AS (SELECT epoch(CAST(ts AS TIMESTAMP)) AS es, value FROM events),
+    mx AS (SELECT max(es) AS m FROM e),
+    agg AS (
+        SELECT floor(es / 86400) * 86400 AS day_start,
+               COUNT(DISTINCT floor(es / 21600)) AS n_subwindows,
+               COUNT(*) AS n_events,
+               floor(SUM(value) * 1e2 + 0.5) / 1e2 AS sum_value
+        FROM e GROUP BY 1)
+    SELECT CAST(to_timestamp(day_start) AS TIMESTAMP) AS window_start,
+           n_subwindows, n_events, sum_value
+    FROM agg, mx
+    WHERE day_start + 86400 <= m
+    """,
+)
+def streaming_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained time-window aggregation (Spark 3.5+ multiple stateful
+    operators): 6h tumbling pre-aggregate re-aggregated into 1d windows
+    inside ONE streaming query (append mode — each tier emits once its
+    windows finalize past the watermark). The oracle reproduces the
+    append-mode contract: day windows whose end exceeds the final
+    watermark (max event time, 0s delay) are never emitted."""
+    from ..streaming.streams import windowed_rollup
+
+    return run_to_memory(
+        windowed_rollup(stream_events(spark, sf_dir)),
+        _sink("rollup"),
+        output_mode="append",
+    )

@@ -246,3 +246,44 @@ def stream_stream_join(
         & (F.col("v_ts") <= F.col("p_ts")),
         how=how,
     ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+
+
+def windowed_rollup(
+    stream: DataFrame,
+    small: str = "6 hours",
+    large: str = "1 day",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Chained time-window aggregation (Spark 3.5+ multiple-stateful-
+    operator support): a fine-grained tumbling aggregate re-aggregated
+    into coarser windows INSIDE the same streaming query — the streaming
+    twin of a rollup materialized view (pre-aggregate at 6h, serve at
+    1d), without a second query or an intermediate topic.
+
+    Requires append mode: each stateful operator emits a window only
+    once its end passes the watermark, so the coarse aggregate sees
+    finalized fine windows. Consequence for consumers: coarse windows
+    whose end exceeds the final watermark are never emitted (they are
+    not yet final) — the oracle excludes them explicitly."""
+    fine = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", small))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    return (
+        fine.groupBy(F.window(F.col("window"), large))
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.count("*").alias("n_subwindows"),
+            round_portable(F.sum("sum_value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "n_subwindows",
+            "n_events",
+            "sum_value",
+        )
+    )
