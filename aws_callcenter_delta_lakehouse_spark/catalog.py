@@ -38,18 +38,30 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan; Catalyst handles column pruning + predicate pushdown.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark reads
-    as long nanos under ``spark.sql.legacy.parquet.nanosAsLong``; truncate
-    to a microsecond timestamp here (same floor semantics as DuckDB's
-    ns->us cast) so every downstream query sees a proper timestamp column.
+    ``events.ts`` arrives in one of two physical forms depending on the
+    generator: parquet TIMESTAMP(NANOS) (read as long nanos under
+    ``spark.sql.legacy.parquet.nanosAsLong``; truncated to microseconds,
+    same floor semantics as DuckDB's ns->us cast) or naive TIMESTAMP(MICROS)
+    (``isAdjustedToUTC=false``, which Spark 4 reads as TIMESTAMP_NTZ; cast
+    to TIMESTAMP with the session timezone pinned to UTC so wall-clock ==
+    instant, exactly DuckDB's naive-timestamp arithmetic). Every downstream
+    query then sees one canonical ``TIMESTAMP`` column.
     """
     # Runtime-settable; required for TIMESTAMP(NANOS) footers. Set here (not
     # only in the session factory) because the driver may hand us a vanilla
     # SparkSession.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            # NTZ wall-clock == UTC instant (matches DuckDB epoch_us /
+            # date arithmetic on naive timestamps) only with the session
+            # timezone at UTC — pin it, don't trust the machine default.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
