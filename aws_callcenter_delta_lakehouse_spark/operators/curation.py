@@ -287,25 +287,32 @@ def vocab_coverage(df: DataFrame, text_col: str, k: int = 100) -> DataFrame:
     X% of tokens"). Returns (word, cnt, cum_frac) for the top ``k``
     words by frequency.
 
-    Scale (100 TB): the cumulative sum is windowed over the ALREADY
-    top-k-limited head (<= k rows on one task), never over the full
-    vocabulary — a global ordered window would serialize on a single
-    partition. The corpus token total joins in as a broadcast scalar;
-    counts are exact integers so the coverage fractions are
-    cross-engine deterministic."""
+    Scale (100 TB): the cumulative sum runs over the ALREADY
+    top-k-limited head (<= k rows), never over the full vocabulary — and
+    it is a broadcast triangular self-join rather than an unpartitioned
+    window, so the plan contains no single-partition WindowExec at all
+    (that node warns, and at scale serializes). The corpus token total
+    joins in as a broadcast scalar; counts are exact integers so the
+    coverage fractions are cross-engine deterministic."""
     words = df.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
     counts = words.groupBy("word").agg(F.count("*").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("__total"))
     head = counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
-    w = (
-        Window.orderBy(F.desc("cnt"), F.asc("word"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # rank predicate for "b precedes-or-equals a" in (cnt DESC, word ASC)
+    prev = head.select(F.col("word").alias("__w"), F.col("cnt").alias("__c"))
+    cum = (
+        head.join(
+            F.broadcast(prev),
+            (F.col("__c") > F.col("cnt"))
+            | ((F.col("__c") == F.col("cnt")) & (F.col("__w") <= F.col("word"))),
+        )
+        .groupBy("word", "cnt")
+        .agg(F.sum("__c").alias("__cum"))
     )
     from ..functions.scalars import round_portable
 
     return (
-        head.join(F.broadcast(total), F.lit(True))
-        .withColumn("__cum", F.sum("cnt").over(w))
+        cum.join(F.broadcast(total), F.lit(True))
         .select(
             "word",
             "cnt",

@@ -19,6 +19,7 @@ from . import relational2  # noqa: F401
 from . import relational3  # noqa: F401
 from . import relational4  # noqa: F401
 from . import relational5  # noqa: F401
+from . import scale  # noqa: F401
 from . import scd2_queries  # noqa: F401
 from . import spark4  # noqa: F401
 from . import streaming_queries  # noqa: F401

@@ -272,20 +272,38 @@ def test_top_ngrams_partial_agg_and_topk(spark):
     assert "TakeOrderedAndProject" in p
 
 
-def test_vocab_coverage_window_is_post_limit(spark):
-    # the global-ordered cumulative window is only legal because it runs
-    # over the top-k head: a GlobalLimit must sit below the Window node
+def test_vocab_coverage_has_no_window_at_all(spark):
+    # the cumulative coverage is a broadcast triangular join over the
+    # top-k head — the plan must contain no WindowExec (the old
+    # formulation's unpartitioned window is the single-partition node
+    # Spark itself warns about) and the cum-sum join must be broadcast
     p = _plan(spark, "text_vocab_coverage")
-    lines = p.splitlines()
-    win = next(i for i, l in enumerate(lines) if "Window (" in l)
-    limit = next(
-        i
-        for i, l in enumerate(lines)
-        if "GlobalLimit" in l or "TakeOrderedAndProject" in l
-    )
-    # the formatted tree prints root-first, so the Window must appear
-    # ABOVE the limit that feeds it (limit is the window's descendant)
-    assert win < limit, p
+    assert "Window (" not in p and "Window(" not in p, p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p, p
+
+
+def test_global_running_sum_never_single_partition(spark):
+    # the distributed prefix sum: range exchange on the order keys, the
+    # only Window is partitioned by __pid (hashpartitioning), and no
+    # exchange in the plan is SinglePartition
+    p = _plan(spark, "global_running_revenue")
+    assert "rangepartitioning" in p.lower(), p
+    assert "hashpartitioning(__pid" in p, p
+    assert "SinglePartition" not in p, p
+
+
+def test_global_running_sum_backends_agree(spark):
+    from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY as R
+
+    a = {
+        (r.o_orderkey, r.running_revenue_cents)
+        for r in R["global_running_revenue"].fn(spark, SF01).collect()
+    }
+    b = {
+        (r.o_orderkey, r.running_revenue_cents)
+        for r in R["global_running_revenue_arrow"].fn(spark, SF01).collect()
+    }
+    assert a == b
 
 
 def test_aqe_splits_skewed_join(spark):
