@@ -1,0 +1,249 @@
+"""Product quantization (Jégou et al., TPAMI 2011) — the compressed-
+domain ANN path: each vector splits into ``m`` subvectors, each subvector
+is encoded as its nearest (L2) centroid from a per-subspace codebook of
+``num_codes`` entries, and queries score candidates with Asymmetric
+Distance Computation (ADC): a per-query lookup table of
+``m x num_codes`` exact sub-dot-products, summed by code index.
+
+Why this matters at 100 TB: the corpus compresses from ``dim`` floats to
+``m`` codes per vector (~32x here), so the scan that ranks candidates
+moves 1-2 orders of magnitude fewer bytes — and every step below is a
+pure projection over a broadcast codebook. No corpus shuffle anywhere:
+
+- training: the corpus-sized pass is one explode + hash aggregate per
+  Lloyd iteration (map-side partial means, like ``kmeans_refine``);
+- encoding: per-subspace argmin over the broadcast codebook
+  (``array_min`` over scored structs, the IVF-assignment pattern);
+- search: one broadcast join of the (single-row) query LUT, then
+  ``aggregate`` over the code array + TakeOrderedAndProject.
+
+Vectors are L2-normalized before encoding so ADC dot-product ranking
+equals cosine ranking (up to the query's own constant norm).
+
+Determinism: codebooks seed from the ``num_codes`` lowest-id vectors
+and refine with Lloyd means — no RNG anywhere, so results reproduce
+across runs and engines (the recall tests rely on it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import dot, norm
+
+
+def _normalize(df: DataFrame, id_cols: list[str], vec_col: str) -> DataFrame:
+    """L2-normalize; the norm is materialized as its own column BEFORE
+    the transform lambda (trap #1: an aggregate referenced inside a
+    higher-order lambda re-evaluates per element)."""
+    withn = df.select(*id_cols, vec_col, norm(F.col(vec_col)).alias("__n"))
+    return withn.select(
+        *id_cols,
+        F.when(
+            F.col("__n") > 0,
+            F.transform(vec_col, lambda x: x.cast("double") / F.col("__n")),
+        )
+        .otherwise(F.transform(vec_col, lambda x: F.lit(0.0)))
+        .alias(vec_col),
+    )
+
+
+def _with_subs(df: DataFrame, vec_col: str, m: int, d_sub: int) -> DataFrame:
+    """Materialize the m subvector slices as their own columns first
+    (same trap: a slice inside the scoring lambda would re-slice per
+    codebook entry)."""
+    return df.withColumns(
+        {f"__sub_{s}": F.slice(vec_col, s * d_sub + 1, d_sub) for s in range(m)}
+    )
+
+
+def _codebook_row(codebook: DataFrame) -> DataFrame:
+    """Fold the (m * num_codes)-row codebook into ONE broadcastable row:
+    ``__cb`` = array of structs (s, j, cvec, halfsq) sorted by (s, j) so
+    positional LUT lookups are stable. halfsq = |c|^2 / 2 precomputes the
+    L2-argmin rewrite: argmin |x-c|^2 = argmin (|c|^2/2 - x.c)."""
+    half = F.aggregate(
+        "cvec", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    ) / 2.0
+    return codebook.select("s", "j", "cvec", half.alias("halfsq")).agg(
+        F.array_sort(F.collect_list(F.struct("s", "j", "cvec", "halfsq"))).alias(
+            "__cb"
+        )
+    )
+
+
+def _code_col(s: int) -> Column:
+    """Argmin code for subspace ``s``: filter the broadcast codebook to
+    s, score each centroid against the materialized __sub_s column,
+    lexicographic min of (distance, j). Every dot here is required
+    work (one per centroid); nothing loop-invariant sits in the
+    lambda."""
+    scored = F.transform(
+        F.filter(F.col("__cb"), lambda e: e["s"] == F.lit(s)),
+        lambda e: F.named_struct(
+            F.lit("d"),
+            e["halfsq"] - dot(F.col(f"__sub_{s}"), e["cvec"]),
+            F.lit("j"),
+            e["j"],
+        ),
+    )
+    return F.array_min(scored)["j"].cast("int")
+
+
+def pq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    num_codes: int = 16,
+    iterations: int = 1,
+) -> DataFrame:
+    """Train per-subspace codebooks: seed centroid (s, j) with the
+    j-th lowest-id vector's s-th subvector, then run Lloyd iterations
+    jointly over all subspaces (one corpus pass each: encode, then mean
+    per (s, code, pos) with map-side combine — the shuffle is
+    m * num_codes * d_sub doubles, independent of corpus size).
+    Returns (s, j, cvec)."""
+    d_sub = dim // m
+    normed = _normalize(corpus, [id_col], vec_col)
+    seeds = _with_subs(normed.orderBy(id_col).limit(num_codes), vec_col, m, d_sub)
+    per_sub = [
+        seeds.select(
+            F.lit(s).alias("s"),
+            F.col(id_col).alias("__seed_id"),
+            F.col(f"__sub_{s}").alias("cvec"),
+        )
+        for s in range(m)
+    ]
+    seed = per_sub[0]
+    for r in per_sub[1:]:
+        seed = seed.unionAll(r)
+    # dense j = count of strictly-smaller seed ids within the subspace
+    # (broadcast triangular join over the tiny head; no window)
+    smaller = seed.select(F.col("s").alias("__s2"), F.col("__seed_id").alias("__id2"))
+    codebook = (
+        seed.join(
+            F.broadcast(smaller),
+            (F.col("__s2") == F.col("s")) & (F.col("__id2") < F.col("__seed_id")),
+            "left",
+        )
+        .groupBy("s", "__seed_id")
+        .agg(
+            F.count("__id2").cast("int").alias("j"),
+            F.any_value("cvec").alias("cvec"),
+        )
+        .select("s", "j", "cvec")
+    )
+    for _ in range(iterations):
+        encoded = pq_encode(normed, codebook, id_col, vec_col, dim, m)
+        member_subs = encoded.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.col("codes")[s].alias("j"),
+                            F.col(f"__sub_{s}").alias("sub"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("e")
+        ).select("e.s", "e.j", F.posexplode("e.sub").alias("pos", "val"))
+        means = (
+            member_subs.groupBy("s", "j", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("mval"))
+            .groupBy("s", "j")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mval"))).alias("pm"))
+            .select("s", "j", F.transform("pm", lambda e: e["mval"]).alias("new_cvec"))
+        )
+        # empty cells keep their previous centroid; eager materialization
+        # so each downstream broadcast doesn't re-derive the whole
+        # refinement lineage (same rationale as kmeans_refine)
+        codebook = (
+            codebook.join(means, ["s", "j"], "left")
+            .select("s", "j", F.coalesce("new_cvec", "cvec").alias("cvec"))
+            .localCheckpoint(eager=True)
+        )
+    return codebook
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+) -> DataFrame:
+    """Encode every (already normalized) vector as its m
+    nearest-subcentroid codes — a zero-shuffle projection over the
+    broadcast codebook. Keeps the __sub_* columns (training reuses
+    them); search-path callers select (id, codes)."""
+    d_sub = dim // m
+    subs = _with_subs(corpus, vec_col, m, d_sub)
+    withcb = subs.join(F.broadcast(_codebook_row(codebook)))
+    return withcb.withColumn(
+        "codes", F.array(*[_code_col(s) for s in range(m)])
+    ).drop("__cb")
+
+
+def pq_topk(
+    corpus: DataFrame,
+    query_vec_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 8,
+    num_codes: int = 16,
+    k: int = 10,
+    iterations: int = 1,
+) -> DataFrame:
+    """ADC top-k for ONE query row (column ``q``): the query side builds
+    the m x num_codes LUT of exact sub-dot-products (single broadcast
+    row), every encoded corpus vector scores as an ``aggregate`` over
+    its code array — a table-indexed sum, no vector math per candidate
+    — and the top k is TakeOrderedAndProject.
+
+    Approximate by construction (quantization error): rows-only; recall
+    pinned against ``brute_force_topk`` in tests."""
+    d_sub = dim // m
+    codebook = pq_train(corpus, id_col, vec_col, dim, m, num_codes, iterations)
+    encoded = pq_encode(
+        _normalize(corpus, [id_col], vec_col), codebook, id_col, vec_col, dim, m
+    ).select(id_col, "codes")
+
+    # query needs no normalization: its norm scales every ADC score by
+    # the same positive constant and cannot change the ranking
+    q = _with_subs(query_vec_df.select(F.col("q").alias(vec_col)), vec_col, m, d_sub)
+    qsubs = F.array(*[F.col(f"__sub_{s}") for s in range(m)])
+    qlut = (
+        q.join(F.broadcast(_codebook_row(codebook)))
+        .withColumn("__qsubs", qsubs)
+        .select(
+            F.transform(
+                "__cb",
+                lambda e: dot(
+                    F.element_at(F.col("__qsubs"), (e["s"] + 1).cast("int")),
+                    e["cvec"],
+                ),
+            ).alias("__lut")
+        )
+    )
+    scored = encoded.join(F.broadcast(qlut)).select(
+        id_col,
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, s: acc
+            + F.element_at(
+                F.col("__lut"),
+                (s * num_codes + F.try_element_at("codes", (s + 1).cast("int")) + 1).cast(
+                    "int"
+                ),
+            ),
+        ).alias("adc_score"),
+    )
+    return scored.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(k)

@@ -118,6 +118,20 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.filter(F.col("est_count") > 0)
 
 
+@query("similarity_pq_adc")  # approximate by construction — rows-only
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC) top-10 for the vec_id=0 query:
+    the corpus compresses to 16 one-byte codes per vector, search is a
+    LUT-sum projection + TakeOrderedAndProject. Recall vs the exact
+    brute-force path is pinned in ``tests/test_pq.py`` (0.7 @ k=10 on
+    this corpus with m=16, 16 codes, one Lloyd iteration)."""
+    from ..operators.pq import pq_topk
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return pq_topk(emb, qdf, dim=64, m=16, num_codes=16, k=10, iterations=1)
+
+
 def _rank_small(df: DataFrame, score: str, id_col: str, rank_col: str) -> DataFrame:
     """Dense 1..n rank by (score DESC, id ASC) over an ALREADY
     top-k-limited DataFrame — triangular broadcast self-join instead of

@@ -1,0 +1,73 @@
+"""Product quantization: recall vs brute force, determinism, codebook
+shape, and the zero-shuffle encode plan."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+from aws_callcenter_delta_lakehouse_spark.operators.pq import (
+    pq_encode,
+    pq_topk,
+    pq_train,
+    _normalize,
+)
+from aws_callcenter_delta_lakehouse_spark.operators.similarity import (
+    brute_force_topk,
+)
+from tests.conftest import SF001
+
+
+def _exact_top10(spark, emb, qdf):
+    corpus_q = emb.join(F.broadcast(qdf))
+    return [r.vec_id for r in brute_force_topk(corpus_q, F.col("q"), k=10).collect()]
+
+
+def test_pq_recall_and_self_retrieval(spark):
+    emb = load_table(spark, SF001, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    exact = _exact_top10(spark, emb, qdf)
+    approx = [
+        r.vec_id
+        for r in pq_topk(emb, qdf, m=16, num_codes=16, k=10, iterations=1).collect()
+    ]
+    # the query IS vec 0: its own quantized reconstruction must win
+    assert approx[0] == 0
+    assert len(set(exact) & set(approx)) / 10 >= 0.5
+
+
+def test_pq_deterministic(spark):
+    emb = load_table(spark, SF001, "embeddings")
+    qdf = emb.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("q"))
+    a = [tuple(r) for r in pq_topk(emb, qdf, m=16, num_codes=16, k=5).collect()]
+    b = [tuple(r) for r in pq_topk(emb, qdf, m=16, num_codes=16, k=5).collect()]
+    assert a == b
+
+
+def test_pq_codebook_and_codes_shape(spark):
+    emb = load_table(spark, SF001, "embeddings")
+    cb = pq_train(emb, m=8, num_codes=4, iterations=0)
+    rows = cb.collect()
+    assert len(rows) == 8 * 4
+    assert all(len(r.cvec) == 8 for r in rows)
+    assert {(r.s, r.j) for r in rows} == {(s, j) for s in range(8) for j in range(4)}
+    enc = pq_encode(
+        _normalize(emb, ["vec_id"], "embedding"), cb, m=8
+    ).select("vec_id", "codes")
+    got = enc.limit(20).collect()
+    assert all(len(r.codes) == 8 and all(0 <= c < 4 for c in r.codes) for r in got)
+
+
+def test_pq_encode_is_shuffle_free(spark):
+    # encoding must be a broadcast-join projection: no Exchange between
+    # the corpus scan and the code projection (the codebook side's tiny
+    # exchange feeds the broadcast)
+    emb = load_table(spark, SF001, "embeddings")
+    cb = pq_train(emb, m=8, num_codes=4, iterations=0)
+    enc = pq_encode(_normalize(emb, ["vec_id"], "embedding"), cb, m=8)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # corpus side: scan feeds the projection directly — the only
+    # exchanges in the plan belong to the (tiny) codebook aggregation
+    scan_branch = plan.split("Scan parquet")[0]
+    assert "Exchange hashpartitioning(vec_id" not in plan
