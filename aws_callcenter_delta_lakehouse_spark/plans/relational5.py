@@ -225,3 +225,71 @@ def sql_group_order_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@query(
+    "sql_session_variables",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           floor(SUM(o_totalprice) * 100 + 0.5) / 100 AS revenue
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_totalprice > 50000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4): DECLARE + SET VARIABLE hold the
+    query's parameters server-side; the query references them like a
+    prepared statement. Variables fold to literals at analysis time, so
+    predicate pushdown/partition pruning see constants — the plan is
+    identical to hand-inlined literals (the oracle inlines them).
+    Parameterization surface the reference gets from Athena's execution
+    parameters."""
+    register_all(spark, sf_dir, ["orders"])
+    spark.sql("DECLARE OR REPLACE VARIABLE cutoff_date DATE")
+    spark.sql("DECLARE OR REPLACE VARIABLE min_price DOUBLE")
+    spark.sql("SET VARIABLE cutoff_date = DATE '1996-01-01'")
+    spark.sql("SET VARIABLE min_price = 50000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               floor(SUM(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        FROM orders
+        WHERE o_orderdate >= cutoff_date AND o_totalprice > min_price
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE n_regionkey = 2
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4): a SQL string executed with named
+    parameter markers bound at run time — the dynamic-SQL surface
+    (Athena's parameterized queries) without string interpolation, so
+    the parameter can never inject syntax. The bound value reaches the
+    optimizer as a literal: pushdown and join planning are unaffected."""
+    register_all(spark, sf_dir, ["customer", "nation"])
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT n_name, COUNT(*) AS n_customers
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           WHERE n_regionkey = :rk
+           GROUP BY n_name
+           ORDER BY n_name'
+          USING 2 AS rk
+        """
+    )
