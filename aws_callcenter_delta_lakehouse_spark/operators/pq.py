@@ -33,6 +33,22 @@ from pyspark.sql import functions as F
 from .similarity import dot, norm
 
 
+def _dot_flat(a: Column, b: Column, d: int) -> Column:
+    """Fixed-width dot product unrolled to d explicit products. For the
+    small subvector widths PQ uses (d_sub = dim/m, 4-8 here) this keeps
+    the codegen tree a flat arithmetic expression instead of m *
+    num_codes nested aggregate/zip_with loops — the loop machinery, not
+    the arithmetic, dominated plan compilation (the full train+encode
+    plan carries ~256 of these)."""
+    terms = [
+        a.getItem(i).cast("double") * b.getItem(i).cast("double") for i in range(d)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def _normalize(df: DataFrame, id_cols: list[str], vec_col: str) -> DataFrame:
     """L2-normalize; the norm is materialized as its own column BEFORE
     the transform lambda (trap #1: an aggregate referenced inside a
@@ -58,32 +74,43 @@ def _with_subs(df: DataFrame, vec_col: str, m: int, d_sub: int) -> DataFrame:
     )
 
 
-def _codebook_row(codebook: DataFrame) -> DataFrame:
-    """Fold the (m * num_codes)-row codebook into ONE broadcastable row:
-    ``__cb`` = array of structs (s, j, cvec, halfsq) sorted by (s, j) so
-    positional LUT lookups are stable. halfsq = |c|^2 / 2 precomputes the
-    L2-argmin rewrite: argmin |x-c|^2 = argmin (|c|^2/2 - x.c)."""
+def _codebook_row(codebook: DataFrame, m: int) -> DataFrame:
+    """Fold the (m * num_codes)-row codebook into ONE broadcastable row
+    with one PER-SUBSPACE array column ``__cb_{s}`` of (j, cvec, halfsq)
+    structs sorted by j. Splitting by subspace at BUILD time (m rows
+    filtered once) keeps the per-corpus-row argmin lambda touching
+    exactly num_codes elements — a flat (s, j) array would make every
+    row's encode visit m*num_codes elements per subspace (m x redundant
+    work, and a far larger codegen tree). halfsq = |c|^2 / 2 precomputes
+    the L2-argmin rewrite: argmin |x-c|^2 = argmin (|c|^2/2 - x.c)."""
     half = F.aggregate(
         "cvec", F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
     ) / 2.0
-    return codebook.select("s", "j", "cvec", half.alias("halfsq")).agg(
-        F.array_sort(F.collect_list(F.struct("s", "j", "cvec", "halfsq"))).alias(
-            "__cb"
-        )
+    rows = codebook.select("s", "j", "cvec", half.alias("halfsq"))
+    return rows.groupBy().agg(
+        *[
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("s") == s, F.struct("j", "cvec", "halfsq")
+                    )
+                )
+            ).alias(f"__cb_{s}")
+            for s in range(m)
+        ]
     )
 
 
-def _code_col(s: int) -> Column:
-    """Argmin code for subspace ``s``: filter the broadcast codebook to
-    s, score each centroid against the materialized __sub_s column,
-    lexicographic min of (distance, j). Every dot here is required
-    work (one per centroid); nothing loop-invariant sits in the
-    lambda."""
+def _code_col(s: int, d_sub: int) -> Column:
+    """Argmin code for subspace ``s``: score each centroid of the
+    subspace's broadcast array against the materialized __sub_s column,
+    lexicographic min of (distance, j). Every dot here is required work
+    (one per centroid); nothing loop-invariant sits in the lambda."""
     scored = F.transform(
-        F.filter(F.col("__cb"), lambda e: e["s"] == F.lit(s)),
+        F.col(f"__cb_{s}"),
         lambda e: F.named_struct(
             F.lit("d"),
-            e["halfsq"] - dot(F.col(f"__sub_{s}"), e["cvec"]),
+            e["halfsq"] - _dot_flat(F.col(f"__sub_{s}"), e["cvec"], d_sub),
             F.lit("j"),
             e["j"],
         ),
@@ -108,33 +135,39 @@ def pq_train(
     Returns (s, j, cvec)."""
     d_sub = dim // m
     normed = _normalize(corpus, [id_col], vec_col)
+    # ONE pass over the head: explode the m subvectors per seed row (a
+    # per-subspace union would re-execute the TakeOrdered head m times)
     seeds = _with_subs(normed.orderBy(id_col).limit(num_codes), vec_col, m, d_sub)
-    per_sub = [
-        seeds.select(
-            F.lit(s).alias("s"),
-            F.col(id_col).alias("__seed_id"),
-            F.col(f"__sub_{s}").alias("cvec"),
-        )
-        for s in range(m)
-    ]
-    seed = per_sub[0]
-    for r in per_sub[1:]:
-        seed = seed.unionAll(r)
-    # dense j = count of strictly-smaller seed ids within the subspace
-    # (broadcast triangular join over the tiny head; no window)
-    smaller = seed.select(F.col("s").alias("__s2"), F.col("__seed_id").alias("__id2"))
+    exploded = seeds.select(
+        F.col(id_col).alias("__seed_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"), F.col(f"__sub_{s}").alias("cvec")
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("__seed_id", "e.s", "e.cvec")
+    # dense j = count of strictly-smaller seed ids (the id set is the
+    # same in every subspace, so rank once) — broadcast triangular
+    # join over the tiny head; no window
+    ids = seeds.select(F.col(id_col).alias("__seed_id"))
+    smaller = ids.select(F.col("__seed_id").alias("__id2"))
+    ranks = (
+        ids.join(F.broadcast(smaller), F.col("__id2") < F.col("__seed_id"), "left")
+        .groupBy("__seed_id")
+        .agg(F.count("__id2").cast("int").alias("j"))
+    )
+    # eager: the codebook feeds >=2 consumers (encode + query LUT, or
+    # the next Lloyd round) — without materialization each one would
+    # re-derive the whole seed chain
     codebook = (
-        seed.join(
-            F.broadcast(smaller),
-            (F.col("__s2") == F.col("s")) & (F.col("__id2") < F.col("__seed_id")),
-            "left",
-        )
-        .groupBy("s", "__seed_id")
-        .agg(
-            F.count("__id2").cast("int").alias("j"),
-            F.any_value("cvec").alias("cvec"),
-        )
+        exploded.join(F.broadcast(ranks), "__seed_id")
         .select("s", "j", "cvec")
+        .localCheckpoint(eager=True)
     )
     for _ in range(iterations):
         encoded = pq_encode(normed, codebook, id_col, vec_col, dim, m)
@@ -184,10 +217,10 @@ def pq_encode(
     them); search-path callers select (id, codes)."""
     d_sub = dim // m
     subs = _with_subs(corpus, vec_col, m, d_sub)
-    withcb = subs.join(F.broadcast(_codebook_row(codebook)))
+    withcb = subs.join(F.broadcast(_codebook_row(codebook, m)))
     return withcb.withColumn(
-        "codes", F.array(*[_code_col(s) for s in range(m)])
-    ).drop("__cb")
+        "codes", F.array(*[_code_col(s, d_sub) for s in range(m)])
+    ).drop(*[f"__cb_{s}" for s in range(m)])
 
 
 def pq_topk(
@@ -218,19 +251,19 @@ def pq_topk(
     # query needs no normalization: its norm scales every ADC score by
     # the same positive constant and cannot change the ranking
     q = _with_subs(query_vec_df.select(F.col("q").alias(vec_col)), vec_col, m, d_sub)
-    qsubs = F.array(*[F.col(f"__sub_{s}") for s in range(m)])
-    qlut = (
-        q.join(F.broadcast(_codebook_row(codebook)))
-        .withColumn("__qsubs", qsubs)
-        .select(
-            F.transform(
-                "__cb",
-                lambda e: dot(
-                    F.element_at(F.col("__qsubs"), (e["s"] + 1).cast("int")),
-                    e["cvec"],
-                ),
-            ).alias("__lut")
+    # LUT layout matches the code layout: entry s*num_codes + j (each
+    # per-subspace array is j-sorted, concatenated in subspace order)
+    def _sub_lut(s: int):
+        # closure factory, NOT a default-arg lambda: a two-parameter
+        # lambda would make transform() treat the second parameter as
+        # the element-index Column
+        return F.transform(
+            F.col(f"__cb_{s}"),
+            lambda e: _dot_flat(F.col(f"__sub_{s}"), e["cvec"], d_sub),
         )
+
+    qlut = q.join(F.broadcast(_codebook_row(codebook, m))).select(
+        F.concat(*[_sub_lut(s) for s in range(m)]).alias("__lut")
     )
     scored = encoded.join(F.broadcast(qlut)).select(
         id_col,

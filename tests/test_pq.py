@@ -29,7 +29,7 @@ def test_pq_recall_and_self_retrieval(spark):
     exact = _exact_top10(spark, emb, qdf)
     approx = [
         r.vec_id
-        for r in pq_topk(emb, qdf, m=16, num_codes=16, k=10, iterations=1).collect()
+        for r in pq_topk(emb, qdf, m=16, num_codes=16, k=10, iterations=0).collect()
     ]
     # the query IS vec 0: its own quantized reconstruction must win
     assert approx[0] == 0
