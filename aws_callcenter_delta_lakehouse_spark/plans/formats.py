@@ -1,0 +1,142 @@
+"""Format & governance surface: scalar XML/CSV codecs and masked views.
+
+The reference ingests CSV files and serves Athena consumers
+(`/root/reference/README.md`); engines in that seat also receive
+embedded payloads (XML/CSV fields inside columns) and publish
+privacy-masked projections. Each query here round-trips or masks with
+built-in expressions only — JVM-side, codegen-friendly, no UDFs.
+
+Oracle strategy: the engine side serializes THEN parses (proving the
+codec plumbing end to end); the oracle selects the same values
+directly, so any asymmetry between the serializer and parser fails the
+hash diff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..functions.scalars import round_portable
+from .registry import query
+
+
+@query(
+    "xml_roundtrip_extract",
+    oracle="""
+    SELECT c_custkey,
+           c_name AS name,
+           c_nationkey AS nk,
+           c_acctbal AS bal
+    FROM customer
+    WHERE c_custkey % 7 = 0
+    """,
+)
+def xml_roundtrip_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-XML decode (Spark 4 ``from_xml``): serialize each row to
+    an XML fragment, parse it back with a typed schema, and return the
+    extracted fields. Doubles survive because Spark's double->string is
+    the shortest round-trip representation. Pure projection — the codec
+    runs inside whole-stage codegen, no Python."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    )
+    xml = cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("<c><name>"),
+            F.col("c_name"),
+            F.lit("</name><nk>"),
+            F.col("c_nationkey").cast("string"),
+            F.lit("</nk><bal>"),
+            F.col("c_acctbal").cast("string"),
+            F.lit("</bal></c>"),
+        ).alias("payload"),
+    )
+    schema = "name STRING, nk BIGINT, bal DOUBLE"
+    parsed = xml.select(
+        "c_custkey", F.from_xml("payload", schema).alias("x")
+    )
+    return parsed.select(
+        "c_custkey",
+        F.col("x.name").alias("name"),
+        F.col("x.nk").alias("nk"),
+        F.col("x.bal").alias("bal"),
+    )
+
+
+@query(
+    "csv_scalar_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_orderpriority AS prio,
+           o_custkey AS ck,
+           o_totalprice AS price
+    FROM orders
+    WHERE o_orderkey % 11 = 0
+    """,
+)
+def csv_scalar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded-CSV decode: ``to_csv`` a struct, ``from_csv`` it back
+    with a typed schema. The serializer/parser pair must agree on
+    quoting and numeric formatting for the oracle diff to pass —
+    which is exactly what this query verifies."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 11 == 0
+    )
+    line = orders.select(
+        "o_orderkey",
+        F.to_csv(
+            F.struct("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+        ).alias("payload"),
+    )
+    schema = "status STRING, prio STRING, ck BIGINT, price DOUBLE"
+    parsed = line.select("o_orderkey", F.from_csv("payload", schema).alias("c"))
+    return parsed.select(
+        "o_orderkey",
+        F.col("c.status").alias("status"),
+        F.col("c.prio").alias("prio"),
+        F.col("c.ck").alias("ck"),
+        F.col("c.price").alias("price"),
+    )
+
+
+@query(
+    "masked_customer_view",
+    oracle="""
+    SELECT substr(sha256(CAST(c_custkey AS VARCHAR) || ':lakehouse'), 1, 16)
+             AS pseudonym,
+           substr(c_name, 1, 9) || '***' AS name_masked,
+           CAST(c_nationkey // 5 AS BIGINT) AS geo_bucket,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS balance_tier
+    FROM customer
+    """,
+)
+def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-masked governance view — the privacy projection a
+    lakehouse publishes to analysts who may not see raw PII (pairs with
+    ``text_pii_redact`` on the documents side). Deterministic masking
+    only: a salted-SHA256 pseudonymous join key (stable across tables,
+    irreversible without the salt), prefix-preserving name mask,
+    k-anonymous geo bucketing, balance tiering. All built-in
+    expressions, so the masked view costs one projection and keeps
+    predicate pushdown on the unmasked columns."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.substring(
+            F.sha2(F.concat(F.col("c_custkey").cast("string"), F.lit(":lakehouse")), 256),
+            1,
+            16,
+        ).alias("pseudonym"),
+        F.concat(F.substring("c_name", 1, 9), F.lit("***")).alias("name_masked"),
+        F.floor(F.col("c_nationkey") / 5).cast("long").alias("geo_bucket"),
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "standard")
+        .otherwise("premium")
+        .alias("balance_tier"),
+    )
