@@ -293,3 +293,67 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING 2 AS rk
         """
     )
+
+
+@query(
+    "sql_lateral_topn_per_region",
+    oracle="""
+    SELECT r.r_name, t.n_name, t.n_customers
+    FROM region r, LATERAL (
+        SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n.n_name
+        LIMIT 2
+    ) t
+    """,
+)
+def sql_lateral_topn_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True correlated LATERAL join (Spark 4): per outer region row, a
+    dependent subquery computes its top-2 nations by customer count.
+    Catalyst decorrelates this into a ranked window over one grouped
+    aggregate — the same plan as a hand-written row_number() formulation
+    — rather than re-executing the subquery per region. The modern SQL
+    replacement for loop-over-regions client code."""
+    register_all(spark, sf_dir, ["region", "nation", "customer"])
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_customers
+        FROM region r, LATERAL (
+            SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY n_customers DESC, n.n_name
+            LIMIT 2
+        ) t
+        """
+    )
+
+
+@query(
+    "sql_identifier_clause",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 4): a table name supplied as a BOUND
+    PARAMETER instead of string-concatenated SQL — the safe form of
+    dynamic-table dispatch (multi-tenant table routing) that cannot
+    inject syntax. Resolves at analysis time, so the plan is identical
+    to the static query."""
+    register_all(spark, sf_dir, ["nation"])
+    return spark.sql(
+        """
+        SELECT n_regionkey, COUNT(*) AS n_nations
+        FROM IDENTIFIER(:tbl)
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+        """,
+        args={"tbl": "nation"},
+    )
