@@ -1,0 +1,228 @@
+"""Thirteenth batch: co-occurrence analytics + conditional-LM scoring.
+
+- market_basket_lift — frequent-itemset association (support / lift)
+  over order baskets: the retail-analytics classic, and the same
+  co-occurrence shape a data-curation pipeline uses for tag/source
+  affinity. Frequent-item pruning BEFORE pair generation bounds the
+  blow-up exactly like a shingle df-cap.
+- graph_adamic_adar — link prediction over the bipartite
+  order–supplier graph: common-neighbor evidence weighted by
+  1/ln(neighbor degree) (Adamic & Adar 2003). Hub orders contribute
+  little and are additionally capped, so pair work stays bounded.
+- text_bigram_lm_nll — word-bigram conditional language model with
+  add-one smoothing, scored as per-document NLL (CCNet-style quality
+  signal, one step up from the unigram scorer).
+
+All three are oracle-checked end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, load_table_parallel
+from ..functions.scalars import round_portable
+from .registry import query
+
+_MIN_SUPPORT = 8  # orders containing the part
+_AA_MAX_BASKET = 10  # ignore orders with more suppliers than this (hubs)
+
+
+@query(
+    "market_basket_lift",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    freq AS (
+        SELECT pk, COUNT(*) AS n_item FROM items
+        GROUP BY pk HAVING COUNT(*) >= {_MIN_SUPPORT}
+    ),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM items),
+    pairs AS (
+        SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_both
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        JOIN freq f1 ON f1.pk = a.pk
+        JOIN freq f2 ON f2.pk = b.pk
+        GROUP BY a.pk, b.pk
+        HAVING COUNT(*) >= 3
+    )
+    SELECT p1, p2, n_both,
+           floor((CAST(n_both AS DOUBLE) * n.n_orders)
+                 / (f1.n_item * f2.n_item) * 1e4 + 0.5) / 1e4 AS lift
+    FROM pairs
+    JOIN freq f1 ON f1.pk = p1
+    JOIN freq f2 ON f2.pk = p2
+    CROSS JOIN n
+    ORDER BY lift DESC, p1, p2
+    LIMIT 20
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over order baskets: top-20 part pairs by lift
+    = P(a,b) / (P(a) P(b)), with min-support pruning.
+
+    Scale shape: frequent-item filtering happens BEFORE the per-order
+    pair self-join (the standard Apriori bound — infrequent items can't
+    form frequent pairs), so pair generation is sum(frequent-basket²),
+    never corpus². The n_orders total and per-item counts broadcast;
+    the ranked cut is TakeOrderedAndProject. Lift's float division is
+    computed once per surviving pair from exact integer counts and
+    rounded before ranking (p1, p2 break ties)."""
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    freq = (
+        items.groupBy("pk")
+        .agg(F.count("*").alias("n_item"))
+        .filter(F.col("n_item") >= _MIN_SUPPORT)
+    )
+    n = items.agg(F.countDistinct("ok").alias("n_orders"))
+    fitems = items.join(F.broadcast(freq), "pk")
+    a = fitems.select("ok", F.col("pk").alias("p1"), F.col("n_item").alias("n1"))
+    b = fitems.select("ok", F.col("pk").alias("p2"), F.col("n_item").alias("n2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(
+            F.count("*").alias("n_both"),
+            F.any_value("n1").alias("n1"),
+            F.any_value("n2").alias("n2"),
+        )
+        .filter(F.col("n_both") >= 3)
+    )
+    scored = pairs.join(F.broadcast(n)).select(
+        "p1",
+        "p2",
+        "n_both",
+        round_portable(
+            (F.col("n_both").cast("double") * F.col("n_orders"))
+            / (F.col("n1") * F.col("n2")),
+            4,
+        ).alias("lift"),
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("p1"), F.asc("p2")).limit(20)
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH edges AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem
+    ),
+    deg AS (SELECT ok, COUNT(*) AS d FROM edges GROUP BY ok),
+    small AS (
+        SELECT e.ok, e.sk, d.d FROM edges e JOIN deg d ON e.ok = d.ok
+        WHERE d.d <= {_AA_MAX_BASKET}
+    )
+    SELECT a.sk AS s1, b.sk AS s2,
+           floor(SUM(1.0 / ln(a.d)) * 1e4 + 0.5) / 1e4 AS aa_score
+    FROM small a JOIN small b ON a.ok = b.ok AND a.sk < b.sk
+    GROUP BY a.sk, b.sk
+    ORDER BY aa_score DESC, s1, s2
+    LIMIT 20
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction for supplier pairs: every shared
+    order contributes 1/ln(order_degree) — rarer co-occurrence contexts
+    are stronger evidence. Top-20 predicted links.
+
+    Scale shape: degrees come from one aggregate; hub contexts (degree
+    > 10) are DROPPED before pair generation — they contribute the
+    least evidence per pair while costing degree² pairs, the exact
+    skew-vs-signal trade the shingle df-cap makes. Pair work is
+    sum(min(degree, cap)²). Floats: each pair's score sums IDENTICAL
+    ln-reciprocal terms on both engines; rounded before the ranked cut,
+    ids break ties."""
+    edges = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    deg = edges.groupBy("ok").agg(F.count("*").alias("d"))
+    small = edges.join(deg, "ok").filter(F.col("d") <= _AA_MAX_BASKET)
+    a = small.select("ok", F.col("sk").alias("s1"), "d")
+    b = small.select("ok", F.col("sk").alias("s2"))
+    scored = (
+        a.join(b, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(round_portable(F.sum(1.0 / F.log(F.col("d"))), 4).alias("aa_score"))
+    )
+    return scored.orderBy(F.desc("aa_score"), F.asc("s1"), F.asc("s2")).limit(20)
+
+
+@query(
+    "text_bigram_lm_nll",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    big AS (
+        SELECT doc_id, l[t.i] AS w1, l[t.i + 1] AS w2
+        FROM toks, LATERAL unnest(range(1, len(l))) AS t(i)
+    ),
+    cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+    cu AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM big),
+    scored AS (
+        SELECT b.doc_id,
+               -ln((cb.c2 + 1.0) / (cu.c1 + v.vocab)) AS nll
+        FROM big b
+        JOIN cb ON b.w1 = cb.w1 AND b.w2 = cb.w2
+        JOIN cu ON b.w1 = cu.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           floor(AVG(nll) * 1e4 + 0.5) / 1e4 AS avg_nll
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram conditional LM quality score: train add-one-smoothed
+    P(w2 | w1) on the corpus itself, score each document by average
+    negative log-likelihood (low = fluent under the corpus distribution,
+    high = atypical — the CCNet perplexity-filter signal).
+
+    Scale shape: bigrams explode once; the count model is two hash
+    aggregates (bigram, unigram) joined back ON THE BIGRAM KEY — the
+    model lives distributed, never on the driver, so a billion-bigram
+    model is just a bigger join. The vocab size reduces to one broadcast
+    scalar. Per-doc NLL averages identical smoothed terms on both
+    engines; rounding happens after the mean."""
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("l")
+    )
+    big = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("l", 1, F.size("l") - 1),
+                F.slice("l", 2, F.size("l") - 1),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    cu = big.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = big.agg(F.countDistinct("w2").alias("vocab"))
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .join(F.broadcast(v))
+        .select(
+            "doc_id",
+            (-F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vocab")))).alias(
+                "nll"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        round_portable(F.avg("nll"), 4).alias("avg_nll")
+    )
