@@ -60,3 +60,48 @@ def range_join(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     )
     return joined.drop(_BUCKET)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    lo: str,
+    hi: str,
+    bucket_width: float,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-x-interval OVERLAP join (``a.lo < b.hi AND b.lo < a.hi``,
+    half-open) — the other non-equi join shape (concurrency analysis,
+    schedule conflicts, session co-presence). Same bucketization idea as
+    ``range_join``, one extra step: BOTH sides explode into the buckets
+    they cover, overlapping pairs meet in >= 1 shared bucket, and the
+    multi-bucket double-count is removed WITHOUT a distinct — a pair is
+    kept only in the FIRST bucket it shares, ``max(floor(a.lo/w),
+    floor(b.lo/w))``, which both sides can compute locally. Shuffle =
+    sum(interval widths)/width per side; no pair-set dedup shuffle.
+
+    Right-side columns are renamed with ``suffix``. The exact overlap
+    predicate filters after the bucket equi-join.
+    """
+    lb = F.floor(F.col(lo) / F.lit(bucket_width)).cast("long")
+    hb = F.floor(F.col(hi) / F.lit(bucket_width)).cast("long")
+    l = left.withColumn("__lb", lb).withColumn(
+        _BUCKET, F.explode(F.sequence(lb, hb))
+    )
+    r = right.select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
+    )
+    rlb = F.floor(F.col(f"{lo}{suffix}") / F.lit(bucket_width)).cast("long")
+    rhb = F.floor(F.col(f"{hi}{suffix}") / F.lit(bucket_width)).cast("long")
+    r = r.withColumn("__rb", rlb).withColumn(_BUCKET, F.explode(F.sequence(rlb, rhb)))
+    joined = (
+        l.join(r, on=_BUCKET)
+        .filter(
+            (F.col(lo) < F.col(f"{hi}{suffix}"))
+            & (F.col(f"{lo}{suffix}") < F.col(hi))
+            # first-shared-bucket guard: emit each pair exactly once
+            & (F.col(_BUCKET) == F.greatest(F.col("__lb"), F.col("__rb")))
+        )
+        .drop(_BUCKET, "__lb", "__rb")
+    )
+    return joined

@@ -88,3 +88,75 @@ def global_running_revenue_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         backend="arrow",
     )
     return out.select("o_orderkey", "o_orderdate", "running_revenue_cents")
+
+
+@query(
+    "sessions_overlap_pairs",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                         > 3600000000::BIGINT
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+    tagged AS (
+        SELECT user_id, ts,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1
+               AS session_id
+        FROM ordered),
+    bounds AS (
+        SELECT user_id, session_id,
+               MIN(epoch_us(ts)) AS lo,
+               MAX(epoch_us(ts)) + 1 AS hi
+        FROM tagged GROUP BY user_id, session_id)
+    SELECT a.user_id AS u1, b.user_id AS u2,
+           CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM bounds a JOIN bounds b
+      ON a.lo < b.hi AND b.lo < a.hi AND a.user_id < b.user_id
+    GROUP BY a.user_id, b.user_id
+    ORDER BY n_overlaps DESC, u1, u2
+    LIMIT 20
+    """,
+)
+def sessions_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session analysis: top-20 user pairs by number of
+    time-overlapping sessions (gap-based 1h sessionization, half-open
+    [lo, hi) bounds on INTEGER microseconds — trap #10).
+
+    Scale shape: the overlap predicate has no equi conjunct, so the
+    naive join is a nested loop over |sessions|² (the oracle runs that
+    on the small corpus). The engine side is
+    ``operators.rangejoin.interval_overlap_join``: both sides explode
+    into 1-hour buckets, pairs meet in their FIRST shared bucket only
+    (a locally-computable guard, so no distinct over the pair set), and
+    the exact predicate filters after the bucket equi-join. Work =
+    sum(sessions per bucket²) per bucket — time-local, never global."""
+    from ..operators.rangejoin import interval_overlap_join
+    from ..operators.sessionize import sessionize
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    sess = sessionize(
+        events, ["user_id"], "ts", gap_seconds=3600, order_tiebreak=["event_id"]
+    )
+    bounds = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        (F.max(F.unix_micros("ts")) + 1).alias("hi"),
+    )
+    pairs = interval_overlap_join(
+        bounds, bounds, "lo", "hi", bucket_width=3_600_000_000
+    )
+    return (
+        pairs.filter(F.col("user_id") < F.col("user_id_r"))
+        .groupBy(
+            F.col("user_id").alias("u1"), F.col("user_id_r").alias("u2")
+        )
+        .agg(F.count("*").alias("n_overlaps"))
+        .orderBy(F.desc("n_overlaps"), F.asc("u1"), F.asc("u2"))
+        .limit(20)
+    )

@@ -630,3 +630,25 @@ def test_triangle_count_known_graph(spark):
     # hub star: no triangles at all
     star = spark.createDataFrame([(0, i) for i in range(1, 8)], "s1 long, s2 long")
     assert triangle_count(star).collect()[0].n_triangles == 0
+
+
+def test_interval_overlap_join_dedup_and_half_open(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    # a: [0, 100); b: [50, 250) overlaps a across 3 buckets of width 50
+    # -> must appear exactly ONCE; c: [100, 150) touches a only at the
+    # half-open boundary -> no overlap; d: [240, 260) overlaps b
+    iv = spark.createDataFrame(
+        [("a", 0, 100), ("b", 50, 250), ("c", 100, 150), ("d", 240, 260)],
+        "name string, lo long, hi long",
+    )
+    out = interval_overlap_join(iv, iv, "lo", "hi", bucket_width=50.0)
+    pairs = {
+        (r.name, r.name_r) for r in out.collect() if r.name < r.name_r
+    }
+    assert pairs == {("a", "b"), ("b", "c"), ("b", "d")}
+    # multi-bucket pair emitted exactly once (no distinct in the plan)
+    ab = [r for r in out.collect() if {r.name, r.name_r} == {"a", "b"}]
+    assert len(ab) == 2  # once per direction, once each
