@@ -226,3 +226,78 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         round_portable(F.avg("nll"), 4).alias("avg_nll")
     )
+
+
+@query(
+    "stats_information_theory",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    t AS (SELECT SUM(n) AS total FROM c),
+    px AS (SELECT x, SUM(n) AS nx FROM c GROUP BY x),
+    py AS (SELECT y, SUM(n) AS ny FROM c GROUP BY y),
+    hx AS (SELECT -SUM((nx * 1.0 / t.total) * ln(nx * 1.0 / t.total)) AS h
+           FROM px, t),
+    hy AS (SELECT -SUM((ny * 1.0 / t.total) * ln(ny * 1.0 / t.total)) AS h
+           FROM py, t),
+    hxy AS (SELECT -SUM((n * 1.0 / t.total) * ln(n * 1.0 / t.total)) AS h
+            FROM c, t),
+    gx AS (SELECT 1.0 - SUM((nx * 1.0 / t.total) * (nx * 1.0 / t.total)) AS g
+           FROM px, t)
+    SELECT floor(hx.h * 1e6 + 0.5) / 1e6 AS h_status,
+           floor(hy.h * 1e6 + 0.5) / 1e6 AS h_priority,
+           floor(hxy.h * 1e6 + 0.5) / 1e6 AS h_joint,
+           floor((hx.h + hy.h - hxy.h) * 1e6 + 0.5) / 1e6 AS mutual_info,
+           floor(gx.g * 1e6 + 0.5) / 1e6 AS gini_status
+    FROM hx, hy, hxy, gx
+    """,
+)
+def stats_information_theory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic profile of two categorical columns:
+    marginal/joint Shannon entropies, mutual information, and Gini
+    impurity — the feature-selection / drift-detection numbers a
+    curation pipeline reads over label columns.
+
+    Scale shape: ONE corpus aggregate reduces to the (|X| x |Y|)
+    contingency table (map-side combined); every entropy is then
+    arithmetic over that broadcast-sized table. Exact integer counts in,
+    one rounded float out per statistic — the summations are over
+    tens of terms, far below the 1e-6 rounding grain."""
+    c = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("x"), F.col("o_orderpriority").alias("y")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    withp = c.join(F.broadcast(t))
+    px = withp.groupBy("x").agg(
+        F.sum("n").alias("nx"), F.any_value("total").alias("total")
+    )
+    py = withp.groupBy("y").agg(
+        F.sum("n").alias("ny"), F.any_value("total").alias("total")
+    )
+
+    def _h(df, cnt):
+        p = F.col(cnt) * 1.0 / F.col("total")
+        return df.agg((-F.sum(p * F.log(p))).alias("h"))
+
+    hx = _h(px, "nx").select(F.col("h").alias("hx"))
+    hy = _h(py, "ny").select(F.col("h").alias("hy"))
+    hxy = _h(withp, "n").select(F.col("h").alias("hxy"))
+    gx = px.agg(
+        (1.0 - F.sum((F.col("nx") * 1.0 / F.col("total")) ** 2)).alias("gx")
+    )
+    one = hx.join(hy).join(hxy).join(gx)
+    return one.select(
+        round_portable(F.col("hx"), 6).alias("h_status"),
+        round_portable(F.col("hy"), 6).alias("h_priority"),
+        round_portable(F.col("hxy"), 6).alias("h_joint"),
+        round_portable(F.col("hx") + F.col("hy") - F.col("hxy"), 6).alias(
+            "mutual_info"
+        ),
+        round_portable(F.col("gx"), 6).alias("gini_status"),
+    )
