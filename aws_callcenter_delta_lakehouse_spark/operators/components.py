@@ -376,3 +376,57 @@ def label_propagation(
         if changed == 0:
             break
     return labels
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Single-source BFS hop distances over a DIRECTED edge set (pass
+    both directions for an undirected graph). Returns (vertex, hops)
+    for every vertex reachable within ``max_hops``.
+
+    Frontier expansion in pure DataFrame ops: each round joins the
+    CURRENT frontier (not the whole visited set) to the edge list, anti-
+    joins out already-visited vertices, and stops early when the
+    frontier empties. Per-round shuffle = |frontier ⋈ edges| — the
+    textbook level-synchronous BFS; lineage truncates per round like
+    ``connected_components`` (reliable ``checkpoint_dir`` on a cluster,
+    ``localCheckpoint`` locally). Only a scalar emptiness probe reaches
+    the driver each round.
+
+    Deterministic: hop distance is a pure graph property; the bounded
+    horizon (``max_hops``) is what makes a DuckDB recursive-CTE oracle
+    of the same graph terminate, so this operator is differentially
+    testable unlike most iterative graph code.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    dist = _materialize(
+        spark.createDataFrame([(source, 0)], "vertex long, hops int")
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["vertex"] == e["__s"])
+            .select(F.col("__d").alias("vertex"))
+            .distinct()
+            .join(dist, "vertex", "left_anti")
+            .select("vertex", F.lit(h).alias("hops"))
+        )
+        nxt = _materialize(nxt)
+        if nxt.isEmpty():
+            break
+        dist = _materialize(dist.unionAll(nxt))
+        frontier = nxt
+    return dist

@@ -140,3 +140,52 @@ def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("premium")
         .alias("balance_tier"),
     )
+
+
+@query(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem->part' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit: orphan counts for three
+    foreign-key edges, each a LEFT ANTI join + count (the multi-table
+    complement of the single-table expectation report). Anti joins
+    broadcast the smaller key side where stats allow; each check is one
+    shuffle-free-or-single-shuffle probe, and the three counts union
+    into one tiny result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+
+    def orphans(child, key_child, parent, key_parent, label):
+        return (
+            child.join(
+                parent.select(key_parent),
+                child[key_child] == parent[key_parent],
+                "left_anti",
+            )
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionAll(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionAll(orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"))
+    )

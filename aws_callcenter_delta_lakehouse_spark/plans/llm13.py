@@ -301,3 +301,60 @@ def stats_information_theory(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         round_portable(F.col("gx"), 6).alias("gini_status"),
     )
+
+
+@query(
+    "graph_bfs_hops",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT a.l_orderkey) >= 5
+    ),
+    e AS (
+        SELECT s1 AS src, s2 AS dst FROM e0
+        UNION ALL
+        SELECT s2 AS src, s1 AS dst FROM e0
+    ),
+    bfs(v, d) AS (
+        SELECT (SELECT MIN(src) FROM e), 0
+        UNION
+        SELECT e.dst, bfs.d + 1
+        FROM bfs JOIN e ON e.src = bfs.v
+        WHERE bfs.d < 6
+    )
+    SELECT v AS vertex, CAST(MIN(d) AS INT) AS hops
+    FROM bfs GROUP BY v
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop distances (<= 6 hops) over the supplier
+    co-supply graph (pairs sharing >= 5 orders, undirected), from the
+    smallest supplier in the edge set.
+
+    The rare ORACLE-CHECKED iterative graph query: the bounded horizon
+    lets DuckDB's recursive CTE terminate on the same graph, so the
+    engine's level-synchronous frontier BFS (frontier-only join per
+    round, anti-join dedup, early exit, checkpoint-truncated lineage)
+    diffs exactly. Only the source-vertex scalar and per-round
+    emptiness probes touch the driver."""
+    from ..operators.components import bfs_hops
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    e0 = (
+        a.join(b, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.countDistinct("ok").alias("__w"))
+        .filter(F.col("__w") >= 5)
+        .select("s1", "s2")
+    )
+    und = e0.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionAll(
+        e0.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
+    )
+    source = und.agg(F.min("src")).first()[0]
+    return bfs_hops(und, source, max_hops=6)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.scalars import round_portable
 from ..operators.prefix import global_running_sum
 from .registry import query
 
@@ -159,4 +160,43 @@ def sessions_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_overlaps"))
         .orderBy(F.desc("n_overlaps"), F.asc("u1"), F.asc("u2"))
         .limit(20)
+    )
+
+
+@query(
+    "global_percent_rank",
+    oracle="""
+    SELECT o_orderkey,
+           floor(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey)
+                 * 1e6 + 0.5) / 1e6 AS pct_rank
+    FROM orders
+    """,
+)
+def global_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percentile rank of every order by price — rank-based
+    feature normalization (quantile-uniform transform) over the WHOLE
+    table, the second unpartitioned-analytics shape after running
+    totals.
+
+    Same machinery as ``global_running_revenue``: row_number is a
+    distributed prefix sum of ones (range exchange + per-partition
+    window + broadcast offsets), percent_rank = (rn-1)/(n-1) with the
+    count joined in as a broadcast scalar. No single-partition
+    WindowExec; the unique (price, key) order makes rank == row_number
+    on both engines."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.lit(1).cast("long").alias("__one")
+    )
+    ranked = global_running_sum(
+        orders,
+        order_keys=["o_totalprice", "o_orderkey"],
+        value_col="__one",
+        out_col="__rn",
+    )
+    n = orders.agg(F.count("*").alias("__n"))
+    return ranked.join(F.broadcast(n)).select(
+        "o_orderkey",
+        round_portable(
+            (F.col("__rn") - 1).cast("double") / (F.col("__n") - 1), 6
+        ).alias("pct_rank"),
     )

@@ -377,3 +377,9 @@ def test_rolling_time_window_single_shuffle(spark):
 def test_quality_classifier_no_python_worker(spark):
     p = _plan(spark, "text_quality_classifier")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_global_percent_rank_never_single_partition(spark):
+    p = _plan(spark, "global_percent_rank")
+    assert "rangepartitioning" in p.lower(), p
+    assert "SinglePartition" not in p, p
