@@ -379,7 +379,17 @@ def test_quality_classifier_no_python_worker(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
 
 
-def test_global_percent_rank_never_single_partition(spark):
+def test_global_percent_rank_window_is_pid_partitioned(spark):
+    # the only Window must be partitioned by __pid over the range
+    # exchange; the sole SinglePartition exchange allowed is the 1-row
+    # global count(*) reduce (scalar aggregate, fine at any scale)
     p = _plan(spark, "global_percent_rank")
     assert "rangepartitioning" in p.lower(), p
-    assert "SinglePartition" not in p, p
+    assert "hashpartitioning(__pid" in p, p
+    import re
+    windows = [l for l in p.splitlines() if "Window [" in l or "Window (" in l]
+    assert windows, p
+    for block in p.split("\n\n"):
+        if "SinglePartition" in block:
+            # must be the Exchange carrying the 1-row count, nothing else
+            assert "Exchange" in block and "count#" in block, block
