@@ -411,7 +411,12 @@ def bfs_hops(
     def _materialize(df: DataFrame) -> DataFrame:
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
 
-    e = edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    # materialize the edge set ONCE: every round joins against it, and
+    # an unmaterialized lineage would re-derive the (possibly expensive)
+    # upstream edge computation per round AND per emptiness probe
+    e = _materialize(
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d")).distinct()
+    )
     dist = _materialize(
         spark.createDataFrame([(source, 0)], "vertex long, hops int")
     )
