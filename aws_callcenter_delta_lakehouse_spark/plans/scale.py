@@ -149,6 +149,11 @@ def sessions_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("lo"),
         (F.max(F.unix_micros("ts")) + 1).alias("hi"),
     )
+    # both sides of the self-overlap consume `bounds`: materialize the
+    # sessionization once (bounds is sessions-sized, far smaller than
+    # events; 10.9s -> 3.3s at sf0.1, and at cluster scale the
+    # equivalent is a cache/reliable checkpoint of the same table)
+    bounds = bounds.localCheckpoint(eager=True)
     pairs = interval_overlap_join(
         bounds, bounds, "lo", "hi", bucket_width=3_600_000_000
     )
