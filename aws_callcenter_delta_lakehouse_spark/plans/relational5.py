@@ -357,3 +357,67 @@ def sql_identifier_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "nation"},
     )
+
+
+@query(
+    "sql_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) / 100
+             AS disc_price
+    FROM lineitem
+    WHERE l_discount > 0.05
+    """,
+)
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN
+    expr): the discounted-price business rule lives in the catalog, not
+    in client code. The body INLINES into the calling plan at analysis
+    time — whole-stage codegen, predicate pushdown, and costing all see
+    the raw expression, so a catalog UDF costs nothing vs hand-inlined
+    SQL (unlike a Python UDF, which would wall off the optimizer)."""
+    register_all(spark, sf_dir, ["lineitem"])
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN floor(p * (1.0 - d) * 100 + 0.5) / 100
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               disc_price(l_extendedprice, l_discount) AS disc_price
+        FROM lineitem
+        WHERE l_discount > 0.05
+        """
+    )
+
+
+@query(
+    "sql_udf_table",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM nation JOIN supplier ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 1
+    GROUP BY n_name
+    """,
+)
+def sql_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table function (CREATE FUNCTION ... RETURNS TABLE): a
+    parameterized relation — suppliers-per-nation for a given region —
+    invoked in FROM position. The body inlines as a parameterized view,
+    so the join strategy and pushdown are identical to the expanded
+    query; parameters bind in WHERE (a parameterized LIMIT is rejected
+    as unfoldable, which the engine surfaces at CREATE time)."""
+    register_all(spark, sf_dir, ["nation", "supplier"])
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION region_suppliers(rk BIGINT)
+        RETURNS TABLE (n_name STRING, n_suppliers BIGINT)
+        RETURN SELECT n_name, CAST(COUNT(*) AS BIGINT)
+               FROM nation JOIN supplier ON s_nationkey = n_nationkey
+               WHERE n_regionkey = rk
+               GROUP BY n_name
+        """
+    )
+    return spark.sql("SELECT * FROM region_suppliers(1)")
