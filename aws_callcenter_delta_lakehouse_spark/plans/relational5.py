@@ -421,3 +421,89 @@ def sql_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.sql("SELECT * FROM region_suppliers(1)")
+
+
+@query(
+    "collation_case_insensitive_group",
+    oracle="""
+    SELECT lower(o_orderpriority) AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY lower(o_orderpriority)
+    ORDER BY prio
+    """,
+)
+def collation_case_insensitive_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): group under UTF8_LCASE so case
+    variants land in one group WITHOUT rewriting every predicate with
+    lower() — collation travels with the type, so joins, GROUP BY and
+    equality all follow it. The input deliberately scrambles case by
+    row; the output key is lowercased explicitly because the collated
+    group REPRESENTATIVE (which original casing survives) is
+    partition-order-dependent — only the grouping itself is the
+    collation's job."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority")
+        )
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("p")
+    )
+    return (
+        o.groupBy(F.collate("p", "UTF8_LCASE").alias("k"))
+        .agg(F.count("*").alias("n"))
+        .select(F.lower("k").cast("string").alias("prio"), "n")
+        .orderBy("prio")
+    )
+
+
+@query(
+    "hof_exists_forall_zip",
+    oracle="""
+    WITH qs AS (
+        SELECT l_orderkey,
+               list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber, l_quantity) AS q
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(q) AS n_lines,
+           len(list_filter(q, x -> x >= 45)) > 0 AS has_big,
+           len(list_filter(q, x -> NOT (x > 0))) = 0 AS all_positive,
+           COALESCE(list_sum(list_filter(q, x -> x >= 40)), 0) AS sum_big,
+           list_sum(list_transform(range(1, len(q) + 1),
+                                   i -> i * q[i])) AS idx_weighted
+    FROM qs
+    """,
+)
+def hof_exists_forall_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function completeness battery: exists / forall /
+    filter+aggregate / zip_with over per-order quantity arrays (built
+    with a deterministic in-array order via sorted structs). All
+    JVM-side lambdas inside whole-stage codegen; the only shuffle is
+    the one collect_list aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_quantity").cast("long").alias("q")
+    )
+    qs = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_linenumber", "q"))),
+            lambda s: s["q"],
+        ).alias("q")
+    )
+    idx = F.sequence(F.lit(1), F.size("q"))
+    return qs.select(
+        "l_orderkey",
+        F.size("q").cast("long").alias("n_lines"),
+        F.exists("q", lambda x: x >= 45).alias("has_big"),
+        F.forall("q", lambda x: x > 0).alias("all_positive"),
+        F.aggregate(
+            F.filter("q", lambda x: x >= 40),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_big"),
+        F.aggregate(
+            F.zip_with(idx, F.col("q"), lambda i, x: i * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("idx_weighted"),
+    )
