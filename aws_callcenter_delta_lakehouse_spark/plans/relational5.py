@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table, register_all
+from ..functions.scalars import round_portable
 from .registry import query
 
 
@@ -506,4 +507,71 @@ def hof_exists_forall_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ).alias("idx_weighted"),
+    )
+
+
+@query(
+    "ansi_try_battery",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE floor(o_totalprice / (o_orderkey % 10) * 100 + 0.5) / 100
+           END AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_digit
+    FROM orders
+    """,
+)
+def ansi_try_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode safety surface: Spark 4 runs with ANSI ON, so division
+    by zero and bad casts THROW unless the ``try_`` forms are used —
+    the exact failure mode trap #4/#9 documents. try_divide returns
+    NULL on the zero rows, try_cast NULL on the unparseable priority
+    strings but parses the leading digit — each NULL a row a non-try
+    formulation would have killed the whole job with."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        round_portable(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 10), 2
+        ).alias("safe_div"),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("9")).cast("int").alias(
+            "bad_cast"
+        ),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+    )
+
+
+@query(
+    "histogram_width_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000.0 THEN 25
+                ELSE CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1
+           END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           floor(MIN(o_totalprice) * 100 + 0.5) / 100 AS lo,
+           floor(MAX(o_totalprice) * 100 + 0.5) / 100 AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket — the profiling scan every
+    BI layer runs first. One hash aggregate on the bucket id (24 groups
+    + underflow/overflow buckets), exact min/max per bucket for the
+    rendered ranges. At 100 TB this is a single map-side-combined pass;
+    the bucket count, not the row count, bounds the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(
+                F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(24)
+            ).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            round_portable(F.min("o_totalprice"), 2).alias("lo"),
+            round_portable(F.max("o_totalprice"), 2).alias("hi"),
+        )
     )
