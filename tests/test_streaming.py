@@ -181,3 +181,50 @@ def test_available_now_trigger_drains_to_batch_equivalence(spark):
         ).agg(F.count("*").alias("n")).collect()
     }
     assert got == want
+
+
+def test_incremental_gold_across_micro_batches(spark, tmp_path):
+    """Two real micro-batches (files arriving while the query runs):
+    the incrementally-maintained aggregate must equal a batch recompute
+    over everything ingested, and a replayed epoch must be a no-op."""
+    import shutil
+
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        foreach_batch_incremental_gold,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+    src = tmp_path / "src"
+    src.mkdir()
+    agg_path = str(tmp_path / "gold")
+    a = spark.createDataFrame(
+        [("click", 10), ("view", 5), ("click", 1)], "event_type string, v long"
+    )
+    b = spark.createDataFrame(
+        [("click", 2), ("buy", 7)], "event_type string, v long"
+    )
+    stream = (
+        spark.readStream.schema("event_type string, v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = foreach_batch_incremental_gold(
+        stream, agg_path, keys=("event_type",), sum_col="v",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    try:
+        a.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "a"))
+        for f in (tmp_path / "a").glob("*.parquet"):
+            shutil.copy(f, src / "a.parquet")
+        q.processAllAvailable()
+        b.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b"))
+        for f in (tmp_path / "b").glob("*.parquet"):
+            shutil.copy(f, src / "b.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.event_type, r.n_rows, r.sum_value)
+        for r in mt.read(spark, agg_path).collect()
+    }
+    assert got == {("click", 3, 13), ("view", 1, 5), ("buy", 1, 7)}
