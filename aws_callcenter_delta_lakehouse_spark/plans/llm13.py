@@ -365,3 +365,96 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = und.localCheckpoint(eager=True)
     source = und.agg(F.min("src")).first()[0]
     return bfs_hops(und, source, max_hops=6)
+
+
+@query(
+    "mode_per_group",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderpriority AS grp, o_orderstatus AS x, COUNT(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT grp, x AS mode_status, cnt AS n_mode
+    FROM counts
+    QUALIFY row_number() OVER (PARTITION BY grp ORDER BY cnt DESC, x) = 1
+    ORDER BY grp
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: Spark's built-in ``mode()`` breaks
+    frequency ties arbitrarily (partition-order-dependent), so the
+    engine formulation is count + ``max_by`` over (count, -value) —
+    reproducible across runs, engines, AND cluster layouts. Two hash
+    aggregates, no window; the oracle uses DuckDB's QUALIFY to express
+    the same argmax."""
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_orderstatus").alias("x"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    # lexicographic max over (cnt, reversed-value): smallest value wins
+    # frequency ties; strings reverse via unicode complement is fragile,
+    # so use min_by over (-cnt, value) instead
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.min_by("x", F.struct((-F.col("cnt")).alias("n"), F.col("x"))).alias(
+                "mode_status"
+            ),
+            F.min_by(
+                "cnt", F.struct((-F.col("cnt")).alias("n"), F.col("x"))
+            ).alias("n_mode"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "pareto_revenue_share",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    thr AS (SELECT quantile_cont(cents, 0.8) AS p80 FROM cust),
+    tot AS (SELECT SUM(cents) AS total, COUNT(*) AS n_cust FROM cust)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_top_customers,
+           CAST(ANY_VALUE(tot.n_cust) AS BIGINT) AS n_customers,
+           floor(SUM(c.cents) * 1.0 / ANY_VALUE(tot.total) * 1e6 + 0.5) / 1e6
+             AS revenue_share
+    FROM cust c, thr, tot
+    WHERE c.cents > thr.p80
+    """,
+)
+def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 question: what share of revenue comes from customers
+    above the 80th percentile of per-customer spend? A data-dependent
+    threshold computed as ONE scalar aggregate (exact interpolated
+    percentile over integer cents — both engines interpolate linearly)
+    broadcast back over the per-customer rollup; no global sort, no
+    window. The output is a single governance-dashboard row."""
+    cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("cents")
+        )
+    )
+    thr = cust.agg(F.percentile("cents", F.lit(0.8)).alias("p80"))
+    tot = cust.agg(
+        F.sum("cents").alias("total"), F.count("*").alias("n_cust")
+    )
+    top = cust.join(F.broadcast(thr)).filter(F.col("cents") > F.col("p80"))
+    return top.join(F.broadcast(tot)).agg(
+        F.count("*").alias("n_top_customers"),
+        F.any_value("n_cust").alias("n_customers"),
+        round_portable(
+            F.sum("cents") * 1.0 / F.any_value("total"), 6
+        ).alias("revenue_share"),
+    )
