@@ -458,3 +458,79 @@ def pareto_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents") * 1.0 / F.any_value("total"), 6
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                         (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS r_days,
+               COUNT(*) AS f_orders,
+               SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS m_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+        SELECT quantile_cont(r_days, [0.2, 0.4, 0.6, 0.8]) AS rq,
+               quantile_cont(f_orders, [0.2, 0.4, 0.6, 0.8]) AS fq,
+               quantile_cont(m_cents, [0.2, 0.4, 0.6, 0.8]) AS mq
+        FROM cust
+    ),
+    scored AS (
+        SELECT 1 + CAST(r_days > rq[1] AS INT) + CAST(r_days > rq[2] AS INT)
+                 + CAST(r_days > rq[3] AS INT) + CAST(r_days > rq[4] AS INT) AS r,
+               1 + CAST(f_orders > fq[1] AS INT) + CAST(f_orders > fq[2] AS INT)
+                 + CAST(f_orders > fq[3] AS INT) + CAST(f_orders > fq[4] AS INT) AS f,
+               1 + CAST(m_cents > mq[1] AS INT) + CAST(m_cents > mq[2] AS INT)
+                 + CAST(m_cents > mq[3] AS INT) + CAST(m_cents > mq[4] AS INT) AS m
+        FROM cust, q
+    )
+    SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic CRM rollup. Quintile scores come from FOUR broadcast
+    quantile thresholds per dimension, NOT a global ntile window (ntile
+    with no partition is the single-partition WindowExec this engine
+    bans); bucketing is then a pure projection, and the output is the
+    (r, f, m) segment histogram. Exact interpolated percentiles over
+    integer day/count/cent values agree across engines; strict >
+    comparisons sit on interpolated (fractional) thresholds, so boundary
+    rows bucket identically."""
+    o = load_table(spark, sf_dir, "orders")
+    maxd = o.agg(F.max("o_orderdate").alias("gmax"))
+    cust = (
+        o.join(F.broadcast(maxd))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.any_value("gmax"), F.max("o_orderdate")).alias("r_days"),
+            F.count("*").alias("f_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("m_cents"),
+        )
+    )
+    qs = cust.agg(
+        F.percentile("r_days", F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])).alias("rq"),
+        F.percentile("f_orders", F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])).alias("fq"),
+        F.percentile("m_cents", F.array(*[F.lit(x) for x in (0.2, 0.4, 0.6, 0.8)])).alias("mq"),
+    )
+
+    def score(col, q):
+        return (
+            F.lit(1)
+            + sum(
+                (F.col(col) > F.element_at(q, i + 1)).cast("int")
+                for i in range(4)
+            )
+        ).cast("int")
+
+    scored = cust.join(F.broadcast(qs)).select(
+        score("r_days", F.col("rq")).alias("r"),
+        score("f_orders", F.col("fq")).alias("f"),
+        score("m_cents", F.col("mq")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(F.count("*").alias("n_customers"))
