@@ -73,7 +73,10 @@ def _merge_pair(syms: Column, a: Column, b: Column) -> Column:
 
 
 def bpe_train(
-    df: DataFrame, text_col: str, rounds: int = 5
+    df: DataFrame,
+    text_col: str,
+    rounds: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Learn ``rounds`` BPE merges from a corpus; returns one row per
     merge: (round, pair_a, pair_b, merged, freq) with ``freq`` the
@@ -84,15 +87,29 @@ def bpe_train(
     Per round: one pair-count aggregate over the distinct-word table
     (map-side combined; weights carry the word frequencies) and one
     projection applying the merge. The word table is re-materialized
-    (``localCheckpoint``) each round — the merge lambda otherwise
-    re-derives every previous round per downstream job."""
-    words = (
+    each round — the merge lambda otherwise re-derives every previous
+    round per downstream job. ``checkpoint_dir``: when set, that
+    materialization is a RELIABLE ``df.checkpoint()`` (cluster-safe —
+    an executor loss mid-training recomputes from the checkpoint, not
+    from round 0); when None, executor-local ``localCheckpoint`` (the
+    local-mode fast path). Same contract as ``connected_components``.
+    """
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(d: DataFrame) -> DataFrame:
+        return (
+            d.checkpoint()
+            if checkpoint_dir is not None
+            else d.localCheckpoint(eager=True)
+        )
+
+    words = _materialize(
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
         .select(_chars(F.col("w")).alias("syms"), "freq")
-        .localCheckpoint(eager=True)
     )
     merges = []
     for r in range(1, rounds + 1):
@@ -122,9 +139,10 @@ def bpe_train(
             F.col("b").alias("pair_b"),
             F.concat("a", "b").alias("merged"),
             F.col("n").alias("freq"),
-        ).localCheckpoint(eager=True)
+        )
+        best = _materialize(best)
         merges.append(best)
-        words = (
+        words = _materialize(
             words.join(F.broadcast(best.select("pair_a", "pair_b")))
             .select(
                 _merge_pair(
@@ -132,7 +150,6 @@ def bpe_train(
                 ).alias("syms"),
                 "freq",
             )
-            .localCheckpoint(eager=True)
         )
     out = merges[0]
     for m in merges[1:]:
@@ -141,7 +158,11 @@ def bpe_train(
 
 
 def bpe_apply(
-    df: DataFrame, text_col: str, merges: DataFrame, rounds: int
+    df: DataFrame,
+    text_col: str,
+    merges: DataFrame,
+    rounds: int,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Tokenize a corpus with a learned merge list: every word starts
     as characters and each merge (in training order) is applied with
@@ -151,7 +172,18 @@ def bpe_apply(
     The merge list stays a DataFrame — each round's (pair_a, pair_b)
     reaches the words as a 1-row broadcast join, so nothing is ever
     collected to the driver (a real tokenizer's merge table is exactly
-    this broadcast, just wider)."""
+    this broadcast, just wider). ``checkpoint_dir``: reliable per-round
+    checkpointing, same contract as :func:`bpe_train`."""
+    if checkpoint_dir is not None:
+        df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(d: DataFrame) -> DataFrame:
+        return (
+            d.checkpoint()
+            if checkpoint_dir is not None
+            else d.localCheckpoint(eager=True)
+        )
+
     words = (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .where(F.length("w") > 0)
@@ -163,12 +195,14 @@ def bpe_apply(
         step = F.broadcast(
             merges.where(F.col("round") == r).select("pair_a", "pair_b")
         )
-        words = words.join(step).select(
-            _merge_pair(F.col("syms"), F.col("pair_a"), F.col("pair_b")).alias(
-                "syms"
-            ),
-            "freq",
-        ).localCheckpoint(eager=True)
+        words = _materialize(
+            words.join(step).select(
+                _merge_pair(
+                    F.col("syms"), F.col("pair_a"), F.col("pair_b")
+                ).alias("syms"),
+                "freq",
+            )
+        )
     return (
         words.select(F.explode("syms").alias("token"), "freq")
         .groupBy("token")

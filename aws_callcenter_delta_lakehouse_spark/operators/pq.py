@@ -126,13 +126,30 @@ def pq_train(
     m: int = 8,
     num_codes: int = 16,
     iterations: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Train per-subspace codebooks: seed centroid (s, j) with the
     j-th lowest-id vector's s-th subvector, then run Lloyd iterations
     jointly over all subspaces (one corpus pass each: encode, then mean
     per (s, code, pos) with map-side combine — the shuffle is
     m * num_codes * d_sub doubles, independent of corpus size).
-    Returns (s, j, cvec)."""
+    Returns (s, j, cvec).
+
+    ``checkpoint_dir``: when set, per-round codebook materialization is
+    a RELIABLE ``df.checkpoint()`` (cluster-safe — an executor loss
+    mid-training recomputes from the checkpoint, not from the seed
+    chain); when None, executor-local ``localCheckpoint``. Same
+    contract as ``connected_components``/``kmeans_refine``."""
+    if checkpoint_dir is not None:
+        corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(d: DataFrame) -> DataFrame:
+        return (
+            d.checkpoint()
+            if checkpoint_dir is not None
+            else d.localCheckpoint(eager=True)
+        )
+
     d_sub = dim // m
     normed = _normalize(corpus, [id_col], vec_col)
     # ONE pass over the head: explode the m subvectors per seed row (a
@@ -164,10 +181,8 @@ def pq_train(
     # eager: the codebook feeds >=2 consumers (encode + query LUT, or
     # the next Lloyd round) — without materialization each one would
     # re-derive the whole seed chain
-    codebook = (
-        exploded.join(F.broadcast(ranks), "__seed_id")
-        .select("s", "j", "cvec")
-        .localCheckpoint(eager=True)
+    codebook = _materialize(
+        exploded.join(F.broadcast(ranks), "__seed_id").select("s", "j", "cvec")
     )
     for _ in range(iterations):
         encoded = pq_encode(normed, codebook, id_col, vec_col, dim, m)
@@ -195,10 +210,9 @@ def pq_train(
         # empty cells keep their previous centroid; eager materialization
         # so each downstream broadcast doesn't re-derive the whole
         # refinement lineage (same rationale as kmeans_refine)
-        codebook = (
+        codebook = _materialize(
             codebook.join(means, ["s", "j"], "left")
             .select("s", "j", F.coalesce("new_cvec", "cvec").alias("cvec"))
-            .localCheckpoint(eager=True)
         )
     return codebook
 
@@ -233,6 +247,7 @@ def pq_topk(
     num_codes: int = 16,
     k: int = 10,
     iterations: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """ADC top-k for ONE query row (column ``q``): the query side builds
     the m x num_codes LUT of exact sub-dot-products (single broadcast
@@ -241,9 +256,13 @@ def pq_topk(
     — and the top k is TakeOrderedAndProject.
 
     Approximate by construction (quantization error): rows-only; recall
-    pinned against ``brute_force_topk`` in tests."""
+    pinned against ``brute_force_topk`` in tests. ``checkpoint_dir``
+    threads through to :func:`pq_train`."""
     d_sub = dim // m
-    codebook = pq_train(corpus, id_col, vec_col, dim, m, num_codes, iterations)
+    codebook = pq_train(
+        corpus, id_col, vec_col, dim, m, num_codes, iterations,
+        checkpoint_dir=checkpoint_dir,
+    )
     encoded = pq_encode(
         _normalize(corpus, [id_col], vec_col), codebook, id_col, vec_col, dim, m
     ).select(id_col, "codes")

@@ -76,7 +76,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CMS_PROBES = ("table", "data", "spark", "value", "big", "merge", "scan", "row")
+_CMS_PHI = 0.02
 
 
 @query(
@@ -85,37 +85,34 @@ _CMS_PROBES = ("table", "data", "spark", "value", "big", "merge", "scan", "row")
     WITH toks AS (
         SELECT unnest(string_split(text, ' ')) AS term FROM documents
     )
-    SELECT term, COUNT(*) AS est_count
+    SELECT term, COUNT(*) AS exact_count
     FROM toks
-    WHERE term IN ({", ".join(f"'{t}'" for t in _CMS_PROBES)})
     GROUP BY term
+    HAVING COUNT(*) >= {_CMS_PHI} * (SELECT COUNT(*) FROM toks)
     """,
 )
 def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-min-sketch frequency estimates for a fixed probe set.
+    """phi=2% heavy hitters via the CMS two-pass algorithm.
 
-    The engine answers from the SKETCH (depth 4 x width 1024 counter
-    grid — a few KB regardless of corpus size), not from the corpus; the
-    oracle is the exact count. They match because the probe terms do not
-    4-way-collide at this width (asserted over the whole vocabulary in
-    tests; a collision would only bias estimates UP, the CMS guarantee —
-    ``tests/test_sketch.py`` pins that bound under forced collisions).
+    Pass 1 builds the depth-4 x width-1024 counter grid (a few KB
+    regardless of corpus size); candidates are the vocabulary terms
+    whose ESTIMATE >= phi*N — a superset of the truth because CMS errors
+    are strictly one-sided — and pass 2 exact-counts candidates only.
+    The output equals the true heavy hitters under ANY hash-collision
+    pattern, so the exact GROUP BY/HAVING oracle holds by construction,
+    not by dataset luck (``tests/test_sketch.py`` additionally pins the
+    superset/upper-bound properties over the real corpus).
 
     Scale shape: partial aggregation reduces every partition to sketch
-    size before a <=4096-group shuffle; probing is a broadcast join
-    against the grid. The sketch is mergeable across any partitioning —
-    the property that makes it THE distributed frequency structure.
+    size before a <=4096-group shuffle; the candidate list is broadcast
+    back so the exact pass aggregates a phi-filtered stream.
     """
-    from ..operators.sketch import cms_build, cms_probe
+    from ..operators.sketch import cms_heavy_hitters
 
     toks = load_table_parallel(spark, sf_dir, "documents").select(
         F.explode(F.split("text", " ")).alias("term")
     )
-    sketch = cms_build(toks, "term")
-    est = cms_probe(sketch, list(_CMS_PROBES))
-    # sketch estimates for unseen terms are 0-or-collision; the oracle
-    # (exact counts) only has rows for terms that occur — keep parity
-    return est.filter(F.col("est_count") > 0)
+    return cms_heavy_hitters(toks, "term", phi=_CMS_PHI)
 
 
 @query("similarity_pq_adc")  # approximate by construction — rows-only

@@ -53,6 +53,7 @@ def is_table(spark: SparkSession, path: str) -> bool:
     01_silver_delta_upsert.py:99)."""
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):
         return True
+    recover(path)
     return os.path.exists(os.path.join(path, _MARKER))
 
 
@@ -61,6 +62,7 @@ def _write_marker(
     keys: Sequence[str],
     partition_by: Sequence[str],
     version: int = 0,
+    txn: dict | None = None,
 ) -> None:
     with open(os.path.join(path, _MARKER), "w") as f:
         json.dump(
@@ -69,6 +71,7 @@ def _write_marker(
                 "partition_by": list(partition_by),
                 "version": version,
                 "ts": time.time(),
+                "txn": txn or {},
             },
             f,
         )
@@ -91,6 +94,51 @@ def table_version(path: str) -> int:
     return int(_read_marker(path).get("version", 0))
 
 
+def table_txn(path: str) -> dict:
+    """Application transaction metadata committed ATOMICALLY with the
+    live snapshot (the Delta ``txnAppId``/``txnVersion`` analogue): the
+    dict passed as ``txn=`` to the write that produced the current
+    version. Because the marker lives INSIDE the snapshot directory and
+    the swap is a single ``os.rename``, a reader can never observe new
+    data with an old txn or vice versa — the property exactly-once
+    streaming sinks rely on."""
+    recover(path)
+    return _read_marker(path).get("txn", {})
+
+
+def recover(path: str) -> None:
+    """Crash recovery for the stage-and-swap window. The commit protocol
+    is: (1) write the full snapshot + marker into ``<path>__staging_T``,
+    (2) ``rename(path, <path>__old_T)``, (3) ``rename(staging, path)``,
+    (4) retire the backup. A crash between (2) and (3) leaves no live
+    directory; this routine restores exactly one consistent snapshot:
+
+    - a staging dir WITH its marker is committed-ready (the marker is
+      the last file staged) -> roll FORWARD: it becomes the live table;
+    - otherwise a backup dir rolls BACK to the pre-commit snapshot.
+
+    Either way the table serves exactly the old or the new version,
+    never a mix, and never disappears. No-op when the live marker
+    exists (healthy) — leftover staging/backup dirs from crashes after
+    (3) are inert and swept by ``maintenance.vacuum``. Single-writer,
+    like the rest of the emulation."""
+    import glob
+
+    if os.path.exists(os.path.join(path, _MARKER)) or os.path.exists(path):
+        return
+    ready = sorted(
+        s
+        for s in glob.glob(path + "__staging_*")
+        if os.path.exists(os.path.join(s, _MARKER))
+    )
+    if ready:
+        os.rename(ready[-1], path)
+        return
+    backups = sorted(glob.glob(path + "__old_*"))
+    if backups:
+        os.rename(backups[-1], path)
+
+
 def list_versions(path: str) -> list[int]:
     """Readable versions: retained history snapshots + the live one."""
     hist = _history_dir(path)
@@ -108,6 +156,7 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     if version is None:
         if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):
             return spark.read.format("delta").load(path)
+        recover(path)
         return spark.read.parquet(path)
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         return (
@@ -208,15 +257,18 @@ def initial_write(
     keys: Sequence[str] = (),
 ) -> None:
     """First-time load: overwrite, partitioned (S3-sink shape,
-    01_silver_delta_upsert.py:115-121)."""
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    01_silver_delta_upsert.py:115-121). Emulation routes through the
+    stage-and-swap commit, so even the initial load is atomic — a crash
+    mid-write leaves an inert staging dir, never a half-table."""
     if HAS_DELTA:
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
         writer.format("delta").save(path)
     else:
-        writer.parquet(path)
-        _write_marker(path, keys, partition_by)
+        commit_overwrite(
+            df, path, keys=keys, partition_by=partition_by, max_history=0
+        )
 
 
 def merge_upsert(
@@ -301,24 +353,52 @@ def _commit_snapshot(
     partition_by: Sequence[str],
     max_history: int,
 ) -> None:
-    """Stage-and-swap commit: never leave the table half-written; the
+    commit_overwrite(
+        df, path, keys=keys, partition_by=partition_by, max_history=max_history
+    )
+
+
+def commit_overwrite(
+    df: DataFrame,
+    path: str,
+    keys: Sequence[str] = (),
+    partition_by: Sequence[str] = (),
+    max_history: int = 2,
+    txn: dict | None = None,
+) -> None:
+    """Atomic full-snapshot commit via stage-and-swap — works whether or
+    not the table exists yet, so it is also the crash-safe first write.
+    ``txn`` metadata is written into the STAGED marker and therefore
+    becomes visible in the same ``os.rename`` that publishes the data
+    (read back via :func:`table_txn`) — the emulation's equivalent of
+    Delta committing ``txnVersion`` atomically with the files. The
     replaced snapshot is retained under ``<path>__history/`` for
-    time-travel reads (Delta keeps old files until VACUUM)."""
-    version = table_version(path)
-    staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
+    time-travel reads; a crash at any step is healed by
+    :func:`recover` (old or new snapshot, never a mix)."""
+    recover(path)
+    exists = os.path.exists(os.path.join(path, _MARKER))
+    version = table_version(path) + 1 if exists else 0
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{path}__staging_{tag}"
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    _write_marker(staging, keys, partition_by, version=version + 1)
+    # marker is staged LAST: its presence marks the dir committed-ready
+    _write_marker(staging, keys, partition_by, version=version, txn=txn)
 
-    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if not exists:
+        if os.path.exists(path):  # unmanaged leftovers — clear, then swap
+            shutil.rmtree(path)
+        os.rename(staging, path)
+        return
+    backup = f"{path}__old_{tag}"
     os.rename(path, backup)
     os.rename(staging, path)
     if max_history > 0:
         hist = _history_dir(path)
         os.makedirs(hist, exist_ok=True)
-        os.rename(backup, os.path.join(hist, f"v{version:06d}"))
+        os.rename(backup, os.path.join(hist, f"v{version - 1:06d}"))
         snaps = sorted(d for d in os.listdir(hist) if d.startswith("v"))
         for stale in snaps[:-max_history]:
             shutil.rmtree(os.path.join(hist, stale))

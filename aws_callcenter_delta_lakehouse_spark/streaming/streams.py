@@ -310,26 +310,23 @@ def foreach_batch_incremental_gold(
     loop: stream -> managed table -> incrementally-maintained Gold.
 
     Exactly-once: a delta-apply is NOT naturally idempotent (a replayed
-    batch would double-count), so the state table records the highest
-    applied epoch in its marker and re-deliveries of an already-applied
-    epoch are skipped — the same dedup-by-epoch contract Delta's
-    ``txnAppId``/``txnVersion`` writer option implements. Returns the
-    query handle.
+    batch would double-count), so the highest applied epoch is recorded
+    as ``txn`` metadata in the state table's own marker, which
+    ``managed_table.commit_overwrite`` stages WITH the refreshed data
+    and publishes in one atomic rename — the same contract as Delta's
+    ``txnAppId``/``txnVersion``, where the version commits atomically
+    with the files. A crash at ANY point therefore leaves either
+    (old state, old epoch) — the replayed batch re-applies onto the
+    pre-image — or (new state, new epoch) — the replay is skipped;
+    double-apply is impossible (fault-injection-tested in
+    ``tests/test_streaming.py``). Returns the query handle.
     """
-    import json
-    import os
-
     from ..sources import managed_table as mt
     from ..sources.incremental import refresh_count_sum_aggregate
 
-    marker = os.path.join(agg_path + "__epoch", "applied.json")
-
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = -1
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                last = json.load(fh)["last_epoch"]
+        last = int(mt.table_txn(agg_path).get("last_epoch", -1))
         if epoch_id <= last:
             return  # replayed batch: already applied
         changes = batch_df.withColumn("_change_type", F.lit("insert"))
@@ -348,12 +345,16 @@ def foreach_batch_incremental_gold(
             old, changes, keys=list(keys), count_col="n_rows",
             sums={"sum_value": sum_col},
         )
-        # materialize BEFORE overwriting the table it reads from
-        refreshed = refreshed.localCheckpoint(eager=True)
-        mt.initial_write(refreshed, agg_path, keys=tuple(keys))
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as fh:
-            json.dump({"last_epoch": int(epoch_id)}, fh)
+        # no pre-materialization needed: the refreshed snapshot is
+        # written to a STAGING dir while the source snapshot stays live,
+        # then swapped in with the epoch in one rename
+        mt.commit_overwrite(
+            refreshed,
+            agg_path,
+            keys=tuple(keys),
+            max_history=0,
+            txn={"last_epoch": int(epoch_id)},
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -73,21 +73,29 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
-    )
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "sf": float(sf),
-                "total_sec": total,
-                "headline_sec": headline,
-                "headline_queries": list(HEADLINE),
-                "queries": timings,
-            },
-            fh,
-            indent=1,
-        )
+    here = os.path.dirname(os.path.abspath(__file__))
+    payload = {
+        "sf": float(sf),
+        "total_sec": total,
+        "headline_sec": headline,
+        "headline_queries": list(HEADLINE),
+        "queries": timings,
+    }
+    with open(os.path.join(here, "bench_detail.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    # per-round snapshot so later rounds can diff per-query timings
+    # (bench_detail.json alone is overwritten every run); the round
+    # number is inferred from the driver's BENCH_r{N}.json series —
+    # a run during round N+1 happens after BENCH_r{N} was recorded
+    import glob
+
+    rounds = [
+        int(os.path.basename(p)[len("BENCH_r"):].split(".")[0])
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ]
+    rnd = (max(rounds) + 1) if rounds else 1
+    with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
     print(
         json.dumps(
             {

@@ -112,3 +112,17 @@ def test_bpe_apply_matches_python_reference(spark):
     merges = _python_bpe(dict(freqs), 3)
     want = _python_apply(dict(freqs), merges)
     assert toks == dict(want)
+
+
+def test_bpe_train_reliable_checkpoint_parity(spark, tmp_path):
+    # checkpoint_dir mode (reliable df.checkpoint, cluster-safe) must
+    # produce byte-identical merges to the localCheckpoint fast path
+    docs = load_table(spark, SF001, "documents")
+    fast = sorted(tuple(r) for r in bpe_train(docs, "text", rounds=3).collect())
+    reliable = sorted(
+        tuple(r)
+        for r in bpe_train(
+            docs, "text", rounds=3, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    )
+    assert fast == reliable

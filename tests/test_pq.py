@@ -71,3 +71,22 @@ def test_pq_encode_is_shuffle_free(spark):
     # exchanges in the plan belong to the (tiny) codebook aggregation
     scan_branch = plan.split("Scan parquet")[0]
     assert "Exchange hashpartitioning(vec_id" not in plan
+
+
+def test_pq_train_reliable_checkpoint_parity(spark, tmp_path):
+    # checkpoint_dir mode (reliable df.checkpoint, cluster-safe) must
+    # train the exact same codebook as the localCheckpoint fast path —
+    # one Lloyd iteration exercises the per-round materialization
+    emb = load_table(spark, SF001, "embeddings")
+    fast = sorted(
+        (r.s, r.j, tuple(r.cvec))
+        for r in pq_train(emb, m=8, num_codes=4, iterations=1).collect()
+    )
+    reliable = sorted(
+        (r.s, r.j, tuple(r.cvec))
+        for r in pq_train(
+            emb, m=8, num_codes=4, iterations=1,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+        ).collect()
+    )
+    assert fast == reliable

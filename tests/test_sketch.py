@@ -6,7 +6,9 @@ from pyspark.sql import functions as F
 
 from aws_callcenter_delta_lakehouse_spark.operators.sketch import (
     cms_build,
+    cms_heavy_hitters,
     cms_probe,
+    cms_probe_df,
 )
 
 
@@ -48,3 +50,49 @@ def test_cms_is_mergeable(spark):
         .agg(F.sum("cnt").alias("cnt"))
     )
     assert {tuple(r) for r in whole.collect()} == {tuple(r) for r in parts.collect()}
+
+
+def _corpus_tokens(spark):
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+    from tests.conftest import SF001
+
+    return load_table(spark, SF001, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+
+
+def test_cms_upper_bound_over_real_corpus(spark):
+    # the guarantee the registered query relies on, pinned against the
+    # ACTUAL corpus (which the driver regenerates between rounds):
+    # for every vocabulary term, estimate >= exact count
+    toks = _corpus_tokens(spark)
+    exact = toks.groupBy("term").agg(F.count("*").alias("exact"))
+    sk = cms_build(toks, "term")
+    est = cms_probe_df(sk, exact.select("term"), "term")
+    bad = (
+        est.join(exact, "term")
+        .filter(F.col("est_count") < F.col("exact"))
+        .collect()
+    )
+    assert bad == [], bad
+
+
+def test_cms_heavy_hitters_exact_under_forced_collisions(spark):
+    # width=2 forces every term to collide, yet the two-pass output must
+    # STILL equal the exact phi-heavy-hitters — the property that makes
+    # the registry oracle collision-proof
+    toks = _corpus_tokens(spark)
+    phi = 0.02
+    got = {
+        (r.term, r.exact_count)
+        for r in cms_heavy_hitters(toks, "term", phi=phi, depth=2, width=2).collect()
+    }
+    n = toks.count()
+    want = {
+        (r.term, r.exact)
+        for r in toks.groupBy("term")
+        .agg(F.count("*").alias("exact"))
+        .filter(F.col("exact") >= phi * n)
+        .collect()
+    }
+    assert got == want
