@@ -119,6 +119,8 @@ def audio_windows(
     RMS only — the payload itself never leaves the scan stage."""
 
     def _frame(batches):
+        import math as _math
+
         import numpy as _np
         import pandas as _pd
 
@@ -142,10 +144,14 @@ def audio_windows(
                     out["start_ms"].append(start * 1000.0 / sample_rate)
                     out["end_ms"].append((start + len(w)) * 1000.0 / sample_rate)
                     out["n_samples"].append(len(w))
+                    # exact-integer sum of squares, then ONE division +
+                    # sqrt: bit-reproducible across engines (a float
+                    # mean depends on summation order — numpy's pairwise
+                    # sum differs from a SQL fold), so the differential
+                    # oracle can compare rms without rounding
+                    ssq = int((w.astype("int64") ** 2).sum()) if len(w) else 0
                     out["rms"].append(
-                        float(_np.sqrt(_np.mean(w.astype("float64") ** 2)))
-                        if len(w)
-                        else 0.0
+                        _math.sqrt(ssq / len(w)) if len(w) else 0.0
                     )
                     idx += 1
             yield _pd.DataFrame(out)

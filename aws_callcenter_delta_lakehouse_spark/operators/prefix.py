@@ -100,7 +100,14 @@ def global_running_sum(
                 pdf["__pid"] = pid
                 yield pdf
 
-        rows = ranged.sortWithinPartitions(*keys).mapInPandas(_prefix, schema)
+        # materialize once: totals AND the offset join both consume the
+        # cumsum rows — without this the range shuffle + Python pass
+        # executes twice (same discipline as pq.py / sessions_overlap)
+        rows = (
+            ranged.sortWithinPartitions(*keys)
+            .mapInPandas(_prefix, schema)
+            .localCheckpoint(eager=False)
+        )
         totals = rows.groupBy("__pid").agg(F.sum(value_col).alias("__ptotal"))
         return (
             rows.join(F.broadcast(_offsets(totals)), "__pid")

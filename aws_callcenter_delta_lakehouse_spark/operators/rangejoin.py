@@ -82,18 +82,31 @@ def interval_overlap_join(
 
     Right-side columns are renamed with ``suffix``. The exact overlap
     predicate filters after the bucket equi-join.
+
+    Precondition: ``lo <= hi`` per row. A malformed (inverted) interval
+    matches nothing under the half-open overlap predicate anyway, so
+    its bucket sequence is guarded to empty — without the guard
+    ``F.sequence(lb, hb)`` would silently auto-step -1 and explode a
+    DESCENDING bucket run (wasted work the exact predicate then
+    discards).
     """
+
+    def _buckets(lb_col, hb_col):
+        return F.when(
+            lb_col <= hb_col, F.sequence(lb_col, hb_col)
+        ).otherwise(F.array().cast("array<long>"))
+
     lb = F.floor(F.col(lo) / F.lit(bucket_width)).cast("long")
     hb = F.floor(F.col(hi) / F.lit(bucket_width)).cast("long")
     l = left.withColumn("__lb", lb).withColumn(
-        _BUCKET, F.explode(F.sequence(lb, hb))
+        _BUCKET, F.explode(_buckets(lb, hb))
     )
     r = right.select(
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns]
     )
     rlb = F.floor(F.col(f"{lo}{suffix}") / F.lit(bucket_width)).cast("long")
     rhb = F.floor(F.col(f"{hi}{suffix}") / F.lit(bucket_width)).cast("long")
-    r = r.withColumn("__rb", rlb).withColumn(_BUCKET, F.explode(F.sequence(rlb, rhb)))
+    r = r.withColumn("__rb", rlb).withColumn(_BUCKET, F.explode(_buckets(rlb, rhb)))
     joined = (
         l.join(r, on=_BUCKET)
         .filter(

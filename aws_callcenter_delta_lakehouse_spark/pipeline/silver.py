@@ -21,7 +21,7 @@ from ..functions.validation import (
     REJECT_COL,
     callcenter_rules,
     split_valid_invalid,
-    validate,
+    validate_observed,
 )
 from ..sources import managed_table
 
@@ -59,23 +59,24 @@ def silver_job(
     """Run the full Silver flow; returns row-count telemetry."""
     processing_date = processing_date or dt.date.today()
 
-    validated = _stamp(
-        validate(read_raw_calls(spark, source_csv), callcenter_rules()),
-        processing_date,
+    # Telemetry rides the write actions via df.observe — no dedicated
+    # count() passes (at 100 TB a metrics count is a second full scan).
+    # The observe node sits ABOVE the valid/invalid filters, and every
+    # action that can complete it first (the merge path's dup probe, the
+    # staged write) contains an aggregate or full write, so the metrics
+    # always reflect the complete input.
+    observed, obs = validate_observed(
+        read_raw_calls(spark, source_csv), callcenter_rules()
     )
+    validated = _stamp(observed, processing_date)
     valid_df, invalid_df = split_valid_invalid(validated)
-    clean_valid_df = valid_df.drop(REJECT_COL)
-
-    # Avoid the reference's double CSV scan (SURVEY §3.1 step 7): both
-    # branches share one materialization.
-    clean_valid_df = clean_valid_df.cache()
-    invalid_df = invalid_df.cache()
+    # the MERGE path consumes the valid branch more than once (dup
+    # probe + anti-join write) — share one materialization
+    clean_valid_df = valid_df.drop(REJECT_COL).cache()
     try:
         action = managed_table.write_or_merge(
             spark, clean_valid_df, silver_path, SILVER_KEYS, PARTITIONS
         )
-        n_valid, n_invalid = clean_valid_df.count(), invalid_df.count()
-
         invalid_out = (
             invalid_df.withColumn("run_id", F.lit(run_id))
             if run_id is not None
@@ -84,5 +85,7 @@ def silver_job(
         managed_table.append_partitioned(invalid_out, exception_path, PARTITIONS)
     finally:
         clean_valid_df.unpersist()
-        invalid_df.unpersist()
-    return {"valid": n_valid, "invalid": n_invalid, "action": action}
+    metrics = obs.get
+    n_rows = int(metrics["n_rows"] or 0)
+    n_invalid = int(metrics["n_invalid"] or 0)
+    return {"valid": n_rows - n_invalid, "invalid": n_invalid, "action": action}

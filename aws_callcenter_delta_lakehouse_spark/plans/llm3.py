@@ -110,11 +110,42 @@ def pack_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_quantized_int8")  # approximate by construction — rows-only
+@query(
+    "similarity_quantized_int8",
+    oracle="""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s AS (SELECT vec_id, embedding,
+                 list_max(list_transform(embedding,
+                                         y -> abs(CAST(y AS DOUBLE)))) / 127.0
+                   AS scale
+          FROM embeddings),
+    z AS (SELECT vec_id,
+                 CASE WHEN scale > 0
+                      THEN list_transform(embedding,
+                             x -> floor(CAST(x AS DOUBLE) / scale + 0.5))
+                      ELSE list_transform(embedding, x -> CAST(0 AS DOUBLE))
+                 END AS qvec
+          FROM s)
+    SELECT z.vec_id,
+           floor(
+             list_sum(list_transform(range(1, 65),
+                        i -> z.qvec[i] * CAST(q.qv[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> z.qvec[i] * z.qvec[i])))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+             * 10000 + 0.5) / 10000 AS sim
+    FROM z, q
+    ORDER BY sim DESC, vec_id LIMIT 10
+    """,
+)
 def similarity_quantized_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-10 to vec_id=0 over int8-quantized vectors — the
     4x-smaller memory-bandwidth path. Recall vs the exact float path is
-    pinned in tests (cosine is scale-invariant so no dequantization)."""
+    pinned in tests (cosine is scale-invariant so no dequantization).
+    The affine quantization itself is exact integer math (floor of a
+    double division), so the whole query is oracle-checkable — the
+    DuckDB side replays quantize-then-cosine verbatim."""
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q")
@@ -223,7 +254,38 @@ def udtf_word_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_audio_windows")  # fake int8 decode — rows-only
+@query(
+    "multimodal_audio_windows",
+    # The stand-in decode treats each UTF-8 payload byte as one int8
+    # PCM sample; the corpus is pure ASCII, so DuckDB can replay the
+    # framing with code points. RMS is sqrt(integer_ssq / n) — one
+    # correctly-rounded division + sqrt, bit-equal across engines.
+    oracle="""
+    WITH d AS (SELECT doc_id, text, len(text) AS n
+               FROM documents WHERE doc_id < 50),
+    s AS (SELECT doc_id, n,
+                 list_transform(range(1, n + 1),
+                                i -> CAST(unicode(text[i]) AS BIGINT)) AS pcm
+          FROM d),
+    w AS (SELECT doc_id, n, pcm,
+                 unnest(range(0, greatest(n - 400 + 1, 1), 160)) AS start
+          FROM s),
+    f AS (SELECT doc_id,
+                 CAST(start // 160 AS INT) AS window_idx,
+                 start * 1000.0 / 16000 AS start_ms,
+                 (start + least(400, n - start)) * 1000.0 / 16000 AS end_ms,
+                 CAST(least(400, n - start) AS INT) AS n_samples,
+                 list_sum(list_transform(
+                     range(start + 1, start + least(400, n - start) + 1),
+                     i -> pcm[i] * pcm[i])) AS ssq
+          FROM w)
+    SELECT doc_id, window_idx, start_ms, end_ms, n_samples,
+           CASE WHEN n_samples > 0
+                THEN sqrt(CAST(ssq AS DOUBLE) / n_samples)
+                ELSE 0.0 END AS rms
+    FROM f
+    """,
+)
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio framing (25ms window / 10ms hop at 16kHz) over opaque
     payloads via Arrow-batched mapInPandas — window timestamps + RMS

@@ -44,6 +44,10 @@ def refresh_count_sum_aggregate(
     reaches zero drop out — exactly the rows a recompute would not
     produce. Returns the refreshed aggregate; parity with a full
     recompute is pinned in tests/test_incremental.py.
+
+    The join is NULL-SAFE on the grouping keys (GROUP BY puts all NULL
+    keys in one group, so the delta for a NULL-keyed group must merge
+    into the old NULL-keyed row, not dangle beside it).
     """
     sums = dict(sums or {})
     sign = F.when(
@@ -52,11 +56,20 @@ def refresh_count_sum_aggregate(
     delta_aggs = [F.sum(sign).alias("__dcount")] + [
         F.sum(sign * F.col(src)).alias(f"__d_{out}") for out, src in sums.items()
     ]
-    delta = changes.groupBy(*keys).agg(*delta_aggs)
+    delta = changes.groupBy(*keys).agg(*delta_aggs).withColumnsRenamed(
+        {k: f"__dk_{k}" for k in keys}
+    )
+    cond = None
+    for k in keys:
+        c = old_agg[k].eqNullSafe(delta[f"__dk_{k}"])
+        cond = c if cond is None else (cond & c)
     refreshed = (
-        old_agg.join(delta, on=list(keys), how="full_outer")
+        old_agg.join(delta, on=cond, how="full_outer")
         .select(
-            *keys,
+            *[
+                F.coalesce(old_agg[k], delta[f"__dk_{k}"]).alias(k)
+                for k in keys
+            ],
             (
                 F.coalesce(F.col(count_col), F.lit(0))
                 + F.coalesce(F.col("__dcount"), F.lit(0))

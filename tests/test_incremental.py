@@ -79,3 +79,32 @@ def test_incremental_refresh_noop_changes(spark, tmp_path):
         sums={"sum_cents": "cents"},
     )
     assert _snap(refreshed) == _snap(old_agg)
+
+
+def test_incremental_refresh_null_grouping_key(spark, tmp_path):
+    # GROUP BY collects all NULL keys into ONE group; the refresh join
+    # must be null-safe so the NULL group's delta merges into its old
+    # row instead of dangling beside it (stale row + unmerged delta)
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, None, 100), (2, None, 50), (3, "a", 7)],
+        "id long, grp string, cents long",
+    )
+    mt.initial_write(base, path, keys=("id",))
+    v0 = mt.table_version(path)
+    old_agg = _agg(mt.read(spark, path)).localCheckpoint(eager=True)
+
+    # insert another NULL-keyed row and delete one: net NULL group
+    # change (+1 row, -50+11 cents); group 'a' untouched
+    src = spark.createDataFrame([(4, None, 11)], "id long, grp string, cents long")
+    mt.merge_upsert(spark, path, src, keys=("id",))
+    mt.delete_where(spark, path, "id = 2")
+    changes = mt.read_changes(spark, path, v0, mt.table_version(path), keys=("id",))
+
+    refreshed = refresh_count_sum_aggregate(
+        old_agg, changes, keys=["grp"], count_col="n_rows",
+        sums={"sum_cents": "cents"},
+    )
+    assert _snap(refreshed) == _snap(_agg(mt.read(spark, path)))
+    # exactly ONE row for the NULL group
+    assert sum(1 for r in refreshed.collect() if r.grp is None) == 1

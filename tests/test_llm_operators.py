@@ -652,3 +652,18 @@ def test_interval_overlap_join_dedup_and_half_open(spark):
     # multi-bucket pair emitted exactly once (no distinct in the plan)
     ab = [r for r in out.collect() if {r.name, r.name_r} == {"a", "b"}]
     assert len(ab) == 2  # once per direction, once each
+
+
+def test_interval_overlap_join_inverted_interval_yields_nothing(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    # inverted interval (lo > hi) violates the documented precondition:
+    # it must match nothing AND produce no descending bucket explosion
+    iv = spark.createDataFrame(
+        [("ok", 0, 100), ("bad", 500, -500)], "name string, lo long, hi long"
+    )
+    out = interval_overlap_join(iv, iv, "lo", "hi", bucket_width=10.0)
+    names = {(r.name, r.name_r) for r in out.collect()}
+    assert names == {("ok", "ok")}

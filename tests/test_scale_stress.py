@@ -1,0 +1,123 @@
+"""Scale-stress harness: the heavy LLM-pipeline operators must scale
+near-LINEARLY in input rows.
+
+``tests/test_scale_plans.py`` pins shuffle SHAPE (what gets exchanged);
+this pins the CONSTANT: a synthetic corpus is generated at 1x and 10x
+(pure Spark column expressions, seeded hashes — no dependency on the
+driver's testdata), each heavy registry query runs against both, and
+the wall-clock ratio is bounded. A quadratic all-pairs regression shows
+up as a ~100x ratio; genuine linear scaling lands well under the bound
+even with scheduler noise (fixed per-job overhead makes the small run
+look relatively slower, pushing ratios DOWN).
+
+The bound is deliberately generous (25x for 10x data) because
+wall-clock on a shared machine is noisy — this is a tripwire for
+complexity regressions, not a benchmark.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY
+
+_VOCAB = (
+    "join hash row batch scan customer column filter small slow merge "
+    "order vector line data table agg value key stream window spark a "
+    "group part big sort query fast the dup"
+).split()
+
+N_SMALL = 1500
+SCALE = 10
+RATIO_BOUND = 25.0
+
+STRESS_QUERIES = (
+    "dedup_minhash_lsh",
+    "dedup_cluster_summary",
+    "similarity_ivf_kmeans",
+    "similarity_pq_adc",
+    "bpe_merges",
+)
+
+
+def _synth_corpus(spark, out_dir: str, n_docs: int, seed: int = 7) -> None:
+    """documents + embeddings parquet with the testdata schema, fully
+    deterministic (hash-derived), ~6% near-duplicate docs (every 17th
+    doc re-generates from its predecessor's id so dedup ops have real
+    clusters to find)."""
+    base = F.when(
+        (F.pmod(F.col("doc_id"), 17) == 0) & (F.col("doc_id") > 0),
+        F.col("doc_id") - 1,
+    ).otherwise(F.col("doc_id"))
+    words_per_doc = 80
+    word = lambda i: F.element_at(  # noqa: E731
+        F.array(*[F.lit(w) for w in _VOCAB]),
+        (F.pmod(F.xxhash64(base, F.lit(i), F.lit(seed)), len(_VOCAB)) + 1).cast(
+            "int"
+        ),
+    )
+    docs = (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "text", F.concat_ws(" ", *[word(i) for i in range(words_per_doc)])
+        )
+        .select(
+            "doc_id",
+            "text",
+            F.lit("en").alias("lang"),
+            F.concat(
+                F.lit("src"), F.pmod(F.col("doc_id"), 4).cast("string")
+            ).alias("source"),
+            F.length("text").alias("n_chars"),
+        )
+    )
+    docs.write.mode("overwrite").parquet(out_dir + "/documents.parquet")
+    emb = (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "vec_id")
+        .select(
+            "vec_id",
+            F.array(
+                *[
+                    (
+                        F.xxhash64(F.col("vec_id"), F.lit(j), F.lit(seed))
+                        / F.lit(float(1 << 63))
+                    ).cast("float")
+                    for j in range(64)
+                ]
+            ).alias("embedding"),
+            F.pmod(F.col("vec_id"), 8).cast("int").alias("label"),
+        )
+    )
+    emb.write.mode("overwrite").parquet(out_dir + "/embeddings.parquet")
+
+
+def _run(spark, name: str, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+@pytest.mark.slow
+def test_heavy_ops_scale_near_linearly(spark, tmp_path):
+    small = str(tmp_path / "x1")
+    big = str(tmp_path / "x10")
+    _synth_corpus(spark, small, N_SMALL)
+    _synth_corpus(spark, big, N_SMALL * SCALE)
+
+    failures = []
+    for name in STRESS_QUERIES:
+        _run(spark, name, small)  # warm codegen/JIT for this plan shape
+        t_small = max(_run(spark, name, small), 0.5)
+        t_big = _run(spark, name, big)
+        ratio = t_big / t_small
+        if ratio > RATIO_BOUND:
+            failures.append((name, round(t_small, 2), round(t_big, 2), round(ratio, 1)))
+    assert not failures, (
+        f"superlinear scaling at {SCALE}x rows (bound {RATIO_BOUND}x): "
+        f"{failures}"
+    )
