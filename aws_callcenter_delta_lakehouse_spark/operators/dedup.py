@@ -151,16 +151,16 @@ def minhash_signature(
     )
 
 
-def lsh_candidates(
+def lsh_band_buckets(
     signatures: DataFrame,
     id_col: str,
     bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band bucket
-    become a candidate pair. P(candidate | jaccard=s) = 1-(1-s^r)^b —
-    16x4 gives ~.9998 recall at s=0.9. Shuffle = (doc, band) rows, then
-    pairs within buckets only."""
+    """(id, band, bucket) — each doc's ``bands`` band-bucket hashes.
+    This IS the persistable LSH index: store it once per corpus shard
+    and incremental dedup probes it without re-signaturing the corpus
+    (:func:`minhash_lsh_incremental_pairs`)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -173,9 +173,22 @@ def lsh_candidates(
             for b in range(bands)
         ]
     )
-    buckets = signatures.select(
+    return signatures.select(
         F.col(id_col), F.explode(band_structs).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def lsh_candidates(
+    signatures: DataFrame,
+    id_col: str,
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band bucket
+    become a candidate pair. P(candidate | jaccard=s) = 1-(1-s^r)^b —
+    16x4 gives ~.9998 recall at s=0.9. Shuffle = (doc, band) rows, then
+    pairs within buckets only."""
+    buckets = lsh_band_buckets(signatures, id_col, bands, rows_per_band)
     l = buckets.select(F.col(id_col).alias("d1"), "band", "bucket")
     r = buckets.select(F.col(id_col).alias("d2"), "band", "bucket")
     return (
@@ -205,6 +218,89 @@ def minhash_lsh_dedup_pairs(
     cands = lsh_candidates(sigs, id_col, bands, num_hashes // bands)
     sh = shingle(df, id_col, text_col, n, distinct=True)
     return jaccard_pairs(sh, id_col, candidates=cands, threshold=threshold)
+
+
+def minhash_lsh_probe_pairs(
+    index_buckets: DataFrame,
+    index_shingles: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: probe an arriving shard against a
+    stored LSH index without re-signaturing the indexed corpus.
+
+    ``index_buckets``: the persisted ``lsh_band_buckets`` table of the
+    corpus (one (id, band, bucket) row per band per doc);
+    ``index_shingles``: the persisted distinct-shingle table (for the
+    exact-Jaccard verify). Both are written ONCE when a shard is
+    ingested, so adding N new docs to a T-doc corpus costs
+    O(N * bands) probe rows + the verify joins — never O(T). This is
+    the only shape that works at 100 TB: the corpus-side work happened
+    at ingest, amortized across arrivals.
+
+    Candidates are every (new, indexed-or-new) pair sharing a band
+    bucket — new-vs-new pairs are included (an arriving shard can
+    self-duplicate). Returns (d1, d2, jaccard >= threshold) with
+    d1 < d2, exactly like the batch pipeline.
+    """
+    rows_per_band = num_hashes // bands
+    new_sigs = minhash_signature(
+        shingle(incoming, id_col, text_col, n, distinct=False), id_col, num_hashes
+    )
+    new_buckets = lsh_band_buckets(new_sigs, id_col, bands, rows_per_band)
+    probe_side = index_buckets.unionByName(new_buckets)
+    cands = (
+        new_buckets.select(F.col(id_col).alias("__new"), "band", "bucket")
+        .join(
+            probe_side.select(F.col(id_col).alias("__other"), "band", "bucket"),
+            on=["band", "bucket"],
+        )
+        .filter(F.col("__new") != F.col("__other"))
+        .select(
+            F.least("__new", "__other").alias("d1"),
+            F.greatest("__new", "__other").alias("d2"),
+        )
+        .distinct()
+    )
+    all_shingles = index_shingles.unionByName(
+        shingle(incoming, id_col, text_col, n, distinct=True)
+    )
+    return jaccard_pairs(all_shingles, id_col, candidates=cands, threshold=threshold)
+
+
+def minhash_lsh_incremental_pairs(
+    indexed: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Convenience wrapper over :func:`minhash_lsh_probe_pairs` that
+    builds the index tables inline from ``indexed`` (production stores
+    them; ``tests/test_llm_operators.py`` exercises the stored-index
+    path through a managed table)."""
+    sigs = minhash_signature(
+        shingle(indexed, id_col, text_col, n, distinct=False), id_col, num_hashes
+    )
+    return minhash_lsh_probe_pairs(
+        lsh_band_buckets(sigs, id_col, bands, num_hashes // bands),
+        shingle(indexed, id_col, text_col, n, distinct=True),
+        incoming,
+        id_col,
+        text_col,
+        n,
+        threshold,
+        num_hashes,
+        bands,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -73,6 +73,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", round_portable(F.col("jaccard"), 4).alias("jaccard"))
 
 
+@query(
+    "dedup_minhash_incremental",
+    oracle=_SHINGLE_CTE
+    + """
+    SELECT d1, d2, floor(k * 1.0 / (s1.n + s2.n - k) * 10000 + 0.5) / 10000 AS jaccard
+    FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE k * 1.0 / (s1.n + s2.n - k) >= 0.8
+      AND (d1 % 10 = 7 OR d2 % 10 = 7)
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: docs with doc_id % 10 == 7 play the
+    ARRIVING shard, the rest the already-indexed corpus. The arriving
+    side is signatured and probed against the (persistable) band-bucket
+    index — corpus-side work is O(existing index), never a re-shingle
+    of history. Oracle: the exact all-pairs Jaccard restricted to pairs
+    touching the arriving shard — identical because banding recall at
+    j>=0.8 is 1 here and the verify step removes false positives, same
+    as the batch query."""
+    from ..operators.dedup import minhash_lsh_incremental_pairs
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    incoming = docs.filter(F.pmod(F.col("doc_id"), 10) == 7)
+    indexed = docs.filter(F.pmod(F.col("doc_id"), 10) != 7)
+    pairs = minhash_lsh_incremental_pairs(
+        indexed, incoming, "doc_id", "text", threshold=0.8
+    )
+    return pairs.select(
+        "d1", "d2", round_portable(F.col("jaccard"), 4).alias("jaccard")
+    )
+
+
 _NGRAM_DF_CAP = 10
 
 @query(
@@ -329,10 +361,62 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, every_n_bytes=64)
 
 
-@query("similarity_ivf")  # approximate by construction — rows-only
+@query(
+    "similarity_ivf",
+    # Approximate vs BRUTE FORCE, but fully deterministic end to end
+    # (seeded centroids, argmax assignment, rounded cosine, id
+    # tie-breaks) — so the oracle replays the IVF algorithm itself.
+    oracle="""
+    WITH c AS (SELECT vec_id AS centroid_id, embedding AS cvec
+               FROM embeddings ORDER BY vec_id LIMIT 16),
+    cn AS (SELECT centroid_id,
+                  list_transform(cvec, x -> CAST(x AS DOUBLE) /
+                    sqrt(list_sum(list_transform(cvec,
+                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS cv
+           FROM c),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, cn.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY -list_sum(list_transform(range(1, 65),
+                            i -> CAST(e.embedding[i] AS DOUBLE) * cn.cv[i])),
+                          cn.centroid_id) AS arn
+        FROM embeddings e, cn) WHERE arn = 1),
+    q AS (SELECT vec_id AS q_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 5),
+    probes AS (
+      SELECT q.q_id, q.q_vec, cn.centroid_id,
+             row_number() OVER (PARTITION BY q.q_id
+               ORDER BY -list_sum(list_transform(range(1, 65),
+                          i -> CAST(q.q_vec[i] AS DOUBLE) * cn.cv[i])),
+                        cn.centroid_id) AS rn
+      FROM q, cn),
+    cand AS (
+      SELECT p.q_id, a.vec_id,
+             floor(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(p.q_vec[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(p.q_vec[i] AS DOUBLE) * CAST(p.q_vec[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))))
+               * 1e4 + 0.5) / 1e4 AS sim
+      FROM (SELECT * FROM probes WHERE rn <= 4) p
+      JOIN assigned a USING (centroid_id)),
+    ranked AS (
+      SELECT q_id, vec_id, sim,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY sim DESC, vec_id) AS rk
+      FROM cand)
+    SELECT q_id, vec_id, sim FROM ranked WHERE rk <= 5
+    """,
+)
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (16 deterministic centroids, nprobe=4): first 5 vectors
-    as queries. Recall vs brute force asserted in unit tests."""
+    as queries. Recall vs brute force asserted in unit tests; the IVF
+    pipeline itself (normalize-once centroids, zero-shuffle argmax
+    assignment, nprobe probe selection, in-cell exact cosine, top-k) is
+    deterministic and differentially checked against a DuckDB replay."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table_parallel(spark, sf_dir, "embeddings")

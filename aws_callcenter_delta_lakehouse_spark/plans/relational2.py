@@ -390,3 +390,34 @@ def hll_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           floor(SUM(e.value) * 1e2 + 0.5) / 1e2 AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skewed join feeding an aggregate (operators/skew.py
+    salted_join): the fact side carries a salt, the dimension is
+    replicated once per salt value, so a zipfian-hot user cannot
+    funnel through one task — the explicit form of what AQE's
+    skew-split does for sort-merge joins, usable where AQE can't
+    reach (aggregation-feeding joins). Results identical to the
+    plain join (the oracle)."""
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, on=["user_id"], num_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        round_portable(F.sum("value"), 2).alias("sum_value"),
+    )

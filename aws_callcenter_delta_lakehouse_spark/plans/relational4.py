@@ -110,24 +110,51 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("grouped_map_zscore")  # Pandas-tier; tolerance-tested vs SQL in tests
+@query(
+    "grouped_map_zscore",
+    # exact differential check of the Pandas tier: integer means are
+    # exact, and z is rounded to 4 digits on BOTH sides (pandas'
+    # pairwise float sums vs DuckDB's streaming variance agree well
+    # inside 1e-4)
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN count(*) OVER (PARTITION BY lang) <= 1
+                  OR stddev_samp(n_chars) OVER (PARTITION BY lang) = 0
+                THEN 0.0
+                ELSE floor((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                           / stddev_samp(n_chars) OVER (PARTITION BY lang)
+                           * 1e4 + 0.5) / 1e4
+           END AS z
+    FROM documents
+    """,
+)
 def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-map applyInPandas: per-language z-score of document
     length. The Pandas tier exists for semantics built-ins can't express;
-    this one CAN be (and is, in tests) cross-checked against the
-    window-function formulation. Worker fn self-contained."""
+    this one CAN be cross-checked against the window-function
+    formulation — both in tests and differentially against DuckDB.
+    Worker fn self-contained."""
+    from ..functions.scalars import round_portable
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     def zscore(pdf):
+        import pandas as _pd
+
         mu = pdf["n_chars"].mean()
         sd = pdf["n_chars"].std(ddof=1)
         out = pdf.copy()
-        out["z"] = 0.0 if sd == 0 else (pdf["n_chars"] - mu) / sd
+        out["z"] = (
+            0.0
+            if (_pd.isna(sd) or sd == 0)
+            else (pdf["n_chars"] - mu) / sd
+        )
         return out
 
-    return docs.groupBy("lang").applyInPandas(
+    raw = docs.groupBy("lang").applyInPandas(
         zscore, schema="doc_id long, lang string, n_chars long, z double"
     )
+    return raw.withColumn("z", round_portable(F.col("z"), 4))
 
 
 @query(

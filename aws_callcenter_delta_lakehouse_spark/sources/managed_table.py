@@ -281,9 +281,13 @@ def merge_upsert(
     schema_evolution: bool = False,
     validate_source: bool = True,
     max_history: int = 2,
+    txn: dict | None = None,
 ) -> None:
     """UPSERT keyed on ``keys`` — whenMatchedUpdateAll +
     whenNotMatchedInsertAll (01_silver_delta_upsert.py:103-112).
+    ``txn`` metadata commits atomically with the merged snapshot
+    (see :func:`commit_overwrite` / :func:`table_txn`) — the
+    Delta ``txnAppId``/``txnVersion`` idempotent-writer analogue.
 
     ``validate_source=True`` enforces the documented Delta MERGE
     contract: multiple source rows matching the SAME target row is an
@@ -343,7 +347,7 @@ def merge_upsert(
             )
         merged = untouched.unionByName(source.select(*target.columns))
 
-    _commit_snapshot(merged, path, keys, partition_by, max_history)
+    _commit_snapshot(merged, path, keys, partition_by, max_history, txn)
 
 
 def _commit_snapshot(
@@ -352,9 +356,11 @@ def _commit_snapshot(
     keys: Sequence[str],
     partition_by: Sequence[str],
     max_history: int,
+    txn: dict | None = None,
 ) -> None:
     commit_overwrite(
-        df, path, keys=keys, partition_by=partition_by, max_history=max_history
+        df, path, keys=keys, partition_by=partition_by, max_history=max_history,
+        txn=txn,
     )
 
 

@@ -361,3 +361,58 @@ def foreach_batch_incremental_gold(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def foreach_batch_merge_upsert(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    dedupe_order_col: str | None = None,
+) -> "object":
+    """Streaming MERGE-upsert sink: every micro-batch UPSERTs into the
+    managed table keyed on ``keys`` — the reference's late-data MERGE
+    (01_silver_delta_upsert.py:99-112) as a continuously-running sink.
+    Late or corrected records simply arrive in a later batch and
+    overwrite their key's row.
+
+    ``dedupe_order_col``: when a batch can carry multiple versions of
+    one key, keep the row with the highest value of this column
+    (latest-wins) — otherwise the merge enforces Delta's key-unique
+    source contract and raises.
+
+    Exactly-once: the applied epoch rides the same atomic
+    stage-and-swap commit as the merged data (``merge_upsert(txn=)``),
+    so a replayed micro-batch after a crash is skipped — never
+    double-merged (same contract, and same fault-injection test shape,
+    as ``foreach_batch_incremental_gold``)."""
+    from pyspark.sql import Window
+
+    from ..sources import managed_table as mt
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = int(mt.table_txn(path).get("last_epoch", -1))
+        if epoch_id <= last:
+            return  # replayed batch: already merged
+        src = batch_df
+        if dedupe_order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(
+                F.desc(dedupe_order_col)
+            )
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        txn = {"last_epoch": int(epoch_id)}
+        if mt.is_table(spark, path):
+            mt.merge_upsert(spark, path, src, keys=keys, txn=txn)
+        else:
+            mt.commit_overwrite(src, path, keys=tuple(keys), txn=txn)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

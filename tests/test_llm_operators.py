@@ -667,3 +667,49 @@ def test_interval_overlap_join_inverted_interval_yields_nothing(spark):
     out = interval_overlap_join(iv, iv, "lo", "hi", bucket_width=10.0)
     names = {(r.name, r.name_r) for r in out.collect()}
     assert names == {("ok", "ok")}
+
+
+def test_minhash_incremental_probe_matches_batch(spark, tmp_path):
+    """Stored-index incremental path: persist the band-bucket + shingle
+    tables for the 'first 90%' corpus in managed tables, probe the
+    arriving 10% against them, and compare with a full batch recompute
+    restricted to pairs touching the arrivals."""
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+    from aws_callcenter_delta_lakehouse_spark.operators.dedup import (
+        lsh_band_buckets,
+        minhash_lsh_dedup_pairs,
+        minhash_lsh_probe_pairs,
+        minhash_signature,
+        shingle,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from tests.conftest import SF001
+
+    docs = load_table(spark, SF001, "documents")
+    incoming = docs.filter(F.pmod(F.col("doc_id"), 10) == 7)
+    indexed = docs.filter(F.pmod(F.col("doc_id"), 10) != 7)
+
+    # ingest-time artifacts, persisted once
+    bpath, spath = str(tmp_path / "buckets"), str(tmp_path / "shingles")
+    sigs = minhash_signature(
+        shingle(indexed, "doc_id", "text", distinct=False), "doc_id"
+    )
+    mt.initial_write(lsh_band_buckets(sigs, "doc_id"), bpath, keys=("doc_id",))
+    mt.initial_write(
+        shingle(indexed, "doc_id", "text", distinct=True), spath, keys=("doc_id",)
+    )
+
+    got = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_probe_pairs(
+            mt.read(spark, bpath), mt.read(spark, spath), incoming,
+            "doc_id", "text", threshold=0.8,
+        ).collect()
+    }
+    new_ids = {r.doc_id for r in incoming.select("doc_id").collect()}
+    want = {
+        (r.d1, r.d2)
+        for r in minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8).collect()
+        if r.d1 in new_ids or r.d2 in new_ids
+    }
+    assert got == want

@@ -228,3 +228,69 @@ def test_incremental_gold_across_micro_batches(spark, tmp_path):
         for r in mt.read(spark, agg_path).collect()
     }
     assert got == {("click", 3, 13), ("view", 1, 5), ("buy", 1, 7)}
+
+
+def test_merge_upsert_sink_latest_wins_and_replay_skip(spark, tmp_path):
+    """Streaming MERGE sink: intra-batch duplicates collapse latest-wins,
+    cross-batch updates overwrite, and a restart (which replays nothing
+    new) leaves the table and its epoch txn untouched."""
+    import shutil
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        foreach_batch_merge_upsert,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    a = spark.createDataFrame(
+        [(1, "a1", 10), (2, "b1", 20), (1, "a2", 30)],  # key 1 twice: seq 30 wins
+        "id long, v string, seq long",
+    )
+    b = spark.createDataFrame(
+        [(2, "b2", 40), (3, "c1", 50)], "id long, v string, seq long"
+    )
+
+    def _feed(df, name):
+        tmp = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            shutil.copy(f, src / (name + ".parquet"))
+
+    def _start():
+        stream = (
+            spark.readStream.schema("id long, v string, seq long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        return foreach_batch_merge_upsert(
+            stream, path, keys=("id",), checkpoint=ckpt,
+            dedupe_order_col="seq",
+        )
+
+    q = _start()
+    try:
+        _feed(a, "a")
+        q.processAllAvailable()
+        _feed(b, "b")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def _snap():
+        return {tuple(r) for r in mt.read(spark, path).collect()}
+
+    want = {(1, "a2", 30), (2, "b2", 40), (3, "c1", 50)}
+    assert _snap() == want
+    epoch = mt.table_txn(path)["last_epoch"]
+
+    # restart with the same checkpoint: no new data, no re-merge
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _snap() == want
+    assert mt.table_txn(path)["last_epoch"] == epoch
