@@ -22,6 +22,8 @@ import glob
 import os
 import shutil
 
+from collections.abc import Sequence
+
 from pyspark.sql import SparkSession
 
 from . import managed_table
@@ -122,6 +124,50 @@ def _compact_partitions(
         os.rename(subdir, backup)
         os.rename(staging, subdir)
         shutil.rmtree(backup)
+    return {"before": before, "after": table_file_stats(path)}
+
+
+def optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    bits: int = 16,
+) -> dict:
+    """Delta ``OPTIMIZE ... ZORDER BY (cols)`` analogue: rewrite the
+    managed table clustered on the Morton interleave of ``cols``
+    (``operators/layout.zorder_layout``) into ~target-sized files, then
+    refresh the ``_stats_manifest.json`` skipping index so point/range
+    predicates on ANY of the clustered columns prune most files — the
+    multi-column data-skipping layout one sort key can't give.
+
+    Routes through ``managed_table.commit_overwrite``: the rewrite is
+    atomic (stage-and-swap), bumps the table version (the pre-image
+    stays time-travel readable), carries constraints forward, and is
+    crash-healed by ``recover``. Unpartitioned tables only — Z-ordering
+    *within* hive partitions would need a per-directory rewrite like
+    ``compact(where=)``.
+
+    At 100 TB this runs as one range-shuffle on the (cheap, computed)
+    Morton key + a sorted write — the same cost profile as Delta's
+    OPTIMIZE, and it never touches the driver."""
+    from ..operators.layout import zorder_layout
+    from .layout import write_stats_manifest
+
+    marker = managed_table._read_marker(path)
+    if marker.get("partition_by"):
+        raise ValueError(
+            "optimize_zorder supports unpartitioned tables; for "
+            "hive-partitioned tables compact partition dirs individually"
+        )
+    before = table_file_stats(path)
+    df = managed_table.read(spark, path)
+    n_out = max(1, before["total_bytes"] // target_file_bytes)
+    clustered = zorder_layout(df, list(cols), int(n_out), bits)
+    managed_table.commit_overwrite(
+        clustered, path, keys=marker.get("keys", []),
+    )
+    write_stats_manifest(path, list(cols))
     return {"before": before, "after": table_file_stats(path)}
 
 

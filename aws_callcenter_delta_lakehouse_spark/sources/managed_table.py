@@ -48,6 +48,20 @@ except ImportError:
 _MARKER = "_engine_table.json"
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another commit landed between this writer's snapshot read and its
+    commit — the emulation's analogue of Delta's
+    ``ConcurrentAppendException`` family. Optimistic concurrency: the
+    caller re-reads and retries. (Coarser than Delta: ANY intervening
+    commit conflicts — the emulation rewrites whole snapshots, so there
+    is no disjoint-files fast path.)"""
+
+
+class ConstraintViolationError(ValueError):
+    """A write contained rows for which a table CHECK constraint
+    evaluated to FALSE (NULL passes, per SQL/Delta CHECK semantics)."""
+
+
 def is_table(spark: SparkSession, path: str) -> bool:
     """Existence probe (DeltaTable.isDeltaTable analogue,
     01_silver_delta_upsert.py:99)."""
@@ -63,6 +77,7 @@ def _write_marker(
     partition_by: Sequence[str],
     version: int = 0,
     txn: dict | None = None,
+    constraints: dict | None = None,
 ) -> None:
     with open(os.path.join(path, _MARKER), "w") as f:
         json.dump(
@@ -72,6 +87,7 @@ def _write_marker(
                 "version": version,
                 "ts": time.time(),
                 "txn": txn or {},
+                "constraints": constraints or {},
             },
             f,
         )
@@ -104,6 +120,66 @@ def table_txn(path: str) -> dict:
     streaming sinks rely on."""
     recover(path)
     return _read_marker(path).get("txn", {})
+
+
+def table_constraints(path: str) -> dict:
+    """Active CHECK constraints: {name: sql_expr}."""
+    recover(path)
+    return _read_marker(path).get("constraints", {})
+
+
+def add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> None:
+    """Delta ``ALTER TABLE ADD CONSTRAINT ... CHECK (expr)`` analogue.
+    Existing rows are validated first (the whole point of a CHECK is
+    that it HOLDS — Delta refuses the ALTER otherwise too); thereafter
+    every commit (merge/delete/update/overwrite) validates its staged
+    snapshot before the swap. NULL evaluations pass (SQL semantics).
+    Metadata-only change: the live marker is atomically replaced."""
+    violating = read(spark, path).filter(
+        F.expr(expr).eqNullSafe(F.lit(False))
+    )
+    if not violating.isEmpty():
+        raise ConstraintViolationError(
+            f"cannot add CHECK constraint {name!r} ({expr}): existing rows "
+            "violate it"
+        )
+    marker = _read_marker(path)
+    marker.setdefault("constraints", {})[name] = expr
+    _replace_marker(path, marker)
+
+
+def drop_constraint(path: str, name: str) -> None:
+    """Remove a CHECK constraint (no-op if absent)."""
+    marker = _read_marker(path)
+    marker.get("constraints", {}).pop(name, None)
+    _replace_marker(path, marker)
+
+
+def _replace_marker(path: str, marker: dict) -> None:
+    tmp = os.path.join(path, _MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(marker, f)
+    os.replace(tmp, os.path.join(path, _MARKER))
+
+
+def _enforce_constraints(
+    spark: SparkSession, staging: str, constraints: dict
+) -> None:
+    """Validate a STAGED snapshot against the table's CHECK constraints
+    before the swap — the staged parquet is scanned (column-pruned to
+    each constraint's inputs), never the input plan re-executed."""
+    if not constraints:
+        return
+    staged = spark.read.parquet(staging)
+    for name, expr in constraints.items():
+        if not staged.filter(F.expr(expr).eqNullSafe(F.lit(False))).isEmpty():
+            shutil.rmtree(staging)
+            raise ConstraintViolationError(
+                f"write violates CHECK constraint {name!r} ({expr}); "
+                "commit aborted, table unchanged"
+            )
 
 
 def recover(path: str) -> None:
@@ -319,6 +395,7 @@ def merge_upsert(
         return
 
     target = read(spark, path)
+    base_version = table_version(path)  # optimistic-concurrency baseline
     src = F.broadcast(source) if broadcast_source else source
     if validate_source:
         dup_matched = (
@@ -347,7 +424,9 @@ def merge_upsert(
             )
         merged = untouched.unionByName(source.select(*target.columns))
 
-    _commit_snapshot(merged, path, keys, partition_by, max_history, txn)
+    _commit_snapshot(
+        merged, path, keys, partition_by, max_history, txn, base_version
+    )
 
 
 def _commit_snapshot(
@@ -357,10 +436,11 @@ def _commit_snapshot(
     partition_by: Sequence[str],
     max_history: int,
     txn: dict | None = None,
+    expected_version: int | None = None,
 ) -> None:
     commit_overwrite(
         df, path, keys=keys, partition_by=partition_by, max_history=max_history,
-        txn=txn,
+        txn=txn, expected_version=expected_version,
     )
 
 
@@ -371,6 +451,7 @@ def commit_overwrite(
     partition_by: Sequence[str] = (),
     max_history: int = 2,
     txn: dict | None = None,
+    expected_version: int | None = None,
 ) -> None:
     """Atomic full-snapshot commit via stage-and-swap — works whether or
     not the table exists yet, so it is also the crash-safe first write.
@@ -380,9 +461,24 @@ def commit_overwrite(
     Delta committing ``txnVersion`` atomically with the files. The
     replaced snapshot is retained under ``<path>__history/`` for
     time-travel reads; a crash at any step is healed by
-    :func:`recover` (old or new snapshot, never a mix)."""
+    :func:`recover` (old or new snapshot, never a mix).
+
+    ``expected_version``: optimistic concurrency — the commit aborts
+    with :class:`ConcurrentWriteError` if the live version no longer
+    matches (checked up front to fail fast, and re-checked after
+    staging so the conflict window shrinks to the rename pair).
+    CHECK constraints of the existing table are enforced against the
+    staged snapshot and carried forward into the new marker."""
     recover(path)
     exists = os.path.exists(os.path.join(path, _MARKER))
+    if expected_version is not None and exists:
+        if table_version(path) != expected_version:
+            raise ConcurrentWriteError(
+                f"{path}: expected version {expected_version}, live is "
+                f"{table_version(path)} — another commit intervened; "
+                "re-read and retry"
+            )
+    constraints = _read_marker(path).get("constraints", {}) if exists else {}
     version = table_version(path) + 1 if exists else 0
     tag = uuid.uuid4().hex[:8]
     staging = f"{path}__staging_{tag}"
@@ -390,8 +486,19 @@ def commit_overwrite(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
+    _enforce_constraints(df.sparkSession, staging, constraints)
     # marker is staged LAST: its presence marks the dir committed-ready
-    _write_marker(staging, keys, partition_by, version=version, txn=txn)
+    _write_marker(
+        staging, keys, partition_by, version=version, txn=txn,
+        constraints=constraints,
+    )
+    if expected_version is not None and exists:
+        if table_version(path) != expected_version:
+            shutil.rmtree(staging)
+            raise ConcurrentWriteError(
+                f"{path}: version advanced past {expected_version} during "
+                "staging — another commit intervened; re-read and retry"
+            )
 
     if not exists:
         if os.path.exists(path):  # unmanaged leftovers — clear, then swap
@@ -435,6 +542,7 @@ def delete_where(
         DeltaTable.forPath(spark, path).delete(cond)
         return
     marker = _read_marker(path)
+    base_version = table_version(path)
     target = read(spark, path)
     kept = target.filter(~F.coalesce(cond, F.lit(False)))
     _commit_snapshot(
@@ -443,6 +551,7 @@ def delete_where(
         marker.get("keys", []),
         marker.get("partition_by", []),
         max_history,
+        expected_version=base_version,
     )
 
 
@@ -462,6 +571,7 @@ def update_where(
         DeltaTable.forPath(spark, path).update(cond, assignments)
         return
     marker = _read_marker(path)
+    base_version = table_version(path)
     target = read(spark, path)
     hit = F.coalesce(cond, F.lit(False))
     updated = target.withColumns(
@@ -476,6 +586,7 @@ def update_where(
         marker.get("keys", []),
         marker.get("partition_by", []),
         max_history,
+        expected_version=base_version,
     )
 
 

@@ -58,3 +58,77 @@ def test_dml_bumps_version_and_time_travel_reads_old(spark, tmp_path):
     old = mt.read(spark, path, version=v0)
     assert old.count() == 4
     assert mt.read(spark, path).count() == 3
+
+
+def test_check_constraint_lifecycle(spark, tmp_path):
+    """Delta CHECK-constraint analogue: add validates existing rows,
+    subsequent merges enforce against the staged snapshot (table
+    unchanged on violation), NULL passes, drop lifts the rule."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id long, qty long")
+    mt.initial_write(df, path, keys=("id",))
+
+    mt.add_constraint(spark, path, "qty_positive", "qty > 0")
+    assert mt.table_constraints(path) == {"qty_positive": "qty > 0"}
+
+    # adding a constraint existing rows violate must refuse
+    with pytest.raises(mt.ConstraintViolationError):
+        mt.add_constraint(spark, path, "qty_big", "qty > 15")
+
+    # violating merge aborts atomically: table + version untouched
+    v = mt.table_version(path)
+    bad = spark.createDataFrame([(3, -5)], "id long, qty long")
+    with pytest.raises(mt.ConstraintViolationError):
+        mt.merge_upsert(spark, path, bad, keys=("id",))
+    assert mt.table_version(path) == v
+    assert {tuple(r) for r in mt.read(spark, path).collect()} == {(1, 10), (2, 20)}
+
+    # NULL passes (SQL CHECK semantics), constraint carried across commits
+    ok = spark.createDataFrame([(3, None), (4, 40)], "id long, qty long")
+    mt.merge_upsert(spark, path, ok, keys=("id",))
+    assert mt.table_constraints(path) == {"qty_positive": "qty > 0"}
+    with pytest.raises(mt.ConstraintViolationError):
+        mt.merge_upsert(
+            spark, path,
+            spark.createDataFrame([(5, 0)], "id long, qty long"), keys=("id",),
+        )
+
+    mt.drop_constraint(path, "qty_positive")
+    mt.merge_upsert(
+        spark, path, spark.createDataFrame([(5, -1)], "id long, qty long"),
+        keys=("id",),
+    )
+    assert (5, -1) in {tuple(r) for r in mt.read(spark, path).collect()}
+
+
+def test_optimistic_concurrency_conflict(spark, tmp_path):
+    """Two writers read the same base version; the first commit wins,
+    the second aborts with ConcurrentWriteError and succeeds on retry —
+    Delta's optimistic-concurrency contract."""
+    import pytest
+
+    path = str(tmp_path / "t")
+    mt.initial_write(
+        spark.createDataFrame([(1, "a")], "id long, v string"), path, keys=("id",)
+    )
+    base = mt.table_version(path)
+
+    # writer A commits first
+    mt.merge_upsert(
+        spark, path, spark.createDataFrame([(2, "b")], "id long, v string"),
+        keys=("id",),
+    )
+    # writer B still believes in `base`
+    with pytest.raises(mt.ConcurrentWriteError):
+        mt.commit_overwrite(
+            spark.createDataFrame([(9, "stale")], "id long, v string"),
+            path, keys=("id",), expected_version=base,
+        )
+    # B retries against the current version and wins
+    mt.commit_overwrite(
+        spark.createDataFrame([(9, "fresh")], "id long, v string"),
+        path, keys=("id",), expected_version=mt.table_version(path),
+    )
+    assert {tuple(r) for r in mt.read(spark, path).collect()} == {(9, "fresh")}

@@ -118,3 +118,42 @@ def test_skipping_without_manifest_uses_footers(spark, tmp_path):
     files, total = pruned_file_list(path, "o_custkey", lo=0, hi=10)
     assert total == 4
     assert len(files) == 1
+
+
+def test_optimize_zorder_managed_table(spark, tmp_path):
+    """OPTIMIZE ZORDER on a managed table: atomic versioned rewrite +
+    refreshed skipping manifest; a range predicate on EITHER clustered
+    column prunes most files, and the data survives byte-identical."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        pruned_file_list,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        optimize_zorder,
+    )
+
+    path = str(tmp_path / "t")
+    grid = spark.range(4096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+    )
+    mt.initial_write(grid, path, keys=("id",))
+    before = {tuple(r) for r in mt.read(spark, path).collect()}
+    v0 = mt.table_version(path)
+
+    # ~16 files of the 4096-row grid
+    stats = optimize_zorder(
+        spark, path, ["a", "b"], target_file_bytes=2000
+    )
+    assert stats["after"]["n_files"] >= 8
+
+    # data identical, version bumped (pre-image time-travel readable)
+    assert {tuple(r) for r in mt.read(spark, path).collect()} == before
+    assert mt.table_version(path) == v0 + 1
+
+    # a 1/8-span range on EITHER column must prune > half the files —
+    # impossible for a single-column sort order, the Z-order payoff
+    for col, lo, hi in (("a", 0, 7), ("b", 0, 7)):
+        kept, total = pruned_file_list(path, col, lo, hi)
+        assert len(kept) <= total / 2, (col, len(kept), total)
