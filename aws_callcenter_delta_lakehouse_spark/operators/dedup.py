@@ -212,11 +212,15 @@ def minhash_lsh_dedup_pairs(
     exact-Jaccard verify. Output (d1, d2, jaccard) with jaccard >=
     threshold. False positives are eliminated by the verify step; false
     negatives are bounded by the banding curve."""
-    sigs = minhash_signature(
-        shingle(df, id_col, text_col, n, distinct=False), id_col, num_hashes
+    # ONE shingle pass feeds both signatures and the verify step:
+    # min() over duplicates equals min() over the distinct set, so the
+    # distinct table (which Jaccard needs anyway) is materialized once
+    # instead of re-scanning + re-shingling the corpus per consumer.
+    sh = shingle(df, id_col, text_col, n, distinct=True).localCheckpoint(
+        eager=False
     )
+    sigs = minhash_signature(sh, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col, bands, num_hashes // bands)
-    sh = shingle(df, id_col, text_col, n, distinct=True)
     return jaccard_pairs(sh, id_col, candidates=cands, threshold=threshold)
 
 
@@ -249,9 +253,12 @@ def minhash_lsh_probe_pairs(
     d1 < d2, exactly like the batch pipeline.
     """
     rows_per_band = num_hashes // bands
-    new_sigs = minhash_signature(
-        shingle(incoming, id_col, text_col, n, distinct=False), id_col, num_hashes
+    # shingle the (small) arriving shard once; reused by signatures and
+    # the verify union below
+    new_sh = shingle(incoming, id_col, text_col, n, distinct=True).localCheckpoint(
+        eager=False
     )
+    new_sigs = minhash_signature(new_sh, id_col, num_hashes)
     new_buckets = lsh_band_buckets(new_sigs, id_col, bands, rows_per_band)
     probe_side = index_buckets.unionByName(new_buckets)
     cands = (
@@ -267,9 +274,7 @@ def minhash_lsh_probe_pairs(
         )
         .distinct()
     )
-    all_shingles = index_shingles.unionByName(
-        shingle(incoming, id_col, text_col, n, distinct=True)
-    )
+    all_shingles = index_shingles.unionByName(new_sh)
     return jaccard_pairs(all_shingles, id_col, candidates=cands, threshold=threshold)
 
 
@@ -287,12 +292,13 @@ def minhash_lsh_incremental_pairs(
     builds the index tables inline from ``indexed`` (production stores
     them; ``tests/test_llm_operators.py`` exercises the stored-index
     path through a managed table)."""
-    sigs = minhash_signature(
-        shingle(indexed, id_col, text_col, n, distinct=False), id_col, num_hashes
+    idx_sh = shingle(indexed, id_col, text_col, n, distinct=True).localCheckpoint(
+        eager=False
     )
+    sigs = minhash_signature(idx_sh, id_col, num_hashes)
     return minhash_lsh_probe_pairs(
         lsh_band_buckets(sigs, id_col, bands, num_hashes // bands),
-        shingle(indexed, id_col, text_col, n, distinct=True),
+        idx_sh,
         incoming,
         id_col,
         text_col,

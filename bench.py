@@ -67,6 +67,11 @@ def main() -> None:
         # cached plans): 100+ queries in one JVM otherwise accumulate
         # sink buffers and drag later (streaming) queries 2-3x.
         spark.catalog.clearCache()
+        # clearCache misses localCheckpoint RDD blocks (they are RDD
+        # persistence, not SQL cache) — unpersist them explicitly or
+        # they pin executor memory for every later query
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
         for t in spark.catalog.listTables():
             if t.isTemporary:
                 spark.catalog.dropTempView(t.name)
