@@ -421,7 +421,9 @@ def test_grouped_map_zscore_matches_window_formulation(spark):
         ((F.col("n_chars") - F.avg("n_chars").over(w)) / F.stddev_samp("n_chars").over(w)).alias("z"),
     ).toPandas()
     merged = got.merge(want, on="doc_id", suffixes=("_p", "_w"))
-    assert ((merged.z_p - merged.z_w).abs() < 1e-9).all()
+    # the registered query rounds z to 4 digits (for its DuckDB oracle);
+    # the window formulation here is unrounded — compare at that grain
+    assert ((merged.z_p - merged.z_w).abs() < 1e-4).all()
 
 
 def test_quantized_topk_recall_vs_exact(spark):

@@ -1,0 +1,79 @@
+"""Model-based testing of the managed-table DML surface: a random
+sequence of merge/delete/update ops runs against both the real table
+and a plain Python dict model; after every op the table must equal the
+model exactly, the version must equal the commit count, and history
+retention must stay bounded.
+
+This is the differential-testing idea the oracle suite applies to
+queries, applied to the WRITE path — where a wrong result is silent
+corruption rather than a failed diff.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+_KEYS = st.integers(0, 9)
+_VALS = st.sampled_from(["a", "b", "c", "d"])
+
+_MERGE = st.dictionaries(_KEYS, _VALS, min_size=1, max_size=4).map(
+    lambda d: ("merge", sorted(d.items()))
+)
+_DELETE = st.integers(0, 9).map(lambda t: ("delete", t))
+_UPDATE = st.tuples(st.integers(0, 2), _VALS).map(lambda p: ("update", p))
+
+_OPS = st.lists(st.one_of(_MERGE, _DELETE, _UPDATE), min_size=1, max_size=5)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS)
+def test_dml_sequence_matches_dict_model(spark, ops):
+    tmp = tempfile.mkdtemp(prefix="mt_model_")
+    path = tmp + "/t"
+    model: dict[int, str] = {}
+    commits = 0
+    try:
+        for op, arg in ops:
+            if op == "merge":
+                src = spark.createDataFrame(arg, "id long, v string")
+                if mt.is_table(spark, path):
+                    mt.merge_upsert(spark, path, src, keys=("id",))
+                else:
+                    mt.initial_write(src, path, keys=("id",))
+                model.update(arg)
+                commits += 1
+            elif not mt.is_table(spark, path):
+                continue  # delete/update on a nonexistent table: skip
+            elif op == "delete":
+                mt.delete_where(spark, path, f"id >= {arg}")
+                model = {k: v for k, v in model.items() if k < arg}
+                commits += 1
+            else:
+                m, newv = arg
+                mt.update_where(
+                    spark, path, f"id % 3 = {m}", {"v": F.lit(newv)}
+                )
+                model = {
+                    k: (newv if k % 3 == m else v) for k, v in model.items()
+                }
+                commits += 1
+
+            got = {(r.id, r.v) for r in mt.read(spark, path).collect()}
+            assert got == set(model.items()), (op, arg)
+            assert mt.table_version(path) == commits - 1
+        # retention: live + retained history only, bounded by default
+        # max_history=2 (initial_write keeps none)
+        assert len(mt.list_versions(path)) <= 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
