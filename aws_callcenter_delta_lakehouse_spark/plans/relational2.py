@@ -421,3 +421,31 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         round_portable(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "events_exact_median",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events)
+    SELECT event_type, n AS n_rows, value AS exact_median
+    FROM s WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+    """,
+)
+def events_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type median via two-pass bracket-and-rank
+    (operators/percentiles.py): an approx_percentile sketch brackets
+    the median with ~500x rank margin, a second pass ranks only the
+    ~10% of rows inside the bracket — exact answer, no global sort.
+    Discrete percentile (lower middle for even n): a value that occurs,
+    selected not computed, hence bit-portable across engines. The
+    oracle is the brute-force window formulation."""
+    from ..operators.percentiles import exact_group_percentile
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return exact_group_percentile(
+        ev, "event_type", "value", p=0.5, out_col="exact_median"
+    )

@@ -715,3 +715,28 @@ def test_minhash_incremental_probe_matches_batch(spark, tmp_path):
         if r.d1 in new_ids or r.d2 in new_ids
     }
     assert got == want
+
+
+def test_exact_group_percentile_small_groups_and_ties(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.percentiles import (
+        exact_group_percentile,
+    )
+
+    rows = (
+        [("odd", float(v)) for v in [5, 1, 3]]            # median 3
+        + [("even", float(v)) for v in [4, 1, 2, 3]]       # lower middle 2
+        + [("ties", float(v)) for v in [2, 2, 2, 7, 9]]    # median 2
+        + [("one", 42.0)]                                  # single row
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r.g, r.n_rows, r.m)
+        for r in exact_group_percentile(df, "g", "v", p=0.5, out_col="m").collect()
+    }
+    assert got == {("odd", 3, 3.0), ("even", 4, 2.0), ("ties", 5, 2.0), ("one", 1, 42.0)}
+    # p90 over 1..10: k = floor(.9*9)+1 = 9
+    ten = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 11)], "g string, v double"
+    )
+    p90 = exact_group_percentile(ten, "g", "v", p=0.9, out_col="m").collect()
+    assert [(r.g, r.m) for r in p90] == [("g", 9.0)]
