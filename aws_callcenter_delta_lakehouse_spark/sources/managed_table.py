@@ -168,17 +168,27 @@ def _enforce_constraints(
     spark: SparkSession, staging: str, constraints: dict
 ) -> None:
     """Validate a STAGED snapshot against the table's CHECK constraints
-    before the swap — the staged parquet is scanned (column-pruned to
-    each constraint's inputs), never the input plan re-executed."""
+    before the swap — ONE scan of the staged parquet (column-pruned to
+    the union of constraint inputs) evaluates every constraint as a
+    conditional aggregate; the input plan is never re-executed."""
     if not constraints:
         return
     staged = spark.read.parquet(staging)
-    for name, expr in constraints.items():
-        if not staged.filter(F.expr(expr).eqNullSafe(F.lit(False))).isEmpty():
+    items = sorted(constraints.items())
+    counts = staged.agg(
+        *[
+            F.sum(F.expr(expr).eqNullSafe(F.lit(False)).cast("long")).alias(
+                f"__c{i}"
+            )
+            for i, (_, expr) in enumerate(items)
+        ]
+    ).first()
+    for i, (name, expr) in enumerate(items):
+        if (counts[f"__c{i}"] or 0) > 0:
             shutil.rmtree(staging)
             raise ConstraintViolationError(
-                f"write violates CHECK constraint {name!r} ({expr}); "
-                "commit aborted, table unchanged"
+                f"write violates CHECK constraint {name!r} ({expr}) for "
+                f"{counts[f'__c{i}']} row(s); commit aborted, table unchanged"
             )
 
 

@@ -393,3 +393,40 @@ def test_global_percent_rank_window_is_pid_partitioned(spark):
         if "SinglePartition" in block:
             # must be the Exchange carrying the 1-row count, nothing else
             assert "Exchange" in block and "count#" in block, block
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """When the dim is too big to broadcast but the fact side is already
+    sorted-free, SHUFFLE_HASH skips both sort passes of SMJ; the hint
+    surface must actually reach the physical plan (a silently-ignored
+    hint is a 2x sort regression at 100 TB)."""
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+
+    orders = load_table(spark, SF01, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, SF01, "customer").select("c_custkey", "c_mktsegment")
+    shj = orders.join(
+        cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey
+    )
+    p = shj._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "ShuffledHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+    smj = orders.join(
+        cust.hint("merge"), orders.o_custkey == cust.c_custkey
+    )
+    p2 = smj._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "SortMergeJoin" in p2
+
+
+def test_exact_median_has_no_global_sort(spark):
+    """The two-pass exact percentile must never plan a global Sort over
+    the full input: ordering happens only inside the bracket window
+    (partitioned by group), and the sketch pass is pure aggregation."""
+    p = _plan(spark, "events_exact_median")
+    # a window sort partitioned by event_type is fine; a global
+    # rangepartitioning-backed Sort of the events scan is not
+    assert "rangepartitioning(value" not in p.replace(" ", "").lower()
