@@ -30,15 +30,26 @@ def asof_join(
     left_time: str,
     right_time: str,
     payload: Sequence[str],
-    tolerance: None = None,
+    tolerance: float | int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
     ``right_time <= left_time`` within the same ``on`` key group
     (pandas ``merge_asof`` / Trino ASOF semantics, ties -> right first).
 
+    ``direction="forward"`` flips the match to the EARLIEST right row
+    with ``right_time >= left_time`` (merge_asof parity). ``tolerance``
+    bounds |left_time - matched_time|: a match farther away resolves to
+    NULL payload, exactly like merge_asof's tolerance — it requires the
+    time columns to be NUMERIC (e.g. ``unix_micros``; subtracting raw
+    timestamps yields intervals — CLAUDE.md trap 10).
+
     Returns all left columns plus one ``<payload>_asof`` column per
-    requested payload column.
+    requested payload column. Still exactly ONE shuffle: tolerance and
+    direction only change the window order and a final projection.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
     on = list(on)
     payload = list(payload)
     left_cols = left.columns
@@ -60,20 +71,37 @@ def asof_join(
     )
 
     # Right rows sort before left rows at equal time, so an exact-time
-    # match is visible to the probe row (<= semantics).
+    # match is visible to the probe row (<=, resp. >= forward).
+    time_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
     w = (
         Window.partitionBy(*on)
-        .orderBy("__t", _SIDE)
+        .orderBy(time_order, _SIDE)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r.unionByName(l).select(
-        "*",
-        *[
-            F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"{p}_asof")
-            for p in payload
-        ],
-    )
-    return carried.filter(F.col(_SIDE) == 1).select(
+    carry = [
+        F.last(f"__p_{p}", ignorenulls=True).over(w).alias(f"{p}_asof")
+        for p in payload
+    ]
+    if tolerance is not None:
+        carry.append(
+            F.last(
+                F.when(F.col(_SIDE) == 0, F.col("__t")), ignorenulls=True
+            )
+            .over(w)
+            .alias("__mt")
+        )
+    carried = r.unionByName(l).select("*", *carry)
+    probe = carried.filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        in_tol = F.abs(F.col("__t") - F.col("__mt")) <= F.lit(tolerance)
+        probe = probe.select(
+            *[c for c in probe.columns if not c.endswith("_asof")],
+            *[
+                F.when(in_tol, F.col(f"{p}_asof")).alias(f"{p}_asof")
+                for p in payload
+            ],
+        )
+    return probe.select(
         *on,
         F.col("__t").alias(left_time),
         *[c for c in left_cols if c not in on and c != left_time],

@@ -49,6 +49,49 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_join_next_purchase_1h",
+    oracle="""
+    SELECT v.event_id, v.user_id,
+           CASE WHEN p.us - v.us <= 3600000000 THEN p.us END
+             AS next_purchase_us_asof
+    FROM (SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN
+         (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events WHERE event_type = 'purchase') p
+    ON v.user_id = p.user_id AND v.us <= p.us
+    """,
+)
+def asof_join_next_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (merge_asof parity): for each
+    view, the same user's next purchase at-or-after the view, but only
+    if it lands within one hour — later conversions resolve to NULL.
+    Times are integer microseconds (CLAUDE.md trap 10); still one
+    shuffle (the window carry runs over a descending time order and the
+    tolerance is a projection)."""
+    events = load_table(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.unix_micros("ts").alias("next_purchase_us"),
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        left_time="us",
+        right_time="us",
+        payload=["next_purchase_us"],
+        tolerance=3_600_000_000,
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_purchase_us_asof")
+
+
+@query(
     "range_join_price_bands",
     oracle="""
     SELECT band_id, COUNT(*) AS n_orders

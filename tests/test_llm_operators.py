@@ -740,3 +740,44 @@ def test_exact_group_percentile_small_groups_and_ties(spark):
     )
     p90 = exact_group_percentile(ten, "g", "v", p=0.9, out_col="m").collect()
     assert [(r.g, r.m) for r in p90] == [("g", 9.0)]
+
+
+def test_asof_forward_direction_and_tolerance(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 100), (2, "k", 250), (3, "k", 900), (4, "x", 50)],
+        "id long, k string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k", 100, "at100"), ("k", 300, "at300")], "k string, t long, v string"
+    )
+    out = {
+        r.id: r.v_asof
+        for r in asof_join(
+            left, right, on=["k"], left_time="t", right_time="t",
+            payload=["v"], direction="forward", tolerance=100,
+        ).collect()
+    }
+    assert out[1] == "at100"   # exact tie matches (>= inclusive)
+    assert out[2] == "at300"   # next within tolerance (250 -> 300)
+    assert out[3] is None      # no future right row at all
+    assert out[4] is None      # key with no right side
+    # same probe without tolerance: id 3 still has nothing ahead
+    out2 = {
+        r.id: r.v_asof
+        for r in asof_join(
+            left, right, on=["k"], left_time="t", right_time="t",
+            payload=["v"], direction="forward",
+        ).collect()
+    }
+    assert out2[1] == "at100" and out2[2] == "at300" and out2[3] is None
+    # backward with tolerance: id 3 (t=900) is 600 past at300 -> NULL
+    out3 = {
+        r.id: r.v_asof
+        for r in asof_join(
+            left, right, on=["k"], left_time="t", right_time="t",
+            payload=["v"], tolerance=100,
+        ).collect()
+    }
+    assert out3[3] is None and out3[2] is None and out3[1] == "at100"
