@@ -435,3 +435,72 @@ def bfs_hops(
         dist = _materialize(dist.unionAll(nxt))
         frontier = nxt
     return dist
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    source,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    max_hops: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Bounded-horizon single-source shortest paths over a DIRECTED
+    weighted edge set — Bellman-Ford relaxation in pure DataFrame ops.
+    Returns (vertex, dist) for every vertex reachable within
+    ``max_hops`` edges.
+
+    After round k, ``dist[v]`` is EXACTLY the minimum cost over paths
+    of <= k edges — the invariant that makes this oracle-checkable: a
+    hop-bounded recursive-CTE path enumeration (DuckDB) computes the
+    same min on a sparse graph. Like ``bfs_hops``, each round is
+    frontier-only: only vertices whose distance IMPROVED last round
+    can improve a neighbor this round, so the per-round shuffle is
+    |frontier ⋈ edges| + one min-aggregate, with early exit when no
+    distance improves. Integer weights stay exact; lineage truncates
+    per round (reliable ``checkpoint_dir`` on a cluster).
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
+    e = _materialize(
+        edges.select(
+            F.col(src).alias("__s"),
+            F.col(dst).alias("__d"),
+            F.col(weight).cast("long").alias("__w"),
+        )
+    )
+    dist = _materialize(
+        spark.createDataFrame([(source, 0)], "vertex long, dist long")
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        cand = (
+            frontier.join(e, frontier["vertex"] == e["__s"])
+            .select(
+                F.col("__d").alias("vertex"),
+                (frontier["dist"] + F.col("__w")).alias("cand"),
+            )
+            .groupBy("vertex")
+            .agg(F.min("cand").alias("cand"))
+        )
+        improved = (
+            cand.join(dist, "vertex", "left_outer")
+            .filter(F.col("dist").isNull() | (F.col("cand") < F.col("dist")))
+            .select("vertex", F.col("cand").alias("dist"))
+        )
+        improved = _materialize(improved)
+        if improved.isEmpty():
+            break
+        dist = _materialize(
+            dist.unionByName(improved)
+            .groupBy("vertex")
+            .agg(F.min("dist").alias("dist"))
+        )
+        frontier = improved
+    return dist

@@ -1,0 +1,389 @@
+"""Round-4 batch: YoY growth, fold-exact EWMA, temperature mixture
+weights, grid-bucketized spatial radius join, delta-join materialized
+view refresh, winsorized robust stats. All oracle-checked.
+
+The cross-engine float discipline (CLAUDE.md): every multi-value sum
+whose ORDER could differ between engines is either rounded after a
+single aggregate (precedent: every revenue query) or folded over an
+explicitly sorted list so both engines add in the same order
+(EWMA / mixture weights here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.scalars import round_portable
+from .registry import query
+
+
+@query(
+    "sales_yoy_growth",
+    oracle="""
+    WITH yr AS (
+      SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+             floor(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2)
+    SELECT n_name, yr, revenue,
+           floor((revenue - lag(revenue) OVER w) / lag(revenue) OVER w
+                 * 100 * 1e6 + 0.5) / 1e6 AS growth_pct
+    FROM yr WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+    """,
+)
+def sales_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per nation — the reporting shape
+    every Gold layer ends with: dimension joins (nation broadcast),
+    one yearly aggregate, then a LAG window over the (tiny) yearly
+    grain. Revenue is rounded BEFORE the growth division so both
+    engines divide identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(round_portable(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.withColumn(
+        "growth_pct",
+        round_portable((F.col("revenue") - prev) / prev * 100, 6),
+    )
+
+
+@query(
+    "events_ewma_per_user",
+    oracle="""
+    SELECT user_id, event_id,
+           floor(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE), list(value) OVER w),
+                   (acc, x) -> acc * 0.5 + x * 0.5)
+                 * 1e4 + 0.5) / 1e4 AS ewma
+    FROM events
+    WHERE user_id < 100
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average (alpha = 0.5,
+    20-sample horizon) — the smoothing pass of a feature pipeline.
+
+    EWMA is a sequential recurrence, which a windowed SUM cannot
+    express (the weight depends on the distance to the CURRENT row;
+    reweighting tricks overflow as (1-a)^-n explodes). Instead the
+    trailing window is collected as an ordered array and folded with
+    the recurrence acc*(1-a) + x*a — bounded work per row, one window
+    shuffle on user_id, and BIT-EXACT across engines because both fold
+    the same values in the same order (DuckDB list_reduce with a
+    prepended zero is the same left fold). alpha=0.5 is also exactly
+    representable, so every intermediate double matches."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    # materialize the window array in its own select (HOF-lambda
+    # re-evaluation trap, CLAUDE.md perf #1)
+    arr = ev.select(
+        "user_id", "event_id", F.collect_list("value").over(w).alias("__arr")
+    )
+    return arr.select(
+        "user_id",
+        "event_id",
+        round_portable(
+            F.aggregate(
+                "__arr",
+                F.lit(0.0),
+                lambda acc, x: acc * F.lit(0.5) + x * F.lit(0.5),
+            ),
+            4,
+        ).alias("ewma"),
+    )
+
+
+@query(
+    "curation_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    d AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(sqrt(n_docs) ORDER BY source)),
+               (acc, x) -> acc + x) AS denom
+      FROM c)
+    SELECT source, n_docs,
+           floor(sqrt(n_docs) / denom * 1e6 + 0.5) / 1e6 AS weight
+    FROM c, d
+    """,
+)
+def curation_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixture weights (alpha = 0.5, the
+    multilingual-LM up/down-sampling rule: w_i = n_i^a / sum n_j^a).
+    The denominator is folded over the SOURCE-SORTED sqrt list so both
+    engines add the irrational sqrt terms in the same order — the
+    deterministic-reassembly discipline, since a plain SUM's order is
+    engine-dependent. sqrt itself is IEEE-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    folded = counts.agg(
+        F.sort_array(F.collect_list(F.struct("source", "n_docs"))).alias("__rows")
+    ).select(
+        "__rows",
+        F.aggregate(
+            F.transform("__rows", lambda r: F.sqrt(r.n_docs.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("__denom"),
+    )
+    return folded.select(
+        F.explode("__rows").alias("r"), "__denom"
+    ).select(
+        F.col("r.source").alias("source"),
+        F.col("r.n_docs").alias("n_docs"),
+        round_portable(F.sqrt(F.col("r.n_docs").cast("double")) / F.col("__denom"), 6).alias(
+            "weight"
+        ),
+    )
+
+
+@query(
+    "spatial_radius_join",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey,
+             (c_custkey * 37 % 1000) / CAST(10 AS DOUBLE) AS x,
+             (c_custkey * 91 % 1000) / CAST(10 AS DOUBLE) AS y
+      FROM customer),
+    s AS (
+      SELECT s_suppkey,
+             (s_suppkey * 53 % 1000) / CAST(10 AS DOUBLE) AS x,
+             (s_suppkey * 17 % 1000) / CAST(10 AS DOUBLE) AS y
+      FROM supplier)
+    SELECT c.c_custkey, s.s_suppkey,
+           floor(((c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y))
+                 * 1e6 + 0.5) / 1e6 AS dist_sq
+    FROM c, s
+    WHERE (c.x - s.x) * (c.x - s.x) + (c.y - s.y) * (c.y - s.y) <= 2.25
+    """,
+)
+def spatial_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers within planar distance 1.5 of a supplier site —
+    grid-bucketized spatial join (operators/spatial.py): snap to an
+    R-sized grid, explode the customer side into its 3x3 neighborhood,
+    equi-join on the cell, exact predicate after. Shuffle is 9|C|+|S|
+    cell-keyed rows, never the |C|x|S| cross join the oracle runs.
+    Coordinates derive from the keys by exact integer arithmetic, so
+    the doubles (and the boundary comparison) match across engines."""
+    from ..operators.spatial import grid_radius_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 37 % 1000 / 10.0).alias("x"),
+        (F.col("c_custkey") * 91 % 1000 / 10.0).alias("y"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 53 % 1000 / 10.0).alias("x"),
+        (F.col("s_suppkey") * 17 % 1000 / 10.0).alias("y"),
+    )
+    pairs = grid_radius_join(cust, supp, "x", "y", radius=1.5)
+    return pairs.select(
+        "c_custkey",
+        F.col("s_suppkey_r").alias("s_suppkey"),
+        round_portable(F.col("dist_sq"), 6).alias("dist_sq"),
+    )
+
+
+@query(
+    "incremental_join_mv_refresh",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def incremental_join_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-join maintenance of a fact-dim JOIN materialized view:
+    the MV as of 2000-01-01 is refreshed with the later orders as an
+    insert batch — ``MV' = MV ∪ (Δfact ⋈ dim)`` plus a broadcast
+    anti-join for removed keys (none here), O(|Δ|) instead of the full
+    fact rescan the oracle performs. Parity with the recompute IS the
+    check."""
+    from ..sources.incremental import refresh_join_mv_fact_changes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_mktsegment"
+    )
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    old_mv = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .drop("o_orderdate")
+        .join(dim, "o_custkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+    changes = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .drop("o_orderdate")
+        .withColumn("_change_type", F.lit("insert"))
+    )
+    return refresh_join_mv_fact_changes(
+        old_mv, changes, dim, fact_key=["o_orderkey"], join_on=["o_custkey"]
+    )
+
+
+@query(
+    "winsorized_stats",
+    oracle="""
+    WITH p AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, 0.05) AS p05,
+             quantile_cont(l_quantity, 0.95) AS p95
+      FROM lineitem GROUP BY 1)
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           floor(p05 * 1e4 + 0.5) / 1e4 AS p05,
+           floor(p95 * 1e4 + 0.5) / 1e4 AS p95,
+           floor(AVG(LEAST(GREATEST(l_quantity, p05), p95)) * 1e4 + 0.5) / 1e4
+             AS winsorized_mean
+    FROM lineitem l JOIN p USING (l_returnflag)
+    GROUP BY 1, p.p05, p.p95
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (clipped-at-p05/p95) per-group mean — the robust
+    statistic a feature pipeline uses where outliers poison a plain
+    mean. Exact interpolated percentiles per group (tiny aggregate)
+    broadcast back onto the fact rows; one shuffle for the percentile
+    aggregate, broadcast join for the clip, one more for the final
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    pct = li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.05)).alias("p05"),
+        F.percentile("l_quantity", F.lit(0.95)).alias("p95"),
+    )
+    clipped = li.join(F.broadcast(pct), "l_returnflag").withColumn(
+        "__clip", F.least(F.greatest(F.col("l_quantity"), F.col("p05")), F.col("p95"))
+    )
+    return clipped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_rows"),
+        round_portable(F.first("p05"), 4).alias("p05"),
+        round_portable(F.first("p95"), 4).alias("p95"),
+        round_portable(F.avg("__clip"), 4).alias("winsorized_mean"),
+    )
+
+
+@query(
+    "graph_sssp_weighted",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT s_suppkey AS src, ((s_suppkey * 2) % 100) + 1 AS dst,
+             1 + (s_suppkey % 7) AS w
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey, ((s_suppkey * 3 + 7) % 100) + 1, 1 + (s_suppkey % 5)
+      FROM supplier),
+    paths(v, cost, hops) AS (
+      SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, p.cost + e.w, p.hops + 1
+      FROM paths p JOIN e ON e.src = p.v WHERE p.hops < 6)
+    SELECT v AS vertex, MIN(cost) AS dist FROM paths GROUP BY v
+    """,
+)
+def graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon weighted shortest paths (Bellman-Ford rounds,
+    operators/components.py:sssp_weighted) over a sparse key-derived
+    supplier routing graph (out-degree 2, integer weights). After k
+    rounds the relaxation equals min cost over <= k-edge paths — the
+    SAME quantity the oracle's hop-bounded recursive-CTE path
+    enumeration computes, which terminates because the graph is sparse
+    (the co-supply graph is near-complete at this SF and would explode
+    a path enumeration; the engine-side relaxation would handle it,
+    the oracle would not)."""
+    from ..operators.components import sssp_weighted
+
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    k = F.col("s_suppkey")
+    edges = s.select(
+        k.alias("src"),
+        ((k * 2) % 100 + 1).alias("dst"),
+        (1 + k % 7).alias("w"),
+    ).unionByName(
+        s.select(
+            k.alias("src"),
+            ((k * 3 + 7) % 100 + 1).alias("dst"),
+            (1 + k % 5).alias("w"),
+        )
+    )
+    return sssp_weighted(edges, source=1, max_hops=6)
+
+
+@query(
+    "sql_recursive_cte_chain",
+    oracle="""
+    WITH RECURSIVE chain(orig, node, depth) AS (
+      SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 200
+      UNION ALL
+      SELECT orig, node // 2, depth + 1 FROM chain WHERE node > 1)
+    SELECT orig AS c_custkey, CAST(MAX(depth) AS INT) AS chain_depth
+    FROM chain GROUP BY orig
+    """,
+)
+def sql_recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI WITH RECURSIVE through spark.sql — Spark 4.1's recursive
+    CTE support, diffed against DuckDB's: each customer key walks its
+    halving chain k -> k/2 -> ... -> 1 (a parent-pointer hierarchy
+    walk, depth = floor(log2 k)). Appropriate engine-side when the
+    recursion state stays small (hierarchy tables); for path-exploding
+    graphs the dedicated frontier operators (bfs_hops/sssp_weighted)
+    are the scale path."""
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir, ["customer"])
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(orig, node, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey <= 200
+          UNION ALL
+          SELECT orig, node DIV 2, depth + 1 FROM chain WHERE node > 1)
+        SELECT orig AS c_custkey, CAST(MAX(depth) AS INT) AS chain_depth
+        FROM chain GROUP BY orig
+        """
+    )
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+           floor(SUM(l_extendedprice) * 1e2 + 0.5) / 1e2 AS revenue
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark >= 3.4 shorthand: every non-aggregate select
+    item becomes a grouping key) — SQL-surface parity row."""
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+               floor(SUM(l_extendedprice) * 1e2 + 0.5) / 1e2 AS revenue
+        FROM lineitem GROUP BY ALL
+        """
+    )

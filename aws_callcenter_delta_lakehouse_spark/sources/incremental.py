@@ -85,3 +85,64 @@ def refresh_count_sum_aggregate(
         .filter(F.col(count_col) > 0)
     )
     return refreshed
+
+
+def refresh_join_mv_fact_changes(
+    old_mv: DataFrame,
+    changes: DataFrame,
+    dim: DataFrame,
+    fact_key: Sequence[str],
+    join_on: Sequence[str],
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """CDC-driven maintenance of a fact-side JOIN materialized view
+    (``MV = fact JOIN dim``) — the delta-join rule: because the dim
+    side is unchanged, ``MV' = (MV ANTI removed-keys) UNION
+    (inserted-facts JOIN dim)``, which costs O(|changes|) join work
+    plus one anti-join probe of the MV, never a fact-table rescan.
+
+    ``changes`` carries ``change_col`` rows from ``read_changes``
+    (insert / delete / update_pre/postimage). The removed-key set is
+    tiny (it IS the change batch), so the anti-join broadcasts; the
+    re-join of inserted rows against ``dim`` is the only shuffle and
+    it is |Δ|-sized. Parity with a full recompute is pinned in
+    tests/test_incremental.py and by the registry oracle.
+    """
+    removed = (
+        changes.filter(F.col(change_col).isin("delete", "update_preimage"))
+        .select(*fact_key)
+        .distinct()
+    )
+    added = (
+        changes.filter(F.col(change_col).isin("insert", "update_postimage"))
+        .drop(change_col)
+        .join(dim, on=list(join_on))
+    )
+    survivors = old_mv.join(
+        F.broadcast(removed), on=list(fact_key), how="left_anti"
+    ).select(*old_mv.columns)
+    return survivors.unionByName(added.select(*old_mv.columns))
+
+
+def refresh_join_mv_dim_update(
+    old_mv: DataFrame,
+    dim_post: DataFrame,
+    dim_key: Sequence[str],
+    dim_cols: Sequence[str],
+) -> DataFrame:
+    """Dim-side maintenance of the same join MV: when dimension
+    ATTRIBUTES change (key set unchanged), every MV row carrying an
+    affected key gets its dim columns rewritten in place — one scan of
+    the MV with a BROADCAST join against the (small) post-image, no
+    fact re-join, no shuffle of the MV itself.
+
+    ``dim_post`` holds ``dim_key`` + the refreshed ``dim_cols``.
+    """
+    changed_keys = dim_post.select(*dim_key)
+    untouched = old_mv.join(
+        F.broadcast(changed_keys), on=list(dim_key), how="left_anti"
+    ).select(*old_mv.columns)
+    rewritten = old_mv.drop(*dim_cols).join(
+        F.broadcast(dim_post), on=list(dim_key)
+    )
+    return untouched.unionByName(rewritten.select(*old_mv.columns))

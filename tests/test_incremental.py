@@ -108,3 +108,61 @@ def test_incremental_refresh_null_grouping_key(spark, tmp_path):
     assert _snap(refreshed) == _snap(_agg(mt.read(spark, path)))
     # exactly ONE row for the NULL group
     assert sum(1 for r in refreshed.collect() if r.grp is None) == 1
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_join_mv_fact_changes_matches_recompute(spark, tmp_path):
+    from aws_callcenter_delta_lakehouse_spark.sources.incremental import (
+        refresh_join_mv_fact_changes,
+    )
+
+    path = str(tmp_path / "fact")
+    fact = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 7.0), (3, 10, 9.0)],
+        "fk long, dk long, v double",
+    )
+    dim = spark.createDataFrame(
+        [(10, "x"), (20, "y"), (30, "z")], "dk long, attr string"
+    )
+    mt.initial_write(fact, path, keys=("fk",))
+    v0 = mt.table_version(path)
+    old_mv = mt.read(spark, path).join(dim, "dk").select(
+        "fk", "dk", "v", "attr"
+    ).localCheckpoint(eager=True)
+
+    # update fk=2 (moves to dim 30), insert fk=4, delete fk=3
+    mt.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(2, 30, 7.5), (4, 20, 1.0)], "fk long, dk long, v double"),
+        keys=("fk",),
+    )
+    mt.delete_where(spark, path, "fk = 3")
+    changes = mt.read_changes(spark, path, v0, mt.table_version(path), keys=("fk",))
+
+    refreshed = refresh_join_mv_fact_changes(
+        old_mv, changes, dim, fact_key=["fk"], join_on=["dk"]
+    )
+    recomputed = mt.read(spark, path).join(dim, "dk").select("fk", "dk", "v", "attr")
+    assert _rows(refreshed) == _rows(recomputed)
+
+
+def test_join_mv_dim_update_rewrites_in_place(spark):
+    from aws_callcenter_delta_lakehouse_spark.sources.incremental import (
+        refresh_join_mv_dim_update,
+    )
+
+    mv = spark.createDataFrame(
+        [(1, 10, 5.0, "x"), (2, 20, 7.0, "y"), (3, 10, 9.0, "x")],
+        "fk long, dk long, v double, attr string",
+    )
+    dim_post = spark.createDataFrame([(10, "X2")], "dk long, attr string")
+    out = refresh_join_mv_dim_update(mv, dim_post, dim_key=["dk"], dim_cols=["attr"])
+    assert _rows(out) == {
+        (1, 10, 5.0, "X2"),
+        (3, 10, 9.0, "X2"),
+        (2, 20, 7.0, "y"),
+    }

@@ -781,3 +781,36 @@ def test_asof_forward_direction_and_tolerance(spark):
         ).collect()
     }
     assert out3[3] is None and out3[2] is None and out3[1] == "at100"
+
+
+def test_grid_radius_join_matches_brute_force(spark):
+    """Grid-bucketized radius join == brute-force pair enumeration,
+    including negative coordinates, on-boundary distances, and pairs
+    that straddle cell borders."""
+    import itertools
+
+    from aws_callcenter_delta_lakehouse_spark.operators.spatial import (
+        grid_radius_join,
+    )
+
+    # deterministic scatter incl. negatives and exact-boundary pairs:
+    # (0,0)-(3,4) is distance 5 exactly (kept: <=), (0,0)-(5.01,0) is out
+    lpts = [(i, ((i * 13) % 41) - 20.0, ((i * 29) % 37) - 18.0) for i in range(60)]
+    lpts += [(100, 0.0, 0.0)]
+    rpts = [(j, ((j * 7) % 43) - 21.0, ((j * 31) % 39) - 19.0) for j in range(40)]
+    rpts += [(200, 3.0, 4.0), (201, 5.01, 0.0)]
+    left = spark.createDataFrame(lpts, "lid long, x double, y double")
+    right = spark.createDataFrame(rpts, "rid long, x double, y double")
+    radius = 5.0
+
+    got = {
+        (r.lid, r.rid_r)
+        for r in grid_radius_join(left, right, "x", "y", radius).collect()
+    }
+    want = {
+        (lid, rid)
+        for (lid, lx, ly), (rid, rx, ry) in itertools.product(lpts, rpts)
+        if (lx - rx) ** 2 + (ly - ry) ** 2 <= radius * radius
+    }
+    assert got == want
+    assert (100, 200) in got and (100, 201) not in got

@@ -430,3 +430,24 @@ def test_exact_median_has_no_global_sort(spark):
     # a window sort partitioned by event_type is fine; a global
     # rangepartitioning-backed Sort of the events scan is not
     assert "rangepartitioning(value" not in p.replace(" ", "").lower()
+
+
+def test_spatial_radius_join_is_equi_join(spark):
+    """The grid spatial join must plan as a cell-keyed equi-join —
+    never a cross/nested-loop pair enumeration (the oracle's shape)."""
+    p = _plan(spark, "spatial_radius_join")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_join_mv_refresh_plan_is_delta_sized(spark):
+    """Delta-join MV maintenance: the insert-only change batch means
+    Catalyst constant-folds the removed-key set to empty and ELIDES the
+    anti-join entirely (PropagateEmptyRelation); the Δ re-join against
+    the dim broadcasts; and the Δ scan itself is cutoff-pushed — the
+    refresh never rescans the pre-cutoff fact."""
+    p = _plan(spark, "incremental_join_mv_refresh")
+    assert "LeftAnti" not in p  # folded away, not executed
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "GreaterThanOrEqual(o_orderdate" in p  # Δ filter reaches the scan
