@@ -393,3 +393,61 @@ def mixture_sample(
     )
     frac = F.coalesce(wmap[F.col(source_col)], F.lit(default_weight))
     return df.filter(bucket < frac * buckets)
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by how much more likely its tokens are under a TARGET-domain
+    unigram LM than under the full-corpus LM — the per-document log
+    importance weight sum_w log(p_target(w) / p_corpus(w)). Documents
+    with high weight "look like" the target domain and get upsampled.
+    (The paper hashes n-grams into buckets; over this corpus the plain
+    unigram vocabulary is the same construction with a perfect hash.)
+
+    ``is_target``: boolean Column marking the target-domain rows.
+
+    Both LMs use add-one smoothing over the JOINT vocabulary, so every
+    corpus token has nonzero target probability. Scale shape: the
+    vocabulary is arbitrarily large, so the per-word log-ratio model is
+    a word-keyed aggregate JOINED back (never a broadcast dict —
+    mirrors unigram_logprob); the scalar totals broadcast. One shuffle
+    on word, one on the doc id.
+
+    Output: ``(id, n_tokens, logweight)`` — logweight unrounded;
+    oracle-facing callers round.
+    """
+    words = df.select(
+        F.col(id_col),
+        is_target.alias("__tgt"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    )
+    counts = words.groupBy("word").agg(
+        F.count("*").alias("__cc"),
+        F.sum(F.col("__tgt").cast("long")).alias("__tc"),
+    )
+    totals = counts.agg(
+        F.sum("__cc").alias("__ct"),
+        F.sum("__tc").alias("__tt"),
+        F.count("*").alias("__v"),
+    )
+    lr = counts.join(F.broadcast(totals), F.lit(True)).select(
+        "word",
+        (
+            F.log((F.col("__tc") + F.lit(1.0)) / (F.col("__tt") + F.col("__v")))
+            - F.log((F.col("__cc") + F.lit(1.0)) / (F.col("__ct") + F.col("__v")))
+        ).alias("__lr"),
+    )
+    return (
+        words.join(lr, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("__lr").alias("logweight"),
+        )
+    )

@@ -134,3 +134,60 @@ def cdc_chunks(
             " ",
         ).alias("chunk_text"),
     )
+
+
+def segment_dedup(
+    df: DataFrame, id_col: str, text_col: str, divisor: int = 16
+) -> DataFrame:
+    """Segment-level exact dedup (the RefinedWeb/MassiveText move):
+    instead of dropping whole near-duplicate documents, drop REPEATED
+    SEGMENTS — boilerplate headers, license blocks, templated spans —
+    and keep the rest of each document.
+
+    Pipeline: content-defined chunks (edit-stable boundaries, so the
+    same boilerplate chunks identically everywhere it appears) ->
+    first-occurrence-wins on exact chunk text (global min of the
+    (doc, chunk) position key — deterministic, not "whichever partition
+    ran first") -> per-document reassembly in chunk order.
+
+    Shuffle shape: one exchange keyed on chunk_text for the
+    first-occurrence aggregate + join, one on the doc id for
+    reassembly; no pairwise comparisons anywhere. Precondition:
+    documents shorter than 100k words (the position key packs
+    doc*100000 + chunk).
+
+    Output: ``(id, n_chunks, n_kept, dedup_text)`` — documents whose
+    every chunk was seen earlier come back with ``n_kept = 0`` and an
+    empty string (the caller's filter decides their fate).
+    """
+    chunks = cdc_chunks(df, id_col, text_col, divisor).select(
+        id_col,
+        "chunk_id",
+        "chunk_text",
+        (F.col(id_col) * 100000 + F.col("chunk_id")).alias("__pos_key"),
+    )
+    first = chunks.groupBy("chunk_text").agg(F.min("__pos_key").alias("__first"))
+    kept_flag = chunks.join(first, "chunk_text").withColumn(
+        "__keep", (F.col("__pos_key") == F.col("__first")).cast("int")
+    )
+    return (
+        kept_flag.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("__keep").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep") == 1,
+                                F.struct("chunk_id", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk_text,
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+    )

@@ -387,3 +387,93 @@ def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY ALL
         """
     )
+
+
+@query(
+    "dedup_segment_reassemble",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    p AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(l) + 1),
+                                       i -> {'pos': i, 'word': l[i]})) AS s
+          FROM w),
+    f AS (SELECT doc_id, s.pos AS pos, s.word AS word,
+                 CASE WHEN CAST('0x' || substr(md5(s.word), 1, 8) AS BIGINT)
+                           % 16 = 0
+                      THEN 1 ELSE 0 END AS flag
+          FROM p),
+    c AS (SELECT doc_id, pos, word,
+                 CAST(SUM(flag) OVER (PARTITION BY doc_id ORDER BY pos)
+                      AS INT) AS chunk_id
+          FROM f),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             string_agg(word, ' ' ORDER BY pos) AS chunk_text,
+             doc_id * 100000 + chunk_id AS pos_key
+      FROM c GROUP BY doc_id, chunk_id),
+    first AS (
+      SELECT chunk_text, MIN(pos_key) AS first_key
+      FROM chunks GROUP BY chunk_text)
+    SELECT ch.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN ch.pos_key = fi.first_key THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           COALESCE(string_agg(
+             CASE WHEN ch.pos_key = fi.first_key THEN ch.chunk_text END,
+             ' ' ORDER BY ch.chunk_id), '') AS dedup_text
+    FROM chunks ch JOIN first fi USING (chunk_text)
+    GROUP BY ch.doc_id
+    """,
+)
+def dedup_segment_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup with reassembly (RefinedWeb-style
+    boilerplate removal, operators/substrings.py:segment_dedup):
+    content-defined chunks, global first-occurrence-wins on exact
+    chunk text, per-document reassembly in chunk order. No pairwise
+    comparison; shuffles keyed on chunk_text and doc_id only."""
+    from ..operators.substrings import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, "doc_id", "text", divisor=16)
+
+
+@query(
+    "curation_dsir_weights",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source = 'src0' AS tgt,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    counts AS (
+      SELECT word, COUNT(*) AS cc,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc
+      FROM w GROUP BY word),
+    totals AS (
+      SELECT SUM(cc) AS ct, SUM(tc) AS tt, COUNT(*) AS v FROM counts),
+    lr AS (
+      SELECT word,
+             ln((tc + 1.0) / (tt + v)) - ln((cc + 1.0) / (ct + v)) AS lr
+      FROM counts, totals)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           floor(SUM(lr.lr) * 1e4 + 0.5) / 1e4 AS logweight
+    FROM w JOIN lr USING (word)
+    GROUP BY w.doc_id
+    """,
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights against the 'src0' target domain
+    (operators/curation.py:dsir_importance_weights): per-document
+    log p_target/p_corpus under add-one-smoothed unigram LMs. The
+    word-keyed model join scales to any vocabulary (no broadcast
+    dict); the doc aggregate is rounded because the per-doc sum order
+    is engine-dependent (same precedent as every avg/sum oracle)."""
+    from ..operators.curation import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_importance_weights(
+        docs, "doc_id", "text", is_target=F.col("source") == "src0"
+    )
+    return scored.select(
+        "doc_id", "n_tokens", round_portable(F.col("logweight"), 4).alias("logweight")
+    )

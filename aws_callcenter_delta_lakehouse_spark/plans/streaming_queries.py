@@ -235,6 +235,55 @@ def streaming_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_stream_join_full",
+    oracle="""
+    WITH wm AS (
+      SELECT LEAST(
+        MAX(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ts AS TIMESTAMP) END),
+        MAX(CASE WHEN event_type = 'view'
+                 THEN CAST(ts AS TIMESTAMP) END)) AS w
+      FROM events),
+    p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
+          WHERE event_type = 'purchase'),
+    v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
+          WHERE event_type = 'view'),
+    m AS (SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+                 p.user_id AS user_id
+          FROM p JOIN v
+            ON p.user_id = v.user_id
+           AND v.ts >= p.ts - INTERVAL 3600 SECOND
+           AND v.ts <= p.ts)
+    SELECT purchase_id, view_id, user_id FROM m
+    UNION ALL
+    SELECT p.event_id, NULL, p.user_id FROM p CROSS JOIN wm
+    WHERE p.ts < w
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.purchase_id = p.event_id)
+    UNION ALL
+    SELECT NULL, v.event_id, v.user_id FROM v CROSS JOIN wm
+    WHERE v.ts + INTERVAL 3600 SECOND < w
+      AND NOT EXISTS (SELECT 1 FROM m WHERE m.view_id = v.event_id)
+    """,
+)
+def streaming_stream_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER attribution join: both
+    unconverted purchases AND never-attributed views surface as
+    null-extended rows when their side's state closes. The two sides
+    close at DIFFERENT watermark offsets — a purchase when w passes
+    p_ts (no earlier-or-equal view can arrive), a view only when w
+    passes v_ts + window (a purchase up to an hour LATER could still
+    claim it) — and the oracle states exactly that asymmetry, verified
+    empirically against the drained Spark result."""
+    from ..streaming.streams import stream_stream_join
+
+    return run_to_memory(
+        stream_stream_join(spark, sf_dir, watermark="0 seconds", how="full_outer"),
+        _sink("ssjoin_full"),
+        output_mode="append",
+    )
+
+
+@query(
     "streaming_window_rollup",
     oracle="""
     WITH e AS (SELECT epoch(CAST(ts AS TIMESTAMP)) AS es, value FROM events),

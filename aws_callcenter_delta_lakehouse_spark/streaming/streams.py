@@ -218,7 +218,11 @@ def stream_stream_join(
     result equal to the batch interval join (the oracle).
 
     ``how="left_outer"`` adds unconverted purchases (no view in the
-    window) as null-extended rows. Outer results are emitted only once
+    window) as null-extended rows; ``how="full_outer"`` additionally
+    emits never-attributed views once THEIR state closes (a view can
+    match purchases up to window_seconds after it, so its null row
+    emits only when the watermark passes v_ts + window_seconds).
+    Outer results are emitted only once
     the watermark passes the row's event time — state for a purchase
     can be closed only when no matching view can still arrive — so a
     drained file stream equals the batch LEFT JOIN only for purchases
@@ -250,7 +254,12 @@ def stream_stream_join(
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {window_seconds} SECONDS"))
         & (F.col("v_ts") <= F.col("p_ts")),
         how=how,
-    ).select("purchase_id", "view_id", F.col("p_user").alias("user_id"))
+    ).select(
+        "purchase_id",
+        "view_id",
+        # full-outer emits view-only rows where p_user is null
+        F.coalesce("p_user", "v_user").alias("user_id"),
+    )
 
 
 def windowed_rollup(
