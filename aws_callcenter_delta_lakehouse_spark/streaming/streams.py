@@ -425,3 +425,69 @@ def foreach_batch_merge_upsert(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def foreach_batch_scd2(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    batch_date_col: str,
+    dedupe_order_col: str | None = None,
+) -> "object":
+    """Streaming SCD2 history sink: every micro-batch is applied as one
+    slowly-changing-dimension type-2 update batch — changed keys close
+    their current row (effective_to = batch date) and open a new
+    current one, unchanged keys pass through untouched, new keys seed
+    fresh history (operators/scd2.py semantics, continuously fed).
+    The batch's effective date is ``max(batch_date_col)`` over the
+    batch, so replays of the same data use the same date.
+
+    ``dedupe_order_col``: collapse intra-batch duplicates of one key
+    latest-wins before applying (SCD2 needs a key-unique batch).
+
+    Exactly-once: the applied epoch rides the same atomic
+    stage-and-swap commit as the refreshed history
+    (``commit_overwrite(txn=)``), so a crash-replayed micro-batch is
+    skipped — the same contract and fault-injection shape as
+    ``foreach_batch_merge_upsert``. The date column is dropped from
+    the SCD2 attributes (it would otherwise make every replayed row
+    look "changed")."""
+    from pyspark.sql import Window
+
+    from ..operators.scd2 import scd2_apply, scd2_init
+    from ..sources import managed_table as mt
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = int(mt.table_txn(path).get("last_epoch", -1))
+        if epoch_id <= last:
+            return  # replayed batch: history already reflects it
+        if batch_df.isEmpty():
+            return  # nothing to apply; replaying an empty batch is a no-op
+        batch_date = batch_df.agg(
+            F.max(F.to_date(batch_date_col))
+        ).first()[0]
+        src = batch_df
+        if dedupe_order_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.desc(dedupe_order_col))
+            src = (
+                src.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        src = src.drop(batch_date_col)
+        if dedupe_order_col is not None:
+            src = src.drop(dedupe_order_col)
+        txn = {"last_epoch": int(epoch_id)}
+        if mt.is_table(spark, path):
+            new_hist = scd2_apply(mt.read(spark, path), src, keys, batch_date)
+        else:
+            new_hist = scd2_init(src, batch_date)
+        mt.commit_overwrite(new_hist, path, txn=txn)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

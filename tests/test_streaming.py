@@ -294,3 +294,84 @@ def test_merge_upsert_sink_latest_wins_and_replay_skip(spark, tmp_path):
         q.stop()
     assert _snap() == want
     assert mt.table_txn(path)["last_epoch"] == epoch
+
+
+def test_scd2_sink_versions_and_replay_skip(spark, tmp_path):
+    """Streaming SCD2 sink: batch 1 seeds history, batch 2 closes the
+    changed key's row and opens a new one, passes unchanged keys
+    through, seeds new keys — and a restart replaying nothing leaves
+    history and the epoch txn untouched."""
+    import datetime as dt
+    import shutil
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        foreach_batch_scd2,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    a = spark.createDataFrame(
+        [(1, "A", "2024-01-01", 1), (2, "B", "2024-01-01", 1)],
+        "id long, seg string, d string, seq long",
+    )
+    b = spark.createDataFrame(
+        [
+            (1, "A1", "2024-02-01", 1),  # superseded intra-batch by seq 2
+            (1, "A2", "2024-02-01", 2),
+            (2, "B", "2024-02-01", 1),   # unchanged: no new version
+            (3, "C", "2024-02-01", 1),   # new key
+        ],
+        "id long, seg string, d string, seq long",
+    )
+
+    def _feed(df, name):
+        tmp = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            shutil.copy(f, src / (name + ".parquet"))
+
+    def _start():
+        stream = (
+            spark.readStream.schema("id long, seg string, d string, seq long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        return foreach_batch_scd2(
+            stream, path, keys=("id",), checkpoint=ckpt,
+            batch_date_col="d", dedupe_order_col="seq",
+        )
+
+    q = _start()
+    try:
+        _feed(a, "a")
+        q.processAllAvailable()
+        _feed(b, "b")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def _snap():
+        return {
+            (r.id, r.seg, str(r.effective_from), str(r.effective_to), r.is_current)
+            for r in mt.read(spark, path).collect()
+        }
+
+    want = {
+        (1, "A", "2024-01-01", "2024-02-01", False),
+        (1, "A2", "2024-02-01", "9999-12-31", True),
+        (2, "B", "2024-01-01", "9999-12-31", True),
+        (3, "C", "2024-02-01", "9999-12-31", True),
+    }
+    assert _snap() == want
+    epoch = mt.table_txn(path)["last_epoch"]
+
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _snap() == want
+    assert mt.table_txn(path)["last_epoch"] == epoch
