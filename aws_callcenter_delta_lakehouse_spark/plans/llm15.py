@@ -103,3 +103,32 @@ def ab_test_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("df_welch"),
     )
+
+
+def _hilbert_oracle() -> str:
+    from ..operators.layout import hilbert_oracle_sql
+
+    return hilbert_oracle_sql(
+        "orders", "o_orderkey", "o_orderkey % 1024", "o_custkey % 1024", order=10
+    )
+
+
+@query("layout_hilbert_orders", oracle=_hilbert_oracle())
+def layout_hilbert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over (orderkey, custkey) —
+    operators/layout.py:with_hilbert_key, one chained integer
+    projection per bit level (no UDF, no shuffle); the locality-
+    preserving alternative to the Morton key whose per-file boxes a
+    range-partitioned write keeps tighter. Oracle = the same recurrence
+    as chained CTEs (DuckDB's struct-fold lambda miscomputes, so both
+    engines unroll)."""
+    from ..operators.layout import with_hilbert_key
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    keyed = with_hilbert_key(
+        orders,
+        F.col("o_orderkey") % 1024,
+        F.col("o_custkey") % 1024,
+        order=10,
+    )
+    return keyed.select("o_orderkey", "hilbert_key")
