@@ -132,3 +132,129 @@ def layout_hilbert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=10,
     )
     return keyed.select("o_orderkey", "hilbert_key")
+
+
+@query(
+    "dq_psi_value_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN value < 0 THEN 0
+                  WHEN value >= 500.0 THEN 11
+                  ELSE CAST(floor(value / 50.0) AS BIGINT) + 1
+             END AS bin,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_ref,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_cmp
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1),
+    t AS (SELECT SUM(n_ref) AS tr, SUM(n_cmp) AS tc,
+                 CAST(COUNT(*) AS BIGINT) AS nb FROM b),
+    terms AS (
+      SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+             CAST(n_cmp AS BIGINT) AS n_cmp,
+             ((n_ref + 0.5) / (tr + 0.5 * nb) - (n_cmp + 0.5) / (tc + 0.5 * nb))
+             * ln(((n_ref + 0.5) / (tr + 0.5 * nb))
+                  / ((n_cmp + 0.5) / (tc + 0.5 * nb))) AS term
+      FROM b, t),
+    tot AS (
+      SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(term ORDER BY bin)),
+                         (a, x) -> a + x) AS psi
+      FROM terms)
+    SELECT bin, n_ref, n_cmp,
+           floor(term * 1e6 + 0.5) / 1e6 AS psi_term,
+           floor(psi * 1e6 + 0.5) / 1e6 AS psi_total
+    FROM terms, tot
+    """,
+)
+def dq_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the view and purchase value
+    distributions — the drift monitor a feature pipeline runs between
+    training and serving windows. One aggregate builds both histograms
+    (conditional counts per width_bucket bin), smoothed shares avoid
+    log-of-zero, and the TOTAL is folded over the bin-sorted term list
+    so both engines add in the same order. Scale: one shuffle on the
+    bin key (12 rows), everything else scalar."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "value")
+    )
+    b = ev.groupBy(
+        F.width_bucket("value", F.lit(0), F.lit(500), F.lit(10)).alias("bin")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_ref"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_cmp"),
+    )
+    t = b.agg(
+        F.sum("n_ref").alias("tr"),
+        F.sum("n_cmp").alias("tc"),
+        F.count("*").alias("nb"),
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("tr") + 0.5 * F.col("nb"))
+    q = (F.col("n_cmp") + 0.5) / (F.col("tc") + 0.5 * F.col("nb"))
+    terms = b.join(F.broadcast(t), F.lit(True)).select(
+        "bin", "n_ref", "n_cmp", ((p - q) * F.log(p / q)).alias("term")
+    )
+    tot = terms.agg(
+        F.aggregate(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("bin", "term"))),
+                lambda s: s.term,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("psi")
+    )
+    return terms.join(F.broadcast(tot), F.lit(True)).select(
+        "bin",
+        "n_ref",
+        "n_cmp",
+        round_portable(F.col("term"), 6).alias("psi_term"),
+        round_portable(F.col("psi"), 6).alias("psi_total"),
+    )
+
+
+@query(
+    "feature_target_encode_loo",
+    oracle="""
+    WITH j AS (
+      SELECT o_orderkey, c_mktsegment, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    seg AS (
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+             floor(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 AS s
+      FROM j GROUP BY 1)
+    SELECT o_orderkey, j.c_mktsegment,
+           floor((s - o_totalprice) / (n - 1) * 1e6 + 0.5) / 1e6
+             AS target_enc
+    FROM j JOIN seg USING (c_mktsegment)
+    """,
+)
+def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of the customer market segment
+    against order value — the categorical-feature trick that avoids
+    self-leakage: each row's encoding is the segment mean EXCLUDING
+    its own target, (seg_sum - own) / (seg_n - 1). The per-segment
+    aggregate is tiny and broadcasts back; the segment sum is rounded
+    BEFORE the subtraction so both engines divide identical doubles.
+    One shuffle for the aggregate, zero for the encode."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_mktsegment", "o_totalprice"
+    )
+    seg = j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        round_portable(F.sum("o_totalprice"), 2).alias("s"),
+    )
+    return j.join(F.broadcast(seg), "c_mktsegment").select(
+        "o_orderkey",
+        "c_mktsegment",
+        round_portable(
+            (F.col("s") - F.col("o_totalprice")) / (F.col("n") - 1), 6
+        ).alias("target_enc"),
+    )

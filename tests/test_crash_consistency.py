@@ -204,3 +204,91 @@ def test_incremental_gold_replay_after_crash(
         for r in mt.read(spark, agg_path).collect()
     }
     assert got == {("click", 3, 13), ("view", 1, 5), ("buy", 1, 7)}
+
+
+@pytest.mark.parametrize("crash_after_commit", [False, True])
+def test_scd2_sink_replay_after_crash(spark, tmp_path, crash_after_commit):
+    """The SCD2 sink under the same crash window as the Gold sink: die
+    during the second batch's commit either BEFORE it lands (epoch
+    never applied) or AFTER (applied, offset log stale — the replay
+    window). The restarted query must converge to exactly-once history:
+    one closed row and one open row for the changed key, no duplicate
+    versions from the replayed epoch."""
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        foreach_batch_scd2,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    a = spark.createDataFrame(
+        [(1, "A", "2024-01-01"), (2, "B", "2024-01-01")],
+        "id long, seg string, d string",
+    )
+    b = spark.createDataFrame(
+        [(1, "A2", "2024-02-01"), (3, "C", "2024-02-01")],
+        "id long, seg string, d string",
+    )
+
+    def _feed(df, name):
+        tmp = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            shutil.copy(f, src / (name + ".parquet"))
+
+    def _start():
+        stream = (
+            spark.readStream.schema("id long, seg string, d string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        return foreach_batch_scd2(
+            stream, path, keys=("id",), checkpoint=ckpt, batch_date_col="d",
+        )
+
+    q = _start()
+    try:
+        _feed(a, "a")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    real = mt.commit_overwrite
+
+    def boom(*args, **kwargs):
+        if kwargs.get("txn", {}).get("last_epoch", -1) >= 1:
+            if crash_after_commit:
+                real(*args, **kwargs)
+            raise RuntimeError("injected crash")
+        return real(*args, **kwargs)
+
+    mt.commit_overwrite = boom
+    try:
+        q = _start()
+        try:
+            _feed(b, "b")
+            q.processAllAvailable()
+        except Exception:
+            pass  # query died on the injected crash
+        finally:
+            q.stop()
+    finally:
+        mt.commit_overwrite = real
+
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.id, r.seg, str(r.effective_from), str(r.effective_to), r.is_current)
+        for r in mt.read(spark, path).collect()
+    }
+    assert got == {
+        (1, "A", "2024-01-01", "2024-02-01", False),
+        (1, "A2", "2024-02-01", "9999-12-31", True),
+        (2, "B", "2024-01-01", "9999-12-31", True),
+        (3, "C", "2024-02-01", "9999-12-31", True),
+    }
