@@ -258,3 +258,82 @@ def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") - F.col("o_totalprice")) / (F.col("n") - 1), 6
         ).alias("target_enc"),
     )
+
+
+@query(
+    "dq_ks_two_sample",
+    oracle="""
+    WITH c AS (
+      SELECT value,
+             COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS ca,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS cb
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY value),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM c),
+    r AS (
+      SELECT value,
+             SUM(ca) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_a,
+             SUM(cb) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_b
+      FROM c),
+    d AS (
+      SELECT value,
+             ABS(cum_a / CAST(na AS DOUBLE) - cum_b / CAST(nb AS DOUBLE))
+               AS diff
+      FROM r, t)
+    SELECT (SELECT na FROM t) AS n_a,
+           (SELECT nb FROM t) AS n_b,
+           MAX(diff) AS ks_stat,
+           MIN(CASE WHEN diff = (SELECT MAX(diff) FROM d) THEN value END)
+             AS at_value
+    FROM d
+    """,
+)
+def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov two-sample statistic between the view and
+    purchase value distributions — the nonparametric drift test that
+    needs the FULL empirical CDFs, i.e. a global cumulative sum. The
+    oracle's single-partition window is exactly what a 100 TB engine
+    cannot run; here both CDFs come from the distributed prefix-sum
+    operator (range exchange + per-partition window + broadcast
+    offsets — operators/prefix.py), so no stage ever sees more than its
+    range slice. Integer cumulative counts divide by integer totals, so
+    every double is EXACT and the max/argmax diff cross-engine with no
+    rounding at all."""
+    from ..operators.prefix import global_running_sum
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("event_type", "value")
+    )
+    c = ev.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("ca"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("cb"),
+    )
+    r = global_running_sum(c, ["value"], "ca", "cum_a", num_partitions=32)
+    r = global_running_sum(r, ["value"], "cb", "cum_b", num_partitions=32)
+    t = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    d = r.join(F.broadcast(t), F.lit(True)).select(
+        "value",
+        "na",
+        "nb",
+        F.abs(
+            F.col("cum_a") / F.col("na").cast("double")
+            - F.col("cum_b") / F.col("nb").cast("double")
+        ).alias("diff"),
+    )
+    ks = d.agg(F.max("diff").alias("ks_stat"))
+    return (
+        d.join(F.broadcast(ks), F.lit(True))
+        .filter(F.col("diff") == F.col("ks_stat"))
+        .agg(
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+            F.first("ks_stat").alias("ks_stat"),
+            F.min("value").alias("at_value"),
+        )
+    )

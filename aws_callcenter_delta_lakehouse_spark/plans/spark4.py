@@ -84,3 +84,87 @@ if _has_protobuf():  # pragma: no cover - env-dependent
             F.max("n_events").alias("n_events"),
             F.max_by("peak_value", "n_events").alias("peak_value"),
         )
+
+
+@query(
+    "sql_scripting_report",
+    oracle="""
+    WITH a AS (
+      SELECT floor(AVG(o_totalprice) * 1e2 + 0.5) / 1e2 AS avg_price
+      FROM orders)
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM orders, a
+    WHERE o_totalprice > avg_price
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_scripting_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI SQL scripting (Spark 4: BEGIN/END compound statements,
+    DECLARE'd variables, procedural SET from a scalar subquery) — the
+    stored-procedure-style control flow DBAs expect, executed entirely
+    on the driver as orchestration; each inner statement still plans
+    through Catalyst, so the data path is identical to the oracle's
+    plain-SQL equivalent."""
+    from ..catalog import register_all
+
+    register_all(spark, sf_dir, ["orders"])
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE avg_price DOUBLE DEFAULT 0;
+          SET avg_price =
+            (SELECT floor(AVG(o_totalprice) * 1e2 + 0.5) / 1e2 FROM orders);
+          SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above
+          FROM orders WHERE o_totalprice > avg_price
+          GROUP BY o_orderpriority;
+        END
+        """
+    )
+
+
+@query(
+    "udtf_polymorphic_firstwords",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+    SELECT doc_id, l[1] AS w1, l[2] AS w2, l[3] AS w3 FROM w
+    """,
+)
+def udtf_polymorphic_firstwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 ``analyze()`` static method):
+    the output schema — one column per requested word — is derived at
+    ANALYSIS time from the literal argument, so ``first_words(text, 3)``
+    and ``first_words(text, 5)`` are different relations from one
+    function. Arrow-optimized execution; the closure is self-contained
+    (worker sys.path rule). Row-at-a-time Python remains the slow path
+    — this row exists for API surface parity, the scale path for this
+    job is the pure-column projection the oracle shows."""
+    from pyspark.sql.functions import udtf
+
+    class FirstWords:
+        @staticmethod
+        def analyze(doc_id, text, k):
+            from pyspark.sql.functions import AnalyzeResult
+            from pyspark.sql.types import LongType, StringType, StructType
+
+            schema = StructType().add("doc_id", LongType())
+            for i in range(1, k.value + 1):
+                schema = schema.add(f"w{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id, text, k):
+            words = text.split(" ")
+            yield (doc_id, *[
+                words[i] if i < len(words) else None for i in range(k)
+            ])
+
+    from ..catalog import register_all
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    name = f"first_words_{uuid.uuid4().hex[:8]}"
+    spark.udtf.register(name, udtf(FirstWords))
+    register_all(spark, sf_dir, ["documents"])
+    # a UDTF over a table's columns is a LATERAL correlation
+    return spark.sql(
+        f"SELECT t.* FROM documents, LATERAL {name}(doc_id, text, 3) t"
+    )

@@ -375,3 +375,75 @@ def test_scd2_sink_versions_and_replay_skip(spark, tmp_path):
         q.stop()
     assert _snap() == want
     assert mt.table_txn(path)["last_epoch"] == epoch
+
+
+def test_progress_listener_captures_batch_metrics(spark, tmp_path):
+    """The ProgressCapture listener sees every micro-batch: input-row
+    counts sum to the rows fed, the stateful window aggregate reports
+    state rows, and the captured log is queryable as a DataFrame."""
+    import shutil
+    import time
+
+    from aws_callcenter_delta_lakehouse_spark.streaming.observe import (
+        capture_progress,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    a = spark.createDataFrame(
+        [("2024-01-01 00:10:00", 1.0), ("2024-01-01 05:00:00", 2.0)],
+        "ts_s string, value double",
+    )
+    b = spark.createDataFrame(
+        [("2024-01-01 07:00:00", 4.0)], "ts_s string, value double"
+    )
+
+    def _feed(df, name):
+        tmp = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            shutil.copy(f, src / (name + ".parquet"))
+
+    cap = capture_progress(spark)
+    try:
+        stream = (
+            spark.readStream.schema("ts_s string, value double")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        agg = (
+            stream.withColumn("ts", F.to_timestamp("ts_s"))
+            .withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "6 hours"))
+            .agg(F.count("*").alias("n"))
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("obs_sink")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            _feed(a, "a")
+            q.processAllAvailable()
+            _feed(b, "b")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # listener events are delivered asynchronously
+        for _ in range(50):
+            if sum(e["num_input_rows"] for e in cap.events) >= 3:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(cap)
+
+    log = cap.to_df(spark)
+    got = log.agg(
+        F.sum("num_input_rows").alias("rows"),
+        F.max("state_rows_total").alias("state_rows"),
+        F.count("*").alias("batches"),
+    ).first()
+    assert got.rows == 3
+    assert got.state_rows >= 2  # two 6h windows held in state
+    assert got.batches >= 2
