@@ -337,3 +337,156 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("value").alias("at_value"),
         )
     )
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+    t AS (SELECT SUM(n_obs) AS total FROM c)
+    SELECT digit, n_obs,
+           floor(n_obs / CAST(total AS DOUBLE) * 1e6 + 0.5) / 1e6 AS obs_share,
+           floor(log10(1.0 + 1.0 / digit) * 1e6 + 0.5) / 1e6 AS benford_share
+    FROM c, t
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the fraud /
+    synthetic-data smell test. The leading digit is extracted through
+    INTEGER+STRING ops (never floor(log10) — a 1-ulp libm difference
+    at a power of ten would flip the digit cross-engine); expected
+    shares are log10(1 + 1/d) on constants. One tiny aggregate."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    t = c.agg(F.sum("n_obs").alias("total"))
+    return c.join(F.broadcast(t), F.lit(True)).select(
+        "digit",
+        "n_obs",
+        round_portable(F.col("n_obs") / F.col("total").cast("double"), 6).alias(
+            "obs_share"
+        ),
+        round_portable(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6
+        ).alias("benford_share"),
+    )
+
+
+@query(
+    "events_cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             floor(SUM(value) * 1e2 + 0.5) / 1e2 AS v
+      FROM events WHERE user_id < 100 GROUP BY 1, 2),
+    m AS (
+      SELECT user_id, floor(AVG(v) * 1e2 + 0.5) / 1e2 AS mu
+      FROM daily GROUP BY 1),
+    s AS (
+      SELECT d.user_id, day,
+             SUM(v - mu) OVER (PARTITION BY d.user_id ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS ps
+      FROM daily d JOIN m USING (user_id)),
+    c AS (
+      SELECT user_id, day,
+             ps - LEAST(MIN(ps) OVER (PARTITION BY user_id ORDER BY day
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW), 0) AS cusum
+      FROM s)
+    SELECT user_id,
+           floor(MAX(cusum) * 1e4 + 0.5) / 1e4 AS max_cusum,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM c GROUP BY user_id
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM drift score over the daily value series — the
+    changepoint-detection primitive. The clamped recurrence
+    ``C_t = max(0, C_{t-1} + dev_t)`` looks sequential, but the
+    prefix-sum identity ``C_t = S_t - min(0, min_{j<=t} S_j)`` turns it
+    into two WINDOWS (running sum + running min) — one shuffle on the
+    user key, no fold, no state. The user mean is rounded before
+    differencing so both engines window identical doubles."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        round_portable(F.sum("value"), 2).alias("v")
+    )
+    m = daily.groupBy("user_id").agg(round_portable(F.avg("v"), 2).alias("mu"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = daily.join(m, "user_id").withColumn(
+        "ps", F.sum(F.col("v") - F.col("mu")).over(w)
+    )
+    c = s.withColumn(
+        "cusum", F.col("ps") - F.least(F.min("ps").over(w), F.lit(0.0))
+    )
+    return c.groupBy("user_id").agg(
+        round_portable(F.max("cusum"), 4).alias("max_cusum"),
+        F.count("*").alias("n_days"),
+    )
+
+
+@query(
+    "tpch_rf_refresh_cycle",
+    oracle="""
+    WITH after AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 10 <> 3
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', o_totalprice FROM orders
+      WHERE o_orderkey % 10 = 0)
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           floor(SUM(o_totalprice) * 1e2 + 0.5) / 1e2 AS total_price
+    FROM after GROUP BY o_orderstatus
+    """,
+)
+def tpch_rf_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H refresh functions the 22 queries leave out: RF1 (new
+    orders inserted) and RF2 (old orders deleted) run as managed-table
+    DML — merge_upsert for the insert batch, delete_where for the
+    purge — followed by the reporting aggregate over the refreshed
+    table. The oracle states the final set algebraically; matching it
+    proves the DML cycle is exactly-once and loss-free. Both refresh
+    sets derive from keys, so the cycle is deterministic."""
+    import tempfile
+
+    from ..sources import managed_table as mt
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="tpch_rf_") + "/orders"
+    mt.initial_write(orders, path, keys=("o_orderkey",))
+    # RF1: a new-sales batch (keys offset past the live range)
+    rf1 = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    mt.merge_upsert(spark, path, rf1, keys=("o_orderkey",))
+    # RF2: purge an old-order slice
+    mt.delete_where(spark, path, "o_orderkey % 10 = 3 AND o_orderkey < 10000000")
+    return (
+        mt.read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_portable(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

@@ -77,3 +77,65 @@ def test_dml_sequence_matches_dict_model(spark, ops):
         assert len(mt.list_versions(path)) <= 3
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_SCD_BATCH = st.dictionaries(_KEYS, _VALS, min_size=1, max_size=4).map(
+    lambda d: sorted(d.items())
+)
+_SCD_SEQ = st.lists(_SCD_BATCH, min_size=1, max_size=5)
+
+
+def _scd2_model_apply(model, batch, date):
+    """Dict model of SCD2: model[key] = list of [seg, from, to, current]."""
+    for k, v in batch:
+        hist = model.setdefault(k, [])
+        cur = next((r for r in hist if r[3]), None)
+        if cur is None:
+            hist.append([v, date, "9999-12-31", True])
+        elif cur[0] != v:
+            cur[2] = date
+            cur[3] = False
+            hist.append([v, date, "9999-12-31", True])
+        # unchanged attr: no new version
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_SCD_SEQ)
+def test_scd2_sequence_matches_dict_model(spark, batches):
+    """Model-based SCD2: every random batch sequence must produce
+    exactly the history the dict model predicts — one open row per
+    live key, closed rows chained on change dates, unchanged updates
+    producing NO new version."""
+    import datetime as dt
+
+    from aws_callcenter_delta_lakehouse_spark.operators.scd2 import (
+        scd2_apply,
+        scd2_init,
+    )
+
+    model: dict[int, list] = {}
+    hist_df = None
+    for i, batch in enumerate(batches):
+        date = dt.date(2024, 1, 1) + dt.timedelta(days=i)
+        src = spark.createDataFrame(batch, "id long, seg string")
+        if hist_df is None:
+            hist_df = scd2_init(src, date)
+        else:
+            hist_df = scd2_apply(hist_df, src, ["id"], date)
+        hist_df = hist_df.localCheckpoint(eager=True)
+        _scd2_model_apply(model, batch, str(date))
+
+    got = {
+        (r.id, r.seg, str(r.effective_from), str(r.effective_to), r.is_current)
+        for r in hist_df.collect()
+    }
+    want = {
+        (k, seg, f, t, cur)
+        for k, rows in model.items()
+        for seg, f, t, cur in map(tuple, rows)
+    }
+    assert got == want
