@@ -490,3 +490,163 @@ def tpch_rf_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_portable(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY CAST(ts AS TIMESTAMP), event_id)
+               AS prev_type
+      FROM events),
+    c AS (
+      SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2),
+    t AS (SELECT prev_type, SUM(n_trans) AS row_total FROM c GROUP BY 1)
+    SELECT c.prev_type, event_type, n_trans,
+           floor(n_trans / CAST(row_total AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS p_trans
+    FROM c JOIN t USING (prev_type)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences (the behavioral-model / next-event-prediction baseline):
+    one LAG window on the user key, one pair aggregate, row-normalized
+    by integer ratio (exact doubles). The transition matrix is
+    vocabulary-sized — shuffle-light at any event count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).where(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n_trans")
+    )
+    t = c.groupBy("prev_type").agg(F.sum("n_trans").alias("row_total"))
+    return c.join(F.broadcast(t), "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n_trans",
+        round_portable(
+            F.col("n_trans") / F.col("row_total").cast("double"), 6
+        ).alias("p_trans"),
+    )
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN CAST(ts AS DATE) END) AS conv_day,
+             MIN(CAST(ts AS DATE)) AS first_day,
+             MAX(CAST(ts AS DATE)) AS last_day
+      FROM events GROUP BY user_id),
+    dur AS (
+      SELECT user_id,
+             CASE WHEN conv_day IS NOT NULL
+                  THEN date_diff('day', first_day, conv_day)
+                  ELSE date_diff('day', first_day, last_day) END AS t,
+             CASE WHEN conv_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM per_user),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dur),
+    grp AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM dur GROUP BY t),
+    risk AS (
+      SELECT t, d,
+             n - COALESCE(SUM(c) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS n_risk
+      FROM grp, total),
+    surv AS (
+      SELECT t, d, n_risk,
+             CASE WHEN d >= n_risk THEN 0.0
+                  ELSE exp(SUM(CASE WHEN d < n_risk
+                                    THEN ln(1.0 - d / CAST(n_risk AS DOUBLE))
+                                    ELSE 0.0 END)
+                           OVER (ORDER BY t
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW))
+             END AS s
+      FROM risk WHERE d > 0)
+    SELECT t AS duration_days, d AS n_events, n_risk,
+           floor(s * 1e6 + 0.5) / 1e6 AS survival
+    FROM surv
+    """,
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for days-to-first-purchase, with
+    non-converting users right-censored at their last activity — the
+    time-to-event estimator behind churn/conversion analyses. The
+    at-risk count comes from an exclusive prefix sum over duration
+    groups (integers, exact); the product over hazard terms is
+    exp(cumulative-sum of logs) — a window, not a sequential fold —
+    and rounds at 1e-6 to absorb libm/order noise. Grain = distinct
+    durations, so every shuffle is tiny regardless of user count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.to_date("ts"))
+        ).alias("conv_day"),
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    dur = per_user.select(
+        F.when(
+            F.col("conv_day").isNotNull(),
+            F.datediff("conv_day", "first_day"),
+        )
+        .otherwise(F.datediff("last_day", "first_day"))
+        .alias("t"),
+        F.when(F.col("conv_day").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    total = dur.agg(F.count("*").alias("n"))
+    grp = dur.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("c")
+    )
+    w_excl = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_incl = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = grp.join(F.broadcast(total), F.lit(True)).select(
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("c").over(w_excl), F.lit(0))
+        ).alias("n_risk"),
+    )
+    # the final time point can exhaust the risk set (d == n_risk):
+    # S drops to exactly 0 there, and the log term is excluded from
+    # the cumulative product (ln(0) is undefined — DuckDB throws)
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk").cast("double")),
+    ).otherwise(F.lit(0.0))
+    surv = risk.where(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.when(F.col("d") >= F.col("n_risk"), F.lit(0.0))
+        .otherwise(F.exp(F.sum(term).over(w_incl)))
+        .alias("s"),
+    )
+    return surv.select(
+        F.col("t").alias("duration_days"),
+        F.col("d").alias("n_events"),
+        "n_risk",
+        round_portable(F.col("s"), 6).alias("survival"),
+    )
