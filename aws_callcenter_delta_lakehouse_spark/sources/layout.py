@@ -156,3 +156,135 @@ def read_with_skipping(spark, path: str, column: str, lo=None, hi=None):
     if hi is not None:
         df = df.filter(c <= hi)
     return df
+
+
+def write_bloom_manifest(
+    spark,
+    path: str,
+    columns: Sequence[str],
+    num_bits: int = 16384,
+    num_hashes: int = 5,
+) -> str:
+    """Per-file BLOOM FILTERS for equality skipping on columns the
+    sort order does NOT cluster — the companion index to the min/max
+    manifest (Delta's bloom filter index / Parquet bloom filters play
+    the same role). min/max stats prune range predicates on the
+    clustered key; a point lookup on any OTHER column still touches
+    every file unless a bloom says "definitely not here".
+
+    Built DISTRIBUTEDLY in one pass: each value contributes its
+    ``num_hashes`` bit positions (xxhash64 with per-hash salt), one
+    per-file aggregate collects the distinct positions, and only the
+    finished bitmaps (num_bits/8 bytes per file) reach the driver —
+    O(#files * bitmap) driver work, same as a log replay. No false
+    negatives by construction; false-positive rate is set by
+    num_bits/num_hashes.
+    """
+    import base64 as _b64
+    import json as _json
+
+    src = spark.read.parquet(path).select(
+        F.input_file_name().alias("__f"), *columns
+    )
+    manifest_entries: dict[str, dict] = {}
+    for c in columns:
+        pos = F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), F.col(c)), F.lit(num_bits))
+                    for i in range(num_hashes)
+                ]
+            )
+        ).alias("__p")
+        per_file = (
+            src.select("__f", pos)
+            .groupBy("__f")
+            .agg(F.collect_set("__p").alias("__bits"))
+            .collect()
+        )
+        for r in per_file:
+            bm = bytearray(num_bits // 8)
+            for p in r["__bits"]:
+                bm[p // 8] |= 1 << (p % 8)
+            entry = manifest_entries.setdefault(
+                r["__f"].replace("file:", "").replace("//", "/"), {}
+            )
+            entry[c] = _b64.b64encode(bytes(bm)).decode()
+    manifest = f"{path}/_bloom_manifest.json"
+    with open(manifest, "w") as fh:
+        _json.dump(
+            {
+                "num_bits": num_bits,
+                "num_hashes": num_hashes,
+                "files": manifest_entries,
+            },
+            fh,
+        )
+    return manifest
+
+
+def bloom_pruned_file_list(
+    spark, path: str, column: str, value
+) -> tuple[list[str], int]:
+    """Files whose bloom for ``column`` MIGHT contain ``value`` (plus
+    files without a bloom — never skip blind), and the total count.
+    The probe hashes through a 1-row Spark job so driver and executor
+    hashing can never diverge."""
+    import base64 as _b64
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    manifest = f"{path}/_bloom_manifest.json"
+    all_files = sorted(
+        f for f in _glob.glob(f"{path}/*.parquet")
+    )
+    if not _os.path.exists(manifest):
+        return all_files, len(all_files)
+    with open(manifest) as fh:
+        m = _json.load(fh)
+    nb, nh = m["num_bits"], m["num_hashes"]
+    # xxhash64 is TYPE-sensitive: an int literal probing a bigint
+    # column would hash differently and false-negative every file —
+    # cast the probe to the column's actual type first
+    col_type = spark.read.parquet(path).schema[column].dataType
+    probe_lit = F.lit(value).cast(col_type)
+    probe = (
+        spark.range(1)
+        .select(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.lit(i), probe_lit), F.lit(nb))
+                    for i in range(nh)
+                ]
+            ).alias("p")
+        )
+        .first()["p"]
+    )
+    keep = []
+    for f in all_files:
+        entry = None
+        for k, v in m["files"].items():
+            if _os.path.basename(k) == _os.path.basename(f):
+                entry = v
+                break
+        bm64 = (entry or {}).get(column)
+        if bm64 is None:
+            keep.append(f)
+            continue
+        bm = _b64.b64decode(bm64)
+        if all(bm[p // 8] & (1 << (p % 8)) for p in probe):
+            keep.append(f)
+    return keep, len(all_files)
+
+
+def read_with_bloom_skipping(spark, path: str, column: str, value):
+    """Equality read that consults the bloom manifest before listing
+    files, then applies the exact predicate to the survivors. Returns
+    an EMPTY DataFrame (correct schema) when every file is pruned."""
+    files, _total = bloom_pruned_file_list(spark, path, column, value)
+    if not files:
+        return (
+            spark.read.parquet(path).filter(F.lit(False))
+        )
+    return spark.read.parquet(*files).filter(F.col(column) == value)

@@ -228,3 +228,41 @@ def test_hilbert_layout_tightens_file_spans(spark):
     # random layout would give ~n spans on both axes; hilbert files
     # cover a compact curve segment, so both axes shrink
     assert avg_sx < n / 2 and avg_sy < n / 2
+
+
+def test_bloom_manifest_prunes_point_lookups(spark, tmp_path):
+    """Bloom skipping on a NON-clustered column: the table is clustered
+    by date (min/max useless for key lookups), yet a point probe on the
+    key touches ~1 file, an absent key prunes (almost) everything, and
+    results always equal the full-scan answer (no false negatives)."""
+    from aws_callcenter_delta_lakehouse_spark.operators.layout import (  # noqa: F401
+        zorder_key,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        bloom_pruned_file_list,
+        read_with_bloom_skipping,
+        write_bloom_manifest,
+        write_clustered,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("day"),
+        (F.col("id") * 3).alias("v"),
+    )
+    # clustered by day -> every file holds a full spread of k values
+    write_clustered(df, path, cluster_by=["day"], num_files=8)
+    write_bloom_manifest(spark, path, ["k"], num_bits=16384, num_hashes=5)
+
+    # present key: exact row found, most files bloom-pruned
+    kept, total = bloom_pruned_file_list(spark, path, "k", 1234)
+    assert total == 8
+    assert len(kept) <= 3  # fp rate makes >2 extremely unlikely
+    got = read_with_bloom_skipping(spark, path, "k", 1234).collect()
+    assert [(r.k, r.v) for r in got] == [(1234, 3702)]
+
+    # absent key: no false negatives possible, and pruning bites
+    kept2, _ = bloom_pruned_file_list(spark, path, "k", 999_999)
+    assert len(kept2) <= 2
+    assert read_with_bloom_skipping(spark, path, "k", 999_999).count() == 0
