@@ -266,3 +266,36 @@ def test_bloom_manifest_prunes_point_lookups(spark, tmp_path):
     kept2, _ = bloom_pruned_file_list(spark, path, "k", 999_999)
     assert len(kept2) <= 2
     assert read_with_bloom_skipping(spark, path, "k", 999_999).count() == 0
+
+
+def test_optimize_hilbert_managed_table(spark, tmp_path):
+    """OPTIMIZE via Hilbert clustering: same atomic versioned rewrite
+    and manifest refresh as the Z-order path, same both-column pruning
+    payoff, data byte-identical."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        pruned_file_list,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        optimize_hilbert,
+    )
+
+    path = str(tmp_path / "t")
+    grid = spark.range(4096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("a"),
+        (F.col("id") / 64).cast("long").alias("b"),
+    )
+    mt.initial_write(grid, path, keys=("id",))
+    before = {tuple(r) for r in mt.read(spark, path).collect()}
+    v0 = mt.table_version(path)
+
+    stats = optimize_hilbert(spark, path, "a", "b", target_file_bytes=2000, order=6)
+    assert stats["after"]["n_files"] >= 8
+
+    assert {tuple(r) for r in mt.read(spark, path).collect()} == before
+    assert mt.table_version(path) == v0 + 1
+
+    for col, lo, hi in (("a", 0, 7), ("b", 0, 7)):
+        kept, total = pruned_file_list(path, col, lo, hi)
+        assert len(kept) <= total / 2, (col, len(kept), total)

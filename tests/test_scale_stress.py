@@ -40,6 +40,9 @@ STRESS_QUERIES = (
     "similarity_ivf_kmeans",
     "similarity_pq_adc",
     "bpe_merges",
+    # round-4 additions over the documents table
+    "dedup_segment_reassemble",
+    "curation_dsir_weights",
 )
 
 
