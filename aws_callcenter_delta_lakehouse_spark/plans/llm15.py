@@ -650,3 +650,121 @@ def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         round_portable(F.col("s"), 6).alias("survival"),
     )
+
+
+@query(
+    "quality_gopher_rules",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS l,
+             length(replace(text, ' ', '')) AS n_alpha_chars
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n_words,
+             floor(n_alpha_chars / CAST(len(l) AS DOUBLE) * 1e4 + 0.5) / 1e4
+               AS mean_word_len,
+             CAST(len(list_filter(l, x -> x = 'the' OR x = 'a'
+                                       OR x = 'of' OR x = 'to'))
+                  AS BIGINT) AS n_stopwords
+      FROM w)
+    SELECT doc_id, n_words, mean_word_len, n_stopwords,
+           n_words BETWEEN 50 AND 100000 AS ok_length,
+           mean_word_len BETWEEN 3 AND 10 AS ok_word_len,
+           n_stopwords >= 2 AS ok_stopwords,
+           (n_words BETWEEN 50 AND 100000)
+             AND (mean_word_len BETWEEN 3 AND 10)
+             AND n_stopwords >= 2 AS passes
+    FROM m
+    """,
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter rule battery (Rae et al. 2021 §A1 —
+    the heuristic gate most LLM corpora run before model-based
+    scoring): word-count bounds, mean-word-length window, minimum
+    stop-word evidence. Pure projections + one string split per doc;
+    no shuffle at all, so it runs at ingest bandwidth."""
+    docs = load_table(spark, sf_dir, "documents")
+    split_df = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("__l"),
+        F.length(F.regexp_replace("text", " ", "")).alias("__alpha"),
+    )
+    m = split_df.select(
+        "doc_id",
+        F.size("__l").cast("long").alias("n_words"),
+        round_portable(
+            F.col("__alpha") / F.size("__l").cast("double"), 4
+        ).alias("mean_word_len"),
+        F.size(
+            F.filter("__l", lambda x: x.isin("the", "a", "of", "to"))
+        )
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    ok_len = F.col("n_words").between(50, 100000)
+    ok_wl = F.col("mean_word_len").between(3, 10)
+    ok_sw = F.col("n_stopwords") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "n_stopwords",
+        ok_len.alias("ok_length"),
+        ok_wl.alias("ok_word_len"),
+        ok_sw.alias("ok_stopwords"),
+        (ok_len & ok_wl & ok_sw).alias("passes"),
+    )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+    idx AS (SELECT doc_id, w,
+                   unnest(range(1, greatest(len(w) - 1, 1))) AS i
+            FROM words),
+    sh AS (SELECT DISTINCT doc_id,
+                  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+           FROM idx),
+    ref AS (SELECT DISTINCT g FROM sh WHERE doc_id % 2 = 0),
+    probe AS (SELECT doc_id, g FROM sh WHERE doc_id % 2 = 1)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN NOT EXISTS
+                         (SELECT 1 FROM ref WHERE ref.g = probe.g)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           floor(SUM(CASE WHEN NOT EXISTS
+                          (SELECT 1 FROM ref WHERE ref.g = probe.g)
+                     THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+                 * 1e6 + 0.5) / 1e6 AS novelty
+    FROM probe GROUP BY doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty of each arriving document against the indexed
+    reference half — the inverse of contamination: how much of this
+    document have we NOT seen before? (Data-value scoring for
+    continual pretraining.) Trigram shingles, one left-anti-shaped
+    membership join keyed on the gram, per-doc ratio of exact integer
+    counts. Shuffle = shingles only, like every dedup op here."""
+    from ..operators.dedup import shingle
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle(docs, "doc_id", "text", n=3, distinct=True)
+    ref = (
+        sh.where(F.col("doc_id") % 2 == 0).select("sh").distinct()
+        .withColumn("__seen", F.lit(1))
+    )
+    probe = sh.where(F.col("doc_id") % 2 == 1)
+    joined = probe.join(ref, "sh", "left")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0)).alias("n_novel"),
+        round_portable(
+            F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("novelty"),
+    )
