@@ -768,3 +768,90 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty"),
     )
+
+
+@query(
+    "forecast_seasonal_naive_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(floor(SUM(value) * 1e2 + 0.5) AS BIGINT) AS vc
+      FROM events WHERE user_id < 100 GROUP BY 1, 2),
+    base AS (
+      SELECT user_id, day, vc,
+             lag(vc) OVER (PARTITION BY user_id ORDER BY day) AS prev_vc
+      FROM daily),
+    fc AS (
+      SELECT b.user_id, b.day, b.vc, b.prev_vc, w.vc AS fc_vc
+      FROM base b JOIN daily w
+        ON w.user_id = b.user_id AND w.day = b.day - INTERVAL 7 DAY),
+    m AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+             floor(SUM(ABS(vc - fc_vc)) / CAST(COUNT(*) AS DOUBLE)
+                   / 100 * 1e4 + 0.5) / 1e4 AS mae_seasonal,
+             floor(SUM(ABS(vc - prev_vc)) / CAST(COUNT(*) AS DOUBLE)
+                   / 100 * 1e4 + 0.5) / 1e4 AS mae_naive
+      FROM fc WHERE prev_vc IS NOT NULL GROUP BY user_id)
+    SELECT user_id, n_forecasts, mae_seasonal, mae_naive,
+           CASE WHEN mae_naive > 0
+                THEN floor(mae_seasonal / mae_naive * 1e4 + 0.5) / 1e4
+           END AS mase
+    FROM m
+    """,
+)
+def forecast_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast (predict this day = same weekday last
+    week) scored with MASE (MAE over the seasonal forecast divided by
+    the one-step-naive MAE) — the baseline every forecasting pipeline
+    must beat, and the scale-free metric it's judged with. One window
+    for the naive lag, one self-join on (user, day-7) for the seasonal
+    forecast — both keyed on the user, no global state. MAEs are
+    rounded before the ratio so both engines divide identical
+    doubles."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 100)
+    # INTEGER CENTS from here on: the MAE averages would otherwise sum
+    # inexact 2-decimal doubles in engine-dependent order, and an
+    # average landing on a .00005 boundary flips the rounded output
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("long").alias("vc")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    base = daily.withColumn("prev_vc", F.lag("vc").over(w))
+    fc = base.alias("b").join(
+        daily.alias("w"),
+        (F.col("b.user_id") == F.col("w.user_id"))
+        & (F.col("w.day") == F.date_sub(F.col("b.day"), 7)),
+    ).select(
+        F.col("b.user_id").alias("user_id"),
+        F.col("b.vc").alias("vc"),
+        F.col("b.prev_vc").alias("prev_vc"),
+        F.col("w.vc").alias("fc_vc"),
+    )
+    m = fc.where(F.col("prev_vc").isNotNull()).groupBy("user_id").agg(
+        F.count("*").alias("n_forecasts"),
+        round_portable(
+            F.sum(F.abs(F.col("vc") - F.col("fc_vc")))
+            / F.count("*").cast("double")
+            / 100,
+            4,
+        ).alias("mae_seasonal"),
+        round_portable(
+            F.sum(F.abs(F.col("vc") - F.col("prev_vc")))
+            / F.count("*").cast("double")
+            / 100,
+            4,
+        ).alias("mae_naive"),
+    )
+    return m.select(
+        "user_id",
+        "n_forecasts",
+        "mae_seasonal",
+        "mae_naive",
+        F.when(
+            F.col("mae_naive") > 0,
+            round_portable(F.col("mae_seasonal") / F.col("mae_naive"), 4),
+        ).alias("mase"),
+    )

@@ -491,3 +491,62 @@ def foreach_batch_scd2(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def foreach_batch_lsh_index(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> "object":
+    """Continuously maintain the PERSISTENT MinHash-LSH dedup index
+    from a document stream — the ingest side of
+    ``minhash_lsh_probe_pairs``: each micro-batch shingles and
+    signatures ONLY its own documents and merges (a) their band-bucket
+    rows into ``<index_path>_buckets`` and (b) their distinct shingles
+    into ``<index_path>_shingles``. Batch work is O(|batch| * bands);
+    the already-indexed corpus is never re-read. A later arrival (or a
+    live probe) dedups against the whole history via the stored index.
+
+    Exactly-once across TWO tables: each table records the applied
+    epoch in its own atomic commit, and a replayed batch re-applies
+    only to tables still behind — safe because the per-table merge is
+    idempotent (same keys, same rows), so the crash window between the
+    two commits heals on replay instead of double-applying."""
+    from ..operators.dedup import lsh_band_buckets, minhash_signature, shingle
+    from ..sources import managed_table as mt
+
+    buckets_path = index_path + "_buckets"
+    shingles_path = index_path + "_shingles"
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        sh = shingle(
+            batch_df, id_col, text_col, n, distinct=True
+        ).localCheckpoint(eager=False)
+        sigs = minhash_signature(sh, id_col, num_hashes)
+        buckets = lsh_band_buckets(sigs, id_col, bands, num_hashes // bands)
+        txn = {"last_epoch": int(epoch_id)}
+        for path, df, keys in (
+            (buckets_path, buckets, (id_col, "band", "bucket")),
+            (shingles_path, sh, (id_col, "sh")),
+        ):
+            last = int(mt.table_txn(path).get("last_epoch", -1))
+            if epoch_id <= last:
+                continue  # this table already has the replayed batch
+            if mt.is_table(spark, path):
+                mt.merge_upsert(spark, path, df, keys=keys, txn=txn)
+            else:
+                mt.commit_overwrite(df, path, keys=tuple(keys), txn=txn)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -447,3 +447,79 @@ def test_progress_listener_captures_batch_metrics(spark, tmp_path):
     assert got.rows == 3
     assert got.state_rows >= 2  # two 6h windows held in state
     assert got.batches >= 2
+
+
+def test_lsh_index_sink_probe_and_replay(spark, tmp_path):
+    """The streaming LSH-index sink: two document micro-batches build
+    the persistent band-bucket + shingle tables; a later probe shard
+    finds its near-duplicate in BATCH-1 history through the stored
+    index (no corpus re-signature), and a restart replaying nothing
+    leaves both tables' epochs untouched."""
+    import shutil
+
+    from aws_callcenter_delta_lakehouse_spark.operators.dedup import (
+        minhash_lsh_probe_pairs,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        foreach_batch_lsh_index,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "lsh")
+    ckpt = str(tmp_path / "ckpt")
+    sent = "the quick brown fox jumps over the lazy dog near the old river bank"
+    other = "completely different words about spark shuffles and parquet files here now"
+    a = spark.createDataFrame([(1, sent), (2, other)], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(3, "unrelated third document text with many distinct tokens in it")],
+        "doc_id long, text string",
+    )
+
+    def _feed(df, name):
+        tmp = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            shutil.copy(f, src / (name + ".parquet"))
+
+    def _start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        return foreach_batch_lsh_index(stream, idx, checkpoint=ckpt)
+
+    q = _start()
+    try:
+        _feed(a, "a")
+        q.processAllAvailable()
+        _feed(b, "b")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # probe a near-dup of doc 1 (one word changed) against the index
+    probe = spark.createDataFrame(
+        [(99, sent.replace("lazy", "sleepy"))], "doc_id long, text string"
+    )
+    pairs = minhash_lsh_probe_pairs(
+        mt.read(spark, idx + "_buckets"),
+        mt.read(spark, idx + "_shingles"),
+        probe,
+        "doc_id",
+        "text",
+        threshold=0.5,
+    ).collect()
+    assert {(r.d1, r.d2) for r in pairs} == {(1, 99)}
+
+    e_b = mt.table_txn(idx + "_buckets")["last_epoch"]
+    e_s = mt.table_txn(idx + "_shingles")["last_epoch"]
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert mt.table_txn(idx + "_buckets")["last_epoch"] == e_b
+    assert mt.table_txn(idx + "_shingles")["last_epoch"] == e_s
