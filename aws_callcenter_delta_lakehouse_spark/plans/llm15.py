@@ -855,3 +855,87 @@ def forecast_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_portable(F.col("mae_seasonal") / F.col("mae_naive"), 4),
         ).alias("mase"),
     )
+
+
+@query(
+    "attribution_linear_multi_touch",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts, value
+               FROM events WHERE event_type = 'purchase'),
+    v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) ts FROM events
+          WHERE event_type = 'view'),
+    touches AS (
+      SELECT p.event_id AS purchase_id, p.user_id, p.value,
+             v.event_id AS view_id
+      FROM p JOIN v
+        ON p.user_id = v.user_id
+       AND v.ts >= p.ts - INTERVAL 3600 SECOND
+       AND v.ts <= p.ts),
+    per_purchase AS (
+      SELECT purchase_id, user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_touches,
+             floor(MAX(value) / COUNT(*) * 1e4 + 0.5) / 1e4
+               AS credit_per_touch
+      FROM touches GROUP BY 1, 2)
+    SELECT t.view_id,
+           CAST(COUNT(*) AS BIGINT) AS n_credited_purchases,
+           floor(list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                                list(pp.credit_per_touch
+                                     ORDER BY pp.purchase_id)),
+                   (a, x) -> a + x) * 1e4 + 0.5) / 1e4 AS credited_revenue
+    FROM touches t JOIN per_purchase pp USING (purchase_id)
+    GROUP BY t.view_id
+    """,
+)
+def attribution_linear_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    equally across every view by the same user in the preceding hour,
+    and views accumulate credit across purchases — the marketing-
+    analytics allocation the as-of (last-touch) join can't express.
+    The interval join is the watermarked stream-stream shape run in
+    batch; per-view credit folds over the purchase-sorted share list
+    so both engines add identical doubles in the same order."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    touches = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 3600 SECONDS"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "view_id", "value")
+    w = Window.partitionBy("purchase_id")
+    credited = touches.withColumn(
+        "credit_per_touch",
+        round_portable(F.col("value") / F.count("*").over(w), 4),
+    )
+    folded = credited.groupBy("view_id").agg(
+        F.count("*").alias("n_credited_purchases"),
+        F.sort_array(
+            F.collect_list(F.struct("purchase_id", "credit_per_touch"))
+        ).alias("__shares"),
+    )
+    return folded.select(
+        "view_id",
+        "n_credited_purchases",
+        round_portable(
+            F.aggregate(
+                F.transform("__shares", lambda s: s.credit_per_touch),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("credited_revenue"),
+    )

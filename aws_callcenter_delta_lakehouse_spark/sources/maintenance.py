@@ -220,3 +220,41 @@ def vacuum(path: str, retain_history: bool = False) -> list[str]:
             shutil.rmtree(leftover)
             removed.append(leftover)
     return removed
+
+
+def schema_drift_report(
+    spark: SparkSession, path: str, v_old: int, v_new: int | None = None
+) -> list[dict]:
+    """Column-level schema diff between two versions of a managed
+    table — the data-contract check a pipeline runs before promoting a
+    new snapshot (did the producer add, drop, or retype anything?).
+    Reads only the two versions' SCHEMAS (parquet footers via a
+    zero-row plan), never their data. Returns one dict per changed
+    column: ``{"column", "change": added|removed|retyped,
+    "old_type", "new_type"}``; empty list = contract intact."""
+    old_schema = {
+        f.name: f.dataType.simpleString()
+        for f in managed_table.read(spark, path, version=v_old).schema.fields
+    }
+    new_schema = {
+        f.name: f.dataType.simpleString()
+        for f in managed_table.read(spark, path, version=v_new).schema.fields
+    }
+    report: list[dict] = []
+    for c in sorted(set(old_schema) | set(new_schema)):
+        if c not in old_schema:
+            report.append(
+                {"column": c, "change": "added",
+                 "old_type": None, "new_type": new_schema[c]}
+            )
+        elif c not in new_schema:
+            report.append(
+                {"column": c, "change": "removed",
+                 "old_type": old_schema[c], "new_type": None}
+            )
+        elif old_schema[c] != new_schema[c]:
+            report.append(
+                {"column": c, "change": "retyped",
+                 "old_type": old_schema[c], "new_type": new_schema[c]}
+            )
+    return report

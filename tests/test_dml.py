@@ -132,3 +132,30 @@ def test_optimistic_concurrency_conflict(spark, tmp_path):
         path, keys=("id",), expected_version=mt.table_version(path),
     )
     assert {tuple(r) for r in mt.read(spark, path).collect()} == {(9, "fresh")}
+
+
+def test_schema_drift_report_detects_evolution(spark, tmp_path):
+    """Data-contract check across versions: a schema-evolving merge
+    surfaces exactly the added column; identical versions report
+    nothing."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        schema_drift_report,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a")], "id long, v string")
+    mt.initial_write(base, path, keys=("id",))
+    v0 = mt.table_version(path)
+
+    evolved = spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    )
+    mt.merge_upsert(spark, path, evolved, keys=("id",), schema_evolution=True)
+
+    report = schema_drift_report(spark, path, v_old=v0)
+    assert report == [
+        {"column": "score", "change": "added",
+         "old_type": None, "new_type": "double"}
+    ]
+    assert schema_drift_report(spark, path, v_old=v0, v_new=v0) == []
