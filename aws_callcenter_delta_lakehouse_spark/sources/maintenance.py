@@ -258,3 +258,87 @@ def schema_drift_report(
                  "old_type": old_schema[c], "new_type": new_schema[c]}
             )
     return report
+
+
+def compact_binpack(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    small_file_bytes: int | None = None,
+) -> dict:
+    """INCREMENTAL compaction, the way Delta's OPTIMIZE actually works:
+    only files below ``small_file_bytes`` (default target/2) are
+    rewritten — first-fit-decreasing bin-packed into ~target-sized
+    outputs — while every already-right-sized file is carried into the
+    new snapshot untouched (hard-linked locally; on an object store
+    this is the metadata-only "add existing file to new version" a log
+    commit does for free). ``compact``'s whole-table rewrite is the
+    right tool after churn everywhere; this one is O(small files) no
+    matter how big the table has grown — the only shape that works
+    when 99% of a 100 TB table is already well-sized.
+
+    Unpartitioned tables; atomic via the same staging + rename-pair
+    swap as ``compact``. Returns before/after stats plus the number of
+    files rewritten vs carried.
+    """
+    small_file_bytes = small_file_bytes or target_file_bytes // 2
+    marker = managed_table._read_marker(path)
+    if marker.get("partition_by"):
+        raise ValueError(
+            "compact_binpack supports unpartitioned tables; compact "
+            "hive partitions individually with compact(where=)"
+        )
+    before = table_file_stats(path)
+    files = sorted(
+        (
+            (f, os.path.getsize(f))
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        ),
+        key=lambda t: -t[1],
+    )
+    smalls = [(f, s) for f, s in files if s < small_file_bytes]
+    bigs = [(f, s) for f, s in files if s >= small_file_bytes]
+    if len(smalls) < 2:
+        return {
+            "before": before,
+            "after": before,
+            "rewritten": 0,
+            "carried": len(files),
+        }
+    # first-fit-decreasing into <= target bins
+    bins: list[list[str]] = []
+    loads: list[int] = []
+    for f, s in smalls:  # already size-descending
+        for i, load in enumerate(loads):
+            if load + s <= target_file_bytes:
+                bins[i].append(f)
+                loads[i] += s
+                break
+        else:
+            bins.append([f])
+            loads.append(s)
+
+    staging = f"{path}__compact_staging"
+    if os.path.isdir(staging):  # pragma: no cover - leftover from crash
+        shutil.rmtree(staging)
+    os.makedirs(staging)
+    for f, _s in bigs:  # carry untouched files (metadata-only move)
+        dst = os.path.join(staging, os.path.basename(f))
+        try:
+            os.link(f, dst)
+        except OSError:  # pragma: no cover - cross-device fallback
+            shutil.copy2(f, dst)
+    for b in bins:
+        spark.read.parquet(*b).coalesce(1).write.mode("append").parquet(staging)
+    managed_table._write_marker(staging, marker.get("keys", ()), ())
+
+    backup = f"{path}__compact_old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return {
+        "before": before,
+        "after": table_file_stats(path),
+        "rewritten": len(smalls),
+        "carried": len(bigs),
+    }

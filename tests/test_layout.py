@@ -299,3 +299,42 @@ def test_optimize_hilbert_managed_table(spark, tmp_path):
     for col, lo, hi in (("a", 0, 7), ("b", 0, 7)):
         kept, total = pruned_file_list(path, col, lo, hi)
         assert len(kept) <= total / 2, (col, len(kept), total)
+
+
+def test_compact_binpack_rewrites_only_small_files(spark, tmp_path):
+    """Incremental compaction: the right-sized file is CARRIED (same
+    bytes, hard-linked), only the small-file tail is bin-packed, and
+    the table's rows survive exactly."""
+    import glob
+    import os
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        compact_binpack,
+    )
+
+    path = str(tmp_path / "t")
+    big = spark.range(0, 200_000).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    mt.initial_write(big.coalesce(1), path, keys=("id",))
+    # accrete a small-file tail (append-only sink style)
+    for i in range(6):
+        spark.range(200_000 + i * 1000, 200_000 + (i + 1) * 1000).select(
+            F.col("id"), (F.col("id") * 2).alias("v")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    before_files = {
+        f: os.path.getsize(f) for f in glob.glob(path + "/*.parquet")
+    }
+    big_file = max(before_files, key=before_files.get)
+    expected = {(i, i * 2) for i in range(206_000)}
+
+    stats = compact_binpack(
+        spark, path, target_file_bytes=400_000, small_file_bytes=200_000
+    )
+    assert stats["rewritten"] == 6 and stats["carried"] == 1
+    after = glob.glob(path + "/*.parquet")
+    assert len(after) == 2  # 1 carried + 1 packed bin
+    assert os.path.basename(big_file) in {os.path.basename(f) for f in after}
+    assert {
+        (r.id, r.v) for r in mt.read(spark, path).collect()
+    } == expected
