@@ -1,0 +1,141 @@
+"""Multi-table ATOMIC commits via a versioned catalog pointer —
+cross-table snapshot isolation for the managed-table layer.
+
+Single-table commits are already atomic (``commit_overwrite``'s
+stage-and-swap), but a pipeline that publishes SEVERAL tables per run
+(Silver + exception sink + Gold rollup; or the LSH index's bucket +
+shingle pair) has a crash window between the per-table swaps in which
+readers see table A at the new version and table B at the old one.
+The fix is the one every multi-table format converges on (Iceberg
+REST-catalog transactions, Delta coordinated commits): data commits
+are PREPARED per table, and a single atomic pointer write — the
+catalog manifest — makes all of them visible at once.
+
+Protocol:
+
+1. each table commits through the normal atomic ``commit_overwrite``
+   (its new version exists but nothing references it yet);
+2. a manifest ``{name: {path, version}}`` is written to
+   ``<catalog>/v{N}.json`` and published by an atomic
+   ``os.replace`` of ``<catalog>/_latest.json``.
+
+A crash anywhere before step 2 leaves the catalog pointing at the OLD
+versions of EVERY table — consistent, never mixed; the orphaned new
+table versions are unreferenced history that ``vacuum`` can retire.
+Readers resolve through the manifest with ``read_table`` (or pin a
+``snapshot()`` for a multi-query consistent session), so they observe
+either the whole transaction or none of it.
+
+Retention: a pinned manifest references historical table versions, so
+``commit_overwrite(max_history=...)`` must retain at least as many
+versions as the catalog keeps manifests readers still use.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import managed_table as mt
+
+
+class CatalogConflictError(RuntimeError):
+    """The catalog advanced past ``expected_version`` — re-read and retry."""
+
+
+def _latest_path(catalog_dir: str) -> str:
+    return os.path.join(catalog_dir, "_latest.json")
+
+
+def catalog_version(catalog_dir: str) -> int:
+    """Current catalog version; -1 before the first commit."""
+    p = _latest_path(catalog_dir)
+    if not os.path.exists(p):
+        return -1
+    with open(p) as fh:
+        return int(json.load(fh)["version"])
+
+
+def read_manifest(catalog_dir: str, version: int | None = None) -> dict:
+    """The table->(path, version) map of a catalog version (default:
+    latest). Empty dict before the first commit."""
+    if version is None:
+        p = _latest_path(catalog_dir)
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)["tables"]
+    with open(os.path.join(catalog_dir, f"v{version:06d}.json")) as fh:
+        return json.load(fh)["tables"]
+
+
+def commit_tables(
+    updates: dict[str, tuple[DataFrame, str, tuple]],
+    catalog_dir: str,
+    expected_version: int | None = None,
+) -> int:
+    """Atomically publish new snapshots of several tables.
+
+    ``updates``: {table_name: (df, table_path, keys)}. Tables in the
+    current manifest but absent from ``updates`` carry forward at
+    their pinned versions. Returns the new catalog version.
+
+    ``expected_version``: optimistic concurrency at the CATALOG level —
+    raises :class:`CatalogConflictError` (before any data is written)
+    if another transaction committed first.
+    """
+    os.makedirs(catalog_dir, exist_ok=True)
+    current = catalog_version(catalog_dir)
+    if expected_version is not None and current != expected_version:
+        raise CatalogConflictError(
+            f"catalog at v{current}, expected v{expected_version}"
+        )
+    manifest = dict(read_manifest(catalog_dir))
+
+    # phase 1: prepare — each table's snapshot commits atomically but
+    # stays unreferenced until the pointer flips
+    for name, (df, path, keys) in updates.items():
+        mt.commit_overwrite(df, path, keys=tuple(keys))
+        manifest[name] = {"path": path, "version": mt.table_version(path)}
+
+    # phase 2: publish — one atomic pointer write makes all visible
+    new_version = current + 1
+    payload = {"version": new_version, "tables": manifest}
+    versioned = os.path.join(catalog_dir, f"v{new_version:06d}.json")
+    tmp = versioned + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.rename(tmp, versioned)
+    tmp2 = _latest_path(catalog_dir) + ".tmp"
+    with open(tmp2, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp2, _latest_path(catalog_dir))
+    return new_version
+
+
+def snapshot(catalog_dir: str) -> dict:
+    """Pin the current manifest for a multi-query consistent session:
+    every ``read_table(..., manifest=snap)`` then reads the SAME
+    catalog version no matter how many transactions land meanwhile."""
+    return read_manifest(catalog_dir)
+
+
+def read_table(
+    spark: SparkSession,
+    catalog_dir: str,
+    name: str,
+    manifest: dict | None = None,
+) -> DataFrame:
+    """Read a table AT ITS CATALOG-PINNED VERSION (not the table's
+    HEAD — a prepared-but-unpublished transaction may have advanced
+    the head past the catalog)."""
+    m = manifest if manifest is not None else read_manifest(catalog_dir)
+    if name not in m:
+        raise KeyError(f"table {name!r} not in catalog {catalog_dir}")
+    entry = m[name]
+    head = mt.table_version(entry["path"])
+    if head == entry["version"]:
+        return mt.read(spark, entry["path"])
+    return mt.read(spark, entry["path"], version=entry["version"])
