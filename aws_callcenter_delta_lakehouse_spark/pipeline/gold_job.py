@@ -89,3 +89,66 @@ def gold_job(
     finally:
         base.unpersist()
     return actions
+
+
+def gold_job_txn(
+    spark: SparkSession,
+    silver_path: str,
+    gold_root: str,
+    catalog_dir: str,
+    processing_date: dt.date | None = None,
+) -> int:
+    """The Gold publish as ONE multi-table transaction: all three
+    aggregates (same builders as :func:`gold_job`) become visible to
+    catalog readers in a single atomic pointer flip — an analytics
+    dashboard can never observe today's daily summary next to
+    yesterday's agent table, the skew the per-table MERGE loop of
+    :func:`gold_job` allows in its window between writes. Publishes
+    full snapshots (the reference's Gold job is a full recompute per
+    run anyway — 02_gold_analytics.py recomputes from all of Silver);
+    returns the new catalog version. Snapshots are unpartitioned —
+    partition pruning is superseded by the manifest's skipping stats
+    at this layer."""
+    from ..sources import txn_catalog
+
+    processing_date = processing_date or dt.date.today()
+    prcsd_date = F.lit(processing_date)
+    silver = managed_table.read(spark, silver_path)
+    base = silver.select(
+        "call_id", "agent_id", "call_start_time", "call_end_time", "call_status"
+    ).withColumn("call_date", prcsd_date)
+    base = base.cache()
+    try:
+        daily = _status_agg(base, ["call_date"])
+        agent = _status_agg(base, ["agent_id", "call_date"])
+        with_duration = base.withColumn(
+            "duration_sec",
+            F.unix_timestamp(
+                F.try_to_timestamp(F.col("call_end_time"), F.lit("HH:mm:ss"))
+            )
+            - F.unix_timestamp(
+                F.try_to_timestamp(F.col("call_start_time"), F.lit("HH:mm:ss"))
+            ),
+        ).filter(F.col("duration_sec") >= 0)
+        duration = duration_metrics(with_duration, "call_date", "duration_sec")
+        version = txn_catalog.commit_tables(
+            {
+                "gold_call_daily_summary": (
+                    daily, f"{gold_root}/gold_call_daily_summary", ("call_date",)
+                ),
+                "gold_agent_performance": (
+                    agent,
+                    f"{gold_root}/gold_agent_performance",
+                    ("call_date", "agent_id"),
+                ),
+                "gold_call_duration_metrics": (
+                    duration,
+                    f"{gold_root}/gold_call_duration_metrics",
+                    ("call_date",),
+                ),
+            },
+            catalog_dir,
+        )
+    finally:
+        base.unpersist()
+    return version

@@ -427,3 +427,38 @@ def test_history_lists_versions(spark, tmp_path):
     assert h[0].n_rows == 1 and h[1].n_rows == 2
     assert not h[0].is_live and h[1].is_live
     assert h[1].ts >= h[0].ts > 0
+
+
+def test_gold_job_txn_matches_merge_gold(spark, tmp_path):
+    """The transactional Gold publish produces the same three tables as
+    the per-table MERGE loop, visible through the catalog in one
+    version. Self-contained silver build (the module fixture's tables
+    are mutated by the reprocess tests)."""
+    from aws_callcenter_delta_lakehouse_spark.pipeline.gold_job import (
+        gold_job_txn,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources import txn_catalog as tc
+
+    csv1 = str(tmp_path / "raw.csv")
+    make_call_center_csv(csv1)
+    silver = str(tmp_path / "silver")
+    silver_job(spark, csv1, silver, str(tmp_path / "exc"),
+               processing_date=PDATE, run_id="rt")
+    gold_merge = str(tmp_path / "gold_merge")
+    gold_job(spark, silver, gold_merge, processing_date=PDATE)
+
+    cat = str(tmp_path / "cat")
+    groot = str(tmp_path / "gold_txn")
+    v = gold_job_txn(spark, silver, groot, cat, processing_date=PDATE)
+    assert v == 0
+    for name in (
+        "gold_call_daily_summary",
+        "gold_agent_performance",
+        "gold_call_duration_metrics",
+    ):
+        got = tc.read_table(spark, cat, name)
+        want = mt.read(spark, f"{gold_merge}/{name}").drop("year", "month")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), name
