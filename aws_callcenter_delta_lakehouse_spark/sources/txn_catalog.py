@@ -71,10 +71,24 @@ def read_manifest(catalog_dir: str, version: int | None = None) -> dict:
         return json.load(fh)["tables"]
 
 
+def catalog_txn(catalog_dir: str) -> dict:
+    """Application txn metadata committed atomically WITH the catalog
+    pointer (the multi-table analogue of ``managed_table.table_txn``):
+    whatever dict the latest ``commit_tables(txn=...)`` carried. A
+    streaming sink records its epoch here, so replay-skip covers ALL
+    tables of the transaction at once."""
+    p = _latest_path(catalog_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as fh:
+        return json.load(fh).get("txn", {})
+
+
 def commit_tables(
     updates: dict[str, tuple[DataFrame, str, tuple]],
     catalog_dir: str,
     expected_version: int | None = None,
+    txn: dict | None = None,
 ) -> int:
     """Atomically publish new snapshots of several tables.
 
@@ -102,7 +116,7 @@ def commit_tables(
 
     # phase 2: publish — one atomic pointer write makes all visible
     new_version = current + 1
-    payload = {"version": new_version, "tables": manifest}
+    payload = {"version": new_version, "tables": manifest, "txn": txn or {}}
     versioned = os.path.join(catalog_dir, f"v{new_version:06d}.json")
     tmp = versioned + ".tmp"
     with open(tmp, "w") as fh:

@@ -502,6 +502,7 @@ def foreach_batch_lsh_index(
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
+    catalog_dir: str | None = None,
 ) -> "object":
     """Continuously maintain the PERSISTENT MinHash-LSH dedup index
     from a document stream — the ingest side of
@@ -512,13 +513,22 @@ def foreach_batch_lsh_index(
     the already-indexed corpus is never re-read. A later arrival (or a
     live probe) dedups against the whole history via the stored index.
 
-    Exactly-once across TWO tables: each table records the applied
-    epoch in its own atomic commit, and a replayed batch re-applies
-    only to tables still behind — safe because the per-table merge is
-    idempotent (same keys, same rows), so the crash window between the
-    two commits heals on replay instead of double-applying."""
+    Exactly-once across TWO tables, two modes:
+
+    - default: each table records the applied epoch in its own atomic
+      commit; a replayed batch re-applies only to tables still behind.
+      Safe because the per-table merge is idempotent (same keys, same
+      rows) — the crash window between the two commits HEALS on
+      replay rather than double-applying, but a reader in that window
+      can see one table ahead of the other.
+    - ``catalog_dir`` set: both tables publish through ONE
+      ``txn_catalog.commit_tables`` pointer flip with the epoch in the
+      catalog txn — readers resolving through the catalog can never
+      observe the index tables out of step, and replay-skip is a
+      single catalog-level check."""
     from ..operators.dedup import lsh_band_buckets, minhash_signature, shingle
     from ..sources import managed_table as mt
+    from ..sources import txn_catalog as tc
 
     buckets_path = index_path + "_buckets"
     shingles_path = index_path + "_shingles"
@@ -527,12 +537,33 @@ def foreach_batch_lsh_index(
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
+        if catalog_dir is not None:
+            last = int(tc.catalog_txn(catalog_dir).get("last_epoch", -1))
+            if epoch_id <= last:
+                return  # replayed batch: the whole transaction landed
         sh = shingle(
             batch_df, id_col, text_col, n, distinct=True
         ).localCheckpoint(eager=False)
         sigs = minhash_signature(sh, id_col, num_hashes)
         buckets = lsh_band_buckets(sigs, id_col, bands, num_hashes // bands)
         txn = {"last_epoch": int(epoch_id)}
+        if catalog_dir is not None:
+            # merge into the (catalog-pinned) previous index, then
+            # publish both refreshed snapshots in one pointer flip
+            manifest = tc.read_manifest(catalog_dir)
+            updates = {}
+            for tbl, df, keys in (
+                ("buckets", buckets, (id_col, "band", "bucket")),
+                ("shingles", sh, (id_col, "sh")),
+            ):
+                path = {"buckets": buckets_path, "shingles": shingles_path}[tbl]
+                if tbl in manifest:
+                    old = tc.read_table(spark, catalog_dir, tbl)
+                    # key-level upsert semantics, like the merge mode
+                    df = old.unionByName(df).dropDuplicates(list(keys))
+                updates[tbl] = (df, path, keys)
+            tc.commit_tables(updates, catalog_dir, txn=txn)
+            return
         for path, df, keys in (
             (buckets_path, buckets, (id_col, "band", "bucket")),
             (shingles_path, sh, (id_col, "sh")),

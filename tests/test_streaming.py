@@ -523,3 +523,118 @@ def test_lsh_index_sink_probe_and_replay(spark, tmp_path):
         q.stop()
     assert mt.table_txn(idx + "_buckets")["last_epoch"] == e_b
     assert mt.table_txn(idx + "_shingles")["last_epoch"] == e_s
+
+
+def test_lsh_index_sink_catalog_mode_atomic_and_replays(
+    spark, tmp_path, monkeypatch
+):
+    """Catalog-mode LSH index sink: both index tables publish in one
+    pointer flip. A crash BEFORE the flip during batch 2 leaves the
+    catalog serving batch-1-only state on BOTH tables (never one
+    ahead); the restarted query replays the epoch exactly once and the
+    final index finds a cross-batch near-duplicate."""
+    import os as _os
+    import shutil
+
+    from aws_callcenter_delta_lakehouse_spark.operators.dedup import (
+        minhash_lsh_probe_pairs,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources import txn_catalog as tc
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        foreach_batch_lsh_index,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    idx = str(tmp_path / "lsh")
+    cat = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    sent = "the quick brown fox jumps over the lazy dog near the old river bank"
+    a = spark.createDataFrame([(1, sent)], "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(2, sent.replace("lazy", "sleepy"))], "doc_id long, text string"
+    )
+
+    def _feed(df, name):
+        tmp = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            shutil.copy(f, src / (name + ".parquet"))
+
+    def _start():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        return foreach_batch_lsh_index(
+            stream, idx, checkpoint=ckpt, catalog_dir=cat
+        )
+
+    q = _start()
+    try:
+        _feed(a, "a")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert tc.catalog_txn(cat)["last_epoch"] == 0
+
+    real_replace = _os.replace
+
+    def boom(s, d):
+        if str(d).startswith(cat):
+            raise RuntimeError("injected crash")
+        return real_replace(s, d)
+
+    monkeypatch.setattr(tc.os, "replace", boom)
+    q = _start()
+    try:
+        _feed(b, "b")
+        q.processAllAvailable()
+    except Exception:
+        pass  # query died on the injected crash
+    finally:
+        q.stop()
+    monkeypatch.setattr(tc.os, "replace", real_replace)
+
+    # catalog still at epoch 0: BOTH tables consistent at batch-1 state
+    assert tc.catalog_txn(cat)["last_epoch"] == 0
+    snap = tc.snapshot(cat)
+    assert tc.read_table(spark, cat, "buckets", snap).filter(
+        "doc_id = 2"
+    ).count() == 0
+    assert tc.read_table(spark, cat, "shingles", snap).filter(
+        "doc_id = 2"
+    ).count() == 0
+
+    # restart: the epoch replays exactly once
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert tc.catalog_txn(cat)["last_epoch"] == 1
+    # both batches' docs are in the replayed index
+    for tbl in ("buckets", "shingles"):
+        ids = {
+            r.doc_id
+            for r in tc.read_table(spark, cat, tbl)
+            .select("doc_id")
+            .distinct()
+            .collect()
+        }
+        assert ids == {1, 2}, tbl
+    # a probe near-duplicating the REPLAYED doc (one word changed from
+    # doc 2) finds it through the catalog-published index
+    pairs = minhash_lsh_probe_pairs(
+        tc.read_table(spark, cat, "buckets"),
+        tc.read_table(spark, cat, "shingles"),
+        spark.createDataFrame(
+            [(99, sent.replace("lazy", "sleepy").replace("river", "creek"))],
+            "doc_id long, text string",
+        ),
+        "doc_id",
+        "text",
+        threshold=0.5,
+    ).collect()
+    assert (2, 99) in {(r.d1, r.d2) for r in pairs}
