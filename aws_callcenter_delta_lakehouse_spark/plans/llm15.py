@@ -939,3 +939,100 @@ def attribution_linear_multi_touch(spark: SparkSession, sf_dir: str) -> DataFram
             4,
         ).alias("credited_revenue"),
     )
+
+
+@query(
+    "catalog_txn_snapshot_read",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderstatus
+    """,
+)
+def catalog_txn_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-table transaction surface end to end inside one
+    query: orders and customer commit as ONE catalog transaction
+    (sources/txn_catalog.py), a snapshot-pinned session reads both
+    back, and the cross-table join aggregate must equal the direct
+    read the oracle performs — proving the catalog path loses and
+    reorders nothing. A second, partial commit of an unrelated table
+    between snapshot and read exercises the pinning."""
+    import tempfile
+
+    from ..sources import txn_catalog as tc
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    root = tempfile.mkdtemp(prefix="txncat_")
+    cat = root + "/cat"
+    tc.commit_tables(
+        {
+            "orders": (orders, root + "/orders", ("o_orderkey",)),
+            "customer": (cust, root + "/customer", ("c_custkey",)),
+        },
+        cat,
+    )
+    snap = tc.snapshot(cat)
+    # an unrelated commit after the snapshot must not affect the session
+    tc.commit_tables(
+        {"other": (cust.limit(1), root + "/other", ("c_custkey",))}, cat
+    )
+    o = tc.read_table(spark, cat, "orders", snap)
+    c = tc.read_table(spark, cat, "customer", snap)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@query(
+    "dq_table_checksum",
+    oracle="""
+    SELECT o_orderkey % 16 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST('0x' || substr(
+                 md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
+                     || '|' || o_orderpriority), 1, 12) AS BIGINT)) AS checksum
+    FROM orders GROUP BY 1
+    """,
+)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed content checksums — how two copies of a 100 TB table
+    (primary vs replica, pre- vs post-migration) are compared WITHOUT
+    shipping rows: each side computes 16 order-insensitive per-bucket
+    sums of a row hash (md5 prefix as integer — portable across
+    engines, unlike xxhash64), and only the 16-row summaries travel. A
+    mismatched bucket pins the diff to 1/16th of the key space for
+    drill-down. Hash inputs are key/string columns only (float-to-
+    string rendering differs across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    "o_orderstatus",
+                    "o_orderpriority",
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return o.groupBy((F.col("o_orderkey") % 16).alias("bucket")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(row_hash).alias("checksum"),
+    )
