@@ -11,8 +11,10 @@ graph communities.
   eigenvectors are not SQL-expressible) with a numpy parity test in
   tests/test_projection.py.
 - graph_community_labels — deterministic synchronous label propagation
-  over the customer–supplier purchase graph; rows-only (iterative),
-  structure pinned on handcrafted graphs in tests.
+  over the customer–supplier purchase graph; oracle-checked against a
+  per-round CTE unroll of the same integer-exact loop (absorbing
+  fixed point makes "unroll 8" ≡ "early-stop"), structure additionally
+  pinned on handcrafted graphs in tests.
 """
 
 from __future__ import annotations
@@ -79,7 +81,65 @@ def embedding_pca_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_community_labels")  # iterative LPA — rows-only
+def _lpa_oracle(rounds: int = 8) -> str:
+    """DuckDB oracle for graph_community_labels: the synchronous LPA
+    loop unrolled as one CTE per round (CLAUDE.md trap #12 pattern —
+    multi-field iterative state never goes through list_reduce).
+
+    Exactness argument: every quantity is an integer (labels are
+    vertex ids, votes are counts), the tie-break (count DESC, label
+    ASC) is total, and a synchronous-LPA fixed point is absorbing — if
+    Spark's loop early-stops at round k < 8, rounds k+1..8 of the
+    unroll are identity maps, so "always unroll 8" equals "stop at the
+    fixed point". The only double in the pipeline is the p95 edge
+    threshold; both engines interpolate over the same integers with
+    the same (n-1)·p indexing, and integer weights can only straddle
+    the threshold when the interpolation is exact, so the edge set
+    matches bit-for-bit."""
+    parts = [
+        """
+    WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+    cop AS (
+      SELECT a.l_suppkey AS src, b.l_suppkey AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2),
+    thr AS (SELECT quantile_cont(w, 0.95) AS t FROM cop),
+    edges AS (SELECT src, dst FROM cop, thr WHERE w >= t),
+    sym AS (
+      SELECT DISTINCT v, u FROM (
+        SELECT src AS v, dst AS u FROM edges
+        UNION ALL SELECT dst AS v, src AS u FROM edges)
+      WHERE v <> u),
+    r0 AS (SELECT DISTINCT v, v AS label FROM sym)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+      SELECT v, u_label AS label FROM (
+        SELECT v, u_label, ROW_NUMBER() OVER (
+            PARTITION BY v ORDER BY cnt DESC, u_label ASC) AS rn
+        FROM (
+          SELECT s.v AS v, p.label AS u_label, COUNT(*) AS cnt
+          FROM sym s JOIN r{i - 1} p ON p.v = s.u
+          GROUP BY 1, 2) c) t
+      WHERE rn = 1)"""
+        )
+    parts.append(
+        f"""
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(v) AS representative
+    FROM r{rounds}
+    GROUP BY label
+    ORDER BY n_members DESC, label ASC
+    LIMIT 20"""
+    )
+    return "".join(parts)
+
+
+@query("graph_community_labels", oracle=_lpa_oracle(8))
 def graph_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities of the supplier co-purchase graph:
     suppliers are linked when they ship lines of the SAME order (the

@@ -78,6 +78,8 @@ def _write_marker(
     version: int = 0,
     txn: dict | None = None,
     constraints: dict | None = None,
+    generated: dict | None = None,
+    identity: dict | None = None,
 ) -> None:
     with open(os.path.join(path, _MARKER), "w") as f:
         json.dump(
@@ -88,6 +90,8 @@ def _write_marker(
                 "ts": time.time(),
                 "txn": txn or {},
                 "constraints": constraints or {},
+                "generated": generated or {},
+                "identity": identity or {},
             },
             f,
         )
@@ -406,6 +410,14 @@ def merge_upsert(
 
     target = read(spark, path)
     base_version = table_version(path)  # optimistic-concurrency baseline
+    meta = _read_marker(path)
+    # derived columns need not ride in the source: generated columns are
+    # recomputed and identity NULLs filled by the commit, so missing
+    # ones join the union as typed NULL placeholders
+    auto_cols = set(meta.get("generated", {})) | set(meta.get("identity", {}))
+    target_types = dict(target.dtypes)
+    for c in sorted(auto_cols - set(source.columns)):
+        source = source.withColumn(c, F.lit(None).cast(target_types[c]))
     src = F.broadcast(source) if broadcast_source else source
     if validate_source:
         dup_matched = (
@@ -462,6 +474,8 @@ def commit_overwrite(
     max_history: int = 2,
     txn: dict | None = None,
     expected_version: int | None = None,
+    generated: dict | None = None,
+    identity: dict | None = None,
 ) -> None:
     """Atomic full-snapshot commit via stage-and-swap — works whether or
     not the table exists yet, so it is also the crash-safe first write.
@@ -478,7 +492,21 @@ def commit_overwrite(
     matches (checked up front to fail fast, and re-checked after
     staging so the conflict window shrinks to the rename pair).
     CHECK constraints of the existing table are enforced against the
-    staged snapshot and carried forward into the new marker."""
+    staged snapshot and carried forward into the new marker.
+
+    ``generated`` ({col: sql_expr}) and ``identity``
+    ({col: {"start", "step"}}) declare DERIVED and IDENTITY columns at
+    table-creation time (first commit), mirroring Delta's
+    ``GENERATED ALWAYS AS (expr)`` / ``GENERATED ALWAYS AS IDENTITY``;
+    both persist in the marker and are maintained by EVERY later
+    commit (merge/delete/update/overwrite). Generated columns are
+    recomputed on each commit — stricter than Delta, which also lets a
+    writer supply a value it then validates; recomputation can never
+    commit a stale value after an UPDATE touches an input column.
+    Identity columns fill NULL slots with unique BIGINTs on the
+    ``start + n*step`` lattice, strictly above the previous commit's
+    high-water mark (gaps allowed, exactly the Delta contract); the
+    high-water advances atomically with the snapshot swap."""
     recover(path)
     exists = os.path.exists(os.path.join(path, _MARKER))
     if expected_version is not None and exists:
@@ -488,7 +516,35 @@ def commit_overwrite(
                 f"{table_version(path)} — another commit intervened; "
                 "re-read and retry"
             )
-    constraints = _read_marker(path).get("constraints", {}) if exists else {}
+    live_marker = _read_marker(path) if exists else {}
+    constraints = live_marker.get("constraints", {})
+    # column metadata persists across commits; creation-time args only
+    # apply on the first commit (Delta: generated/identity columns are
+    # declared in CREATE TABLE, not ALTERable onto live tables)
+    gen_cols = live_marker.get("generated", {}) if exists else dict(generated or {})
+    id_cols = live_marker.get("identity", {}) if exists else {
+        c: {"start": int(s.get("start", 1)), "step": int(s.get("step", 1)),
+            "high_water": int(s.get("start", 1)) - int(s.get("step", 1))}
+        for c, s in (identity or {}).items()
+    }
+    for name, expr in sorted(gen_cols.items()):
+        # recompute-always: the column is DERIVED — stricter than Delta
+        # (which also accepts writer-supplied values it then validates);
+        # recomputation can never commit a stale or inconsistent value
+        df = df.withColumn(name, F.expr(expr))
+    for name, spec in sorted(id_cols.items()):
+        # fill NULL slots above the high-water mark on the step lattice;
+        # monotonically_increasing_id gives collision-free slots without
+        # a global sort (gaps allowed — the Delta identity contract)
+        df = df.withColumn(
+            name,
+            F.coalesce(
+                F.col(name).cast("bigint"),
+                F.lit(int(spec["high_water"]))
+                + F.lit(int(spec["step"]))
+                * (F.monotonically_increasing_id() + F.lit(1)),
+            ),
+        )
     version = table_version(path) + 1 if exists else 0
     tag = uuid.uuid4().hex[:8]
     staging = f"{path}__staging_{tag}"
@@ -497,10 +553,21 @@ def commit_overwrite(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
     _enforce_constraints(df.sparkSession, staging, constraints)
+    if id_cols:  # advance high-water from the STAGED snapshot (one
+        # column-pruned max; the value commits atomically in the marker)
+        staged = df.sparkSession.read.parquet(staging)
+        maxes = staged.agg(
+            *[F.max(c).alias(c) for c in sorted(id_cols)]
+        ).first()
+        id_cols = {
+            c: {**spec, "high_water": int(maxes[c])
+                if maxes[c] is not None else int(spec["high_water"])}
+            for c, spec in id_cols.items()
+        }
     # marker is staged LAST: its presence marks the dir committed-ready
     _write_marker(
         staging, keys, partition_by, version=version, txn=txn,
-        constraints=constraints,
+        constraints=constraints, generated=gen_cols, identity=id_cols,
     )
     if expected_version is not None and exists:
         if table_version(path) != expected_version:
@@ -614,6 +681,80 @@ def write_or_merge(
         return "merged"
     initial_write(df, path, partition_by, keys)
     return "initial"
+
+
+def table_generated_columns(path: str) -> dict:
+    """Active generated-column definitions: {name: sql_expr}."""
+    recover(path)
+    return _read_marker(path).get("generated", {})
+
+
+def table_identity_columns(path: str) -> dict:
+    """Active identity-column specs: {name: {start, step, high_water}}."""
+    recover(path)
+    return _read_marker(path).get("identity", {})
+
+
+def clone_table(src_path: str, dst_path: str) -> dict:
+    """Zero-copy SHALLOW CLONE (Delta ``CREATE TABLE dst CLONE src``):
+    the clone is a new independent table whose data files are
+    HARDLINKS to the source snapshot's — metadata-cost creation no
+    matter the table size, with full read/write independence
+    afterwards because snapshots are immutable (every commit writes
+    fresh files and swaps directories; nothing is ever modified in
+    place, so shared links can never see a writer's bytes). Dropping
+    either table leaves the other's files intact — the filesystem's
+    link count is the emulation's file-retention refcount, playing the
+    role of Delta's "clone references source files until VACUUM".
+
+    Constraints, generated-column, and identity definitions carry over;
+    version restarts at 0 with ``cloned_from`` provenance in the
+    marker (history does NOT carry over — same as Delta, where a clone
+    starts a fresh transaction log). Crash-safe via the standard
+    staging protocol: the marker is linked last, so an interrupted
+    clone is an inert marker-less staging dir. Falls back to ``copy2``
+    across filesystems. Returns {files_linked, source_version}.
+
+    On an object store the same operation is a manifest that lists the
+    source files under the new table's log — identical semantics, no
+    byte copies either way."""
+    recover(src_path)
+    marker = _read_marker(src_path)
+    if not marker:
+        raise ValueError(f"{src_path} is not a managed table")
+    if os.path.exists(dst_path):
+        raise ValueError(f"clone destination {dst_path} already exists")
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{dst_path}__staging_{tag}"
+    n_files = 0
+    for root, _dirs, files in os.walk(src_path):
+        rel = os.path.relpath(root, src_path)
+        tgt = staging if rel == "." else os.path.join(staging, rel)
+        os.makedirs(tgt, exist_ok=True)
+        for fn in files:
+            if fn == _MARKER or fn.endswith(".tmp"):
+                continue
+            s, d = os.path.join(root, fn), os.path.join(tgt, fn)
+            try:
+                os.link(s, d)
+            except OSError:  # cross-device — degrade to a byte copy
+                shutil.copy2(s, d)
+            n_files += 1
+    src_version = int(marker.get("version", 0))
+    new_marker = {
+        **marker,
+        "version": 0,
+        "ts": time.time(),
+        "txn": {},
+        "cloned_from": {
+            "path": os.path.abspath(src_path),
+            "version": src_version,
+        },
+    }
+    with open(os.path.join(staging, _MARKER), "w") as f:
+        json.dump(new_marker, f)
+    os.rename(staging, dst_path)
+    return {"files_linked": n_files, "source_version": src_version}
 
 
 def append_partitioned(

@@ -1,0 +1,164 @@
+"""Shallow clone, generated columns, identity columns on the managed
+table — the Delta CLONE / GENERATED ALWAYS AS / IDENTITY analogues."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+
+def _base(spark, path, n=100):
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("double").alias("x"),
+    )
+    mt.commit_overwrite(df, path, keys=("k",))
+    return df
+
+
+# ---------------------------------------------------------------- clone
+
+def test_clone_reads_equal_and_shares_inodes(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _base(spark, src)
+    info = mt.clone_table(src, dst)
+    assert info["files_linked"] > 0
+    assert mt.read(spark, dst).subtract(mt.read(spark, src)).isEmpty()
+    assert mt.read(spark, src).subtract(mt.read(spark, dst)).isEmpty()
+    # zero-copy: at least one parquet file shares an inode with the src
+    src_parquets = {
+        os.path.basename(p): os.stat(p).st_ino
+        for p in glob.glob(os.path.join(src, "*.parquet"))
+    }
+    shared = [
+        p
+        for p in glob.glob(os.path.join(dst, "*.parquet"))
+        if src_parquets.get(os.path.basename(p)) == os.stat(p).st_ino
+    ]
+    assert shared, "clone copied bytes instead of hardlinking"
+    # fresh identity: version restarts at 0 with provenance
+    assert mt.table_version(dst) == 0
+    prov = mt._read_marker(dst)["cloned_from"]
+    assert prov["path"] == os.path.abspath(src)
+
+
+def test_clone_diverges_independently(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _base(spark, src)
+    mt.clone_table(src, dst)
+    patch = spark.createDataFrame([(0, 999.0)], ["k", "x"])
+    mt.merge_upsert(spark, dst, patch, keys=["k"])
+    assert mt.read(spark, dst).filter("k = 0").first()["x"] == 999.0
+    assert mt.read(spark, src).filter("k = 0").first()["x"] == 0.0
+    # dropping the source must not strand the clone (hardlink refcount)
+    shutil.rmtree(src)
+    assert mt.read(spark, dst).count() == 100
+
+
+def test_clone_carries_constraints(spark, tmp_path):
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    _base(spark, src)
+    mt.add_constraint(spark, src, "x_nonneg", "x >= 0")
+    mt.clone_table(src, dst)
+    bad = spark.createDataFrame([(0, -1.0)], ["k", "x"])
+    with pytest.raises(mt.ConstraintViolationError):
+        mt.merge_upsert(spark, dst, bad, keys=["k"])
+
+
+def test_clone_refuses_existing_destination(spark, tmp_path):
+    src = str(tmp_path / "src")
+    _base(spark, src)
+    with pytest.raises(ValueError, match="already exists"):
+        mt.clone_table(src, src)
+
+
+# ---------------------------------------------------- generated columns
+
+def test_generated_column_computed_and_maintained(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], ["k", "price"]
+    )
+    mt.commit_overwrite(
+        df, path, keys=("k",), generated={"price_cents": "CAST(price * 100 AS BIGINT)"}
+    )
+    got = {r.k: r.price_cents for r in mt.read(spark, path).collect()}
+    assert got == {1: 1000, 2: 2000}
+    # MERGE without the derived column: recomputed for new + kept rows
+    patch = spark.createDataFrame([(2, 25.0), (3, 30.0)], ["k", "price"])
+    mt.merge_upsert(spark, path, patch, keys=["k"])
+    got = {r.k: r.price_cents for r in mt.read(spark, path).collect()}
+    assert got == {1: 1000, 2: 2500, 3: 3000}
+
+
+def test_generated_column_recomputed_after_update(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0)], ["k", "price"])
+    mt.commit_overwrite(
+        df, path, keys=("k",), generated={"price_cents": "CAST(price * 100 AS BIGINT)"}
+    )
+    mt.update_where(spark, path, "k = 1", {"price": F.lit(99.0)})
+    row = mt.read(spark, path).first()
+    assert row["price_cents"] == 9900  # no stale derived value
+
+
+def test_generated_column_overrides_writer_value(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0)], ["k", "price"])
+    mt.commit_overwrite(
+        df, path, keys=("k",), generated={"price_cents": "CAST(price * 100 AS BIGINT)"}
+    )
+    lying = spark.createDataFrame(
+        [(1, 10.0, 42)], ["k", "price", "price_cents"]
+    )
+    mt.commit_overwrite(lying, path, keys=("k",))
+    assert mt.read(spark, path).first()["price_cents"] == 1000
+
+
+# ----------------------------------------------------- identity columns
+
+def test_identity_fills_nulls_on_lattice_above_high_water(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", None)],
+        "name string, uid bigint",
+    )
+    mt.commit_overwrite(
+        df, path, keys=("name",), identity={"uid": {"start": 100, "step": 5}}
+    )
+    ids1 = {r.name: r.uid for r in mt.read(spark, path).collect()}
+    assert len(set(ids1.values())) == 3  # unique
+    assert all(v >= 100 and (v - 100) % 5 == 0 for v in ids1.values())
+    hw1 = mt.table_identity_columns(path)["uid"]["high_water"]
+    assert hw1 == max(ids1.values())
+    # second commit: existing ids stable, new rows strictly above hw
+    patch = spark.createDataFrame([("d", None)], "name string, uid bigint")
+    mt.merge_upsert(spark, path, patch, keys=["name"])
+    ids2 = {r.name: r.uid for r in mt.read(spark, path).collect()}
+    for k, v in ids1.items():
+        assert ids2[k] == v
+    assert ids2["d"] > hw1 and (ids2["d"] - 100) % 5 == 0
+    assert len(set(ids2.values())) == 4
+
+
+def test_identity_source_may_omit_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("a", None)], "name string, uid bigint"
+    )
+    mt.commit_overwrite(
+        df, path, keys=("name",), identity={"uid": {"start": 1, "step": 1}}
+    )
+    patch = spark.createDataFrame([("b",)], "name string")  # no uid at all
+    mt.merge_upsert(spark, path, patch, keys=["name"])
+    ids = {r.name: r.uid for r in mt.read(spark, path).collect()}
+    assert len(set(ids.values())) == 2 and None not in ids.values()
