@@ -128,6 +128,114 @@ def jaccard_pairs(
     )
 
 
+def prefix_filter_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard join via prefix filtering (AllPairs,
+    Bayardo et al. WWW'07; PPJoin, Xiao et al. WWW'08) — the third
+    point in the dedup design space: ``jaccard_pairs`` is exact but
+    needs a df-cap (lossy on hot-shingle overlap), MinHash-LSH is
+    uncapped but probabilistic; this is exact AND uncapped.
+
+    Tokens are ordered by ascending global document frequency (rarest
+    first, ties by token text — any consistent total order works); each
+    document emits only its first ``|x| − ⌈τ|x|⌉ + 1`` tokens as join
+    keys. Completeness: if J(A,B) ≥ τ and neither prefix shared a
+    token, every common token lies past both prefixes, so
+    |A∩B| ≤ |A| − L_A = ⌈τ|A|⌉ − 1 < τ|A| ≤ J·max(|A|,|B|) ≤ |A∩B| —
+    contradiction. Rare-first ordering makes the candidate join fan
+    out on the LOWEST-frequency tokens, which is what bounds the
+    shuffle: a stopword shingle never becomes a join key unless a doc
+    is almost entirely stopwords.
+
+    τ is passed as a FRACTION (num/den) and the accept test is integer
+    cross-multiplication ``den·|A∩B| ≥ num·|A∪B|`` — no float
+    threshold, so the boundary pair at exactly τ is decided identically
+    in any engine. Returns (d1, d2, inter_size, union_size, jaccard).
+
+    Shuffle ledger: token-frequency agg + per-doc sort (one shuffle on
+    id), prefix-token candidate join, candidate-pair distinct, two id
+    joins to ship the sorted arrays for the exact
+    ``array_intersect`` verify. Pair work is Σ prefix-df² — the
+    frequency ordering drives that toward the theoretical minimum."""
+    p, q = int(threshold_num), int(threshold_den)
+    if not (0 < p <= q):
+        raise ValueError("threshold must be a fraction in (0, 1]")
+    freq = shingles.groupBy("sh").agg(F.count("*").alias("__df"))
+    ordered = (
+        shingles.join(freq, on="sh")
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col("__df").alias("f"), F.col("sh").alias("t"))
+                )
+            ).alias("__o")
+        )
+        .select(
+            F.col(id_col),
+            F.transform("__o", lambda s: s["t"]).alias("__toks"),
+            F.size("__o").alias("__n"),
+        )
+    )
+    ordered = ordered.localCheckpoint()  # consumed by prefix + both verify joins
+    prefix_len = F.expr(f"__n - ((__n * {p} + {q - 1}) DIV {q}) + 1")
+    prefix = ordered.select(
+        F.col(id_col), F.explode(F.slice("__toks", F.lit(1), prefix_len)).alias("tok")
+    )
+    cand = (
+        prefix.select(F.col(id_col).alias("d1"), "tok")
+        .join(prefix.select(F.col(id_col).alias("d2"), "tok"), on="tok")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    a = ordered.select(
+        F.col(id_col).alias("d1"),
+        F.col("__toks").alias("__ta"),
+        F.col("__n").alias("__na"),
+    )
+    b = ordered.select(
+        F.col(id_col).alias("d2"),
+        F.col("__toks").alias("__tb"),
+        F.col("__n").alias("__nb"),
+    )
+    scored = (
+        cand.join(a, on="d1")
+        .join(b, on="d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("__ta", "__tb")).cast("bigint").alias(
+                "inter_size"
+            ),
+            (F.col("__na") + F.col("__nb")).cast("bigint").alias("__sum"),
+        )
+        .select(
+            "d1",
+            "d2",
+            "inter_size",
+            (F.col("__sum") - F.col("inter_size")).alias("union_size"),
+        )
+        .filter(
+            F.lit(q) * F.col("inter_size") >= F.lit(p) * F.col("union_size")
+        )
+    )
+    return scored.select(
+        "d1",
+        "d2",
+        "inter_size",
+        "union_size",
+        (
+            F.col("inter_size").cast("double")
+            / F.col("union_size").cast("double")
+        ).alias("jaccard"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

@@ -1,0 +1,62 @@
+"""Round-4 batch 5: exact set-similarity self-join via prefix
+filtering (AllPairs / PPJoin family).
+
+Completes the dedup design-space triangle the engine exposes over the
+``documents`` table:
+
+- ``dedup_ngram_jaccard``  — exact but df-capped (lossy on hot-shingle
+  overlap; the cap is what bounds the pair join),
+- ``dedup_minhash_lsh``    — uncapped but probabilistic (banding
+  recall < 1 off the test regime),
+- ``dedup_prefix_filter``  — exact AND uncapped: the rare-first prefix
+  bounds the candidate join without dropping any qualifying pair.
+
+The threshold is carried as an integer fraction (3/5) and the accept
+test is integer cross-multiplication on BOTH engines, so the decision
+at the exact boundary is engine-independent (CLAUDE.md trap #3/#13
+discipline); the reported ``jaccard`` is a single correctly-rounded
+IEEE division of two exact integers — bit-identical cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table_parallel
+from ..operators.dedup import prefix_filter_pairs, shingle
+from .registry import query
+
+
+@query(
+    "dedup_prefix_filter",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+            FROM words),
+    shingles AS (SELECT DISTINCT doc_id,
+                        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+                 FROM idx),
+    sizes AS (SELECT doc_id, count(*) n FROM shingles GROUP BY doc_id),
+    inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) k
+              FROM shingles a
+              JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT d1, d2, CAST(k AS BIGINT) AS inter_size,
+           CAST(s1.n + s2.n - k AS BIGINT) AS union_size,
+           CAST(k AS DOUBLE) / CAST(s1.n + s2.n - k AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE 5 * k >= 3 * (s1.n + s2.n - k)
+    """,
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs 3-gram-shingle Jaccard >= 3/5 via prefix
+    filtering (Bayardo et al. WWW'07; Xiao et al. WWW'08): each doc
+    joins only on its |x| - ceil(0.6|x|) + 1 globally-rarest shingles,
+    candidates verified with an exact ``array_intersect``. The oracle
+    is the brute-force all-pairs join — feasible at sf0.01, which is
+    exactly why the prefix variant exists for the 100 TB path."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    sh = shingle(docs, "doc_id", "text", n=3, distinct=True)
+    return prefix_filter_pairs(sh, "doc_id", threshold_num=3, threshold_den=5)

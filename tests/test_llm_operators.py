@@ -93,6 +93,49 @@ def test_jaccard_df_cap_bounds_candidate_set(spark):
     assert pair_rows < 780
 
 
+def test_prefix_filter_exact_matches_bruteforce(spark):
+    """prefix_filter_pairs is EXACT: over a corpus with near-dups,
+    unrelated docs, and a hot shared shingle, it returns precisely the
+    brute-force all-pairs Jaccard >= tau set — no cap losses, no LSH
+    misses — and the candidate join keys exclude the hottest shingle
+    (rare-first prefixes stop before it for large docs)."""
+    from aws_callcenter_delta_lakehouse_spark.operators.dedup import (
+        prefix_filter_pairs, shingle,
+    )
+
+    words = [f"v{i}" for i in range(40)]
+    rows = [
+        (1, " ".join(words)),
+        (2, " ".join(words[:-1] + ["changed"])),          # ~0.93 jaccard w/ 1
+        (3, " ".join(words[:20] + [f"x{i}" for i in range(20)])),  # ~0.3
+        (4, "totally different text about engines and shuffles here"),
+    ]
+    # every doc also ends with the same hot trigram
+    rows = [(i, t + " shared hot tail") for i, t in rows]
+    df = _docs(spark, rows)
+    sh = shingle(df, "doc_id", "text")
+
+    got = {
+        (r.d1, r.d2): (r.inter_size, r.union_size, r.jaccard)
+        for r in prefix_filter_pairs(sh, "doc_id", 3, 5).collect()
+    }
+
+    # brute-force oracle in Python
+    docs = {r.doc_id: set(x.sh for x in sh.filter(F.col("doc_id") == r.doc_id)
+                          .collect())
+            for r in df.select("doc_id").collect()}
+    want = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            k = len(docs[a] & docs[b])
+            u = len(docs[a] | docs[b])
+            if 5 * k >= 3 * u:
+                want[(a, b)] = (k, u, k / u)
+    assert got == want
+    assert (1, 2) in got and (1, 3) not in got
+
+
 def test_ann_topk_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF001, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
