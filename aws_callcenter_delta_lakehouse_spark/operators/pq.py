@@ -127,6 +127,7 @@ def pq_train(
     num_codes: int = 16,
     iterations: int = 1,
     checkpoint_dir: str | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """Train per-subspace codebooks: seed centroid (s, j) with the
     j-th lowest-id vector's s-th subvector, then run Lloyd iterations
@@ -139,7 +140,11 @@ def pq_train(
     a RELIABLE ``df.checkpoint()`` (cluster-safe — an executor loss
     mid-training recomputes from the checkpoint, not from the seed
     chain); when None, executor-local ``localCheckpoint``. Same
-    contract as ``connected_components``/``kmeans_refine``."""
+    contract as ``connected_components``/``kmeans_refine``.
+
+    ``normalize=False`` trains on the raw vectors — the IVF-PQ path
+    passes residuals, whose magnitude IS the signal (re-normalizing
+    them would blow small residuals up to unit length)."""
     if checkpoint_dir is not None:
         corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
@@ -151,7 +156,11 @@ def pq_train(
         )
 
     d_sub = dim // m
-    normed = _normalize(corpus, [id_col], vec_col)
+    normed = (
+        _normalize(corpus, [id_col], vec_col)
+        if normalize
+        else corpus.select(id_col, vec_col)
+    )
     # ONE pass over the head: explode the m subvectors per seed row (a
     # per-subspace union would re-execute the TakeOrdered head m times)
     seeds = _with_subs(normed.orderBy(id_col).limit(num_codes), vec_col, m, d_sub)
@@ -299,3 +308,174 @@ def pq_topk(
         ).alias("adc_score"),
     )
     return scored.orderBy(F.desc("adc_score"), F.asc(id_col)).limit(k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    dim: int = 64,
+    m: int = 8,
+    num_codes: int = 16,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    iterations: int = 0,
+    refine_iterations: int = 0,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """IVFADC (Jégou et al., TPAMI 2011 §IV) — the coarse-quantizer +
+    residual-PQ composition that is THE standard billion-scale ANN
+    layout (FAISS ``IVFx,PQy``): IVF restricts each query to ``nprobe``
+    cells so the scan touches nprobe/num_centroids of the corpus, and
+    within a cell candidates are ranked from ``m`` one-byte codes of
+    the RESIDUAL v̂ − ĉ instead of the raw vector — residuals cluster
+    far tighter than raw vectors, so the same codebook budget spends
+    its precision where vectors actually differ from their cell.
+
+    Decomposition: dot(q, v̂) = dot(q, ĉ) + dot(q, v̂ − ĉ). The first
+    term is exact per probed cell (``__base``); the second is the ADC
+    LUT sum over the residual codebook. At zero quantization error the
+    score IS the exact cosine ranking score, so recall degrades only
+    through (a) unprobed cells and (b) residual quantization — each
+    independently tunable (nprobe, m × num_codes).
+
+    Scale shape — nothing here shuffles the corpus:
+    - assignment + encoding: zero-shuffle projections over broadcast
+      centroid/codebook rows (the pinned IVF-assignment pattern);
+    - the per-(query, probe) LUT table has |queries| × nprobe rows and
+      is BROADCAST onto the encoded corpus — the candidate scan is a
+      map-side join touching only probed cells (written partitioned by
+      ``centroid_id``, the probe join prunes partitions);
+    - per-query top-k windows over candidate rows only.
+
+    Approximate by construction — rows-only in the registry; recall
+    pinned against ``brute_force_topk`` in ``tests/test_pq.py``.
+    ``checkpoint_dir`` makes every iterative/multi-consumer
+    materialization a reliable ``checkpoint()`` (cluster fault
+    tolerance), matching ``pq_train``/``kmeans_refine``."""
+    from pyspark.sql import Window
+
+    from .similarity import (
+        _assign,
+        _centroid_array,
+        _nearest_centroids,
+        ivf_index,
+        kmeans_refine,
+    )
+
+    d_sub = dim // m
+    normed = _normalize(corpus, [id_col], vec_col)
+    centroids, _ = ivf_index(normed, id_col, vec_col, num_centroids)
+    if refine_iterations > 0:
+        centroids = kmeans_refine(
+            normed, centroids, id_col, vec_col, refine_iterations, checkpoint_dir
+        )
+    # normalize the centroids ONCE: assignment argmax and the
+    # base-plus-residual decomposition then share the same cell
+    # representative ĉ, which is what makes base + ADC == dot(q, v̂)
+    # exact at zero quantization error
+    cn = centroids.select(
+        "centroid_id", "centroid_vec", norm(F.col("centroid_vec")).alias("__n")
+    ).select(
+        "centroid_id",
+        F.transform(
+            "centroid_vec", lambda x: x.cast("double") / F.col("__n")
+        ).alias("centroid_vec"),
+    )
+    assigned = _assign(normed, cn, id_col, vec_col)
+    resid = assigned.join(F.broadcast(cn), "centroid_id").select(
+        id_col,
+        "centroid_id",
+        F.zip_with(
+            vec_col, "centroid_vec", lambda a, b: a.cast("double") - b
+        ).alias("__res"),
+    )
+    # residuals feed BOTH codebook training and encoding — materialize
+    # once (reliable when checkpoint_dir is set) instead of paying the
+    # normalize+assign lineage per consumer
+    if checkpoint_dir is not None:
+        resid.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        resid = resid.checkpoint(eager=True)
+    else:
+        resid = resid.localCheckpoint(eager=True)
+    codebook = pq_train(
+        resid, id_col, "__res", dim, m, num_codes, iterations,
+        checkpoint_dir=checkpoint_dir, normalize=False,
+    )
+    encoded = pq_encode(resid, codebook, id_col, "__res", dim, m).select(
+        id_col, "centroid_id", "codes"
+    )
+
+    probes = (
+        queries.join(F.broadcast(_centroid_array(cn)))
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.explode(
+                F.slice(
+                    F.array_sort(_nearest_centroids(query_vec_col)), 1, nprobe
+                )
+            ).alias("__p"),
+        )
+        .select(
+            query_id_col,
+            query_vec_col,
+            F.col("__p.centroid_id").alias("centroid_id"),
+        )
+    )
+    probe = probes.join(F.broadcast(cn), "centroid_id").select(
+        query_id_col,
+        "centroid_id",
+        dot(F.col(query_vec_col), F.col("centroid_vec")).alias("__base"),
+        F.zip_with(
+            query_vec_col, "centroid_vec", lambda a, b: a.cast("double") - b
+        ).alias("__qr"),
+    )
+    probe = _with_subs(probe, "__qr", m, d_sub)
+
+    def _probe_lut(s: int):
+        # closure factory (see pq_topk): a default-arg lambda would bind
+        # transform()'s second parameter to the element index
+        return F.transform(
+            F.col(f"__cb_{s}"),
+            lambda e: _dot_flat(F.col(f"__sub_{s}"), e["cvec"], d_sub),
+        )
+
+    lut = probe.join(F.broadcast(_codebook_row(codebook, m))).select(
+        query_id_col,
+        "centroid_id",
+        "__base",
+        F.concat(*[_probe_lut(s) for s in range(m)]).alias("__lut"),
+    )
+    scored = encoded.join(F.broadcast(lut), "centroid_id").select(
+        query_id_col,
+        F.col(id_col),
+        (
+            F.col("__base")
+            + F.aggregate(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                F.lit(0.0),
+                lambda acc, s: acc
+                + F.element_at(
+                    F.col("__lut"),
+                    (
+                        s * num_codes
+                        + F.try_element_at("codes", (s + 1).cast("int"))
+                        + 1
+                    ).cast("int"),
+                ),
+            )
+        ).alias("adc_score"),
+    )
+    wk = Window.partitionBy(query_id_col).orderBy(
+        F.desc("adc_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(wk))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

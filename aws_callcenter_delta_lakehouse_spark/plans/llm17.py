@@ -21,6 +21,7 @@ IEEE division of two exact integers — bit-identical cross-engine.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..catalog import load_table_parallel
 from ..operators.dedup import prefix_filter_pairs, shingle
@@ -60,3 +61,27 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents")
     sh = shingle(docs, "doc_id", "text", n=3, distinct=True)
     return prefix_filter_pairs(sh, "doc_id", threshold_num=3, threshold_den=5)
+
+
+@query("similarity_ivfpq_adc")  # approximate by construction — rows-only
+def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (FAISS ``IVF16,PQ16``-style) top-10 for queries vec_id<5:
+    coarse IVF restricts each query to nprobe=4 of 16 cells, residual
+    v̂−ĉ product quantization ranks within cells from 16 one-byte codes,
+    score = exact dot(q, ĉ) + residual ADC LUT sum. The billion-scale
+    composition of the engine's two ANN halves — corpus never shuffles;
+    the per-(query, probe) LUT table broadcasts onto the encoded codes.
+    Recall and exact self-retrieval pinned vs ``brute_force_topk`` in
+    ``tests/test_pq.py`` (residual PQ shows no gain over raw PQ on this
+    UNSTRUCTURED synthetic corpus — the residual advantage needs real
+    cluster structure; the registered config documents the honest
+    trade)."""
+    from ..operators.pq import ivfpq_topk
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return ivfpq_topk(
+        emb, queries, num_centroids=16, nprobe=4, m=16, num_codes=16, k=10
+    )

@@ -73,6 +73,43 @@ def test_pq_encode_is_shuffle_free(spark):
     assert "Exchange hashpartitioning(vec_id" not in plan
 
 
+def test_ivfpq_recall_self_retrieval_and_determinism(spark):
+    """IVFADC: every query retrieves ITSELF first (its own cell is the
+    first probe and base + residual-ADC of a vector against its own
+    codes dominates), mean recall@10 vs brute force clears a floor, and
+    the whole pipeline is deterministic (seeded coarse + PQ codebooks,
+    no RNG)."""
+    from collections import defaultdict
+
+    from aws_callcenter_delta_lakehouse_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, SF001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    res = ivfpq_topk(
+        emb, queries, num_centroids=16, nprobe=4, m=16, num_codes=16, k=10
+    )
+    rows = res.collect()
+    got = defaultdict(list)
+    for r in rows:
+        got[r.q_id].append(r.vec_id)
+    recalls = []
+    for q in range(5):
+        qdf = emb.filter(F.col("vec_id") == q).select(F.col("embedding").alias("q"))
+        exact = _exact_top10(spark, emb, qdf)
+        assert got[q][0] == q  # exact self-retrieval
+        recalls.append(len(set(exact) & set(got[q])) / 10)
+    # measured 0.32 on this corpus (residual PQ ≈ raw PQ here: the
+    # synthetic embeddings have no cluster structure for residuals to
+    # exploit); generous floor so a driver testdata regen can't flap
+    assert sum(recalls) / len(recalls) >= 0.15
+    again = [tuple(r) for r in ivfpq_topk(
+        emb, queries, num_centroids=16, nprobe=4, m=16, num_codes=16, k=10
+    ).collect()]
+    assert sorted(map(tuple, rows)) == sorted(again)
+
+
 def test_pq_train_reliable_checkpoint_parity(spark, tmp_path):
     # checkpoint_dir mode (reliable df.checkpoint, cluster-safe) must
     # train the exact same codebook as the localCheckpoint fast path —
