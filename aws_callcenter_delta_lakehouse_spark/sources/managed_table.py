@@ -559,9 +559,14 @@ def commit_overwrite(
         maxes = staged.agg(
             *[F.max(c).alias(c) for c in sorted(id_cols)]
         ).first()
+        # monotonic: max(staged, previous) — a DELETE of the newest rows
+        # or a RESTORE to an older snapshot must never hand already-
+        # issued identity values out again (the Delta identity contract:
+        # the high watermark survives data rollback)
         id_cols = {
-            c: {**spec, "high_water": int(maxes[c])
-                if maxes[c] is not None else int(spec["high_water"])}
+            c: {**spec, "high_water": max(
+                int(maxes[c]), int(spec["high_water"])
+            ) if maxes[c] is not None else int(spec["high_water"])}
             for c, spec in id_cols.items()
         }
     # marker is staged LAST: its presence marks the dir committed-ready
@@ -681,6 +686,44 @@ def write_or_merge(
         return "merged"
     initial_write(df, path, partition_by, keys)
     return "initial"
+
+
+def restore_table(
+    spark: SparkSession, path: str, version: int, max_history: int = 2
+) -> dict:
+    """Delta ``RESTORE TABLE t TO VERSION AS OF k``: roll the table's
+    CONTENT back to snapshot ``version`` as a NEW commit — history
+    moves forward, never rewinds, so the pre-restore state is itself
+    retained and a mistaken restore can be restored away again. The
+    restore commits through the standard stage-and-swap, which means it
+    is crash-atomic, enforces the live CHECK constraints against the
+    restored snapshot, recomputes generated columns, and records
+    ``txn={"restore_of": k}`` as commit provenance. Identity high-water
+    marks do NOT rewind (monotonic max in ``commit_overwrite``) — rows
+    created after version k keep their ids reserved forever, exactly
+    Delta's behavior.
+
+    The snapshot is read from ``<path>__history/`` (bounded by each
+    commit's ``max_history``) and fully staged BEFORE any swap, so
+    restoring even the about-to-be-pruned oldest snapshot is safe.
+    Returns {"restored_version", "new_version"}."""
+    recover(path)
+    marker = _read_marker(path)
+    if not marker:
+        raise ValueError(f"{path} is not a managed table")
+    df = read(spark, path, version=version)
+    commit_overwrite(
+        df,
+        path,
+        keys=marker.get("keys", ()),
+        partition_by=marker.get("partition_by", ()),
+        max_history=max_history,
+        txn={"restore_of": int(version)},
+    )
+    return {
+        "restored_version": int(version),
+        "new_version": table_version(path),
+    }
 
 
 def table_generated_columns(path: str) -> dict:

@@ -162,3 +162,67 @@ def test_identity_source_may_omit_column(spark, tmp_path):
     mt.merge_upsert(spark, path, patch, keys=["name"])
     ids = {r.name: r.uid for r in mt.read(spark, path).collect()}
     assert len(set(ids.values())) == 2 and None not in ids.values()
+
+
+# -------------------------------------------------------------- restore
+
+def test_restore_rolls_content_forward_as_new_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _base(spark, path, n=10)                                   # v0
+    mt.commit_overwrite(
+        mt.read(spark, path).filter(F.col("k") < 5), path, keys=("k",)
+    )                                                          # v1
+    mt.commit_overwrite(
+        mt.read(spark, path).filter(F.col("k") < 2), path, keys=("k",)
+    )                                                          # v2
+    info = mt.restore_table(spark, path, version=1)
+    assert info == {"restored_version": 1, "new_version": 3}
+    # content equals v1, served as a NEW version — history moved forward
+    assert mt.read(spark, path).count() == 5
+    assert mt.table_txn(path) == {"restore_of": 1}
+    # the pre-restore state (v2) is retained: a restore can be undone
+    assert 2 in mt.list_versions(path)
+    mt.restore_table(spark, path, version=2)
+    assert mt.read(spark, path).count() == 2
+    assert mt.table_version(path) == 4
+
+
+def test_restore_unknown_version_is_loud(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _base(spark, path, n=4)
+    with pytest.raises(ValueError):
+        mt.restore_table(spark, path, version=7)
+
+
+def test_identity_high_water_survives_restore(spark, tmp_path):
+    """Delta contract: rolling data back never re-issues identity
+    values. Restore to a version whose max id is lower, then insert a
+    NULL-id row — it must mint an id ABOVE the all-time high water."""
+    path = str(tmp_path / "t")
+    df0 = spark.range(3).select(
+        F.col("id").alias("k"), F.lit(None).cast("bigint").alias("rid")
+    )
+    mt.commit_overwrite(
+        df0, path, keys=("k",), identity={"rid": {"start": 1, "step": 1}}
+    )                                                          # v0: rids minted
+    high0 = max(r.rid for r in mt.read(spark, path).collect())
+    # v1: more rows -> higher rids
+    more = spark.range(3, 6).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("bigint").alias("rid"),
+    )
+    mt.commit_overwrite(
+        mt.read(spark, path).unionByName(more), path, keys=("k",)
+    )
+    high1 = max(r.rid for r in mt.read(spark, path).collect())
+    assert high1 > high0
+    mt.restore_table(spark, path, version=0)
+    assert mt.table_identity_columns(path)["rid"]["high_water"] >= high1
+    add = spark.range(10, 11).select(
+        F.col("id").alias("k"), F.lit(None).cast("bigint").alias("rid")
+    )
+    mt.commit_overwrite(
+        mt.read(spark, path).unionByName(add), path, keys=("k",)
+    )
+    new_rid = [r.rid for r in mt.read(spark, path).filter(F.col("k") == 10).collect()]
+    assert all(r > high1 for r in new_rid)
