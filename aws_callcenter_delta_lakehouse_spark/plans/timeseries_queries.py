@@ -75,3 +75,72 @@ def events_rolling_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_trailing",
         round_portable(F.col("sum_trailing"), 2).alias("sum_trailing"),
     )
+
+
+@query(
+    "events_twap_per_user",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t_us,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    seq AS (
+      SELECT user_id, cents, t_us,
+             lead(t_us) OVER (PARTITION BY user_id
+                              ORDER BY t_us, event_id) AS t_next
+      FROM e),
+    agg AS (
+      SELECT user_id,
+             SUM(cents * (t_next - t_us)) AS num,
+             SUM(t_next - t_us) AS den,
+             COUNT(*) AS n_holds
+      FROM seq WHERE t_next IS NOT NULL
+      GROUP BY user_id)
+    SELECT user_id,
+           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS twap_cents,
+           CAST(n_holds AS BIGINT) AS n_holds
+    FROM agg
+    """,
+)
+def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    HOLDS until the user's next event (step-function semantics, the
+    standard price/metric time-weighting), so the average weights each
+    value by its holding duration instead of over-counting burst
+    periods. Last event has no duration and drops out.
+
+    Cross-engine exactness: weights are INTEGER microseconds
+    (``unix_micros`` ↔ ``epoch_us``, trap #10), values integer cents
+    (trap #13), so num/den are exact BIGINTs and the single final
+    division is one correctly-rounded IEEE op on identical operands.
+
+    Scale: ONE shuffle on user_id serves both the lead() window and the
+    aggregate (Catalyst reuses the hash partitioning); state per row is
+    a single lookahead — no per-user collect, no skew beyond the
+    natural user fan-out."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    seq = ev.withColumn("t_next", F.lead("t_us").over(w))
+    agg = (
+        seq.filter(F.col("t_next").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * (F.col("t_next") - F.col("t_us"))).alias("num"),
+            F.sum(F.col("t_next") - F.col("t_us")).alias("den"),
+            F.count("*").alias("n_holds"),
+        )
+    )
+    return agg.select(
+        "user_id",
+        (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+            "twap_cents"
+        ),
+        F.col("n_holds").cast("bigint").alias("n_holds"),
+    )
