@@ -144,3 +144,54 @@ def events_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_holds").cast("bigint").alias("n_holds"),
     )
+
+
+@query(
+    "events_ohlc_daily",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) AS t_us, event_id
+      FROM events),
+    seq AS (
+      SELECT user_id, day, cents,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY t_us, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                ORDER BY t_us DESC, event_id DESC) AS rn_d
+      FROM e)
+    SELECT user_id, day,
+           MAX(CASE WHEN rn_a = 1 THEN cents END) AS open_cents,
+           MAX(cents) AS high_cents,
+           MIN(cents) AS low_cents,
+           MAX(CASE WHEN rn_d = 1 THEN cents END) AS close_cents,
+           CAST(SUM(cents) AS BIGINT) AS volume_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM seq GROUP BY 1, 2
+    """,
+)
+def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candle bars per user — the canonical time-series
+    downsampling rollup (open/high/low/close + volume). Spark computes
+    open/close with ``min_by``/``max_by`` over a (t_us, event_id)
+    struct key, so the whole bar is ONE hash aggregate with map-side
+    partial combine — no window, no sort, no second shuffle; the
+    oracle states the same semantics with row_number windows (DuckDB's
+    arg_min can't take a composite key). Values are integer cents
+    (trap #13); the tie-break key is integer microseconds + event_id
+    (traps #6/#10), so every column is exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.struct(F.unix_micros("ts").alias("t"), "event_id").alias("__ord"),
+    )
+    return ev.groupBy("user_id", "day").agg(
+        F.min_by("cents", "__ord").alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", "__ord").alias("close_cents"),
+        F.sum("cents").cast("bigint").alias("volume_cents"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
