@@ -80,6 +80,7 @@ def _write_marker(
     constraints: dict | None = None,
     generated: dict | None = None,
     identity: dict | None = None,
+    unique_keys: bool = False,
 ) -> None:
     with open(os.path.join(path, _MARKER), "w") as f:
         json.dump(
@@ -92,6 +93,7 @@ def _write_marker(
                 "constraints": constraints or {},
                 "generated": generated or {},
                 "identity": identity or {},
+                "unique_keys": bool(unique_keys),
             },
             f,
         )
@@ -476,6 +478,7 @@ def commit_overwrite(
     expected_version: int | None = None,
     generated: dict | None = None,
     identity: dict | None = None,
+    unique_keys: bool = False,
 ) -> None:
     """Atomic full-snapshot commit via stage-and-swap — works whether or
     not the table exists yet, so it is also the crash-safe first write.
@@ -506,7 +509,17 @@ def commit_overwrite(
     Identity columns fill NULL slots with unique BIGINTs on the
     ``start + n*step`` lattice, strictly above the previous commit's
     high-water mark (gaps allowed, exactly the Delta contract); the
-    high-water advances atomically with the snapshot swap."""
+    high-water advances atomically with the snapshot swap.
+
+    ``unique_keys=True`` at creation declares the ``keys`` a PRIMARY
+    KEY: every later commit (merge/delete/update/overwrite/restore)
+    verifies the STAGED snapshot has no duplicate key tuple — one
+    key-pruned existence probe, same staging-scan discipline as CHECK
+    constraints — and aborts with ``ConstraintViolationError`` leaving
+    the table untouched. This is STRONGER than Delta, whose PRIMARY KEY
+    is informational-only; ``merge_upsert`` guarantees it by
+    construction, but raw overwrites could silently break the key
+    contract downstream pipelines rely on."""
     recover(path)
     exists = os.path.exists(os.path.join(path, _MARKER))
     if expected_version is not None and exists:
@@ -522,6 +535,10 @@ def commit_overwrite(
     # apply on the first commit (Delta: generated/identity columns are
     # declared in CREATE TABLE, not ALTERable onto live tables)
     gen_cols = live_marker.get("generated", {}) if exists else dict(generated or {})
+    uk = bool(live_marker.get("unique_keys", False)) if exists else bool(unique_keys)
+    key_list = list(keys) or list(live_marker.get("keys", []))
+    if uk and not key_list:
+        raise ValueError("unique_keys=True requires non-empty keys")
     id_cols = live_marker.get("identity", {}) if exists else {
         c: {"start": int(s.get("start", 1)), "step": int(s.get("step", 1)),
             "high_water": int(s.get("start", 1)) - int(s.get("step", 1))}
@@ -553,6 +570,22 @@ def commit_overwrite(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
     _enforce_constraints(df.sparkSession, staging, constraints)
+    if uk:
+        # key-pruned duplicate existence probe over the staged snapshot
+        dup = (
+            df.sparkSession.read.parquet(staging)
+            .groupBy(*key_list)
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > 1)
+        )
+        offender = dup.select(*key_list).limit(1).collect()
+        if offender:
+            shutil.rmtree(staging)
+            raise ConstraintViolationError(
+                f"write violates PRIMARY KEY {key_list} — duplicate key "
+                f"tuple {tuple(offender[0])}; commit aborted, table "
+                "unchanged"
+            )
     if id_cols:  # advance high-water from the STAGED snapshot (one
         # column-pruned max; the value commits atomically in the marker)
         staged = df.sparkSession.read.parquet(staging)
@@ -571,8 +604,9 @@ def commit_overwrite(
         }
     # marker is staged LAST: its presence marks the dir committed-ready
     _write_marker(
-        staging, keys, partition_by, version=version, txn=txn,
+        staging, key_list, partition_by, version=version, txn=txn,
         constraints=constraints, generated=gen_cols, identity=id_cols,
+        unique_keys=uk,
     )
     if expected_version is not None and exists:
         if table_version(path) != expected_version:

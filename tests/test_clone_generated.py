@@ -226,3 +226,35 @@ def test_identity_high_water_survives_restore(spark, tmp_path):
     )
     new_rid = [r.rid for r in mt.read(spark, path).filter(F.col("k") == 10).collect()]
     assert all(r > high1 for r in new_rid)
+
+
+# ----------------------------------------------------------- primary key
+
+def test_unique_keys_enforced_on_every_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(5).select(F.col("id").alias("k"), F.lit(1.0).alias("x"))
+    mt.commit_overwrite(df, path, keys=("k",), unique_keys=True)
+    # clean second commit (flag persists without re-declaring)
+    mt.commit_overwrite(df, path, keys=("k",))
+    assert mt._read_marker(path)["unique_keys"] is True
+    # duplicate key tuple -> abort, table untouched
+    dup = df.unionByName(spark.range(1).select(
+        F.col("id").alias("k"), F.lit(9.0).alias("x")))
+    with pytest.raises(mt.ConstraintViolationError, match="PRIMARY KEY"):
+        mt.commit_overwrite(dup, path, keys=("k",))
+    assert mt.read(spark, path).count() == 5
+    assert mt.table_version(path) == 1
+
+
+def test_unique_keys_requires_keys(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="unique_keys"):
+        mt.commit_overwrite(df, path, unique_keys=True)
+
+
+def test_unique_keys_off_by_default(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(3).select((F.col("id") % 2).alias("k"))
+    mt.commit_overwrite(df, path, keys=("k",))  # dups allowed: no PK
+    assert mt.read(spark, path).count() == 3
