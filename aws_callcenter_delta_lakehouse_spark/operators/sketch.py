@@ -148,3 +148,118 @@ def cms_heavy_hitters(
         .filter(F.col("exact_count") >= F.lit(phi) * F.col("n"))
         .select("term", "exact_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) theta sketch — mergeable distinct counting with
+# SET OPERATIONS over the summaries
+# ---------------------------------------------------------------------------
+
+_TWO63 = float(2**63)
+_TWO64 = float(2**64)
+
+
+def _theta(h):  # k-th smallest signed hash -> its quantile in [0, 1)
+    return (h.cast("double") + _TWO63 + 1.0) / _TWO64
+
+
+def kmv_sketch(
+    df: DataFrame, key_col: str, group_cols: Sequence[str], k: int = 256
+) -> DataFrame:
+    """Per-group KMV theta sketch (Bar-Yossef et al. RANDOM'02;
+    Beyer et al. SIGMOD'07): the ``k`` smallest distinct ``xxhash64``
+    values of ``key_col``. Returns (group_cols..., ``kmv`` sorted
+    array<bigint>, ``n_seen`` = sketch size).
+
+    Unlike HLL, the summary supports SET OPERATIONS: any pair of
+    group sketches can estimate union/intersection cardinality without
+    re-touching the raw data (``kmv_overlap_pairs``) — the segment-
+    overlap question HLL cannot answer.
+
+    Signed hash order IS unsigned quantile order (the +2^63 shift is
+    monotone), so the k-th smallest signed hash at quantile θ gives the
+    unbiased estimate (k−1)/θ with RSE ≈ 1/sqrt(k−2).
+
+    Scale: distinct (group, hash) then a per-group bounded top-k
+    (row_number ≤ k) — two key shuffles, per-group state bounded at
+    ``k`` longs, summaries a few KB per group forever after."""
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        *group_cols, F.xxhash64(F.col(key_col)).alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv"),
+        F.count("*").cast("bigint").alias("n_seen"),
+    )
+
+
+def kmv_estimate(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate per sketch row: exact ``n_seen`` when
+    the group never filled the sketch (< k distinct values — the
+    sketch IS the value set), else (k−1)/θ_k."""
+    full = F.col("n_seen") >= k
+    est = F.when(
+        full, (k - 1) / _theta(F.element_at("kmv", k))
+    ).otherwise(F.col("n_seen").cast("double"))
+    return sketches.withColumn("est_distinct", est)
+
+
+def kmv_overlap_pairs(sketches: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+    """Pairwise segment-overlap estimates from the SUMMARIES alone:
+    for groups (a, b), cut both sketches at θ = min(θ_a, θ_b) — below
+    θ each sketch holds EVERY distinct hash of its set (that is the
+    KMV invariant), so the cut sketches are exact θ-samples and
+    |common < θ| / θ estimates |A ∩ B|, |distinct union < θ| / θ
+    estimates |A ∪ B|. Partially-filled sketches have θ = 1 (they hold
+    their whole set; estimates degrade to exact).
+
+    The pair join moves only k-long arrays per group — at 100 TB the
+    raw data is touched once by ``kmv_sketch``; every pairwise overlap
+    after that is summary-only work (the DataSketches
+    theta-intersection pattern)."""
+    a = sketches.select(
+        F.col(group_col).alias("g1"),
+        F.col("kmv").alias("__ka"),
+        F.col("n_seen").alias("__na"),
+    )
+    b = sketches.select(
+        F.col(group_col).alias("g2"),
+        F.col("kmv").alias("__kb"),
+        F.col("n_seen").alias("__nb"),
+    )
+    pairs = a.join(b, F.col("g1") < F.col("g2"))
+    theta_a = F.when(F.col("__na") >= k, _theta(F.element_at("__ka", k))).otherwise(
+        F.lit(1.0)
+    )
+    theta_b = F.when(F.col("__nb") >= k, _theta(F.element_at("__kb", k))).otherwise(
+        F.lit(1.0)
+    )
+    pairs = pairs.select(
+        "g1", "g2", "__ka", "__kb", F.least(theta_a, theta_b).alias("__theta")
+    )
+    # cut both sketches at the shared θ, then plain array set ops
+    cut_a = F.filter("__ka", lambda h: _theta(h) <= F.col("__theta"))
+    cut_b = F.filter("__kb", lambda h: _theta(h) <= F.col("__theta"))
+    pairs = pairs.select(
+        "g1",
+        "g2",
+        "__theta",
+        cut_a.alias("__ca"),
+        cut_b.alias("__cb"),
+    )
+    inter = F.size(F.array_intersect("__ca", "__cb")).cast("double")
+    union = F.size(F.array_union("__ca", "__cb")).cast("double")
+    return pairs.select(
+        "g1",
+        "g2",
+        (inter / F.col("__theta")).alias("est_intersection"),
+        (union / F.col("__theta")).alias("est_union"),
+        F.when(union > 0, inter / union).otherwise(F.lit(0.0)).alias(
+            "est_jaccard"
+        ),
+    )

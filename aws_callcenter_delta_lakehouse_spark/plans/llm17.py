@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table_parallel
+from ..catalog import load_table, load_table_parallel
+from ..functions.scalars import round_portable
 from ..operators.dedup import prefix_filter_pairs, shingle
 from .registry import query
 
@@ -84,4 +85,27 @@ def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ivfpq_topk(
         emb, queries, num_centroids=16, nprobe=4, m=16, num_codes=16, k=10
+    )
+
+
+@query("sketch_kmv_segment_overlap")  # sketch estimates — rows-only
+def sketch_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix from KMV theta sketches: one pass builds
+    a 256-minimum-values sketch of the distinct user set per
+    event_type, then every pairwise intersection/union/Jaccard
+    estimate is computed from the k-long summaries alone — the segment
+    question HLL can't answer without a sketch per pair. Deterministic
+    (xxhash64); error bounds and partial-fill exactness pinned in
+    ``tests/test_sketch.py``."""
+    from ..operators.sketch import kmv_overlap_pairs, kmv_sketch
+
+    events = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(events, "user_id", ["event_type"], k=256)
+    out = kmv_overlap_pairs(sk, "event_type", k=256)
+    return out.select(
+        "g1",
+        "g2",
+        round_portable(F.col("est_intersection"), 4).alias("est_intersection"),
+        round_portable(F.col("est_union"), 4).alias("est_union"),
+        round_portable(F.col("est_jaccard"), 4).alias("est_jaccard"),
     )

@@ -4,12 +4,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from aws_callcenter_delta_lakehouse_spark.catalog import load_table
 from aws_callcenter_delta_lakehouse_spark.operators.sketch import (
     cms_build,
     cms_heavy_hitters,
     cms_probe,
     cms_probe_df,
 )
+from tests.conftest import SF01
 
 
 def _tokens(spark, words):
@@ -96,3 +98,73 @@ def test_cms_heavy_hitters_exact_under_forced_collisions(spark):
         .collect()
     }
     assert got == want
+
+
+# ------------------------------------------------------- KMV theta sketch
+
+def test_kmv_estimate_within_error_bound(spark):
+    """k=256 KMV over the real per-event-type user sets: every
+    estimate within 4x the theoretical RSE (1/sqrt(k-2) ~ 6.3%)."""
+    from aws_callcenter_delta_lakehouse_spark.operators.sketch import (
+        kmv_estimate, kmv_sketch,
+    )
+
+    events = load_table(spark, SF01, "events")
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    sk = kmv_estimate(kmv_sketch(events, "user_id", ["event_type"], k=256))
+    for r in sk.collect():
+        rel = abs(r.est_distinct - exact[r.event_type]) / exact[r.event_type]
+        assert rel <= 0.25, (r.event_type, r.est_distinct, exact[r.event_type])
+
+
+def test_kmv_partial_fill_is_exact(spark):
+    """A group with fewer than k distinct keys holds its whole value
+    set: estimate and pairwise overlap are EXACT."""
+    from aws_callcenter_delta_lakehouse_spark.operators.sketch import (
+        kmv_estimate, kmv_overlap_pairs, kmv_sketch,
+    )
+
+    rows = [("a", i) for i in range(40)] + [("b", i) for i in range(20, 70)]
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    sk = kmv_sketch(df, "uid", ["seg"], k=256)
+    est = {r.seg: r.est_distinct for r in kmv_estimate(sk, k=256).collect()}
+    assert est == {"a": 40.0, "b": 50.0}
+    ov = kmv_overlap_pairs(sk, "seg", k=256).collect()[0]
+    assert ov.est_intersection == 20.0
+    assert ov.est_union == 70.0
+    assert abs(ov.est_jaccard - 20 / 70) < 1e-12
+
+
+def test_kmv_overlap_accuracy_and_determinism(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.sketch import (
+        kmv_overlap_pairs, kmv_sketch,
+    )
+
+    events = load_table(spark, SF01, "events")
+    exact_pairs = {}
+    users = events.select("event_type", "user_id").distinct()
+    a = users.withColumnsRenamed({"event_type": "g1"})
+    b = users.withColumnsRenamed({"event_type": "g2"})
+    for r in (
+        a.join(b, on="user_id")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ):
+        exact_pairs[(r.g1, r.g2)] = r.n
+    sk = kmv_sketch(events, "user_id", ["event_type"], k=256)
+    got = kmv_overlap_pairs(sk, "event_type", k=256).collect()
+    assert len(got) == len(exact_pairs)
+    for r in got:
+        want = exact_pairs[(r.g1, r.g2)]
+        assert abs(r.est_intersection - want) / want <= 0.3, (
+            r.g1, r.g2, r.est_intersection, want,
+        )
+    again = kmv_overlap_pairs(sk, "event_type", k=256).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
