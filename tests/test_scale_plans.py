@@ -451,3 +451,19 @@ def test_join_mv_refresh_plan_is_delta_sized(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert "GreaterThanOrEqual(o_orderdate" in p  # Δ filter reaches the scan
+
+
+def test_prefix_filter_joins_are_equi_and_pruned(spark):
+    """The prefix-filter dedup must never degrade to a nested-loop/
+    cartesian pair join, and the PPJoin integer prunes (size
+    compatibility + positional bound) must sit BELOW the pair
+    aggregate — i.e. the verify joins see a filtered candidate set,
+    not the raw token join output."""
+    p = _plan(spark, "dedup_prefix_filter")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the positional-bound filter exists post-aggregate (least(...) over
+    # the min positions appears exactly in the filter expressions)
+    assert "least(" in p
+    # the exact verify exists and runs over equi-joined candidates
+    assert "array_intersect" in p

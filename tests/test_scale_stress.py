@@ -43,6 +43,10 @@ STRESS_QUERIES = (
     # round-4 additions over the documents table
     "dedup_segment_reassemble",
     "curation_dsir_weights",
+    # exact prefix-filter join (output-sensitive: 2.5x measured at 10x
+    # rows even on the saturated 31-word vocab) and the IVFADC composite
+    "dedup_prefix_filter",
+    "similarity_ivfpq_adc",
 )
 
 
