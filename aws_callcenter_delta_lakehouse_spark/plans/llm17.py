@@ -109,3 +109,69 @@ def sketch_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_portable(F.col("est_union"), 4).alias("est_union"),
         round_portable(F.col("est_jaccard"), 4).alias("est_jaccard"),
     )
+
+
+@query(
+    "similarity_hard_negatives",
+    oracle="""
+    WITH a AS (SELECT vec_id AS a_id, embedding AS av, label AS al
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT a.a_id, e.vec_id,
+             floor(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(a.av[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(a.av[i] AS DOUBLE) * CAST(a.av[i] AS DOUBLE)))))
+               * 10000 + 0.5) / 10000 AS sim
+      FROM embeddings e, a
+      WHERE e.label <> a.al),
+    ranked AS (
+      SELECT a_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY a_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM scored)
+    SELECT a_id, vec_id, sim, CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (vec_id < 5), the 5 most-cosine-similar vectors whose ``label``
+    DIFFERS — the highest-loss negatives a contrastive objective
+    (InfoNCE / triplet) wants in-batch. Exact brute-force variant
+    (oracle-checked); at corpus scale the candidate generation step
+    swaps to the ANN index (``ann_topk``/``ivfpq_topk``) with the same
+    label-exclusion filter, which is why the filter sits in the scoring
+    projection, not a pre-partition.
+
+    Scale shape: anchors broadcast (tiny), scoring is one corpus
+    projection, per-anchor top-k is a 5-partition window over scored
+    rows only."""
+    from ..operators.similarity import cosine
+    from pyspark.sql import Window
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("__av"),
+        F.col("label").alias("__al"),
+    )
+    scored = (
+        emb.join(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("__al"))
+        .select(
+            "a_id",
+            "vec_id",
+            round_portable(cosine(F.col("embedding"), F.col("__av")), 4).alias(
+                "sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+    )
