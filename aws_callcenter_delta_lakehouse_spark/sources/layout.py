@@ -98,20 +98,31 @@ def pruned_file_list(
     """Files whose [min, max] for ``column`` intersects [lo, hi]
     (None = unbounded), plus the total file count. Uses the stats
     manifest when present, parquet footers otherwise. A file with no
-    stats for the column is always kept (never skip blind)."""
+    stats for the column is always kept (never skip blind).
+
+    Staleness-safe in both directions: the CURRENT listing is the
+    source of truth and manifest stats are matched to it by BASENAME —
+    a file appended after the manifest was written has no stats and is
+    always kept (fail open, like the bloom reader), a manifest entry
+    whose file is gone contributes nothing, and a manifest written in
+    a staging dir keeps working after the commit rename moves the
+    directory."""
     import glob as _glob
     import json as _json
     import os as _os
 
+    listed = sorted(_glob.glob(f"{path}/*.parquet"))
+    entries = [{"file": f, "stats": {}} for f in listed]
     manifest = f"{path}/_stats_manifest.json"
     if _os.path.exists(manifest):
         with open(manifest) as fh:
-            entries = _json.load(fh)
+            by_base = {
+                _os.path.basename(e["file"]): e.get("stats", {})
+                for e in _json.load(fh)
+            }
+        for e in entries:
+            e["stats"] = by_base.get(_os.path.basename(e["file"]), {})
     else:
-        entries = [
-            {"file": f, "stats": {}}
-            for f in sorted(_glob.glob(f"{path}/*.parquet"))
-        ]
         # no manifest: fall back to per-file footer stats
         import pyarrow.parquet as pq
 
@@ -147,8 +158,11 @@ def read_with_skipping(spark, path: str, column: str, lo=None, hi=None):
     lists them, then applies the exact predicate to the survivors —
     what a Delta/Iceberg reader does with its log stats. Returns the
     filtered DataFrame; pruning effectiveness is observable via
-    ``pruned_file_list``."""
+    ``pruned_file_list``. Returns an EMPTY DataFrame (correct schema)
+    when every file is pruned."""
     files, _total = pruned_file_list(path, column, lo, hi)
+    if not files:
+        return spark.read.parquet(path).filter(F.lit(False))
     df = spark.read.parquet(*files)
     c = F.col(column)
     if lo is not None:

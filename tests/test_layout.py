@@ -338,3 +338,43 @@ def test_compact_binpack_rewrites_only_small_files(spark, tmp_path):
     assert {
         (r.id, r.v) for r in mt.read(spark, path).collect()
     } == expected
+
+
+def test_stale_stats_manifest_never_loses_rows(spark, tmp_path):
+    """A file appended AFTER the manifest was written has no stats entry
+    and must always be kept (fail open) — a stale manifest may cost
+    pruning, never correctness. Also: manifest entries keyed by
+    basename survive the commit rename (manifest written in a staging
+    dir, directory moved)."""
+    import os
+    from pyspark.sql import functions as F
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        pruned_file_list, read_with_skipping, write_clustered,
+        write_stats_manifest,
+    )
+
+    staging = str(tmp_path / "t__staging")
+    path = str(tmp_path / "t")
+    df = spark.range(1000).select(F.col("id").alias("k"))
+    write_clustered(df, staging, ["k"], num_files=4)
+    write_stats_manifest(staging, ["k"])
+    os.rename(staging, path)  # the stage-and-swap commit move
+
+    # pruning still works post-rename (basename matching)
+    files, total = pruned_file_list(path, "k", lo=0, hi=10)
+    assert total == 4 and len(files) == 1
+
+    # fully-pruned range returns an empty frame with the right schema
+    # (checked BEFORE the stale append: a stats-less file is always
+    # kept, so afterwards nothing can fully prune)
+    empty = read_with_skipping(spark, path, "k", lo=10**9, hi=None)
+    assert empty.count() == 0 and empty.columns == ["k"]
+    assert pruned_file_list(path, "k", lo=10**9)[0] == []
+
+    # late append the manifest doesn't know about — values OUTSIDE
+    # every manifest range, so a reader trusting the manifest blindly
+    # would drop them
+    late = spark.range(5000, 5010).select(F.col("id").alias("k"))
+    late.coalesce(1).write.mode("append").parquet(path)
+    got = read_with_skipping(spark, path, "k", lo=5000, hi=6000)
+    assert got.count() == 10  # fail-open kept the unknown file
