@@ -342,6 +342,106 @@ def read_changes(
     return post.unionByName(ins).unionByName(pre).unionByName(dele)
 
 
+def apply_changes(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: Sequence[str],
+    sequence_col: str,
+    max_history: int = 2,
+    txn: dict | None = None,
+    expected_version: int | None = None,
+) -> None:
+    """CDC apply — the Delta Live Tables ``APPLY CHANGES INTO``
+    primitive: merge a change feed of ``insert`` / ``update_postimage``
+    / ``delete`` rows (``update_preimage`` ignored) into the target,
+    ordered by ``sequence_col`` so LATE-ARRIVING and OUT-OF-ORDER
+    changes resolve correctly:
+
+    - within the batch, only each key's highest-sequence change applies;
+    - across batches, the applied sequence persists per row in
+      ``_apply_seq`` — a change older than what the target already
+      reflects is a no-op, so replaying or reordering feed chunks
+      converges to the same table (idempotent, order-insensitive);
+    - at equal sequence an upsert beats a delete (ties should not
+      happen with a proper sequencing column; the rule just makes them
+      deterministic).
+
+    One full-outer join on the keys + one commit; the commit inherits
+    every managed-table guarantee (crash-atomic swap, constraints,
+    generated/identity columns, PRIMARY KEY check, history).
+
+    Pairs with :func:`read_changes` for table replication: feeding a
+    CDF diff through ``apply_changes`` reproduces the source snapshot
+    (``tests/test_dml.py``)."""
+    key_list = list(keys)
+    target = read(spark, path)
+    seq_type = dict(changes.dtypes)[sequence_col]
+    if "_apply_seq" not in target.columns:
+        target = target.withColumn(
+            "_apply_seq", F.lit(None).cast(seq_type)
+        )
+    val_cols = [
+        c for c in target.columns if c not in key_list and c != "_apply_seq"
+    ]
+
+    from pyspark.sql import Window
+
+    live = changes.filter(F.col("_change_type") != "update_preimage")
+    w = Window.partitionBy(*key_list).orderBy(
+        F.desc(sequence_col),
+        # upsert beats delete at equal sequence; types sort descending
+        F.desc(F.col("_change_type") != "delete"),
+    )
+    latest = (
+        live.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    c_p = latest.select(
+        *key_list,
+        F.struct(*val_cols).alias("__c"),
+        F.col(sequence_col).cast(seq_type).alias("__cseq"),
+        F.col("_change_type").alias("__ct"),
+    )
+    t_p = target.select(
+        *key_list,
+        F.struct(*val_cols).alias("__t"),
+        F.col("_apply_seq").alias("__tseq"),
+    )
+    j = t_p.join(c_p, on=key_list, how="full_outer")
+    # a change applies when the target has no row for the key, has no
+    # recorded sequence, or the change is strictly newer
+    applies = F.col("__ct").isNotNull() & (
+        F.col("__t").isNull()
+        | F.col("__tseq").isNull()
+        | (F.col("__cseq") > F.col("__tseq"))
+    )
+    merged = (
+        j.withColumn("__use_c", applies)
+        .filter(  # applied deletes drop; keys only ever seen as a
+            # stale delete contribute nothing either
+            ~(F.col("__use_c") & (F.col("__ct") == "delete"))
+            & ~(F.col("__t").isNull() & ~F.col("__use_c"))
+        )
+        .select(
+            *key_list,
+            *[
+                F.when(F.col("__use_c"), F.col("__c")[c])
+                .otherwise(F.col("__t")[c])
+                .alias(c)
+                for c in val_cols
+            ],
+            F.when(F.col("__use_c"), F.col("__cseq"))
+            .otherwise(F.col("__tseq"))
+            .alias("_apply_seq"),
+        )
+    )
+    commit_overwrite(
+        merged, path, keys=key_list, max_history=max_history, txn=txn,
+        expected_version=expected_version,
+    )
+
+
 def initial_write(
     df: DataFrame,
     path: str,
