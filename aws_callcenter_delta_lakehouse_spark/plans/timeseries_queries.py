@@ -195,3 +195,59 @@ def events_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("volume_cents"),
         F.count("*").cast("bigint").alias("n_events"),
     )
+
+
+@query(
+    "events_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    seq AS (
+      SELECT user_id,
+             datediff('day', DATE '2024-01-01', day) AS dayn,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM days),
+    runs AS (
+      SELECT user_id, dayn - rn AS grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM seq GROUP BY 1, 2)
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS active_days,
+           MAX(len) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the
+    gaps-and-islands pattern: distinct active days, then
+    ``day_number − row_number`` is CONSTANT within a consecutive run
+    (both advance by 1 per day) and jumps at every gap, so a plain
+    group-by on that difference labels the islands with no self-join
+    and no iteration. Day numbers and row numbers are integers, so
+    every derived value is exact cross-engine.
+
+    Scale: one shuffle on user_id drives the distinct, the numbering
+    window, and both aggregates (same-key partitioning reused); state
+    is O(1) per row."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = days.select(
+        "user_id",
+        F.datediff("day", F.lit("2024-01-01")).alias("dayn"),
+        F.row_number().over(w).alias("rn"),
+    )
+    runs = (
+        seq.groupBy("user_id", (F.col("dayn") - F.col("rn")).alias("grp"))
+        .agg(F.count("*").cast("bigint").alias("len"))
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("active_days"),
+        F.max("len").alias("longest_streak"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
