@@ -104,3 +104,90 @@ def scd2_apply(
         )
     )
     return closed.unionByName(carried).unionByName(to_close).unionByName(new_rows)
+
+
+def scd2_from_changes(
+    history: DataFrame | None,
+    changes: DataFrame,
+    keys: Sequence[str],
+    sequence_col: str,
+) -> DataFrame:
+    """SCD2 from a CDC FEED — the Delta Live Tables
+    ``APPLY CHANGES ... STORED AS SCD TYPE 2`` shape, which
+    :func:`scd2_apply` (snapshot batches, key-unique, date-stamped)
+    cannot express:
+
+    - a key may appear MANY times in one feed: its changes chain into
+      consecutive versions, each valid [seq_i, seq_{i+1}) — ``lead``
+      over the per-key sequence order closes each version with the next
+      change's sequence, in one pass;
+    - ``delete`` closes the chain without opening a version;
+    - validity bounds are the SEQUENCE VALUES themselves
+      (``__start_at`` / ``__end_at``, NULL = current), DLT's contract,
+      so replaying the feed rebuilds identical history.
+
+    ``history`` is a prior output (or None to start). Within a feed any
+    row order works; ACROSS calls feed chunks in nondecreasing sequence
+    order per key — a change older than a key's current ``__start_at``
+    raises rather than corrupting history (DLT demands backfills go
+    through a full re-apply too).
+
+    Scale: one key shuffle drives the chain window and the close join;
+    closed history passes through untouched (partition by
+    ``__end_at IS NULL`` at write time and batches never scan it)."""
+    from pyspark.sql import Window
+
+    key_list = list(keys)
+    seq = sequence_col
+    live = changes.filter(F.col("_change_type") != "update_preimage")
+    attrs = [
+        c for c in live.columns
+        if c not in (*key_list, seq, "_change_type")
+    ]
+    w = Window.partitionBy(*key_list).orderBy(
+        # ties: "delete" sorts first alphabetically, so a tied upsert
+        # becomes the surviving open version — the same upsert-beats-
+        # delete rule apply_changes uses
+        F.col("__start_at").asc(), F.col("__ct").asc()
+    )
+    chain = (
+        live.select(
+            *key_list, *attrs,
+            F.col(seq).alias("__start_at"),
+            F.col("_change_type").alias("__ct"),
+        )
+        .withColumn("__end_at", F.lead("__start_at").over(w))
+    )
+    new_rows = chain.filter(F.col("__ct") != "delete").drop("__ct")
+    if history is None:
+        return new_rows
+    first_seq = live.groupBy(*key_list).agg(F.min(seq).alias("__fs"))
+    cur = history.filter(F.col("__end_at").isNull())
+    stale = (
+        cur.join(first_seq, on=key_list)
+        .filter(F.col("__fs") <= F.col("__start_at"))
+        .limit(1)
+        .collect()
+    )
+    if stale:
+        r = stale[0]
+        raise ValueError(
+            "scd2_from_changes: change sequence "
+            f"{r['__fs']!r} is not after the current version's start "
+            f"{r['__start_at']!r} for key "
+            f"{tuple(r[k] for k in key_list)} — feed chunks must be "
+            "nondecreasing in sequence per key (backfills need a full "
+            "re-apply)"
+        )
+    closed_now = (
+        cur.join(first_seq, on=key_list)
+        .withColumn("__end_at", F.col("__fs"))
+        .drop("__fs")
+    )
+    untouched_cur = cur.join(first_seq, on=key_list, how="left_anti")
+    old_closed = history.filter(F.col("__end_at").isNotNull())
+    return (
+        old_closed.unionByName(untouched_cur)
+        .unionByName(closed_now)
+        .unionByName(new_rows)
+    )
