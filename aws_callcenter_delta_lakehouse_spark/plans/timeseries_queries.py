@@ -251,3 +251,52 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").alias("longest_streak"),
         F.count("*").cast("bigint").alias("n_streaks"),
     )
+
+
+@query(
+    "events_rolling_distinct_users",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT event_type, user_id,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dayn
+      FROM events),
+    spine AS (SELECT DISTINCT dayn FROM active),
+    pairs AS (
+      SELECT a.event_type, a.user_id, s.dayn AS wend
+      FROM active a JOIN spine s ON s.dayn BETWEEN a.dayn AND a.dayn + 6)
+    SELECT event_type, CAST(wend AS BIGINT) AS wend,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users_7d
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day DISTINCT users per event type — the rolling
+    metric Spark windows cannot express (no COUNT(DISTINCT) over a
+    frame) and carrying per-day user SETS through a window would ship
+    unbounded arrays. Instead each (type, user, active-day) row fans
+    out to the ≤7 window-ends it contributes to (a bounded constant),
+    then one distinct + count per (type, window-end): exact, integer-
+    only, and every stage is a plain hash shuffle that scales with
+    |active| × 7, never with set sizes. Window ends are the observed
+    active days (same spine both engines)."""
+    active = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("dayn"),
+        )
+        .distinct()
+    )
+    spine = active.select("dayn").distinct()
+    contrib = active.select(
+        "event_type",
+        "user_id",
+        F.explode(
+            F.sequence(F.col("dayn"), F.col("dayn") + F.lit(6))
+        ).alias("wend"),
+    ).join(spine.withColumnRenamed("dayn", "wend"), on="wend", how="left_semi")
+    return (
+        contrib.groupBy("event_type", F.col("wend").cast("bigint").alias("wend"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("distinct_users_7d"))
+    )
