@@ -375,8 +375,13 @@ def apply_changes(
     CDF diff through ``apply_changes`` reproduces the source snapshot
     (``tests/test_dml.py``)."""
     key_list = list(keys)
-    target = read(spark, path)
     seq_type = dict(changes.dtypes)[sequence_col]
+    if os.path.exists(os.path.join(path, _MARKER)):
+        target = read(spark, path)
+    else:
+        # bootstrap: an absent target is an empty table with the feed's
+        # payload schema — the first feed chunk creates it
+        target = changes.drop("_change_type", sequence_col).filter(F.lit(False))
     if "_apply_seq" not in target.columns:
         target = target.withColumn(
             "_apply_seq", F.lit(None).cast(seq_type)

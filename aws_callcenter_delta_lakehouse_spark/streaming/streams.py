@@ -427,6 +427,47 @@ def foreach_batch_merge_upsert(
     )
 
 
+def foreach_batch_apply_changes(
+    stream: DataFrame,
+    path: str,
+    keys: Sequence[str],
+    sequence_col: str,
+    checkpoint: str,
+) -> "object":
+    """Streaming CDC sink — a continuously-fed
+    ``APPLY CHANGES INTO``: every micro-batch is a change-feed chunk
+    (``_change_type`` + ``sequence_col``) merged by
+    ``managed_table.apply_changes``; the first chunk bootstraps the
+    table.
+
+    Exactly-once TWICE over: the applied epoch commits atomically with
+    the data (replayed epochs skip wholesale), and even if the epoch
+    guard were lost, the per-row ``_apply_seq`` watermark makes each
+    individual change idempotent — a replayed or reordered chunk
+    converges to the same table (tested crash shape: reapply the same
+    batch, state unchanged)."""
+    from ..sources import managed_table as mt
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        last = int(mt.table_txn(path).get("last_epoch", -1))
+        if epoch_id <= last:
+            return  # replayed batch: already applied
+        mt.apply_changes(
+            batch_df.sparkSession,
+            path,
+            batch_df,
+            keys=keys,
+            sequence_col=sequence_col,
+            txn={"last_epoch": int(epoch_id)},
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def foreach_batch_scd2(
     stream: DataFrame,
     path: str,

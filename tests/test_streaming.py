@@ -638,3 +638,78 @@ def test_lsh_index_sink_catalog_mode_atomic_and_replays(
         threshold=0.5,
     ).collect()
     assert (2, 99) in {(r.d1, r.d2) for r in pairs}
+
+
+def test_apply_changes_sink_cdc_and_replay_noop(spark, tmp_path):
+    """Streaming CDC sink: batch 1 bootstraps the table from inserts,
+    batch 2 applies an update + a delete, a restart replays nothing,
+    and even FORCING a re-apply of batch 2's rows is a row-level no-op
+    (the per-row _apply_seq watermark, independent of the epoch guard).
+    """
+    import shutil
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        foreach_batch_apply_changes,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v string, _change_type string, seq long"
+    a = spark.createDataFrame(
+        [(1, "a1", "insert", 10), (2, "b1", "insert", 10)], schema
+    )
+    b = spark.createDataFrame(
+        [(1, "a2", "update_postimage", 20), (2, None, "delete", 20),
+         (3, "c1", "insert", 20)],
+        schema,
+    )
+
+    def _feed(df, name):
+        tmp = tmp_path / ("stage_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        for f in tmp.glob("*.parquet"):
+            shutil.copy(f, src / (name + ".parquet"))
+
+    def _start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        return foreach_batch_apply_changes(
+            stream, path, keys=("id",), sequence_col="seq", checkpoint=ckpt
+        )
+
+    q = _start()
+    try:
+        _feed(a, "a")
+        q.processAllAvailable()
+        _feed(b, "b")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def _snap():
+        return {
+            (r["id"], r["v"]) for r in mt.read(spark, path).collect()
+        }
+
+    want = {(1, "a2"), (3, "c1")}
+    assert _snap() == want
+    epoch = mt.table_txn(path)["last_epoch"]
+
+    # restart: nothing new -> untouched
+    q = _start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _snap() == want and mt.table_txn(path)["last_epoch"] == epoch
+
+    # bypass the epoch guard entirely: re-applying batch b's changes
+    # directly is still a no-op thanks to the per-row watermark
+    mt.apply_changes(spark, path, b, keys=["id"], sequence_col="seq")
+    assert _snap() == want
