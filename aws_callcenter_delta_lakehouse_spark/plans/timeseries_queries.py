@@ -300,3 +300,98 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
         contrib.groupBy("event_type", F.col("wend").cast("bigint").alias("wend"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("distinct_users_7d"))
     )
+
+
+@query(
+    "events_stl_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS dayn,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    tr AS (
+      SELECT dayn, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS sum7,
+             COUNT(*) OVER w AS n7
+      FROM daily
+      WINDOW w AS (ORDER BY dayn RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    det AS (
+      SELECT dayn, cents, sum7,
+             7 * cents - sum7 AS det7, dayn % 7 AS dow
+      FROM tr WHERE n7 = 7),
+    seas AS (
+      SELECT dow, CAST(SUM(det7) AS BIGINT) AS s_sum,
+             CAST(COUNT(*) AS BIGINT) AS s_n
+      FROM det GROUP BY dow)
+    SELECT d.dayn, d.cents,
+           CAST(d.sum7 AS DOUBLE) / 7.0 AS trend_cents,
+           CAST(s.s_sum AS DOUBLE) / (7.0 * CAST(s.s_n AS DOUBLE))
+             AS seasonal_cents,
+           CAST(d.cents AS DOUBLE) - CAST(d.sum7 AS DOUBLE) / 7.0
+             - CAST(s.s_sum AS DOUBLE) / (7.0 * CAST(s.s_n AS DOUBLE))
+             AS residual_cents
+    FROM det d JOIN seas s USING (dow)
+    """,
+)
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the site-wide daily revenue
+    series: trend = centered 7-day moving average (full windows only),
+    weekly seasonal = day-of-week mean of the detrended series,
+    residual = remainder.
+
+    EXACT cross-engine despite the divisions: the detrended value
+    ``cents − sum7/7`` is a rational with denominator 7, so it is
+    carried as the INTEGER ``7·cents − sum7`` — sums and counts stay
+    integers until the final single divisions, which are then
+    correctly-rounded IEEE ops on identical operands (the trap #13
+    integer-moments discipline extended to a two-stage pipeline).
+
+    Scale note: the only unpartitioned window runs on the DAILY table —
+    input is |distinct days| (hundreds), produced by a map-side-combined
+    aggregate of the events; nothing event-sized crosses a single
+    partition."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("dayn")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).cast("bigint").alias("cents")
+        )
+    )
+    w = Window.orderBy("dayn").rangeBetween(-3, 3)
+    tr = daily.select(
+        "dayn",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("sum7"),
+        F.count("*").over(w).alias("n7"),
+    )
+    det = tr.filter(F.col("n7") == 7).select(
+        "dayn",
+        "cents",
+        "sum7",
+        (F.lit(7) * F.col("cents") - F.col("sum7")).alias("det7"),
+        F.pmod(F.col("dayn"), F.lit(7)).alias("dow"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.sum("det7").cast("bigint").alias("s_sum"),
+        F.count("*").cast("bigint").alias("s_n"),
+    )
+    trend = F.col("sum7").cast("double") / F.lit(7.0)
+    seasonal = F.col("s_sum").cast("double") / (
+        F.lit(7.0) * F.col("s_n").cast("double")
+    )
+    return det.join(F.broadcast(seas), on="dow").select(
+        "dayn",
+        "cents",
+        trend.alias("trend_cents"),
+        seasonal.alias("seasonal_cents"),
+        (F.col("cents").cast("double") - trend - seasonal).alias(
+            "residual_cents"
+        ),
+    )
