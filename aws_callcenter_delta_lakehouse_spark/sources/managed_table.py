@@ -240,6 +240,104 @@ def list_versions(path: str) -> list[int]:
     return out + [table_version(path)]
 
 
+def _apply_column_mapping(df: DataFrame, marker: dict) -> DataFrame:
+    """Serve the LOGICAL schema: hide dropped physical columns, rename
+    physical names to their logical aliases. Applies to live reads
+    only — the mapping is metadata newer than every retained snapshot,
+    and the next commit materializes it (see ``rename_column``)."""
+    dropped = marker.get("dropped_columns", [])
+    mapping = marker.get("column_mapping", {})
+    if dropped:
+        df = df.drop(*[c for c in dropped if c in df.columns])
+    if mapping:
+        df = df.withColumnsRenamed(
+            {phys: log for log, phys in mapping.items() if phys in df.columns}
+        )
+    return df
+
+
+def _refuse_if_referenced(marker: dict, col: str, action: str) -> None:
+    """Loudly reject schema changes to columns that CHECK constraints,
+    generated-column expressions, or identity declarations depend on —
+    a silent rename under an expression string would corrupt every
+    later commit."""
+    import re as _re
+
+    for name, expr in marker.get("constraints", {}).items():
+        if _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"cannot {action} {col!r}: CHECK constraint {name!r} "
+                f"references it ({expr}) — drop the constraint first"
+            )
+    for name, expr in marker.get("generated", {}).items():
+        if name == col or _re.search(rf"\b{_re.escape(col)}\b", expr):
+            raise ValueError(
+                f"cannot {action} {col!r}: generated column {name!r} "
+                f"defines or references it"
+            )
+    if col in marker.get("identity", {}):
+        raise ValueError(f"cannot {action} {col!r}: it is an identity column")
+
+
+def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
+    """Metadata-only column RENAME (the Delta column-mapping analogue):
+    one atomic marker replace, zero data files touched — reads serve
+    the new name immediately. Because every commit here is a full
+    snapshot, the NEXT commit writes the logical schema physically and
+    clears the mapping; the mapping's job is exactly the window between
+    the rename and that commit (Delta keeps its mapping forever because
+    its commits are file-incremental — same contract, different
+    materialization point).
+
+    Table keys and partition columns rename along. Columns referenced
+    by CHECK constraints, generated columns, or identity declarations
+    refuse to rename (the expression strings would silently go stale).
+    Historical snapshots keep their as-written schema."""
+    recover(path)
+    marker = _read_marker(path)
+    if not marker:
+        raise ValueError(f"{path} is not a managed table")
+    logical = set(read(spark, path).columns)
+    if old not in logical:
+        raise ValueError(f"rename_column: no column {old!r} (have {sorted(logical)})")
+    if new in logical:
+        raise ValueError(f"rename_column: {new!r} already exists")
+    _refuse_if_referenced(marker, old, "rename")
+    mapping = dict(marker.get("column_mapping", {}))
+    phys = mapping.pop(old, old)  # renaming an alias reuses its physical
+    mapping[new] = phys
+    marker["column_mapping"] = mapping
+    marker["keys"] = [new if k == old else k for k in marker.get("keys", [])]
+    marker["partition_by"] = [
+        new if c == old else c for c in marker.get("partition_by", [])
+    ]
+    _replace_marker(path, marker)
+
+
+def drop_column(spark: SparkSession, path: str, col: str) -> None:
+    """Metadata-only column DROP: the physical data stays in place
+    (exactly Delta's drop-column), reads hide it immediately, and the
+    next full-snapshot commit physically removes it. Key, partition,
+    constraint-referenced, generated, and identity columns refuse."""
+    recover(path)
+    marker = _read_marker(path)
+    if not marker:
+        raise ValueError(f"{path} is not a managed table")
+    logical = set(read(spark, path).columns)
+    if col not in logical:
+        raise ValueError(f"drop_column: no column {col!r} (have {sorted(logical)})")
+    if col in marker.get("keys", []) or col in marker.get("partition_by", []):
+        raise ValueError(f"cannot drop {col!r}: it is a key/partition column")
+    _refuse_if_referenced(marker, col, "drop")
+    mapping = dict(marker.get("column_mapping", {}))
+    phys = mapping.pop(col, col)
+    marker["column_mapping"] = mapping
+    marker["dropped_columns"] = sorted(
+        set(marker.get("dropped_columns", [])) | {phys}
+    )
+    _replace_marker(path, marker)
+
+
 def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Read the live table, or a retained historical snapshot via
     ``version=N`` (time-travel-lite: each MERGE keeps the replaced
@@ -249,7 +347,9 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
         if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):
             return spark.read.format("delta").load(path)
         recover(path)
-        return spark.read.parquet(path)
+        return _apply_column_mapping(
+            spark.read.parquet(path), _read_marker(path)
+        )
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         return (
             spark.read.format("delta").option("versionAsOf", version).load(path)

@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
@@ -224,3 +225,52 @@ def test_apply_changes_replicates_via_cdf(spark, tmp_path):
     src_rows = sorted(map(tuple, mt.read(spark, src).collect()))
     dst_rows = sorted(map(tuple, mt.read(spark, dst).drop("_apply_seq").collect()))
     assert src_rows == dst_rows
+
+
+# ------------------------------------------ metadata-only rename / drop
+
+def test_rename_column_is_metadata_only_until_next_commit(spark, tmp_path):
+    import glob, os
+    path = str(tmp_path / "t")
+    _make_table(spark, path)
+    inodes = {os.stat(f).st_ino for f in glob.glob(path + "/*.parquet")}
+    mt.rename_column(spark, path, "bal", "balance")
+    # reads serve the new name; zero data files rewritten
+    assert "balance" in mt.read(spark, path).columns
+    assert "bal" not in mt.read(spark, path).columns
+    assert {os.stat(f).st_ino for f in glob.glob(path + "/*.parquet")} == inodes
+    # DML on the logical schema works; the commit materializes the
+    # rename and clears the mapping
+    mt.update_where(spark, path, "id = 1", {"balance": F.lit(99.0)})
+    assert mt._read_marker(path).get("column_mapping", {}) == {}
+    got = {r.id: r.balance for r in mt.read(spark, path).collect()}
+    assert got[1] == 99.0
+
+
+def test_rename_key_column_renames_key(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make_table(spark, path)
+    mt.rename_column(spark, path, "id", "cust_id")
+    assert mt._read_marker(path)["keys"] == ["cust_id"]
+    patch = spark.createDataFrame([(2, "b2", 22.0)], ["cust_id", "name", "bal"])
+    mt.merge_upsert(spark, path, patch, keys=["cust_id"])
+    got = {r.cust_id: r.bal for r in mt.read(spark, path).collect()}
+    assert got[2] == 22.0
+
+
+def test_drop_column_hides_without_rewrite_and_refusals(spark, tmp_path):
+    import glob, os
+    path = str(tmp_path / "t")
+    _make_table(spark, path)
+    inodes = {os.stat(f).st_ino for f in glob.glob(path + "/*.parquet")}
+    mt.drop_column(spark, path, "bal")
+    assert "bal" not in mt.read(spark, path).columns
+    assert {os.stat(f).st_ino for f in glob.glob(path + "/*.parquet")} == inodes
+    with pytest.raises(ValueError, match="key/partition"):
+        mt.drop_column(spark, path, "id")
+    # constraint-referenced columns refuse to rename or drop
+    mt.add_constraint(spark, path, "name_set", "name IS NOT NULL")
+    with pytest.raises(ValueError, match="constraint"):
+        mt.rename_column(spark, path, "name", "nm")
+    with pytest.raises(ValueError, match="constraint"):
+        mt.drop_column(spark, path, "name")
