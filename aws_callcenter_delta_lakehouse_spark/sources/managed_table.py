@@ -579,9 +579,15 @@ def merge_upsert(
     validate_source: bool = True,
     max_history: int = 2,
     txn: dict | None = None,
+    not_matched_by_source: str = "keep",
 ) -> None:
     """UPSERT keyed on ``keys`` — whenMatchedUpdateAll +
     whenNotMatchedInsertAll (01_silver_delta_upsert.py:103-112).
+    ``not_matched_by_source="delete"`` adds Delta's
+    ``whenNotMatchedBySourceDelete`` clause: target rows whose key the
+    source does not carry are REMOVED, making the merge a full sync of
+    the target to the source key-set (dimension snapshot replication).
+    Default ``"keep"`` is the classic upsert.
     ``txn`` metadata commits atomically with the merged snapshot
     (see :func:`commit_overwrite` / :func:`table_txn`) — the
     Delta ``txnAppId``/``txnVersion`` idempotent-writer analogue.
@@ -604,15 +610,19 @@ def merge_upsert(
     kept, 0 disables retention entirely.
     """
     keys = list(keys)
+    if not_matched_by_source not in ("keep", "delete"):
+        raise ValueError("not_matched_by_source must be 'keep' or 'delete'")
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         target = DeltaTable.forPath(spark, path).alias("t")
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
-        (
+        builder = (
             target.merge(source.alias("s"), cond)
             .whenMatchedUpdateAll()
             .whenNotMatchedInsertAll()
-            .execute()
         )
+        if not_matched_by_source == "delete":
+            builder = builder.whenNotMatchedBySourceDelete()
+        builder.execute()
         return
 
     target = read(spark, path)
@@ -641,7 +651,11 @@ def merge_upsert(
                 "DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW). "
                 "Deduplicate the source on the merge keys first."
             )
-    untouched = target.join(src, on=keys, how="left_anti")
+    untouched = (
+        target.join(src, on=keys, how="left_anti")
+        if not_matched_by_source == "keep"
+        else target.filter(F.lit(False))  # BY SOURCE DELETE: full sync
+    )
     if schema_evolution:
         merged = untouched.unionByName(source, allowMissingColumns=True)
     else:

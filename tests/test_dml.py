@@ -274,3 +274,46 @@ def test_drop_column_hides_without_rewrite_and_refusals(spark, tmp_path):
         mt.rename_column(spark, path, "name", "nm")
     with pytest.raises(ValueError, match="constraint"):
         mt.drop_column(spark, path, "name")
+
+
+def test_merge_not_matched_by_source_delete_full_sync(spark, tmp_path):
+    """not_matched_by_source='delete' makes the merge a full sync:
+    matched rows update, new rows insert, target rows absent from the
+    source key-set drop — and history still retains the pre-image."""
+    path = str(tmp_path / "t")
+    _make_table(spark, path)                      # ids 1..4
+    src = spark.createDataFrame(
+        [(2, "b9", 99.0), (5, "e", 50.0)], ["id", "name", "bal"]
+    )
+    mt.merge_upsert(
+        spark, path, src, keys=["id"], not_matched_by_source="delete"
+    )
+    got = {r.id: r.name for r in mt.read(spark, path).collect()}
+    assert got == {2: "b9", 5: "e"}               # 1,3,4 synced away
+    # pre-image retained for time travel
+    old = mt.read(spark, path, version=mt.table_version(path) - 1)
+    assert old.count() == 4
+    with pytest.raises(ValueError, match="keep.*delete|'keep' or 'delete'"):
+        mt.merge_upsert(spark, path, src, keys=["id"],
+                        not_matched_by_source="purge")
+
+
+def test_partition_evolution_on_commit(spark, tmp_path):
+    """commit_overwrite with a different partition_by re-lays the
+    snapshot under the new directory scheme — partition evolution is
+    just another commit (old layout retained in history)."""
+    import glob
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "en", "web"), (2, "de", "app"), (3, "en", "app")],
+        ["id", "lang", "src"],
+    )
+    mt.commit_overwrite(df, path, keys=("id",), partition_by=("lang",))
+    assert glob.glob(path + "/lang=*")
+    mt.commit_overwrite(
+        mt.read(spark, path), path, keys=("id",), partition_by=("src",)
+    )
+    assert glob.glob(path + "/src=*") and not glob.glob(path + "/lang=*")
+    assert {tuple(r) for r in mt.read(spark, path).select("id", "lang", "src").collect()} \
+        == {(1, "en", "web"), (2, "de", "app"), (3, "en", "app")}
+    assert mt._read_marker(path)["partition_by"] == ["src"]
