@@ -263,3 +263,30 @@ def kmv_overlap_pairs(sketches: DataFrame, group_col: str, k: int = 256) -> Data
             "est_jaccard"
         ),
     )
+
+
+def kmv_merge(
+    sketches: DataFrame, group_cols: Sequence[str], k: int = 256
+) -> DataFrame:
+    """Union-merge KMV sketches that share ``group_cols``: explode the
+    k-long arrays, distinct, re-take the k smallest per group. The
+    result is EXACTLY the sketch that would have been built over the
+    unioned raw sets restricted to the k global minima — KMV's
+    mergeability property (the k smallest of a union are a subset of
+    the per-part k smallest), which is what lets daily sketches answer
+    ANY rolling window or ad-hoc grouping later without re-touching
+    raw data. Work scales with |sketch rows| × k, never with raw
+    cardinality."""
+    from pyspark.sql import Window
+
+    exploded = sketches.select(
+        *group_cols, F.explode("kmv").alias("__h")
+    ).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    topk = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__h")).alias("kmv"),
+        F.count("*").cast("bigint").alias("n_seen"),
+    )

@@ -175,3 +175,40 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@query("sketch_kmv_rolling_users")  # sketch estimates — rows-only
+def sketch_kmv_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per event type from MERGED daily
+    KMV sketches: one pass builds a 256-value sketch per (type, day);
+    every rolling window then unions 7 sketches (explode + bounded
+    re-top-k) — raw data is never re-read, which is the operational
+    win over ``events_rolling_distinct_users``'s exact fan-out at
+    100 TB (daily sketches persist; any window, month, or ad-hoc
+    grouping is summary-only work afterwards). Mergeability is exact
+    (the k smallest of a union are a subset of the per-part k
+    smallest); estimate accuracy vs the exact rolling query is pinned
+    in ``tests/test_sketch.py``."""
+    from ..operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("dayn"),
+    )
+    daily = kmv_sketch(ev, "user_id", ["event_type", "dayn"], k=256)
+    spine = ev.select("dayn").distinct().withColumnRenamed("dayn", "wend")
+    contrib = daily.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("dayn"), F.col("dayn") + F.lit(6))
+        ).alias("wend"),
+        "kmv",
+        "n_seen",
+    ).join(spine, on="wend", how="left_semi")
+    merged = kmv_merge(contrib, ["event_type", "wend"], k=256)
+    return kmv_estimate(merged, k=256).select(
+        "event_type",
+        F.col("wend").cast("bigint").alias("wend"),
+        round_portable(F.col("est_distinct"), 4).alias("est_users_7d"),
+    )

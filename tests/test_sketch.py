@@ -168,3 +168,36 @@ def test_kmv_overlap_accuracy_and_determinism(spark):
         )
     again = kmv_overlap_pairs(sk, "event_type", k=256).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_kmv_merge_equals_direct_sketch(spark):
+    """Mergeability is exact: union-merging per-part sketches equals
+    sketching the unioned raw data directly."""
+    from aws_callcenter_delta_lakehouse_spark.operators.sketch import (
+        kmv_merge, kmv_sketch,
+    )
+
+    rows = [("s", i % 3, i * 7 + 1) for i in range(900)]
+    df = spark.createDataFrame(rows, "seg string, part int, uid long")
+    per_part = kmv_sketch(df, "uid", ["seg", "part"], k=64).drop("part")
+    merged = kmv_merge(per_part, ["seg"], k=64).collect()[0]
+    direct = kmv_sketch(df, "uid", ["seg"], k=64).collect()[0]
+    assert merged.kmv == direct.kmv and merged.n_seen == direct.n_seen
+
+
+def test_kmv_rolling_estimate_tracks_exact(spark):
+    """Merged-daily-sketch rolling estimates within 4x RSE of the exact
+    rolling distinct query on the real corpus."""
+    from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY
+
+    exact = {
+        (r.event_type, r.wend): r.distinct_users_7d
+        for r in REGISTRY["events_rolling_distinct_users"].fn(spark, SF01).collect()
+    }
+    est = REGISTRY["sketch_kmv_rolling_users"].fn(spark, SF01).collect()
+    assert len(est) == len(exact)
+    for r in est:
+        want = exact[(r.event_type, r.wend)]
+        assert abs(r.est_users_7d - want) / want <= 0.25, (
+            r.event_type, r.wend, r.est_users_7d, want,
+        )
