@@ -395,3 +395,85 @@ def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual_cents"
         ),
     )
+
+
+@query(
+    "events_funnel_timebound",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      FROM events),
+    v AS (SELECT user_id, MIN(t) AS tv FROM e
+          WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.t) AS tc
+          FROM e JOIN v USING (user_id)
+          WHERE e.event_type = 'click'
+            AND e.t > v.tv AND e.t <= v.tv + 3600000000
+          GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.t) AS tp
+          FROM e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase'
+            AND e.t > c.tc AND e.t <= c.tc + 3600000000
+          GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click_1h,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase_1h,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS view_to_click,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM v) AS DOUBLE) AS view_to_purchase
+    """,
+)
+def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound 3-step funnel: first view -> first click within 1h of
+    it -> first purchase within 1h of that click, counted per user.
+    Each stage anchor is a scalar MIN over integer microseconds, so no
+    row-identity tie-break is ever needed (events tying at the anchor
+    give the same anchor) — three aggregate+join rounds on user_id,
+    exact cross-engine, and the final one-row summary is itself a
+    DataFrame aggregate (no driver-side counts)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    hour = 3600 * 1000 * 1000
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tv"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, on="user_id")
+        .filter((F.col("t") > F.col("tv")) & (F.col("t") <= F.col("tv") + hour))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tc"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, on="user_id")
+        .filter((F.col("t") > F.col("tc")) & (F.col("t") <= F.col("tc") + hour))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("tp"))
+    )
+    tagged = (
+        v.select(F.lit(0).alias("stage"))
+        .unionByName(c.select(F.lit(1).alias("stage")))
+        .unionByName(p.select(F.lit(2).alias("stage")))
+    )
+    counts = tagged.agg(
+        F.sum((F.col("stage") == 0).cast("bigint")).alias("n_view"),
+        F.sum((F.col("stage") == 1).cast("bigint")).alias("n_click_1h"),
+        F.sum((F.col("stage") == 2).cast("bigint")).alias("n_purchase_1h"),
+    )
+    return counts.select(
+        "n_view",
+        "n_click_1h",
+        "n_purchase_1h",
+        (
+            F.col("n_click_1h").cast("double") / F.col("n_view").cast("double")
+        ).alias("view_to_click"),
+        (
+            F.col("n_purchase_1h").cast("double")
+            / F.col("n_view").cast("double")
+        ).alias("view_to_purchase"),
+    )
