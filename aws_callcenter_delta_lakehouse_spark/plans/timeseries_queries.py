@@ -477,3 +477,52 @@ def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_view").cast("double")
         ).alias("view_to_purchase"),
     )
+
+
+@query(
+    "orders_ltv_cohorts",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             year(CAST(o_orderdate AS TIMESTAMP)) * 12
+               + month(CAST(o_orderdate AS TIMESTAMP)) AS m,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    first AS (SELECT o_custkey, MIN(m) AS m0 FROM o GROUP BY 1)
+    SELECT CAST(f.m0 AS BIGINT) AS cohort_month,
+           CAST(o.m - f.m0 AS BIGINT) AS months_since,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS active_customers,
+           CAST(SUM(o.cents) AS BIGINT) AS revenue_cents
+    FROM o JOIN first f USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def orders_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue LTV cohort matrix: customers cohorted by their FIRST
+    order month, revenue and active-customer counts laid out by months
+    since acquisition — the standard lifetime-value triangle. Months
+    are linearized integers (year*12+month) so cohort distance is
+    plain subtraction; revenue is integer cents. Two shuffles on
+    o_custkey (first-order aggregate reuses the join partitioning) +
+    the final cohort-cell aggregate."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("m"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    return (
+        o.join(first, on="o_custkey")
+        .groupBy(
+            F.col("m0").cast("bigint").alias("cohort_month"),
+            (F.col("m") - F.col("m0")).cast("bigint").alias("months_since"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias(
+                "active_customers"
+            ),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
