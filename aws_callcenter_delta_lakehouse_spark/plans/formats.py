@@ -189,3 +189,44 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(orphans(o, "o_custkey", c, "c_custkey", "orders->customer"))
         .unionAll(orphans(li, "l_partkey", p, "p_partkey", "lineitem->part"))
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                        / 100000.0) AS BIGINT) AS bal_k
+      FROM customer),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, bal_k,
+             CAST(COUNT(*) AS BIGINT) AS class_size
+      FROM q GROUP BY 1, 2, 3)
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           bal_k, class_size
+    FROM classes WHERE class_size < 5
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity re-identification risk report (Sweeney 2002): group
+    customers by the quasi-identifier tuple (nation, market segment,
+    account-balance band in thousands) and surface every equivalence
+    class smaller than k=5 — rows in those classes are linkable by an
+    adversary holding the quasi-identifiers. One hash aggregate +
+    HAVING; the balance band goes through integer cents so bucket
+    edges can't flip cross-engine. The release gate is: generalize or
+    suppress until this report is empty."""
+    q = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "c_mktsegment",
+        F.floor(
+            F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint")
+            / F.lit(100000.0)
+        ).cast("bigint").alias("bal_k"),
+    )
+    return (
+        q.groupBy("c_nationkey", "c_mktsegment", "bal_k")
+        .agg(F.count("*").cast("bigint").alias("class_size"))
+        .filter(F.col("class_size") < 5)
+    )
