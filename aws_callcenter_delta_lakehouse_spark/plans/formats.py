@@ -230,3 +230,43 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("class_size"))
         .filter(F.col("class_size") < 5)
     )
+
+
+@query(
+    "dq_l_diversity",
+    oracle="""
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(c_acctbal < 0 AS INTEGER) AS in_debt
+      FROM customer),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT in_debt) AS BIGINT) AS l
+      FROM q GROUP BY 1, 2)
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+           class_size, l
+    FROM classes WHERE l < 2
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    necessary complement: a class can be large yet still leak when
+    every member shares the SAME sensitive value (here the in-debt
+    flag). Surfaces quasi-identifier classes with fewer than l=2
+    distinct sensitive values: an adversary who locates anyone in such
+    a class learns their debt status with certainty regardless of
+    class size. Same single-aggregate shape as ``dq_k_anonymity``."""
+    q = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "c_mktsegment",
+        (F.col("c_acctbal") < 0).cast("int").alias("in_debt"),
+    )
+    return (
+        q.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("class_size"),
+            F.countDistinct("in_debt").cast("bigint").alias("l"),
+        )
+        .filter(F.col("l") < 2)
+    )
