@@ -857,3 +857,42 @@ def test_grid_radius_join_matches_brute_force(spark):
     }
     assert got == want
     assert (100, 200) in got and (100, 201) not in got
+
+
+def test_generalize_to_k_ladder_and_suppression(spark):
+    """Ladder picks the first level where every class reaches k;
+    irreparable rows suppress at the coarsest level; output classes
+    are all >= k either way."""
+    from aws_callcenter_delta_lakehouse_spark.operators.privacy import (
+        generalize_to_k,
+    )
+
+    rows = (
+        [(i, "NY", 20 + i % 2) for i in range(6)]       # big class both levels
+        + [(10, "SF", 30), (11, "SF", 31), (12, "SF", 32)]  # k=3 only coarse
+        + [(99, "LA", 77)]                               # singleton everywhere
+    )
+    df = spark.createDataFrame(rows, "id long, city string, age long")
+    ladder = [
+        {"city": F.col("city"), "age": F.col("age")},
+        {"city": F.col("city"), "age": (F.col("age") / 10).cast("long") * 10},
+    ]
+    out, info = generalize_to_k(df, ladder, k=3)
+    assert info["level"] == 1          # level 0 fails (age singletons)
+    assert info["suppressed"] == 1     # the LA singleton
+    got = {(r.city, r.age) for r in out.collect()}
+    assert got == {("NY", 20), ("SF", 30)}
+    sizes = [r.n for r in out.groupBy("city", "age").agg(
+        F.count("*").alias("n")).collect()]
+    assert all(n >= 3 for n in sizes)
+
+    # already-anonymous data: level 0, nothing suppressed
+    out0, info0 = generalize_to_k(
+        df.filter(F.col("city") == "NY").withColumn("age", F.lit(25)),
+        ladder, k=3,
+    )
+    assert info0 == {"level": 0, "suppressed": 0, "min_class_size": 6}
+
+    with pytest.raises(ValueError, match="same quasi-identifier"):
+        generalize_to_k(df, [{"city": F.col("city")},
+                             {"age": F.col("age")}], k=2)
