@@ -526,3 +526,57 @@ def orders_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "orders_repurchase_intervals",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             datediff('day', DATE '1992-01-01',
+                      CAST(o_orderdate AS TIMESTAMP)) AS dayn
+      FROM orders),
+    seq AS (
+      SELECT o_custkey, dayn,
+             lead(dayn) OVER (PARTITION BY o_custkey
+                              ORDER BY dayn, o_orderkey) AS next_dayn
+      FROM o)
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(next_dayn - dayn) AS BIGINT) AS total_gap_days,
+           CAST(SUM(next_dayn - dayn) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_gap_days,
+           CAST(MAX(next_dayn - dayn) AS BIGINT) AS max_gap_days
+    FROM seq WHERE next_dayn IS NOT NULL
+    GROUP BY o_custkey
+    """,
+)
+def orders_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per customer: gaps between consecutive
+    orders in integer days (lead over the per-customer order sequence,
+    orderkey tie-break for same-day orders), aggregated to
+    count/total/mean/max. Integer day numbers keep every value exact;
+    the mean is one division of exact integers. One customer-key
+    shuffle shared by the window and the aggregate."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01")).alias("dayn"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("dayn", "o_orderkey")
+    seq = o.withColumn("next_dayn", F.lead("dayn").over(w))
+    gap = F.col("next_dayn") - F.col("dayn")
+    return (
+        seq.filter(F.col("next_dayn").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_intervals"),
+            F.sum(gap).cast("bigint").alias("total_gap_days"),
+            (
+                F.sum(gap).cast("double") / F.count("*").cast("double")
+            ).alias("avg_gap_days"),
+            F.max(gap).cast("bigint").alias("max_gap_days"),
+        )
+    )
