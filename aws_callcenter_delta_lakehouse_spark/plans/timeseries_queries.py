@@ -580,3 +580,60 @@ def orders_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(gap).cast("bigint").alias("max_gap_days"),
         )
     )
+
+
+@query(
+    "nation_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_regionkey AS regionkey, n.n_nationkey AS nationkey,
+             n.n_name AS nation,
+             CAST(SUM(CAST(floor(CAST(l.l_extendedprice AS DOUBLE) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY 1, 2, 3)
+    SELECT regionkey, nation, cents AS revenue_cents,
+           CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER (PARTITION BY regionkey) AS DOUBLE)
+             AS region_share
+    FROM rev
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of its region's supplier revenue: integer-
+    cent aggregate per nation (broadcast dimension joins), then a
+    region-partitioned window sum for the denominator — the
+    share-of-parent rollup pattern. The share is one division of two
+    exact integers. Window input is 25 nation rows; the event-sized
+    data only ever passes through the hash aggregate."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_regionkey").alias("regionkey"),
+        F.col("n_name").alias("nation"),
+    )
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("regionkey", "n_nationkey", "nation")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("regionkey")
+    return rev.select(
+        "regionkey",
+        "nation",
+        "revenue_cents",
+        (
+            F.col("revenue_cents").cast("double")
+            / F.sum("revenue_cents").over(w).cast("double")
+        ).alias("region_share"),
+    )
