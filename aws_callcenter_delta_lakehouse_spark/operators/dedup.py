@@ -128,6 +128,58 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """DIRECTIONAL n-gram containment: |A ∩ B| / |A| for ordered pairs
+    (src, dst) — the quote/subset detector Jaccard misses. A short doc
+    fully embedded in a long one has tiny Jaccard (union is dominated
+    by the long doc) but containment(src=short) = 1.0; dedup pipelines
+    use it to strip quoted/recycled passages and supersets.
+
+    Same df-blocking as :func:`jaccard_pairs` (REQUIRED — the shared-
+    shingle self-join is quadratic in a hot shingle's document
+    frequency); denominators count every shingle of the SOURCE doc, so
+    the score is a conservative lower bound when hot shingles are
+    dropped. Returns (src, dst, containment) for src != dst — both
+    directions score independently (containment is asymmetric).
+    """
+    if max_shingle_df is None:
+        raise ValueError(
+            "containment_pairs needs max_shingle_df: an unblocked "
+            "shared-shingle self-join is quadratic in the documents "
+            "sharing a hot shingle"
+        )
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
+    hot = (
+        shingles.groupBy("sh")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > max_shingle_df)
+        .select("sh")
+    )
+    kept = shingles.join(hot, on="sh", how="left_anti")
+    a = kept.select(F.col(id_col).alias("src"), "sh")
+    b = kept.select(F.col(id_col).alias("dst"), "sh")
+    inter = (
+        a.join(b, on="sh")
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("k"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({id_col: "src", "n": "n_src"}), on="src")
+        .select(
+            "src",
+            "dst",
+            (F.col("k") / F.col("n_src")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def prefix_filter_pairs(
     shingles: DataFrame,
     id_col: str,
@@ -467,18 +519,34 @@ def minhash_lsh_incremental_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word unigrams: per bit, sum +-1 weighted by
-    the word-hash bit, sign -> fingerprint bit. Wide (64 agg columns)
-    but a single shuffle and fully codegen'd."""
+def simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """SimHash over word unigrams: per bit, sum +-1 weighted by the
+    word-hash bit, sign -> fingerprint bit. Wide (``bits`` agg columns)
+    but a single shuffle and fully codegen'd.
+
+    ``portable=True`` hashes words with the low 60 bits of md5 instead
+    of xxhash64 (identical value in DuckDB/Trino — makes the whole
+    near-dup query oracle-checkable; pass ``bits=60`` with it). The
+    xxhash64 default stays the cheap production path."""
     # Materialize the word hash ONCE before the aggregate: referencing
-    # F.xxhash64("w") inside all 64 agg expressions would recompute the
+    # the hash expr inside all 64 agg expressions would recompute the
     # hash per bit (no CSE across independent aggregate expressions) —
     # same class of bug as the per-element lambda trap (CLAUDE.md perf
     # trap #1).
+    word_hash = (
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint")
+        if portable
+        else F.xxhash64("w")
+    )
     words = df.select(
         id_col, F.explode(F.split(F.col(text_col), " ")).alias("w")
-    ).select(id_col, F.xxhash64("w").alias("__h"))
+    ).select(id_col, word_hash.alias("__h"))
     h = F.col("__h")
     sums = words.groupBy(id_col).agg(
         *[
@@ -501,12 +569,16 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 3,
     chunks: int = 4,
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
-    16-bit chunks (pigeonhole: hamming <= 3 pairs share >= 1 of 4
-    chunks), bucket-join, verify with bit_count(xor)."""
-    fps = simhash(df, id_col, text_col)
-    width = 64 // chunks
+    """Near-dup pairs by SimHash: band the fingerprint into
+    ``bits/chunks``-bit chunks (pigeonhole: hamming <= chunks-1 pairs
+    share >= 1 chunk), bucket-join, verify with bit_count(xor).
+    EXACT for hamming <= chunks-1 — banding loses nothing, so the
+    portable variant diffs against an all-pairs SQL oracle."""
+    fps = simhash(df, id_col, text_col, bits=bits, portable=portable)
+    width = bits // chunks
     chunk_structs = F.array(
         *[
             F.struct(

@@ -253,12 +253,24 @@ def repetition_signals(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _gram_hashes(text_col: str, n: int = 3):
-    """xxhash64 per word n-gram, in document order (array Column)."""
+def _gram_hashes(text_col: str, n: int = 3, portable: bool = False):
+    """Hash per word n-gram, in document order (array Column).
+
+    ``portable=False`` (default): xxhash64 — the cheapest JVM hash, the
+    production path. ``portable=True``: the low 60 bits of md5 (same
+    value in every engine that has md5 — DuckDB, Trino, Spark), which
+    makes downstream fingerprints oracle-checkable; ~2x hash cost,
+    still JVM-side and codegen'd."""
     words = _words(F.col(text_col))
+
+    def _hash(gram):
+        if portable:
+            return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("bigint")
+        return F.xxhash64(gram)
+
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-        lambda i: F.xxhash64(
+        lambda i: _hash(
             F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])
         ),
     )
@@ -270,6 +282,7 @@ def winnow_fingerprints(
     text_col: str,
     n: int = 3,
     window: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """TRUE winnowing (Schleimer, Wilkerson, Aiken — SIGMOD 2003, the
     MOSS fingerprint): hash every word ``n``-gram, slide a window of
@@ -287,7 +300,9 @@ def winnow_fingerprints(
     the raw gram expression would re-hash every gram per window
     position (lambda bodies re-evaluate embedded expressions per
     element — O(len^2) hashes per row)."""
-    staged = df.select(id_col, _gram_hashes(text_col, n).alias("__grams"))
+    staged = df.select(
+        id_col, _gram_hashes(text_col, n, portable=portable).alias("__grams")
+    )
     grams = F.col("__grams")
     m = F.size(grams)
     wins = F.transform(

@@ -136,14 +136,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", round_portable(F.col("jaccard"), 4).alias("jaccard"))
 
 
-@query("dedup_simhash")  # xxhash64-seeded — not expressible in DuckDB
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3 over 64-bit fingerprints,
-    16-bit chunk banding). Rows-only check; exactness covered by unit
-    tests on constructed duplicates."""
-    return simhash_near_pairs(
-        load_table_parallel(spark, sf_dir, "documents"), "doc_id", "text"
+def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 3) -> str:
+    """All-pairs SimHash oracle with the portable 60-bit md5 word hash:
+    banding in the engine is EXACT for hamming <= chunks-1, so the
+    naive quadratic SQL (fine at sf0.01) must produce identical
+    pairs."""
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
     )
+    fp_expr = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    h AS (
+        SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+        FROM words
+    ),
+    s AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, {fp_expr} AS simhash FROM s)
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3, 15-bit chunk banding over
+    60-bit fingerprints). Exactness on constructed duplicates covered
+    by unit tests.
+
+    ORACLE-CHECKED now (was rows-only through r4): the registry
+    instance uses the PORTABLE word hash (low 60 bits of md5, same in
+    DuckDB) and banding is exact for hamming <= 3, so the banded
+    engine output diffs against a naive all-pairs SQL oracle. The
+    xxhash64/64-bit default stays the production fast path."""
+    pairs = simhash_near_pairs(
+        load_table_parallel(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        bits=60,
+        portable=True,
+    )
+    return pairs.select("d1", "d2", F.col("hamming").cast("int").alias("hamming"))
 
 
 @query(
@@ -302,21 +343,46 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "md5_fingerprint")
 
 
-@query("text_fingerprint_winnow")  # xxhash64-seeded — rows-only
+@query(
+    "text_fingerprint_winnow",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                 i -> CAST('0x' || substr(
+                        md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15)
+                      AS BIGINT)) AS g
+        FROM words
+    ),
+    wins AS (
+        SELECT doc_id,
+               list_sort(list_distinct(
+                 list_transform(range(1, greatest(len(g) - 3, 1) + 1),
+                   i -> list_min(g[i:i+3])))) AS fps
+        FROM grams
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM wins
+    """,
+)
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True windowed winnowing (Schleimer et al. SIGMOD 2003): distinct
-    set of per-window min gram hashes. Local-edit robustness (a
-    single-word edit preserves the fingerprints of non-overlapping
-    windows) covered by a property test; scalar columns derived from the
-    set keep the rows-only check schema-stable."""
+    set of per-window min gram hashes, EXPLODED to (doc_id, fp) rows.
+    Local-edit robustness (a single-word edit preserves the
+    fingerprints of non-overlapping windows) covered by a property
+    test.
+
+    ORACLE-CHECKED now (was rows-only through r4): the registry
+    instance runs the PORTABLE gram hash (low 60 bits of md5 — same
+    value in DuckDB), so the whole winnow pipeline diffs exactly; the
+    xxhash64 default stays the production fast path."""
     fps = text.winnow_fingerprints(
-        load_table_parallel(spark, sf_dir, "documents"), "doc_id", "text"
-    )
-    return fps.select(
+        load_table_parallel(spark, sf_dir, "documents"),
         "doc_id",
-        F.size("winnow_fps").alias("n_fingerprints"),
-        F.xxhash64(F.to_json(F.col("winnow_fps"))).alias("fp_set_hash"),
+        "text",
+        portable=True,
     )
+    return fps.select("doc_id", F.explode("winnow_fps").alias("fp"))
 
 
 # ---------------------------------------------------------------------------
@@ -443,16 +509,32 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sample_stratified")  # sampling — rows-only (seeded, engine-specific)
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+          % 10000
+          < CASE WHEN event_type = 'purchase' THEN 2000 ELSE 500 END
+    """,
+)
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (sampleBy): 20% of COMPLETED-analog purchase
-    events, 5% of the rest — the training-data downsampling primitive.
-    Fraction accuracy asserted in unit tests."""
+    """Stratified sampling: 20% of purchase events, 5% of the rest —
+    the training-data downsampling primitive. DETERMINISTIC hash-based
+    Bernoulli (md5 of the row key thresholded per stratum) rather than
+    seeded ``sampleBy``: the sample is reproducible regardless of
+    partitioning, rerun, or engine — the property a 100 TB pipeline
+    actually needs (resumable shards, auditable membership) — and it
+    makes the query oracle-checkable (was rows-only through r4).
+    Fraction accuracy is still asserted in unit tests."""
     events = load_table(spark, sf_dir, "events")
-    fractions = {"purchase": 0.2, "click": 0.05, "error": 0.05, "signup": 0.05, "view": 0.05}
-    return events.sampleBy("event_type", fractions, seed=42).select(
-        "event_id", "event_type"
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(10000),
     )
+    threshold = F.when(F.col("event_type") == "purchase", 2000).otherwise(500)
+    return events.filter(bucket < threshold).select("event_id", "event_type")
 
 
 @query(

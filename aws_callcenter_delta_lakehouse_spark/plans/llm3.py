@@ -367,13 +367,70 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("pagerank_suppliers")  # iterative float algorithm — rows-only
+def _pagerank_oracle_sql(iterations: int) -> str:
+    """Unrolled power iteration as chained CTEs, mirroring the engine's
+    float arithmetic EXACTLY per round (same association order:
+    ``(1.0 - 0.85) + 0.85 * m / n`` then ``base + 0.85 * in_share`` —
+    a literal 0.15 would already diverge from Python's 1.0-0.85).
+    Dangling mass and per-sink contribution sums are FP-order-dependent
+    in the last ulp; the 1e-4 rounding both sides apply absorbs that.
+    AS MATERIALIZED is load-bearing: each round references the previous
+    rank CTE 2x and inlining would re-evaluate the chain 2^rounds
+    times."""
+    head = """
+    e AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS s, l.l_suppkey + 10000000 AS d
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    v AS (SELECT s AS v FROM e UNION SELECT d FROM e),
+    nn AS (SELECT COUNT(*) AS n FROM v),
+    od AS MATERIALIZED (SELECT s, COUNT(*) AS od FROM e GROUP BY s),
+    r0 AS MATERIALIZED (SELECT v.v, 1.0 AS rank FROM v)"""
+    parts = [head]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""
+    m{i} AS (
+        SELECT COALESCE(SUM(r.rank), 0.0) AS m
+        FROM r{i - 1} r LEFT JOIN od ON r.v = od.s
+        WHERE od.s IS NULL
+    ),
+    inb{i} AS (
+        SELECT e.d AS v, SUM(r.rank / od.od) AS in_share
+        FROM e JOIN r{i - 1} r ON e.s = r.v JOIN od ON od.s = e.s
+        GROUP BY e.d
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT v.v,
+               ((1.0 - 0.85) + 0.85 * (SELECT m FROM m{i})
+                                     / (SELECT n FROM nn))
+               + 0.85 * COALESCE(inb.in_share, 0.0) AS rank
+        FROM v LEFT JOIN inb{i} inb ON v.v = inb.v
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT v - 10000000 AS suppkey,
+           floor(rank * 1e4 + 0.5) / 1e4 AS rank
+    FROM r{iterations} WHERE v >= 10000000
+    ORDER BY floor(rank * 1e4 + 0.5) / 1e4 DESC, suppkey ASC LIMIT 20"""
+    )
+
+
+@query("pagerank_suppliers", oracle=_pagerank_oracle_sql(iterations=5))
 def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer->supplier purchase graph (edges from
     orders x lineitem): authority scoring as an iterative DataFrame
     power-iteration — 2 vertex-keyed shuffles per round, scalars only to
     the driver, lineage checkpoint-truncated per round. Invariants
-    (sum = N, uniform cycle, star center) pinned in unit tests."""
+    (sum = N, uniform cycle, star center) pinned in unit tests.
+
+    ORACLE-CHECKED now (was rows-only through r4): 5 unrolled DuckDB
+    CTE rounds replicate the power iteration with matched FP
+    association order; 1e-4 rounding on both sides absorbs last-ulp
+    sum-order noise."""
     from ..operators.components import pagerank
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")

@@ -21,12 +21,59 @@ from ..operators.text import hashed_linear_quality
 from .registry import query
 
 
-@query("graph_kcore_suppliers")  # iterative peel — rows-only
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel as chained CTEs (the ``hilbert_oracle_sql``
+    pattern: DuckDB recursive CTEs can't aggregate in the recursive
+    term, so unroll one degree-filter round per CTE). Peeling is a
+    monotone fixpoint — once converged, extra rounds are no-ops, so
+    ``rounds`` only needs to exceed the peel depth (measured 2 at
+    sf0.01; 8 gives 4x margin)."""
+    # AS MATERIALIZED is load-bearing: each round references the
+    # previous one 3x, and inlined CTEs would re-evaluate the whole
+    # chain 3^rounds times (observed as a too-many-open-files blowup)
+    parts = [
+        """
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+            SELECT o.o_custkey AS a, l.l_suppkey + 10000000 AS b
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            UNION ALL
+            SELECT l.l_suppkey + 10000000 AS a, o.o_custkey AS b
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ) WHERE a != b
+    )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    d{i} AS (SELECT a, COUNT(*) AS deg FROM e{i - 1} GROUP BY a),
+    k{i} AS MATERIALIZED (SELECT a FROM d{i} WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{i - 1} e
+        JOIN k{i} ka ON e.a = ka.a
+        JOIN k{i} kb ON e.b = kb.a
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT a AS vertex, COUNT(*) AS degree
+    FROM e{rounds} GROUP BY a ORDER BY vertex"""
+    )
+
+
+@query("graph_kcore_suppliers", oracle=_kcore_oracle_sql(k=8, rounds=8))
 def graph_kcore_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """8-core of the (customer, supplier) purchase graph: the densely
     cross-trading kernel. Edges = distinct customer->supplier pairs
     from orders x lineitem; supplier ids offset into their own vertex
-    range exactly as in pagerank_suppliers."""
+    range exactly as in pagerank_suppliers.
+
+    ORACLE-CHECKED now (was rows-only through r4): iterative peeling is
+    a monotone fixpoint, so a fixed unroll deep enough to converge is
+    exact — the engine's convergence-detected loop diffs against 8
+    unrolled DuckDB rounds."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     edges = (

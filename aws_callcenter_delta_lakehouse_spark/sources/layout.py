@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -186,44 +187,70 @@ def write_bloom_manifest(
     clustered key; a point lookup on any OTHER column still touches
     every file unless a bloom says "definitely not here".
 
-    Built DISTRIBUTEDLY in one pass: each value contributes its
-    ``num_hashes`` bit positions (xxhash64 with per-hash salt), one
-    per-file aggregate collects the distinct positions, and only the
-    finished bitmaps (num_bits/8 bytes per file) reach the driver —
-    O(#files * bitmap) driver work, same as a log replay. No false
-    negatives by construction; false-positive rate is set by
-    num_bits/num_hashes.
+    Built DISTRIBUTEDLY in one pass over ALL columns: each value
+    contributes its ``num_hashes`` bit positions (xxhash64 with
+    per-hash salt) tagged with its column name, one (file, column)
+    aggregate dedups positions with map-side partial combine, and the
+    positions are folded into the ``num_bits/8``-byte bitmap ON THE
+    EXECUTORS (Arrow-batched UDF) — only one base64 string per
+    (file, column) ever reaches the driver, O(#files * #cols * 2KB),
+    same traffic as a Delta log-stats write. No false negatives by
+    construction; false-positive rate is set by num_bits/num_hashes.
     """
-    import base64 as _b64
     import json as _json
 
-    src = spark.read.parquet(path).select(
-        F.input_file_name().alias("__f"), *columns
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    nb = num_bits  # captured by value in the UDF closure (trap: workers
+    # don't share driver sys.path — keep the closure self-contained)
+
+    @_pandas_udf("string")
+    def _fold_bitmap(positions: pd.Series) -> pd.Series:
+        import base64
+
+        import pandas
+
+        out = []
+        for pos_list in positions:
+            bm = bytearray(nb // 8)
+            for p in pos_list:
+                p = int(p)
+                bm[p // 8] |= 1 << (p % 8)
+            out.append(base64.b64encode(bytes(bm)).decode())
+        return pandas.Series(out)
+
+    # one pass: every row emits num_hashes (column, position) structs
+    # for every indexed column; explode + (file, column) dedup-agg
+    tagged = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("__c"),
+                    F.pmod(
+                        F.xxhash64(F.lit(i), F.col(c)), F.lit(num_bits)
+                    ).alias("__p"),
+                )
+                for c in columns
+                for i in range(num_hashes)
+            ]
+        )
+    ).alias("__cp")
+    per_file_col = (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("__f"), *columns)
+        .select("__f", tagged)
+        .select("__f", F.col("__cp.__c").alias("__c"), F.col("__cp.__p").alias("__p"))
+        .groupBy("__f", "__c")
+        .agg(F.collect_set("__p").alias("__bits"))
+        .select("__f", "__c", _fold_bitmap(F.col("__bits")).alias("__bm"))
+        .collect()
     )
     manifest_entries: dict[str, dict] = {}
-    for c in columns:
-        pos = F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.lit(i), F.col(c)), F.lit(num_bits))
-                    for i in range(num_hashes)
-                ]
-            )
-        ).alias("__p")
-        per_file = (
-            src.select("__f", pos)
-            .groupBy("__f")
-            .agg(F.collect_set("__p").alias("__bits"))
-            .collect()
+    for r in per_file_col:
+        entry = manifest_entries.setdefault(
+            r["__f"].replace("file:", "").replace("//", "/"), {}
         )
-        for r in per_file:
-            bm = bytearray(num_bits // 8)
-            for p in r["__bits"]:
-                bm[p // 8] |= 1 << (p % 8)
-            entry = manifest_entries.setdefault(
-                r["__f"].replace("file:", "").replace("//", "/"), {}
-            )
-            entry[c] = _b64.b64encode(bytes(bm)).decode()
+        entry[r["__c"]] = r["__bm"]
     manifest = f"{path}/_bloom_manifest.json"
     with open(manifest, "w") as fh:
         _json.dump(

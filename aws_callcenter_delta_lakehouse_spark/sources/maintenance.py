@@ -25,6 +25,7 @@ import shutil
 from collections.abc import Sequence
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from . import managed_table
 
@@ -328,8 +329,47 @@ def compact_binpack(
             os.link(f, dst)
         except OSError:  # pragma: no cover - cross-device fallback
             shutil.copy2(f, dst)
-    for b in bins:
-        spark.read.parquet(*b).coalesce(1).write.mode("append").parquet(staging)
+    # ONE Spark job for every bin (wall-clock scales with data volume,
+    # not bin count): tag each row with its bin via a broadcast-joined
+    # file->bin map over input_file_name(), hash-repartition on the bin
+    # id (each bin lands wholly in one task; a task may hold several
+    # bins), and write partitionBy(bin) so each bin emits exactly one
+    # file. The driver then flattens the tiny per-bin dirs with
+    # metadata-only renames (n_bins syscalls, not n_bins Spark jobs).
+    file_to_bin = [
+        (os.path.basename(f), i) for i, b in enumerate(bins) for f in b
+    ]
+    bin_map = F.create_map(
+        *[F.lit(x) for f, i in file_to_bin for x in (f, i)]
+    )
+    smalls_df = (
+        spark.read.parquet(*[f for f, _s in smalls])
+        .withColumn(
+            "__bin",
+            bin_map[F.element_at(F.split(F.input_file_name(), "/"), -1)],
+        )
+        .repartition(max(len(bins), 1), "__bin")
+    )
+    bin_staging = f"{staging}__bins"
+    smalls_df.write.mode("overwrite").partitionBy("__bin").parquet(bin_staging)
+    seq = 0
+    for d in sorted(os.listdir(bin_staging)):
+        full = os.path.join(bin_staging, d)
+        if not os.path.isdir(full):
+            continue
+        if not d.startswith("__bin="):  # pragma: no cover - safety net
+            raise RuntimeError(
+                f"compact_binpack: rows landed outside a bin ({d}); "
+                "aborting before the swap, table unchanged"
+            )
+        for part in sorted(os.listdir(full)):
+            if part.endswith(".parquet"):
+                os.rename(
+                    os.path.join(full, part),
+                    os.path.join(staging, f"bin-{seq:05d}-{part}"),
+                )
+                seq += 1
+    shutil.rmtree(bin_staging)
     managed_table._write_marker(staging, marker.get("keys", ()), ())
 
     backup = f"{path}__compact_old"

@@ -82,7 +82,13 @@ def _write_marker(
     identity: dict | None = None,
     unique_keys: bool = False,
 ) -> None:
-    with open(os.path.join(path, _MARKER), "w") as f:
+    # torn-write hardening: write to a temp name, fsync, then the
+    # atomic os.replace — an OS/power crash can otherwise persist the
+    # later directory rename while this marker's CONTENT is lost,
+    # leaving a live snapshot whose marker is truncated garbage.
+    final = os.path.join(path, _MARKER)
+    tmp = final + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(
             {
                 "keys": list(keys),
@@ -97,6 +103,9 @@ def _write_marker(
             },
             f,
         )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final)
 
 
 def _read_marker(path: str) -> dict:
@@ -167,7 +176,24 @@ def _replace_marker(path: str, marker: dict) -> None:
     tmp = os.path.join(path, _MARKER + ".tmp")
     with open(tmp, "w") as f:
         json.dump(marker, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, _MARKER))
+
+
+def _marker_valid(dirpath: str) -> bool:
+    """True iff the marker file exists AND parses as JSON — a staging
+    dir with a torn/truncated marker is NOT committed-ready and must
+    not be rolled forward (it would make every later read throw)."""
+    marker = os.path.join(dirpath, _MARKER)
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(marker) as f:
+            json.load(f)
+        return True
+    except (json.JSONDecodeError, OSError):
+        return False
 
 
 def _enforce_constraints(
@@ -205,9 +231,12 @@ def recover(path: str) -> None:
     (4) retire the backup. A crash between (2) and (3) leaves no live
     directory; this routine restores exactly one consistent snapshot:
 
-    - a staging dir WITH its marker is committed-ready (the marker is
-      the last file staged) -> roll FORWARD: it becomes the live table;
-    - otherwise a backup dir rolls BACK to the pre-commit snapshot.
+    - a staging dir with a VALID (parseable) marker is committed-ready
+      (the marker is the last file staged, fsync'd) -> roll FORWARD:
+      it becomes the live table;
+    - otherwise (no staging, or its marker is torn) a backup dir rolls
+      BACK to the pre-commit snapshot — a torn marker means the commit
+      never durably completed.
 
     Either way the table serves exactly the old or the new version,
     never a mix, and never disappears. No-op when the live marker
@@ -219,9 +248,7 @@ def recover(path: str) -> None:
     if os.path.exists(os.path.join(path, _MARKER)) or os.path.exists(path):
         return
     ready = sorted(
-        s
-        for s in glob.glob(path + "__staging_*")
-        if os.path.exists(os.path.join(s, _MARKER))
+        s for s in glob.glob(path + "__staging_*") if _marker_valid(s)
     )
     if ready:
         os.rename(ready[-1], path)

@@ -91,17 +91,38 @@ def main() -> None:
                 "noop"
             ).save()
     _cleanup()
+
+    # Headline noise floor: this box's background load drifts 30-80%
+    # across hours (CLAUDE.md perf trap 6), whipsawing single-shot
+    # verdicts. Run the frozen headline sweep TWICE and report the
+    # per-query MIN — the min of two warmed runs tracks plan cost, not
+    # host weather. Both raw sweeps are recorded in the detail file.
+    headline_runs: list[dict[str, float]] = []
+    for _rep in range(2):
+        for name in HEADLINE:
+            if name in REGISTRY:
+                _run(name)
+        headline_runs.append({n: timings.pop(n) for n in HEADLINE if n in timings})
+    headline_min = {
+        n: min(run[n] for run in headline_runs if n in run)
+        for n in HEADLINE
+        if any(n in run for run in headline_runs)
+    }
+
     for name in sorted(REGISTRY):
         _run(name)
-
+    # total uses the full-sweep timing for every query; the headline
+    # metric uses the dedicated min-of-2 sweep
     total = round(sum(timings.values()), 3)
-    headline = round(sum(timings[n] for n in HEADLINE if n in timings), 3)
+    headline = round(sum(headline_min.values()), 3)
     here = os.path.dirname(os.path.abspath(__file__))
     payload = {
         "sf": float(sf),
         "total_sec": total,
         "headline_sec": headline,
         "headline_queries": list(HEADLINE),
+        "headline_min_of_2": headline_min,
+        "headline_runs": headline_runs,
         "queries": timings,
     }
     with open(os.path.join(here, "bench_detail.json"), "w") as fh:

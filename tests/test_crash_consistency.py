@@ -94,6 +94,74 @@ def test_recover_rolls_back_on_unready_staging(spark, tmp_path):
     assert _snapshot(spark, path) == {(1, "a"), (2, "b")}
 
 
+def test_recover_rejects_torn_marker(spark, tmp_path):
+    """An OS/power crash can persist a staging directory whose marker
+    file EXISTS but whose content was lost (torn write). Recovery must
+    treat that staging as not-committed — roll BACK to the old
+    snapshot — instead of rolling forward to a table whose every read
+    would then throw JSONDecodeError."""
+    import glob
+    import json
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(_rows(spark, OLD), path, keys=("id",))
+    # stage a full NEW snapshot, then truncate its marker and simulate
+    # a crash between rename(live, old) and rename(staging, live)
+    _rows(spark, NEW).coalesce(1).write.parquet(path + "__staging_dead")
+    with open(path + "__staging_dead/" + mt._MARKER, "w") as fh:
+        fh.write('{"keys": ["id"], "ver')  # torn mid-JSON
+    os.rename(path, path + "__old_dead")
+    assert _snapshot(spark, path) == {(1, "a"), (2, "b")}
+    # and the marker it serves is valid JSON
+    with open(os.path.join(path, mt._MARKER)) as fh:
+        assert json.load(fh)["keys"] == ["id"]
+    # the torn staging is inert leftover (vacuum's job), not live state
+    assert glob.glob(path + "__staging_*") == [path + "__staging_dead"]
+
+
+def test_two_writer_optimistic_concurrency(spark, tmp_path):
+    """Two writers race the same expected_version: exactly one commit
+    wins, the loser raises ConcurrentWriteError with its staging swept,
+    and the table serves the winner's snapshot (never a mix). The
+    single-threaded path is already covered; this interleaves the
+    STAGE phases of both writers before either swaps, the way two jobs
+    on a real cluster would."""
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(_rows(spark, OLD), path, keys=("id",))
+    v = mt.table_version(path)
+
+    # writer A is paused mid-STAGING (just as it stages its marker);
+    # writer B fully stages and commits in the gap; A then resumes and
+    # must lose at its pre-swap version re-check.
+    real_marker = mt._write_marker
+    state = {"b_done": False}
+
+    def interleave(mpath, *a, **kw):
+        if not state["b_done"] and str(mpath).startswith(path + "__staging"):
+            state["b_done"] = True
+            mt.commit_overwrite(
+                _rows(spark, [(9, "B")]),
+                path,
+                keys=("id",),
+                expected_version=v,
+            )
+        return real_marker(mpath, *a, **kw)
+
+    mt._write_marker = interleave
+    try:
+        with pytest.raises(mt.ConcurrentWriteError):
+            mt.commit_overwrite(
+                _rows(spark, NEW), path, keys=("id",), expected_version=v
+            )
+    finally:
+        mt._write_marker = real_marker
+    assert _snapshot(spark, path) == {(9, "B")}
+    assert mt.table_version(path) == v + 1
+    import glob
+
+    assert glob.glob(path + "__staging_*") == []  # loser swept
+
+
 @pytest.mark.parametrize("crash_at", [1, 2])
 def test_merge_upsert_crash_serves_old_or_new(
     spark, tmp_path, monkeypatch, crash_at

@@ -378,3 +378,86 @@ def test_stale_stats_manifest_never_loses_rows(spark, tmp_path):
     late.coalesce(1).write.mode("append").parquet(path)
     got = read_with_skipping(spark, path, "k", lo=5000, hi=6000)
     assert got.count() == 10  # fail-open kept the unknown file
+
+
+def test_bloom_manifest_folds_bitmaps_executor_side(spark, tmp_path):
+    """Scale contract for the bloom builder: the driver receives ONE
+    finished base64 bitmap per (file, column) — never raw hash-position
+    sets — and the whole multi-column build is a single Spark pass
+    (one job), so driver traffic is O(#files * #cols * num_bits/8)."""
+    import base64
+    import json
+
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        write_bloom_manifest,
+        write_clustered,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 31).alias("day"),
+        F.concat(F.lit("u"), F.col("id")).alias("u"),
+    )
+    write_clustered(df, path, cluster_by=["day"], num_files=4)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("bloom-build", "bloom manifest build")
+    try:
+        manifest = write_bloom_manifest(
+            spark, path, ["k", "u"], num_bits=8192, num_hashes=4
+        )
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("bloom-build")
+    assert len(jobs) <= 4, jobs  # constant (AQE stage splits), not per-column
+
+    with open(manifest) as fh:
+        m = json.load(fh)
+    assert len(m["files"]) == 4
+    for entry in m["files"].values():
+        assert set(entry) == {"k", "u"}
+        for b64 in entry.values():
+            # a finished 1 KB bitmap, not a position set
+            assert len(base64.b64decode(b64)) == 8192 // 8
+
+
+def test_compact_binpack_single_job_regardless_of_bins(spark, tmp_path):
+    """Compaction wall-clock must scale with DATA, not bin count: many
+    small files packing into several bins still launch a bounded number
+    of Spark jobs (one read+shuffle+write), not one job per bin."""
+    import glob
+    import os
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        compact_binpack,
+    )
+
+    path = str(tmp_path / "t")
+    mt.initial_write(
+        spark.range(0, 50_000).select(F.col("id")).coalesce(1),
+        path,
+        keys=("id",),
+    )
+    # 12 small appends -> several output bins at a small target
+    for i in range(12):
+        spark.range(50_000 + i * 2000, 50_000 + (i + 1) * 2000).select(
+            F.col("id")
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("binpack", "compaction")
+    try:
+        stats = compact_binpack(
+            spark, path, target_file_bytes=30_000, small_file_bytes=20_000
+        )
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("binpack")
+    n_bins = stats["after"]["n_files"] - stats["carried"]
+    assert n_bins >= 3  # the packing genuinely produced multiple bins
+    assert len(jobs) <= 5, (len(jobs), n_bins)  # independent of bin count
+    assert stats["rewritten"] == 12
+    assert {r.id for r in mt.read(spark, path).collect()} == set(range(74_000))
+    assert len(glob.glob(path + "/*.parquet")) == stats["after"]["n_files"]

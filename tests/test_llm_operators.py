@@ -896,3 +896,29 @@ def test_generalize_to_k_ladder_and_suppression(spark):
     with pytest.raises(ValueError, match="same quasi-identifier"):
         generalize_to_k(df, [{"city": F.col("city")},
                              {"age": F.col("age")}], k=2)
+
+
+def test_containment_pairs_finds_embedded_quote(spark):
+    """A short doc quoted wholesale inside a long one: Jaccard is tiny
+    (union dominated by the long doc) but containment(short -> long)
+    must be 1.0, and the reverse direction must NOT fire."""
+    from aws_callcenter_delta_lakehouse_spark.operators.dedup import (
+        containment_pairs,
+        shingle,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " tail0 tail1 tail2")],
+        "doc_id long, text string",
+    )
+    sh = shingle(df, "doc_id", "text")
+    got = {
+        (r.src, r.dst): r.containment
+        for r in containment_pairs(
+            sh, "doc_id", threshold=0.6, max_shingle_df=10
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0  # every shingle of the quote is in doc 2
+    assert (2, 1) not in got  # long doc is NOT contained in the quote

@@ -31,3 +31,52 @@ def test_rows_only_query_runs(spark, name):
     df = REGISTRY[name].fn(spark, SF01)
     assert df.count() >= 0
     assert len(df.schema) > 0
+
+
+def test_rows_only_census():
+    """Every rows-only query must be one of the known, documented
+    DuckDB-inexpressible kinds (xxhash64/zlib/LAPACK/sketch/seeded-
+    iterative); adding a NEW rows-only query means either giving it an
+    oracle or consciously extending this list with its justification.
+    Queries converted to oracles in r5 (pagerank, kcore, stratified
+    sample) must never regress to rows-only."""
+    JUSTIFIED = {
+        # xxhash64-hashed (no DuckDB analogue for Spark's xxhash64;
+        # these use xxhash64 BECAUSE it is the cheapest JVM hash — the
+        # portable-md5 trick used for winnow/simhash would put 2x hash
+        # cost on the minhash/bloom hot paths for no semantic gain, and
+        # their recall/exactness is pinned by dedicated unit tests)
+        "dedup_bloom_incremental",
+        "similarity_ann_lsh",
+        # seeded k-means / cluster-dependent (iterative float argmin —
+        # centroid trajectories are not SQL-replayable)
+        "dedup_semantic",
+        "similarity_ivf_kmeans",
+        "similarity_pq_adc",
+        "similarity_ivfpq_adc",
+        # LAPACK eigendecomposition (sign/order conventions engine-bound)
+        "embedding_pca_scores",
+        # sketches: the estimate depends on engine hash + merge order
+        "events_approx_percentiles",
+        "approx_distinct_parts",
+        "hll_sketch_distinct",
+        "sketch_kmv_segment_overlap",
+        "sketch_kmv_rolling_users",
+        # zlib compression (no SQL equivalent)
+        "text_compression_ratio",
+        # iterative argmax over merge rounds (Python-reference parity
+        # pinned in tests/test_bpe.py instead)
+        "bpe_merges",
+        "bpe_tokenize_top_tokens",
+    }
+    unjustified = set(ROWS_ONLY) - JUSTIFIED
+    assert not unjustified, f"rows-only without documented reason: {unjustified}"
+    assert len(ROWS_ONLY) <= 15, ROWS_ONLY
+    for converted in (
+        "pagerank_suppliers",
+        "graph_kcore_suppliers",
+        "sample_stratified",
+        "dedup_simhash",
+        "text_fingerprint_winnow",
+    ):
+        assert converted in WITH_ORACLE
