@@ -8,7 +8,9 @@
 - join_bloom_prefilter — bloom-runtime-filter join: fact rows that
   cannot match the dim are dropped BEFORE the join shuffle,
 - dedup_normalized_keep_best — canonicalization dedup (case/punct-
-  normalized key) keeping the best representative per cluster.
+  normalized key) keeping the best representative per cluster,
+- layout_zone_depth — zone-map clustering-depth metric (the OPTIMIZE
+  advisor number: how many files a point query must touch).
 
 All oracle-checked against DuckDB.
 """
@@ -224,4 +226,108 @@ def dedup_normalized_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("kept_doc_id"),
         F.col("n_members").cast("int").alias("n_members"),
         "n_chars",
+    )
+
+
+@query(
+    "layout_zone_depth",
+    oracle="""
+    WITH d AS (
+        SELECT l_orderkey,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(l_shipdate AS DATE)) AS day
+        FROM lineitem
+    ),
+    mm AS (SELECT MIN(day) AS mind, MAX(day) AS maxd FROM d),
+    zoned AS (
+        SELECT 'hashed' AS layout,
+               CAST(l_orderkey % 32 AS INT) AS zone, day
+        FROM d
+        UNION ALL
+        SELECT 'clustered' AS layout,
+               CAST(floor((day - mind) * 32.0 / (maxd - mind + 1)) AS INT)
+                 AS zone, day
+        FROM d, mm
+    ),
+    zones AS (
+        SELECT layout, zone, MIN(day) AS lo, MAX(day) AS hi
+        FROM zoned GROUP BY layout, zone
+    ),
+    depth AS (
+        SELECT a.layout, a.zone, COUNT(*) AS n_overlapping
+        FROM zones a JOIN zones b
+          ON a.layout = b.layout AND a.lo <= b.hi AND b.lo <= a.hi
+        GROUP BY a.layout, a.zone
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS INT) AS n_zones,
+           floor(AVG(n_overlapping) * 1e4 + 0.5) / 1e4 AS avg_depth
+    FROM depth GROUP BY layout
+    """,
+)
+def layout_zone_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map CLUSTERING DEPTH — the observability metric behind
+    every OPTIMIZE/re-cluster decision: bucket lineitem into 32
+    synthetic files two ways (hash of the write key = ingest order;
+    range of l_shipdate = clustered layout), take each zone's min/max
+    ship-day, and count how many zones a point query on the zone key
+    must touch (zones whose [lo, hi] overlap). Clustered layouts score
+    ~1 (each file owns a disjoint slice — min/max pruning works);
+    hashed layouts score ~32 (every file spans the whole range —
+    pruning is useless). Delta/Iceberg expose the same number as
+    OPTIMIZE's clustering metrics; `maintenance.optimize_hilbert` is
+    the fix when it degrades.
+
+    The zone rollup is one aggregate per layout; the overlap join runs
+    on 32-row metadata, never on rows — exactly how a real advisor
+    reads the stats manifest, not the table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
+        ).alias("day"),
+    )
+    mm = li.agg(
+        F.min("day").alias("mind"), F.max("day").alias("maxd")
+    )
+    hashed = li.select(
+        F.lit("hashed").alias("layout"),
+        F.pmod("l_orderkey", F.lit(32)).cast("int").alias("zone"),
+        "day",
+    )
+    clustered = li.join(F.broadcast(mm)).select(
+        F.lit("clustered").alias("layout"),
+        F.floor(
+            (F.col("day") - F.col("mind"))
+            * 32.0
+            / (F.col("maxd") - F.col("mind") + 1)
+        )
+        .cast("int")
+        .alias("zone"),
+        "day",
+    )
+    zones = (
+        hashed.unionByName(clustered)
+        .groupBy("layout", "zone")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    )
+    a = zones.select("layout", "zone", "lo", "hi")
+    b = zones.select(
+        F.col("layout").alias("layout_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    depth = (
+        a.join(
+            b,
+            (F.col("layout") == F.col("layout_b"))
+            & (F.col("lo") <= F.col("hi_b"))
+            & (F.col("lo_b") <= F.col("hi")),
+        )
+        .groupBy("layout", "zone")
+        .agg(F.count("*").alias("n_overlapping"))
+    )
+    return depth.groupBy("layout").agg(
+        F.count("*").cast("int").alias("n_zones"),
+        round_portable(F.avg("n_overlapping"), 4).alias("avg_depth"),
     )

@@ -302,13 +302,13 @@ def bloom_pruned_file_list(
         )
         .first()["p"]
     )
+    # basename-keyed index built once: O(F) total, not O(F^2) pairwise
+    # scans (manifest stats attach by basename — rename-proof, same
+    # contract as the min/max manifest)
+    by_base = {_os.path.basename(k): v for k, v in m["files"].items()}
     keep = []
     for f in all_files:
-        entry = None
-        for k, v in m["files"].items():
-            if _os.path.basename(k) == _os.path.basename(f):
-                entry = v
-                break
+        entry = by_base.get(_os.path.basename(f))
         bm64 = (entry or {}).get(column)
         if bm64 is None:
             keep.append(f)

@@ -467,3 +467,35 @@ def test_prefix_filter_joins_are_equi_and_pruned(spark):
     assert "least(" in p
     # the exact verify exists and runs over equi-joined candidates
     assert "array_intersect" in p
+
+
+def test_bloom_prefilter_probe_stays_on_scan_side(spark):
+    """join_bloom_prefilter's fact-side probe must be a broadcast of the
+    one-row bitmap (BroadcastNestedLoopJoin on a literal-true condition)
+    followed by a plain filter — no shuffle of lineitem before the
+    filter, no Python, and the dim join itself broadcasts."""
+    p = _plan(spark, "join_bloom_prefilter")
+    assert "BroadcastHashJoin" in p  # the dim join
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_epoch_shuffle_single_exchange(spark):
+    """training_epoch_shuffle: exactly one hash exchange (on the shard
+    key) and no global sort — the md5 keys are computed in the scan
+    projection and each shard sorts locally for its row_number."""
+    p = _plan(spark, "training_epoch_shuffle")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert "rangepartitioning" not in p.lower()  # no global ordering
+
+
+def test_normalized_keep_best_shuffles_hash_not_text(spark):
+    """dedup_normalized_keep_best: the exchange carries the 32-char
+    canonical hash, never the document text."""
+    p = _plan(spark, "dedup_normalized_keep_best")
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
+        assert "text" not in m.group(1), m.group(0)

@@ -47,6 +47,9 @@ STRESS_QUERIES = (
     # rows even on the saturated 31-word vocab) and the IVFADC composite
     "dedup_prefix_filter",
     "similarity_ivfpq_adc",
+    # round-5: directional containment shares jaccard_pairs' df-blocked
+    # self-join shape — quadratic if the blocking regresses
+    "dedup_containment",
 )
 
 
