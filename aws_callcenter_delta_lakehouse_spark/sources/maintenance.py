@@ -382,3 +382,95 @@ def compact_binpack(
         "rewritten": len(smalls),
         "carried": len(bigs),
     }
+
+
+def clustering_depth(path: str, column: str) -> dict:
+    """Zone-map CLUSTERING DEPTH from per-file [min, max] stats — the
+    advisor number behind OPTIMIZE scheduling (the registry query
+    ``layout_zone_depth`` demonstrates the same metric on synthetic
+    zones). For each file: how many files' ranges a point query
+    landing in its range may have to touch. 1.0 = perfectly disjoint
+    slices (range pruning works); #files = fully interleaved (pruning
+    is useless).
+
+    Driver METADATA work only — stats come from the skipping manifest
+    (or footers via ``pruned_file_list``'s loader contract), and the
+    overlap count is an O(F log F) boundary sweep over sorted bounds:
+    overlap(f) = #{g : g.lo <= f.hi} - #{g : g.hi < f.lo}. No Spark
+    job, no row reads — the same traffic as a log replay.
+    """
+    import bisect
+    import json as _json
+
+    ranges: list[tuple] = []
+    manifest = os.path.join(path, "_stats_manifest.json")
+    if os.path.exists(manifest):
+        with open(manifest) as fh:
+            by_base = {
+                os.path.basename(e["file"]): e.get("stats", {})
+                for e in _json.load(fh)
+            }
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            st = by_base.get(os.path.basename(f), {}).get(column)
+            if st is not None:
+                ranges.append((st[0], st[1]))
+    else:
+        import pyarrow.parquet as pq
+
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            md = pq.read_metadata(f)
+            lo_f, hi_f = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if (
+                        col.path_in_schema == column
+                        and col.statistics is not None
+                    ):
+                        s = col.statistics
+                        lo_f = s.min if lo_f is None else min(lo_f, s.min)
+                        hi_f = s.max if hi_f is None else max(hi_f, s.max)
+            if lo_f is not None:
+                ranges.append((lo_f, hi_f))
+    if not ranges:
+        return {"n_files": 0, "avg_depth": 0.0, "max_depth": 0}
+    los = sorted(lo for lo, _ in ranges)
+    his = sorted(hi for _, hi in ranges)
+    depths = [
+        bisect.bisect_right(los, hi) - bisect.bisect_left(his, lo)
+        for lo, hi in ranges
+    ]
+    return {
+        "n_files": len(ranges),
+        "avg_depth": sum(depths) / len(depths),
+        "max_depth": max(depths),
+    }
+
+
+def optimize_if_degraded(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    max_avg_depth: float = 2.0,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> dict:
+    """Liquid-clustering-style MAINTENANCE TRIGGER: measure the zone
+    depth for ``column`` and re-cluster ONLY when it degraded past
+    ``max_avg_depth`` — appends/merges erode clustering gradually, and
+    rewriting a well-clustered 100 TB table on a schedule is pure
+    waste. The depth probe is driver metadata (no Spark job); the
+    rewrite, when triggered, is the atomic versioned
+    ``optimize_zorder`` single-key path with a refreshed skipping
+    manifest. Returns the decision with before/after depths."""
+    before = clustering_depth(path, column)
+    if before["n_files"] == 0 or before["avg_depth"] <= max_avg_depth:
+        return {"reclustered": False, "depth": before}
+    stats = optimize_zorder(
+        spark, path, [column], target_file_bytes=target_file_bytes
+    )
+    return {
+        "reclustered": True,
+        "depth": before,
+        "depth_after": clustering_depth(path, column),
+        "files": stats,
+    }

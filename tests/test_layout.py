@@ -461,3 +461,47 @@ def test_compact_binpack_single_job_regardless_of_bins(spark, tmp_path):
     assert stats["rewritten"] == 12
     assert {r.id for r in mt.read(spark, path).collect()} == set(range(74_000))
     assert len(glob.glob(path + "/*.parquet")) == stats["after"]["n_files"]
+
+
+def test_optimize_if_degraded_triggers_and_converges(spark, tmp_path):
+    """Liquid-style maintenance trigger: a clustered table appended with
+    full-range files degrades its zone depth; optimize_if_degraded
+    measures (driver metadata only), re-clusters once, and the next
+    call is a no-op because depth recovered."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        write_stats_manifest,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        clustering_depth,
+        optimize_if_degraded,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 8000).select(F.col("id").alias("k"))
+    mt.initial_write(base.repartitionByRange(8, "k").sortWithinPartitions("k"), path, keys=("k",))
+    write_stats_manifest(path, ["k"])
+    d0 = clustering_depth(path, "k")
+    assert d0["n_files"] >= 8 and d0["avg_depth"] <= 2.0, d0
+
+    # interleaved appends: each new file spans the whole key range
+    for i in range(4):
+        spark.range(0, 8000, 97 + i).select(F.col("id").alias("k")).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+    write_stats_manifest(path, ["k"])
+    degraded = clustering_depth(path, "k")
+    assert degraded["avg_depth"] > 2.0, degraded
+
+    out = optimize_if_degraded(spark, path, "k", max_avg_depth=2.0,
+                               target_file_bytes=8000)
+    assert out["reclustered"] is True
+    assert out["depth_after"]["avg_depth"] <= 2.0, out
+    # rows survived exactly
+    expect = set(range(8000)) | {
+        v for i in range(4) for v in range(0, 8000, 97 + i)
+    }
+    assert {r.k for r in mt.read(spark, path).collect()} == expect
+
+    again = optimize_if_degraded(spark, path, "k", max_avg_depth=2.0)
+    assert again["reclustered"] is False
