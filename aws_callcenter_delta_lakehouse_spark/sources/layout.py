@@ -88,8 +88,14 @@ def write_stats_manifest(path: str, columns: Sequence[str]) -> str:
                     )
         entries.append({"file": f, "stats": {c: list(v) for c, v in stats.items()}})
     manifest = f"{path}/_stats_manifest.json"
-    with open(manifest, "w") as fh:
+    # atomic replace: a torn manifest would otherwise make every read
+    # throw until rebuilt (readers fail OPEN on a missing manifest but
+    # not on unparseable JSON)
+    with open(manifest + ".tmp", "w") as fh:
         _json.dump(entries, fh)
+    import os as _os
+
+    _os.replace(manifest + ".tmp", manifest)
     return manifest
 
 
@@ -115,16 +121,21 @@ def pruned_file_list(
     listed = sorted(_glob.glob(f"{path}/*.parquet"))
     entries = [{"file": f, "stats": {}} for f in listed]
     manifest = f"{path}/_stats_manifest.json"
+    loaded = None
     if _os.path.exists(manifest):
-        with open(manifest) as fh:
-            by_base = {
-                _os.path.basename(e["file"]): e.get("stats", {})
-                for e in _json.load(fh)
-            }
+        try:
+            with open(manifest) as fh:
+                loaded = _json.load(fh)
+        except _json.JSONDecodeError:  # torn manifest: fail OPEN
+            loaded = None
+    if loaded is not None:
+        by_base = {
+            _os.path.basename(e["file"]): e.get("stats", {}) for e in loaded
+        }
         for e in entries:
             e["stats"] = by_base.get(_os.path.basename(e["file"]), {})
     else:
-        # no manifest: fall back to per-file footer stats
+        # no (or torn) manifest: fall back to per-file footer stats
         import pyarrow.parquet as pq
 
         for e in entries:
@@ -252,7 +263,8 @@ def write_bloom_manifest(
         )
         entry[r["__c"]] = r["__bm"]
     manifest = f"{path}/_bloom_manifest.json"
-    with open(manifest, "w") as fh:
+    # atomic replace, same contract as the stats manifest
+    with open(manifest + ".tmp", "w") as fh:
         _json.dump(
             {
                 "num_bits": num_bits,
@@ -261,6 +273,9 @@ def write_bloom_manifest(
             },
             fh,
         )
+    import os as _os
+
+    _os.replace(manifest + ".tmp", manifest)
     return manifest
 
 
@@ -282,8 +297,11 @@ def bloom_pruned_file_list(
     )
     if not _os.path.exists(manifest):
         return all_files, len(all_files)
-    with open(manifest) as fh:
-        m = _json.load(fh)
+    try:
+        with open(manifest) as fh:
+            m = _json.load(fh)
+    except _json.JSONDecodeError:  # torn manifest: fail OPEN, skip nothing
+        return all_files, len(all_files)
     nb, nh = m["num_bits"], m["num_hashes"]
     # xxhash64 is TYPE-sensitive: an int literal probing a bigint
     # column would hash differently and false-negative every file —

@@ -505,3 +505,31 @@ def test_optimize_if_degraded_triggers_and_converges(spark, tmp_path):
 
     again = optimize_if_degraded(spark, path, "k", max_avg_depth=2.0)
     assert again["reclustered"] is False
+
+
+def test_torn_manifests_fail_open(spark, tmp_path):
+    """A truncated stats/bloom manifest must degrade to NO pruning
+    (footer fallback / keep-all), never to an exception or a silent
+    skip — the same fail-open contract as stale manifests."""
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        bloom_pruned_file_list,
+        pruned_file_list,
+        write_bloom_manifest,
+        write_clustered,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    write_clustered(df, path, cluster_by=["k"], num_files=4)
+    write_stats_manifest(path, ["k"])
+    write_bloom_manifest(spark, path, ["k"], num_bits=4096, num_hashes=3)
+
+    for name in ("_stats_manifest.json", "_bloom_manifest.json"):
+        with open(f"{path}/{name}", "w") as fh:
+            fh.write('{"torn": ')
+
+    kept, total = pruned_file_list(path, "k", lo=0, hi=10)
+    assert total == 4 and len(kept) >= 1  # footer fallback still prunes
+    bkept, btotal = bloom_pruned_file_list(spark, path, "k", 5)
+    assert btotal == 4 and bkept == sorted(bkept) and len(bkept) == 4  # keep all
