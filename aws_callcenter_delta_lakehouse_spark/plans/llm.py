@@ -362,7 +362,8 @@ def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                    i -> list_min(g[i:i+3])))) AS fps
         FROM grams
     )
-    SELECT doc_id, unnest(fps) AS fp FROM wins
+    SELECT doc_id, CAST(len(fps) AS INT) AS n_fps, unnest(fps) AS fp
+    FROM wins
     """,
 )
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -382,7 +383,18 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         portable=True,
     )
-    return fps.select("doc_id", F.explode("winnow_fps").alias("fp"))
+    # explode_OUTER is load-bearing: plain explode makes
+    # InferFiltersFromGenerate add a `size(fps) > 0` filter, and filter
+    # pushdown then INLINES the entire winnow expression chain into a
+    # Filter over the scan — re-evaluating the gram array per window
+    # position, the O(len^2) trap all over again (measured 0.7s ->
+    # 220s at sf0.1). The fingerprint array is never empty (>= 1 window
+    # by construction), so outer-vs-inner is behavior-identical here.
+    return fps.select(
+        "doc_id",
+        F.size("winnow_fps").alias("n_fps"),
+        F.explode_outer("winnow_fps").alias("fp"),
+    )
 
 
 # ---------------------------------------------------------------------------
