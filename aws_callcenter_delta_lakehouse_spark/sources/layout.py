@@ -208,60 +208,13 @@ def write_bloom_manifest(
     same traffic as a Delta log-stats write. No false negatives by
     construction; false-positive rate is set by num_bits/num_hashes.
     """
+    import glob as _glob
     import json as _json
 
-    from pyspark.sql.functions import pandas_udf as _pandas_udf
-
-    nb = num_bits  # captured by value in the UDF closure (trap: workers
-    # don't share driver sys.path — keep the closure self-contained)
-
-    @_pandas_udf("string")
-    def _fold_bitmap(positions: pd.Series) -> pd.Series:
-        import base64
-
-        import pandas
-
-        out = []
-        for pos_list in positions:
-            bm = bytearray(nb // 8)
-            for p in pos_list:
-                p = int(p)
-                bm[p // 8] |= 1 << (p % 8)
-            out.append(base64.b64encode(bytes(bm)).decode())
-        return pandas.Series(out)
-
-    # one pass: every row emits num_hashes (column, position) structs
-    # for every indexed column; explode + (file, column) dedup-agg
-    tagged = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("__c"),
-                    F.pmod(
-                        F.xxhash64(F.lit(i), F.col(c)), F.lit(num_bits)
-                    ).alias("__p"),
-                )
-                for c in columns
-                for i in range(num_hashes)
-            ]
-        )
-    ).alias("__cp")
-    per_file_col = (
-        spark.read.parquet(path)
-        .select(F.input_file_name().alias("__f"), *columns)
-        .select("__f", tagged)
-        .select("__f", F.col("__cp.__c").alias("__c"), F.col("__cp.__p").alias("__p"))
-        .groupBy("__f", "__c")
-        .agg(F.collect_set("__p").alias("__bits"))
-        .select("__f", "__c", _fold_bitmap(F.col("__bits")).alias("__bm"))
-        .collect()
+    files = sorted(_glob.glob(f"{path}/*.parquet"))
+    manifest_entries = _bloom_entries_for_files(
+        spark, files, columns, num_bits, num_hashes
     )
-    manifest_entries: dict[str, dict] = {}
-    for r in per_file_col:
-        entry = manifest_entries.setdefault(
-            r["__f"].replace("file:", "").replace("//", "/"), {}
-        )
-        entry[r["__c"]] = r["__bm"]
     manifest = f"{path}/_bloom_manifest.json"
     # atomic replace, same contract as the stats manifest
     with open(manifest + ".tmp", "w") as fh:
@@ -347,3 +300,196 @@ def read_with_bloom_skipping(spark, path: str, column: str, value):
             spark.read.parquet(path).filter(F.lit(False))
         )
     return spark.read.parquet(*files).filter(F.col(column) == value)
+
+
+def update_stats_manifest(path: str, columns: Sequence[str]) -> dict:
+    """INCREMENTAL refresh of ``_stats_manifest.json``: scan footers
+    only for files the manifest doesn't know yet (appends), drop
+    entries whose file is gone (compaction/vacuum), keep everything
+    else untouched. O(new + removed) instead of O(all files) — on a
+    100 TB table where a daily append adds 0.1% of files, the full
+    rescan is 1000x more footer reads than this. Returns counts.
+
+    Safe under the reader's fail-open contract either way: a file the
+    manifest misses is simply never skipped."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    manifest = f"{path}/_stats_manifest.json"
+    entries = []
+    if _os.path.exists(manifest):
+        try:
+            with open(manifest) as fh:
+                entries = _json.load(fh)
+        except _json.JSONDecodeError:  # torn: rebuild from scratch
+            entries = []
+    listed = {
+        _os.path.basename(f): f
+        for f in sorted(_glob.glob(f"{path}/*.parquet"))
+    }
+    known = {_os.path.basename(e["file"]) for e in entries}
+    kept = [e for e in entries if _os.path.basename(e["file"]) in listed]
+    removed = len(entries) - len(kept)
+    added = 0
+    for base, f in listed.items():
+        if base in known:
+            continue
+        stats: dict = {}
+        md = pq.read_metadata(f)
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema in columns and col.statistics is not None:
+                    s = col.statistics
+                    lo, hi = stats.get(col.path_in_schema, (None, None))
+                    stats[col.path_in_schema] = (
+                        s.min if lo is None else min(lo, s.min),
+                        s.max if hi is None else max(hi, s.max),
+                    )
+        kept.append(
+            {"file": f, "stats": {c: list(v) for c, v in stats.items()}}
+        )
+        added += 1
+    with open(manifest + ".tmp", "w") as fh:
+        _json.dump(kept, fh)
+    _os.replace(manifest + ".tmp", manifest)
+    return {
+        "added": added,
+        "removed": removed,
+        "total": len(kept),
+    }
+
+
+def update_bloom_manifest(
+    spark,
+    path: str,
+    columns: Sequence[str],
+    num_bits: int = 16384,
+    num_hashes: int = 5,
+) -> dict:
+    """INCREMENTAL bloom refresh: build bitmaps ONLY for files the
+    manifest doesn't cover (per-file blooms are independent, so the
+    merge is a dict update), drop entries for vanished files. The Spark
+    job reads just the new files — on an append-mostly table the daily
+    cost is proportional to the append, not the corpus. Returns counts.
+
+    Parameter changes (num_bits/num_hashes) require the full rebuild
+    (``write_bloom_manifest``) — mixing geometries in one manifest
+    would corrupt probes, so this function refuses."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    manifest = f"{path}/_bloom_manifest.json"
+    m = {"num_bits": num_bits, "num_hashes": num_hashes, "files": {}}
+    if _os.path.exists(manifest):
+        try:
+            with open(manifest) as fh:
+                m = _json.load(fh)
+        except _json.JSONDecodeError:  # torn: rebuild from scratch
+            pass
+    if m["num_bits"] != num_bits or m["num_hashes"] != num_hashes:
+        raise ValueError(
+            "bloom geometry changed (num_bits/num_hashes): run "
+            "write_bloom_manifest for a full rebuild instead"
+        )
+    listed = {
+        _os.path.basename(f): f
+        for f in sorted(_glob.glob(f"{path}/*.parquet"))
+    }
+    old_files = m.get("files", {})
+    kept = {
+        k: v
+        for k, v in old_files.items()
+        if _os.path.basename(k) in listed
+    }
+    known = {_os.path.basename(k) for k in kept}
+    new_files = [f for b, f in listed.items() if b not in known]
+    if new_files:
+        # same executor-side fold as the full build, restricted to the
+        # new files; write_bloom_manifest over a path always scans the
+        # whole dir, so inline the fold here with an explicit file list
+        tmp_entries = _bloom_entries_for_files(
+            spark, new_files, columns, num_bits, num_hashes
+        )
+        kept.update(tmp_entries)
+    m["files"] = kept
+    with open(manifest + ".tmp", "w") as fh:
+        _json.dump(m, fh)
+    _os.replace(manifest + ".tmp", manifest)
+    return {
+        "added": len(new_files),
+        "removed": len(old_files) - len(
+            [k for k in old_files if _os.path.basename(k) in listed]
+        ),
+        "total": len(kept),
+    }
+
+
+def _bloom_entries_for_files(
+    spark,
+    files: list[str],
+    columns: Sequence[str],
+    num_bits: int,
+    num_hashes: int,
+) -> dict:
+    """Executor-side bloom fold over an explicit file list; returns
+    {file: {column: base64_bitmap}} — shared by the full and
+    incremental builders."""
+    from pyspark.sql.functions import pandas_udf as _pandas_udf
+
+    nb = num_bits
+
+    @_pandas_udf("string")
+    def _fold_bitmap(positions: pd.Series) -> pd.Series:
+        import base64
+
+        import pandas
+
+        out = []
+        for pos_list in positions:
+            bm = bytearray(nb // 8)
+            for p in pos_list:
+                p = int(p)
+                bm[p // 8] |= 1 << (p % 8)
+            out.append(base64.b64encode(bytes(bm)).decode())
+        return pandas.Series(out)
+
+    tagged = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("__c"),
+                    F.pmod(
+                        F.xxhash64(F.lit(i), F.col(c)), F.lit(num_bits)
+                    ).alias("__p"),
+                )
+                for c in columns
+                for i in range(num_hashes)
+            ]
+        )
+    ).alias("__cp")
+    rows = (
+        spark.read.parquet(*files)
+        .select(F.input_file_name().alias("__f"), *columns)
+        .select("__f", tagged)
+        .select(
+            "__f",
+            F.col("__cp.__c").alias("__c"),
+            F.col("__cp.__p").alias("__p"),
+        )
+        .groupBy("__f", "__c")
+        .agg(F.collect_set("__p").alias("__bits"))
+        .select("__f", "__c", _fold_bitmap(F.col("__bits")).alias("__bm"))
+        .collect()
+    )
+    out: dict[str, dict] = {}
+    for r in rows:
+        entry = out.setdefault(
+            r["__f"].replace("file:", "").replace("//", "/"), {}
+        )
+        entry[r["__c"]] = r["__bm"]
+    return out

@@ -533,3 +533,84 @@ def test_torn_manifests_fail_open(spark, tmp_path):
     assert total == 4 and len(kept) >= 1  # footer fallback still prunes
     bkept, btotal = bloom_pruned_file_list(spark, path, "k", 5)
     assert btotal == 4 and bkept == sorted(bkept) and len(bkept) == 4  # keep all
+
+
+def test_incremental_manifest_updates_scan_only_new_files(spark, tmp_path):
+    """Append-time index maintenance: update_stats_manifest /
+    update_bloom_manifest touch only files the manifest doesn't know —
+    existing entries carry over BYTE-IDENTICAL (proof no rescan
+    happened), removed files drop out, pruning still works, and a
+    geometry change is refused rather than silently mixed."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        bloom_pruned_file_list,
+        pruned_file_list,
+        update_bloom_manifest,
+        update_stats_manifest,
+        write_bloom_manifest,
+        write_clustered,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 4000).select(F.col("id").alias("k"))
+    write_clustered(df, path, cluster_by=["k"], num_files=4)
+    write_stats_manifest(path, ["k"])
+    write_bloom_manifest(spark, path, ["k"], num_bits=4096, num_hashes=3)
+    with open(f"{path}/_stats_manifest.json") as fh:
+        stats_before = {
+            os.path.basename(e["file"]): e["stats"] for e in json.load(fh)
+        }
+    with open(f"{path}/_bloom_manifest.json") as fh:
+        bloom_before = {
+            os.path.basename(k): v
+            for k, v in json.load(fh)["files"].items()
+        }
+
+    # append one new file with a disjoint key range
+    spark.range(100_000, 101_000).select(F.col("id").alias("k")).coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+    s = update_stats_manifest(path, ["k"])
+    b = update_bloom_manifest(spark, path, ["k"], num_bits=4096, num_hashes=3)
+    assert s["added"] == 1 and s["removed"] == 0 and s["total"] == 5
+    assert b["added"] == 1 and b["removed"] == 0 and b["total"] == 5
+
+    # old entries byte-identical (no rescan), new file covered
+    with open(f"{path}/_stats_manifest.json") as fh:
+        stats_after = {
+            os.path.basename(e["file"]): e["stats"] for e in json.load(fh)
+        }
+    with open(f"{path}/_bloom_manifest.json") as fh:
+        bloom_after = {
+            os.path.basename(k): v
+            for k, v in json.load(fh)["files"].items()
+        }
+    for base, st in stats_before.items():
+        assert stats_after[base] == st
+    for base, entry in bloom_before.items():
+        assert bloom_after[base] == entry
+    assert len(stats_after) == 5 and len(bloom_after) == 5
+
+    # pruning: point query in the appended range touches ~1 file
+    kept, total = pruned_file_list(path, "k", lo=100_500, hi=100_500)
+    assert total == 5 and len(kept) == 1
+    bkept, _ = bloom_pruned_file_list(spark, path, "k", 100_500)
+    assert len(bkept) <= 2
+
+    # remove a file -> entry drops
+    removed = sorted(
+        f for f in os.listdir(path) if f.endswith(".parquet")
+    )[0]
+    os.remove(os.path.join(path, removed))
+    s2 = update_stats_manifest(path, ["k"])
+    assert s2["removed"] == 1 and s2["total"] == 4
+
+    # geometry change refused
+    with _pytest.raises(ValueError, match="geometry"):
+        update_bloom_manifest(spark, path, ["k"], num_bits=8192, num_hashes=3)
