@@ -329,6 +329,12 @@ def compact_binpack(
             os.link(f, dst)
         except OSError:  # pragma: no cover - cross-device fallback
             shutil.copy2(f, dst)
+    # carry skipping-manifest sidecars so the post-swap incremental
+    # refresh can reuse the carried files' entries (basename-matched)
+    for sidecar in ("_stats_manifest.json", "_bloom_manifest.json"):
+        src = os.path.join(path, sidecar)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(staging, sidecar))
     # ONE Spark job for every bin (wall-clock scales with data volume,
     # not bin count): tag each row with its bin via a broadcast-joined
     # file->bin map over input_file_name(), hash-repartition on the bin
@@ -376,12 +382,52 @@ def compact_binpack(
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)
+    _refresh_skipping_indexes(spark, path)
     return {
         "before": before,
         "after": table_file_stats(path),
         "rewritten": len(smalls),
         "carried": len(bigs),
     }
+
+
+def _refresh_skipping_indexes(spark: SparkSession, path: str) -> None:
+    """After a compaction rewrote/renamed files, bring any EXISTING
+    skipping manifests back in sync incrementally: carried files keep
+    their basenames (entries survive byte-identical), rewritten bins
+    are new files (indexed fresh), vanished smalls drop out. Columns
+    and bloom geometry come from the manifests themselves. No-op when
+    a table has no indexes — indexing is an explicit choice."""
+    import json as _json
+
+    from .layout import update_bloom_manifest, update_stats_manifest
+
+    stats = os.path.join(path, "_stats_manifest.json")
+    if os.path.exists(stats):
+        try:
+            with open(stats) as fh:
+                cols = sorted(
+                    {c for e in _json.load(fh) for c in e.get("stats", {})}
+                )
+        except _json.JSONDecodeError:  # pragma: no cover - torn
+            cols = []
+        if cols:
+            update_stats_manifest(path, cols)
+    bloom = os.path.join(path, "_bloom_manifest.json")
+    if os.path.exists(bloom):
+        try:
+            with open(bloom) as fh:
+                m = _json.load(fh)
+            bcols = sorted(
+                {c for entry in m.get("files", {}).values() for c in entry}
+            )
+            if bcols:
+                update_bloom_manifest(
+                    spark, path, bcols,
+                    num_bits=m["num_bits"], num_hashes=m["num_hashes"],
+                )
+        except _json.JSONDecodeError:  # pragma: no cover - torn
+            pass
 
 
 def clustering_depth(path: str, column: str) -> dict:

@@ -614,3 +614,54 @@ def test_incremental_manifest_updates_scan_only_new_files(spark, tmp_path):
     # geometry change refused
     with _pytest.raises(ValueError, match="geometry"):
         update_bloom_manifest(spark, path, ["k"], num_bits=8192, num_hashes=3)
+
+
+def test_compact_binpack_refreshes_existing_indexes(spark, tmp_path):
+    """Compaction must leave existing skipping manifests usable: the
+    carried big file's entries survive, the packed bin gets fresh
+    entries, dead small-file entries drop — point pruning works right
+    after the compaction with no manual refresh."""
+    import glob
+    import json
+    import os
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        bloom_pruned_file_list,
+        pruned_file_list,
+        write_bloom_manifest,
+        write_stats_manifest,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        compact_binpack,
+    )
+
+    path = str(tmp_path / "t")
+    mt.initial_write(
+        spark.range(0, 100_000).select(F.col("id").alias("k")).coalesce(1),
+        path,
+        keys=("k",),
+    )
+    for i in range(4):
+        spark.range(200_000 + i * 500, 200_000 + (i + 1) * 500).select(
+            F.col("id").alias("k")
+        ).coalesce(1).write.mode("append").parquet(path)
+    write_stats_manifest(path, ["k"])
+    write_bloom_manifest(spark, path, ["k"], num_bits=4096, num_hashes=3)
+
+    stats = compact_binpack(
+        spark, path, target_file_bytes=500_000, small_file_bytes=100_000
+    )
+    assert stats["rewritten"] == 4 and stats["carried"] == 1
+
+    n_files = len(glob.glob(path + "/*.parquet"))
+    with open(f"{path}/_stats_manifest.json") as fh:
+        assert len(json.load(fh)) == n_files  # in sync, no dead entries
+    with open(f"{path}/_bloom_manifest.json") as fh:
+        assert len(json.load(fh)["files"]) == n_files
+
+    # pruning still correct post-compaction: big-file range vs bin range
+    kept, total = pruned_file_list(path, "k", lo=200_100, hi=200_100)
+    assert total == n_files and len(kept) == 1
+    bkept, _ = bloom_pruned_file_list(spark, path, "k", 50)
+    assert len(bkept) <= n_files - 1  # the bin (200k-202k keys) pruned
