@@ -106,25 +106,71 @@ def _compact_partitions(
     part_rows = df.filter(where).select(*partition_by).distinct().collect()
 
     before = table_file_stats(path)
+    # ONE Spark job for every selected partition (the serial
+    # job-per-directory loop scales wall-clock with partition COUNT,
+    # the same flaw fixed for compact_binpack's bins): read all matched
+    # dirs with basePath so partition columns survive, route each row
+    # to one of its partition's size-targeted slots, hash-repartition
+    # on (partition, slot) and write partitionBy in a single pass. The
+    # per-directory swap stays — rename-pair per matched dir, metadata
+    # only, same atomicity as before.
+    matched: list[tuple] = []
+    n_out_by_key: dict[str, int] = {}
     for row in part_rows:
         subdir = os.path.join(path, *(f"{c}={row[c]}" for c in partition_by))
         if not os.path.isdir(subdir):  # pragma: no cover - defensive
             continue
         stats = table_file_stats(subdir)
-        n_out = max(1, stats["total_bytes"] // target_file_bytes)
-        # Partition dirs hold the non-partition columns only (hive
-        # layout) — read/write the dir directly, no partitionBy.
-        part_df = spark.read.parquet(subdir).coalesce(int(n_out))
-        # Stage as a SIBLING of the table root (never inside it: a
-        # stray dir under the root would corrupt partition discovery),
-        # then swap the one directory.
+        key = "/".join(str(row[c]) for c in partition_by)
+        n_out_by_key[key] = int(
+            max(1, stats["total_bytes"] // target_file_bytes)
+        )
+        matched.append((row, subdir))
+    if not matched:
+        return {"before": before, "after": before}
+
+    sel = spark.read.option("basePath", path).parquet(
+        *[subdir for _row, subdir in matched]
+    )
+    data_cols = [c for c in sel.columns if c not in partition_by]
+    nout_map = F.create_map(
+        *[F.lit(x) for k, n in n_out_by_key.items() for x in (k, n)]
+    )
+    part_key = F.concat_ws(
+        "/", *[F.col(c).cast("string") for c in partition_by]
+    )
+    slotted = sel.withColumn(
+        "__slot",
+        F.pmod(
+            F.xxhash64(F.struct(*[F.col(c) for c in data_cols])),
+            nout_map[part_key],
+        ),
+    )
+    staging = f"{path}__compact_staging_parts"
+    if os.path.isdir(staging):  # pragma: no cover - leftover from crash
+        shutil.rmtree(staging)
+    n_tasks = max(sum(n_out_by_key.values()), 1)
+    (
+        slotted.repartition(n_tasks, *partition_by, F.col("__slot"))
+        .drop("__slot")
+        .write.mode("overwrite")
+        .partitionBy(*partition_by)
+        .parquet(staging)
+    )
+    for row, subdir in matched:
+        staged_dir = os.path.join(
+            staging, *(f"{c}={row[c]}" for c in partition_by)
+        )
+        if not os.path.isdir(staged_dir):  # pragma: no cover - defensive
+            continue
+        # backup is a SIBLING of the table root (never inside it: a
+        # stray dir under the root would corrupt partition discovery)
         key = "_".join(f"{c}={row[c]}" for c in partition_by)
-        staging = f"{path}__compact_staging_{key}"
         backup = f"{path}__compact_old_{key}"
-        part_df.write.mode("overwrite").parquet(staging)
         os.rename(subdir, backup)
-        os.rename(staging, subdir)
+        os.rename(staged_dir, subdir)
         shutil.rmtree(backup)
+    shutil.rmtree(staging)
     return {"before": before, "after": table_file_stats(path)}
 
 

@@ -665,3 +665,43 @@ def test_compact_binpack_refreshes_existing_indexes(spark, tmp_path):
     assert total == n_files and len(kept) == 1
     bkept, _ = bloom_pruned_file_list(spark, path, "k", 50)
     assert len(bkept) <= n_files - 1  # the bin (200k-202k keys) pruned
+
+
+def test_compact_where_single_job_regardless_of_partitions(spark, tmp_path):
+    """Partition-scoped compaction must be ONE Spark job over all
+    selected partition dirs (plus per-dir metadata renames) — a
+    job-per-directory loop scales wall-clock with partition count,
+    the same flaw class fixed for compact_binpack's bins."""
+    import glob
+    import os
+
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        compact,
+    )
+
+    path = str(tmp_path / "pt")
+    df = spark.createDataFrame(
+        [(i, i % 10, f"v{i}") for i in range(2000)],
+        "id long, bucket long, v string",
+    )
+    df.repartition(6).write.partitionBy("bucket").parquet(path)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("pcompact", "partition compaction")
+    try:
+        compact(
+            spark,
+            path,
+            partition_by=("bucket",),
+            where="bucket < 8",
+            target_file_bytes=10**9,
+        )
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("pcompact")
+    assert len(jobs) <= 8, jobs  # constant (metadata + distinct + AQE write), not per-dir
+    # 8 partitions compacted to 1 file each, 2 untouched
+    for b in range(8):
+        assert len(glob.glob(os.path.join(path, f"bucket={b}", "*.parquet"))) == 1
+    assert spark.read.parquet(path).count() == 2000
+    assert glob.glob(f"{path}__*") == []
