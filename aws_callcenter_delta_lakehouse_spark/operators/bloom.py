@@ -25,23 +25,50 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _bit_positions(key: F.Column, m_bits: int, k: int) -> F.Column:
+def _bit_positions(
+    key: F.Column, m_bits: int, k: int, portable: bool = False
+) -> F.Column:
     """Array of k bit positions in [0, m_bits) via independently seeded
-    xxhash64 — JVM-side, no Python."""
+    hashes — JVM-side, no Python. Default xxhash64 (cheapest);
+    ``portable=True`` uses the low 60 bits of md5 with a seed prefix —
+    the same value in any engine with md5 (DuckDB/Trino), which makes
+    bloom semantics (including false positives) oracle-checkable."""
+    if portable:
+        return F.array(
+            *[
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{seed}|"), key)), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(m_bits),
+                )
+                for seed in range(k)
+            ]
+        )
     return F.array(
         *[F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(m_bits)) for seed in range(k)]
     )
 
 
 def bloom_build(
-    df: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 4
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Aggregate the corpus into a sharded bitmap: ``(word_idx, bits)``
     with at most ``m_bits / 64`` rows. One explode (k rows per input
     row, integers only — the key never shuffles) + one ``bit_or``
     aggregate with map-side partial combine."""
     pos = df.select(
-        F.explode(_bit_positions(F.col(key_col), m_bits, k)).alias("bitpos")
+        F.explode(
+            _bit_positions(F.col(key_col), m_bits, k, portable=portable)
+        ).alias("bitpos")
     )
     return (
         pos.select(
@@ -62,6 +89,7 @@ def bloom_probe(
     id_col: str,
     m_bits: int = 1 << 20,
     k: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Flag each batch row with ``maybe_seen``: true iff all k probe
     bits are set; returns ``(id, maybe_seen)``. The bitmap side is
@@ -70,7 +98,9 @@ def bloom_probe(
     per-id aggregate has exactly k map-side-combinable rows per id."""
     probes = batch.select(
         id_col,
-        F.explode(_bit_positions(F.col(key_col), m_bits, k)).alias("bitpos"),
+        F.explode(
+            _bit_positions(F.col(key_col), m_bits, k, portable=portable)
+        ).alias("bitpos"),
     ).select(
         id_col,
         (F.col("bitpos") / 64).cast("long").alias("word_idx"),

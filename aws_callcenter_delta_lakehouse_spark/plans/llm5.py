@@ -8,9 +8,11 @@ defined chunking, and cross-batch Bloom dedup.
 - dedup_bloom_incremental — "was this document (probably) in yesterday's
   corpus?" via a fully-distributed sharded-bitmap Bloom filter.
 
-First two oracle-checked against DuckDB at sf0.01; the Bloom query is
-rows-only (xxhash64 has no DuckDB counterpart) with no-false-negative
-and bounded-false-positive property tests in tests/test_llm5.py.
+All three oracle-checked against DuckDB at sf0.01 (the Bloom query via
+the portable seeded-md5 positions since r5 — bloom semantics including
+false positives reduce to a position-set membership join in SQL); the
+no-false-negative and bounded-false-positive property tests in
+tests/test_llm5.py cover the xxhash64 fast path too.
 """
 
 from __future__ import annotations
@@ -105,7 +107,30 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_bloom_incremental")  # rows-only: xxhash64 has no DuckDB analogue
+@query(
+    "dedup_bloom_incremental",
+    oracle="""
+    WITH seeds AS (SELECT unnest(range(4)) AS i),
+    old AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+    oldpos AS MATERIALIZED (
+        SELECT DISTINCT
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || text),
+                                   1, 15) AS BIGINT) % 1048576 AS p
+        FROM old, seeds
+    ),
+    newk AS (SELECT doc_id, text FROM documents
+             WHERE doc_id % 2 = 1 OR doc_id % 10 = 0),
+    probe AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || text),
+                                   1, 15) AS BIGINT) % 1048576 AS p
+        FROM newk, seeds
+    )
+    SELECT pr.doc_id, bool_and(op.p IS NOT NULL) AS maybe_seen
+    FROM probe pr LEFT JOIN oldpos op ON pr.p = op.p
+    GROUP BY pr.doc_id ORDER BY pr.doc_id
+    """,
+)
 def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-ingest dedup: a Bloom bitmap is built from the
     even-doc_id half of the corpus ("yesterday's data") entirely as a
@@ -115,11 +140,20 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     test. "Today's batch" is the odd half plus a re-ingested slice of
     the old half (every 10th even doc), so the positive path is
     exercised: re-ingested docs MUST probe true. Output:
-    (doc_id, maybe_seen) for the new batch."""
+    (doc_id, maybe_seen) for the new batch.
+
+    ORACLE-CHECKED now (was rows-only through r4): the registry
+    instance uses the PORTABLE seeded-md5 bit positions, and bloom
+    semantics — INCLUDING false positives — reduce to "every probe
+    position is in the old half's position set", which is one distinct
+    + one left join + bool_and in SQL. The xxhash64 default stays the
+    production fast path."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     old = docs.where(F.col("doc_id") % 2 == 0)
     new = docs.where(
         (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
     )
-    bloom = bloom_build(old, "text")
-    return bloom_probe(new, bloom, "text", "doc_id").orderBy("doc_id")
+    bloom = bloom_build(old, "text", portable=True)
+    return bloom_probe(new, bloom, "text", "doc_id", portable=True).orderBy(
+        "doc_id"
+    )

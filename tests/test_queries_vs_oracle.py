@@ -46,7 +46,6 @@ def test_rows_only_census():
         # portable-md5 trick used for winnow/simhash would put 2x hash
         # cost on the minhash/bloom hot paths for no semantic gain, and
         # their recall/exactness is pinned by dedicated unit tests)
-        "dedup_bloom_incremental",
         "similarity_ann_lsh",
         # seeded k-means / cluster-dependent (iterative float argmin —
         # centroid trajectories are not SQL-replayable)
@@ -71,12 +70,13 @@ def test_rows_only_census():
     }
     unjustified = set(ROWS_ONLY) - JUSTIFIED
     assert not unjustified, f"rows-only without documented reason: {unjustified}"
-    assert len(ROWS_ONLY) <= 15, ROWS_ONLY
+    assert len(ROWS_ONLY) <= 14, ROWS_ONLY
     for converted in (
         "pagerank_suppliers",
         "graph_kcore_suppliers",
         "sample_stratified",
         "dedup_simhash",
         "text_fingerprint_winnow",
+        "dedup_bloom_incremental",
     ):
         assert converted in WITH_ORACLE
