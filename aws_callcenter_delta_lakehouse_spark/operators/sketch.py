@@ -157,14 +157,32 @@ def cms_heavy_hitters(
 
 _TWO63 = float(2**63)
 _TWO64 = float(2**64)
+_TWO60 = float(2**60)
 
 
-def _theta(h):  # k-th smallest signed hash -> its quantile in [0, 1)
+def _theta(h, portable: bool = False):
+    """k-th smallest hash -> its quantile in [0, 1). Signed-xxhash64
+    domain by default; the portable (low-60-bits-of-md5) domain is
+    [0, 2^60), engine-identical wherever md5 exists."""
+    if portable:
+        return (h.cast("double") + 1.0) / _TWO60
     return (h.cast("double") + _TWO63 + 1.0) / _TWO64
 
 
+def _kmv_hash(key_col: str, portable: bool):
+    if portable:
+        return F.conv(
+            F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+    return F.xxhash64(F.col(key_col))
+
+
 def kmv_sketch(
-    df: DataFrame, key_col: str, group_cols: Sequence[str], k: int = 256
+    df: DataFrame,
+    key_col: str,
+    group_cols: Sequence[str],
+    k: int = 256,
+    portable: bool = False,
 ) -> DataFrame:
     """Per-group KMV theta sketch (Bar-Yossef et al. RANDOM'02;
     Beyer et al. SIGMOD'07): the ``k`` smallest distinct ``xxhash64``
@@ -186,7 +204,7 @@ def kmv_sketch(
     from pyspark.sql import Window
 
     hashed = df.select(
-        *group_cols, F.xxhash64(F.col(key_col)).alias("__h")
+        *group_cols, _kmv_hash(key_col, portable).alias("__h")
     ).distinct()
     w = Window.partitionBy(*group_cols).orderBy("__h")
     topk = hashed.withColumn("__rn", F.row_number().over(w)).filter(
@@ -198,18 +216,25 @@ def kmv_sketch(
     )
 
 
-def kmv_estimate(sketches: DataFrame, k: int = 256) -> DataFrame:
+def kmv_estimate(
+    sketches: DataFrame, k: int = 256, portable: bool = False
+) -> DataFrame:
     """Distinct-count estimate per sketch row: exact ``n_seen`` when
     the group never filled the sketch (< k distinct values — the
     sketch IS the value set), else (k−1)/θ_k."""
     full = F.col("n_seen") >= k
     est = F.when(
-        full, (k - 1) / _theta(F.element_at("kmv", k))
+        full, (k - 1) / _theta(F.element_at("kmv", k), portable)
     ).otherwise(F.col("n_seen").cast("double"))
     return sketches.withColumn("est_distinct", est)
 
 
-def kmv_overlap_pairs(sketches: DataFrame, group_col: str, k: int = 256) -> DataFrame:
+def kmv_overlap_pairs(
+    sketches: DataFrame,
+    group_col: str,
+    k: int = 256,
+    portable: bool = False,
+) -> DataFrame:
     """Pairwise segment-overlap estimates from the SUMMARIES alone:
     for groups (a, b), cut both sketches at θ = min(θ_a, θ_b) — below
     θ each sketch holds EVERY distinct hash of its set (that is the
@@ -233,18 +258,18 @@ def kmv_overlap_pairs(sketches: DataFrame, group_col: str, k: int = 256) -> Data
         F.col("n_seen").alias("__nb"),
     )
     pairs = a.join(b, F.col("g1") < F.col("g2"))
-    theta_a = F.when(F.col("__na") >= k, _theta(F.element_at("__ka", k))).otherwise(
-        F.lit(1.0)
-    )
-    theta_b = F.when(F.col("__nb") >= k, _theta(F.element_at("__kb", k))).otherwise(
-        F.lit(1.0)
-    )
+    theta_a = F.when(
+        F.col("__na") >= k, _theta(F.element_at("__ka", k), portable)
+    ).otherwise(F.lit(1.0))
+    theta_b = F.when(
+        F.col("__nb") >= k, _theta(F.element_at("__kb", k), portable)
+    ).otherwise(F.lit(1.0))
     pairs = pairs.select(
         "g1", "g2", "__ka", "__kb", F.least(theta_a, theta_b).alias("__theta")
     )
     # cut both sketches at the shared θ, then plain array set ops
-    cut_a = F.filter("__ka", lambda h: _theta(h) <= F.col("__theta"))
-    cut_b = F.filter("__kb", lambda h: _theta(h) <= F.col("__theta"))
+    cut_a = F.filter("__ka", lambda h: _theta(h, portable) <= F.col("__theta"))
+    cut_b = F.filter("__kb", lambda h: _theta(h, portable) <= F.col("__theta"))
     pairs = pairs.select(
         "g1",
         "g2",

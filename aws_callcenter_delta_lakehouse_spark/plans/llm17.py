@@ -88,20 +88,65 @@ def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_kmv_segment_overlap")  # sketch estimates — rows-only
+@query(
+    "sketch_kmv_segment_overlap",
+    oracle="""
+    WITH h AS (SELECT DISTINCT event_type,
+          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS h
+        FROM events),
+    r AS (SELECT event_type, h,
+            ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type) AS d
+          FROM h),
+    sk AS MATERIALIZED (SELECT event_type, h, rn, LEAST(d, 256) AS n_seen
+          FROM r WHERE rn <= 256),
+    th AS (SELECT event_type, MAX(n_seen) AS n_seen,
+            CASE WHEN MAX(n_seen) >= 256
+              THEN (MAX(CASE WHEN rn = 256 THEN h END) + 1.0)
+                   / 1152921504606846976.0
+              ELSE 1.0 END AS theta
+          FROM sk GROUP BY event_type),
+    pairs AS (SELECT a.event_type AS g1, b.event_type AS g2,
+                LEAST(a.theta, b.theta) AS theta
+              FROM th a JOIN th b ON a.event_type < b.event_type),
+    cut AS (SELECT p.g1, p.g2, p.theta, sk.event_type, sk.h
+            FROM sk JOIN pairs p ON sk.event_type IN (p.g1, p.g2)
+            WHERE (sk.h + 1.0) / 1152921504606846976.0 <= p.theta),
+    byhash AS (SELECT g1, g2, theta, h,
+                 COUNT(DISTINCT event_type) AS sides
+               FROM cut GROUP BY 1, 2, 3, 4),
+    fin AS (SELECT g1, g2, theta,
+              CAST(COUNT(*) AS DOUBLE) AS uni,
+              CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                AS inter
+            FROM byhash GROUP BY 1, 2, 3)
+    SELECT g1, g2,
+           floor(inter / theta * 1e4 + 0.5) / 1e4 AS est_intersection,
+           floor(uni / theta * 1e4 + 0.5) / 1e4 AS est_union,
+           floor(CASE WHEN uni > 0 THEN inter / uni ELSE 0.0 END
+                 * 1e4 + 0.5) / 1e4 AS est_jaccard
+    FROM fin
+    """,
+)
 def sketch_kmv_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience-overlap matrix from KMV theta sketches: one pass builds
     a 256-minimum-values sketch of the distinct user set per
     event_type, then every pairwise intersection/union/Jaccard
     estimate is computed from the k-long summaries alone — the segment
-    question HLL can't answer without a sketch per pair. Deterministic
-    (xxhash64); error bounds and partial-fill exactness pinned in
-    ``tests/test_sketch.py``."""
+    question HLL can't answer without a sketch per pair. Error bounds
+    and partial-fill exactness pinned in ``tests/test_sketch.py``.
+
+    ORACLE-CHECKED now (was rows-only through r4): with the PORTABLE
+    seeded-md5 hash the whole theta-sketch algebra — k-th-minimum
+    quantile, shared-theta cut, sample intersection/union — is exact
+    arithmetic DuckDB replays verbatim. xxhash64 stays the default
+    fast path."""
     from ..operators.sketch import kmv_overlap_pairs, kmv_sketch
 
     events = load_table(spark, sf_dir, "events")
-    sk = kmv_sketch(events, "user_id", ["event_type"], k=256)
-    out = kmv_overlap_pairs(sk, "event_type", k=256)
+    sk = kmv_sketch(events, "user_id", ["event_type"], k=256, portable=True)
+    out = kmv_overlap_pairs(sk, "event_type", k=256, portable=True)
     return out.select(
         "g1",
         "g2",
@@ -177,7 +222,35 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_kmv_rolling_users")  # sketch estimates — rows-only
+@query(
+    "sketch_kmv_rolling_users",
+    oracle="""
+    WITH ev AS (SELECT DISTINCT event_type,
+          CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+               AS BIGINT) AS h,
+          date_diff('day', DATE '2024-01-01',
+                    CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS dayn
+        FROM events),
+    spine AS (SELECT DISTINCT dayn AS wend FROM ev),
+    win AS (SELECT DISTINCT e.event_type, s.wend, e.h
+            FROM ev e JOIN spine s
+              ON e.dayn BETWEEN s.wend - 6 AND s.wend),
+    r AS (SELECT event_type, wend, h,
+            ROW_NUMBER() OVER (PARTITION BY event_type, wend
+                               ORDER BY h) AS rn,
+            COUNT(*) OVER (PARTITION BY event_type, wend) AS d
+          FROM win),
+    sk AS (SELECT event_type, wend, LEAST(MAX(d), 256) AS n_seen,
+             MAX(CASE WHEN rn = 256 THEN h END) AS h256
+           FROM r WHERE rn <= 256 GROUP BY 1, 2)
+    SELECT event_type, CAST(wend AS BIGINT) AS wend,
+           floor(CASE WHEN n_seen >= 256
+                 THEN 255 / ((h256 + 1.0) / 1152921504606846976.0)
+                 ELSE CAST(n_seen AS DOUBLE) END * 1e4 + 0.5) / 1e4
+             AS est_users_7d
+    FROM sk
+    """,
+)
 def sketch_kmv_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-7-day distinct users per event type from MERGED daily
     KMV sketches: one pass builds a 256-value sketch per (type, day);
@@ -188,7 +261,13 @@ def sketch_kmv_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouping is summary-only work afterwards). Mergeability is exact
     (the k smallest of a union are a subset of the per-part k
     smallest); estimate accuracy vs the exact rolling query is pinned
-    in ``tests/test_sketch.py``."""
+    in ``tests/test_sketch.py``.
+
+    ORACLE-CHECKED now (was rows-only through r4): mergeability is
+    EXACT (the k smallest of a union of per-part k-smallest equal the
+    k smallest of the raw union), so the oracle recomputes each window
+    from raw rows with the same portable seeded-md5 hash and must land
+    on the identical estimate."""
     from ..operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -196,7 +275,7 @@ def sketch_kmv_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("dayn"),
     )
-    daily = kmv_sketch(ev, "user_id", ["event_type", "dayn"], k=256)
+    daily = kmv_sketch(ev, "user_id", ["event_type", "dayn"], k=256, portable=True)
     spine = ev.select("dayn").distinct().withColumnRenamed("dayn", "wend")
     contrib = daily.select(
         "event_type",
@@ -207,7 +286,7 @@ def sketch_kmv_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_seen",
     ).join(spine, on="wend", how="left_semi")
     merged = kmv_merge(contrib, ["event_type", "wend"], k=256)
-    return kmv_estimate(merged, k=256).select(
+    return kmv_estimate(merged, k=256, portable=True).select(
         "event_type",
         F.col("wend").cast("bigint").alias("wend"),
         round_portable(F.col("est_distinct"), 4).alias("est_users_7d"),

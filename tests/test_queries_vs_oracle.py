@@ -55,12 +55,12 @@ def test_rows_only_census():
         "similarity_ivfpq_adc",
         # LAPACK eigendecomposition (sign/order conventions engine-bound)
         "embedding_pca_scores",
-        # sketches: the estimate depends on engine hash + merge order
+        # engine-internal sketches (GK / HLL): the estimate depends on
+        # Spark's private sketch state, unlike the engine's own KMV
+        # (oracle-backed via the portable hash since r5)
         "events_approx_percentiles",
         "approx_distinct_parts",
         "hll_sketch_distinct",
-        "sketch_kmv_segment_overlap",
-        "sketch_kmv_rolling_users",
         # zlib compression (no SQL equivalent)
         "text_compression_ratio",
         # iterative argmax over merge rounds (Python-reference parity
@@ -70,7 +70,7 @@ def test_rows_only_census():
     }
     unjustified = set(ROWS_ONLY) - JUSTIFIED
     assert not unjustified, f"rows-only without documented reason: {unjustified}"
-    assert len(ROWS_ONLY) <= 14, ROWS_ONLY
+    assert len(ROWS_ONLY) <= 12, ROWS_ONLY
     for converted in (
         "pagerank_suppliers",
         "graph_kcore_suppliers",
@@ -78,5 +78,7 @@ def test_rows_only_census():
         "dedup_simhash",
         "text_fingerprint_winnow",
         "dedup_bloom_incremental",
+        "sketch_kmv_segment_overlap",
+        "sketch_kmv_rolling_users",
     ):
         assert converted in WITH_ORACLE
