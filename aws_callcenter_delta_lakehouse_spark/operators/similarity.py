@@ -114,15 +114,38 @@ def quantized_topk(
     return scored.orderBy(F.desc("sim"), F.asc(id_col)).limit(k)
 
 
-def _hyperplane(dim: int, plane: int) -> Column:
+def hyperplane_constants(dim: int, plane: int) -> list[float]:
+    """The PORTABLE hyperplane: component j is the low 60 bits of
+    md5(plane|j) scaled to [-1, 1), computed in driver Python once at
+    plan-build time. The exact double constants land in the Spark plan
+    as literals AND (via ``repr``, which round-trips exactly) in the
+    generated oracle SQL — so an engine with no compatible hash at all
+    reproduces the buckets bit-for-bit."""
+    import hashlib
+
+    out = []
+    for j in range(dim):
+        h = int(
+            hashlib.md5(f"{plane}|{j}".encode()).hexdigest()[:15], 16
+        )
+        out.append(h / float(1 << 59) - 1.0)
+    return out
+
+
+def _hyperplane(dim: int, plane: int, portable: bool = False) -> Column:
     """Deterministic pseudo-random unit-free hyperplane: component j is
-    xxhash64(j, plane) scaled to [-1, 1). Seeded, reproducible, and
-    computable identically in any engine with a 64-bit xxhash.
+    xxhash64(j, plane) scaled to [-1, 1) — or the md5-derived
+    ``hyperplane_constants`` when ``portable`` (same plan shape; the
+    constants fold to literals either way). Seeded and reproducible.
 
     Note: an unrolled element_at*literal sum was tried and is WORSE —
     384 flat terms exceed Janino's method limit, codegen falls back to
     interpreted mode and the query runs 2x slower. The array literal +
     zip_with formulation stays inside whole-stage codegen."""
+    if portable:
+        return F.array(
+            *[F.lit(v) for v in hyperplane_constants(dim, plane)]
+        )
     return F.array(
         *[
             (F.xxhash64(F.lit(j), F.lit(plane)) / F.lit(float(1 << 63)))
@@ -136,13 +159,19 @@ def hyperplane_lsh_buckets(
     vec_col: str,
     dim: int,
     num_planes: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Append ``bucket``: the sign-bit signature against ``num_planes``
     fixed hyperplanes. Cosine-similar vectors collide with high
     probability; 2^num_planes buckets."""
     bucket = None
     for p in range(num_planes):
-        bit = F.shiftleft((dot(F.col(vec_col), _hyperplane(dim, p)) > 0).cast("long"), p)
+        bit = F.shiftleft(
+            (dot(F.col(vec_col), _hyperplane(dim, p, portable)) > 0).cast(
+                "long"
+            ),
+            p,
+        )
         bucket = bit if bucket is None else bucket.bitwiseOR(bit)
     return df.withColumn("bucket", bucket)
 
@@ -158,6 +187,7 @@ def ann_topk(
     num_planes: int = 6,
     k: int = 5,
     multiprobe: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k for a *set* of queries: bucket both sides with
     the same hyperplanes, equi-join on bucket, then exact cosine + window
@@ -168,7 +198,7 @@ def ann_topk(
     multiplying candidates by ~(num_planes+1) for a large recall gain."""
     from pyspark.sql import Window
 
-    c = hyperplane_lsh_buckets(corpus, vec_col, dim, num_planes)
+    c = hyperplane_lsh_buckets(corpus, vec_col, dim, num_planes, portable)
     q = hyperplane_lsh_buckets(
         queries.select(
             F.col(query_id_col), F.col(query_vec_col).alias(vec_col)
@@ -176,6 +206,7 @@ def ann_topk(
         vec_col,
         dim,
         num_planes,
+        portable,
     ).withColumnsRenamed({vec_col: query_vec_col})
     if multiprobe:
         probe_buckets = F.array(

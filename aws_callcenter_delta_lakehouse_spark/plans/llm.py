@@ -249,15 +249,68 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("sim"), F.asc("vec_id")).limit(10)
 
 
-@query("similarity_ann_lsh")  # approximate by construction — rows-only
+def _ann_lsh_oracle_sql(dim: int = 64, num_planes: int = 6, k: int = 5) -> str:
+    """The LSH oracle needs no engine hash at all: the portable
+    hyperplane CONSTANTS (driver-computed md5-derived doubles) embed in
+    this SQL via ``repr`` (exact round-trip), so DuckDB re-derives the
+    same sign-bit buckets, candidate join, and rounded-cosine top-k."""
+    from ..operators.similarity import hyperplane_constants
+
+    plane_lists = [
+        "[" + ", ".join(repr(v) for v in hyperplane_constants(dim, p)) + "]"
+        for p in range(num_planes)
+    ]
+    bucket_expr = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+            i -> CAST(embedding[i] AS DOUBLE) * ({plane_lists[p]})[i])) > 0
+            THEN {1 << p} ELSE 0 END)"""
+        for p in range(num_planes)
+    )
+    return f"""
+    WITH b AS MATERIALIZED (
+        SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+    ),
+    cand AS (
+        SELECT q.vec_id AS q_id, c.vec_id,
+               floor(
+                 list_sum(list_transform(range(1, {dim + 1}),
+                   i -> CAST(q.embedding[i] AS DOUBLE)
+                        * CAST(c.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> CAST(q.embedding[i] AS DOUBLE)
+                           * CAST(q.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> CAST(c.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE)))))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM b q JOIN b c ON q.bucket = c.bucket
+        WHERE q.vec_id < 5
+    )
+    SELECT q_id, vec_id, sim FROM (
+        SELECT q_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM cand
+    ) WHERE rn <= {k}
+    """
+
+
+@query("similarity_ann_lsh", oracle=_ann_lsh_oracle_sql())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN: first 5 vectors as queries, top-5 within the
-    query's bucket. Recall vs brute force asserted in unit tests."""
+    query's bucket. Recall vs brute force asserted in unit tests.
+
+    ORACLE-CHECKED now (was rows-only through r4): the registry
+    instance uses the PORTABLE hyperplanes (driver-computed md5
+    constants, embedded verbatim in both the Spark plan and the
+    generated oracle SQL), so bucketing, the candidate join, and the
+    rounded-cosine top-k diff exactly. The xxhash64-derived planes stay
+    the default."""
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return ann_topk(emb, queries, dim=64, num_planes=6, k=5)
+    return ann_topk(emb, queries, dim=64, num_planes=6, k=5, portable=True)
 
 
 # ---------------------------------------------------------------------------

@@ -41,12 +41,9 @@ def test_rows_only_census():
     Queries converted to oracles in r5 (pagerank, kcore, stratified
     sample) must never regress to rows-only."""
     JUSTIFIED = {
-        # xxhash64-hashed (no DuckDB analogue for Spark's xxhash64;
-        # these use xxhash64 BECAUSE it is the cheapest JVM hash — the
-        # portable-md5 trick used for winnow/simhash would put 2x hash
-        # cost on the minhash/bloom hot paths for no semantic gain, and
-        # their recall/exactness is pinned by dedicated unit tests)
-        "similarity_ann_lsh",
+        # (the xxhash64-only queries were all converted in r5 via
+        # portable-hash modes: winnow, simhash, bloom, KMV, ann-lsh —
+        # xxhash64 stays each operator's default fast path)
         # seeded k-means / cluster-dependent (iterative float argmin —
         # centroid trajectories are not SQL-replayable)
         "dedup_semantic",
@@ -70,7 +67,7 @@ def test_rows_only_census():
     }
     unjustified = set(ROWS_ONLY) - JUSTIFIED
     assert not unjustified, f"rows-only without documented reason: {unjustified}"
-    assert len(ROWS_ONLY) <= 12, ROWS_ONLY
+    assert len(ROWS_ONLY) <= 11, ROWS_ONLY
     for converted in (
         "pagerank_suppliers",
         "graph_kcore_suppliers",
@@ -80,5 +77,6 @@ def test_rows_only_census():
         "dedup_bloom_incremental",
         "sketch_kmv_segment_overlap",
         "sketch_kmv_rolling_users",
+        "similarity_ann_lsh",
     ):
         assert converted in WITH_ORACLE
