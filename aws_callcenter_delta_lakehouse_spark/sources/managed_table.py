@@ -71,6 +71,24 @@ def is_table(spark: SparkSession, path: str) -> bool:
     return os.path.exists(os.path.join(path, _MARKER))
 
 
+def _fsync_dir(dirpath: str) -> None:
+    """fsync a DIRECTORY: a rename/replace is atomic without this, but
+    not durable — a power crash can undo an acknowledged commit. Losing
+    the rename only rolls back to the old snapshot (consistency holds
+    either way; ``recover`` heals), so this is the durability half of
+    the contract: once a commit returns, it survives power loss."""
+    try:
+        fd = os.open(dirpath, os.O_RDONLY)
+    except OSError:  # pragma: no cover - platform without dir-open
+        return
+    try:
+        os.fsync(fd)
+    except OSError:  # pragma: no cover - fs without dir-fsync
+        pass
+    finally:
+        os.close(fd)
+
+
 def _write_marker(
     path: str,
     keys: Sequence[str],
@@ -106,6 +124,7 @@ def _write_marker(
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, final)
+    _fsync_dir(path)
 
 
 def _read_marker(path: str) -> dict:
@@ -179,6 +198,7 @@ def _replace_marker(path: str, marker: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(path, _MARKER))
+    _fsync_dir(path)
 
 
 def _marker_valid(dirpath: str) -> bool:
@@ -866,10 +886,12 @@ def commit_overwrite(
         if os.path.exists(path):  # unmanaged leftovers — clear, then swap
             shutil.rmtree(path)
         os.rename(staging, path)
+        _fsync_dir(os.path.dirname(os.path.abspath(path)) or ".")
         return
     backup = f"{path}__old_{tag}"
     os.rename(path, backup)
     os.rename(staging, path)
+    _fsync_dir(os.path.dirname(os.path.abspath(path)) or ".")
     if max_history > 0:
         hist = _history_dir(path)
         os.makedirs(hist, exist_ok=True)
