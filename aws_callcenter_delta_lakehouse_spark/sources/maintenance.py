@@ -73,12 +73,22 @@ def compact(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
+    # carry skipping-manifest sidecars (every data file is new after a
+    # full rewrite, so the post-swap refresh amounts to a rebuild — but
+    # the table keeps its indexed-columns declaration instead of
+    # silently dropping the index)
+    for sidecar in ("_stats_manifest.json", "_bloom_manifest.json"):
+        src = os.path.join(path, sidecar)
+        if os.path.exists(src):
+            shutil.copy2(src, os.path.join(staging, sidecar))
     managed_table._write_marker(staging, (), partition_by)
 
     backup = f"{path}__compact_old"
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)
+    if not partition_by:  # manifests index flat tables only
+        _refresh_skipping_indexes(spark, path)
     return {"before": stats, "after": table_file_stats(path)}
 
 
