@@ -1,0 +1,133 @@
+"""Model-based soak of the managed-table protocol: a seeded random
+sequence of DML ops (overwrite / merge / delete / update / restore)
+runs against both the real table and a plain-Python dict model, with a
+crash injected at a random rename every few ops — after every step the
+table must equal the model exactly and the version must move the way
+the model predicts. The targeted crash tests pin each rename site; this
+pins the COMPOSITION: no operation sequence, crashed or clean, may
+leave the table diverged from its spec."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+N_OPS = 28
+SEED = 20260814
+
+
+def _df(spark, model: dict[int, str]):
+    if not model:
+        return spark.createDataFrame([], "id long, v string")
+    return spark.createDataFrame(sorted(model.items()), "id long, v string")
+
+
+def _snapshot(spark, path):
+    return {r.id: r.v for r in mt.read(spark, path).collect()}
+
+
+class _CrashOnce:
+    """Raise on the first rename touching the table path, then pass
+    everything through (the crashed writer is gone; recovery runs)."""
+
+    def __init__(self, prefix: str):
+        self.real = os.rename
+        self.prefix = prefix
+        self.armed = True
+
+    def __call__(self, src, dst):
+        if self.armed and (
+            str(src).startswith(self.prefix) or str(dst).startswith(self.prefix)
+        ):
+            self.armed = False
+            raise RuntimeError("injected crash")
+        return self.real(src, dst)
+
+
+@pytest.mark.slow
+def test_random_dml_soak_matches_model(spark, tmp_path, monkeypatch):
+    rng = random.Random(SEED)
+    path = str(tmp_path / "t")
+    model: dict[int, str] = {i: f"v{i}" for i in range(20)}
+    mt.commit_overwrite(_df(spark, model), path, keys=("id",))
+    # model of retained history: version -> contents (bounded like the
+    # table's max_history=2 default, so RESTORE targets stay readable)
+    history: dict[int, dict[int, str]] = {0: dict(model)}
+
+    ops_run = []
+    for step in range(N_OPS):
+        op = rng.choice(
+            ["overwrite", "merge", "delete", "update", "restore", "crash_merge"]
+        )
+        ops_run.append(op)
+        ver = mt.table_version(path)
+        if op == "overwrite":
+            model = {
+                i: f"o{step}_{i}"
+                for i in rng.sample(range(40), rng.randint(1, 12))
+            }
+            mt.commit_overwrite(_df(spark, model), path, keys=("id",))
+        elif op == "merge":
+            delta = {
+                i: f"m{step}_{i}"
+                for i in rng.sample(range(40), rng.randint(1, 8))
+            }
+            mt.merge_upsert(spark, path, _df(spark, delta), keys=("id",))
+            model.update(delta)
+        elif op == "delete":
+            cutoff = rng.randint(0, 40)
+            from pyspark.sql import functions as F
+
+            mt.delete_where(spark, path, F.col("id") < cutoff)
+            model = {i: v for i, v in model.items() if not i < cutoff}
+        elif op == "update":
+            from pyspark.sql import functions as F
+
+            mt.update_where(
+                spark,
+                path,
+                F.col("id") % 3 == 0,
+                {"v": F.concat(F.col("v"), F.lit("!"))},
+            )
+            model = {
+                i: (v + "!" if i % 3 == 0 else v) for i, v in model.items()
+            }
+        elif op == "restore":
+            targets = [v for v in mt.list_versions(path)[:-1] if v in history]
+            if not targets:
+                continue
+            tgt = rng.choice(targets)
+            mt.restore_table(spark, path, tgt)
+            model = dict(history[tgt])
+        elif op == "crash_merge":
+            delta = {
+                i: f"c{step}_{i}"
+                for i in rng.sample(range(40), rng.randint(1, 6))
+            }
+            crasher = _CrashOnce(path)
+            monkeypatch.setattr(os, "rename", crasher)
+            try:
+                with pytest.raises(RuntimeError, match="injected crash"):
+                    mt.merge_upsert(
+                        spark, path, _df(spark, delta), keys=("id",)
+                    )
+            finally:
+                monkeypatch.setattr(os, "rename", crasher.real)
+            mt.recover(path)
+            got = _snapshot(spark, path)
+            merged = {**model, **delta}
+            assert got in (model, merged), (step, ops_run)
+            if got == merged:  # crash landed after the publish
+                model = merged
+        # invariant: table == model, version moved monotonically
+        assert _snapshot(spark, path) == model, (step, ops_run)
+        new_ver = mt.table_version(path)
+        assert new_ver >= ver, (step, ops_run)
+        history[new_ver] = dict(model)
+        # prune model history to what the table still retains
+        retained = set(mt.list_versions(path))
+        history = {v: s for v, s in history.items() if v in retained}
