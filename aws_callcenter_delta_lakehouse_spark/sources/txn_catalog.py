@@ -49,24 +49,43 @@ def _latest_path(catalog_dir: str) -> str:
     return os.path.join(catalog_dir, "_latest.json")
 
 
+def _load_latest(catalog_dir: str) -> dict | None:
+    """The latest catalog payload, torn-write-safe: ``_latest.json`` is
+    only a cached pointer — if a crash tore it, fall back to the
+    HIGHEST parseable versioned manifest (the log of record), so a torn
+    pointer can never take the whole catalog down."""
+    import glob as _glob
+
+    p = _latest_path(catalog_dir)
+    if os.path.exists(p):
+        try:
+            with open(p) as fh:
+                return json.load(fh)
+        except json.JSONDecodeError:
+            pass
+    for vf in sorted(
+        _glob.glob(os.path.join(catalog_dir, "v*.json")), reverse=True
+    ):
+        try:
+            with open(vf) as fh:
+                return json.load(fh)
+        except json.JSONDecodeError:  # pragma: no cover - torn versioned
+            continue
+    return None
+
+
 def catalog_version(catalog_dir: str) -> int:
     """Current catalog version; -1 before the first commit."""
-    p = _latest_path(catalog_dir)
-    if not os.path.exists(p):
-        return -1
-    with open(p) as fh:
-        return int(json.load(fh)["version"])
+    payload = _load_latest(catalog_dir)
+    return -1 if payload is None else int(payload["version"])
 
 
 def read_manifest(catalog_dir: str, version: int | None = None) -> dict:
     """The table->(path, version) map of a catalog version (default:
     latest). Empty dict before the first commit."""
     if version is None:
-        p = _latest_path(catalog_dir)
-        if not os.path.exists(p):
-            return {}
-        with open(p) as fh:
-            return json.load(fh)["tables"]
+        payload = _load_latest(catalog_dir)
+        return {} if payload is None else payload["tables"]
     with open(os.path.join(catalog_dir, f"v{version:06d}.json")) as fh:
         return json.load(fh)["tables"]
 
@@ -77,11 +96,8 @@ def catalog_txn(catalog_dir: str) -> dict:
     whatever dict the latest ``commit_tables(txn=...)`` carried. A
     streaming sink records its epoch here, so replay-skip covers ALL
     tables of the transaction at once."""
-    p = _latest_path(catalog_dir)
-    if not os.path.exists(p):
-        return {}
-    with open(p) as fh:
-        return json.load(fh).get("txn", {})
+    payload = _load_latest(catalog_dir)
+    return {} if payload is None else payload.get("txn", {})
 
 
 def commit_tables(
@@ -121,11 +137,16 @@ def commit_tables(
     tmp = versioned + ".tmp"
     with open(tmp, "w") as fh:
         json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.rename(tmp, versioned)
     tmp2 = _latest_path(catalog_dir) + ".tmp"
     with open(tmp2, "w") as fh:
         json.dump(payload, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp2, _latest_path(catalog_dir))
+    mt._fsync_dir(catalog_dir)
     return new_version
 
 

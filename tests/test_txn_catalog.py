@@ -125,3 +125,30 @@ def test_expected_version_conflict_raises_before_writes(spark, tmp_path):
         )
     # no data was touched: table head unchanged
     assert mt.table_version(a_path) == 0
+
+
+def test_torn_catalog_pointer_falls_back_to_versioned_log(spark, tmp_path):
+    """A torn _latest.json (power crash mid-write) must not take the
+    catalog down: version/manifest/txn reads fall back to the highest
+    parseable versioned manifest — the log of record — and the next
+    commit heals the pointer."""
+    from aws_callcenter_delta_lakehouse_spark.sources import txn_catalog as tc
+
+    cat = str(tmp_path / "cat")
+    t1 = str(tmp_path / "t1")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    tc.commit_tables({"t1": (df, t1, ("id",))}, cat, txn={"e": 7})
+
+    with open(tc._latest_path(cat), "w") as fh:
+        fh.write('{"version": ')  # torn mid-JSON
+
+    assert tc.catalog_version(cat) == 0
+    assert tc.read_manifest(cat)["t1"]["version"] == 0
+    assert tc.catalog_txn(cat)["e"] == 7
+    got = {(r.id, r.v) for r in tc.read_table(spark, cat, "t1").collect()}
+    assert got == {(1, "a")}
+
+    # next commit heals the pointer
+    df2 = spark.createDataFrame([(2, "b")], "id long, v string")
+    tc.commit_tables({"t1": (df2, t1, ("id",))}, cat, expected_version=0)
+    assert tc.catalog_version(cat) == 1
