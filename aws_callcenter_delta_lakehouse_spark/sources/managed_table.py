@@ -868,6 +868,17 @@ def commit_overwrite(
             ) if maxes[c] is not None else int(spec["high_water"])}
             for c, spec in id_cols.items()
         }
+    # skipping-manifest sidecars carry forward as the table's INDEX
+    # DECLARATION (every data file is new after a rewrite, so reads
+    # fail open — footer fallback / keep-all — until
+    # layout.update_stats_manifest / update_bloom_manifest re-index;
+    # dropping the files entirely would silently lose which columns
+    # the table indexes)
+    if exists:
+        for sidecar in ("_stats_manifest.json", "_bloom_manifest.json"):
+            src = os.path.join(path, sidecar)
+            if os.path.exists(src):
+                shutil.copy2(src, os.path.join(staging, sidecar))
     # marker is staged LAST: its presence marks the dir committed-ready
     _write_marker(
         staging, key_list, partition_by, version=version, txn=txn,

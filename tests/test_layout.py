@@ -705,3 +705,51 @@ def test_compact_where_single_job_regardless_of_partitions(spark, tmp_path):
         assert len(glob.glob(os.path.join(path, f"bucket={b}", "*.parquet"))) == 1
     assert spark.read.parquet(path).count() == 2000
     assert glob.glob(f"{path}__*") == []
+
+
+def test_dml_rewrite_preserves_index_declaration(spark, tmp_path):
+    """A merge/delete rewrite must not silently drop the skipping-index
+    declaration: the manifest sidecars carry into the new snapshot (all
+    entries stale -> reads fail open), and one incremental update
+    re-indexes the new files for the declared columns."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        pruned_file_list,
+        update_stats_manifest,
+        write_clustered,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    mt.initial_write(
+        spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v"), path,
+        keys=("k",),
+    )
+    # cluster + index (rewrite the managed table's files clustered)
+    df = mt.read(spark, path)
+    write_clustered(df, path + "__tmp", cluster_by=["k"], num_files=4)
+    import glob
+    import os as _os
+    import shutil
+
+    for f in glob.glob(path + "/*.parquet"):
+        _os.remove(f)
+    for f in glob.glob(path + "__tmp/*.parquet"):
+        shutil.move(f, path)
+    shutil.rmtree(path + "__tmp")
+    write_stats_manifest(path, ["k"])
+
+    # DML rewrite
+    delta = spark.createDataFrame([(5, 999)], "k long, v long")
+    mt.merge_upsert(spark, path, delta, keys=("k",))
+
+    # declaration survived; reads fail open (all files kept)
+    assert _os.path.exists(path + "/_stats_manifest.json")
+    kept, total = pruned_file_list(path, "k", lo=0, hi=1)
+    assert len(kept) == total  # stale entries dropped by basename -> keep all
+
+    # one incremental update re-indexes the declared column
+    stats = update_stats_manifest(path, ["k"])
+    assert stats["total"] == total
+    # rows intact
+    assert mt.read(spark, path).count() == 2000
