@@ -263,19 +263,49 @@ def optimize_hilbert(
     return {"before": before, "after": table_file_stats(path)}
 
 
-def vacuum(path: str, retain_history: bool = False) -> list[str]:
+def vacuum(
+    path: str,
+    retain_history: bool = False,
+    retention_hours: float = 0.0,
+    dry_run: bool = False,
+) -> list[str]:
     """Remove leftover __staging/__old/__compact dirs from interrupted
     operations, plus retained ``__history`` version snapshots (Delta
     VACUUM analogue: unreferenced files AND expired time-travel
     snapshots). ``retain_history=True`` keeps the version snapshots —
-    the equivalent of a retention window that hasn't elapsed."""
+    the blanket form of a retention window.
+
+    Delta-parity knobs (r5): ``retention_hours`` keeps anything whose
+    newest file is younger than the window (Delta's ``RETAIN n HOURS``
+    — protects in-flight writers and still-pinned readers), and
+    ``dry_run=True`` returns what WOULD be removed without touching
+    disk (``VACUUM ... DRY RUN``)."""
+    import time as _time
+
+    cutoff = _time.time() - retention_hours * 3600.0
+
+    def _young(d: str) -> bool:
+        if retention_hours <= 0:
+            return False
+        newest = max(
+            (
+                os.path.getmtime(os.path.join(r, f))
+                for r, _dd, ff in os.walk(d)
+                for f in ff
+            ),
+            default=os.path.getmtime(d),
+        )
+        return newest > cutoff
+
     removed = []
-    for leftover in glob.glob(f"{path}__*"):
+    for leftover in sorted(glob.glob(f"{path}__*")):
         if retain_history and leftover == f"{path}__history":
             continue
-        if os.path.isdir(leftover):
+        if not os.path.isdir(leftover) or _young(leftover):
+            continue
+        removed.append(leftover)
+        if not dry_run:
             shutil.rmtree(leftover)
-            removed.append(leftover)
     return removed
 
 

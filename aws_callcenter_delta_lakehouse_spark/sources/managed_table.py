@@ -413,6 +413,31 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     return spark.read.parquet(snap)
 
 
+def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
+    """Delta ``TIMESTAMP AS OF`` time travel: read the newest retained
+    snapshot whose commit time is <= ``ts`` (a unix timestamp; each
+    snapshot's marker records its commit ``ts`` atomically with the
+    data). Raises if every retained snapshot is newer — same contract
+    as Delta's 'timestamp before earliest version' error."""
+    recover(path)
+    live = table_version(path)
+    candidates = []  # (commit_ts, version)
+    for v in list_versions(path):
+        snap = path if v == live else os.path.join(
+            _history_dir(path), f"v{v:06d}"
+        )
+        marker = _read_marker(snap)
+        if marker:
+            candidates.append((float(marker.get("ts", 0.0)), v))
+    eligible = [(t, v) for t, v in candidates if t <= ts]
+    if not eligible:
+        raise ValueError(
+            f"{path}: no retained snapshot at or before timestamp {ts} "
+            f"(earliest retained commit: {min(candidates)[0] if candidates else None})"
+        )
+    return read(spark, path, version=max(eligible)[1])
+
+
 def history(spark: SparkSession, path: str) -> DataFrame:
     """DESCRIBE HISTORY analogue (Delta: table-commit log; here: the
     retained snapshot markers). One row per readable version:

@@ -317,3 +317,57 @@ def test_partition_evolution_on_commit(spark, tmp_path):
     assert {tuple(r) for r in mt.read(spark, path).select("id", "lang", "src").collect()} \
         == {(1, "en", "web"), (2, "de", "app"), (3, "en", "app")}
     assert mt._read_marker(path)["partition_by"] == ["src"]
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    """TIMESTAMP AS OF time travel: each commit's marker records its
+    commit ts atomically with the data; read_as_of resolves the newest
+    retained snapshot at-or-before the asked timestamp and refuses a
+    timestamp older than everything retained."""
+    import time
+
+    import pytest as _pytest
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    mt.commit_overwrite(df1, path, keys=("id",))
+    t0 = time.time()
+    time.sleep(1.1)
+    df2 = spark.createDataFrame([(1, "b")], "id long, v string")
+    mt.commit_overwrite(df2, path, keys=("id",))
+
+    assert [r.v for r in mt.read_as_of(spark, path, t0).collect()] == ["a"]
+    assert [r.v for r in mt.read_as_of(spark, path, time.time()).collect()] == ["b"]
+    with _pytest.raises(ValueError, match="no retained snapshot"):
+        mt.read_as_of(spark, path, t0 - 3600)
+
+
+def test_vacuum_retention_and_dry_run(spark, tmp_path):
+    """VACUUM RETAIN n HOURS + DRY RUN: young leftovers survive the
+    retention window, dry_run reports without deleting, and a zero
+    window removes everything."""
+    import os
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import vacuum
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.createDataFrame([(1, "a")], "id long, v string"), path, keys=("id",)
+    )
+    dead = path + "__staging_dead"
+    os.makedirs(dead)
+    with open(dead + "/part-0.parquet", "w") as fh:
+        fh.write("x")
+
+    # young leftover survives a 1-hour retention window
+    assert vacuum(path, retention_hours=1.0) == []
+    assert os.path.isdir(dead)
+    # dry run reports but does not delete
+    assert vacuum(path, dry_run=True) == [dead]
+    assert os.path.isdir(dead)
+    # zero retention removes it
+    assert vacuum(path) == [dead]
+    assert not os.path.isdir(dead)
