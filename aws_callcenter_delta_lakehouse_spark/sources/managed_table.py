@@ -452,7 +452,19 @@ def history(spark: SparkSession, path: str) -> DataFrame:
             _history_dir(path), f"v{v:06d}"
         )
         marker = _read_marker(snap)
-        n = spark.read.parquet(snap).count()
+        # TRUE metadata-only count: sum the parquet footers' num_rows
+        # directly (a Spark count() still schedules a scan job per
+        # snapshot — with aggregate pushdown off it touches row-group
+        # metadata from executors; this touches nothing but footers,
+        # and launches zero jobs)
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        n = sum(
+            _pq.read_metadata(f).num_rows
+            for f in _glob.glob(os.path.join(snap, "**", "*.parquet"), recursive=True)
+        )
         rows.append(
             (
                 v,
