@@ -622,3 +622,69 @@ def foreach_batch_lsh_index(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def apply_multi_table_epoch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    catalog_dir: str,
+    tables: dict,
+) -> bool:
+    """One micro-batch applied to SEVERAL tables with a single atomic
+    visibility point — the cross-table exactly-once contract real Delta
+    cannot make (no multi-table transactions): every derived snapshot
+    commits per-table, then ONE catalog-pointer flip publishes them all
+    with the epoch in the catalog txn.
+
+    ``tables``: {name: (derive, path, keys)} where ``derive(batch_df,
+    old_df_or_None) -> DataFrame`` produces the table's NEW full
+    snapshot. ``old_df`` is read through the CATALOG PIN, never the
+    table head — after a crash between the per-table commits and the
+    pointer flip, the replayed epoch must re-derive from the
+    pre-images (the advanced-but-unpublished heads are unreferenced
+    history, swept by vacuum).
+
+    Crash anywhere → the catalog serves ALL old tables (epoch not
+    recorded → replay re-applies) or ALL new ones (epoch recorded →
+    replay skips). A reader holding ``txn_catalog.snapshot()`` never
+    observes table A new with table B old. Returns True iff applied
+    (False = replayed epoch skipped)."""
+    from ..sources import txn_catalog as tc
+
+    spark = batch_df.sparkSession
+    last = int(tc.catalog_txn(catalog_dir).get("last_epoch", -1))
+    if epoch_id <= last:
+        return False  # replayed batch: the whole transaction landed
+    pinned = tc.snapshot(catalog_dir)
+    updates = {}
+    for name, (derive, path, keys) in tables.items():
+        old = (
+            tc.read_table(spark, catalog_dir, name, manifest=pinned)
+            if name in pinned
+            else None
+        )
+        updates[name] = (derive(batch_df, old), path, tuple(keys))
+    tc.commit_tables(
+        updates, catalog_dir, txn={"last_epoch": int(epoch_id)}
+    )
+    return True
+
+
+def foreach_batch_multi_table(
+    stream: DataFrame,
+    catalog_dir: str,
+    tables: dict,
+    checkpoint: str,
+) -> "object":
+    """Streaming sink wrapper over :func:`apply_multi_table_epoch`:
+    stream -> N managed tables, published atomically per epoch through
+    the transactional catalog. Returns the query handle."""
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        apply_multi_table_epoch(batch_df, epoch_id, catalog_dir, tables)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

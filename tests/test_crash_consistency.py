@@ -360,3 +360,79 @@ def test_scd2_sink_replay_after_crash(spark, tmp_path, crash_after_commit):
         (2, "B", "2024-01-01", "9999-12-31", True),
         (3, "C", "2024-02-01", "9999-12-31", True),
     }
+
+
+def test_multi_table_epoch_crash_all_or_nothing(spark, tmp_path, monkeypatch):
+    """Cross-table exactly-once: a micro-batch feeding raw + rollup
+    tables publishes through one catalog-pointer flip. Crash the flip:
+    the catalog serves BOTH old tables (never mixed) and the replayed
+    epoch re-derives from the catalog pre-images and lands exactly
+    once — totals never double-apply."""
+    from pyspark.sql import functions as F
+
+    from aws_callcenter_delta_lakehouse_spark.sources import txn_catalog as tc
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        apply_multi_table_epoch,
+    )
+
+    cat = str(tmp_path / "cat")
+    raw_p = str(tmp_path / "raw")
+    gold_p = str(tmp_path / "gold")
+
+    def derive_raw(batch, old):
+        return batch if old is None else old.unionByName(batch)
+
+    def derive_gold(batch, old):
+        delta = batch.groupBy("k").agg(F.sum("v").alias("total"))
+        if old is None:
+            return delta
+        return (
+            old.unionByName(delta)
+            .groupBy("k")
+            .agg(F.sum("total").alias("total"))
+        )
+
+    tables = {
+        "raw": (derive_raw, raw_p, ("id",)),
+        "gold": (derive_gold, gold_p, ("k",)),
+    }
+
+    b0 = spark.createDataFrame([(0, "a", 10), (1, "b", 5)], "id long, k string, v long")
+    assert apply_multi_table_epoch(b0, 0, cat, tables) is True
+    assert apply_multi_table_epoch(b0, 0, cat, tables) is False  # replay skips
+
+    # epoch 1 crashes at the catalog-pointer flip (after per-table commits)
+    b1 = spark.createDataFrame([(2, "a", 7)], "id long, k string, v long")
+    real_replace = os.replace
+
+    def crash_flip(src, dst):
+        if str(dst).endswith("_latest.json"):
+            raise RuntimeError("injected crash")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_flip)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            apply_multi_table_epoch(b1, 1, cat, tables)
+    finally:
+        monkeypatch.setattr(os, "replace", real_replace)
+
+    # catalog still serves the epoch-0 state of BOTH tables
+    assert tc.catalog_txn(cat)["last_epoch"] == 0
+    gold = {
+        (r.k, r.total)
+        for r in tc.read_table(spark, cat, "gold").collect()
+    }
+    assert gold == {("a", 10), ("b", 5)}
+    assert tc.read_table(spark, cat, "raw").count() == 2
+
+    # replay of epoch 1 re-derives from the pre-images: exactly once
+    assert apply_multi_table_epoch(b1, 1, cat, tables) is True
+    gold2 = {
+        (r.k, r.total)
+        for r in tc.read_table(spark, cat, "gold").collect()
+    }
+    assert gold2 == {("a", 17), ("b", 5)}
+    assert tc.read_table(spark, cat, "raw").count() == 3
+    # and a second replay is a no-op
+    assert apply_multi_table_epoch(b1, 1, cat, tables) is False
