@@ -1160,3 +1160,61 @@ def append_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def table_detail(path: str) -> dict:
+    """``DESCRIBE DETAIL`` analogue: one metadata-only dict describing
+    the live table — version, commit ts, file/byte counts (footer and
+    dirent metadata, zero Spark jobs), keys, partitioning, constraint/
+    generated/identity declarations, and which skipping indexes exist."""
+    import glob as _glob
+
+    recover(path)
+    marker = _read_marker(path)
+    if not marker:
+        raise ValueError(f"{path} is not a managed table")
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if os.path.isfile(f)
+    ]
+    return {
+        "path": path,
+        "version": int(marker.get("version", 0)),
+        "ts": float(marker.get("ts", 0.0)),
+        "num_files": len(files),
+        "size_bytes": sum(os.path.getsize(f) for f in files),
+        "keys": list(marker.get("keys", [])),
+        "partition_by": list(marker.get("partition_by", [])),
+        "constraints": dict(marker.get("constraints", {})),
+        "generated_columns": sorted(marker.get("generated", {})),
+        "identity_columns": sorted(marker.get("identity", {})),
+        "unique_keys": bool(marker.get("unique_keys", False)),
+        "stats_manifest": os.path.exists(
+            os.path.join(path, "_stats_manifest.json")
+        ),
+        "bloom_manifest": os.path.exists(
+            os.path.join(path, "_bloom_manifest.json")
+        ),
+        "retained_versions": list_versions(path),
+    }
+
+
+def convert_to_managed(
+    spark: SparkSession, path: str, keys: Sequence[str] = ()
+) -> dict:
+    """``CONVERT TO DELTA`` analogue: adopt an EXISTING plain-parquet
+    directory as a managed table IN PLACE — no data rewrite, no copy;
+    the commit protocol only needs the marker, which is written (fsync,
+    atomic replace) into the directory as version 0. The first
+    post-conversion DML then runs the full stage-and-swap like any
+    other table. Refuses directories that are already managed (convert
+    is not idempotent-overwrite: it would reset version/txn state)."""
+    if not os.path.isdir(path):
+        raise ValueError(f"{path} is not a directory")
+    if os.path.exists(os.path.join(path, _MARKER)):
+        raise ValueError(f"{path} is already a managed table")
+    # sanity: it must actually hold parquet (schema readable)
+    spark.read.parquet(path).schema
+    _write_marker(path, tuple(keys), ())
+    return table_detail(path)

@@ -371,3 +371,44 @@ def test_vacuum_retention_and_dry_run(spark, tmp_path):
     # zero retention removes it
     assert vacuum(path) == [dead]
     assert not os.path.isdir(dead)
+
+
+def test_table_detail_and_convert_to_managed(spark, tmp_path):
+    """DESCRIBE DETAIL + CONVERT TO DELTA analogues: detail is
+    metadata-only and complete; convert adopts a plain parquet dir in
+    place (no rewrite — same files), refuses double-conversion, and the
+    first post-conversion DML runs the full protocol."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+    # plain parquet dir written by some other system
+    path = str(tmp_path / "plain")
+    spark.range(0, 100).selectExpr("id", "id * 2 AS v").coalesce(2).write.parquet(
+        path
+    )
+    files_before = sorted(glob.glob(path + "/*.parquet"))
+    inodes_before = [os.stat(f).st_ino for f in files_before]
+
+    detail = mt.convert_to_managed(spark, path, keys=("id",))
+    assert detail["version"] == 0 and detail["keys"] == ["id"]
+    assert detail["num_files"] == 2 and detail["size_bytes"] > 0
+    # in place: same files, same inodes (no rewrite, no copy)
+    assert sorted(glob.glob(path + "/*.parquet")) == files_before
+    assert [os.stat(f).st_ino for f in files_before] == inodes_before
+    assert mt.is_table(spark, path)
+    assert mt.read(spark, path).count() == 100
+
+    with _pytest.raises(ValueError, match="already a managed table"):
+        mt.convert_to_managed(spark, path)
+
+    # first DML after conversion runs the normal protocol
+    delta = spark.createDataFrame([(1, 999)], "id long, v long")
+    mt.merge_upsert(spark, path, delta, keys=("id",))
+    assert mt.table_version(path) == 1
+    d2 = mt.table_detail(path)
+    assert d2["version"] == 1 and d2["retained_versions"][-1] == 1
+    assert {r.v for r in mt.read(spark, path).filter("id = 1").collect()} == {999}
