@@ -60,3 +60,47 @@ def test_jaccard_bounds_and_symmetry(a, b):
     assert 0.0 <= j <= 1.0 and j == j_sym
     if a == b:
         assert j == 1.0
+
+
+def test_portable_hash_contract_spark_vs_python(spark):
+    """The portable 60-bit md5 hash now underpins six oracle-backed
+    queries (winnow, simhash, bloom, both KMV sketches, ann-lsh
+    constants). Pin the contract on adversarial inputs: Spark's
+    conv(substr(md5(x),1,15),16,10) must equal Python's
+    int(hashlib.md5(x).hexdigest()[:15], 16) for every string —
+    including empties, unicode, digits-only, and '0x'-prefix lookalikes
+    — and the hyperplane constants must round-trip through repr."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from aws_callcenter_delta_lakehouse_spark.operators.similarity import (
+        hyperplane_constants,
+    )
+
+    samples = [
+        "", "a", "0x1f", "deadbeef", "0", "000000000000000",
+        "héllo wörld", "The quick brown fox", "123456789012345678",
+        " lead", "trail ", "two  spaces", "\tTAB", "ünïcödé-текст-文字",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {
+        r.s: r.h
+        for r in df.select(
+            "s",
+            F.conv(F.substring(F.md5("s"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        ).collect()
+    }
+    for s in samples:
+        want = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        assert got[s] == want, s
+        assert 0 <= want < (1 << 60)
+
+    # hyperplane constants: in [-1, 1), deterministic, repr-exact
+    for p in range(3):
+        a = hyperplane_constants(16, p)
+        assert a == hyperplane_constants(16, p)
+        assert all(-1.0 <= v < 1.0 for v in a)
+        assert all(float(repr(v)) == v for v in a)
