@@ -233,12 +233,55 @@ def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_semantic")  # iterative-free but cluster-seeded — rows-only
+@query(
+    "dedup_semantic",
+    oracle="""
+    WITH cents AS MATERIALIZED (
+        SELECT vec_id AS cid, embedding AS cv,
+               sqrt(list_sum(list_transform(range(1, 65),
+                 i -> CAST(embedding[i] AS DOUBLE)
+                      * CAST(embedding[i] AS DOUBLE)))) AS nrm
+        FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    scored AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               -(list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE)
+                       * (CAST(c.cv[i] AS DOUBLE) / c.nrm)))) AS negsim
+        FROM embeddings e, cents c
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, embedding, cid AS centroid_id FROM (
+            SELECT vec_id, embedding, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY negsim ASC, cid ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    losers AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a JOIN assign b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE floor(list_cosine_similarity(a.embedding, b.embedding)
+                    * 1e4 + 0.5) / 1e4 >= 0.98
+    )
+    SELECT centroid_id, COUNT(*) AS n_survivors, MIN(vec_id) AS min_vec_id
+    FROM assign WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    GROUP BY centroid_id ORDER BY centroid_id
+    """,
+)
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup over the embeddings table:
     zero-shuffle IVF cluster assignment, exact within-cluster cosine
     pairs (work bounded by sum(cluster²)), greedy min-id survivors.
-    Behavior pinned by unit tests on constructed duplicates."""
+    Behavior pinned by unit tests on constructed duplicates.
+
+    ORACLE-CHECKED now (was rows-only through r4): the IVF seeding is
+    the 16 lowest-id vectors with NO Lloyd iterations, so the whole
+    pipeline is deterministic algebra — the oracle mirrors the engine's
+    exact FP association (centroids normalized per element FIRST, then
+    the dot; negsim ASC + centroid_id ASC tie-break) and the rounded
+    within-cluster cosine threshold."""
     from ..catalog import load_table_parallel
     from ..operators.similarity import semantic_dedup
 

@@ -44,9 +44,10 @@ def test_rows_only_census():
         # (the xxhash64-only queries were all converted in r5 via
         # portable-hash modes: winnow, simhash, bloom, KMV, ann-lsh —
         # xxhash64 stays each operator's default fast path)
-        # seeded k-means / cluster-dependent (iterative float argmin —
-        # centroid trajectories are not SQL-replayable)
-        "dedup_semantic",
+        # k-means with LLOYD ITERATIONS (iterative float argmin —
+        # centroid trajectories are not SQL-replayable; the
+        # iteration-free seeded variant dedup_semantic IS oracle-backed
+        # since r5)
         "similarity_ivf_kmeans",
         "similarity_pq_adc",
         "similarity_ivfpq_adc",
@@ -67,7 +68,7 @@ def test_rows_only_census():
     }
     unjustified = set(ROWS_ONLY) - JUSTIFIED
     assert not unjustified, f"rows-only without documented reason: {unjustified}"
-    assert len(ROWS_ONLY) <= 11, ROWS_ONLY
+    assert len(ROWS_ONLY) <= 10, ROWS_ONLY
     for converted in (
         "pagerank_suppliers",
         "graph_kcore_suppliers",
@@ -78,5 +79,6 @@ def test_rows_only_census():
         "sketch_kmv_segment_overlap",
         "sketch_kmv_rolling_users",
         "similarity_ann_lsh",
+        "dedup_semantic",
     ):
         assert converted in WITH_ORACLE
