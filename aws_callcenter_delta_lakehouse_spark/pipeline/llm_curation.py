@@ -54,8 +54,10 @@ def curate_corpus(
        ``partitionBy(shard)`` parquet write with ``pos`` materialized.
 
     Returns ``{"manifest": per-shard DataFrame, "dropped": stage-by-
-    stage counts}`` — the counts come from one action per stage over
-    id-only frames, never over payloads.
+    stage counts}`` — one action per stage, each over an id-only frame:
+    ``curate`` emits ``(id, shard, n_chars)`` so the survivor chain
+    never carries payloads, and the input count projects ``id_col``
+    only so the scan prunes the text column.
     """
     spark = docs.sparkSession
 
@@ -125,7 +127,7 @@ def curate_corpus(
     return {
         "manifest": manifest,
         "dropped": {
-            "input": docs.count(),
+            "input": docs.select(id_col).count(),
             "after_filter_exact_dedup": n_exact,
             "after_near_dup": n_near,
             "after_decontamination": n_clean,

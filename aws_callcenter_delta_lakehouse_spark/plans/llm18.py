@@ -149,10 +149,15 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey", "l_extendedprice", "l_discount"
     )
     # positions materialized in their own projection (perf trap 1),
-    # then an inline forall over k=4 probe positions per row
+    # then an inline forall over k=4 probe positions per row. The probe
+    # column is cast to the BUILD column's exact type first: xxhash64 is
+    # type-sensitive (trap 14) and the testdata physical types have
+    # drifted between rounds (trap 11) — an int32/int64 mismatch would
+    # silently false-negative and drop matching fact rows.
+    probe_col = F.col("l_suppkey").cast(sup.schema["s_suppkey"].dataType)
     probed = (
         li.join(F.broadcast(bloom_map))
-        .withColumn("__pos", _bit_positions(F.col("l_suppkey"), m_bits, k))
+        .withColumn("__pos", _bit_positions(probe_col, m_bits, k))
         .filter(
             F.expr(
                 "forall(__pos, p -> "

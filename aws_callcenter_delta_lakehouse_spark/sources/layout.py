@@ -212,8 +212,13 @@ def write_bloom_manifest(
     import json as _json
 
     files = sorted(_glob.glob(f"{path}/*.parquet"))
-    manifest_entries = _bloom_entries_for_files(
-        spark, files, columns, num_bits, num_hashes
+    # empty/no-parquet directory -> empty-files manifest (a zero-arg
+    # spark.read.parquet() raises), mirroring update_bloom_manifest's
+    # `if new_files:` guard
+    manifest_entries = (
+        _bloom_entries_for_files(spark, files, columns, num_bits, num_hashes)
+        if files
+        else {}
     )
     manifest = f"{path}/_bloom_manifest.json"
     # atomic replace, same contract as the stats manifest

@@ -113,7 +113,22 @@ def _compact_partitions(
             "partition directories to rewrite, not rows"
         )
     df = managed_table.read(spark, path)
-    part_rows = df.filter(where).select(*partition_by).distinct().collect()
+    # collect the SPARK-rendered partition key alongside the values: the
+    # slot map below is looked up with concat_ws(cast-to-string) at plan
+    # time, and Python str(row[c]) renders bool/timestamp/float
+    # differently (True vs true, fractional seconds) — a mismatched key
+    # would return NULL n_out and silently collapse the partition into
+    # one file
+    part_rows = (
+        df.filter(where)
+        .select(*partition_by)
+        .distinct()
+        .withColumn(
+            "__spark_key",
+            F.concat_ws("/", *[F.col(c).cast("string") for c in partition_by]),
+        )
+        .collect()
+    )
 
     before = table_file_stats(path)
     # ONE Spark job for every selected partition (the serial
@@ -131,7 +146,7 @@ def _compact_partitions(
         if not os.path.isdir(subdir):  # pragma: no cover - defensive
             continue
         stats = table_file_stats(subdir)
-        key = "/".join(str(row[c]) for c in partition_by)
+        key = row["__spark_key"]
         n_out_by_key[key] = int(
             max(1, stats["total_bytes"] // target_file_bytes)
         )
