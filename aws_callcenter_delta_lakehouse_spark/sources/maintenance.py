@@ -64,6 +64,7 @@ def compact(
         return _compact_partitions(spark, path, partition_by, target_file_bytes, where)
 
     df = managed_table.read(spark, path)
+    live_marker = managed_table._read_marker(path)
     stats = table_file_stats(path)
     n_out = max(1, stats["total_bytes"] // target_file_bytes)
     compacted = df.coalesce(int(n_out))
@@ -81,7 +82,11 @@ def compact(
         src = os.path.join(path, sidecar)
         if os.path.exists(src):
             shutil.copy2(src, os.path.join(staging, sidecar))
-    managed_table._write_marker(staging, (), partition_by)
+    # carry ALL table metadata forward (version/txn/constraints/PK):
+    # compaction preserves data, so it must preserve the logical table
+    # too — a bare marker here would reset the exactly-once sinks'
+    # last_epoch and drop CHECK constraints
+    managed_table._write_marker_like(staging, live_marker, partition_by)
 
     backup = f"{path}__compact_old"
     os.rename(path, backup)
@@ -477,7 +482,9 @@ def compact_binpack(
                 )
                 seq += 1
     shutil.rmtree(bin_staging)
-    managed_table._write_marker(staging, marker.get("keys", ()), ())
+    # metadata-preserving marker (see compact): binpack rewrites bytes,
+    # never the logical table
+    managed_table._write_marker_like(staging, marker, ())
 
     backup = f"{path}__compact_old"
     os.rename(path, backup)

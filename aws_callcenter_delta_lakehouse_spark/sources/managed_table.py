@@ -89,6 +89,31 @@ def _fsync_dir(dirpath: str) -> None:
         os.close(fd)
 
 
+def _snapshot_stats(dirpath: str) -> dict:
+    """Footer/dirent-only stats of one snapshot directory: row count
+    from the parquet footers, file count and byte total from dirents.
+    Called ONCE per commit on the staged snapshot (whose files the
+    commit just wrote) so ``history()``/``table_detail()`` become pure
+    marker reads — Delta records the same numbers in each commit's log
+    entry (``operationMetrics``) for exactly this reason."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = [
+        f
+        for f in _glob.glob(
+            os.path.join(dirpath, "**", "*.parquet"), recursive=True
+        )
+        if os.path.isfile(f)
+    ]
+    return {
+        "n_rows": sum(_pq.read_metadata(f).num_rows for f in files),
+        "n_files": len(files),
+        "bytes": sum(os.path.getsize(f) for f in files),
+    }
+
+
 def _write_marker(
     path: str,
     keys: Sequence[str],
@@ -118,6 +143,10 @@ def _write_marker(
                 "generated": generated or {},
                 "identity": identity or {},
                 "unique_keys": bool(unique_keys),
+                # commit-time snapshot stats (the dir's files were just
+                # written, their footers are hot): lets DESCRIBE
+                # HISTORY / DETAIL answer without listing data files
+                "stats": _snapshot_stats(path),
             },
             f,
         )
@@ -125,6 +154,30 @@ def _write_marker(
         os.fsync(f.fileno())
     os.replace(tmp, final)
     _fsync_dir(path)
+
+
+def _write_marker_like(
+    staging: str, live_marker: dict, partition_by: Sequence[str] | None = None
+) -> None:
+    """Marker for a DATA-PRESERVING rewrite (compaction): carry every
+    piece of table metadata forward — version, ``txn`` (exactly-once
+    sinks read ``last_epoch`` from it: resetting it would replay
+    epochs), constraints, generated/identity declarations, the PK flag.
+    Only ts and the snapshot stats are new. Delta's OPTIMIZE likewise
+    rewrites files without touching the table's logical metadata."""
+    _write_marker(
+        staging,
+        live_marker.get("keys", ()),
+        list(partition_by)
+        if partition_by is not None
+        else live_marker.get("partition_by", ()),
+        version=int(live_marker.get("version", 0)),
+        txn=live_marker.get("txn"),
+        constraints=live_marker.get("constraints"),
+        generated=live_marker.get("generated"),
+        identity=live_marker.get("identity"),
+        unique_keys=bool(live_marker.get("unique_keys", False)),
+    )
 
 
 def _read_marker(path: str) -> dict:
@@ -443,8 +496,11 @@ def history(spark: SparkSession, path: str) -> DataFrame:
     retained snapshot markers). One row per readable version:
     ``(version, ts, operation, n_rows, is_live)`` — ``operation`` is
     ``initial`` for v0 and ``merge`` after, mirroring the two write
-    paths. Row counts come from the parquet footers (metadata-only
-    count), so history never scans data pages even on a huge table."""
+    paths. Row counts come from the ``stats`` each commit recorded in
+    its marker (Delta: ``operationMetrics`` in the commit log), so the
+    call is O(versions) marker reads — zero data-file listing, zero
+    footer I/O, zero Spark jobs. Markers written before stats existed
+    fall back to a one-off footer sum for that version only."""
     rows = []
     live = table_version(path)
     for v in list_versions(path):
@@ -452,19 +508,8 @@ def history(spark: SparkSession, path: str) -> DataFrame:
             _history_dir(path), f"v{v:06d}"
         )
         marker = _read_marker(snap)
-        # TRUE metadata-only count: sum the parquet footers' num_rows
-        # directly (a Spark count() still schedules a scan job per
-        # snapshot — with aggregate pushdown off it touches row-group
-        # metadata from executors; this touches nothing but footers,
-        # and launches zero jobs)
-        import glob as _glob
-
-        import pyarrow.parquet as _pq
-
-        n = sum(
-            _pq.read_metadata(f).num_rows
-            for f in _glob.glob(os.path.join(snap, "**", "*.parquet"), recursive=True)
-        )
+        stats = marker.get("stats") or _snapshot_stats(snap)
+        n = int(stats["n_rows"])
         rows.append(
             (
                 v,
@@ -1164,26 +1209,23 @@ def append_partitioned(
 
 def table_detail(path: str) -> dict:
     """``DESCRIBE DETAIL`` analogue: one metadata-only dict describing
-    the live table — version, commit ts, file/byte counts (footer and
-    dirent metadata, zero Spark jobs), keys, partitioning, constraint/
+    the live table — version, commit ts, row/file/byte counts (from the
+    ``stats`` the commit recorded in its marker: a pure marker read,
+    no file listing, zero Spark jobs; pre-stats markers fall back to
+    one dirent/footer pass), keys, partitioning, constraint/
     generated/identity declarations, and which skipping indexes exist."""
-    import glob as _glob
-
     recover(path)
     marker = _read_marker(path)
     if not marker:
         raise ValueError(f"{path} is not a managed table")
-    files = [
-        f
-        for f in _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
-    ]
+    stats = marker.get("stats") or _snapshot_stats(path)
     return {
         "path": path,
         "version": int(marker.get("version", 0)),
         "ts": float(marker.get("ts", 0.0)),
-        "num_files": len(files),
-        "size_bytes": sum(os.path.getsize(f) for f in files),
+        "num_rows": int(stats["n_rows"]),
+        "num_files": int(stats["n_files"]),
+        "size_bytes": int(stats["bytes"]),
         "keys": list(marker.get("keys", [])),
         "partition_by": list(marker.get("partition_by", [])),
         "constraints": dict(marker.get("constraints", {})),
