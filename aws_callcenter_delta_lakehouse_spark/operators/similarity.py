@@ -401,6 +401,7 @@ def kmeans_refine(
     vec_col: str = "embedding",
     iterations: int = 2,
     checkpoint_dir: str | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over DataFrame ops: assign (zero-shuffle argmax
     projection, see ``ivf_index``) then recompute each centroid as the
@@ -420,9 +421,21 @@ def kmeans_refine(
     iteration. (Same executor-local caveat as the graph operators —
     callers on a real cluster pass ``checkpoint_dir`` for a reliable
     fault-tolerant truncation instead, as in ``connected_components``.)
-    """
+
+    ``portable=True`` switches the Lloyd mean to FIXED-POINT averaging:
+    each member value is quantized at 2^-20 (``floor(x * 2^20 + 0.5)``
+    as BIGINT) and the mean is the exact integer sum divided at the
+    end. Integer addition is associative, so the centroid trajectory is
+    BITWISE-reproducible on any engine, any partitioning, any reduce
+    order — which is both what makes ``similarity_ivf_kmeans``
+    oracle-checkable and a real distributed-training property
+    (re-running the job yields the identical index). Quantization error
+    is <=2^-21 per element — immaterial next to Lloyd's own movement.
+    Default False keeps the plain ``avg`` fast path (one fewer
+    projection; same plan shape)."""
     if checkpoint_dir is not None:
         corpus.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    _S = 1048576.0  # 2^20 fixed-point scale (portable mode)
     for _ in range(iterations):
         assigned = (
             corpus.join(F.broadcast(_centroid_array(centroids)))
@@ -433,9 +446,18 @@ def kmeans_refine(
                 F.posexplode(F.col(vec_col)).alias("pos", "val"),
             )
         )
+        if portable:
+            q = F.floor(
+                F.col("val").cast("double") * F.lit(_S) + F.lit(0.5)
+            ).cast("bigint")
+            mean_expr = F.sum(q).cast("double") / (
+                F.lit(_S) * F.count("*").cast("double")
+            )
+        else:
+            mean_expr = F.avg(F.col("val").cast("double"))
         means = (
             assigned.groupBy("centroid_id", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(mean_expr.alias("m"))
             .groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
@@ -462,6 +484,7 @@ def ivf_topk(
     nprobe: int = 4,
     k: int = 5,
     refine_iterations: int = 0,
+    portable_refine: bool = False,
 ) -> DataFrame:
     """IVF ANN: probe the ``nprobe`` nearest centroids per query, exact
     cosine within the probed cells, window top-k. Recall grows with
@@ -473,13 +496,15 @@ def ivf_topk(
 
     ``refine_iterations`` > 0 runs Lloyd's k-means (``kmeans_refine``)
     on the seed centroids first — tighter cells, better recall per
-    probe."""
+    probe. ``portable_refine`` selects its fixed-point (engine- and
+    partitioning-reproducible) mean."""
     from pyspark.sql import Window
 
     centroids, assigned = ivf_index(corpus, id_col, vec_col, num_centroids)
     if refine_iterations > 0:
         centroids = kmeans_refine(
-            corpus, centroids, id_col, vec_col, refine_iterations
+            corpus, centroids, id_col, vec_col, refine_iterations,
+            portable=portable_refine,
         )
         assigned = _assign(corpus, centroids, id_col, vec_col)
     probes = (

@@ -557,12 +557,115 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, num_centroids=16, nprobe=4, k=5)
 
 
-@query("similarity_ivf_kmeans")  # iterative/approximate — rows-only
+def _ivf_kmeans_oracle() -> str:
+    """DuckDB replay of 2 PORTABLE Lloyd iterations + IVF probe.
+
+    Oracle-checkable because the registered query uses
+    ``portable_refine=True`` (fixed-point 2^-20 member quantization →
+    exact integer sums → one division): the centroid trajectory is then
+    pure deterministic algebra, so the fixed iteration count unrolls to
+    chained CTEs (the r5 pagerank pattern — MATERIALIZED, each
+    referenced by the next). Assignment/probe argmax mirrors the
+    engine's (-dot, centroid_id) lexicographic min over centroids
+    normalized at every ``_centroid_array`` call."""
+    S = "1048576.0"
+
+    def _norm(name: str, src: str, vec: str) -> str:
+        return f"""
+    {name} AS MATERIALIZED (
+        SELECT centroid_id, list_transform({vec}, x -> x / nrm) AS ch
+        FROM (SELECT centroid_id, {vec},
+                     sqrt(list_sum(list_transform({vec}, x -> x * x))) AS nrm
+              FROM {src})
+    )"""
+
+    def _assign(name: str, cents: str) -> str:
+        return f"""
+    {name} AS MATERIALIZED (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT co.vec_id, co.v, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY co.vec_id
+                       ORDER BY -(list_sum(list_transform(range(1, 65),
+                           i -> co.v[CAST(i AS INT)]
+                                * c.ch[CAST(i AS INT)]))) ASC,
+                                c.centroid_id ASC) AS rn
+            FROM co, {cents} c)
+        WHERE rn = 1
+    )"""
+
+    def _means(name: str, asg: str) -> str:
+        return f"""
+    {name} AS MATERIALIZED (
+        SELECT centroid_id, list(m ORDER BY pos) AS cvec
+        FROM (SELECT centroid_id, pos,
+                     CAST(SUM(q) AS DOUBLE)
+                         / ({S} * CAST(COUNT(*) AS DOUBLE)) AS m
+              FROM (SELECT centroid_id,
+                           generate_subscripts(v, 1) AS pos,
+                           CAST(floor(unnest(v) * {S} + 0.5) AS BIGINT) AS q
+                    FROM {asg})
+              GROUP BY centroid_id, pos)
+        GROUP BY centroid_id
+    )"""
+
+    return f"""
+    WITH co AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+        SELECT vec_id AS centroid_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ch
+        FROM (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings ORDER BY vec_id LIMIT 16)
+    ),{_assign("a1", "c0")},{_means("m1", "a1")},{_norm("c1", "m1", "cvec")},
+    {_assign("a2", "c1")},{_means("m2", "a2")},{_norm("c2", "m2", "cvec")},
+    {_assign("af", "c2")},
+    probes AS MATERIALIZED (
+        SELECT q_id, q_vec, centroid_id FROM (
+            SELECT q.vec_id AS q_id, q.v AS q_vec, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY -(list_sum(list_transform(range(1, 65),
+                           i -> q.v[CAST(i AS INT)]
+                                * c.ch[CAST(i AS INT)]))) ASC,
+                                c.centroid_id ASC) AS rn
+            FROM (SELECT vec_id, v FROM co WHERE vec_id < 5) q, c2 c)
+        WHERE rn <= 4
+    ),
+    cand AS (
+        SELECT p.q_id, a.vec_id,
+               floor(list_sum(list_transform(range(1, 65),
+                         i -> p.q_vec[CAST(i AS INT)] * a.v[CAST(i AS INT)]))
+                     / (sqrt(list_sum(list_transform(p.q_vec, x -> x * x)))
+                        * sqrt(list_sum(list_transform(a.v, x -> x * x))))
+                     * 1e4 + 0.5) / 1e4 AS sim
+        FROM probes p JOIN af a USING (centroid_id)
+    )
+    SELECT q_id, vec_id, sim FROM (
+        SELECT q_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, vec_id ASC) AS rn
+        FROM cand)
+    WHERE rn <= 5
+    """
+
+
+@query("similarity_ivf_kmeans", oracle=_ivf_kmeans_oracle())
 def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with 2 Lloyd iterations refining the seed centroids before
     assignment — the iterative-algorithm surface (per-iteration: a
     zero-shuffle assign + a map-side-combined (centroid, dim) mean).
-    Quantization-error improvement asserted in unit tests."""
+    Quantization-error improvement asserted in unit tests.
+
+    ORACLE-CHECKED since r6 (was the last ANN rows-only): the
+    registered query runs the PORTABLE fixed-point Lloyd mean
+    (``kmeans_refine(portable=True)`` — exact integer sums, so the
+    trajectory is reproducible regardless of reduce order), which makes
+    the fixed 2-iteration refinement unrollable into the oracle's
+    chained CTEs. The float-``avg`` fast path stays the operator
+    default."""
     from ..operators.similarity import ivf_topk
 
     emb = load_table_parallel(spark, sf_dir, "embeddings")
@@ -570,7 +673,8 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     return ivf_topk(
-        emb, queries, num_centroids=16, nprobe=4, k=5, refine_iterations=2
+        emb, queries, num_centroids=16, nprobe=4, k=5, refine_iterations=2,
+        portable_refine=True,
     )
 
 

@@ -115,7 +115,70 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(toks, "term", phi=_CMS_PHI)
 
 
-@query("similarity_pq_adc")  # approximate by construction — rows-only
+@query(
+    "similarity_pq_adc",
+    oracle="""
+    WITH normed AS MATERIALIZED (
+        SELECT vec_id,
+               CASE WHEN nrm > 0
+                    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+                    ELSE list_transform(embedding, x -> 0.0) END AS v
+        FROM (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings)
+    ),
+    ss AS MATERIALIZED (SELECT unnest(range(16)) AS s),
+    seeds AS MATERIALIZED (
+        SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+        FROM (SELECT vec_id, v FROM normed ORDER BY vec_id LIMIT 16)
+    ),
+    cbh AS MATERIALIZED (
+        SELECT ss.s, seeds.j,
+               list_slice(v, ss.s * 4 + 1, ss.s * 4 + 4) AS cvec,
+               list_sum(list_transform(
+                   list_slice(v, ss.s * 4 + 1, ss.s * 4 + 4), c -> c * c
+               )) / 2.0 AS halfsq
+        FROM seeds, ss
+    ),
+    subs AS MATERIALIZED (
+        SELECT vec_id, ss.s, list_slice(v, ss.s * 4 + 1, ss.s * 4 + 4) AS sub
+        FROM normed, ss
+    ),
+    enc AS MATERIALIZED (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT su.vec_id, su.s, c.j,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY su.vec_id, su.s
+                       ORDER BY c.halfsq - list_sum(list_transform(range(1, 5),
+                           i -> su.sub[CAST(i AS INT)]
+                                * c.cvec[CAST(i AS INT)])) ASC,
+                                c.j ASC) AS rn
+            FROM subs su JOIN cbh c ON su.s = c.s)
+        WHERE rn = 1
+    ),
+    qsubs AS MATERIALIZED (
+        SELECT ss.s,
+               list_slice(q.embedding, ss.s * 4 + 1, ss.s * 4 + 4) AS qsub
+        FROM (SELECT embedding FROM embeddings WHERE vec_id = 0) q, ss
+    ),
+    lutv AS MATERIALIZED (
+        SELECT c.s, c.j,
+               list_sum(list_transform(range(1, 5),
+                   i -> CAST(q.qsub[CAST(i AS INT)] AS DOUBLE)
+                        * c.cvec[CAST(i AS INT)])) AS val
+        FROM cbh c JOIN qsubs q ON q.s = c.s
+    ),
+    scores AS (
+        SELECT e.vec_id, list_sum(list(l.val ORDER BY l.s)) AS adc_score
+        FROM enc e JOIN lutv l ON l.s = e.s AND l.j = e.code
+        GROUP BY e.vec_id
+    )
+    SELECT vec_id, floor(adc_score * 1e6 + 0.5) / 1e6 AS adc_score
+    FROM (SELECT vec_id, adc_score FROM scores
+          ORDER BY adc_score DESC, vec_id ASC LIMIT 10)
+    """,
+)
 def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ADC) top-10 for the vec_id=0 query:
     the corpus compresses to 16 one-byte codes per vector, search is a
@@ -125,12 +188,24 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001 AND sf0.01; a Lloyd iteration does not improve recall on
     these unstructured embeddings and costs a full extra pipeline, so
     the registered query uses iterations=0; the training path stays
-    available for clustered corpora)."""
+    available for clustered corpora).
+
+    ORACLE-CHECKED since r6 (was rows-only): with ``iterations=0`` the
+    codebooks are SEEDED (16 lowest-id vectors, the ``dedup_semantic``
+    trick) and the whole pipeline is deterministic algebra — the oracle
+    replays normalize → seed codebook → per-subspace L2 argmin encode
+    (halfsq − dot rewrite, (d, j) tie-break) → query LUT → s-ordered
+    ADC sum with the engine's exact FP association (list_sum ↔ the
+    left fold of ``aggregate``/``_dot_flat``). Selection uses the RAW
+    score; the emitted score is rounded at 1e-6 on both sides."""
     from ..operators.pq import pq_topk
 
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    return pq_topk(emb, qdf, dim=64, m=16, num_codes=16, k=10, iterations=0)
+    top = pq_topk(emb, qdf, dim=64, m=16, num_codes=16, k=10, iterations=0)
+    return top.select(
+        "vec_id", round_portable(F.col("adc_score"), 6).alias("adc_score")
+    )
 
 
 def _rank_small(df: DataFrame, score: str, id_col: str, rank_col: str) -> DataFrame:

@@ -64,7 +64,126 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_pairs(sh, "doc_id", threshold_num=3, threshold_den=5)
 
 
-@query("similarity_ivfpq_adc")  # approximate by construction — rows-only
+@query(
+    "similarity_ivfpq_adc",
+    oracle="""
+    WITH normed AS MATERIALIZED (
+        SELECT vec_id,
+               CASE WHEN nrm > 0
+                    THEN list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm)
+                    ELSE list_transform(embedding, x -> 0.0) END AS v
+        FROM (SELECT vec_id, embedding,
+                     sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+              FROM embeddings)
+    ),
+    ss AS MATERIALIZED (SELECT unnest(range(16)) AS s),
+    cn AS MATERIALIZED (
+        SELECT vec_id AS centroid_id,
+               list_transform(v, x -> x / nrm2) AS cv2
+        FROM (SELECT vec_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm2
+              FROM normed ORDER BY vec_id LIMIT 16)
+    ),
+    ca AS MATERIALIZED (
+        SELECT centroid_id, list_transform(cv2, x -> x / nrm3) AS cv3
+        FROM (SELECT centroid_id, cv2,
+                     sqrt(list_sum(list_transform(cv2, x -> x * x))) AS nrm3
+              FROM cn)
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT n.vec_id, n.v, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                       ORDER BY -(list_sum(list_transform(range(1, 65),
+                           i -> n.v[CAST(i AS INT)]
+                                * c.cv3[CAST(i AS INT)]))) ASC,
+                                c.centroid_id ASC) AS rn
+            FROM normed n, ca c)
+        WHERE rn = 1
+    ),
+    resid AS MATERIALIZED (
+        SELECT a.vec_id, a.centroid_id,
+               list_transform(range(1, 65),
+                   i -> a.v[CAST(i AS INT)] - c.cv2[CAST(i AS INT)]) AS res
+        FROM assign a JOIN cn c USING (centroid_id)
+    ),
+    seeds AS MATERIALIZED (
+        SELECT res, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS j
+        FROM (SELECT vec_id, res FROM resid ORDER BY vec_id LIMIT 16)
+    ),
+    cbh AS MATERIALIZED (
+        SELECT ss.s, seeds.j,
+               list_slice(res, ss.s * 4 + 1, ss.s * 4 + 4) AS cvec,
+               list_sum(list_transform(
+                   list_slice(res, ss.s * 4 + 1, ss.s * 4 + 4), c -> c * c
+               )) / 2.0 AS halfsq
+        FROM seeds, ss
+    ),
+    subs AS MATERIALIZED (
+        SELECT vec_id, centroid_id, ss.s,
+               list_slice(res, ss.s * 4 + 1, ss.s * 4 + 4) AS sub
+        FROM resid, ss
+    ),
+    enc AS MATERIALIZED (
+        SELECT vec_id, centroid_id, s, j AS code FROM (
+            SELECT su.vec_id, su.centroid_id, su.s, c.j,
+                   ROW_NUMBER() OVER (PARTITION BY su.vec_id, su.s
+                       ORDER BY c.halfsq - list_sum(list_transform(range(1, 5),
+                           i -> su.sub[CAST(i AS INT)]
+                                * c.cvec[CAST(i AS INT)])) ASC,
+                                c.j ASC) AS rn
+            FROM subs su JOIN cbh c ON su.s = c.s)
+        WHERE rn = 1
+    ),
+    qs AS MATERIALIZED (
+        SELECT vec_id AS q_id, embedding AS q_vec
+        FROM embeddings WHERE vec_id < 5
+    ),
+    probes AS MATERIALIZED (
+        SELECT q_id, centroid_id FROM (
+            SELECT q.q_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.q_id
+                       ORDER BY -(list_sum(list_transform(range(1, 65),
+                           i -> CAST(q.q_vec[CAST(i AS INT)] AS DOUBLE)
+                                * c.cv3[CAST(i AS INT)]))) ASC,
+                                c.centroid_id ASC) AS rn
+            FROM qs q, ca c)
+        WHERE rn <= 4
+    ),
+    pb AS MATERIALIZED (
+        SELECT p.q_id, p.centroid_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> CAST(q.q_vec[CAST(i AS INT)] AS DOUBLE)
+                        * c.cv2[CAST(i AS INT)])) AS base,
+               list_transform(range(1, 65),
+                   i -> CAST(q.q_vec[CAST(i AS INT)] AS DOUBLE)
+                        - c.cv2[CAST(i AS INT)]) AS qr
+        FROM probes p JOIN qs q USING (q_id) JOIN cn c USING (centroid_id)
+    ),
+    lutv AS MATERIALIZED (
+        SELECT pb.q_id, pb.centroid_id, pb.base, cb.s, cb.j,
+               list_sum(list_transform(range(1, 5),
+                   i -> list_slice(pb.qr, cb.s * 4 + 1,
+                                   cb.s * 4 + 4)[CAST(i AS INT)]
+                        * cb.cvec[CAST(i AS INT)])) AS val
+        FROM pb, cbh cb
+    ),
+    scored AS (
+        SELECT l.q_id, e.vec_id,
+               MIN(l.base) + list_sum(list(l.val ORDER BY l.s)) AS adc_score
+        FROM enc e JOIN lutv l ON l.centroid_id = e.centroid_id
+                               AND l.s = e.s AND l.j = e.code
+        GROUP BY l.q_id, e.vec_id
+    )
+    SELECT q_id, vec_id, floor(adc_score * 1e6 + 0.5) / 1e6 AS adc_score
+    FROM (SELECT q_id, vec_id, adc_score,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                     ORDER BY adc_score DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 10
+    """,
+)
 def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC (FAISS ``IVF16,PQ16``-style) top-10 for queries vec_id<5:
     coarse IVF restricts each query to nprobe=4 of 16 cells, residual
@@ -76,15 +195,30 @@ def similarity_ivfpq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``tests/test_pq.py`` (residual PQ shows no gain over raw PQ on this
     UNSTRUCTURED synthetic corpus — the residual advantage needs real
     cluster structure; the registered config documents the honest
-    trade)."""
+    trade).
+
+    ORACLE-CHECKED since r6 (was rows-only): with the default
+    ``iterations=0``/``refine_iterations=0`` the IVF centroids are the
+    16 lowest-id vectors and the residual codebook seeds from the 16
+    lowest-id residuals — no Lloyd trajectory anywhere, so the oracle
+    replays the whole composition as deterministic algebra. FP shape
+    mirrored exactly: centroids re-normalized ONCE for the residual/
+    base side (cv2) and AGAIN inside the assignment fold (cv3 — the
+    engine's ``_centroid_array`` normalizes its input), argmin/argmax
+    tie-breaks on centroid/code id, s-ordered ADC sum added to the
+    exact base term. Selection on the RAW score; emitted score rounded
+    at 1e-6 on both sides."""
     from ..operators.pq import ivfpq_topk
 
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    return ivfpq_topk(
+    top = ivfpq_topk(
         emb, queries, num_centroids=16, nprobe=4, m=16, num_codes=16, k=10
+    )
+    return top.select(
+        "q_id", "vec_id", round_portable(F.col("adc_score"), 6).alias("adc_score")
     )
 
 

@@ -29,15 +29,93 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", rounds=5)
 
 
-@query("bpe_tokenize_top_tokens")  # rows-only; Python parity in tests
+# Fixed merge table for the TOKENIZATION query — the production shape:
+# a tokenizer ships as constants (vocab + merges); training is a
+# separate, rarer job (bpe_merges above). The SAME tuple generates both
+# the Spark merge DataFrame and the DuckDB oracle below (the
+# hyperplane-LSH embedded-constants pattern), so the query became
+# oracle-checkable in r6. Round 5 merges a round-1 product ("er"+"s"),
+# exercising compound-symbol semantics.
+_BPE_FIXED_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"),
+    ("i", "n"),
+    ("s", "t"),
+    ("o", "w"),
+    ("er", "s"),
+)
+
+
+def _bpe_tokenize_oracle() -> str:
+    """DuckDB mirror of char-split + greedy left-to-right merge rounds.
+
+    Each round is one chained CTE (trap 12: multi-field fold state must
+    not go through list_reduce) whose accumulator is a SCALAR varchar:
+    the emitted symbols joined by chr(2), with a trailing chr(1)
+    sentinel playing the engine's ``skip`` flag — when position i
+    merges (a, b), the sentinel makes position i+1 emit nothing and
+    clear. An out-of-bounds list index is NULL in DuckDB exactly like
+    ``try_element_at``, so the last position needs no guard. Safe
+    because the corpus is printable ASCII (32..121 — checked), so
+    chr(1)/chr(2) cannot occur in a symbol."""
+    steps = []
+    prev = "s0"
+    for r, (a, b) in enumerate(_BPE_FIXED_MERGES, start=1):
+        steps.append(
+            f"""
+    s{r} AS MATERIALIZED (
+        SELECT string_split(substr(list_reduce(
+            list_prepend('', list_transform(range(1, len(syms) + 1),
+                                            i -> CAST(i AS VARCHAR))),
+            (acc, ix) -> CASE
+                WHEN right(acc, 1) = chr(1)
+                    THEN substr(acc, 1, length(acc) - 1)
+                WHEN syms[CAST(ix AS INT)] = '{a}'
+                     AND syms[CAST(ix AS INT) + 1] = '{b}'
+                    THEN acc || chr(2) || '{a + b}' || chr(1)
+                ELSE acc || chr(2) || syms[CAST(ix AS INT)]
+            END), 2), chr(2)) AS syms, freq
+        FROM {prev})"""
+        )
+        prev = f"s{r}"
+    return f"""
+    WITH w AS MATERIALIZED (
+        SELECT w, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        WHERE length(w) > 0 GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+        SELECT list_transform(range(1, length(w) + 1),
+                              i -> substr(w, CAST(i AS INT), 1)) AS syms,
+               freq
+        FROM w
+    ),{",".join(steps)}
+    SELECT token, CAST(SUM(freq) AS BIGINT) AS "count"
+    FROM (SELECT unnest(syms) AS token, freq FROM {prev})
+    GROUP BY token
+    ORDER BY "count" DESC, token ASC
+    LIMIT 20
+    """
+
+
+@query("bpe_tokenize_top_tokens", oracle=_bpe_tokenize_oracle())
 def bpe_tokenize_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train 5 BPE merges, tokenize the corpus with them (greedy
-    left-to-right, merge order preserved via per-round 1-row broadcast
-    joins — the merge table never touches the driver), and return the
-    top-20 tokens of the resulting vocabulary distribution."""
+    """Tokenize the corpus with the FIXED 5-merge BPE table
+    ``_BPE_FIXED_MERGES`` (greedy left-to-right, merge order preserved
+    via per-round 1-row broadcast joins — the merge table never touches
+    the driver as a collection) and return the top-20 tokens of the
+    resulting vocabulary distribution (count DESC, token ASC).
+
+    ORACLE-CHECKED since r6 (was rows-only): tokenization with a fixed
+    merge table is pure deterministic string algebra — only TRAINING
+    (``bpe_merges``) has the iterative argmax that resists SQL. The
+    merge constants are embedded in both the plan and the oracle from
+    the same tuple."""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    merges = bpe_train(docs, "text", rounds=5)
-    toks = bpe_apply(docs, "text", merges, rounds=5)
+    merges = spark.createDataFrame(
+        [(r, a, b) for r, (a, b) in enumerate(_BPE_FIXED_MERGES, start=1)],
+        "round int, pair_a string, pair_b string",
+    )
+    toks = bpe_apply(docs, "text", merges, rounds=len(_BPE_FIXED_MERGES))
     return toks.orderBy(F.desc("count"), F.asc("token")).limit(20)
 
 

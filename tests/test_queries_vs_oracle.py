@@ -43,14 +43,11 @@ def test_rows_only_census():
     JUSTIFIED = {
         # (the xxhash64-only queries were all converted in r5 via
         # portable-hash modes: winnow, simhash, bloom, KMV, ann-lsh —
-        # xxhash64 stays each operator's default fast path)
-        # k-means with LLOYD ITERATIONS (iterative float argmin —
-        # centroid trajectories are not SQL-replayable; the
-        # iteration-free seeded variant dedup_semantic IS oracle-backed
-        # since r5)
-        "similarity_ivf_kmeans",
-        "similarity_pq_adc",
-        "similarity_ivfpq_adc",
+        # xxhash64 stays each operator's default fast path. The ANN
+        # training queries were all converted in r6: seeded
+        # iteration-free codebooks for PQ/IVFPQ, a fixed-point portable
+        # Lloyd mean for ivf_kmeans, an embedded fixed merge table for
+        # bpe_tokenize_top_tokens.)
         # LAPACK eigendecomposition (sign/order conventions engine-bound)
         "embedding_pca_scores",
         # engine-internal sketches (GK / HLL): the estimate depends on
@@ -61,14 +58,14 @@ def test_rows_only_census():
         "hll_sketch_distinct",
         # zlib compression (no SQL equivalent)
         "text_compression_ratio",
-        # iterative argmax over merge rounds (Python-reference parity
-        # pinned in tests/test_bpe.py instead)
+        # iterative DATA-DEPENDENT argmax over merge rounds — the merge
+        # table cannot be embedded as constants because it IS the output
+        # (Python-reference parity pinned in tests/test_bpe.py instead)
         "bpe_merges",
-        "bpe_tokenize_top_tokens",
     }
     unjustified = set(ROWS_ONLY) - JUSTIFIED
     assert not unjustified, f"rows-only without documented reason: {unjustified}"
-    assert len(ROWS_ONLY) <= 10, ROWS_ONLY
+    assert len(ROWS_ONLY) <= 6, ROWS_ONLY
     for converted in (
         "pagerank_suppliers",
         "graph_kcore_suppliers",
@@ -80,5 +77,10 @@ def test_rows_only_census():
         "sketch_kmv_rolling_users",
         "similarity_ann_lsh",
         "dedup_semantic",
+        # r6 conversions
+        "similarity_pq_adc",
+        "similarity_ivfpq_adc",
+        "similarity_ivf_kmeans",
+        "bpe_tokenize_top_tokens",
     ):
         assert converted in WITH_ORACLE
