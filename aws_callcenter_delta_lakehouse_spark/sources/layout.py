@@ -18,6 +18,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .fs import get_fs as _fs
+
 
 def write_clustered(
     df: DataFrame,
@@ -41,12 +43,10 @@ def write_clustered(
 def file_key_ranges(path: str, column: str) -> list[tuple]:
     """(min, max) of ``column`` per parquet file — the stats the reader
     prunes with; exposed for tests/inspection."""
-    import glob as _glob
-
     import pyarrow.parquet as pq
 
     ranges = []
-    for f in sorted(_glob.glob(f"{path}/*.parquet")):
+    for f in sorted(_fs().glob(f"{path}/*.parquet")):
         md = pq.read_metadata(f)
         lo, hi = None, None
         for rg in range(md.num_row_groups):
@@ -67,13 +67,12 @@ def write_stats_manifest(path: str, columns: Sequence[str]) -> str:
     data-skipping index a table format (Delta/Iceberg) keeps in its
     log, so reads never re-open every footer. Driver-side work is
     O(#files), the same as a Delta log replay."""
-    import glob as _glob
     import json as _json
 
     import pyarrow.parquet as pq
 
     entries = []
-    for f in sorted(_glob.glob(f"{path}/*.parquet")):
+    for f in sorted(_fs().glob(f"{path}/*.parquet")):
         stats: dict = {}
         md = pq.read_metadata(f)
         for rg in range(md.num_row_groups):
@@ -91,11 +90,7 @@ def write_stats_manifest(path: str, columns: Sequence[str]) -> str:
     # atomic replace: a torn manifest would otherwise make every read
     # throw until rebuilt (readers fail OPEN on a missing manifest but
     # not on unparseable JSON)
-    with open(manifest + ".tmp", "w") as fh:
-        _json.dump(entries, fh)
-    import os as _os
-
-    _os.replace(manifest + ".tmp", manifest)
+    _fs().write_atomic(manifest, _json.dumps(entries))
     return manifest
 
 
@@ -114,18 +109,16 @@ def pruned_file_list(
     whose file is gone contributes nothing, and a manifest written in
     a staging dir keeps working after the commit rename moves the
     directory."""
-    import glob as _glob
     import json as _json
     import os as _os
 
-    listed = sorted(_glob.glob(f"{path}/*.parquet"))
+    listed = sorted(_fs().glob(f"{path}/*.parquet"))
     entries = [{"file": f, "stats": {}} for f in listed]
     manifest = f"{path}/_stats_manifest.json"
     loaded = None
-    if _os.path.exists(manifest):
+    if _fs().exists(manifest):
         try:
-            with open(manifest) as fh:
-                loaded = _json.load(fh)
+            loaded = _json.loads(_fs().read_text(manifest))
         except _json.JSONDecodeError:  # torn manifest: fail OPEN
             loaded = None
     if loaded is not None:
@@ -208,10 +201,9 @@ def write_bloom_manifest(
     same traffic as a Delta log-stats write. No false negatives by
     construction; false-positive rate is set by num_bits/num_hashes.
     """
-    import glob as _glob
     import json as _json
 
-    files = sorted(_glob.glob(f"{path}/*.parquet"))
+    files = sorted(_fs().glob(f"{path}/*.parquet"))
     # empty/no-parquet directory -> empty-files manifest (a zero-arg
     # spark.read.parquet() raises), mirroring update_bloom_manifest's
     # `if new_files:` guard
@@ -222,18 +214,16 @@ def write_bloom_manifest(
     )
     manifest = f"{path}/_bloom_manifest.json"
     # atomic replace, same contract as the stats manifest
-    with open(manifest + ".tmp", "w") as fh:
-        _json.dump(
+    _fs().write_atomic(
+        manifest,
+        _json.dumps(
             {
                 "num_bits": num_bits,
                 "num_hashes": num_hashes,
                 "files": manifest_entries,
-            },
-            fh,
-        )
-    import os as _os
-
-    _os.replace(manifest + ".tmp", manifest)
+            }
+        ),
+    )
     return manifest
 
 
@@ -245,19 +235,17 @@ def bloom_pruned_file_list(
     The probe hashes through a 1-row Spark job so driver and executor
     hashing can never diverge."""
     import base64 as _b64
-    import glob as _glob
     import json as _json
     import os as _os
 
     manifest = f"{path}/_bloom_manifest.json"
     all_files = sorted(
-        f for f in _glob.glob(f"{path}/*.parquet")
+        f for f in _fs().glob(f"{path}/*.parquet")
     )
-    if not _os.path.exists(manifest):
+    if not _fs().exists(manifest):
         return all_files, len(all_files)
     try:
-        with open(manifest) as fh:
-            m = _json.load(fh)
+        m = _json.loads(_fs().read_text(manifest))
     except _json.JSONDecodeError:  # torn manifest: fail OPEN, skip nothing
         return all_files, len(all_files)
     nb, nh = m["num_bits"], m["num_hashes"]
@@ -317,7 +305,6 @@ def update_stats_manifest(path: str, columns: Sequence[str]) -> dict:
 
     Safe under the reader's fail-open contract either way: a file the
     manifest misses is simply never skipped."""
-    import glob as _glob
     import json as _json
     import os as _os
 
@@ -325,15 +312,14 @@ def update_stats_manifest(path: str, columns: Sequence[str]) -> dict:
 
     manifest = f"{path}/_stats_manifest.json"
     entries = []
-    if _os.path.exists(manifest):
+    if _fs().exists(manifest):
         try:
-            with open(manifest) as fh:
-                entries = _json.load(fh)
+            entries = _json.loads(_fs().read_text(manifest))
         except _json.JSONDecodeError:  # torn: rebuild from scratch
             entries = []
     listed = {
         _os.path.basename(f): f
-        for f in sorted(_glob.glob(f"{path}/*.parquet"))
+        for f in sorted(_fs().glob(f"{path}/*.parquet"))
     }
     known = {_os.path.basename(e["file"]) for e in entries}
     kept = [e for e in entries if _os.path.basename(e["file"]) in listed]
@@ -358,9 +344,7 @@ def update_stats_manifest(path: str, columns: Sequence[str]) -> dict:
             {"file": f, "stats": {c: list(v) for c, v in stats.items()}}
         )
         added += 1
-    with open(manifest + ".tmp", "w") as fh:
-        _json.dump(kept, fh)
-    _os.replace(manifest + ".tmp", manifest)
+    _fs().write_atomic(manifest, _json.dumps(kept))
     return {
         "added": added,
         "removed": removed,
@@ -384,16 +368,14 @@ def update_bloom_manifest(
     Parameter changes (num_bits/num_hashes) require the full rebuild
     (``write_bloom_manifest``) — mixing geometries in one manifest
     would corrupt probes, so this function refuses."""
-    import glob as _glob
     import json as _json
     import os as _os
 
     manifest = f"{path}/_bloom_manifest.json"
     m = {"num_bits": num_bits, "num_hashes": num_hashes, "files": {}}
-    if _os.path.exists(manifest):
+    if _fs().exists(manifest):
         try:
-            with open(manifest) as fh:
-                m = _json.load(fh)
+            m = _json.loads(_fs().read_text(manifest))
         except _json.JSONDecodeError:  # torn: rebuild from scratch
             pass
     if m["num_bits"] != num_bits or m["num_hashes"] != num_hashes:
@@ -403,7 +385,7 @@ def update_bloom_manifest(
         )
     listed = {
         _os.path.basename(f): f
-        for f in sorted(_glob.glob(f"{path}/*.parquet"))
+        for f in sorted(_fs().glob(f"{path}/*.parquet"))
     }
     old_files = m.get("files", {})
     kept = {
@@ -422,9 +404,7 @@ def update_bloom_manifest(
         )
         kept.update(tmp_entries)
     m["files"] = kept
-    with open(manifest + ".tmp", "w") as fh:
-        _json.dump(m, fh)
-    _os.replace(manifest + ".tmp", manifest)
+    _fs().write_atomic(manifest, _json.dumps(m))
     return {
         "added": len(new_files),
         "removed": len(old_files) - len(

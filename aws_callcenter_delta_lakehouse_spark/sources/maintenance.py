@@ -18,9 +18,7 @@ that reason.
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 
 from collections.abc import Sequence
 
@@ -28,6 +26,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from . import managed_table
+from .fs import get_fs as _fs
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -35,10 +34,10 @@ TARGET_FILE_BYTES = 128 * 1024 * 1024
 def table_file_stats(path: str) -> dict[str, int]:
     files = [
         f
-        for f in glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if os.path.isfile(f)
+        for f in _fs().glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if _fs().isfile(f)
     ]
-    total = sum(os.path.getsize(f) for f in files)
+    total = sum(_fs().getsize(f) for f in files)
     return {"n_files": len(files), "total_bytes": total}
 
 
@@ -80,8 +79,8 @@ def compact(
     # silently dropping the index)
     for sidecar in ("_stats_manifest.json", "_bloom_manifest.json"):
         src = os.path.join(path, sidecar)
-        if os.path.exists(src):
-            shutil.copy2(src, os.path.join(staging, sidecar))
+        if _fs().exists(src):
+            _fs().copy(src, os.path.join(staging, sidecar))
     # carry ALL table metadata forward (version/txn/constraints/PK):
     # compaction preserves data, so it must preserve the logical table
     # too — a bare marker here would reset the exactly-once sinks'
@@ -89,9 +88,9 @@ def compact(
     managed_table._write_marker_like(staging, live_marker, partition_by)
 
     backup = f"{path}__compact_old"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    _fs().rename_dir(path, backup)
+    _fs().rename_dir(staging, path)
+    _fs().rmtree(backup)
     if not partition_by:  # manifests index flat tables only
         _refresh_skipping_indexes(spark, path)
     return {"before": stats, "after": table_file_stats(path)}
@@ -148,7 +147,7 @@ def _compact_partitions(
     n_out_by_key: dict[str, int] = {}
     for row in part_rows:
         subdir = os.path.join(path, *(f"{c}={row[c]}" for c in partition_by))
-        if not os.path.isdir(subdir):  # pragma: no cover - defensive
+        if not _fs().isdir(subdir):  # pragma: no cover - defensive
             continue
         stats = table_file_stats(subdir)
         key = row["__spark_key"]
@@ -177,8 +176,8 @@ def _compact_partitions(
         ),
     )
     staging = f"{path}__compact_staging_parts"
-    if os.path.isdir(staging):  # pragma: no cover - leftover from crash
-        shutil.rmtree(staging)
+    if _fs().isdir(staging):  # pragma: no cover - leftover from crash
+        _fs().rmtree(staging)
     n_tasks = max(sum(n_out_by_key.values()), 1)
     (
         slotted.repartition(n_tasks, *partition_by, F.col("__slot"))
@@ -191,16 +190,16 @@ def _compact_partitions(
         staged_dir = os.path.join(
             staging, *(f"{c}={row[c]}" for c in partition_by)
         )
-        if not os.path.isdir(staged_dir):  # pragma: no cover - defensive
+        if not _fs().isdir(staged_dir):  # pragma: no cover - defensive
             continue
         # backup is a SIBLING of the table root (never inside it: a
         # stray dir under the root would corrupt partition discovery)
         key = "_".join(f"{c}={row[c]}" for c in partition_by)
         backup = f"{path}__compact_old_{key}"
-        os.rename(subdir, backup)
-        os.rename(staged_dir, subdir)
-        shutil.rmtree(backup)
-    shutil.rmtree(staging)
+        _fs().rename_dir(subdir, backup)
+        _fs().rename_dir(staged_dir, subdir)
+        _fs().rmtree(backup)
+    _fs().rmtree(staging)
     return {"before": before, "after": table_file_stats(path)}
 
 
@@ -309,23 +308,23 @@ def vacuum(
             return False
         newest = max(
             (
-                os.path.getmtime(os.path.join(r, f))
-                for r, _dd, ff in os.walk(d)
+                _fs().getmtime(os.path.join(r, f))
+                for r, _dd, ff in _fs().walk(d)
                 for f in ff
             ),
-            default=os.path.getmtime(d),
+            default=_fs().getmtime(d),
         )
         return newest > cutoff
 
     removed = []
-    for leftover in sorted(glob.glob(f"{path}__*")):
+    for leftover in sorted(_fs().glob(f"{path}__*")):
         if retain_history and leftover == f"{path}__history":
             continue
-        if not os.path.isdir(leftover) or _young(leftover):
+        if not _fs().isdir(leftover) or _young(leftover):
             continue
         removed.append(leftover)
         if not dry_run:
-            shutil.rmtree(leftover)
+            _fs().rmtree(leftover)
     return removed
 
 
@@ -398,8 +397,8 @@ def compact_binpack(
     before = table_file_stats(path)
     files = sorted(
         (
-            (f, os.path.getsize(f))
-            for f in glob.glob(os.path.join(path, "*.parquet"))
+            (f, _fs().getsize(f))
+            for f in _fs().glob(os.path.join(path, "*.parquet"))
         ),
         key=lambda t: -t[1],
     )
@@ -426,21 +425,18 @@ def compact_binpack(
             loads.append(s)
 
     staging = f"{path}__compact_staging"
-    if os.path.isdir(staging):  # pragma: no cover - leftover from crash
-        shutil.rmtree(staging)
-    os.makedirs(staging)
+    if _fs().isdir(staging):  # pragma: no cover - leftover from crash
+        _fs().rmtree(staging)
+    _fs().makedirs(staging)
     for f, _s in bigs:  # carry untouched files (metadata-only move)
         dst = os.path.join(staging, os.path.basename(f))
-        try:
-            os.link(f, dst)
-        except OSError:  # pragma: no cover - cross-device fallback
-            shutil.copy2(f, dst)
+        _fs().link_or_copy(f, dst)
     # carry skipping-manifest sidecars so the post-swap incremental
     # refresh can reuse the carried files' entries (basename-matched)
     for sidecar in ("_stats_manifest.json", "_bloom_manifest.json"):
         src = os.path.join(path, sidecar)
-        if os.path.exists(src):
-            shutil.copy2(src, os.path.join(staging, sidecar))
+        if _fs().exists(src):
+            _fs().copy(src, os.path.join(staging, sidecar))
     # ONE Spark job for every bin (wall-clock scales with data volume,
     # not bin count): tag each row with its bin via a broadcast-joined
     # file->bin map over input_file_name(), hash-repartition on the bin
@@ -465,31 +461,31 @@ def compact_binpack(
     bin_staging = f"{staging}__bins"
     smalls_df.write.mode("overwrite").partitionBy("__bin").parquet(bin_staging)
     seq = 0
-    for d in sorted(os.listdir(bin_staging)):
+    for d in sorted(_fs().listdir(bin_staging)):
         full = os.path.join(bin_staging, d)
-        if not os.path.isdir(full):
+        if not _fs().isdir(full):
             continue
         if not d.startswith("__bin="):  # pragma: no cover - safety net
             raise RuntimeError(
                 f"compact_binpack: rows landed outside a bin ({d}); "
                 "aborting before the swap, table unchanged"
             )
-        for part in sorted(os.listdir(full)):
+        for part in sorted(_fs().listdir(full)):
             if part.endswith(".parquet"):
-                os.rename(
+                _fs().rename_dir(
                     os.path.join(full, part),
                     os.path.join(staging, f"bin-{seq:05d}-{part}"),
                 )
                 seq += 1
-    shutil.rmtree(bin_staging)
+    _fs().rmtree(bin_staging)
     # metadata-preserving marker (see compact): binpack rewrites bytes,
     # never the logical table
     managed_table._write_marker_like(staging, marker, ())
 
     backup = f"{path}__compact_old"
-    os.rename(path, backup)
-    os.rename(staging, path)
-    shutil.rmtree(backup)
+    _fs().rename_dir(path, backup)
+    _fs().rename_dir(staging, path)
+    _fs().rmtree(backup)
     _refresh_skipping_indexes(spark, path)
     return {
         "before": before,
@@ -511,21 +507,23 @@ def _refresh_skipping_indexes(spark: SparkSession, path: str) -> None:
     from .layout import update_bloom_manifest, update_stats_manifest
 
     stats = os.path.join(path, "_stats_manifest.json")
-    if os.path.exists(stats):
+    if _fs().exists(stats):
         try:
-            with open(stats) as fh:
-                cols = sorted(
-                    {c for e in _json.load(fh) for c in e.get("stats", {})}
-                )
+            cols = sorted(
+                {
+                    c
+                    for e in _json.loads(_fs().read_text(stats))
+                    for c in e.get("stats", {})
+                }
+            )
         except _json.JSONDecodeError:  # pragma: no cover - torn
             cols = []
         if cols:
             update_stats_manifest(path, cols)
     bloom = os.path.join(path, "_bloom_manifest.json")
-    if os.path.exists(bloom):
+    if _fs().exists(bloom):
         try:
-            with open(bloom) as fh:
-                m = _json.load(fh)
+            m = _json.loads(_fs().read_text(bloom))
             bcols = sorted(
                 {c for entry in m.get("files", {}).values() for c in entry}
             )
@@ -558,20 +556,19 @@ def clustering_depth(path: str, column: str) -> dict:
 
     ranges: list[tuple] = []
     manifest = os.path.join(path, "_stats_manifest.json")
-    if os.path.exists(manifest):
-        with open(manifest) as fh:
-            by_base = {
-                os.path.basename(e["file"]): e.get("stats", {})
-                for e in _json.load(fh)
-            }
-        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    if _fs().exists(manifest):
+        by_base = {
+            os.path.basename(e["file"]): e.get("stats", {})
+            for e in _json.loads(_fs().read_text(manifest))
+        }
+        for f in sorted(_fs().glob(os.path.join(path, "*.parquet"))):
             st = by_base.get(os.path.basename(f), {}).get(column)
             if st is not None:
                 ranges.append((st[0], st[1]))
     else:
         import pyarrow.parquet as pq
 
-        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        for f in sorted(_fs().glob(os.path.join(path, "*.parquet"))):
             md = pq.read_metadata(f)
             lo_f, hi_f = None, None
             for rg in range(md.num_row_groups):

@@ -20,22 +20,25 @@ The emulation rewrites the whole table (Delta rewrites only matched
 files); a production deployment would use real Delta/Iceberg — the
 engine API is identical either way, which is the point.
 
-Local-FS note: the swap is ``os.rename`` based (atomic on POSIX). On
-object stores swap via a manifest/log commit — exactly what the Delta
-backend does.
+Storage note: every mutating/listing filesystem primitive goes through
+the ``TableFS`` seam (``sources/fs.py``) — locally the swap is
+``os.rename`` based (atomic on POSIX); on object stores the same seam
+maps to manifest-pointer conditional PUTs (see fs.py's per-API table),
+exactly what the Delta backend's log store does.
 """
 
 from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .fs import get_fs as _fs
 
 try:  # pragma: no cover - depends on environment
     from delta.tables import DeltaTable  # type: ignore
@@ -68,7 +71,7 @@ def is_table(spark: SparkSession, path: str) -> bool:
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):
         return True
     recover(path)
-    return os.path.exists(os.path.join(path, _MARKER))
+    return _fs().exists(os.path.join(path, _MARKER))
 
 
 def _fsync_dir(dirpath: str) -> None:
@@ -76,17 +79,9 @@ def _fsync_dir(dirpath: str) -> None:
     not durable — a power crash can undo an acknowledged commit. Losing
     the rename only rolls back to the old snapshot (consistency holds
     either way; ``recover`` heals), so this is the durability half of
-    the contract: once a commit returns, it survives power loss."""
-    try:
-        fd = os.open(dirpath, os.O_RDONLY)
-    except OSError:  # pragma: no cover - platform without dir-open
-        return
-    try:
-        os.fsync(fd)
-    except OSError:  # pragma: no cover - fs without dir-fsync
-        pass
-    finally:
-        os.close(fd)
+    the contract: once a commit returns, it survives power loss.
+    (Delegates to the TableFS seam — a no-op on object stores.)"""
+    _fs().fsync_dir(dirpath)
 
 
 def _snapshot_stats(dirpath: str) -> dict:
@@ -96,21 +91,19 @@ def _snapshot_stats(dirpath: str) -> dict:
     commit just wrote) so ``history()``/``table_detail()`` become pure
     marker reads — Delta records the same numbers in each commit's log
     entry (``operationMetrics``) for exactly this reason."""
-    import glob as _glob
-
     import pyarrow.parquet as _pq
 
     files = [
         f
-        for f in _glob.glob(
+        for f in _fs().glob(
             os.path.join(dirpath, "**", "*.parquet"), recursive=True
         )
-        if os.path.isfile(f)
+        if _fs().isfile(f)
     ]
     return {
         "n_rows": sum(_pq.read_metadata(f).num_rows for f in files),
         "n_files": len(files),
-        "bytes": sum(os.path.getsize(f) for f in files),
+        "bytes": sum(_fs().getsize(f) for f in files),
     }
 
 
@@ -125,14 +118,13 @@ def _write_marker(
     identity: dict | None = None,
     unique_keys: bool = False,
 ) -> None:
-    # torn-write hardening: write to a temp name, fsync, then the
-    # atomic os.replace — an OS/power crash can otherwise persist the
-    # later directory rename while this marker's CONTENT is lost,
-    # leaving a live snapshot whose marker is truncated garbage.
-    final = os.path.join(path, _MARKER)
-    tmp = final + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(
+    # torn-write hardening: write_atomic is tmp + fsync + atomic
+    # replace — an OS/power crash can otherwise persist the later
+    # directory rename while this marker's CONTENT is lost, leaving a
+    # live snapshot whose marker is truncated garbage.
+    _fs().write_atomic(
+        os.path.join(path, _MARKER),
+        json.dumps(
             {
                 "keys": list(keys),
                 "partition_by": list(partition_by),
@@ -147,13 +139,9 @@ def _write_marker(
                 # written, their footers are hot): lets DESCRIBE
                 # HISTORY / DETAIL answer without listing data files
                 "stats": _snapshot_stats(path),
-            },
-            f,
-        )
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, final)
-    _fsync_dir(path)
+            }
+        ),
+    )
 
 
 def _write_marker_like(
@@ -182,10 +170,9 @@ def _write_marker_like(
 
 def _read_marker(path: str) -> dict:
     marker = os.path.join(path, _MARKER)
-    if not os.path.exists(marker):
+    if not _fs().exists(marker):
         return {}
-    with open(marker) as f:
-        return json.load(f)
+    return json.loads(_fs().read_text(marker))
 
 
 def _history_dir(path: str) -> str:
@@ -245,13 +232,7 @@ def drop_constraint(path: str, name: str) -> None:
 
 
 def _replace_marker(path: str, marker: dict) -> None:
-    tmp = os.path.join(path, _MARKER + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(marker, f)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, _MARKER))
-    _fsync_dir(path)
+    _fs().write_atomic(os.path.join(path, _MARKER), json.dumps(marker))
 
 
 def _marker_valid(dirpath: str) -> bool:
@@ -259,11 +240,10 @@ def _marker_valid(dirpath: str) -> bool:
     dir with a torn/truncated marker is NOT committed-ready and must
     not be rolled forward (it would make every later read throw)."""
     marker = os.path.join(dirpath, _MARKER)
-    if not os.path.exists(marker):
+    if not _fs().exists(marker):
         return False
     try:
-        with open(marker) as f:
-            json.load(f)
+        json.loads(_fs().read_text(marker))
         return True
     except (json.JSONDecodeError, OSError):
         return False
@@ -290,7 +270,7 @@ def _enforce_constraints(
     ).first()
     for i, (name, expr) in enumerate(items):
         if (counts[f"__c{i}"] or 0) > 0:
-            shutil.rmtree(staging)
+            _fs().rmtree(staging)
             raise ConstraintViolationError(
                 f"write violates CHECK constraint {name!r} ({expr}) for "
                 f"{counts[f'__c{i}']} row(s); commit aborted, table unchanged"
@@ -316,27 +296,25 @@ def recover(path: str) -> None:
     exists (healthy) — leftover staging/backup dirs from crashes after
     (3) are inert and swept by ``maintenance.vacuum``. Single-writer,
     like the rest of the emulation."""
-    import glob
-
-    if os.path.exists(os.path.join(path, _MARKER)) or os.path.exists(path):
+    if _fs().exists(os.path.join(path, _MARKER)) or _fs().exists(path):
         return
     ready = sorted(
-        s for s in glob.glob(path + "__staging_*") if _marker_valid(s)
+        s for s in _fs().glob(path + "__staging_*") if _marker_valid(s)
     )
     if ready:
-        os.rename(ready[-1], path)
+        _fs().rename_dir(ready[-1], path)
         return
-    backups = sorted(glob.glob(path + "__old_*"))
+    backups = sorted(_fs().glob(path + "__old_*"))
     if backups:
-        os.rename(backups[-1], path)
+        _fs().rename_dir(backups[-1], path)
 
 
 def list_versions(path: str) -> list[int]:
     """Readable versions: retained history snapshots + the live one."""
     hist = _history_dir(path)
     out = []
-    if os.path.isdir(hist):
-        out = sorted(int(d[1:]) for d in os.listdir(hist) if d.startswith("v"))
+    if _fs().isdir(hist):
+        out = sorted(int(d[1:]) for d in _fs().listdir(hist) if d.startswith("v"))
     return out + [table_version(path)]
 
 
@@ -457,7 +435,7 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
     if version == table_version(path):
         return spark.read.parquet(path)
     snap = os.path.join(_history_dir(path), f"v{version:06d}")
-    if not os.path.isdir(snap):
+    if not _fs().isdir(snap):
         raise ValueError(
             f"version {version} of {path} is not retained "
             f"(available: {list_versions(path)}) — pruned by max_history "
@@ -605,7 +583,7 @@ def apply_changes(
     (``tests/test_dml.py``)."""
     key_list = list(keys)
     seq_type = dict(changes.dtypes)[sequence_col]
-    if os.path.exists(os.path.join(path, _MARKER)):
+    if _fs().exists(os.path.join(path, _MARKER)):
         target = read(spark, path)
     else:
         # bootstrap: an absent target is an empty table with the feed's
@@ -869,7 +847,7 @@ def commit_overwrite(
     construction, but raw overwrites could silently break the key
     contract downstream pipelines rely on."""
     recover(path)
-    exists = os.path.exists(os.path.join(path, _MARKER))
+    exists = _fs().exists(os.path.join(path, _MARKER))
     if expected_version is not None and exists:
         if table_version(path) != expected_version:
             raise ConcurrentWriteError(
@@ -928,7 +906,7 @@ def commit_overwrite(
         )
         offender = dup.select(*key_list).limit(1).collect()
         if offender:
-            shutil.rmtree(staging)
+            _fs().rmtree(staging)
             raise ConstraintViolationError(
                 f"write violates PRIMARY KEY {key_list} — duplicate key "
                 f"tuple {tuple(offender[0])}; commit aborted, table "
@@ -959,8 +937,8 @@ def commit_overwrite(
     if exists:
         for sidecar in ("_stats_manifest.json", "_bloom_manifest.json"):
             src = os.path.join(path, sidecar)
-            if os.path.exists(src):
-                shutil.copy2(src, os.path.join(staging, sidecar))
+            if _fs().exists(src):
+                _fs().copy(src, os.path.join(staging, sidecar))
     # marker is staged LAST: its presence marks the dir committed-ready
     _write_marker(
         staging, key_list, partition_by, version=version, txn=txn,
@@ -969,31 +947,31 @@ def commit_overwrite(
     )
     if expected_version is not None and exists:
         if table_version(path) != expected_version:
-            shutil.rmtree(staging)
+            _fs().rmtree(staging)
             raise ConcurrentWriteError(
                 f"{path}: version advanced past {expected_version} during "
                 "staging — another commit intervened; re-read and retry"
             )
 
     if not exists:
-        if os.path.exists(path):  # unmanaged leftovers — clear, then swap
-            shutil.rmtree(path)
-        os.rename(staging, path)
+        if _fs().exists(path):  # unmanaged leftovers — clear, then swap
+            _fs().rmtree(path)
+        _fs().rename_dir(staging, path)
         _fsync_dir(os.path.dirname(os.path.abspath(path)) or ".")
         return
     backup = f"{path}__old_{tag}"
-    os.rename(path, backup)
-    os.rename(staging, path)
+    _fs().rename_dir(path, backup)
+    _fs().rename_dir(staging, path)
     _fsync_dir(os.path.dirname(os.path.abspath(path)) or ".")
     if max_history > 0:
         hist = _history_dir(path)
-        os.makedirs(hist, exist_ok=True)
-        os.rename(backup, os.path.join(hist, f"v{version - 1:06d}"))
-        snaps = sorted(d for d in os.listdir(hist) if d.startswith("v"))
+        _fs().makedirs(hist, exist_ok=True)
+        _fs().rename_dir(backup, os.path.join(hist, f"v{version - 1:06d}"))
+        snaps = sorted(d for d in _fs().listdir(hist) if d.startswith("v"))
         for stale in snaps[:-max_history]:
-            shutil.rmtree(os.path.join(hist, stale))
+            _fs().rmtree(os.path.join(hist, stale))
     else:
-        shutil.rmtree(backup)
+        _fs().rmtree(backup)
 
 
 def delete_where(
@@ -1160,23 +1138,20 @@ def clone_table(src_path: str, dst_path: str) -> dict:
     marker = _read_marker(src_path)
     if not marker:
         raise ValueError(f"{src_path} is not a managed table")
-    if os.path.exists(dst_path):
+    if _fs().exists(dst_path):
         raise ValueError(f"clone destination {dst_path} already exists")
     tag = uuid.uuid4().hex[:8]
     staging = f"{dst_path}__staging_{tag}"
     n_files = 0
-    for root, _dirs, files in os.walk(src_path):
+    for root, _dirs, files in _fs().walk(src_path):
         rel = os.path.relpath(root, src_path)
         tgt = staging if rel == "." else os.path.join(staging, rel)
-        os.makedirs(tgt, exist_ok=True)
+        _fs().makedirs(tgt, exist_ok=True)
         for fn in files:
             if fn == _MARKER or fn.endswith(".tmp"):
                 continue
             s, d = os.path.join(root, fn), os.path.join(tgt, fn)
-            try:
-                os.link(s, d)
-            except OSError:  # cross-device — degrade to a byte copy
-                shutil.copy2(s, d)
+            _fs().link_or_copy(s, d)
             n_files += 1
     src_version = int(marker.get("version", 0))
     new_marker = {
@@ -1189,9 +1164,8 @@ def clone_table(src_path: str, dst_path: str) -> dict:
             "version": src_version,
         },
     }
-    with open(os.path.join(staging, _MARKER), "w") as f:
-        json.dump(new_marker, f)
-    os.rename(staging, dst_path)
+    _fs().write_atomic(os.path.join(staging, _MARKER), json.dumps(new_marker))
+    _fs().rename_dir(staging, dst_path)
     return {"files_linked": n_files, "source_version": src_version}
 
 
@@ -1232,10 +1206,10 @@ def table_detail(path: str) -> dict:
         "generated_columns": sorted(marker.get("generated", {})),
         "identity_columns": sorted(marker.get("identity", {})),
         "unique_keys": bool(marker.get("unique_keys", False)),
-        "stats_manifest": os.path.exists(
+        "stats_manifest": _fs().exists(
             os.path.join(path, "_stats_manifest.json")
         ),
-        "bloom_manifest": os.path.exists(
+        "bloom_manifest": _fs().exists(
             os.path.join(path, "_bloom_manifest.json")
         ),
         "retained_versions": list_versions(path),
@@ -1252,9 +1226,9 @@ def convert_to_managed(
     post-conversion DML then runs the full stage-and-swap like any
     other table. Refuses directories that are already managed (convert
     is not idempotent-overwrite: it would reset version/txn state)."""
-    if not os.path.isdir(path):
+    if not _fs().isdir(path):
         raise ValueError(f"{path} is not a directory")
-    if os.path.exists(os.path.join(path, _MARKER)):
+    if _fs().exists(os.path.join(path, _MARKER)):
         raise ValueError(f"{path} is already a managed table")
     # sanity: it must actually hold parquet (schema readable)
     spark.read.parquet(path).schema

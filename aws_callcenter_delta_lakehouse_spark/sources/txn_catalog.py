@@ -39,6 +39,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from . import managed_table as mt
+from .fs import get_fs as _fs
 
 
 class CatalogConflictError(RuntimeError):
@@ -54,21 +55,17 @@ def _load_latest(catalog_dir: str) -> dict | None:
     only a cached pointer — if a crash tore it, fall back to the
     HIGHEST parseable versioned manifest (the log of record), so a torn
     pointer can never take the whole catalog down."""
-    import glob as _glob
-
     p = _latest_path(catalog_dir)
-    if os.path.exists(p):
+    if _fs().exists(p):
         try:
-            with open(p) as fh:
-                return json.load(fh)
+            return json.loads(_fs().read_text(p))
         except json.JSONDecodeError:
             pass
     for vf in sorted(
-        _glob.glob(os.path.join(catalog_dir, "v*.json")), reverse=True
+        _fs().glob(os.path.join(catalog_dir, "v*.json")), reverse=True
     ):
         try:
-            with open(vf) as fh:
-                return json.load(fh)
+            return json.loads(_fs().read_text(vf))
         except json.JSONDecodeError:  # pragma: no cover - torn versioned
             continue
     return None
@@ -86,8 +83,9 @@ def read_manifest(catalog_dir: str, version: int | None = None) -> dict:
     if version is None:
         payload = _load_latest(catalog_dir)
         return {} if payload is None else payload["tables"]
-    with open(os.path.join(catalog_dir, f"v{version:06d}.json")) as fh:
-        return json.load(fh)["tables"]
+    return json.loads(
+        _fs().read_text(os.path.join(catalog_dir, f"v{version:06d}.json"))
+    )["tables"]
 
 
 def catalog_txn(catalog_dir: str) -> dict:
@@ -116,7 +114,7 @@ def commit_tables(
     raises :class:`CatalogConflictError` (before any data is written)
     if another transaction committed first.
     """
-    os.makedirs(catalog_dir, exist_ok=True)
+    _fs().makedirs(catalog_dir, exist_ok=True)
     current = catalog_version(catalog_dir)
     if expected_version is not None and current != expected_version:
         raise CatalogConflictError(
@@ -134,19 +132,8 @@ def commit_tables(
     new_version = current + 1
     payload = {"version": new_version, "tables": manifest, "txn": txn or {}}
     versioned = os.path.join(catalog_dir, f"v{new_version:06d}.json")
-    tmp = versioned + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(payload, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.rename(tmp, versioned)
-    tmp2 = _latest_path(catalog_dir) + ".tmp"
-    with open(tmp2, "w") as fh:
-        json.dump(payload, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp2, _latest_path(catalog_dir))
-    mt._fsync_dir(catalog_dir)
+    _fs().write_atomic(versioned, json.dumps(payload))
+    _fs().write_atomic(_latest_path(catalog_dir), json.dumps(payload))
     return new_version
 
 
