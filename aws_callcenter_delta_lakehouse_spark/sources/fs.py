@@ -16,8 +16,9 @@ local primitive has a documented cloud equivalent):
 method                object-store equivalent
 ====================  =====================================================
 write_atomic          single PUT (S3 PUTs are atomic; the tmp+fsync+replace
-                      dance is unnecessary). Conditional-PUT
-                      (If-None-Match) gives put-if-absent for commit races.
+                      dance is unnecessary).
+write_exclusive       conditional PUT (If-None-Match: *) — put-if-absent,
+                      the commit-race primitive.
 replace               PUT to the final key (last-writer-wins); for CAS use
                       conditional PUT, as Delta does via the log store.
 rename_dir            no native rename: a MANIFEST pointer swap — write the
@@ -41,6 +42,7 @@ from __future__ import annotations
 import glob as _glob
 import os
 import shutil
+import uuid
 
 
 class LocalTableFS:
@@ -93,6 +95,25 @@ class LocalTableFS:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        self.fsync_dir(os.path.dirname(os.path.abspath(path)) or ".")
+
+    def write_exclusive(self, path: str, data: str) -> None:
+        """PUT-IF-ABSENT with full-content atomicity: durably write a
+        temp file, then hard-link it to the final name — ``link`` fails
+        with FileExistsError if another writer already created it, and
+        readers can never observe partial content. The commit-race
+        primitive (exactly one concurrent writer of a versioned
+        manifest wins). Object stores: conditional PUT
+        (If-None-Match: *)."""
+        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        finally:
+            os.remove(tmp)
         self.fsync_dir(os.path.dirname(os.path.abspath(path)) or ".")
 
     def replace(self, src: str, dst: str) -> None:

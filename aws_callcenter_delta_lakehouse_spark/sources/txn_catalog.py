@@ -15,13 +15,17 @@ Protocol:
 
 1. each table commits through the normal atomic ``commit_overwrite``
    (its new version exists but nothing references it yet);
-2. a manifest ``{name: {path, version}}`` is written to
-   ``<catalog>/v{N}.json`` and published by an atomic
-   ``os.replace`` of ``<catalog>/_latest.json``.
+2. a manifest ``{name: {path, version}}`` is PUT-IF-ABSENT to
+   ``<catalog>/v{N}.json`` — THIS atomic create is the commit point
+   (Delta's numbered log entry); ``_latest.json`` is then refreshed as
+   a read cache (readers resolve max(cache, newest versioned), so a
+   crash between the two leaves the transaction committed and the
+   cache one behind).
 
-A crash anywhere before step 2 leaves the catalog pointing at the OLD
-versions of EVERY table — consistent, never mixed; the orphaned new
-table versions are unreferenced history that ``vacuum`` can retire.
+A crash anywhere before the versioned-manifest create leaves the
+catalog at the OLD versions of EVERY table — consistent, never mixed;
+the orphaned new table versions are unreferenced history that
+``vacuum`` can retire.
 Readers resolve through the manifest with ``read_table`` (or pin a
 ``snapshot()`` for a multi-query consistent session), so they observe
 either the whole transaction or none of it.
@@ -51,24 +55,32 @@ def _latest_path(catalog_dir: str) -> str:
 
 
 def _load_latest(catalog_dir: str) -> dict | None:
-    """The latest catalog payload, torn-write-safe: ``_latest.json`` is
-    only a cached pointer — if a crash tore it, fall back to the
-    HIGHEST parseable versioned manifest (the log of record), so a torn
-    pointer can never take the whole catalog down."""
+    """The committed catalog payload. The VERSIONED manifests are the
+    LOG OF RECORD — their put-if-absent create is the commit point,
+    exactly like Delta's numbered ``_delta_log`` entries — while
+    ``_latest.json`` is a read cache that can lag one commit (a crash
+    between the versioned write and the pointer flip) or tear. Resolve
+    to the highest-version payload among the cache and the newest
+    parseable versioned manifest, so a lagging or torn cache can never
+    hide a committed transaction or take the catalog down."""
+    best = None
     p = _latest_path(catalog_dir)
     if _fs().exists(p):
         try:
-            return json.loads(_fs().read_text(p))
+            best = json.loads(_fs().read_text(p))
         except json.JSONDecodeError:
-            pass
+            best = None
     for vf in sorted(
         _fs().glob(os.path.join(catalog_dir, "v*.json")), reverse=True
     ):
         try:
-            return json.loads(_fs().read_text(vf))
+            payload = json.loads(_fs().read_text(vf))
         except json.JSONDecodeError:  # pragma: no cover - torn versioned
             continue
-    return None
+        if best is None or int(payload["version"]) > int(best["version"]):
+            best = payload
+        break  # the highest parseable versioned manifest suffices
+    return best
 
 
 def catalog_version(catalog_dir: str) -> int:
@@ -113,6 +125,15 @@ def commit_tables(
     ``expected_version``: optimistic concurrency at the CATALOG level —
     raises :class:`CatalogConflictError` (before any data is written)
     if another transaction committed first.
+
+    Cross-process safe: the versioned manifest is published with a
+    PUT-IF-ABSENT (``write_exclusive`` — hard-link create, the local
+    analogue of a conditional PUT), so when two writers race to the
+    same catalog version EXACTLY ONE wins; the loser raises
+    :class:`CatalogConflictError` before touching ``_latest`` and its
+    prepared table snapshots stay unreferenced history (readers resolve
+    through the manifest, so they never see them; ``vacuum`` retires
+    them).
     """
     _fs().makedirs(catalog_dir, exist_ok=True)
     current = catalog_version(catalog_dir)
@@ -132,7 +153,13 @@ def commit_tables(
     new_version = current + 1
     payload = {"version": new_version, "tables": manifest, "txn": txn or {}}
     versioned = os.path.join(catalog_dir, f"v{new_version:06d}.json")
-    _fs().write_atomic(versioned, json.dumps(payload))
+    try:
+        _fs().write_exclusive(versioned, json.dumps(payload))
+    except FileExistsError:
+        raise CatalogConflictError(
+            f"catalog v{new_version} was committed by another writer; "
+            "re-read and retry"
+        ) from None
     _fs().write_atomic(_latest_path(catalog_dir), json.dumps(payload))
     return new_version
 

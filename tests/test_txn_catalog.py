@@ -49,13 +49,13 @@ def test_commit_tables_publishes_both_atomically(spark, tmp_path):
     assert _vals(spark, cat, "b") == {(1, "b1")}
 
 
-def test_crash_before_pointer_flip_keeps_old_everywhere(
+def test_crash_before_versioned_commit_keeps_old_everywhere(
     spark, tmp_path, monkeypatch
 ):
     """Kill the transaction after table A's data committed but before
-    the catalog pointer flipped: the catalog must serve OLD A and OLD
-    B (even though A's table head advanced), and a retry completes the
-    transaction."""
+    the versioned manifest (the commit point) was created: the catalog
+    must serve OLD A and OLD B (even though A's table head advanced),
+    and a retry completes the transaction."""
     cat = str(tmp_path / "cat")
     a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
     tc.commit_tables(
@@ -66,14 +66,16 @@ def test_crash_before_pointer_flip_keeps_old_everywhere(
         cat,
     )
 
-    real_replace = os.replace
+    from aws_callcenter_delta_lakehouse_spark.sources import fs as table_fs
 
-    def boom(src, dst):
-        if str(dst).startswith(cat):
+    real_excl = table_fs.LocalTableFS.write_exclusive
+
+    def boom(self, path, data):
+        if str(path).startswith(cat):
             raise RuntimeError("injected crash")
-        return real_replace(src, dst)
+        return real_excl(self, path, data)  # pragma: no cover - guard
 
-    monkeypatch.setattr(tc.os, "replace", boom)
+    monkeypatch.setattr(table_fs.LocalTableFS, "write_exclusive", boom)
     with pytest.raises(RuntimeError, match="injected crash"):
         tc.commit_tables(
             {
@@ -82,7 +84,7 @@ def test_crash_before_pointer_flip_keeps_old_everywhere(
             },
             cat,
         )
-    monkeypatch.setattr(tc.os, "replace", real_replace)
+    monkeypatch.setattr(table_fs.LocalTableFS, "write_exclusive", real_excl)
 
     # table A's HEAD moved, but the catalog still pins the pre-image
     assert mt.table_version(a_path) == 1
@@ -98,6 +100,47 @@ def test_crash_before_pointer_flip_keeps_old_everywhere(
         },
         cat,
     )
+    assert _vals(spark, cat, "a") == {(1, "a1")}
+    assert _vals(spark, cat, "b") == {(1, "b1")}
+
+
+def test_crash_after_versioned_commit_is_committed(
+    spark, tmp_path, monkeypatch
+):
+    """Kill the transaction AFTER the versioned manifest landed but
+    before the ``_latest`` cache refresh: the transaction is COMMITTED
+    (the versioned log entry is the record — Delta semantics), readers
+    resolve past the stale cache, and both tables serve the NEW
+    versions together — still never a mix."""
+    cat = str(tmp_path / "cat")
+    a_path, b_path = str(tmp_path / "a"), str(tmp_path / "b")
+    tc.commit_tables(
+        {
+            "a": (_df(spark, [(1, "a0")]), a_path, ("id",)),
+            "b": (_df(spark, [(1, "b0")]), b_path, ("id",)),
+        },
+        cat,
+    )
+
+    real_replace = os.replace
+
+    def boom(src, dst):
+        if str(dst).startswith(cat):  # only the _latest cache refresh
+            raise RuntimeError("injected crash")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(tc.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        tc.commit_tables(
+            {
+                "a": (_df(spark, [(1, "a1")]), a_path, ("id",)),
+                "b": (_df(spark, [(1, "b1")]), b_path, ("id",)),
+            },
+            cat,
+        )
+    monkeypatch.setattr(tc.os, "replace", real_replace)
+
+    assert tc.catalog_version(cat) == 1  # log of record wins over cache
     assert _vals(spark, cat, "a") == {(1, "a1")}
     assert _vals(spark, cat, "b") == {(1, "b1")}
 
@@ -152,3 +195,66 @@ def test_torn_catalog_pointer_falls_back_to_versioned_log(spark, tmp_path):
     df2 = spark.createDataFrame([(2, "b")], "id long, v string")
     tc.commit_tables({"t1": (df2, t1, ("id",))}, cat, expected_version=0)
     assert tc.catalog_version(cat) == 1
+
+
+# -- cross-process commit race (r5 verdict #5) ---------------------------
+
+def _race_writer(cat: str, rounds: int, barrier, out):
+    """One OS process: try `rounds` catalog commits, retrying on
+    conflict; report how many it WON. No Spark needed — the contested
+    resource is the catalog pointer (updates={} carries tables
+    forward)."""
+    wins = 0
+    barrier.wait()  # maximize overlap: all writers start together
+    for _ in range(rounds):
+        while True:
+            current = tc.catalog_version(cat)
+            try:
+                tc.commit_tables({}, cat, expected_version=current)
+                wins += 1
+                break
+            except tc.CatalogConflictError:
+                continue  # somebody else took this version; re-read, retry
+    out.put(wins)
+
+
+def test_cross_process_commit_race_exactly_one_wins_per_version(tmp_path):
+    """Two+ real OS processes hammer one catalog dir: the put-if-absent
+    versioned-manifest write makes every version number have EXACTLY
+    one winner — total wins equals the version advance, the version
+    chain is contiguous and parseable, and no loser leaves a temp file
+    behind. (The in-process interleaving test above covers the
+    monkeypatched window; this covers true cross-process interleaving.)
+    """
+    import glob
+    import json
+    import multiprocessing as mp
+
+    cat = str(tmp_path / "cat")
+    tc.commit_tables({}, cat)  # v0 exists before the race
+    n_procs, rounds = 4, 5
+
+    ctx = mp.get_context("fork")
+    barrier = ctx.Barrier(n_procs)
+    out = ctx.Queue()
+    procs = [
+        ctx.Process(target=_race_writer, args=(cat, rounds, barrier, out))
+        for _ in range(n_procs)
+    ]
+    for p in procs:
+        p.start()
+    wins = [out.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+
+    assert sum(wins) == n_procs * rounds  # every attempted commit landed
+    assert tc.catalog_version(cat) == n_procs * rounds  # v0 + 20 race wins
+    vfiles = sorted(glob.glob(os.path.join(cat, "v*.json")))
+    assert len(vfiles) == n_procs * rounds + 1
+    versions = []
+    for vf in vfiles:
+        with open(vf) as fh:
+            versions.append(json.load(fh)["version"])  # parseable, whole
+    assert versions == list(range(n_procs * rounds + 1))  # contiguous
+    assert not glob.glob(os.path.join(cat, "*.tmp"))  # losers swept
