@@ -50,6 +50,16 @@ STRESS_QUERIES = (
     # round-5: directional containment shares jaccard_pairs' df-blocked
     # self-join shape — quadratic if the blocking regresses
     "dedup_containment",
+    # round-6: the graph family — the most expensive registry queries
+    # (BENCH_DETAIL_r05) had no superlinearity tripwire; a lost
+    # checkpoint truncation or a regressed co-supply projection would
+    # go unseen. Edges scale linearly with orders by construction (see
+    # _synth_corpus: 25-order supplier groups -> 6 distinct pairs per
+    # group, chained for BFS connectivity).
+    "pagerank_suppliers",
+    "graph_kcore_suppliers",
+    "graph_bfs_hops",
+    "graph_community_labels",
 )
 
 
@@ -104,6 +114,37 @@ def _synth_corpus(spark, out_dir: str, n_docs: int, seed: int = 7) -> None:
         )
     )
     emb.write.mode("overwrite").parquet(out_dir + "/embeddings.parquet")
+    # orders + lineitem for the graph family, edge-count LINEAR in rows:
+    # orders come in groups of 25 sharing one 4-supplier set (so every
+    # co-supply pair recurs 25 times — past graph_bfs_hops' >=5-shared-
+    # orders threshold), supplier ids stride by 3 per group (4-wide set
+    # overlaps the next group by one supplier -> one connected chain for
+    # BFS), customers cycle over n/10 ids for the bipartite queries.
+    orders = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("o_orderkey"),
+            F.pmod(F.col("id"), F.lit(max(n_docs // 10, 10))).alias("o_custkey"),
+        )
+    )
+    orders.write.mode("overwrite").parquet(out_dir + "/orders.parquet")
+    li = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("l_orderkey"),
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("id") / 25).cast("long") * 3 + F.lit(j)).alias(
+                            "s"
+                        )
+                        for j in range(4)
+                    ]
+                )
+            ).alias("l_suppkey"),
+        )
+    )
+    li.write.mode("overwrite").parquet(out_dir + "/lineitem.parquet")
 
 
 def _run(spark, name: str, sf_dir: str) -> float:
