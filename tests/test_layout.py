@@ -493,10 +493,31 @@ def test_optimize_if_degraded_triggers_and_converges(spark, tmp_path):
     degraded = clustering_depth(path, "k")
     assert degraded["avg_depth"] > 2.0, degraded
 
+    # MEASURED skip rate on a narrow range probe while degraded: the
+    # four appended files span the whole key range, so they are always
+    # kept — pruning skips at most the disjoint base slices
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        pruned_file_list,
+        read_with_skipping,
+    )
+
+    kept_before, total_before = pruned_file_list(path, "k", lo=100, hi=200)
+    assert len(kept_before) >= 5, (len(kept_before), total_before)
+    probe_rows = {r.k for r in read_with_skipping(spark, path, "k", 100, 200).collect()}
+
     out = optimize_if_degraded(spark, path, "k", max_avg_depth=2.0,
                                target_file_bytes=8000)
     assert out["reclustered"] is True
     assert out["depth_after"]["avg_depth"] <= 2.0, out
+
+    # after the trigger the same probe touches almost nothing: depth
+    # recovery is VISIBLE as pruned files, not just a metadata number
+    kept_after, total_after = pruned_file_list(path, "k", lo=100, hi=200)
+    assert len(kept_after) <= 2, (len(kept_after), total_after)
+    assert len(kept_after) / total_after < len(kept_before) / total_before
+    assert {
+        r.k for r in read_with_skipping(spark, path, "k", 100, 200).collect()
+    } == probe_rows  # pruning never changes answers
     # rows survived exactly
     expect = set(range(8000)) | {
         v for i in range(4) for v in range(0, 8000, 97 + i)
