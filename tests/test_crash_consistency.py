@@ -401,21 +401,25 @@ def test_multi_table_epoch_crash_all_or_nothing(spark, tmp_path, monkeypatch):
     assert apply_multi_table_epoch(b0, 0, cat, tables) is True
     assert apply_multi_table_epoch(b0, 0, cat, tables) is False  # replay skips
 
-    # epoch 1 crashes at the catalog-pointer flip (after per-table commits)
+    # epoch 1 crashes at the CATALOG COMMIT POINT — the put-if-absent
+    # versioned-manifest create (after per-table commits, r6: the
+    # pointer file is only a read cache behind it)
     b1 = spark.createDataFrame([(2, "a", 7)], "id long, k string, v long")
-    real_replace = os.replace
+    from aws_callcenter_delta_lakehouse_spark.sources import fs as table_fs
 
-    def crash_flip(src, dst):
-        if str(dst).endswith("_latest.json"):
+    real_excl = table_fs.LocalTableFS.write_exclusive
+
+    def crash_commit(self, p, data):
+        if str(p).startswith(cat):
             raise RuntimeError("injected crash")
-        return real_replace(src, dst)
+        return real_excl(self, p, data)  # pragma: no cover - guard
 
-    monkeypatch.setattr(os, "replace", crash_flip)
+    monkeypatch.setattr(table_fs.LocalTableFS, "write_exclusive", crash_commit)
     try:
         with pytest.raises(RuntimeError, match="injected crash"):
             apply_multi_table_epoch(b1, 1, cat, tables)
     finally:
-        monkeypatch.setattr(os, "replace", real_replace)
+        monkeypatch.setattr(table_fs.LocalTableFS, "write_exclusive", real_excl)
 
     # catalog still serves the epoch-0 state of BOTH tables
     assert tc.catalog_txn(cat)["last_epoch"] == 0
@@ -436,3 +440,30 @@ def test_multi_table_epoch_crash_all_or_nothing(spark, tmp_path, monkeypatch):
     assert tc.read_table(spark, cat, "raw").count() == 3
     # and a second replay is a no-op
     assert apply_multi_table_epoch(b1, 1, cat, tables) is False
+
+    # epoch 2 crashes AFTER the versioned manifest but before the
+    # _latest cache refresh: the transaction IS committed (the log
+    # entry is the record), so the replay must SKIP — totals once
+    b2 = spark.createDataFrame([(3, "b", 4)], "id long, k string, v long")
+    real_replace = os.replace
+
+    def crash_flip(src, dst):
+        if str(dst).endswith("_latest.json") and str(dst).startswith(cat):
+            raise RuntimeError("injected crash")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_flip)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            apply_multi_table_epoch(b2, 2, cat, tables)
+    finally:
+        monkeypatch.setattr(os, "replace", real_replace)
+
+    assert tc.catalog_txn(cat)["last_epoch"] == 2  # committed despite crash
+    assert apply_multi_table_epoch(b2, 2, cat, tables) is False  # replay skips
+    gold3 = {
+        (r.k, r.total)
+        for r in tc.read_table(spark, cat, "gold").collect()
+    }
+    assert gold3 == {("a", 17), ("b", 9)}
+    assert tc.read_table(spark, cat, "raw").count() == 4

@@ -579,14 +579,18 @@ def test_lsh_index_sink_catalog_mode_atomic_and_replays(
         q.stop()
     assert tc.catalog_txn(cat)["last_epoch"] == 0
 
-    real_replace = _os.replace
+    # crash at the CATALOG COMMIT POINT — the put-if-absent versioned
+    # manifest (r6: the _latest pointer is a read cache behind it)
+    from aws_callcenter_delta_lakehouse_spark.sources import fs as table_fs
 
-    def boom(s, d):
-        if str(d).startswith(cat):
+    real_excl = table_fs.LocalTableFS.write_exclusive
+
+    def boom(self, p, data):
+        if str(p).startswith(cat):
             raise RuntimeError("injected crash")
-        return real_replace(s, d)
+        return real_excl(self, p, data)  # pragma: no cover - guard
 
-    monkeypatch.setattr(tc.os, "replace", boom)
+    monkeypatch.setattr(table_fs.LocalTableFS, "write_exclusive", boom)
     q = _start()
     try:
         _feed(b, "b")
@@ -595,7 +599,7 @@ def test_lsh_index_sink_catalog_mode_atomic_and_replays(
         pass  # query died on the injected crash
     finally:
         q.stop()
-    monkeypatch.setattr(tc.os, "replace", real_replace)
+    monkeypatch.setattr(table_fs.LocalTableFS, "write_exclusive", real_excl)
 
     # catalog still at epoch 0: BOTH tables consistent at batch-1 state
     assert tc.catalog_txn(cat)["last_epoch"] == 0

@@ -234,7 +234,11 @@ def test_cross_process_commit_race_exactly_one_wins_per_version(tmp_path):
     tc.commit_tables({}, cat)  # v0 exists before the race
     n_procs, rounds = 4, 5
 
-    ctx = mp.get_context("fork")
+    # spawn, not fork: the pytest process carries a live JVM's threads
+    # (py4j, logging) and fork()ing it can deadlock or crash children
+    # on inherited locks under load (observed flaking in the full-suite
+    # run). The workers are pure Python — a clean interpreter is cheap.
+    ctx = mp.get_context("spawn")
     barrier = ctx.Barrier(n_procs)
     out = ctx.Queue()
     procs = [
