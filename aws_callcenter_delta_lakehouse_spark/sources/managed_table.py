@@ -57,7 +57,18 @@ class ConcurrentWriteError(RuntimeError):
     ``ConcurrentAppendException`` family. Optimistic concurrency: the
     caller re-reads and retries. (Coarser than Delta: ANY intervening
     commit conflicts — the emulation rewrites whole snapshots, so there
-    is no disjoint-files fast path.)"""
+    is no disjoint-files fast path.)
+
+    Layering contract (mirrors Delta's data-files-vs-log split): the
+    per-table swap guarantees ATOMICITY — the final (data, marker) pair
+    is always one writer's, never a mix (cross-process-pinned in
+    ``tests/test_table_race.py``) — while the version recheck narrows
+    but cannot close the lost-update window (rename alone cannot build
+    CAS). True multi-writer EXCLUSION belongs to the txn catalog,
+    whose put-if-absent versioned manifest is the commit log
+    (``sources/txn_catalog.py``); concurrent writers should commit
+    through it, exactly as concurrent Delta writers go through the
+    log store's conditional put."""
 
 
 class ConstraintViolationError(ValueError):
