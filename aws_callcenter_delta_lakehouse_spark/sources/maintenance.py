@@ -282,6 +282,98 @@ def optimize_hilbert(
     return {"before": before, "after": table_file_stats(path)}
 
 
+def purge_rows(
+    spark: SparkSession, path: str, condition, max_history: int | None = None
+) -> dict:
+    """Right-to-ERASURE across time travel (GDPR Article 17 on a
+    lakehouse). ``delete_where`` removes matching rows from the LIVE
+    snapshot, but every RETAINED history version — including the
+    delete's own pre-image — still serves them through
+    ``read(version=)`` / ``read_as_of``. Delta's standard answer is
+    DELETE + VACUUM with a zeroed retention, which destroys time
+    travel wholesale; this purge is finer-grained: each retained
+    snapshot is REWRITTEN WITHOUT the matching rows and swapped
+    atomically in place, preserving its version number and commit
+    ``ts`` — time travel keeps working, it just can never resurrect
+    the erased rows.
+
+    Semantics:
+    - rows where the condition is TRUE are erased everywhere; NULL
+      keeps (SQL DELETE semantics), matching ``delete_where``;
+    - the condition references LOGICAL column names; snapshots written
+      before a rename are filtered through their own column mapping
+      and rewritten under their original physical names, so
+      ``read(version=)`` output is unchanged apart from the erased
+      rows;
+    - physical payloads of DROPPED columns are also scrubbed from the
+      rewritten snapshots (a dropped PII column must not survive in
+      history — that is the point of a purge);
+    - snapshots with no matching rows are left byte-identical
+      (untouched files, no rewrite);
+    - each snapshot's marker keeps its original ``ts`` (read_as_of
+      ordering intact) with refreshed row/file stats.
+
+    Scale shape: one filtered rewrite per retained snapshot that
+    actually contains matches — the same cost Delta pays to rewrite
+    matching files, bounded by ``max_history``. Returns
+    ``{"live_removed", "history_rewritten", "history_rows_removed"}``.
+    """
+    mt = managed_table
+    cond = F.expr(condition) if isinstance(condition, str) else condition
+    match = F.coalesce(cond, F.lit(False))
+
+    # a purge must not silently SHRINK retention: default the delete's
+    # history window to however many versions the table currently keeps
+    if max_history is None:
+        max_history = max(len(mt.list_versions(path)), 1)
+    live_removed = mt.read(spark, path).filter(match).count()
+    if live_removed:
+        mt.delete_where(spark, path, cond, max_history=max_history)
+    live = mt.table_version(path)
+
+    rewritten = 0
+    history_removed = 0
+    for v in mt.list_versions(path):
+        if v == live:
+            continue
+        snap = os.path.join(mt._history_dir(path), f"v{v:06d}")
+        marker = mt._read_marker(snap)
+        raw = spark.read.parquet(snap)
+        logical = mt._apply_column_mapping(raw, marker)
+        n_match = logical.filter(match).count()
+        if n_match == 0:
+            continue
+        keep = logical.filter(~match)
+        # rewrite under the snapshot's own PHYSICAL names so
+        # read(version=) serves exactly what it did before, minus rows
+        mapping = marker.get("column_mapping", {})
+        back = {log: phys for log, phys in mapping.items() if log in keep.columns}
+        if back:
+            keep = keep.withColumnsRenamed(back)
+        staging = f"{snap}__purge"
+        if _fs().isdir(staging):  # pragma: no cover - leftover from crash
+            _fs().rmtree(staging)
+        writer = keep.write.mode("overwrite")
+        if marker.get("partition_by"):
+            writer = writer.partitionBy(*marker["partition_by"])
+        writer.parquet(staging)
+        new_marker = dict(marker)
+        new_marker["dropped_columns"] = []  # payloads scrubbed for real
+        new_marker["stats"] = mt._snapshot_stats(staging)
+        mt._replace_marker(staging, new_marker)  # keeps the original ts
+        backup = f"{snap}__purge_old"
+        _fs().rename_dir(snap, backup)
+        _fs().rename_dir(staging, snap)
+        _fs().rmtree(backup)
+        rewritten += 1
+        history_removed += n_match
+    return {
+        "live_removed": int(live_removed),
+        "history_rewritten": rewritten,
+        "history_rows_removed": int(history_removed),
+    }
+
+
 def vacuum(
     path: str,
     retain_history: bool = False,

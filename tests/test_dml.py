@@ -486,3 +486,74 @@ def test_compaction_preserves_table_metadata(spark, tmp_path):
     assert mt.table_txn(path) == {"last_epoch": 8}
     assert mt.table_constraints(path) == {"v_nonneg": "v >= 0"}
     assert mt.read(spark, path).count() == 100
+
+
+def test_purge_rows_erases_across_time_travel(spark, tmp_path):
+    """GDPR purge: after purge_rows, NO retained version — live,
+    history, version-pinned read, or timestamp travel — can resurrect
+    the erased rows; untouched snapshots stay byte-identical; version
+    numbers and commit timestamps survive."""
+    import glob
+    import os as _os
+
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        purge_rows,
+    )
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 30).selectExpr("id", "concat('u', id) AS email"),
+        path, keys=("id",), max_history=4,
+    )
+    ts_v0 = mt._read_marker(path)["ts"]
+    mt.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(100, "u100")], "id long, email string"),
+        keys=("id",), max_history=4,
+    )
+    mt.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(101, "u101")], "id long, email string"),
+        keys=("id",), max_history=4,
+    )
+    assert mt.list_versions(path) == [0, 1, 2]
+
+    out = purge_rows(spark, path, "id < 5")
+    assert out["live_removed"] == 5
+    # v0, v1, AND the delete's own pre-image v2 all held id<5
+    assert out["history_rewritten"] == 3
+    assert out["history_rows_removed"] == 15
+
+    # erased EVERYWHERE: live, every retained version, timestamp travel
+    assert mt.read(spark, path).filter("id < 5").count() == 0
+    for v in mt.list_versions(path):
+        assert mt.read(spark, path, version=v).filter("id < 5").count() == 0
+    assert mt.read_as_of(spark, path, ts_v0).filter("id < 5").count() == 0
+    # the purge itself bumped the live version (it IS a delete commit)
+    assert mt.table_version(path) == 3
+    # v0's identity survived: same version number, same commit ts
+    v0 = _os.path.join(mt._history_dir(path), "v000000")
+    assert mt._read_marker(v0)["ts"] == ts_v0
+    assert mt._read_marker(v0)["version"] == 0
+    # marker stats refreshed to the scrubbed counts
+    assert mt._read_marker(v0)["stats"]["n_rows"] == 25
+    # everything else intact
+    assert mt.read(spark, path).count() == 27  # 30 - 5 + 2 merges
+    assert mt.read(spark, path, version=0).count() == 25
+    assert not glob.glob(path + "__history/*__purge*")
+
+    # no-match purge touches nothing: files stay byte-identical
+    files_before = {
+        f: _os.path.getmtime(f)
+        for f in glob.glob(path + "__history/v000000/*.parquet")
+    }
+    out2 = purge_rows(spark, path, "id = 999999")
+    assert out2 == {
+        "live_removed": 0,
+        "history_rewritten": 0,
+        "history_rows_removed": 0,
+    }
+    assert {
+        f: _os.path.getmtime(f)
+        for f in glob.glob(path + "__history/v000000/*.parquet")
+    } == files_before

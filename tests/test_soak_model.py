@@ -61,7 +61,8 @@ def test_random_dml_soak_matches_model(spark, tmp_path, monkeypatch):
     ops_run = []
     for step in range(N_OPS):
         op = rng.choice(
-            ["overwrite", "merge", "delete", "update", "restore", "crash_merge"]
+            ["overwrite", "merge", "delete", "update", "restore", "crash_merge",
+             "compact"]
         )
         ops_run.append(op)
         ver = mt.table_version(path)
@@ -103,6 +104,20 @@ def test_random_dml_soak_matches_model(spark, tmp_path, monkeypatch):
             tgt = rng.choice(targets)
             mt.restore_table(spark, path, tgt)
             model = dict(history[tgt])
+        elif op == "compact":
+            # OPTIMIZE in the middle of a DML stream: bytes rewritten,
+            # logical table untouched — model is a NO-OP and the version
+            # must not move (r6: metadata-preserving compaction markers)
+            from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+                compact,
+                compact_binpack,
+            )
+
+            if rng.random() < 0.5:
+                compact(spark, path, target_file_bytes=1 << 20)
+            else:
+                compact_binpack(spark, path, target_file_bytes=1 << 20)
+            assert mt.table_version(path) == ver, (step, ops_run)
         elif op == "crash_merge":
             delta = {
                 i: f"c{step}_{i}"
