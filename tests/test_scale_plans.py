@@ -499,3 +499,25 @@ def test_normalized_keep_best_shuffles_hash_not_text(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", p):
         assert "text" not in m.group(1), m.group(0)
+
+
+def test_recall_eval_has_no_cartesian_and_broadcasts_queries(spark):
+    """The eval harness (r6): the exact side must broadcast the QUERY
+    sample onto the corpus (never shuffle the corpus for 5 rows) and
+    the approximate side keeps the pinned zero-shuffle IVF shape — no
+    CartesianProduct anywhere, corpus scanned, never exploded."""
+    p = _plan(spark, "similarity_recall_eval")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_cross_source_overlap_never_builds_doc_pairs(spark):
+    """The source-overlap join (r6) must key on the GRAM, not on
+    documents: the only self-join condition is the shingle equality, so
+    per-gram fan-out is bounded by #sources — a regression to doc-level
+    pairing would show a join keyed on doc_id."""
+    p = _plan(spark, "corpus_cross_source_overlap")
+    assert "CartesianProduct" not in p
+    joins = [l for l in p.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
+    assert all("doc_id" not in l for l in joins), joins
