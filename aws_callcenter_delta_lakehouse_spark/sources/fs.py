@@ -88,8 +88,15 @@ class LocalTableFS:
 
     def write_atomic(self, path: str, data: str) -> None:
         """Torn-write-proof durable write: tmp file + fsync + atomic
-        replace + parent-dir fsync. Object stores: one PUT."""
-        tmp = path + ".tmp"
+        replace + parent-dir fsync. Object stores: one PUT.
+
+        The tmp name is writer-unique (pid + random), not a fixed
+        ``path + \".tmp\"``: concurrent writers of the same target (the
+        txn catalog's ``_latest`` cache pointer during a commit race)
+        must degrade to last-writer-wins, not crash when one writer's
+        ``os.replace`` consumes the shared tmp out from under another
+        (observed in the cross-process race test)."""
+        tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             f.write(data)
             f.flush()

@@ -35,10 +35,56 @@ def table_file_stats(path: str) -> dict[str, int]:
     files = [
         f
         for f in _fs().glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if _fs().isfile(f)
+        # the _dv deletion-vector sidecar is positions metadata, not data
+        if _fs().isfile(f) and managed_table._DV_DIR not in f.split(os.sep)
     ]
     total = sum(_fs().getsize(f) for f in files)
     return {"n_files": len(files), "total_bytes": total}
+
+
+def materialize_deletes(
+    spark: SparkSession, path: str, target_file_bytes: int = TARGET_FILE_BYTES
+) -> dict:
+    """Delta ``REORG TABLE t APPLY (PURGE)`` analogue: physically
+    rewrite a table that carries a deletion vector
+    (``delete_where(deletion_vectors=True)``) so the soft-deleted rows
+    leave the data files for real and reads drop the anti-join tax.
+    No-op on tables without a DV. The rewrite is the standard
+    size-targeted compaction (DV-aware read → fresh files → metadata-
+    preserving marker, which by construction does not carry the ``dv``
+    flag), so it is crash-atomic and keeps version/txn/constraints.
+    Note: like Delta's PURGE, the pre-image (with the deleted rows
+    still in its files) remains until VACUUM retires it."""
+    marker = managed_table._read_marker(path)
+    if not marker.get("dv"):
+        return {"materialized": False}
+    out = compact(
+        spark,
+        path,
+        tuple(marker.get("partition_by", ())),
+        target_file_bytes,
+    )
+    return {
+        "materialized": True,
+        "dv_rows_removed": int(marker["dv"].get("n_rows", 0)),
+        **out,
+    }
+
+
+def _require_no_dv(path: str, op: str) -> None:
+    """File-carrying maintenance ops (partition-scoped compact,
+    binpack) hardlink existing data files into the next snapshot while
+    ``_write_marker_like`` never carries the ``dv`` flag — on a
+    deletion-vector table that would resurrect the soft-deleted rows.
+    Delta's OPTIMIZE handles DVs natively per file; the emulation keeps
+    the invariant simpler: materialize first."""
+    if managed_table._read_marker(path).get("dv"):
+        raise ValueError(
+            f"{op}: {path} carries a deletion vector; run "
+            "maintenance.materialize_deletes first (Delta: REORG TABLE "
+            "... APPLY (PURGE)) — carrying files while dropping the DV "
+            "marker would resurrect soft-deleted rows"
+        )
 
 
 def compact(
@@ -116,6 +162,7 @@ def _compact_partitions(
             "compact(where=...) requires partition_by: the predicate selects "
             "partition directories to rewrite, not rows"
         )
+    _require_no_dv(path, "compact(where=...)")
     df = managed_table.read(spark, path)
     # collect the SPARK-rendered partition key alongside the values: the
     # slot map below is looked up with concat_ws(cast-to-string) at plan
@@ -338,7 +385,10 @@ def purge_rows(
             continue
         snap = os.path.join(mt._history_dir(path), f"v{v:06d}")
         marker = mt._read_marker(snap)
-        raw = spark.read.parquet(snap)
+        # DV-aware: a retained snapshot committed by a deletion-vector
+        # delete keeps its soft-deleted rows in the files — reading raw
+        # parquet would resurrect them into the purged rewrite
+        raw = mt._read_physical(spark, snap)
         logical = mt._apply_column_mapping(raw, marker)
         n_match = logical.filter(match).count()
         if n_match == 0:
@@ -359,6 +409,10 @@ def purge_rows(
         writer.parquet(staging)
         new_marker = dict(marker)
         new_marker["dropped_columns"] = []  # payloads scrubbed for real
+        # the purged rewrite materializes any deletion vector (fresh
+        # files, no _dv sidecar) — a carried dv flag would point reads
+        # at a sidecar that no longer exists
+        new_marker.pop("dv", None)
         new_marker["stats"] = mt._snapshot_stats(staging)
         mt._replace_marker(staging, new_marker)  # keeps the original ts
         backup = f"{snap}__purge_old"
@@ -486,6 +540,7 @@ def compact_binpack(
             "compact_binpack supports unpartitioned tables; compact "
             "hive partitions individually with compact(where=)"
         )
+    _require_no_dv(path, "compact_binpack")
     before = table_file_stats(path)
     files = sorted(
         (

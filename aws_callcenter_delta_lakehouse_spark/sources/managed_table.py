@@ -49,6 +49,15 @@ except ImportError:
     HAS_DELTA = False
 
 _MARKER = "_engine_table.json"
+# Deletion-vector sidecar: a parquet dataset of (file basename, row
+# index) pairs for rows logically deleted without rewriting their data
+# files. Underscore-prefixed so Spark's data reads of the snapshot
+# directory never see it (the same hidden-path rule _delta_log relies
+# on); explicit reads of <snapshot>/_dv still work because listing
+# starts inside the directory.
+_DV_DIR = "_dv"
+_DV_FILE_COL = "__dv_file"
+_DV_IDX_COL = "__dv_idx"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -109,7 +118,9 @@ def _snapshot_stats(dirpath: str) -> dict:
         for f in _fs().glob(
             os.path.join(dirpath, "**", "*.parquet"), recursive=True
         )
-        if _fs().isfile(f)
+        # the _dv sidecar holds deleted-row POSITIONS, not table data —
+        # its files must not count toward snapshot rows/bytes
+        if _fs().isfile(f) and _DV_DIR not in f.split(os.sep)
     ]
     return {
         "n_rows": sum(_pq.read_metadata(f).num_rows for f in files),
@@ -128,31 +139,39 @@ def _write_marker(
     generated: dict | None = None,
     identity: dict | None = None,
     unique_keys: bool = False,
+    extra: dict | None = None,
 ) -> None:
     # torn-write hardening: write_atomic is tmp + fsync + atomic
     # replace — an OS/power crash can otherwise persist the later
     # directory rename while this marker's CONTENT is lost, leaving a
     # live snapshot whose marker is truncated garbage.
-    _fs().write_atomic(
-        os.path.join(path, _MARKER),
-        json.dumps(
-            {
-                "keys": list(keys),
-                "partition_by": list(partition_by),
-                "version": version,
-                "ts": time.time(),
-                "txn": txn or {},
-                "constraints": constraints or {},
-                "generated": generated or {},
-                "identity": identity or {},
-                "unique_keys": bool(unique_keys),
-                # commit-time snapshot stats (the dir's files were just
-                # written, their footers are hot): lets DESCRIBE
-                # HISTORY / DETAIL answer without listing data files
-                "stats": _snapshot_stats(path),
-            }
+    payload = {
+        "keys": list(keys),
+        "partition_by": list(partition_by),
+        "version": version,
+        "ts": time.time(),
+        "txn": txn or {},
+        "constraints": constraints or {},
+        "generated": generated or {},
+        "identity": identity or {},
+        "unique_keys": bool(unique_keys),
+        # commit-time snapshot stats (the dir's files were just
+        # written, their footers are hot): lets DESCRIBE
+        # HISTORY / DETAIL answer without listing data files
+        "stats": (
+            extra["stats"]
+            if extra and "stats" in extra
+            else _snapshot_stats(path)
         ),
-    )
+    }
+    # commit-specific marker fields (deletion-vector descriptor, stats
+    # override, operation tag). Applied LAST so a caller that computed
+    # its own stats wins — and NOT carried by _write_marker_like, which
+    # is exactly the contract: any data-rewriting commit (merge /
+    # overwrite / compaction) clears the deletion vector.
+    if extra:
+        payload.update(extra)
+    _fs().write_atomic(os.path.join(path, _MARKER), json.dumps(payload))
 
 
 def _write_marker_like(
@@ -345,6 +364,51 @@ def _apply_column_mapping(df: DataFrame, marker: dict) -> DataFrame:
     return df
 
 
+def _dv_rel_file(snap: str):
+    """Snapshot-RELATIVE data-file path of each scanned row, from the
+    ``_metadata`` hidden columns. Relative (not basename: with
+    ``partitionBy`` one write task emits same-named part files into
+    several partition dirs, so basenames collide; not absolute: the
+    snapshot dir is renamed by every swap and again when it retires
+    into ``__history``, which would orphan stored positions)."""
+    prefix = os.path.abspath(snap) + "/"
+    return F.substring_index(F.col("_metadata.file_path"), prefix, -1)
+
+
+def _apply_dv(spark: SparkSession, df: DataFrame, snap: str, marker: dict) -> DataFrame:
+    """Filter out rows the snapshot's deletion vector marks deleted.
+
+    ``df`` must be the RAW file-source DataFrame of ``snap`` (the
+    ``_metadata`` hidden column resolves against the scan). The DV is a
+    tiny (relative file path, row index) parquet dataset — broadcast-
+    anti-joined when small (``dv.n_rows`` is recorded in the marker at
+    commit time, so the choice costs no job), hash-anti-joined when a
+    mass delete made it large. Delta reads DVs the same way: positions
+    applied at scan, data files untouched."""
+    dv_meta = marker.get("dv")
+    if not dv_meta:
+        return df
+    dv = spark.read.parquet(os.path.join(snap, _DV_DIR))
+    tagged = df.select(
+        "*",
+        _dv_rel_file(snap).alias(_DV_FILE_COL),
+        F.col("_metadata.row_index").alias(_DV_IDX_COL),
+    )
+    if int(dv_meta.get("n_rows", 0)) <= 4_000_000:
+        dv = F.broadcast(dv)
+    return tagged.join(dv, [_DV_FILE_COL, _DV_IDX_COL], "left_anti").drop(
+        _DV_FILE_COL, _DV_IDX_COL
+    )
+
+
+def _read_physical(spark: SparkSession, snap: str) -> DataFrame:
+    """One snapshot directory as a DataFrame under its PHYSICAL column
+    names, with its deletion vector (if any) applied — the single entry
+    point every snapshot read (live, versioned, history-rewrite) goes
+    through so deleted rows can never resurface from a raw scan."""
+    return _apply_dv(spark, spark.read.parquet(snap), snap, _read_marker(snap))
+
+
 def _refuse_if_referenced(marker: dict, col: str, action: str) -> None:
     """Loudly reject schema changes to columns that CHECK constraints,
     generated-column expressions, or identity declarations depend on —
@@ -437,14 +501,14 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
             return spark.read.format("delta").load(path)
         recover(path)
         return _apply_column_mapping(
-            spark.read.parquet(path), _read_marker(path)
+            _read_physical(spark, path), _read_marker(path)
         )
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         return (
             spark.read.format("delta").option("versionAsOf", version).load(path)
         )
     if version == table_version(path):
-        return spark.read.parquet(path)
+        return _read_physical(spark, path)
     snap = os.path.join(_history_dir(path), f"v{version:06d}")
     if not _fs().isdir(snap):
         raise ValueError(
@@ -452,7 +516,7 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
             f"(available: {list_versions(path)}) — pruned by max_history "
             "or vacuum"
         )
-    return spark.read.parquet(snap)
+    return _read_physical(spark, snap)
 
 
 def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
@@ -503,7 +567,8 @@ def history(spark: SparkSession, path: str) -> DataFrame:
             (
                 v,
                 float(marker.get("ts", 0.0)),
-                "initial" if v == 0 else "merge",
+                marker.get("operation")
+                or ("initial" if v == 0 else "merge"),
                 n,
                 v == live,
             )
@@ -964,6 +1029,21 @@ def commit_overwrite(
                 "staging — another commit intervened; re-read and retry"
             )
 
+    _publish_staging(path, staging, exists, version, max_history, tag)
+
+
+def _publish_staging(
+    path: str,
+    staging: str,
+    exists: bool,
+    version: int,
+    max_history: int,
+    tag: str,
+) -> None:
+    """The swap half of every commit: rename-pair the committed-ready
+    staging dir live, retire the replaced snapshot into ``__history``
+    bounded by ``max_history``. A crash anywhere in the window is
+    healed by :func:`recover` (staging's marker was written last)."""
     if not exists:
         if _fs().exists(path):  # unmanaged leftovers — clear, then swap
             _fs().rmtree(path)
@@ -990,6 +1070,7 @@ def delete_where(
     path: str,
     condition,
     max_history: int = 2,
+    deletion_vectors: bool = False,
 ) -> None:
     """Delta ``DELETE FROM t WHERE cond`` analogue — the erasure
     surface (GDPR right-to-be-forgotten runs through exactly this op on
@@ -999,13 +1080,29 @@ def delete_where(
     via ``read(version=)`` until ``maintenance.vacuum`` — a compliance
     pipeline must vacuum after erasing.
 
-    Emulation rewrites the whole table (real Delta rewrites only files
-    containing matches — with the Z-order/clustered layouts in
-    ``operators/layout.py`` those are few); the Delta backend delegates
-    to ``DeltaTable.delete``."""
+    ``deletion_vectors=False`` rewrites the whole table (real Delta
+    without DVs rewrites only files containing matches — with the
+    Z-order/clustered layouts in ``operators/layout.py`` those are
+    few); the Delta backend delegates to ``DeltaTable.delete``.
+
+    ``deletion_vectors=True`` commits the delete WITHOUT rewriting any
+    data file (Delta's deletion-vector mode): the new version's data
+    files are hardlinks of the old (metadata cost), plus a ``_dv``
+    sidecar of (file, row-index) positions that every read anti-joins
+    away at scan time. Delete cost becomes O(matches found) + O(files)
+    link metadata instead of O(table bytes) — at 100 TB the difference
+    between seconds and a full-table rewrite. The read-side tax is one
+    (usually broadcast) anti-join until the next data-rewriting commit
+    (merge / overwrite / ``maintenance.materialize_deletes``, Delta's
+    ``REORG TABLE ... APPLY (PURGE)``) materializes the deletion.
+    Skipping-manifest sidecars stay valid: a deleted row's min/max or
+    bloom bits can only over-KEEP a file, never skip a live row."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         DeltaTable.forPath(spark, path).delete(cond)
+        return
+    if deletion_vectors:
+        _delete_where_dv(spark, path, cond, max_history)
         return
     marker = _read_marker(path)
     base_version = table_version(path)
@@ -1019,6 +1116,113 @@ def delete_where(
         max_history,
         expected_version=base_version,
     )
+
+
+def _link_snapshot_files(src: str, staging: str) -> int:
+    """Hardlink every data/sidecar file of a snapshot into a staging
+    dir (skipping the marker, any existing ``_dv`` sidecar, and temp
+    droppings) — the metadata-cost 'rewrite' under a deletion-vector
+    commit. Safe to share links: snapshots are immutable (every write
+    path creates fresh files; sidecar refreshes go through
+    ``write_atomic``'s replace, which breaks the link)."""
+    n = 0
+    for root, _dirs, files in _fs().walk(src):
+        rel = os.path.relpath(root, src)
+        parts = [] if rel == "." else rel.split(os.sep)
+        if parts and parts[0] == _DV_DIR:
+            continue
+        tgt = staging if rel == "." else os.path.join(staging, rel)
+        _fs().makedirs(tgt, exist_ok=True)
+        for fn in files:
+            if fn == _MARKER or fn.endswith(".tmp"):
+                continue
+            _fs().link_or_copy(os.path.join(root, fn), os.path.join(tgt, fn))
+            n += 1
+    return n
+
+
+def _delete_where_dv(
+    spark: SparkSession, path: str, cond, max_history: int
+) -> None:
+    """Deletion-vector DELETE commit (see :func:`delete_where`).
+
+    Protocol: compute matching (file, row-index) positions from the
+    live scan, union them with the existing vector, hardlink all data
+    files into a staging dir, write the merged ``_dv`` parquet there,
+    then stage the marker last and swap — the standard crash window,
+    healed by :func:`recover`. The marker carries the table's column
+    mapping forward (data files keep their physical names — unlike a
+    rewriting commit, nothing materializes the mapping here) and
+    records the DV cardinality so reads can pick broadcast-vs-shuffle
+    for the anti-join without a count job."""
+    recover(path)
+    marker = _read_marker(path)
+    if not marker:
+        raise ValueError(f"{path} is not a managed table")
+    base_version = table_version(path)
+    raw = spark.read.parquet(path)
+    tagged = raw.select(
+        "*",
+        _dv_rel_file(path).alias(_DV_FILE_COL),
+        F.col("_metadata.row_index").alias(_DV_IDX_COL),
+    )
+    # the condition references LOGICAL names; positions are physical
+    logical = _apply_column_mapping(tagged, marker)
+    hit = F.coalesce(cond, F.lit(False))
+    positions = logical.filter(hit).select(_DV_FILE_COL, _DV_IDX_COL)
+    if marker.get("dv"):
+        positions = positions.unionByName(
+            spark.read.parquet(os.path.join(path, _DV_DIR))
+        )
+    positions = positions.distinct()
+
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{path}__staging_{tag}"
+    _link_snapshot_files(path, staging)
+    positions.write.mode("overwrite").parquet(os.path.join(staging, _DV_DIR))
+
+    import pyarrow.parquet as _pq
+
+    n_dv = sum(
+        _pq.read_metadata(f).num_rows
+        for f in _fs().glob(os.path.join(staging, _DV_DIR, "*.parquet"))
+        if _fs().isfile(f)
+    )
+    phys = _snapshot_stats(staging)  # excludes the _dv sidecar
+    stats = {
+        "n_rows": int(phys["n_rows"]) - int(n_dv),
+        "n_files": int(phys["n_files"]),
+        "bytes": int(phys["bytes"]),
+    }
+    extra = {
+        "dv": {"n_rows": int(n_dv)},
+        "operation": "delete_dv",
+        "stats": stats,
+    }
+    # file-preserving commit: column metadata that rewriting commits
+    # materialize must instead CARRY (physical names are unchanged)
+    for carried in ("column_mapping", "dropped_columns"):
+        if marker.get(carried):
+            extra[carried] = marker[carried]
+    _write_marker(
+        staging,
+        marker.get("keys", ()),
+        marker.get("partition_by", ()),
+        version=base_version + 1,
+        constraints=marker.get("constraints"),
+        generated=marker.get("generated"),
+        identity=marker.get("identity"),
+        unique_keys=bool(marker.get("unique_keys", False)),
+        extra=extra,
+    )
+    if table_version(path) != base_version:
+        _fs().rmtree(staging)
+        raise ConcurrentWriteError(
+            f"{path}: version advanced past {base_version} during the "
+            "deletion-vector staging — another commit intervened; "
+            "re-read and retry"
+        )
+    _publish_staging(path, staging, True, base_version + 1, max_history, tag)
 
 
 def update_where(
@@ -1217,6 +1421,9 @@ def table_detail(path: str) -> dict:
         "generated_columns": sorted(marker.get("generated", {})),
         "identity_columns": sorted(marker.get("identity", {})),
         "unique_keys": bool(marker.get("unique_keys", False)),
+        # rows the live deletion vector hides (0 = no DV; Delta DESCRIBE
+        # DETAIL surfaces the same via numDeletionVectors/...)
+        "deletion_vector_rows": int(marker.get("dv", {}).get("n_rows", 0)),
         "stats_manifest": _fs().exists(
             os.path.join(path, "_stats_manifest.json")
         ),

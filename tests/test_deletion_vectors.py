@@ -1,0 +1,214 @@
+"""Deletion-vector DELETE (`delete_where(deletion_vectors=True)`) — the
+Delta DV mode analogue: delete commits without rewriting data files
+(hardlinked snapshot + a `_dv` position sidecar applied at scan), and
+`maintenance.materialize_deletes` is REORG TABLE ... APPLY (PURGE).
+
+The invariants pinned here:
+- data files are byte-identical (same inodes) across a DV delete;
+- reads (live, versioned, as-of) never serve a soft-deleted row;
+- chained DV deletes merge vectors;
+- any data-rewriting commit (merge/update/materialize) clears the DV;
+- file-carrying maintenance (binpack, compact where=) refuses a DV
+  table instead of resurrecting rows;
+- purge_rows never resurrects DV'd rows out of history snapshots;
+- the crash window is the standard stage-and-swap (recover heals).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_callcenter_delta_lakehouse_spark.sources import maintenance
+from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+
+def _inodes(path):
+    out = {}
+    for root, _dirs, files in os.walk(path):
+        if mt._DV_DIR in os.path.relpath(root, path).split(os.sep):
+            continue
+        for f in files:
+            if f.endswith(".parquet"):
+                rel = os.path.relpath(os.path.join(root, f), path)
+                out[rel] = os.stat(os.path.join(root, f)).st_ino
+    return out
+
+
+def _make(spark, path, partition_by=()):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i * 10), i % 2) for i in range(1, 9)],
+        ["id", "name", "bal", "grp"],
+    ).repartition(2)
+    mt.initial_write(df, path, partition_by=partition_by, keys=("id",))
+
+
+def test_dv_delete_filters_rows_without_touching_files(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    before = _inodes(path)
+    v0 = mt.table_version(path)
+    mt.delete_where(spark, path, "bal > 50", deletion_vectors=True)
+    after = _inodes(path)
+    assert before == after  # same relative names, same inodes: zero rewrite
+    assert {r.id for r in mt.read(spark, path).collect()} == {1, 2, 3, 4, 5}
+    assert mt.table_version(path) == v0 + 1
+    # time travel still serves the pre-image
+    assert mt.read(spark, path, version=v0).count() == 8
+
+
+def test_dv_null_predicate_keeps_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, None), (3, 30.0)], ["id", "bal"]
+    )
+    mt.initial_write(df, path, partition_by=(), keys=("id",))
+    mt.delete_where(spark, path, F.col("bal") > 15, deletion_vectors=True)
+    assert {r.id for r in mt.read(spark, path).collect()} == {1, 2}
+
+
+def test_dv_chained_deletes_merge_vectors(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 1", deletion_vectors=True)
+    mt.delete_where(spark, path, "id = 2", deletion_vectors=True)
+    assert {r.id for r in mt.read(spark, path).collect()} == set(range(3, 9))
+    detail = mt.table_detail(path)
+    assert detail["deletion_vector_rows"] == 2
+    assert detail["num_rows"] == 6  # marker stats net of the vector
+
+
+def test_dv_stats_and_history_operation(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id <= 3", deletion_vectors=True)
+    hist = {r.version: r for r in mt.history(spark, path).collect()}
+    live = mt.table_version(path)
+    assert hist[live].operation == "delete_dv"
+    assert hist[live].n_rows == 5
+
+
+def test_dv_partitioned_table(spark, tmp_path):
+    """Relative-path DV keys: with partitionBy the same task writes
+    same-named part files into several partition dirs, so basenames
+    collide — positions must still land on the right rows."""
+    path = str(tmp_path / "t")
+    _make(spark, path, partition_by=("grp",))
+    mt.delete_where(spark, path, "id IN (1, 2)", deletion_vectors=True)
+    assert {r.id for r in mt.read(spark, path).collect()} == set(range(3, 9))
+    # both partition dirs untouched on disk
+    assert mt.table_detail(path)["deletion_vector_rows"] == 2
+
+
+def test_rewriting_commit_materializes_dv(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 1", deletion_vectors=True)
+    src = spark.createDataFrame([(2, "upd", 0.0, 0)], ["id", "name", "bal", "grp"])
+    mt.merge_upsert(spark, path, src, keys=("id",))
+    assert mt.table_detail(path)["deletion_vector_rows"] == 0
+    assert not os.path.isdir(os.path.join(path, mt._DV_DIR))
+    ids = {r.id for r in mt.read(spark, path).collect()}
+    assert 1 not in ids and 2 in ids
+
+
+def test_materialize_deletes_reorg(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id >= 7", deletion_vectors=True)
+    before = _inodes(path)
+    out = maintenance.materialize_deletes(spark, path)
+    assert out["materialized"] and out["dv_rows_removed"] == 2
+    assert _inodes(path) != before  # fresh files
+    assert mt.table_detail(path)["deletion_vector_rows"] == 0
+    assert {r.id for r in mt.read(spark, path).collect()} == set(range(1, 7))
+    # idempotent no-op afterwards
+    assert maintenance.materialize_deletes(spark, path) == {
+        "materialized": False
+    }
+
+
+def test_file_carrying_maintenance_refuses_dv(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 1", deletion_vectors=True)
+    with pytest.raises(ValueError, match="materialize_deletes"):
+        maintenance.compact_binpack(spark, path)
+
+
+def test_purge_rows_never_resurrects_from_dv_history(spark, tmp_path):
+    """A DV snapshot retired into __history keeps soft-deleted rows in
+    its files; purge's history rewrite must apply that snapshot's own
+    vector, not the raw parquet."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 8", deletion_vectors=True)  # v1: DV
+    mt.delete_where(spark, path, "id = 7")  # v2: rewrite; v1 retires w/ DV
+    out = maintenance.purge_rows(spark, path, "id = 6")
+    assert out["live_removed"] == 1
+    for v in mt.list_versions(path):
+        got = {r.id for r in mt.read(spark, path, version=v).collect()}
+        assert 6 not in got
+        if v >= 1:  # the DV'd row must stay invisible in the rewritten v1
+            assert 8 not in got
+
+
+def test_dv_concurrent_commit_conflict(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    orig = mt.table_version
+    calls = {"n": 0}
+
+    def racing_version(p):
+        # simulate a commit landing between the snapshot read and the
+        # final pre-swap recheck: report version+1 on the recheck only
+        calls["n"] += 1
+        return orig(p) + (1 if calls["n"] > 1 else 0)
+
+    import aws_callcenter_delta_lakehouse_spark.sources.managed_table as m
+
+    m.table_version, saved = racing_version, m.table_version
+    try:
+        with pytest.raises(mt.ConcurrentWriteError):
+            mt.delete_where(spark, path, "id = 1", deletion_vectors=True)
+    finally:
+        m.table_version = saved
+    # loser left no staging behind and the table is intact
+    assert mt.read(spark, path).count() == 8
+
+
+def test_dv_clone_preserves_logical_rows(spark, tmp_path):
+    path, dst = str(tmp_path / "t"), str(tmp_path / "c")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id <= 2", deletion_vectors=True)
+    mt.clone_table(path, dst)
+    assert {r.id for r in mt.read(spark, dst).collect()} == set(range(3, 9))
+
+
+def test_dv_crash_between_renames_heals(spark, tmp_path):
+    """Kill the swap after the live dir moved away: recover must roll
+    the committed-ready DV staging forward (its marker staged last)."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    fs = mt._fs()
+    orig = fs.rename_dir
+    boom = {"armed": True}
+
+    def failing_rename(src, dst):
+        if boom["armed"] and src == path:  # step (2): live -> backup
+            orig(src, dst)
+            boom["armed"] = False
+            raise RuntimeError("crash injected after live dir moved")
+        orig(src, dst)
+
+    fs.rename_dir = failing_rename
+    try:
+        with pytest.raises(RuntimeError, match="crash injected"):
+            mt.delete_where(spark, path, "id = 1", deletion_vectors=True)
+    finally:
+        fs.rename_dir = orig
+    # the staging dir is committed-ready (marker last) -> rolls forward
+    assert {r.id for r in mt.read(spark, path).collect()} == set(range(2, 9))
+    assert mt.table_detail(path)["deletion_vector_rows"] == 1
