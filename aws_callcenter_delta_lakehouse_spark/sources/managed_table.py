@@ -1231,15 +1231,36 @@ def update_where(
     condition,
     assignments: dict,
     max_history: int = 2,
+    deletion_vectors: bool = False,
 ) -> None:
     """Delta ``UPDATE t SET ... WHERE cond`` analogue. ``assignments``
     maps column name -> Column expression (evaluated against the
     current row); non-matching rows (condition FALSE or NULL) are
-    untouched. Single projection + snapshot commit — no join."""
+    untouched. Default: single projection + snapshot commit — no join.
+
+    ``deletion_vectors=True`` is Delta's DV-backed UPDATE: the matched
+    rows' positions join the ``_dv`` vector (pre-images disappear from
+    reads) and only their POST-IMAGES are written as fresh appended
+    files into the otherwise-hardlinked snapshot — write cost
+    O(matches), not O(table). Generated columns are recomputed and
+    CHECK constraints validated on the post-image delta alone (the
+    untouched rows already passed at their own commit). Falls back to
+    the rewrite path when the update touches a PRIMARY KEY column
+    (global uniqueness needs the full probe a rewrite commit does) or
+    when the table carries pending dropped-column metadata (appended
+    files would fork the physical schema)."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         DeltaTable.forPath(spark, path).update(cond, assignments)
         return
+    if deletion_vectors:
+        marker = _read_marker(path)
+        key_touch = bool(marker.get("unique_keys")) and (
+            set(assignments) & set(marker.get("keys", []))
+        )
+        if not key_touch and not marker.get("dropped_columns"):
+            _update_where_dv(spark, path, cond, assignments, max_history)
+            return
     marker = _read_marker(path)
     base_version = table_version(path)
     target = read(spark, path)
@@ -1258,6 +1279,125 @@ def update_where(
         max_history,
         expected_version=base_version,
     )
+
+
+def _update_where_dv(
+    spark: SparkSession, path: str, cond, assignments: dict, max_history: int
+) -> None:
+    """DV-backed UPDATE commit (see :func:`update_where`): merged
+    vector = old vector + matched positions; post-images appended as
+    new files; everything else hardlinked. Same staging/swap/recover
+    protocol as the DV delete."""
+    recover(path)
+    marker = _read_marker(path)
+    if not marker:
+        raise ValueError(f"{path} is not a managed table")
+    base_version = table_version(path)
+    raw = spark.read.parquet(path)
+    phys_types = dict(raw.dtypes)
+    tagged = raw.select(
+        "*",
+        _dv_rel_file(path).alias(_DV_FILE_COL),
+        F.col("_metadata.row_index").alias(_DV_IDX_COL),
+    )
+    logical = _apply_column_mapping(tagged, marker)
+    if marker.get("dv"):
+        # already-deleted rows must not come back as post-images
+        old_dv = spark.read.parquet(os.path.join(path, _DV_DIR))
+        logical = logical.join(
+            F.broadcast(old_dv), [_DV_FILE_COL, _DV_IDX_COL], "left_anti"
+        )
+    hit = F.coalesce(cond, F.lit(False))
+    matched = logical.filter(hit)
+    positions = matched.select(_DV_FILE_COL, _DV_IDX_COL)
+    if marker.get("dv"):
+        positions = positions.unionByName(
+            spark.read.parquet(os.path.join(path, _DV_DIR))
+        )
+    post = matched.drop(_DV_FILE_COL, _DV_IDX_COL).withColumns(
+        dict(assignments)
+    )
+    for name, expr in sorted(marker.get("generated", {}).items()):
+        post = post.withColumn(name, F.expr(expr))
+    constraints = marker.get("constraints", {})
+    if constraints:
+        # post-image delta only: untouched rows passed at their commit
+        items = sorted(constraints.items())
+        counts = post.agg(
+            *[
+                F.sum(
+                    F.expr(expr).eqNullSafe(F.lit(False)).cast("long")
+                ).alias(f"__c{i}")
+                for i, (_, expr) in enumerate(items)
+            ]
+        ).first()
+        for i, (name, expr) in enumerate(items):
+            if counts is not None and (counts[f"__c{i}"] or 0) > 0:
+                raise ConstraintViolationError(
+                    f"update violates CHECK constraint {name!r} ({expr}) "
+                    f"for {counts[f'__c{i}']} row(s); commit aborted, "
+                    "table unchanged"
+                )
+    # appended files must match the snapshot's PHYSICAL schema exactly
+    mapping = marker.get("column_mapping", {})
+    back = {log: phys for log, phys in mapping.items() if log in post.columns}
+    if back:
+        post = post.withColumnsRenamed(back)
+    post = post.select(
+        *[F.col(c).cast(t) for c, t in phys_types.items()]
+    )
+
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{path}__staging_{tag}"
+    _link_snapshot_files(path, staging)
+    writer = post.write.mode("append")
+    if marker.get("partition_by"):
+        writer = writer.partitionBy(*marker["partition_by"])
+    writer.parquet(staging)
+    positions.distinct().write.mode("overwrite").parquet(
+        os.path.join(staging, _DV_DIR)
+    )
+
+    import pyarrow.parquet as _pq
+
+    n_dv = sum(
+        _pq.read_metadata(f).num_rows
+        for f in _fs().glob(os.path.join(staging, _DV_DIR, "*.parquet"))
+        if _fs().isfile(f)
+    )
+    phys = _snapshot_stats(staging)
+    stats = {
+        "n_rows": int(phys["n_rows"]) - int(n_dv),
+        "n_files": int(phys["n_files"]),
+        "bytes": int(phys["bytes"]),
+    }
+    extra = {
+        "dv": {"n_rows": int(n_dv)},
+        "operation": "update_dv",
+        "stats": stats,
+    }
+    for carried in ("column_mapping", "dropped_columns"):
+        if marker.get(carried):
+            extra[carried] = marker[carried]
+    _write_marker(
+        staging,
+        marker.get("keys", ()),
+        marker.get("partition_by", ()),
+        version=base_version + 1,
+        constraints=constraints,
+        generated=marker.get("generated"),
+        identity=marker.get("identity"),
+        unique_keys=bool(marker.get("unique_keys", False)),
+        extra=extra,
+    )
+    if table_version(path) != base_version:
+        _fs().rmtree(staging)
+        raise ConcurrentWriteError(
+            f"{path}: version advanced past {base_version} during the "
+            "deletion-vector update staging — another commit intervened; "
+            "re-read and retry"
+        )
+    _publish_staging(path, staging, True, base_version + 1, max_history, tag)
 
 
 def write_or_merge(

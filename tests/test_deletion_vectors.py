@@ -212,3 +212,80 @@ def test_dv_crash_between_renames_heals(spark, tmp_path):
     # the staging dir is committed-ready (marker last) -> rolls forward
     assert {r.id for r in mt.read(spark, path).collect()} == set(range(2, 9))
     assert mt.table_detail(path)["deletion_vector_rows"] == 1
+
+
+def test_dv_update_appends_postimages_only(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    before = _inodes(path)
+    mt.update_where(
+        spark,
+        path,
+        "id <= 2",
+        {"bal": F.col("bal") * 2, "name": F.upper("name")},
+        deletion_vectors=True,
+    )
+    after = _inodes(path)
+    # every original file survives untouched; only new files appear
+    assert set(before) <= set(after)
+    assert all(after[f] == i for f, i in before.items())
+    assert len(after) > len(before)
+    rows = {r.id: (r.name, r.bal) for r in mt.read(spark, path).collect()}
+    assert rows[1] == ("N1", 20.0) and rows[2] == ("N2", 40.0)
+    assert rows[3] == ("n3", 30.0)
+    assert len(rows) == 8  # logical row count unchanged
+    detail = mt.table_detail(path)
+    assert detail["num_rows"] == 8 and detail["deletion_vector_rows"] == 2
+
+
+def test_dv_update_after_dv_delete_composes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 1", deletion_vectors=True)
+    mt.update_where(
+        spark, path, "id = 2", {"bal": F.lit(0.0)}, deletion_vectors=True
+    )
+    rows = {r.id: r.bal for r in mt.read(spark, path).collect()}
+    assert 1 not in rows and rows[2] == 0.0 and len(rows) == 7
+    # a second update must not resurrect id=1 as a post-image
+    mt.update_where(
+        spark, path, "bal = 0.0", {"name": F.lit("z")}, deletion_vectors=True
+    )
+    assert 1 not in {r.id for r in mt.read(spark, path).collect()}
+
+
+def test_dv_update_respects_constraints_on_delta(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.add_constraint(spark, path, "bal_nonneg", "bal >= 0")
+    with pytest.raises(mt.ConstraintViolationError):
+        mt.update_where(
+            spark, path, "id = 1", {"bal": F.lit(-5.0)},
+            deletion_vectors=True,
+        )
+    # aborted: table unchanged, no vector
+    assert mt.table_detail(path)["deletion_vector_rows"] == 0
+    assert mt.read(spark, path).filter("bal < 0").count() == 0
+
+
+def test_dv_update_pk_touch_falls_back_to_rewrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "name"])
+    mt.commit_overwrite(df, path, keys=("id",), unique_keys=True)
+    mt.update_where(
+        spark, path, "id = 1", {"id": F.lit(9)}, deletion_vectors=True
+    )
+    assert {r.id for r in mt.read(spark, path).collect()} == {9, 2}
+    # rewrite path: no vector
+    assert mt.table_detail(path)["deletion_vector_rows"] == 0
+
+
+def test_dv_update_partitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path, partition_by=("grp",))
+    mt.update_where(
+        spark, path, "id IN (1, 2)", {"bal": F.lit(-1.0)},
+        deletion_vectors=True,
+    )
+    rows = {r.id: r.bal for r in mt.read(spark, path).collect()}
+    assert rows[1] == -1.0 and rows[2] == -1.0 and len(rows) == 8
