@@ -1,0 +1,223 @@
+"""Twentieth LLM-pipeline batch (round 6): dedup-index quality and
+budgeted mixture construction.
+
+- dedup_lsh_recall_eval — the near-dup counterpart of
+  ``similarity_recall_eval``: measured recall of MinHash-LSH banding
+  (16 portable hashes, 4 bands x 4 rows) against the exact df-blocked
+  Jaccard truth at 0.5. A dedup index you cannot measure at corpus
+  scale silently decays as the corpus shifts; this runs the banding
+  and the truth distributedly and reduces to one governance row.
+  Portable-hash pattern (round-5): minhash built on low-60-bit md5 on
+  BOTH engines, so the oracle replays the banding itself — not just
+  the verified output.
+- curation_token_budget_select — greedy per-source selection under a
+  TOKEN budget (longest-doc-first): the mixture-construction step
+  where each source contributes at most N tokens, not N documents
+  (``curation_source_cap`` is the count-capped sibling). One shuffle
+  on source; a running-sum window per source; budget cut at 20k.
+
+Capability extensions over the reference's analytics surface
+(`athena_queries.sql` stops at SQL aggregates); no counterpart to
+port — cited for scope, not code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table, load_table_parallel
+from .registry import query
+
+_N_HASHES = 16
+_BANDS = 4
+_ROWS = 4
+
+
+def _pmd5(col):
+    """Low 60 bits of md5 as BIGINT — the cross-engine portable hash
+    (DuckDB: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+@query(
+    "dedup_lsh_recall_eval",
+    oracle="""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    idx AS (SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 1))) AS i
+            FROM words),
+    sh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+        FROM idx),
+    sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+    hot AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) > 10),
+    kept AS (SELECT * FROM sh s
+             WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.sh = s.sh)),
+    inter AS (SELECT a.doc_id d1, b.doc_id d2, count(*) k
+              FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS MATERIALIZED (
+        SELECT d1, d2
+        FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+                   JOIN sizes s2 ON d2 = s2.doc_id
+        WHERE k * 1.0 / (s1.n + s2.n - k) >= 0.5),
+    base AS (SELECT doc_id,
+                    CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS b
+             FROM sh),
+    hv AS (SELECT doc_id, t.i AS i,
+                  CAST('0x' || substr(md5(CAST(b AS VARCHAR) || '#' ||
+                       CAST(t.i AS VARCHAR)), 1, 15) AS BIGINT) AS h
+           FROM base, range(0, 16) t(i)),
+    mins AS (SELECT doc_id, i, min(h) AS m FROM hv GROUP BY 1, 2),
+    minsb AS (SELECT doc_id, i, i // 4 AS band, m FROM mins),
+    bkts AS (SELECT doc_id,
+                    CAST(band AS VARCHAR) || ',' ||
+                    string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkt
+             FROM minsb GROUP BY doc_id, band),
+    cands AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bkts a JOIN bkts b ON a.bkt = b.bkt AND a.doc_id < b.doc_id),
+    hits AS (SELECT count(*) AS n FROM cands JOIN truth USING (d1, d2)),
+    nt AS (SELECT count(*) AS n FROM truth),
+    nc AS (SELECT count(*) AS n FROM cands)
+    SELECT CAST(nt.n AS BIGINT) AS n_true,
+           CAST(nc.n AS BIGINT) AS n_candidates,
+           CAST(hits.n AS BIGINT) AS n_hits,
+           CASE WHEN nt.n = 0 THEN 0.0
+                ELSE floor(hits.n * 1.0 / nt.n * 10000 + 0.5) / 10000
+           END AS recall
+    FROM nt, nc, hits
+    """,
+)
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of MinHash-LSH banding against exact Jaccard
+    truth — the dedup-index quality eval AS a registry query.
+
+    Truth: df-blocked all-pairs Jaccard >= 0.5 (the
+    ``dedup_ngram_jaccard`` formulation — hot shingles in > 10 docs are
+    blocked from the pair join, sizes stay exact). Index: 16 minhashes
+    on the portable md5 hash, 4 bands x 4 rows, candidates = docs
+    sharing any band key. Output is ONE row: |truth|, |candidates|,
+    |hits|, recall — the number an operator alerts on.
+
+    Scale shape: one shingle pass feeds both sides (checkpointed);
+    banding shuffles (doc, band-key) rows and pairs only within
+    buckets; truth is the df-capped pair join — no all-pairs anywhere.
+    The 16x(md5+conv) signature per distinct shingle is pure JVM
+    codegen."""
+    from ..operators.dedup import jaccard_pairs, shingle
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    sh = shingle(docs, "doc_id", "text", n=3, distinct=True).localCheckpoint(
+        eager=False
+    )
+    base = sh.select("doc_id", _pmd5(F.col("sh")).alias("b"))
+    bstr = base.select("doc_id", F.col("b").cast("string").alias("bs"))
+    hashed = bstr.select(
+        "doc_id",
+        *[
+            _pmd5(F.concat(F.col("bs"), F.lit(f"#{i}"))).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ],
+    )
+    sigs = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(_N_HASHES)]
+    )
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                F.lit(str(b)),
+                *[
+                    F.col(f"m{b * _ROWS + r}").cast("string")
+                    for r in range(_ROWS)
+                ],
+            )
+            for b in range(_BANDS)
+        ]
+    )
+    buckets = sigs.select("doc_id", F.explode(band_keys).alias("bkt"))
+    left = buckets.select(F.col("doc_id").alias("d1"), "bkt")
+    right = buckets.select(F.col("doc_id").alias("d2"), "bkt")
+    cands = (
+        left.join(right, "bkt")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    truth = jaccard_pairs(
+        sh, "doc_id", candidates=None, threshold=0.5, max_shingle_df=10
+    ).select("d1", "d2")
+    hits = cands.join(truth, ["d1", "d2"])
+    nt = truth.agg(F.count("*").alias("n_true"))
+    nc = cands.agg(F.count("*").alias("n_candidates"))
+    nh = hits.agg(F.count("*").alias("n_hits"))
+    joined = nt.join(F.broadcast(nc)).join(F.broadcast(nh))
+    recall_raw = (
+        F.col("n_hits").cast("double") / F.col("n_true").cast("double")
+    )
+    return joined.select(
+        F.col("n_true").cast("bigint").alias("n_true"),
+        F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.when(F.col("n_true") == 0, F.lit(0.0))
+        .otherwise(
+            F.floor(recall_raw * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+        )
+        .alias("recall"),
+    )
+
+
+@query(
+    "curation_token_budget_select",
+    oracle="""
+    WITH toks AS (SELECT source, doc_id, n_chars,
+                         len(string_split(text, ' ')) AS tok
+                  FROM documents),
+    ranked AS (SELECT source, doc_id, tok,
+                      sum(tok) OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum_tok
+               FROM toks)
+    SELECT source, doc_id, CAST(tok AS BIGINT) AS tok,
+           CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM ranked WHERE cum_tok <= 20000
+    ORDER BY source, cum_tok, doc_id
+    """,
+)
+def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source document selection under a 20k-TOKEN budget,
+    longest-doc-first — mixture construction where sources contribute
+    bounded TOKENS (what the trainer spends), not bounded documents.
+
+    Scale shape: one hash shuffle on source, then a running-sum window
+    inside each source partition (sources are few and independent —
+    partition-parallel, no global sort); the budget predicate prunes
+    before the final order. At 100 TB the per-source sort is the only
+    real cost, and it is exactly the sort a pack/shard export needs
+    anyway."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = toks.withColumn("cum_tok", F.sum("tok").over(w))
+    return (
+        ranked.filter(F.col("cum_tok") <= 20000)
+        .select(
+            "source",
+            "doc_id",
+            F.col("tok").cast("bigint").alias("tok"),
+            F.col("cum_tok").cast("bigint").alias("cum_tok"),
+        )
+        .orderBy("source", "cum_tok", "doc_id")
+    )

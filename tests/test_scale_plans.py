@@ -521,3 +521,36 @@ def test_cross_source_overlap_never_builds_doc_pairs(spark):
     assert "CartesianProduct" not in p
     joins = [l for l in p.splitlines() if "SortMergeJoin" in l or "ShuffledHashJoin" in l]
     assert all("doc_id" not in l for l in joins), joins
+
+
+def test_lsh_recall_eval_pairs_only_within_buckets(spark):
+    """The dedup-index eval (r6): candidate pairs come from the band-
+    key equi-join and the truth side from the shingle equi-join — a
+    regression to any unkeyed pairing (all-pairs Jaccard, cross-joined
+    signatures) would surface as a CartesianProduct; the scalar count
+    combine is the only nested-loop (1x1 broadcast) allowed."""
+    p = _plan(spark, "dedup_lsh_recall_eval")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    # pair-generating joins are keyed on bkt / sh, never on doc ids
+    joins = [
+        l
+        for l in p.splitlines()
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l
+    ]
+    assert all("d1" not in l or "d2" in l for l in joins)
+
+
+def test_token_budget_single_source_shuffle(spark):
+    """The budget cut (r6) is one hash shuffle on source + a window
+    inside each source partition — no global sort before the cut, no
+    join anywhere."""
+    import re
+
+    p = _plan(spark, "curation_token_budget_select")
+    assert "Join" not in p and "CartesianProduct" not in p
+    hash_parts = re.findall(r"hashpartitioning\(([^)]*)\)", p)
+    assert any("source" in g for g in hash_parts)
+    # no shuffle ever carries the text payload
+    for g in hash_parts:
+        assert "text" not in g
