@@ -71,6 +71,49 @@ def materialize_deletes(
     }
 
 
+def _carry_cdf(src_dir: str, staging: str) -> None:
+    """Hardlink a snapshot's ``_change_data`` sidecar into a
+    data-preserving rewrite's staging dir: compaction keeps the
+    version, so it must keep the version's change record too."""
+    src = os.path.join(src_dir, managed_table._CDF_DIR)
+    if not _fs().isdir(src):
+        return
+    dst = os.path.join(staging, managed_table._CDF_DIR)
+    _fs().makedirs(dst, exist_ok=True)
+    for fn in _fs().listdir(src):
+        if fn.endswith(".tmp"):
+            continue
+        _fs().link_or_copy(os.path.join(src, fn), os.path.join(dst, fn))
+
+
+def _scrub_cdf(spark: SparkSession, snap: str, match) -> int:
+    """Erase rows matching ``match`` from one snapshot's change-data
+    sidecar (GDPR: a purged row must not survive as a CDC pre/post
+    image). In-place staging dance on the sidecar dir only; returns
+    rows removed. Sidecars record logical column names, so the purge
+    condition applies directly; ``_change_type`` never collides with
+    data columns."""
+    cdf = os.path.join(snap, managed_table._CDF_DIR)
+    if not _fs().isdir(cdf):
+        return 0
+    df = spark.read.parquet(cdf)
+    n = df.filter(match).count()
+    if n == 0:
+        return 0
+    staging = f"{cdf}__purge"
+    if _fs().isdir(staging):  # pragma: no cover - leftover from crash
+        _fs().rmtree(staging)
+    # coalesce(1): an all-scrubbed sidecar must still write one
+    # schema-bearing (possibly empty) part file — a bare _SUCCESS dir
+    # would make every later table_changes read of this version throw
+    df.filter(~match).coalesce(1).write.mode("overwrite").parquet(staging)
+    backup = f"{cdf}__purge_old"
+    _fs().rename_dir(cdf, backup)
+    _fs().rename_dir(staging, cdf)
+    _fs().rmtree(backup)
+    return int(n)
+
+
 def _require_no_dv(path: str, op: str) -> None:
     """File-carrying maintenance ops (partition-scoped compact,
     binpack) hardlink existing data files into the next snapshot while
@@ -127,6 +170,7 @@ def compact(
         src = os.path.join(path, sidecar)
         if _fs().exists(src):
             _fs().copy(src, os.path.join(staging, sidecar))
+    _carry_cdf(path, staging)
     # carry ALL table metadata forward (version/txn/constraints/PK):
     # compaction preserves data, so it must preserve the logical table
     # too — a bare marker here would reset the exactly-once sinks'
@@ -407,6 +451,10 @@ def purge_rows(
         if marker.get("partition_by"):
             writer = writer.partitionBy(*marker["partition_by"])
         writer.parquet(staging)
+        # the rewrite replaces the whole snapshot dir: carry the change
+        # sidecar (the final scrub pass below erases matching rows from
+        # every retained sidecar, this one included)
+        _carry_cdf(snap, staging)
         new_marker = dict(marker)
         new_marker["dropped_columns"] = []  # payloads scrubbed for real
         # the purged rewrite materializes any deletion vector (fresh
@@ -421,10 +469,22 @@ def purge_rows(
         _fs().rmtree(backup)
         rewritten += 1
         history_removed += n_match
+    # change-data sidecars can hold the erased rows even when the
+    # snapshot's data does not (a delete's own change record IS the
+    # deleted rows — including the erasure delete this purge just
+    # committed): scrub every retained sidecar, live included
+    cdf_scrubbed = 0
+    live = mt.table_version(path)
+    for v in mt.list_versions(path):
+        snap = path if v == live else os.path.join(
+            mt._history_dir(path), f"v{v:06d}"
+        )
+        cdf_scrubbed += _scrub_cdf(spark, snap, match)
     return {
         "live_removed": int(live_removed),
         "history_rewritten": rewritten,
         "history_rows_removed": int(history_removed),
+        "cdf_rows_scrubbed": int(cdf_scrubbed),
     }
 
 
@@ -584,6 +644,7 @@ def compact_binpack(
         src = os.path.join(path, sidecar)
         if _fs().exists(src):
             _fs().copy(src, os.path.join(staging, sidecar))
+    _carry_cdf(path, staging)
     # ONE Spark job for every bin (wall-clock scales with data volume,
     # not bin count): tag each row with its bin via a broadcast-joined
     # file->bin map over input_file_name(), hash-repartition on the bin

@@ -58,6 +58,13 @@ _MARKER = "_engine_table.json"
 _DV_DIR = "_dv"
 _DV_FILE_COL = "__dv_file"
 _DV_IDX_COL = "__dv_idx"
+# Change-data-feed sidecar: the row-level changes THAT PRODUCED this
+# snapshot (data columns + _change_type), recorded at commit time by
+# the DML paths when the table property enables CDF — so CDC readers
+# pay O(changes), never an O(table) snapshot diff. Underscore-hidden
+# from data reads, same as _dv.
+_CDF_DIR = "_change_data"
+_CDF_PROP = "enableChangeDataFeed"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -118,9 +125,15 @@ def _snapshot_stats(dirpath: str) -> dict:
         for f in _fs().glob(
             os.path.join(dirpath, "**", "*.parquet"), recursive=True
         )
-        # the _dv sidecar holds deleted-row POSITIONS, not table data —
-        # its files must not count toward snapshot rows/bytes
-        if _fs().isfile(f) and _DV_DIR not in f.split(os.sep)
+        # underscore dirs are sidecar metadata (_dv positions,
+        # _change_data CDC rows), not table data — they must not count
+        # toward snapshot rows/bytes (partition dirs are col=val, never
+        # underscore-led)
+        if _fs().isfile(f)
+        and not any(
+            part.startswith("_")
+            for part in os.path.relpath(f, dirpath).split(os.sep)[:-1]
+        )
     ]
     return {
         "n_rows": sum(_pq.read_metadata(f).num_rows for f in files),
@@ -139,6 +152,7 @@ def _write_marker(
     generated: dict | None = None,
     identity: dict | None = None,
     unique_keys: bool = False,
+    properties: dict | None = None,
     extra: dict | None = None,
 ) -> None:
     # torn-write hardening: write_atomic is tmp + fsync + atomic
@@ -155,6 +169,7 @@ def _write_marker(
         "generated": generated or {},
         "identity": identity or {},
         "unique_keys": bool(unique_keys),
+        "properties": properties or {},
         # commit-time snapshot stats (the dir's files were just
         # written, their footers are hot): lets DESCRIBE
         # HISTORY / DETAIL answer without listing data files
@@ -195,6 +210,13 @@ def _write_marker_like(
         generated=live_marker.get("generated"),
         identity=live_marker.get("identity"),
         unique_keys=bool(live_marker.get("unique_keys", False)),
+        properties=live_marker.get("properties"),
+        # a data-preserving rewrite keeps the version, so it must also
+        # keep the version's change-feed availability flag (the sidecar
+        # dir itself is hardlink-carried by the compaction paths)
+        extra=(
+            {"has_cdf": True} if live_marker.get("has_cdf") else None
+        ),
     )
 
 
@@ -259,6 +281,50 @@ def drop_constraint(path: str, name: str) -> None:
     marker = _read_marker(path)
     marker.get("constraints", {}).pop(name, None)
     _replace_marker(path, marker)
+
+
+def table_properties(path: str) -> dict:
+    """Table properties ({name: value} — the Delta ``TBLPROPERTIES``
+    analogue); persisted in the marker and carried by every commit."""
+    recover(path)
+    return _read_marker(path).get("properties", {})
+
+
+def set_table_property(path: str, name: str, value) -> None:
+    """``ALTER TABLE ... SET TBLPROPERTIES (name = value)`` analogue —
+    metadata-only atomic marker replace. ``enableChangeDataFeed``
+    (Delta: ``delta.enableChangeDataFeed``) turns on change-data-feed
+    recording for every LATER DML commit (earlier versions have no
+    sidecar — exactly Delta's behavior, where enabling CDF does not
+    backfill). Refused on tables with identity columns: identity fill
+    values are assigned inside the data commit and cannot be
+    reproduced for a separate change frame."""
+    recover(path)
+    marker = _read_marker(path)
+    if not marker:
+        raise ValueError(f"{path} is not a managed table")
+    if name == _CDF_PROP and value and marker.get("identity"):
+        raise ValueError(
+            "enableChangeDataFeed is unsupported on tables with identity "
+            "columns: identity slot fills happen inside the data commit "
+            "and cannot be replayed into the change sidecar"
+        )
+    marker.setdefault("properties", {})[name] = value
+    _replace_marker(path, marker)
+
+
+def _cdf_on(marker: dict) -> bool:
+    return bool(marker.get("properties", {}).get(_CDF_PROP))
+
+
+def _write_cdf(spark_changes: DataFrame, staging: str) -> None:
+    """Persist the commit's change rows (data columns + _change_type)
+    as the staged snapshot's ``_change_data`` sidecar — published by
+    the same marker-last rename as the data, so readers can never see
+    a version without its change record."""
+    spark_changes.write.mode("overwrite").parquet(
+        os.path.join(staging, _CDF_DIR)
+    )
 
 
 def _replace_marker(path: str, marker: dict) -> None:
@@ -625,6 +691,67 @@ def read_changes(
     return post.unionByName(ins).unionByName(pre).unionByName(dele)
 
 
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change data feed reader (Delta's ``table_changes`` TVF): the
+    row-level changes committed in versions ``(from_version,
+    to_version]``, read from the ``_change_data`` sidecars the DML
+    commits recorded — O(changes) I/O, never an O(table) snapshot diff
+    (that fallback is :func:`read_changes`). Requires the table
+    property ``enableChangeDataFeed`` to have been on for every
+    version in range; a version without a recorded sidecar (committed
+    before enablement, or by a generic overwrite whose diff nobody
+    computed) raises instead of silently serving a hole — the same
+    contract as Delta, which errors on CDF reads across non-CDF
+    versions.
+
+    Output: the change rows plus ``_change_type``,
+    ``_commit_version``, ``_commit_timestamp`` (Delta's CDF columns).
+    Versions must still be retained (``max_history`` /  vacuum prune
+    sidecars together with their snapshots)."""
+    recover(path)
+    live = table_version(path)
+    to_version = live if to_version is None else to_version
+    if from_version >= to_version:
+        raise ValueError(
+            f"table_changes: empty range ({from_version}, {to_version}]"
+        )
+    parts = []
+    for v in range(from_version + 1, to_version + 1):
+        snap = path if v == live else os.path.join(
+            _history_dir(path), f"v{v:06d}"
+        )
+        marker = _read_marker(snap)
+        if not marker:
+            raise ValueError(
+                f"version {v} of {path} is not retained "
+                f"(available: {list_versions(path)})"
+            )
+        if not marker.get("has_cdf"):
+            raise ValueError(
+                f"version {v} of {path} has no change-data sidecar "
+                "(committed before enableChangeDataFeed, or by a "
+                "generic overwrite) — use read_changes() for a "
+                "snapshot-diff of that range"
+            )
+        parts.append(
+            spark.read.parquet(os.path.join(snap, _CDF_DIR))
+            .withColumn("_commit_version", F.lit(v).cast("int"))
+            .withColumn(
+                "_commit_timestamp",
+                F.lit(float(marker.get("ts", 0.0))),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    return out
+
+
 def apply_changes(
     spark: SparkSession,
     path: str,
@@ -850,8 +977,38 @@ def merge_upsert(
             )
         merged = untouched.unionByName(source.select(*target.columns))
 
+    changes = None
+    if _cdf_on(meta):
+        # the change record the merge already knows, one key-join each:
+        # matched target rows = update pre-images, matched source rows
+        # = post-images, unmatched source rows = inserts, and (full
+        # sync) unmatched target rows = deletes. Only computed when the
+        # table property asks for it.
+        tgt_keys = target.select(*keys)
+        post_src = source if schema_evolution else source.select(*target.columns)
+        pre = target.join(src, on=keys, how="left_semi").withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = post_src.join(tgt_keys, on=keys, how="left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        ins = post_src.join(tgt_keys, on=keys, how="left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        changes = pre.unionByName(post, allowMissingColumns=True).unionByName(
+            ins, allowMissingColumns=True
+        )
+        if not_matched_by_source == "delete":
+            changes = changes.unionByName(
+                target.join(src, on=keys, how="left_anti").withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                allowMissingColumns=True,
+            )
+
     _commit_snapshot(
-        merged, path, keys, partition_by, max_history, txn, base_version
+        merged, path, keys, partition_by, max_history, txn, base_version,
+        changes=changes,
     )
 
 
@@ -863,10 +1020,11 @@ def _commit_snapshot(
     max_history: int,
     txn: dict | None = None,
     expected_version: int | None = None,
+    changes: DataFrame | None = None,
 ) -> None:
     commit_overwrite(
         df, path, keys=keys, partition_by=partition_by, max_history=max_history,
-        txn=txn, expected_version=expected_version,
+        txn=txn, expected_version=expected_version, changes=changes,
     )
 
 
@@ -881,6 +1039,8 @@ def commit_overwrite(
     generated: dict | None = None,
     identity: dict | None = None,
     unique_keys: bool = False,
+    properties: dict | None = None,
+    changes: DataFrame | None = None,
 ) -> None:
     """Atomic full-snapshot commit via stage-and-swap — works whether or
     not the table exists yet, so it is also the crash-safe first write.
@@ -921,7 +1081,19 @@ def commit_overwrite(
     the table untouched. This is STRONGER than Delta, whose PRIMARY KEY
     is informational-only; ``merge_upsert`` guarantees it by
     construction, but raw overwrites could silently break the key
-    contract downstream pipelines rely on."""
+    contract downstream pipelines rely on.
+
+    ``properties`` declares table properties at creation time
+    (``enableChangeDataFeed`` is the one with commit-time behavior);
+    thereafter the live marker's properties carry forward.
+    ``changes`` is the commit's row-level change record (data columns
+    + ``_change_type``): when the table's CDF property is on it is
+    written as the snapshot's ``_change_data`` sidecar — published by
+    the same atomic swap — and :func:`table_changes` reads it back.
+    A CDF-enabled commit WITHOUT a change record (a generic overwrite,
+    whose diff nobody computed) publishes no sidecar; ``table_changes``
+    refuses that version and points at the :func:`read_changes`
+    snapshot diff instead of silently serving a hole."""
     recover(path)
     exists = _fs().exists(os.path.join(path, _MARKER))
     if expected_version is not None and exists:
@@ -938,6 +1110,9 @@ def commit_overwrite(
     # declared in CREATE TABLE, not ALTERable onto live tables)
     gen_cols = live_marker.get("generated", {}) if exists else dict(generated or {})
     uk = bool(live_marker.get("unique_keys", False)) if exists else bool(unique_keys)
+    props = (
+        live_marker.get("properties", {}) if exists else dict(properties or {})
+    )
     key_list = list(keys) or list(live_marker.get("keys", []))
     if uk and not key_list:
         raise ValueError("unique_keys=True requires non-empty keys")
@@ -946,6 +1121,11 @@ def commit_overwrite(
             "high_water": int(s.get("start", 1)) - int(s.get("step", 1))}
         for c, s in (identity or {}).items()
     }
+    if _cdf_on({"properties": props}) and id_cols:
+        raise ValueError(
+            "enableChangeDataFeed is unsupported on tables with identity "
+            "columns (see set_table_property)"
+        )
     for name, expr in sorted(gen_cols.items()):
         # recompute-always: the column is DERIVED — stricter than Delta
         # (which also accepts writer-supplied values it then validates);
@@ -1015,11 +1195,25 @@ def commit_overwrite(
             src = os.path.join(path, sidecar)
             if _fs().exists(src):
                 _fs().copy(src, os.path.join(staging, sidecar))
+    has_cdf = False
+    if _cdf_on({"properties": props}):
+        if not exists and changes is None:
+            # CDF enabled at creation: the initial load's change record
+            # is the load itself, all inserts (Delta does the same)
+            changes = df.withColumn("_change_type", F.lit("insert"))
+        if changes is not None:
+            # change rows must match committed rows: recompute the
+            # DERIVED columns with the same expressions applied to df
+            for name, expr in sorted(gen_cols.items()):
+                changes = changes.withColumn(name, F.expr(expr))
+            _write_cdf(changes, staging)
+            has_cdf = True
     # marker is staged LAST: its presence marks the dir committed-ready
     _write_marker(
         staging, key_list, partition_by, version=version, txn=txn,
         constraints=constraints, generated=gen_cols, identity=id_cols,
-        unique_keys=uk,
+        unique_keys=uk, properties=props,
+        extra={"has_cdf": True} if has_cdf else None,
     )
     if expected_version is not None and exists:
         if table_version(path) != expected_version:
@@ -1107,7 +1301,13 @@ def delete_where(
     marker = _read_marker(path)
     base_version = table_version(path)
     target = read(spark, path)
-    kept = target.filter(~F.coalesce(cond, F.lit(False)))
+    hit = F.coalesce(cond, F.lit(False))
+    kept = target.filter(~hit)
+    changes = (
+        target.filter(hit).withColumn("_change_type", F.lit("delete"))
+        if _cdf_on(marker)
+        else None
+    )
     _commit_snapshot(
         kept,
         path,
@@ -1115,6 +1315,7 @@ def delete_where(
         marker.get("partition_by", []),
         max_history,
         expected_version=base_version,
+        changes=changes,
     )
 
 
@@ -1129,7 +1330,11 @@ def _link_snapshot_files(src: str, staging: str) -> int:
     for root, _dirs, files in _fs().walk(src):
         rel = os.path.relpath(root, src)
         parts = [] if rel == "." else rel.split(os.sep)
-        if parts and parts[0] == _DV_DIR:
+        # _dv: the commit writes a fresh merged vector; _change_data:
+        # it describes the PREVIOUS version's changes, and this commit
+        # writes its own record (linking the old one would claim the
+        # old changes happened again at the new version)
+        if parts and parts[0] in (_DV_DIR, _CDF_DIR):
             continue
         tgt = staging if rel == "." else os.path.join(staging, rel)
         _fs().makedirs(tgt, exist_ok=True)
@@ -1168,8 +1373,17 @@ def _delete_where_dv(
     )
     # the condition references LOGICAL names; positions are physical
     logical = _apply_column_mapping(tagged, marker)
+    if marker.get("dv"):
+        # restrict matching to LIVE rows: an already-deleted row must
+        # not re-enter the change record as a fresh delete
+        logical = logical.join(
+            F.broadcast(spark.read.parquet(os.path.join(path, _DV_DIR))),
+            [_DV_FILE_COL, _DV_IDX_COL],
+            "left_anti",
+        )
     hit = F.coalesce(cond, F.lit(False))
-    positions = logical.filter(hit).select(_DV_FILE_COL, _DV_IDX_COL)
+    matched = logical.filter(hit)
+    positions = matched.select(_DV_FILE_COL, _DV_IDX_COL)
     if marker.get("dv"):
         positions = positions.unionByName(
             spark.read.parquet(os.path.join(path, _DV_DIR))
@@ -1179,6 +1393,15 @@ def _delete_where_dv(
     tag = uuid.uuid4().hex[:8]
     staging = f"{path}__staging_{tag}"
     _link_snapshot_files(path, staging)
+    has_cdf = False
+    if _cdf_on(marker):
+        _write_cdf(
+            matched.drop(_DV_FILE_COL, _DV_IDX_COL).withColumn(
+                "_change_type", F.lit("delete")
+            ),
+            staging,
+        )
+        has_cdf = True
     positions.write.mode("overwrite").parquet(os.path.join(staging, _DV_DIR))
 
     import pyarrow.parquet as _pq
@@ -1199,6 +1422,8 @@ def _delete_where_dv(
         "operation": "delete_dv",
         "stats": stats,
     }
+    if has_cdf:
+        extra["has_cdf"] = True
     # file-preserving commit: column metadata that rewriting commits
     # materialize must instead CARRY (physical names are unchanged)
     for carried in ("column_mapping", "dropped_columns"):
@@ -1213,6 +1438,7 @@ def _delete_where_dv(
         generated=marker.get("generated"),
         identity=marker.get("identity"),
         unique_keys=bool(marker.get("unique_keys", False)),
+        properties=marker.get("properties"),
         extra=extra,
     )
     if table_version(path) != base_version:
@@ -1271,6 +1497,15 @@ def update_where(
             for name, expr in assignments.items()
         }
     )
+    changes = None
+    if _cdf_on(marker):
+        pre = target.filter(hit)
+        post = pre.withColumns(dict(assignments))
+        changes = pre.withColumn(
+            "_change_type", F.lit("update_preimage")
+        ).unionByName(
+            post.withColumn("_change_type", F.lit("update_postimage"))
+        )
     _commit_snapshot(
         updated,
         path,
@@ -1278,6 +1513,7 @@ def update_where(
         marker.get("partition_by", []),
         max_history,
         expected_version=base_version,
+        changes=changes,
     )
 
 
@@ -1350,6 +1586,23 @@ def _update_where_dv(
     tag = uuid.uuid4().hex[:8]
     staging = f"{path}__staging_{tag}"
     _link_snapshot_files(path, staging)
+    has_cdf = False
+    if _cdf_on(marker):
+        # pre-images under logical names; post-images are the exact
+        # committed rows (physical cast applied) renamed back logical
+        pre = matched.drop(_DV_FILE_COL, _DV_IDX_COL).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        fwd = {
+            phys: log
+            for log, phys in mapping.items()
+            if phys in post.columns
+        }
+        cdf_post = (post.withColumnsRenamed(fwd) if fwd else post).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        _write_cdf(pre.unionByName(cdf_post), staging)
+        has_cdf = True
     writer = post.write.mode("append")
     if marker.get("partition_by"):
         writer = writer.partitionBy(*marker["partition_by"])
@@ -1376,6 +1629,8 @@ def _update_where_dv(
         "operation": "update_dv",
         "stats": stats,
     }
+    if has_cdf:
+        extra["has_cdf"] = True
     for carried in ("column_mapping", "dropped_columns"):
         if marker.get(carried):
             extra[carried] = marker[carried]
@@ -1388,6 +1643,7 @@ def _update_where_dv(
         generated=marker.get("generated"),
         identity=marker.get("identity"),
         unique_keys=bool(marker.get("unique_keys", False)),
+        properties=marker.get("properties"),
         extra=extra,
     )
     if table_version(path) != base_version:
@@ -1500,6 +1756,12 @@ def clone_table(src_path: str, dst_path: str) -> dict:
     n_files = 0
     for root, _dirs, files in _fs().walk(src_path):
         rel = os.path.relpath(root, src_path)
+        parts = [] if rel == "." else rel.split(os.sep)
+        # the clone starts a fresh log (version 0): the source's
+        # change-data sidecar describes the SOURCE's last commit, not
+        # anything that happened to the clone
+        if parts and parts[0] == _CDF_DIR:
+            continue
         tgt = staging if rel == "." else os.path.join(staging, rel)
         _fs().makedirs(tgt, exist_ok=True)
         for fn in files:
@@ -1519,6 +1781,7 @@ def clone_table(src_path: str, dst_path: str) -> dict:
             "version": src_version,
         },
     }
+    new_marker.pop("has_cdf", None)
     _fs().write_atomic(os.path.join(staging, _MARKER), json.dumps(new_marker))
     _fs().rename_dir(staging, dst_path)
     return {"files_linked": n_files, "source_version": src_version}
@@ -1564,6 +1827,8 @@ def table_detail(path: str) -> dict:
         # rows the live deletion vector hides (0 = no DV; Delta DESCRIBE
         # DETAIL surfaces the same via numDeletionVectors/...)
         "deletion_vector_rows": int(marker.get("dv", {}).get("n_rows", 0)),
+        "properties": dict(marker.get("properties", {})),
+        "has_change_data": bool(marker.get("has_cdf", False)),
         "stats_manifest": _fs().exists(
             os.path.join(path, "_stats_manifest.json")
         ),

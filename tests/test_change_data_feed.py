@@ -1,0 +1,211 @@
+"""Change data feed: `_change_data` sidecars recorded by DML commits
+when the `enableChangeDataFeed` table property is on, read back by
+`table_changes` (Delta's CDF / table_changes TVF analogue).
+
+Pinned invariants:
+- every DML path (merge insert/update, delete both modes, update both
+  modes) records the exact change rows, published atomically with the
+  snapshot;
+- table_changes is O(changes): pure sidecar reads with
+  _commit_version/_commit_timestamp, never a snapshot diff;
+- versions without a sidecar (pre-enablement, generic overwrite) are
+  refused with a pointer at the read_changes fallback;
+- compaction carries the record, clone drops it, purge scrubs erased
+  rows out of every retained sidecar;
+- CDF + identity columns is refused (fills are not replayable).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_callcenter_delta_lakehouse_spark.sources import maintenance
+from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+
+def _make(spark, path, cdf=True):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i * 10)) for i in range(1, 5)],
+        ["id", "name", "bal"],
+    )
+    mt.commit_overwrite(
+        df, path, keys=("id",),
+        properties={"enableChangeDataFeed": True} if cdf else None,
+    )
+
+
+def _changes(spark, path, lo, hi=None):
+    rows = mt.table_changes(spark, path, lo, hi).collect()
+    return sorted((r.id, r._change_type, r._commit_version) for r in rows)
+
+
+def test_initial_commit_records_inserts(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    got = mt.table_changes(spark, path, -1, 0).collect()
+    assert {r._change_type for r in got} == {"insert"}
+    assert {r.id for r in got} == {1, 2, 3, 4}
+    assert all(r._commit_version == 0 for r in got)
+
+
+def test_merge_records_pre_post_insert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame(
+        [(2, "upd", 0.0), (9, "new", 99.0)], ["id", "name", "bal"]
+    )
+    mt.merge_upsert(spark, path, src, keys=("id",))
+    assert _changes(spark, path, 0) == [
+        (2, "update_postimage", 1),
+        (2, "update_preimage", 1),
+        (9, "insert", 1),
+    ]
+    # post-image values are the committed ones
+    post = [
+        r
+        for r in mt.table_changes(spark, path, 0).collect()
+        if r._change_type == "update_postimage"
+    ]
+    assert post[0].name == "upd" and post[0].bal == 0.0
+
+
+def test_merge_by_source_delete_records_deletes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(1, "a", 1.0)], ["id", "name", "bal"])
+    mt.merge_upsert(
+        spark, path, src, keys=("id",), not_matched_by_source="delete"
+    )
+    got = _changes(spark, path, 0)
+    assert (2, "delete", 1) in got and (3, "delete", 1) in got
+    assert (1, "update_preimage", 1) in got
+
+
+def test_delete_both_modes_record_deleted_rows(spark, tmp_path):
+    for dv in (False, True):
+        path = str(tmp_path / f"t{dv}")
+        _make(spark, path)
+        mt.delete_where(spark, path, "id >= 3", deletion_vectors=dv)
+        got = _changes(spark, path, 0)
+        assert got == [(3, "delete", 1), (4, "delete", 1)], (dv, got)
+
+
+def test_update_both_modes_record_pre_and_post(spark, tmp_path):
+    for dv in (False, True):
+        path = str(tmp_path / f"t{dv}")
+        _make(spark, path)
+        mt.update_where(
+            spark, path, "id = 2", {"bal": F.col("bal") + 1},
+            deletion_vectors=dv,
+        )
+        rows = mt.table_changes(spark, path, 0).collect()
+        by_type = {r._change_type: r for r in rows}
+        assert by_type["update_preimage"].bal == 20.0, dv
+        assert by_type["update_postimage"].bal == 21.0, dv
+
+
+def test_multi_version_range_and_timestamps(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 1")
+    mt.delete_where(spark, path, "id = 2", deletion_vectors=True)
+    got = _changes(spark, path, 0, 2)
+    assert got == [(1, "delete", 1), (2, "delete", 2)]
+    ts = {
+        r._commit_version: r._commit_timestamp
+        for r in mt.table_changes(spark, path, 0, 2).collect()
+    }
+    assert ts[1] <= ts[2]
+    # sub-range
+    assert _changes(spark, path, 1, 2) == [(2, "delete", 2)]
+
+
+def test_pre_enablement_version_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path, cdf=False)
+    mt.delete_where(spark, path, "id = 1")  # v1, no CDF
+    mt.set_table_property(path, "enableChangeDataFeed", True)
+    mt.delete_where(spark, path, "id = 2")  # v2, recorded
+    with pytest.raises(ValueError, match="read_changes"):
+        mt.table_changes(spark, path, 0, 2)
+    assert _changes(spark, path, 1, 2) == [(2, "delete", 2)]
+
+
+def test_generic_overwrite_has_no_sidecar(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    df = spark.createDataFrame([(7, "x", 7.0)], ["id", "name", "bal"])
+    mt.commit_overwrite(df, path, keys=("id",))
+    with pytest.raises(ValueError, match="read_changes"):
+        mt.table_changes(spark, path, 0)
+
+
+def test_compaction_carries_the_record(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 4")
+    maintenance.compact(spark, path)
+    assert _changes(spark, path, 0) == [(4, "delete", 1)]
+    assert mt.table_detail(path)["has_change_data"]
+
+
+def test_clone_drops_the_record(spark, tmp_path):
+    path, dst = str(tmp_path / "t"), str(tmp_path / "c")
+    _make(spark, path)
+    mt.clone_table(path, dst)
+    assert not os.path.isdir(os.path.join(dst, mt._CDF_DIR))
+    assert not mt.table_detail(dst)["has_change_data"]
+    # property carries: the clone's NEXT commit records again
+    mt.delete_where(spark, dst, "id = 1")
+    assert _changes(spark, dst, 0) == [(1, "delete", 1)]
+
+
+def test_purge_scrubs_erased_rows_from_all_sidecars(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.update_where(spark, path, "id = 3", {"bal": F.lit(0.0)})  # v1
+    out = maintenance.purge_rows(spark, path, "id = 3")
+    assert out["cdf_rows_scrubbed"] >= 2  # v1 pre+post, purge delete
+    for v in mt.list_versions(path):
+        if v == 0:
+            continue
+        got = mt.table_changes(spark, path, v - 1, v).collect()
+        assert all(r.id != 3 for r in got), (v, got)
+
+
+def test_cdf_refused_with_identity(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], ["k", "name"]).withColumn(
+        "rid", F.lit(None).cast("bigint")
+    )
+    with pytest.raises(ValueError, match="identity"):
+        mt.commit_overwrite(
+            df, path, keys=("k",),
+            identity={"rid": {"start": 1, "step": 1}},
+            properties={"enableChangeDataFeed": True},
+        )
+    mt.commit_overwrite(
+        df, path, keys=("k",), identity={"rid": {"start": 1, "step": 1}}
+    )
+    with pytest.raises(ValueError, match="identity"):
+        mt.set_table_property(path, "enableChangeDataFeed", True)
+
+
+def test_generated_columns_recomputed_in_change_rows(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], ["id", "bal"])
+    mt.commit_overwrite(
+        df, path, keys=("id",),
+        generated={"bal2": "bal * 2"},
+        properties={"enableChangeDataFeed": True},
+    )
+    mt.update_where(spark, path, "id = 1", {"bal": F.lit(5.0)})
+    rows = {
+        r._change_type: r
+        for r in mt.table_changes(spark, path, 0).collect()
+    }
+    assert rows["update_postimage"].bal2 == 10.0  # recomputed from 5.0
+    assert rows["update_preimage"].bal2 == 20.0

@@ -552,6 +552,7 @@ def test_purge_rows_erases_across_time_travel(spark, tmp_path):
         "live_removed": 0,
         "history_rewritten": 0,
         "history_rows_removed": 0,
+        "cdf_rows_scrubbed": 0,
     }
     assert {
         f: _os.path.getmtime(f)
