@@ -209,3 +209,37 @@ def test_generated_columns_recomputed_in_change_rows(spark, tmp_path):
     }
     assert rows["update_postimage"].bal2 == 10.0  # recomputed from 5.0
     assert rows["update_preimage"].bal2 == 20.0
+
+
+def test_cdc_replication_end_to_end(spark, tmp_path):
+    """The full Delta CDC story: a replica kept in sync purely from the
+    change feed — table_changes(src) piped into apply_changes(replica)
+    with _commit_version as the sequence. After arbitrary DMLs the
+    replica equals the source without ever scanning it."""
+    src, rep = str(tmp_path / "src"), str(tmp_path / "rep")
+    _make(spark, src)  # v0: 4 inserts, CDF on
+    mt.apply_changes(
+        spark, rep,
+        mt.table_changes(spark, src, -1, 0).drop("_commit_timestamp"),
+        keys=("id",), sequence_col="_commit_version",
+    )
+    mt.merge_upsert(
+        spark, src,
+        spark.createDataFrame([(2, "u", 0.0), (9, "n", 9.0)],
+                              ["id", "name", "bal"]),
+        keys=("id",), max_history=4,
+    )  # v1
+    mt.delete_where(spark, src, "id = 3", deletion_vectors=True)  # v2
+    mt.update_where(spark, src, "id = 4", {"bal": F.lit(-4.0)})  # v3
+    feed = mt.table_changes(spark, src, 0, 3).drop("_commit_timestamp")
+    mt.apply_changes(
+        spark, rep, feed, keys=("id",), sequence_col="_commit_version",
+    )
+    want = {
+        (r.id, r.name, r.bal) for r in mt.read(spark, src).collect()
+    }
+    got = {
+        (r.id, r.name, r.bal)
+        for r in mt.read(spark, rep).select("id", "name", "bal").collect()
+    }
+    assert got == want and len(want) == 4
