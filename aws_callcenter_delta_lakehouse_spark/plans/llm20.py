@@ -221,3 +221,98 @@ def curation_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "cum_tok", "doc_id")
     )
+
+
+@query(
+    "streaming_cdc_tail",
+    oracle="""
+    WITH del AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+             'delete' AS _change_type, 1 AS _commit_version
+      FROM customer WHERE c_custkey % 10 = 0),
+    survivors AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+    hit AS (SELECT * FROM survivors
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey % 7 = 3),
+    pre AS (
+      SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+             'update_preimage' AS _change_type, 2 AS _commit_version
+      FROM hit),
+    post AS (
+      SELECT c_custkey, c_name, CAST(0.0 AS DOUBLE) AS c_acctbal,
+             c_mktsegment,
+             'update_postimage' AS _change_type, 2 AS _commit_version
+      FROM hit)
+    SELECT * FROM (
+      SELECT * FROM del UNION ALL SELECT * FROM pre
+      UNION ALL SELECT * FROM post)
+    ORDER BY c_custkey, _change_type
+    """,
+)
+def streaming_cdc_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage protocol's change data feed DRIVEN END TO END as a
+    query: build a CDF-enabled managed table from `customer`, commit a
+    deletion-vector DELETE (v1) and an UPDATE (v2), then tail versions
+    (0, 2] through the streaming Python Data Source
+    (`table_changes_stream`, the Delta readChangeFeed analogue) into a
+    memory sink. The DMLs are deterministic predicates, so the exact
+    change rows — delete records plus update pre/post images tagged
+    with their commit versions — are replayable as pure SQL over the
+    source parquet: the oracle checks the recorded feed itself.
+
+    Scale shape: commit cost is the DML cost (the DV delete rewrites
+    nothing); the stream plans one input partition per change-sidecar
+    file and reads O(changes) — the whole point of CDF vs snapshot
+    diffing. Scratch table under a per-run temp dir."""
+    import tempfile
+
+    from ..sources import managed_table as mt
+    from ..sources.pydatasource import make_table_changes_stream_source
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = tempfile.mkdtemp(prefix="cdc_tail_") + "/t"
+    mt.commit_overwrite(
+        base, path, keys=("c_custkey",),
+        properties={"enableChangeDataFeed": True},
+    )
+    mt.delete_where(
+        spark, path, "c_custkey % 10 = 0", deletion_vectors=True
+    )
+    mt.update_where(
+        spark, path,
+        "c_mktsegment = 'BUILDING' AND c_custkey % 7 = 3",
+        {"c_acctbal": F.lit(0.0)},
+    )
+    spark.dataSource.register(make_table_changes_stream_source())
+    stream = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", path)
+        .option("startingversion", 1)
+        .load()
+    )
+    import uuid as _uuid
+
+    sink = f"cdc_tail_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            "c_mktsegment",
+            "_change_type",
+            F.col("_commit_version").cast("int").alias("_commit_version"),
+        )
+        .orderBy("c_custkey", "_change_type")
+    )

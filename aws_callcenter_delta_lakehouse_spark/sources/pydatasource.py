@@ -125,3 +125,185 @@ def make_synthetic_stream_source():
             return _StreamReader(self.options)
 
     return SyntheticStream
+
+
+def make_table_changes_stream_source():
+    """Return a STREAMING DataSource over a managed table's change data
+    feed — the Delta ``readStream ... option("readChangeFeed")``
+    analogue: ``spark.readStream.format("table_changes_stream")
+    .option("path", t).option("startingversion", k)`` tails the
+    ``_change_data`` sidecars that CDF-enabled DML commits record
+    (``managed_table.table_changes`` is the batch reader of the same
+    feed).
+
+    Offsets are ``{"version": N}`` — the table version IS the stream
+    position, derived from the live marker alone (never reader-local
+    state: on restart a fresh reader answers ``latestOffset`` while
+    Spark replays the checkpointed start offset into ``partitions``).
+    Each microbatch plans one ``InputPartition`` per sidecar FILE of
+    the versions in ``(start, end]``, so executors read change files
+    in parallel exactly like a file source; rows carry
+    ``_commit_version``/``_commit_timestamp``. A version in range
+    without a recorded sidecar fails the stream (the same contract as
+    the batch reader and Delta: no silent holes), and versions must
+    still be retained — a CDC stream must keep up within the table's
+    ``max_history``/vacuum window, exactly Delta's retention coupling.
+
+    Scale shape: driver work is marker reads + one sidecar listing per
+    microbatch (O(versions advanced)); all row I/O is executor-side
+    pyarrow over the change files — O(changes), never a table scan."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    _MARKER = "_engine_table.json"
+    _CDF = "_change_data"
+
+    def _marker(snap):
+        p = _os.path.join(snap, _MARKER)
+        if not _os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return _json.loads(f.read())
+
+    def _snap_dir(path, v):
+        live = int(_marker(path).get("version", 0))
+        return (
+            path
+            if v == live
+            else _os.path.join(f"{path}__history", f"v{v:06d}")
+        )
+
+    class _CdfStreamReader(DataSourceStreamReader):
+        def __init__(self, options, data_cols):
+            self.path = options["path"]
+            self.start = options.get("startingversion")
+            # declared output order for the data columns: sidecar files
+            # across versions may order (or, under schema evolution,
+            # miss) columns differently — rows must align to the
+            # DECLARED schema, not the file's layout
+            self.data_cols = data_cols
+
+        def initialOffset(self):
+            if self.start is not None:
+                # startingversion means "changes FROM this version on",
+                # i.e. the exclusive offset is one below it
+                return {"version": int(self.start) - 1}
+            # default: tail from now — only versions committed after
+            # the stream starts (Delta's default for new CDF streams)
+            return {"version": int(_marker(self.path).get("version", 0))}
+
+        def latestOffset(self):
+            return {"version": int(_marker(self.path).get("version", 0))}
+
+        def partitions(self, start, end):
+            parts = []
+            for v in range(start["version"] + 1, end["version"] + 1):
+                snap = _snap_dir(self.path, v)
+                m = _marker(snap)
+                if not m:
+                    raise ValueError(
+                        f"version {v} of {self.path} is no longer "
+                        "retained — the CDC stream fell behind the "
+                        "table's history window"
+                    )
+                if not m.get("has_cdf"):
+                    raise ValueError(
+                        f"version {v} of {self.path} has no change-data "
+                        "sidecar (committed before enableChangeDataFeed "
+                        "or by a generic overwrite)"
+                    )
+                ts = float(m.get("ts", 0.0))
+                files = sorted(
+                    _glob.glob(_os.path.join(snap, _CDF, "*.parquet"))
+                )
+                parts.extend(
+                    InputPartition((f, v, ts)) for f in files
+                )
+            # a zero-change advance (all-scrubbed sidecar) still needs
+            # one no-op partition or Spark refuses the empty plan
+            return parts or [InputPartition((None, 0, 0.0))]
+
+        def read(self, partition):
+            fpath, version, ts = partition.value
+            if fpath is None:
+                return
+            import pyarrow.parquet as _pq
+
+            table = _pq.read_table(fpath)
+            for batch in table.to_batches():
+                for r in batch.to_pylist():
+                    yield tuple(
+                        r.get(c) for c in self.data_cols
+                    ) + (version, ts)
+
+        def commit(self, end):
+            pass
+
+    class TableChangesStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "table_changes_stream"
+
+        def schema(self):
+            # driver-side: derive the DDL from one recorded sidecar's
+            # parquet schema (the feed's schema is the table's data
+            # columns + _change_type), plus the per-commit columns
+            import pyarrow.parquet as _pq
+
+            path = self.options["path"]
+            live = int(_marker(path).get("version", 0))
+            for v in range(live, -1, -1):
+                snap = _snap_dir(path, v)
+                if not _marker(snap).get("has_cdf"):
+                    continue
+                files = sorted(
+                    _glob.glob(_os.path.join(snap, _CDF, "*.parquet"))
+                )
+                if not files:
+                    continue
+                pa_schema = _pq.read_schema(files[0])
+                ddl_types = {
+                    "int64": "bigint",
+                    "int32": "int",
+                    "double": "double",
+                    "float": "float",
+                    "string": "string",
+                    "large_string": "string",
+                    "bool": "boolean",
+                    "date32[day]": "date",
+                    "timestamp[us]": "timestamp",
+                    "timestamp[ns]": "timestamp",
+                }
+                cols = []
+                for field in pa_schema:
+                    t = ddl_types.get(str(field.type))
+                    if t is None:
+                        raise ValueError(
+                            f"table_changes_stream: unsupported sidecar "
+                            f"column type {field.type} for {field.name}"
+                        )
+                    cols.append(f"`{field.name}` {t}")
+                cols.append("`_commit_version` int")
+                cols.append("`_commit_timestamp` double")
+                return ", ".join(cols)
+            raise ValueError(
+                f"{path}: no change-data sidecar found in any retained "
+                "version — enable CDF and commit at least once before "
+                "starting the stream"
+            )
+
+        def streamReader(self, schema):
+            names = [f.name for f in schema.fields]
+            return _CdfStreamReader(
+                self.options,
+                [n for n in names if n not in ("_commit_version", "_commit_timestamp")],
+            )
+
+    return TableChangesStream

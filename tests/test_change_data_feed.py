@@ -243,3 +243,90 @@ def test_cdc_replication_end_to_end(spark, tmp_path):
         for r in mt.read(spark, rep).select("id", "name", "bal").collect()
     }
     assert got == want and len(want) == 4
+
+
+def test_streaming_cdf_source_backfills_and_tails(spark, tmp_path):
+    """The streaming CDC tail (Delta readChangeFeed analogue): a
+    Python-Data-Source stream over the _change_data sidecars.
+    startingversion=0 backfills every recorded version; rows match the
+    batch table_changes reader exactly."""
+    from aws_callcenter_delta_lakehouse_spark.sources.pydatasource import (
+        make_table_changes_stream_source,
+    )
+
+    src = str(tmp_path / "src")
+    _make(spark, src)  # v0 inserts
+    mt.delete_where(spark, src, "id = 3", deletion_vectors=True)  # v1
+    mt.update_where(spark, src, "id = 4", {"bal": F.lit(-4.0)})  # v2
+
+    spark.dataSource.register(make_table_changes_stream_source())
+    stream = (
+        spark.readStream.format("table_changes_stream")
+        .option("path", src)
+        .option("startingversion", 0)
+        .load()
+    )
+    sink = f"cdf_sink_{abs(hash(src)) % 10**8}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in spark.table(sink).collect()
+    )
+    want = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in mt.table_changes(spark, src, -1, 2).collect()
+    )
+    assert got == want and len(want) == 4 + 1 + 2
+
+
+def test_streaming_cdf_source_resumes_only_new_versions(spark, tmp_path):
+    """Checkpoint resume: the second run of the same query sees ONLY
+    versions committed after the first drain — offsets are table
+    versions derived from the marker, not reader state."""
+    from aws_callcenter_delta_lakehouse_spark.sources.pydatasource import (
+        make_table_changes_stream_source,
+    )
+
+    src = str(tmp_path / "src")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _make(spark, src)
+    mt.delete_where(spark, src, "id = 1")  # v1
+
+    spark.dataSource.register(make_table_changes_stream_source())
+
+    def run_once():
+        stream = (
+            spark.readStream.format("table_changes_stream")
+            .option("path", src)
+            .option("startingversion", 1)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    mt.delete_where(spark, src, "id = 2", deletion_vectors=True)  # v2
+    run_once()
+    rows = sorted(
+        (r.id, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert rows == [(1, "delete", 1), (2, "delete", 2)]
