@@ -330,3 +330,49 @@ def test_streaming_cdf_source_resumes_only_new_versions(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert rows == [(1, "delete", 1), (2, "delete", 2)]
+
+
+def test_cdf_with_schema_evolution_aligns_columns(spark, tmp_path):
+    """A widening merge under CDF: pre-images (old schema) and
+    post-images/inserts (new schema) align by name in the sidecar —
+    old-schema rows carry NULL for the new column."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame(
+        [(2, "upd", 0.0, "extra2"), (9, "new", 9.0, "extra9")],
+        ["id", "name", "bal", "note"],
+    )
+    mt.merge_upsert(spark, path, src, keys=("id",), schema_evolution=True)
+    rows = {
+        (r.id, r._change_type): r
+        for r in mt.table_changes(spark, path, 0).collect()
+    }
+    assert rows[(2, "update_preimage")].note is None
+    assert rows[(2, "update_postimage")].note == "extra2"
+    assert rows[(9, "insert")].note == "extra9"
+
+
+def test_cdf_crash_before_marker_publishes_nothing(spark, tmp_path):
+    """Kill the commit after the change sidecar is staged but before
+    the marker: the staging dir is NOT committed-ready (marker is
+    staged last), recover keeps the old snapshot, and neither the data
+    nor the half-written feed is visible."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    orig = mt._write_cdf
+
+    def boom(changes, staging):
+        orig(changes, staging)
+        raise RuntimeError("crash injected after sidecar write")
+
+    mt._write_cdf = boom
+    try:
+        with pytest.raises(RuntimeError, match="crash injected"):
+            mt.delete_where(spark, path, "id = 1")
+    finally:
+        mt._write_cdf = orig
+    mt.recover(path)
+    assert mt.read(spark, path).count() == 4  # old snapshot intact
+    assert mt.table_version(path) == 0
+    with pytest.raises(ValueError):  # no v1 feed exists
+        mt.table_changes(spark, path, 0, 1)
