@@ -1696,6 +1696,18 @@ def restore_table(
     if not marker:
         raise ValueError(f"{path} is not a managed table")
     df = read(spark, path, version=version)
+    changes = None
+    if _cdf_on(marker):
+        # Delta records RESTORE in the change feed as the row diff
+        # between the pre-restore and restored snapshots — exactly what
+        # read_changes computes, keyed so updates get pre/post images
+        changes = read_changes(
+            spark,
+            path,
+            from_version=table_version(path),
+            to_version=version,
+            keys=marker.get("keys") or None,
+        )
     commit_overwrite(
         df,
         path,
@@ -1703,6 +1715,7 @@ def restore_table(
         partition_by=marker.get("partition_by", ()),
         max_history=max_history,
         txn={"restore_of": int(version)},
+        changes=changes,
     )
     return {
         "restored_version": int(version),

@@ -376,3 +376,80 @@ def test_cdf_crash_before_marker_publishes_nothing(spark, tmp_path):
     assert mt.table_version(path) == 0
     with pytest.raises(ValueError):  # no v1 feed exists
         mt.table_changes(spark, path, 0, 1)
+
+
+def test_restore_records_its_diff_in_the_feed(spark, tmp_path):
+    """RESTORE on a CDF table records the row diff it applies (Delta
+    does the same), so the feed has no hole at the restore version."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 1", max_history=4)  # v1
+    mt.update_where(spark, path, "id = 2", {"bal": F.lit(0.0)},
+                    max_history=4)  # v2
+    out = mt.restore_table(spark, path, 0, max_history=4)  # v3
+    assert out["new_version"] == 3
+    got = _changes(spark, path, 2, 3)
+    # the restore re-inserts id=1 and reverts id=2's balance
+    assert (1, "insert", 3) in got
+    assert (2, "update_postimage", 3) in got
+    assert (2, "update_preimage", 3) in got
+    post = [
+        r
+        for r in mt.table_changes(spark, path, 2, 3).collect()
+        if r._change_type == "update_postimage"
+    ]
+    assert post[0].bal == 20.0  # the restored (original) value
+
+
+def test_streaming_cdc_replication_exactly_once(spark, tmp_path):
+    """The full streaming CDC loop: table_changes_stream ->
+    foreach_batch_apply_changes replica, run twice over one checkpoint
+    with DMLs between runs — the replica converges to the source and a
+    replayed stream adds nothing (epoch guard + per-row _apply_seq)."""
+    from aws_callcenter_delta_lakehouse_spark.sources.pydatasource import (
+        make_table_changes_stream_source,
+    )
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        foreach_batch_apply_changes,
+    )
+
+    src, rep = str(tmp_path / "src"), str(tmp_path / "rep")
+    ckpt = str(tmp_path / "ckpt")
+    _make(spark, src)
+    spark.dataSource.register(make_table_changes_stream_source())
+
+    def drain():
+        stream = (
+            spark.readStream.format("table_changes_stream")
+            .option("path", src)
+            .option("startingversion", 0)
+            .load()
+            .drop("_commit_timestamp")
+        )
+        q = foreach_batch_apply_changes(
+            stream, rep, keys=("id",), sequence_col="_commit_version",
+            checkpoint=ckpt,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    drain()  # v0 backfill
+    assert {r.id for r in mt.read(spark, rep).collect()} == {1, 2, 3, 4}
+    mt.delete_where(spark, src, "id = 3", deletion_vectors=True)  # v1
+    mt.merge_upsert(
+        spark, src,
+        spark.createDataFrame([(9, "n", 9.0)], ["id", "name", "bal"]),
+        keys=("id",),
+    )  # v2
+    drain()  # only v1..v2
+    want = {(r.id, r.bal) for r in mt.read(spark, src).collect()}
+    got = {
+        (r.id, r.bal)
+        for r in mt.read(spark, rep).select("id", "bal").collect()
+    }
+    assert got == want == {(1, 10.0), (2, 20.0), (4, 40.0), (9, 9.0)}
+    v_before = mt.table_version(rep)
+    drain()  # no new source versions: replica must not move
+    assert mt.table_version(rep) == v_before
