@@ -272,10 +272,11 @@ def streaming_cdc_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
     )
     path = tempfile.mkdtemp(prefix="cdc_tail_") + "/t"
-    mt.commit_overwrite(
-        base, path, keys=("c_custkey",),
-        properties={"enableChangeDataFeed": True},
-    )
+    mt.commit_overwrite(base, path, keys=("c_custkey",))
+    # enable AFTER the initial load (ALTER TABLE SET TBLPROPERTIES):
+    # v0 gets no insert-backfill sidecar — the stream starts at v1,
+    # so recording the full initial corpus would be pure write cost
+    mt.set_table_property(path, "enableChangeDataFeed", True)
     mt.delete_where(
         spark, path, "c_custkey % 10 = 0", deletion_vectors=True
     )

@@ -60,6 +60,11 @@ STRESS_QUERIES = (
     "graph_kcore_suppliers",
     "graph_bfs_hops",
     "graph_community_labels",
+    # round-6: the LSH-recall eval composes the banding shape with the
+    # df-blocked truth join AND a 16x portable-md5 signature pass — a
+    # regression in any of the three (hot-shingle cap lost, bucket
+    # fan-out, per-element md5 re-evaluation) would superlinearize it
+    "dedup_lsh_recall_eval",
 )
 
 
