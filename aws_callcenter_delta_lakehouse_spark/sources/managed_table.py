@@ -1418,10 +1418,16 @@ def _delete_where_dv(
         "bytes": int(phys["bytes"]),
     }
     extra = {
-        "dv": {"n_rows": int(n_dv)},
         "operation": "delete_dv",
         "stats": stats,
     }
+    if n_dv > 0:
+        extra["dv"] = {"n_rows": int(n_dv)}
+    else:
+        # zero matches and no inherited vector: don't install a DV at
+        # all — it would tax every later read with an anti-join that
+        # can never drop a row
+        _fs().rmtree(os.path.join(staging, _DV_DIR))
     if has_cdf:
         extra["has_cdf"] = True
     # file-preserving commit: column metadata that rewriting commits
@@ -1625,10 +1631,13 @@ def _update_where_dv(
         "bytes": int(phys["bytes"]),
     }
     extra = {
-        "dv": {"n_rows": int(n_dv)},
         "operation": "update_dv",
         "stats": stats,
     }
+    if n_dv > 0:
+        extra["dv"] = {"n_rows": int(n_dv)}
+    else:  # zero matches, no inherited vector: no DV read-tax
+        _fs().rmtree(os.path.join(staging, _DV_DIR))
     if has_cdf:
         extra["has_cdf"] = True
     for carried in ("column_mapping", "dropped_columns"):

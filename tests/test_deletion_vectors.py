@@ -289,3 +289,21 @@ def test_dv_update_partitioned(spark, tmp_path):
     )
     rows = {r.id: r.bal for r in mt.read(spark, path).collect()}
     assert rows[1] == -1.0 and rows[2] == -1.0 and len(rows) == 8
+
+
+def test_zero_match_dv_delete_installs_no_vector(spark, tmp_path):
+    """A DV delete matching nothing commits a new version but installs
+    NO vector — later reads must not pay an anti-join that can never
+    drop a row."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 999", deletion_vectors=True)
+    assert mt.table_detail(path)["deletion_vector_rows"] == 0
+    assert not mt._read_marker(path).get("dv")
+    assert not os.path.isdir(os.path.join(path, mt._DV_DIR))
+    assert mt.read(spark, path).count() == 8
+    mt.update_where(
+        spark, path, "id = 999", {"bal": F.lit(0.0)}, deletion_vectors=True
+    )
+    assert not mt._read_marker(path).get("dv")
+    assert mt.read(spark, path).count() == 8
