@@ -305,6 +305,11 @@ def streaming_cdc_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    # the memory sink holds the drained rows; the scratch table is done
+    import os as _os
+    import shutil
+
+    shutil.rmtree(_os.path.dirname(path), ignore_errors=True)
     return (
         spark.table(sink)
         .select(

@@ -520,6 +520,9 @@ def vacuum(
             ),
             default=_fs().getmtime(d),
         )
+        # (deletion-vector commits hardlink data files, preserving old
+        # mtimes — but every snapshot's MARKER is freshly written at
+        # its commit, so the walk above always sees the commit time)
         return newest > cutoff
 
     removed = []
