@@ -139,3 +139,95 @@ def test_scd2_sequence_matches_dict_model(spark, batches):
         for seg, f, t, cur in map(tuple, rows)
     }
     assert got == want
+
+
+_DELETE_DV = st.tuples(st.integers(0, 9), st.booleans()).map(
+    lambda t: ("delete", t)
+)
+_UPDATE_DV = st.tuples(st.integers(0, 2), _VALS, st.booleans()).map(
+    lambda p: ("update", p)
+)
+_MATERIALIZE = st.just(("materialize", None))
+
+_OPS_DV = st.lists(
+    st.one_of(_MERGE, _DELETE_DV, _UPDATE_DV, _MATERIALIZE),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_OPS_DV)
+def test_dv_cdf_sequence_matches_model_and_feed_replays(spark, ops):
+    """The DV/CDF surface under the same differential model: random
+    merge / delete / update sequences where each delete/update flips a
+    coin for deletion-vector mode, interleaved with REORG materialize.
+    After every commit (a) the table equals the dict model, and (b)
+    replaying that commit's change feed onto the PREVIOUS model state
+    reproduces the new state — the CDC contract checked for every
+    random interleaving, not just the handcrafted cases."""
+    from aws_callcenter_delta_lakehouse_spark.sources import maintenance
+
+    tmp = tempfile.mkdtemp(prefix="mt_dvmodel_")
+    path = tmp + "/t"
+    model: dict[int, str] = {}
+    commits = 0
+    try:
+        for op, arg in ops:
+            prev = dict(model)
+            if op == "merge":
+                src = spark.createDataFrame(arg, "id long, v string")
+                if mt.is_table(spark, path):
+                    mt.merge_upsert(spark, path, src, keys=("id",))
+                else:
+                    mt.commit_overwrite(
+                        src, path, keys=("id",),
+                        properties={"enableChangeDataFeed": True},
+                    )
+                model.update(arg)
+                commits += 1
+            elif not mt.is_table(spark, path):
+                continue
+            elif op == "materialize":
+                maintenance.materialize_deletes(spark, path)
+                got = {(r.id, r.v) for r in mt.read(spark, path).collect()}
+                assert got == set(model.items())
+                assert not mt._read_marker(path).get("dv")
+                continue
+            elif op == "delete":
+                thr, dv = arg
+                mt.delete_where(
+                    spark, path, f"id >= {thr}", deletion_vectors=dv
+                )
+                model = {k: v for k, v in model.items() if k < thr}
+                commits += 1
+            else:
+                m, newv, dv = arg
+                mt.update_where(
+                    spark, path, f"id % 3 = {m}", {"v": F.lit(newv)},
+                    deletion_vectors=dv,
+                )
+                model = {
+                    k: (newv if k % 3 == m else v) for k, v in model.items()
+                }
+                commits += 1
+
+            got = {(r.id, r.v) for r in mt.read(spark, path).collect()}
+            assert got == set(model.items()), (op, arg)
+            # CDC contract: this commit's feed replays prev -> model
+            feed = mt.table_changes(
+                spark, path, commits - 2, commits - 1
+            ).collect()
+            replay = dict(prev)
+            for r in feed:
+                if r._change_type == "delete":
+                    replay.pop(r.id, None)
+                elif r._change_type in ("insert", "update_postimage"):
+                    replay[r.id] = r.v
+            assert replay == model, (op, arg, sorted(feed))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
