@@ -453,3 +453,19 @@ def test_streaming_cdc_replication_exactly_once(spark, tmp_path):
     v_before = mt.table_version(rep)
     drain()  # no new source versions: replica must not move
     assert mt.table_version(rep) == v_before
+
+
+def test_table_changes_plan_is_shuffle_free(spark, tmp_path):
+    """Scale pin: the CDF reader is a union of sidecar scans plus
+    literal commit columns — zero exchanges, zero joins."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 1")
+    mt.delete_where(spark, path, "id = 2")
+    plan = mt.table_changes(spark, path, 0, 2)._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan and "Join" not in plan

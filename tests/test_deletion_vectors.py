@@ -307,3 +307,20 @@ def test_zero_match_dv_delete_installs_no_vector(spark, tmp_path):
     )
     assert not mt._read_marker(path).get("dv")
     assert mt.read(spark, path).count() == 8
+
+
+def test_dv_read_plan_broadcasts_the_vector(spark, tmp_path):
+    """Scale pin: a DV read is scan + BROADCAST anti-join under the
+    marker-recorded cardinality — no sort-merge shuffle of the table,
+    no extra exchange beyond the broadcast."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 1", deletion_vectors=True)
+    plan = mt.read(spark, path)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
