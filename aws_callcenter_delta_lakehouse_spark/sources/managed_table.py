@@ -1185,16 +1185,20 @@ def commit_overwrite(
             for c, spec in id_cols.items()
         }
     # skipping-manifest sidecars carry forward as the table's INDEX
-    # DECLARATION (every data file is new after a rewrite, so reads
-    # fail open — footer fallback / keep-all — until
-    # layout.update_stats_manifest / update_bloom_manifest re-index;
-    # dropping the files entirely would silently lose which columns
-    # the table indexes)
+    # DECLARATION; the STATS manifest is then rebuilt from the staged
+    # footers right here (Delta collects file stats at write for the
+    # same reason) so min/max skipping is fresh the moment the commit
+    # publishes — no fail-open window, no separate re-index job. The
+    # bloom manifest is executor work (a Spark job per build), so it
+    # stays a declaration until layout.update_bloom_manifest re-indexes
+    # (reads fail open meanwhile).
     if exists:
         for sidecar in ("_stats_manifest.json", "_bloom_manifest.json"):
             src = os.path.join(path, sidecar)
             if _fs().exists(src):
                 _fs().copy(src, os.path.join(staging, sidecar))
+        if not partition_by:
+            _refresh_staged_stats_manifest(staging)
     has_cdf = False
     if _cdf_on({"properties": props}):
         if not exists and changes is None:
@@ -1224,6 +1228,36 @@ def commit_overwrite(
             )
 
     _publish_staging(path, staging, exists, version, max_history, tag)
+
+
+def _refresh_staged_stats_manifest(
+    staging: str, incremental: bool = False
+) -> None:
+    """Rebuild (or incrementally extend) a staged snapshot's
+    ``_stats_manifest.json`` for the columns the carried manifest
+    declares — commit-time index maintenance. Cost: one pass over the
+    staged footers (full rebuild after a rewrite; O(appended files)
+    for the deletion-vector update, whose hardlinked files keep their
+    basename-matched entries). No-op without a manifest or without a
+    derivable column declaration."""
+    import json as _json
+
+    mpath = os.path.join(staging, "_stats_manifest.json")
+    if not _fs().exists(mpath):
+        return
+    try:
+        entries = _json.loads(_fs().read_text(mpath))
+    except _json.JSONDecodeError:  # torn sidecar: leave for re-index
+        return
+    columns = sorted({c for e in entries for c in e.get("stats", {})})
+    if not columns:
+        return
+    from .layout import update_stats_manifest, write_stats_manifest
+
+    if incremental:
+        update_stats_manifest(staging, columns)
+    else:
+        write_stats_manifest(staging, columns)
 
 
 def _publish_staging(
@@ -1613,6 +1647,10 @@ def _update_where_dv(
     if marker.get("partition_by"):
         writer = writer.partitionBy(*marker["partition_by"])
     writer.parquet(staging)
+    if not marker.get("partition_by"):
+        # hardlinked files keep their basename-matched index entries;
+        # only the appended post-image files need footer stats
+        _refresh_staged_stats_manifest(staging, incremental=True)
     positions.distinct().write.mode("overwrite").parquet(
         os.path.join(staging, _DV_DIR)
     )

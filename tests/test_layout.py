@@ -764,13 +764,51 @@ def test_dml_rewrite_preserves_index_declaration(spark, tmp_path):
     delta = spark.createDataFrame([(5, 999)], "k long, v long")
     mt.merge_upsert(spark, path, delta, keys=("k",))
 
-    # declaration survived; reads fail open (all files kept)
+    # the commit itself re-indexed the declared column from the staged
+    # footers (r6): the manifest is FRESH at publish — every current
+    # file has an entry, no stale entries, no separate re-index job
+    # (the rewrite de-clusters k, so pruning EFFICACY isn't asserted
+    # here — freshness is; clustering is optimize_zorder's job)
     assert _os.path.exists(path + "/_stats_manifest.json")
     kept, total = pruned_file_list(path, "k", lo=0, hi=1)
-    assert len(kept) == total  # stale entries dropped by basename -> keep all
-
-    # one incremental update re-indexes the declared column
+    assert total >= 1
     stats = update_stats_manifest(path, ["k"])
-    assert stats["total"] == total
+    assert stats["added"] == 0 and stats["removed"] == 0
     # rows intact
     assert mt.read(spark, path).count() == 2000
+
+
+def test_stats_manifest_fresh_across_dml_chain(spark, tmp_path):
+    """Commit-time index maintenance (r6): after any DML — rewrite
+    merge, DV update (appended post-images indexed incrementally), DV
+    delete (hardlinks keep their entries) — the stats manifest is
+    already fresh: an incremental update finds nothing to add or
+    remove."""
+    from pyspark.sql import functions as F
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        update_stats_manifest,
+        write_stats_manifest,
+    )
+
+    path = str(tmp_path / "t")
+    mt.initial_write(
+        spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS v"), path,
+        keys=("k",),
+    )
+    write_stats_manifest(path, ["k"])
+    mt.merge_upsert(
+        spark, path, spark.createDataFrame([(5, 1)], "k long, v long"),
+        keys=("k",),
+    )
+    s = update_stats_manifest(path, ["k"])
+    assert s["added"] == 0 and s["removed"] == 0
+    mt.update_where(
+        spark, path, "k = 7", {"v": F.lit(0)}, deletion_vectors=True
+    )
+    s = update_stats_manifest(path, ["k"])
+    assert s["added"] == 0 and s["removed"] == 0
+    mt.delete_where(spark, path, "k = 9", deletion_vectors=True)
+    s = update_stats_manifest(path, ["k"])
+    assert s["added"] == 0 and s["removed"] == 0
