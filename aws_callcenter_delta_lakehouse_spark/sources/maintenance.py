@@ -332,7 +332,7 @@ def optimize_zorder(
     n_out = max(1, before["total_bytes"] // target_file_bytes)
     clustered = zorder_layout(df, list(cols), int(n_out), bits)
     managed_table.commit_overwrite(
-        clustered, path, keys=marker.get("keys", []),
+        clustered, path, keys=marker.get("keys", []), auto_optimize=False,
     )
     write_stats_manifest(path, list(cols))
     return {"before": before, "after": table_file_stats(path)}
@@ -367,7 +367,7 @@ def optimize_hilbert(
     n_out = max(1, before["total_bytes"] // target_file_bytes)
     clustered = hilbert_layout(df, x, y, int(n_out), order)
     managed_table.commit_overwrite(
-        clustered, path, keys=marker.get("keys", []),
+        clustered, path, keys=marker.get("keys", []), auto_optimize=False,
     )
     write_stats_manifest(path, [x, y])
     return {"before": before, "after": table_file_stats(path)}

@@ -1041,6 +1041,7 @@ def commit_overwrite(
     unique_keys: bool = False,
     properties: dict | None = None,
     changes: DataFrame | None = None,
+    auto_optimize: bool = True,
 ) -> None:
     """Atomic full-snapshot commit via stage-and-swap — works whether or
     not the table exists yet, so it is also the crash-safe first write.
@@ -1093,7 +1094,15 @@ def commit_overwrite(
     A CDF-enabled commit WITHOUT a change record (a generic overwrite,
     whose diff nobody computed) publishes no sidecar; ``table_changes``
     refuses that version and points at the :func:`read_changes`
-    snapshot diff instead of silently serving a hole."""
+    snapshot diff instead of silently serving a hole.
+
+    The ``autoOptimize`` table property ({"column": c, "max_avg_depth":
+    d}) makes every rewriting commit run the liquid maintenance
+    trigger afterwards: a metadata-only zone-depth probe, and a
+    re-clustering OPTIMIZE commit only when this commit degraded the
+    layout past the threshold — Databricks' auto-optimize discipline
+    driven by the same `optimize_if_degraded` primitive. The OPTIMIZE
+    commit itself passes ``auto_optimize=False`` (no recursion)."""
     recover(path)
     exists = _fs().exists(os.path.join(path, _MARKER))
     if expected_version is not None and exists:
@@ -1228,6 +1237,19 @@ def commit_overwrite(
             )
 
     _publish_staging(path, staging, exists, version, max_history, tag)
+    spec = props.get("autoOptimize")
+    if auto_optimize and spec and not partition_by:
+        from .maintenance import optimize_if_degraded
+
+        # metadata-only depth probe; re-clusters (a separate OPTIMIZE
+        # commit, auto_optimize=False inside) only when THIS commit
+        # pushed the zone depth past the declared threshold
+        optimize_if_degraded(
+            df.sparkSession,
+            path,
+            spec["column"],
+            float(spec.get("max_avg_depth", 2.0)),
+        )
 
 
 def _refresh_staged_stats_manifest(

@@ -812,3 +812,47 @@ def test_stats_manifest_fresh_across_dml_chain(spark, tmp_path):
     mt.delete_where(spark, path, "k = 9", deletion_vectors=True)
     s = update_stats_manifest(path, ["k"])
     assert s["added"] == 0 and s["removed"] == 0
+
+
+def test_auto_optimize_property_triggers_on_degrading_commit(spark, tmp_path):
+    """Databricks-style auto-optimize as a TABLE PROPERTY (r6): with
+    autoOptimize declared, a rewriting commit that scatters the
+    clustered column (the merge shuffle hashes on k) is followed
+    automatically by the liquid trigger — depth probe (metadata only),
+    re-cluster commit only because this commit degraded the layout.
+    No scheduler, no manual OPTIMIZE call."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        write_stats_manifest,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        clustering_depth,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 8000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    mt.commit_overwrite(
+        base.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        path,
+        keys=("k",),
+        properties={"autoOptimize": {"column": "k", "max_avg_depth": 2.0}},
+    )
+    write_stats_manifest(path, ["k"])
+    assert clustering_depth(path, "k")["avg_depth"] <= 2.0
+
+    # a round-robin rewrite: every output file spans the whole k range
+    mt.commit_overwrite(mt.read(spark, path).repartition(6), path)
+    # the rewrite (v1) degraded the layout; its trigger re-clustered (v2)
+    assert mt.table_version(path) == 2
+    assert clustering_depth(path, "k")["avg_depth"] <= 2.0
+    assert mt.read(spark, path).count() == 8000
+    # a commit that does NOT degrade the layout triggers nothing
+    v = mt.table_version(path)
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        optimize_if_degraded,
+    )
+
+    assert optimize_if_degraded(spark, path, "k", 2.0)["reclustered"] is False
+    assert mt.table_version(path) == v
