@@ -333,6 +333,11 @@ def optimize_zorder(
     clustered = zorder_layout(df, list(cols), int(n_out), bits)
     managed_table.commit_overwrite(
         clustered, path, keys=marker.get("keys", []), auto_optimize=False,
+        # OPTIMIZE preserves data, so it must preserve the table's txn
+        # metadata too — resetting it would re-arm exactly-once sinks'
+        # last_epoch and replay committed epochs after a(n auto-)
+        # optimize lands mid-stream
+        txn=marker.get("txn") or None,
     )
     write_stats_manifest(path, list(cols))
     return {"before": before, "after": table_file_stats(path)}
@@ -368,6 +373,11 @@ def optimize_hilbert(
     clustered = hilbert_layout(df, x, y, int(n_out), order)
     managed_table.commit_overwrite(
         clustered, path, keys=marker.get("keys", []), auto_optimize=False,
+        # OPTIMIZE preserves data, so it must preserve the table's txn
+        # metadata too — resetting it would re-arm exactly-once sinks'
+        # last_epoch and replay committed epochs after a(n auto-)
+        # optimize lands mid-stream
+        txn=marker.get("txn") or None,
     )
     write_stats_manifest(path, [x, y])
     return {"before": before, "after": table_file_stats(path)}

@@ -856,3 +856,20 @@ def test_auto_optimize_property_triggers_on_degrading_commit(spark, tmp_path):
 
     assert optimize_if_degraded(spark, path, "k", 2.0)["reclustered"] is False
     assert mt.table_version(path) == v
+
+
+def test_optimize_preserves_txn_metadata(spark, tmp_path):
+    """OPTIMIZE (manual or auto-triggered) is data-preserving, so the
+    txn metadata exactly-once sinks rely on must survive it — a reset
+    last_epoch would replay committed epochs after an optimize lands
+    mid-stream."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        optimize_zorder,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 500).selectExpr("id AS k", "id AS v")
+    mt.commit_overwrite(df, path, keys=("k",), txn={"last_epoch": 7})
+    optimize_zorder(spark, path, ["k"], target_file_bytes=4000)
+    assert mt.table_txn(path) == {"last_epoch": 7}
