@@ -338,6 +338,14 @@ def optimize_zorder(
         # last_epoch and replay committed epochs after a(n auto-)
         # optimize lands mid-stream
         txn=marker.get("txn") or None,
+        # ...and on a CDF table its change record is EMPTY (rows moved
+        # files, none changed) — without a sidecar table_changes would
+        # refuse every range crossing the optimize version
+        changes=(
+            df.limit(0).withColumn("_change_type", F.lit("insert"))
+            if managed_table._cdf_on(marker)
+            else None
+        ),
     )
     write_stats_manifest(path, list(cols))
     return {"before": before, "after": table_file_stats(path)}
@@ -378,6 +386,14 @@ def optimize_hilbert(
         # last_epoch and replay committed epochs after a(n auto-)
         # optimize lands mid-stream
         txn=marker.get("txn") or None,
+        # ...and on a CDF table its change record is EMPTY (rows moved
+        # files, none changed) — without a sidecar table_changes would
+        # refuse every range crossing the optimize version
+        changes=(
+            df.limit(0).withColumn("_change_type", F.lit("insert"))
+            if managed_table._cdf_on(marker)
+            else None
+        ),
     )
     write_stats_manifest(path, [x, y])
     return {"before": before, "after": table_file_stats(path)}

@@ -765,6 +765,12 @@ def apply_changes(
     """CDC apply — the Delta Live Tables ``APPLY CHANGES INTO``
     primitive: merge a change feed of ``insert`` / ``update_postimage``
     / ``delete`` rows (``update_preimage`` ignored) into the target,
+
+    (Note: this commit records NO change-data sidecar of its own even
+    on a CDF-enabled target — the NET effect differs from the input
+    feed under idempotent-skip, and chaining CDF off a CDC replica
+    re-reads the UPSTREAM feed anyway; ``table_changes`` refuses such
+    versions with a pointer at the ``read_changes`` snapshot diff.)
     ordered by ``sequence_col`` so LATE-ARRIVING and OUT-OF-ORDER
     changes resolve correctly:
 

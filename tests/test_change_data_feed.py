@@ -469,3 +469,20 @@ def test_table_changes_plan_is_shuffle_free(spark, tmp_path):
         )
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_optimize_records_empty_change_set(spark, tmp_path):
+    """An OPTIMIZE on a CDF table is a data-preserving version bump:
+    its change record is EMPTY, and table_changes ranges crossing it
+    keep working instead of refusing the feed."""
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        optimize_zorder,
+    )
+
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 1")  # v1
+    optimize_zorder(spark, path, ["id"], target_file_bytes=4000)  # v2
+    mt.delete_where(spark, path, "id = 2")  # v3
+    got = _changes(spark, path, 0, 3)
+    assert got == [(1, "delete", 1), (2, "delete", 3)]
