@@ -153,6 +153,7 @@ def compact(
 
     df = managed_table.read(spark, path)
     live_marker = managed_table._read_marker(path)
+    managed_table._check_writer(live_marker, path)
     stats = table_file_stats(path)
     n_out = max(1, stats["total_bytes"] // target_file_bytes)
     compacted = df.coalesce(int(n_out))
@@ -624,6 +625,7 @@ def compact_binpack(
     """
     small_file_bytes = small_file_bytes or target_file_bytes // 2
     marker = managed_table._read_marker(path)
+    managed_table._check_writer(marker, path)
     if marker.get("partition_by"):
         raise ValueError(
             "compact_binpack supports unpartitioned tables; compact "

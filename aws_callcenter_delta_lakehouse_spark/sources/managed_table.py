@@ -92,6 +92,105 @@ class ConstraintViolationError(ValueError):
     evaluated to FALSE (NULL passes, per SQL/Delta CHECK semantics)."""
 
 
+class ProtocolError(RuntimeError):
+    """The table requires a protocol feature this engine build does not
+    support (Delta's ``readerFeatures``/``writerFeatures`` table-features
+    contract, delta PROTOCOL.md). Failing LOUDLY is the whole point: an
+    engine that does not understand deletion vectors and scans the data
+    files raw would silently resurrect deleted rows; one that does not
+    understand change-data-feed and commits without a sidecar would punch
+    a silent hole in the feed. Unknown feature => refuse, never guess."""
+
+
+# Features THIS build understands. A marker listing anything outside
+# these sets refuses to read / be committed over (``_check_reader`` /
+# ``_check_writer``) — mirroring Delta's table-features negotiation,
+# where readers check readerFeatures and writers check writerFeatures.
+SUPPORTED_READER_FEATURES = frozenset({"deletionVectors", "columnMapping"})
+SUPPORTED_WRITER_FEATURES = frozenset(
+    {
+        "deletionVectors",
+        "columnMapping",
+        "changeDataFeed",
+        "checkConstraints",
+        "generatedColumns",
+        "identityColumns",
+        "uniqueKeys",
+    }
+)
+
+
+def _required_features(marker: dict) -> tuple[set, set]:
+    """Derive (reader, writer) feature sets from marker content. Reader
+    features change what a SCAN must do to be correct (miss one => wrong
+    rows); writer features change what a COMMIT must maintain (miss one
+    => corrupted metadata/feed). Matches Delta's split: CDF, constraints,
+    generated/identity columns are writer-only — a plain read of such a
+    table is safe."""
+    reader: set = set()
+    writer: set = set()
+    if marker.get("dv"):
+        reader.add("deletionVectors")
+        writer.add("deletionVectors")
+    if marker.get("column_mapping") or marker.get("dropped_columns"):
+        reader.add("columnMapping")
+        writer.add("columnMapping")
+    if marker.get("has_cdf") or (marker.get("properties") or {}).get(_CDF_PROP):
+        writer.add("changeDataFeed")
+    if marker.get("constraints"):
+        writer.add("checkConstraints")
+    if marker.get("generated"):
+        writer.add("generatedColumns")
+    if marker.get("identity"):
+        writer.add("identityColumns")
+    if marker.get("unique_keys"):
+        writer.add("uniqueKeys")
+    return reader, writer
+
+
+def _stamp_features(payload: dict) -> None:
+    """Stamp the CANONICAL feature lists onto a marker payload before it
+    is written: derived from the final payload content, so a commit that
+    materializes a column mapping (or drops the last constraint) sheds
+    the feature instead of carrying a stale flag forever."""
+    reader, writer = _required_features(payload)
+    for key, feats in (("reader_features", reader), ("writer_features", writer)):
+        if feats:
+            payload[key] = sorted(feats)
+        else:
+            payload.pop(key, None)
+
+
+def _feature_list(marker: dict, key: str, idx: int) -> set:
+    # legacy markers (written before features were stamped) derive on
+    # the fly — a pre-feature DV marker must still refuse a build with
+    # DV support stripped
+    listed = marker.get(key)
+    return set(listed) if listed is not None else _required_features(marker)[idx]
+
+
+def _check_reader(marker: dict, where: str) -> None:
+    missing = _feature_list(marker, "reader_features", 0) - SUPPORTED_READER_FEATURES
+    if missing:
+        raise ProtocolError(
+            f"{where}: table requires reader features {sorted(missing)} "
+            "this engine does not support — reading anyway would return "
+            "wrong rows (e.g. resurrect DV-deleted data). Upgrade the "
+            "engine or REORG the table with a supporting writer."
+        )
+
+
+def _check_writer(marker: dict, where: str) -> None:
+    missing = _feature_list(marker, "writer_features", 1) - SUPPORTED_WRITER_FEATURES
+    if missing:
+        raise ProtocolError(
+            f"{where}: table requires writer features {sorted(missing)} "
+            "this engine does not support — committing anyway would break "
+            "the table's maintained invariants (change feed, constraints, "
+            "identity watermarks)."
+        )
+
+
 def is_table(spark: SparkSession, path: str) -> bool:
     """Existence probe (DeltaTable.isDeltaTable analogue,
     01_silver_delta_upsert.py:99)."""
@@ -186,6 +285,7 @@ def _write_marker(
     # overwrite / compaction) clears the deletion vector.
     if extra:
         payload.update(extra)
+    _stamp_features(payload)
     _fs().write_atomic(os.path.join(path, _MARKER), json.dumps(payload))
 
 
@@ -328,6 +428,7 @@ def _write_cdf(spark_changes: DataFrame, staging: str) -> None:
 
 
 def _replace_marker(path: str, marker: dict) -> None:
+    _stamp_features(marker)
     _fs().write_atomic(os.path.join(path, _MARKER), json.dumps(marker))
 
 
@@ -471,8 +572,12 @@ def _read_physical(spark: SparkSession, snap: str) -> DataFrame:
     """One snapshot directory as a DataFrame under its PHYSICAL column
     names, with its deletion vector (if any) applied — the single entry
     point every snapshot read (live, versioned, history-rewrite) goes
-    through so deleted rows can never resurface from a raw scan."""
-    return _apply_dv(spark, spark.read.parquet(snap), snap, _read_marker(snap))
+    through so deleted rows can never resurface from a raw scan — and
+    where the reader half of the protocol-features contract is enforced
+    (an unknown reader feature refuses loudly instead of misreading)."""
+    marker = _read_marker(snap)
+    _check_reader(marker, snap)
+    return _apply_dv(spark, spark.read.parquet(snap), snap, marker)
 
 
 def _refuse_if_referenced(marker: dict, col: str, action: str) -> None:
@@ -1119,6 +1224,7 @@ def commit_overwrite(
                 "re-read and retry"
             )
     live_marker = _read_marker(path) if exists else {}
+    _check_writer(live_marker, path)
     constraints = live_marker.get("constraints", {})
     # column metadata persists across commits; creation-time args only
     # apply on the first commit (Delta: generated/identity columns are
@@ -1426,6 +1532,7 @@ def _delete_where_dv(
     marker = _read_marker(path)
     if not marker:
         raise ValueError(f"{path} is not a managed table")
+    _check_writer(marker, path)
     base_version = table_version(path)
     raw = spark.read.parquet(path)
     tagged = raw.select(
@@ -1596,6 +1703,7 @@ def _update_where_dv(
     marker = _read_marker(path)
     if not marker:
         raise ValueError(f"{path} is not a managed table")
+    _check_writer(marker, path)
     base_version = table_version(path)
     raw = spark.read.parquet(path)
     phys_types = dict(raw.dtypes)
