@@ -92,6 +92,14 @@ class ConstraintViolationError(ValueError):
     evaluated to FALSE (NULL passes, per SQL/Delta CHECK semantics)."""
 
 
+class SchemaEnforcementError(ValueError):
+    """A commit's DataFrame schema does not match the live table's
+    logical schema (Delta's write-time schema enforcement — the
+    'no silent schema drift' half of the lakehouse contract). Pass
+    ``schema_mode="merge"`` to union the schemas (mergeSchema) or
+    ``schema_mode="overwrite"`` to replace them (overwriteSchema)."""
+
+
 class ProtocolError(RuntimeError):
     """The table requires a protocol feature this engine build does not
     support (Delta's ``readerFeatures``/``writerFeatures`` table-features
@@ -965,6 +973,9 @@ def apply_changes(
     commit_overwrite(
         merged, path, keys=key_list, max_history=max_history, txn=txn,
         expected_version=expected_version,
+        # the first apply WIDENS the table with the _apply_seq
+        # idempotency column — apply_changes owns the target's schema
+        schema_mode="overwrite",
     )
 
 
@@ -1120,7 +1131,64 @@ def merge_upsert(
     _commit_snapshot(
         merged, path, keys, partition_by, max_history, txn, base_version,
         changes=changes,
+        # with evolution the widened schema is the POINT; without it the
+        # merged frame was built on target.columns, so enforce is a no-op
+        # kept as a tripwire
+        schema_mode="overwrite" if schema_evolution else "enforce",
     )
+
+
+def _align_schema(
+    df: DataFrame, live_schema, schema_mode: str, path: str, exempt: set
+) -> DataFrame:
+    """Write-time schema contract for commits over an existing table
+    (see :func:`commit_overwrite` ``schema_mode``). Compares LOGICAL
+    schemas by (name, type) — order-insensitive (parquet resolves by
+    name) and nullability-insensitive (Spark flips nullable freely
+    through unions/joins). ``exempt`` columns (generated/identity) are
+    maintained by the commit itself."""
+    new_types = {
+        f.name: f.dataType.simpleString()
+        for f in df.schema.fields
+        if f.name not in exempt
+    }
+    live_types = {
+        f.name: f.dataType.simpleString()
+        for f in live_schema.fields
+        if f.name not in exempt
+    }
+    retyped = sorted(
+        c
+        for c in new_types.keys() & live_types.keys()
+        if new_types[c] != live_types[c]
+    )
+    if retyped:  # a type change is never implicit, even under merge
+        raise SchemaEnforcementError(
+            f"{path}: commit retypes column(s) "
+            + ", ".join(
+                f"{c} ({live_types[c]} -> {new_types[c]})" for c in retyped
+            )
+            + " — cast explicitly and pass schema_mode='overwrite' if the "
+            "type change is intended"
+        )
+    added = sorted(new_types.keys() - live_types.keys())
+    missing = sorted(live_types.keys() - new_types.keys())
+    if schema_mode == "enforce":
+        if added or missing:
+            raise SchemaEnforcementError(
+                f"{path}: commit schema drifts from the live table "
+                f"(new columns: {added or 'none'}; dropped columns: "
+                f"{missing or 'none'}) — pass schema_mode='merge' to "
+                "widen (mergeSchema) or 'overwrite' to replace "
+                "(overwriteSchema)"
+            )
+        return df
+    # merge: NULL-fill live columns the frame lacks; frame-only columns
+    # ride along and widen the table (exactly Delta mergeSchema)
+    for f in live_schema.fields:
+        if f.name in missing:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
 
 
 def _commit_snapshot(
@@ -1132,10 +1200,12 @@ def _commit_snapshot(
     txn: dict | None = None,
     expected_version: int | None = None,
     changes: DataFrame | None = None,
+    schema_mode: str = "enforce",
 ) -> None:
     commit_overwrite(
         df, path, keys=keys, partition_by=partition_by, max_history=max_history,
         txn=txn, expected_version=expected_version, changes=changes,
+        schema_mode=schema_mode,
     )
 
 
@@ -1153,6 +1223,7 @@ def commit_overwrite(
     properties: dict | None = None,
     changes: DataFrame | None = None,
     auto_optimize: bool = True,
+    schema_mode: str = "enforce",
 ) -> None:
     """Atomic full-snapshot commit via stage-and-swap — works whether or
     not the table exists yet, so it is also the crash-safe first write.
@@ -1213,7 +1284,22 @@ def commit_overwrite(
     re-clustering OPTIMIZE commit only when this commit degraded the
     layout past the threshold — Databricks' auto-optimize discipline
     driven by the same `optimize_if_degraded` primitive. The OPTIMIZE
-    commit itself passes ``auto_optimize=False`` (no recursion)."""
+    commit itself passes ``auto_optimize=False`` (no recursion).
+
+    ``schema_mode`` is Delta's write-time schema contract on an EXISTING
+    table: ``"enforce"`` (default) refuses a commit whose logical schema
+    adds, drops, or retypes columns vs the live table
+    (:class:`SchemaEnforcementError` — silent schema drift is how
+    downstream readers break at 3am); ``"merge"`` mirrors
+    ``mergeSchema`` (live columns the frame lacks are NULL-filled, new
+    frame columns widen the table, a TYPE conflict still refuses);
+    ``"overwrite"`` mirrors ``overwriteSchema`` (the frame's schema
+    replaces the table's). Generated and identity columns are exempt
+    from the comparison — the commit recomputes/fills them itself."""
+    if schema_mode not in ("enforce", "merge", "overwrite"):
+        raise ValueError(
+            f"schema_mode must be enforce|merge|overwrite, got {schema_mode!r}"
+        )
     recover(path)
     exists = _fs().exists(os.path.join(path, _MARKER))
     if expected_version is not None and exists:
@@ -1247,6 +1333,14 @@ def commit_overwrite(
             "enableChangeDataFeed is unsupported on tables with identity "
             "columns (see set_table_property)"
         )
+    if exists and schema_mode != "overwrite":
+        df = _align_schema(
+            df,
+            read(df.sparkSession, path).schema,
+            schema_mode,
+            path,
+            exempt=set(gen_cols) | set(id_cols),
+        )
     for name, expr in sorted(gen_cols.items()):
         # recompute-always: the column is DERIVED — stricter than Delta
         # (which also accepts writer-supplied values it then validates);
@@ -1255,11 +1349,15 @@ def commit_overwrite(
     for name, spec in sorted(id_cols.items()):
         # fill NULL slots above the high-water mark on the step lattice;
         # monotonically_increasing_id gives collision-free slots without
-        # a global sort (gaps allowed — the Delta identity contract)
+        # a global sort (gaps allowed — the Delta identity contract).
+        # A frame that omits the column entirely (GENERATED ALWAYS —
+        # writers needn't supply it) fills every slot.
         df = df.withColumn(
             name,
             F.coalesce(
-                F.col(name).cast("bigint"),
+                (
+                    F.col(name) if name in df.columns else F.lit(None)
+                ).cast("bigint"),
                 F.lit(int(spec["high_water"]))
                 + F.lit(int(spec["step"]))
                 * (F.monotonically_increasing_id() + F.lit(1)),
@@ -1899,6 +1997,9 @@ def restore_table(
         max_history=max_history,
         txn={"restore_of": int(version)},
         changes=changes,
+        # the restored snapshot may predate a schema evolution; RESTORE
+        # reinstating the old schema is the documented Delta behavior
+        schema_mode="overwrite",
     )
     return {
         "restored_version": int(version),
