@@ -151,7 +151,7 @@ def compact(
     if where:
         return _compact_partitions(spark, path, partition_by, target_file_bytes, where)
 
-    df = managed_table.read(spark, path)
+    df = managed_table._read_logical(spark, path)  # keep __row_id through the rewrite
     live_marker = managed_table._read_marker(path)
     managed_table._check_writer(live_marker, path)
     stats = table_file_stats(path)
@@ -208,7 +208,7 @@ def _compact_partitions(
             "partition directories to rewrite, not rows"
         )
     _require_no_dv(path, "compact(where=...)")
-    df = managed_table.read(spark, path)
+    df = managed_table._read_logical(spark, path)  # keep __row_id through the rewrite
     # collect the SPARK-rendered partition key alongside the values: the
     # slot map below is looked up with concat_ws(cast-to-string) at plan
     # time, and Python str(row[c]) renders bool/timestamp/float
@@ -329,7 +329,7 @@ def optimize_zorder(
             "hive-partitioned tables compact partition dirs individually"
         )
     before = table_file_stats(path)
-    df = managed_table.read(spark, path)
+    df = managed_table._read_logical(spark, path)  # keep __row_id through the rewrite
     n_out = max(1, before["total_bytes"] // target_file_bytes)
     clustered = zorder_layout(df, list(cols), int(n_out), bits)
     managed_table.commit_overwrite(
@@ -377,7 +377,7 @@ def optimize_hilbert(
             "hive-partitioned tables compact partition dirs individually"
         )
     before = table_file_stats(path)
-    df = managed_table.read(spark, path)
+    df = managed_table._read_logical(spark, path)  # keep __row_id through the rewrite
     n_out = max(1, before["total_bytes"] // target_file_bytes)
     clustered = hilbert_layout(df, x, y, int(n_out), order)
     managed_table.commit_overwrite(

@@ -65,6 +65,15 @@ _DV_IDX_COL = "__dv_idx"
 # from data reads, same as _dv.
 _CDF_DIR = "_change_data"
 _CDF_PROP = "enableChangeDataFeed"
+# Row tracking (Delta `delta.enableRowTracking`): a hidden BIGINT column
+# materialized in the data files gives every row a STABLE id — preserved
+# across UPDATE / MERGE-update / DELETE-survivor / OPTIMIZE / DV commits,
+# assigned fresh above a monotonic high-water mark for inserts. The
+# substrate for incremental materialized-view maintenance: a consumer
+# can join successive versions on _row_id instead of guessing keys.
+_ROWID_COL = "__row_id"
+_ROWID_PUBLIC = "_row_id"
+_ROWTRACK_PROP = "enableRowTracking"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -124,6 +133,7 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         "generatedColumns",
         "identityColumns",
         "uniqueKeys",
+        "rowTracking",
     }
 )
 
@@ -153,6 +163,13 @@ def _required_features(marker: dict) -> tuple[set, set]:
         writer.add("identityColumns")
     if marker.get("unique_keys"):
         writer.add("uniqueKeys")
+    if marker.get("row_tracking") or (marker.get("properties") or {}).get(
+        _ROWTRACK_PROP
+    ):
+        # writer-only: a read that ignores __row_id is still correct
+        # (the column is hidden); a commit that fails to maintain it
+        # would hand out duplicate ids
+        writer.add("rowTracking")
     return reader, writer
 
 
@@ -321,9 +338,15 @@ def _write_marker_like(
         properties=live_marker.get("properties"),
         # a data-preserving rewrite keeps the version, so it must also
         # keep the version's change-feed availability flag (the sidecar
-        # dir itself is hardlink-carried by the compaction paths)
+        # dir itself is hardlink-carried by the compaction paths) and
+        # the row-tracking high-water mark
         extra=(
-            {"has_cdf": True} if live_marker.get("has_cdf") else None
+            {
+                k: live_marker[k]
+                for k in ("has_cdf", "row_tracking")
+                if live_marker.get(k)
+            }
+            or None
         ),
     )
 
@@ -429,8 +452,11 @@ def _write_cdf(spark_changes: DataFrame, staging: str) -> None:
     """Persist the commit's change rows (data columns + _change_type)
     as the staged snapshot's ``_change_data`` sidecar — published by
     the same marker-last rename as the data, so readers can never see
-    a version without its change record."""
-    spark_changes.write.mode("overwrite").parquet(
+    a version without its change record. Internal bookkeeping columns
+    (row-tracking ids) are stripped here, centrally — every CDF write
+    funnels through this function, and the feed's schema is the
+    table's LOGICAL schema + _change_type."""
+    spark_changes.drop(_ROWID_COL).write.mode("overwrite").parquet(
         os.path.join(staging, _CDF_DIR)
     )
 
@@ -670,11 +696,13 @@ def drop_column(spark: SparkSession, path: str, col: str) -> None:
     _replace_marker(path, marker)
 
 
-def read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Read the live table, or a retained historical snapshot via
-    ``version=N`` (time-travel-lite: each MERGE keeps the replaced
-    snapshot as version N-1 under ``<path>__history/``, bounded by
-    ``merge_upsert(max_history=...)``; ``maintenance.vacuum`` prunes)."""
+def _read_logical(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Logical read WITH internal bookkeeping columns (``__row_id``)
+    still attached — the entry point for DML/maintenance paths that
+    must carry row-tracking ids through a rewrite. User reads go
+    through :func:`read`, which hides or renames them."""
     if version is None:
         if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):
             return spark.read.format("delta").load(path)
@@ -696,6 +724,38 @@ def read(spark: SparkSession, path: str, version: int | None = None) -> DataFram
             "or vacuum"
         )
     return _read_physical(spark, snap)
+
+
+def read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    with_row_ids: bool = False,
+) -> DataFrame:
+    """Read the live table, or a retained historical snapshot via
+    ``version=N`` (time-travel-lite: each MERGE keeps the replaced
+    snapshot as version N-1 under ``<path>__history/``, bounded by
+    ``merge_upsert(max_history=...)``; ``maintenance.vacuum`` prunes).
+
+    ``with_row_ids=True`` on a row-tracking table (``enableRowTracking``
+    property) exposes the stable row id as ``_row_id`` — Delta's
+    ``_metadata.row_id`` analogue. Rows materialized before tracking
+    was enabled read NULL until the next rewriting commit assigns
+    them ids."""
+    df = _read_logical(spark, path, version)
+    has_ids = _ROWID_COL in df.columns
+    if not with_row_ids:
+        return df.drop(_ROWID_COL) if has_ids else df
+    if has_ids:
+        return df.withColumnRenamed(_ROWID_COL, _ROWID_PUBLIC)
+    if (_read_marker(path).get("properties") or {}).get(_ROWTRACK_PROP):
+        # enabled but not yet materialized by a commit
+        return df.withColumn(_ROWID_PUBLIC, F.lit(None).cast("bigint"))
+    raise ValueError(
+        f"{path}: with_row_ids requires the {_ROWTRACK_PROP} table "
+        "property (set_table_property) — ids are assigned by commits, "
+        "not synthesized at read time"
+    )
 
 
 def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
@@ -905,7 +965,8 @@ def apply_changes(
     (``tests/test_dml.py``)."""
     key_list = list(keys)
     seq_type = dict(changes.dtypes)[sequence_col]
-    if _fs().exists(os.path.join(path, _MARKER)):
+    target_exists = _fs().exists(os.path.join(path, _MARKER))
+    if target_exists:
         target = read(spark, path)
     else:
         # bootstrap: an absent target is an empty table with the feed's
@@ -970,6 +1031,20 @@ def apply_changes(
             .alias("_apply_seq"),
         )
     )
+    if target_exists and (
+        _read_marker(path).get("properties") or {}
+    ).get(_ROWTRACK_PROP):
+        tracked = _read_logical(spark, path)
+        if _ROWID_COL in tracked.columns:
+            # row tracking: surviving keys keep their stable id (the
+            # struct-based merge above works on the logical payload, so
+            # ids re-attach by key — unique per row by construction);
+            # inserted keys join NULL and the commit fills fresh ids
+            merged = merged.join(
+                tracked.select(*key_list, _ROWID_COL),
+                on=key_list,
+                how="left",
+            )
     commit_overwrite(
         merged, path, keys=key_list, max_history=max_history, txn=txn,
         expected_version=expected_version,
@@ -1057,9 +1132,19 @@ def merge_upsert(
         builder.execute()
         return
 
-    target = read(spark, path)
+    target = _read_logical(spark, path)
     base_version = table_version(path)  # optimistic-concurrency baseline
     meta = _read_marker(path)
+    if _ROWID_COL in target.columns:
+        # row tracking: matched source rows INHERIT the target row's
+        # stable id (an update preserves identity — the whole point);
+        # unmatched rows join NULL and the commit fills fresh ids.
+        # One key-join, only on tracked tables.
+        source = source.join(
+            target.select(*[F.col(k) for k in keys], _ROWID_COL),
+            on=list(keys),
+            how="left",
+        )
     # derived columns need not ride in the source: generated columns are
     # recomputed and identity NULLs filled by the commit, so missing
     # ones join the union as typed NULL placeholders
@@ -1339,7 +1424,7 @@ def commit_overwrite(
             read(df.sparkSession, path).schema,
             schema_mode,
             path,
-            exempt=set(gen_cols) | set(id_cols),
+            exempt=set(gen_cols) | set(id_cols) | {_ROWID_COL},
         )
     for name, expr in sorted(gen_cols.items()):
         # recompute-always: the column is DERIVED — stricter than Delta
@@ -1363,6 +1448,30 @@ def commit_overwrite(
                 * (F.monotonically_increasing_id() + F.lit(1)),
             ),
         )
+    tracking = bool(props.get(_ROWTRACK_PROP))
+    row_hw = int(live_marker.get("row_tracking", {}).get("high_water", 0))
+    if tracking:
+        # same discipline as identity fill: rows that arrived with an id
+        # (DML paths thread it through _read_logical) keep it — that IS
+        # the stability contract; new/legacy rows draw unique ids above
+        # the high-water mark (monotonic id = collision-free slots, gaps
+        # allowed, no global sort)
+        df = df.withColumn(
+            _ROWID_COL,
+            F.coalesce(
+                (
+                    F.col(_ROWID_COL)
+                    if _ROWID_COL in df.columns
+                    else F.lit(None)
+                ).cast("bigint"),
+                F.lit(row_hw)
+                + F.monotonically_increasing_id()
+                + F.lit(1),
+            ),
+        )
+    elif _ROWID_COL in df.columns:
+        # tracking switched off: stop materializing the column
+        df = df.drop(_ROWID_COL)
     version = table_version(path) + 1 if exists else 0
     tag = uuid.uuid4().hex[:8]
     staging = f"{path}__staging_{tag}"
@@ -1403,6 +1512,16 @@ def commit_overwrite(
             ) if maxes[c] is not None else int(spec["high_water"])}
             for c, spec in id_cols.items()
         }
+    if tracking:
+        # monotonic like identity: a RESTORE or delete-of-newest must
+        # never hand out an already-issued row id again
+        staged_max = (
+            df.sparkSession.read.parquet(staging)
+            .agg(F.max(_ROWID_COL))
+            .first()[0]
+        )
+        if staged_max is not None:
+            row_hw = max(row_hw, int(staged_max))
     # skipping-manifest sidecars carry forward as the table's INDEX
     # DECLARATION; the STATS manifest is then rebuilt from the staged
     # footers right here (Delta collects file stats at write for the
@@ -1432,11 +1551,16 @@ def commit_overwrite(
             _write_cdf(changes, staging)
             has_cdf = True
     # marker is staged LAST: its presence marks the dir committed-ready
+    extra: dict = {}
+    if has_cdf:
+        extra["has_cdf"] = True
+    if tracking:
+        extra["row_tracking"] = {"high_water": int(row_hw)}
     _write_marker(
         staging, key_list, partition_by, version=version, txn=txn,
         constraints=constraints, generated=gen_cols, identity=id_cols,
         unique_keys=uk, properties=props,
-        extra={"has_cdf": True} if has_cdf else None,
+        extra=extra or None,
     )
     if expected_version is not None and exists:
         if table_version(path) != expected_version:
@@ -1566,7 +1690,9 @@ def delete_where(
         return
     marker = _read_marker(path)
     base_version = table_version(path)
-    target = read(spark, path)
+    # _read_logical keeps __row_id attached: survivors carry their
+    # stable ids through the rewrite (the row-tracking contract)
+    target = _read_logical(spark, path)
     hit = F.coalesce(cond, F.lit(False))
     kept = target.filter(~hit)
     changes = (
@@ -1699,7 +1825,7 @@ def _delete_where_dv(
         extra["has_cdf"] = True
     # file-preserving commit: column metadata that rewriting commits
     # materialize must instead CARRY (physical names are unchanged)
-    for carried in ("column_mapping", "dropped_columns"):
+    for carried in ("column_mapping", "dropped_columns", "row_tracking"):
         if marker.get(carried):
             extra[carried] = marker[carried]
     _write_marker(
@@ -1762,7 +1888,7 @@ def update_where(
             return
     marker = _read_marker(path)
     base_version = table_version(path)
-    target = read(spark, path)
+    target = _read_logical(spark, path)  # __row_id rides through updates
     hit = F.coalesce(cond, F.lit(False))
     updated = target.withColumns(
         {
@@ -1912,7 +2038,7 @@ def _update_where_dv(
         _fs().rmtree(os.path.join(staging, _DV_DIR))
     if has_cdf:
         extra["has_cdf"] = True
-    for carried in ("column_mapping", "dropped_columns"):
+    for carried in ("column_mapping", "dropped_columns", "row_tracking"):
         if marker.get(carried):
             extra[carried] = marker[carried]
     _write_marker(
@@ -1976,7 +2102,10 @@ def restore_table(
     marker = _read_marker(path)
     if not marker:
         raise ValueError(f"{path} is not a managed table")
-    df = read(spark, path, version=version)
+    # _read_logical: a restored row keeps the stable id it had in the
+    # restored snapshot (Delta RESTORE preserves row ids); the
+    # high-water mark stays monotonic across the rollback
+    df = _read_logical(spark, path, version=version)
     changes = None
     if _cdf_on(marker):
         # Delta records RESTORE in the change feed as the row diff
