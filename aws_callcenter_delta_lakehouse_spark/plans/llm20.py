@@ -322,3 +322,80 @@ def streaming_cdc_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "_change_type")
     )
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM customer),
+    final AS (
+      SELECT c_mktsegment,
+             CASE WHEN c_custkey % 7 = 3 THEN 0 ELSE cents END AS cents
+      FROM base WHERE c_custkey % 10 <> 0)
+    SELECT c_mktsegment,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance driven end to end
+    (`sources/incremental_mv.py`): bootstrap a per-segment sum/count MV
+    over a CDF-enabled customer table, commit a deletion-vector DELETE
+    and a rewriting UPDATE, then REFRESH the MV from the change feed
+    alone — O(changes committed), the base is never rescanned. The DMLs
+    are deterministic predicates, so the refreshed MV must equal the
+    direct aggregate over the equivalent final state, which is what the
+    oracle computes. Money is integer cents (CLAUDE.md trap 13), making
+    the retraction algebra exact across engines.
+
+    Scale shape: refresh = one O(changes) sidecar read, one grouped
+    fold of signed deltas, one keyed merge into the MV; the cursor
+    commits atomically with the MV data (txn), so replays are no-ops
+    and a crash can never double-apply a batch."""
+    import shutil
+    import tempfile
+
+    from ..sources import incremental_mv as imv
+    from ..sources import managed_table as mt
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    scratch = tempfile.mkdtemp(prefix="mv_refresh_")
+    path, mv_path = f"{scratch}/t", f"{scratch}/mv"
+    try:
+        mt.commit_overwrite(
+            base, path, keys=("c_custkey",),
+            properties={"enableChangeDataFeed": True},
+        )
+        imv.create_agg_mv(
+            spark, path, mv_path, ["c_mktsegment"],
+            {"total_cents": ("sum", "cents"), "n_rows": ("count", None)},
+        )
+        mt.delete_where(
+            spark, path, "c_custkey % 10 = 0", deletion_vectors=True,
+            max_history=10,
+        )
+        mt.update_where(
+            spark, path, "c_custkey % 7 = 3",
+            {"cents": F.lit(0).cast("bigint")}, max_history=10,
+        )
+        imv.refresh_agg_mv(spark, path, mv_path)
+        out = (
+            mt.read(spark, mv_path)
+            .select("c_mktsegment", "total_cents", "n_rows")
+            .orderBy("c_mktsegment")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+    return out

@@ -1,0 +1,158 @@
+"""Incremental materialized views over CDF-enabled managed tables.
+
+Databricks materialized views / Delta Live Tables maintain aggregate
+tables from the change feed instead of recomputing them; the same
+algebra here: a grouped MV of RETRACTABLE aggregates (sum / count —
+avg is their quotient) refreshes from ``table_changes`` alone.
+
+Why this matters at 100 TB: the base table is the lake; the MV is the
+dashboard. A recompute is O(base) every time; this refresh is
+O(changes since last refresh) + one keyed merge into the MV —
+insert/update_postimage rows add, delete/update_preimage rows
+retract, groups whose count reaches zero leave the MV. The refresh
+cursor (the base version the MV reflects) commits ATOMICALLY with the
+MV data via ``txn=`` — the exactly-once pattern the streaming sinks
+use — so a crashed refresh can never double-apply a change batch, and
+``expected_version`` makes concurrent refreshes lose cleanly instead
+of silently diverging.
+
+Retraction algebra is exact for integer-typed measures; floating sums
+drift by FP association (inherent to incremental view maintenance —
+store money as integer cents, CLAUDE.md trap 13). min/max are NOT
+retractable (a deleted max needs the group's other rows); maintain
+those by recompute-of-touched-groups instead — out of scope here,
+refused loudly at create time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import managed_table as mt
+
+_INSERTS = ("insert", "update_postimage")
+_COUNT_COL = "__mv_count"  # physical per-group row count (retraction key)
+
+
+def _validate(aggs: dict) -> None:
+    for out, (kind, col) in aggs.items():
+        if kind not in ("sum", "count"):
+            raise ValueError(
+                f"mv aggregate {out!r}: kind {kind!r} is not retractable — "
+                "only sum/count refresh from a change feed (a deleted "
+                "min/max needs the group's surviving rows; recompute "
+                "touched groups for those)"
+            )
+        if kind == "sum" and not col:
+            raise ValueError(f"mv aggregate {out!r}: sum needs a column")
+        if out == _COUNT_COL:
+            raise ValueError(f"{_COUNT_COL} is reserved")
+
+
+def _agg_exprs(aggs: dict) -> list:
+    exprs = [F.count(F.lit(1)).cast("bigint").alias(_COUNT_COL)]
+    for out, (kind, col) in sorted(aggs.items()):
+        if kind == "sum":
+            exprs.append(F.sum(col).alias(out))
+        else:
+            exprs.append(F.count(F.lit(1)).cast("bigint").alias(out))
+    return exprs
+
+
+def create_agg_mv(
+    spark: SparkSession,
+    base_path: str,
+    mv_path: str,
+    group_cols: list,
+    aggs: dict,
+) -> dict:
+    """Full-compute bootstrap of a grouped MV over a CDF-enabled base
+    table. ``aggs`` maps output column -> (kind, source_col) with kind
+    in {"sum", "count"}. The definition and the base version the MV
+    reflects commit atomically with the data (marker ``txn``)."""
+    _validate(aggs)
+    marker = mt._read_marker(base_path)
+    if not marker:
+        raise ValueError(f"{base_path} is not a managed table")
+    if not mt._cdf_on(marker):
+        raise ValueError(
+            f"{base_path}: incremental MV maintenance needs the "
+            f"{mt._CDF_PROP} table property — without a change feed every "
+            "refresh would be a recompute"
+        )
+    base_version = mt.table_version(base_path)
+    mv = mt.read(spark, base_path).groupBy(*group_cols).agg(*_agg_exprs(aggs))
+    mt.commit_overwrite(
+        mv,
+        mv_path,
+        keys=tuple(group_cols),
+        txn={
+            "mv_base_path": base_path,
+            "mv_base_version": int(base_version),
+            "mv_group_cols": list(group_cols),
+            "mv_aggs": {k: list(v) for k, v in aggs.items()},
+        },
+    )
+    return {"base_version": int(base_version), "rows": None}
+
+
+def refresh_agg_mv(
+    spark: SparkSession, base_path: str, mv_path: str
+) -> dict:
+    """O(changes) refresh: read ``table_changes`` from the MV's cursor
+    to the base head, fold signed per-group deltas, merge into the MV,
+    and advance the cursor atomically with the merged snapshot.
+    Raises if the feed has a hole (an unrecorded commit in the range) —
+    rebuilding via :func:`create_agg_mv` is the honest fallback; a
+    silent partial refresh would serve wrong aggregates forever."""
+    txn = mt.table_txn(mv_path)
+    if txn.get("mv_base_path") != base_path:
+        raise ValueError(
+            f"{mv_path} is not an MV over {base_path} "
+            f"(txn records {txn.get('mv_base_path')!r})"
+        )
+    last = int(txn["mv_base_version"])
+    cur = mt.table_version(base_path)
+    if cur == last:
+        return {"refreshed": False, "base_version": last, "changes": 0}
+    group_cols = list(txn["mv_group_cols"])
+    aggs = {k: tuple(v) for k, v in txn["mv_aggs"].items()}
+    mv_version = mt.table_version(mv_path)
+
+    # (last, cur]: every change committed after the cursor — the range
+    # must still be RETAINED (max_history / vacuum prune sidecars with
+    # their snapshots; refresh at least as often as the base retains)
+    ch = mt.table_changes(spark, base_path, last, cur)
+    sign = F.when(F.col("_change_type").isin(*_INSERTS), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    delta_exprs = [F.sum(sign).cast("bigint").alias(f"__d_{_COUNT_COL}")]
+    for out, (kind, col) in sorted(aggs.items()):
+        src = F.col(col) if kind == "sum" else F.lit(1)
+        delta_exprs.append(F.sum(sign * src).alias(f"__d_{out}"))
+    deltas = ch.groupBy(*group_cols).agg(*delta_exprs)
+
+    mv = mt.read(spark, mv_path)
+    value_cols = [_COUNT_COL, *sorted(aggs)]
+    merged = mv.join(deltas, on=group_cols, how="full_outer").select(
+        *group_cols,
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in value_cols
+        ],
+    )
+    # a group whose live row count reached zero leaves the MV — keeping
+    # it would serve sum=0 for a group that no longer exists
+    merged = merged.filter(F.col(_COUNT_COL) > 0)
+    mt.commit_overwrite(
+        merged,
+        mv_path,
+        keys=tuple(group_cols),
+        expected_version=mv_version,  # concurrent refreshes lose cleanly
+        txn={**txn, "mv_base_version": int(cur)},
+    )
+    return {"refreshed": True, "base_version": int(cur), "from": last + 1}

@@ -1,0 +1,146 @@
+"""Incremental MV maintenance (`sources/incremental_mv.py`): a grouped
+sum/count MV over a CDF-enabled base refreshes O(changes) and always
+equals the full recompute — across merge inserts/updates, rewriting
+and DV deletes, group migrations, and vanished groups. Integer
+measures make the retraction algebra exact (no FP drift)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_callcenter_delta_lakehouse_spark.sources import incremental_mv as imv
+from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+
+def _base(spark, path):
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 100) for i in range(1, 11)],
+        ["id", "grp", "cents"],
+    )
+    mt.commit_overwrite(
+        df, path, keys=("id",), properties={"enableChangeDataFeed": True}
+    )
+
+
+AGGS = {"total_cents": ("sum", "cents"), "n_rows": ("count", None)}
+
+
+def _recompute(spark, path):
+    return {
+        r.grp: (r.total, r.n)
+        for r in mt.read(spark, path)
+        .groupBy("grp")
+        .agg(F.sum("cents").alias("total"), F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def _mv_state(spark, mv_path):
+    return {
+        r.grp: (r.total_cents, r.n_rows)
+        for r in mt.read(spark, mv_path).collect()
+    }
+
+
+def test_create_requires_cdf(spark, tmp_path):
+    base = str(tmp_path / "b")
+    mt.commit_overwrite(
+        spark.createDataFrame([(1, "a", 1)], ["id", "grp", "cents"]),
+        base,
+        keys=("id",),
+    )
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        imv.create_agg_mv(spark, base, str(tmp_path / "mv"), ["grp"], AGGS)
+
+
+def test_non_retractable_aggregates_refused(spark, tmp_path):
+    base = str(tmp_path / "b")
+    _base(spark, base)
+    with pytest.raises(ValueError, match="retractable"):
+        imv.create_agg_mv(
+            spark, base, str(tmp_path / "mv"), ["grp"],
+            {"m": ("max", "cents")},
+        )
+
+
+def test_bootstrap_matches_direct_aggregate(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    _base(spark, base)
+    imv.create_agg_mv(spark, base, mv, ["grp"], AGGS)
+    assert _mv_state(spark, mv) == _recompute(spark, base)
+
+
+def test_refresh_tracks_dml_chain_exactly(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    _base(spark, base)
+    imv.create_agg_mv(spark, base, mv, ["grp"], AGGS)
+
+    # merge: one update (same group), one group MIGRATION, one insert.
+    # max_history must retain the whole refresh range — sidecars prune
+    # with their snapshots (the documented Delta retention coupling).
+    src = spark.createDataFrame(
+        [(2, "a", 9999), (3, "b", 300), (42, "a", 4200)],
+        ["id", "grp", "cents"],
+    )
+    mt.merge_upsert(spark, base, src, keys=("id",), max_history=10)
+    # rewriting delete + DV delete + DV update
+    mt.delete_where(spark, base, "id = 6", max_history=10)
+    mt.delete_where(spark, base, "id = 7", deletion_vectors=True,
+                    max_history=10)
+    mt.update_where(
+        spark, base, "id = 8", {"cents": F.lit(1)}, deletion_vectors=True,
+        max_history=10,
+    )
+
+    out = imv.refresh_agg_mv(spark, base, mv)
+    assert out["refreshed"] is True
+    assert _mv_state(spark, mv) == _recompute(spark, base)
+    # cursor advanced atomically with the data
+    assert mt.table_txn(mv)["mv_base_version"] == mt.table_version(base)
+
+
+def test_vanished_group_leaves_mv(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    _base(spark, base)
+    imv.create_agg_mv(spark, base, mv, ["grp"], AGGS)
+    mt.delete_where(spark, base, "grp = 'a'")
+    imv.refresh_agg_mv(spark, base, mv)
+    state = _mv_state(spark, mv)
+    assert "a" not in state and state == _recompute(spark, base)
+
+
+def test_refresh_is_idempotent_noop_at_head(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    _base(spark, base)
+    imv.create_agg_mv(spark, base, mv, ["grp"], AGGS)
+    mt.delete_where(spark, base, "id = 1")
+    assert imv.refresh_agg_mv(spark, base, mv)["refreshed"] is True
+    again = imv.refresh_agg_mv(spark, base, mv)
+    assert again == {
+        "refreshed": False,
+        "base_version": mt.table_version(base),
+        "changes": 0,
+    }
+
+
+def test_feed_hole_refuses_instead_of_partial_refresh(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    _base(spark, base)
+    imv.create_agg_mv(spark, base, mv, ["grp"], AGGS)
+    # a generic overwrite whose diff nobody computed: CDF hole
+    mt.commit_overwrite(
+        mt.read(spark, base).filter("id > 2"), base, keys=("id",)
+    )
+    with pytest.raises(ValueError):
+        imv.refresh_agg_mv(spark, base, mv)
+
+
+def test_wrong_base_refused(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    _base(spark, base)
+    imv.create_agg_mv(spark, base, mv, ["grp"], AGGS)
+    other = str(tmp_path / "other")
+    _base(spark, other)
+    with pytest.raises(ValueError, match="not an MV over"):
+        imv.refresh_agg_mv(spark, other, mv)
