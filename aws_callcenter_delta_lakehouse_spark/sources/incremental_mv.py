@@ -18,10 +18,16 @@ of silently diverging.
 
 Retraction algebra is exact for integer-typed measures; floating sums
 drift by FP association (inherent to incremental view maintenance —
-store money as integer cents, CLAUDE.md trap 13). min/max are NOT
-retractable (a deleted max needs the group's other rows); maintain
-those by recompute-of-touched-groups instead — out of scope here,
-refused loudly at create time.
+store money as integer cents, CLAUDE.md trap 13).
+
+min/max are NOT retractable (a deleted max needs the group's surviving
+rows), so they refresh by the other classic IVM strategy: RECOMPUTE
+ONLY THE TOUCHED GROUPS — the change feed names which groups moved,
+the base is re-aggregated under a semi-join on exactly those groups
+(partition/zone-pruned at scale when the table is clustered on the
+group key), and untouched groups keep their stored values. Cost:
+O(changes) + O(scan of touched groups), still never O(base) — unless
+every group was touched, which is the recompute case anyway.
 """
 
 from __future__ import annotations
@@ -35,17 +41,20 @@ _INSERTS = ("insert", "update_postimage")
 _COUNT_COL = "__mv_count"  # physical per-group row count (retraction key)
 
 
+_RETRACTABLE = ("sum", "count")
+_RECOMPUTE = ("min", "max")
+
+
 def _validate(aggs: dict) -> None:
     for out, (kind, col) in aggs.items():
-        if kind not in ("sum", "count"):
+        if kind not in _RETRACTABLE + _RECOMPUTE:
             raise ValueError(
-                f"mv aggregate {out!r}: kind {kind!r} is not retractable — "
-                "only sum/count refresh from a change feed (a deleted "
-                "min/max needs the group's surviving rows; recompute "
-                "touched groups for those)"
+                f"mv aggregate {out!r}: unsupported kind {kind!r} "
+                f"(retractable: {_RETRACTABLE}; recompute-touched-groups: "
+                f"{_RECOMPUTE})"
             )
-        if kind == "sum" and not col:
-            raise ValueError(f"mv aggregate {out!r}: sum needs a column")
+        if kind != "count" and not col:
+            raise ValueError(f"mv aggregate {out!r}: {kind} needs a column")
         if out == _COUNT_COL:
             raise ValueError(f"{_COUNT_COL} is reserved")
 
@@ -55,6 +64,10 @@ def _agg_exprs(aggs: dict) -> list:
     for out, (kind, col) in sorted(aggs.items()):
         if kind == "sum":
             exprs.append(F.sum(col).alias(out))
+        elif kind == "min":
+            exprs.append(F.min(col).alias(out))
+        elif kind == "max":
+            exprs.append(F.max(col).alias(out))
         else:
             exprs.append(F.count(F.lit(1)).cast("bigint").alias(out))
     return exprs
@@ -69,8 +82,9 @@ def create_agg_mv(
 ) -> dict:
     """Full-compute bootstrap of a grouped MV over a CDF-enabled base
     table. ``aggs`` maps output column -> (kind, source_col) with kind
-    in {"sum", "count"}. The definition and the base version the MV
-    reflects commit atomically with the data (marker ``txn``)."""
+    in {"sum", "count"} (delta-refreshed) or {"min", "max"}
+    (touched-groups-refreshed). The definition and the base version the
+    MV reflects commit atomically with the data (marker ``txn``)."""
     _validate(aggs)
     marker = mt._read_marker(base_path)
     if not marker:
@@ -124,30 +138,49 @@ def refresh_agg_mv(
     # must still be RETAINED (max_history / vacuum prune sidecars with
     # their snapshots; refresh at least as often as the base retains)
     ch = mt.table_changes(spark, base_path, last, cur)
-    sign = F.when(F.col("_change_type").isin(*_INSERTS), F.lit(1)).otherwise(
-        F.lit(-1)
-    )
-    delta_exprs = [F.sum(sign).cast("bigint").alias(f"__d_{_COUNT_COL}")]
-    for out, (kind, col) in sorted(aggs.items()):
-        src = F.col(col) if kind == "sum" else F.lit(1)
-        delta_exprs.append(F.sum(sign * src).alias(f"__d_{out}"))
-    deltas = ch.groupBy(*group_cols).agg(*delta_exprs)
-
     mv = mt.read(spark, mv_path)
-    value_cols = [_COUNT_COL, *sorted(aggs)]
-    merged = mv.join(deltas, on=group_cols, how="full_outer").select(
-        *group_cols,
-        *[
-            (
-                F.coalesce(F.col(c), F.lit(0))
-                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
-            ).alias(c)
-            for c in value_cols
-        ],
-    )
-    # a group whose live row count reached zero leaves the MV — keeping
-    # it would serve sum=0 for a group that no longer exists
-    merged = merged.filter(F.col(_COUNT_COL) > 0)
+    if any(kind in _RECOMPUTE for kind, _ in aggs.values()):
+        # min/max present: recompute exactly the groups the feed names
+        # (semi-join prunes the base scan to touched groups — zone/
+        # partition-pruned when the table is clustered on the key);
+        # untouched groups keep their stored row, vanished groups
+        # produce no fresh row and leave the MV
+        touched = ch.select(*group_cols).distinct()
+        fresh = (
+            mt.read(spark, base_path)
+            .join(touched, on=group_cols, how="left_semi")
+            .groupBy(*group_cols)
+            .agg(*_agg_exprs(aggs))
+        )
+        merged = mv.join(
+            touched, on=group_cols, how="left_anti"
+        ).unionByName(fresh)
+        strategy = "touched_groups"
+    else:
+        sign = F.when(
+            F.col("_change_type").isin(*_INSERTS), F.lit(1)
+        ).otherwise(F.lit(-1))
+        delta_exprs = [F.sum(sign).cast("bigint").alias(f"__d_{_COUNT_COL}")]
+        for out, (kind, col) in sorted(aggs.items()):
+            src = F.col(col) if kind == "sum" else F.lit(1)
+            delta_exprs.append(F.sum(sign * src).alias(f"__d_{out}"))
+        deltas = ch.groupBy(*group_cols).agg(*delta_exprs)
+
+        value_cols = [_COUNT_COL, *sorted(aggs)]
+        merged = mv.join(deltas, on=group_cols, how="full_outer").select(
+            *group_cols,
+            *[
+                (
+                    F.coalesce(F.col(c), F.lit(0))
+                    + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+                ).alias(c)
+                for c in value_cols
+            ],
+        )
+        # a group whose live row count reached zero leaves the MV —
+        # keeping it would serve sum=0 for a group that no longer exists
+        merged = merged.filter(F.col(_COUNT_COL) > 0)
+        strategy = "delta"
     mt.commit_overwrite(
         merged,
         mv_path,
@@ -155,4 +188,9 @@ def refresh_agg_mv(
         expected_version=mv_version,  # concurrent refreshes lose cleanly
         txn={**txn, "mv_base_version": int(cur)},
     )
-    return {"refreshed": True, "base_version": int(cur), "from": last + 1}
+    return {
+        "refreshed": True,
+        "base_version": int(cur),
+        "from": last + 1,
+        "strategy": strategy,
+    }

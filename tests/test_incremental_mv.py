@@ -54,14 +54,49 @@ def test_create_requires_cdf(spark, tmp_path):
         imv.create_agg_mv(spark, base, str(tmp_path / "mv"), ["grp"], AGGS)
 
 
-def test_non_retractable_aggregates_refused(spark, tmp_path):
+def test_unsupported_aggregate_kind_refused(spark, tmp_path):
     base = str(tmp_path / "b")
     _base(spark, base)
-    with pytest.raises(ValueError, match="retractable"):
+    with pytest.raises(ValueError, match="unsupported kind"):
         imv.create_agg_mv(
             spark, base, str(tmp_path / "mv"), ["grp"],
-            {"m": ("max", "cents")},
+            {"m": ("stddev", "cents")},
         )
+
+
+def test_minmax_refresh_recomputes_touched_groups_only(spark, tmp_path):
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    _base(spark, base)
+    imv.create_agg_mv(
+        spark, base, mv, ["grp"],
+        {"mx": ("max", "cents"), "mn": ("min", "cents"),
+         "total": ("sum", "cents")},
+    )
+    # delete the CURRENT max of group 'b' (id=10, cents=1000) — the
+    # non-retractable case a delta fold cannot handle
+    mt.delete_where(spark, base, "id = 10", max_history=10)
+    # and touch group 'a' via an update
+    mt.update_where(
+        spark, base, "id = 1", {"cents": F.lit(7)}, max_history=10
+    )
+    out = imv.refresh_agg_mv(spark, base, mv)
+    assert out["strategy"] == "touched_groups"
+    expect = {
+        r.grp: (r.mx, r.mn, r.total)
+        for r in mt.read(spark, base)
+        .groupBy("grp")
+        .agg(F.max("cents").alias("mx"), F.min("cents").alias("mn"),
+             F.sum("cents").alias("total"))
+        .collect()
+    }
+    got = {
+        r.grp: (r.mx, r.mn, r.total) for r in mt.read(spark, mv).collect()
+    }
+    assert got == expect
+    # vanished group leaves the MV under this strategy too
+    mt.delete_where(spark, base, "grp = 'a'", max_history=10)
+    imv.refresh_agg_mv(spark, base, mv)
+    assert {r.grp for r in mt.read(spark, mv).collect()} == {"b"}
 
 
 def test_bootstrap_matches_direct_aggregate(spark, tmp_path):
