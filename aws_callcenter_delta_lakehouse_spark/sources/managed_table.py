@@ -2255,6 +2255,13 @@ def table_detail(path: str) -> dict:
         "deletion_vector_rows": int(marker.get("dv", {}).get("n_rows", 0)),
         "properties": dict(marker.get("properties", {})),
         "has_change_data": bool(marker.get("has_cdf", False)),
+        # protocol negotiation surface (Delta DESCRIBE DETAIL lists
+        # minReaderVersion/minWriterVersion/tableFeatures the same way)
+        "reader_features": list(marker.get("reader_features", [])),
+        "writer_features": list(marker.get("writer_features", [])),
+        "row_tracking_high_water": int(
+            marker.get("row_tracking", {}).get("high_water", 0)
+        ),
         "stats_manifest": _fs().exists(
             os.path.join(path, "_stats_manifest.json")
         ),

@@ -52,6 +52,9 @@ def test_ids_assigned_unique_and_hidden(spark, tmp_path):
     hw = mt._read_marker(path)["row_tracking"]["high_water"]
     assert hw >= max(ids.values())
     assert mt._read_marker(path)["writer_features"] == ["rowTracking"]
+    detail = mt.table_detail(path)
+    assert detail["writer_features"] == ["rowTracking"]
+    assert detail["row_tracking_high_water"] == hw
 
 
 def test_update_and_delete_preserve_ids(spark, tmp_path):
