@@ -123,7 +123,9 @@ class ProtocolError(RuntimeError):
 # these sets refuses to read / be committed over (``_check_reader`` /
 # ``_check_writer``) — mirroring Delta's table-features negotiation,
 # where readers check readerFeatures and writers check writerFeatures.
-SUPPORTED_READER_FEATURES = frozenset({"deletionVectors", "columnMapping"})
+SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "columnMapping", "columnDefaults"}
+)
 SUPPORTED_WRITER_FEATURES = frozenset(
     {
         "deletionVectors",
@@ -134,6 +136,7 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         "identityColumns",
         "uniqueKeys",
         "rowTracking",
+        "columnDefaults",
     }
 )
 
@@ -153,6 +156,12 @@ def _required_features(marker: dict) -> tuple[set, set]:
     if marker.get("column_mapping") or marker.get("dropped_columns"):
         reader.add("columnMapping")
         writer.add("columnMapping")
+    if marker.get("added_columns"):
+        # reader: a scan that can't synthesize the pending column serves
+        # a narrower schema; writer: a commit that doesn't materialize
+        # it would silently drop the declared column
+        reader.add("columnDefaults")
+        writer.add("columnDefaults")
     if marker.get("has_cdf") or (marker.get("properties") or {}).get(_CDF_PROP):
         writer.add("changeDataFeed")
     if marker.get("constraints"):
@@ -551,9 +560,12 @@ def list_versions(path: str) -> list[int]:
 
 def _apply_column_mapping(df: DataFrame, marker: dict) -> DataFrame:
     """Serve the LOGICAL schema: hide dropped physical columns, rename
-    physical names to their logical aliases. Applies to live reads
-    only — the mapping is metadata newer than every retained snapshot,
-    and the next commit materializes it (see ``rename_column``)."""
+    physical names to their logical aliases, and synthesize pending
+    ADD COLUMNs (their declared default for every pre-ALTER row — those
+    rows' files simply lack the column, so there is no NULL/missing
+    ambiguity). Applies to live reads only — the metadata is newer than
+    every retained snapshot, and the next commit materializes it (see
+    ``rename_column`` / ``add_column``)."""
     dropped = marker.get("dropped_columns", [])
     mapping = marker.get("column_mapping", {})
     if dropped:
@@ -562,6 +574,11 @@ def _apply_column_mapping(df: DataFrame, marker: dict) -> DataFrame:
         df = df.withColumnsRenamed(
             {phys: log for log, phys in mapping.items() if phys in df.columns}
         )
+    for name, spec in marker.get("added_columns", {}).items():
+        if name not in df.columns:
+            df = df.withColumn(
+                name, F.lit(spec.get("default")).cast(spec["type"])
+            )
     return df
 
 
@@ -661,6 +678,13 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
     if new in logical:
         raise ValueError(f"rename_column: {new!r} already exists")
     _refuse_if_referenced(marker, old, "rename")
+    added = marker.get("added_columns", {})
+    if old in added:  # a pending ADD COLUMN has no physical name yet —
+        # renaming it just moves the declaration
+        added[new] = added.pop(old)
+        marker["keys"] = [new if k == old else k for k in marker.get("keys", [])]
+        _replace_marker(path, marker)
+        return
     mapping = dict(marker.get("column_mapping", {}))
     phys = mapping.pop(old, old)  # renaming an alias reuses its physical
     mapping[new] = phys
@@ -669,6 +693,32 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
     marker["partition_by"] = [
         new if c == old else c for c in marker.get("partition_by", [])
     ]
+    _replace_marker(path, marker)
+
+
+def add_column(
+    spark: SparkSession, path: str, name: str, dtype: str, default=None
+) -> None:
+    """Metadata-only ``ALTER TABLE ADD COLUMN name type [DEFAULT v]``
+    (exactly Delta's behavior: adding a column rewrites nothing).
+    Every pre-ALTER row reads the default (their files simply lack the
+    column — no NULL/missing ambiguity, the reason Delta's
+    ``exists_default`` is sound); the next rewriting commit
+    materializes the column physically and sheds the declaration.
+    ``default`` must be a JSON-storable literal (it lives in the
+    marker); None declares a nullable column with no default."""
+    recover(path)
+    marker = _read_marker(path)
+    if not marker:
+        raise ValueError(f"{path} is not a managed table")
+    logical = set(read(spark, path).columns)
+    if name in logical:
+        raise ValueError(f"add_column: {name!r} already exists")
+    json.dumps(default)  # fail fast on non-storable defaults
+    marker.setdefault("added_columns", {})[name] = {
+        "type": dtype,
+        "default": default,
+    }
     _replace_marker(path, marker)
 
 
@@ -687,6 +737,11 @@ def drop_column(spark: SparkSession, path: str, col: str) -> None:
     if col in marker.get("keys", []) or col in marker.get("partition_by", []):
         raise ValueError(f"cannot drop {col!r}: it is a key/partition column")
     _refuse_if_referenced(marker, col, "drop")
+    if col in marker.get("added_columns", {}):
+        # dropping a never-materialized ADD COLUMN erases the declaration
+        del marker["added_columns"][col]
+        _replace_marker(path, marker)
+        return
     mapping = dict(marker.get("column_mapping", {}))
     phys = mapping.pop(col, col)
     marker["column_mapping"] = mapping
@@ -1825,7 +1880,12 @@ def _delete_where_dv(
         extra["has_cdf"] = True
     # file-preserving commit: column metadata that rewriting commits
     # materialize must instead CARRY (physical names are unchanged)
-    for carried in ("column_mapping", "dropped_columns", "row_tracking"):
+    for carried in (
+        "column_mapping",
+        "dropped_columns",
+        "row_tracking",
+        "added_columns",
+    ):
         if marker.get(carried):
             extra[carried] = marker[carried]
     _write_marker(
@@ -1928,6 +1988,15 @@ def _update_where_dv(
     if not marker:
         raise ValueError(f"{path} is not a managed table")
     _check_writer(marker, path)
+    pending = set(marker.get("added_columns", {})) & set(assignments)
+    if pending:
+        raise ValueError(
+            f"update_where(deletion_vectors=True): columns {sorted(pending)} "
+            "are pending ADD COLUMNs with no physical slot — the appended "
+            "post-image files keep the snapshot's physical schema, so the "
+            "assignment would be silently lost. Use a rewriting UPDATE "
+            "(deletion_vectors=False), which materializes the column."
+        )
     base_version = table_version(path)
     raw = spark.read.parquet(path)
     phys_types = dict(raw.dtypes)
@@ -2038,7 +2107,12 @@ def _update_where_dv(
         _fs().rmtree(os.path.join(staging, _DV_DIR))
     if has_cdf:
         extra["has_cdf"] = True
-    for carried in ("column_mapping", "dropped_columns", "row_tracking"):
+    for carried in (
+        "column_mapping",
+        "dropped_columns",
+        "row_tracking",
+        "added_columns",
+    ):
         if marker.get(carried):
             extra[carried] = marker[carried]
     _write_marker(
