@@ -399,3 +399,95 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
     return out
+
+
+@query(
+    "eval_classifier_auc",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w, lang FROM documents),
+    m AS (SELECT doc_id, lang, len(w) AS n,
+           len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is')))
+             AS n_stop,
+           len(list_distinct(w)) AS n_distinct
+          FROM t),
+    s AS (SELECT doc_id,
+           floor((0.5 * least(n / 50.0, 1.0)
+                 + 0.3 * (1 - n_stop * 1.0 / n)
+                 + 0.2 * least(n_distinct * 1.0 / n * 2, 1.0)) * 10000 + 0.5)
+             / 10000 AS score,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          FROM m),
+    per AS (SELECT score, count(*) AS cnt, sum(pos) AS pcnt
+            FROM s GROUP BY score),
+    cum AS (SELECT score, cnt, pcnt,
+            coalesce(sum(cnt) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS cum_less
+            FROM per),
+    agg AS (SELECT sum(pcnt * (cum_less + (cnt + 1) / 2.0)) AS s_pos,
+                   sum(pcnt) AS p, sum(cnt) AS t
+            FROM cum)
+    SELECT CAST(p AS BIGINT) AS n_pos,
+           CAST(t - p AS BIGINT) AS n_neg,
+           floor((s_pos - p * (p + 1) / 2.0) / (p * (t - p)) * 1000000 + 0.5)
+             / 1000000 AS auc
+    FROM agg
+    """,
+)
+def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC of the heuristic quality score against the
+    lang=='en' weak label — the Mann-Whitney rank-sum identity
+    (AUC = (R_pos - P(P+1)/2) / (P*N)), computed WITHOUT a global
+    per-row sort: scores collapse to per-value (count, positives)
+    groups first, tie handling is the textbook average rank
+    (cum_less + (cnt+1)/2), and the only window runs over the ~1e4
+    DISTINCT score values (the 1e-4 quality grid), not the corpus.
+
+    Every rank term is a half-integer times an integer count — exactly
+    representable, so the fold is reduce-order-independent and the AUC
+    matches DuckDB bit-for-bit (then rounded 1e-6 portably).
+
+    Scale shape: one grouped agg over the corpus (map-side combinable),
+    one tiny bounded window, one scalar fold. A classifier eval at
+    100 TB is exactly this shape or it does not run."""
+    from ..operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = text.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    lab = docs.select(
+        "doc_id", (F.col("lang") == F.lit("en")).cast("int").alias("pos")
+    )
+    per = (
+        qs.join(lab, "doc_id")
+        .groupBy("quality_score")
+        .agg(F.count("*").alias("cnt"), F.sum("pos").alias("pcnt"))
+    )
+    w = Window.orderBy("quality_score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = per.withColumn(
+        "cum_less", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum(
+            F.col("pcnt")
+            * (F.col("cum_less") + (F.col("cnt") + F.lit(1)) / F.lit(2.0))
+        ).alias("s_pos"),
+        F.sum("pcnt").alias("p"),
+        F.sum("cnt").alias("t"),
+    )
+    return agg.select(
+        F.col("p").cast("bigint").alias("n_pos"),
+        (F.col("t") - F.col("p")).cast("bigint").alias("n_neg"),
+        (
+            F.floor(
+                (F.col("s_pos") - F.col("p") * (F.col("p") + 1) / F.lit(2.0))
+                / (F.col("p") * (F.col("t") - F.col("p")))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1000000.0)
+        ).alias("auc"),
+    )
