@@ -171,6 +171,42 @@ def test_feed_hole_refuses_instead_of_partial_refresh(spark, tmp_path):
         imv.refresh_agg_mv(spark, base, mv)
 
 
+@pytest.mark.slow
+def test_refresh_cost_independent_of_base_size(spark, tmp_path):
+    """The whole point of IVM: refresh reads the change sidecars and the
+    MV, never the base. Same fixed-size change batch against a 1x and a
+    10x base — wall-clock must stay flat (generous bound: host noise,
+    not a benchmark)."""
+    import time
+
+    def build_and_time(n, d):
+        base = spark.range(n).select(
+            F.col("id"),
+            F.pmod(F.col("id"), 20).alias("grp"),
+            F.pmod(F.col("id"), 1000).alias("cents"),
+        )
+        mt.commit_overwrite(
+            base, f"{d}/t", keys=("id",),
+            properties={"enableChangeDataFeed": True},
+        )
+        imv.create_agg_mv(
+            spark, f"{d}/t", f"{d}/mv", ["grp"],
+            {"total_cents": ("sum", "cents"), "n_rows": ("count", None)},
+        )
+        # fixed-size change batch regardless of base size (DV: O(matches))
+        mt.delete_where(
+            spark, f"{d}/t", "id < 100", deletion_vectors=True, max_history=5
+        )
+        t0 = time.perf_counter()
+        imv.refresh_agg_mv(spark, f"{d}/t", f"{d}/mv")
+        return time.perf_counter() - t0
+
+    build_and_time(20_000, str(tmp_path / "warm"))  # JIT/codegen warm
+    t1 = max(build_and_time(20_000, str(tmp_path / "x1")), 0.5)
+    t10 = build_and_time(200_000, str(tmp_path / "x10"))
+    assert t10 / t1 < 6.0, f"refresh scaled with base size: {t1:.2f}s -> {t10:.2f}s"
+
+
 def test_wrong_base_refused(spark, tmp_path):
     base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
     _base(spark, base)
