@@ -193,3 +193,128 @@ def test_row_tracking_is_a_gated_writer_feature(spark, tmp_path):
         # ...but a commit that couldn't maintain ids refuses
         with pytest.raises(mt.ProtocolError, match="rowTracking"):
             mt.delete_where(spark, path, "id = 1")
+
+
+@pytest.mark.slow
+def test_row_id_stability_soak(spark, tmp_path):
+    """Model soak of the STABILITY contract: a seeded random DML stream
+    (merge / rewriting+DV delete / rewriting+DV update / restore /
+    compact / overwrite) against a rowTracking+CDF table, asserting
+    after every op that (a) the table equals a dict model, (b) row ids
+    stay unique, (c) every key that SURVIVED the op kept its id —
+    except across overwrite (reassignment allowed) and restore (ids
+    revert to the restored snapshot's map), and (d) freshly inserted
+    keys draw ids strictly above the prior high-water mark."""
+    import random
+
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        compact,
+    )
+
+    rng = random.Random(20260815)
+    path = str(tmp_path / "t")
+
+    def _df(model):
+        if not model:
+            return spark.createDataFrame([], "id long, v string")
+        return spark.createDataFrame(sorted(model.items()), "id long, v string")
+
+    model = {i: f"v{i}" for i in range(16)}
+    mt.commit_overwrite(
+        _df(model), path, keys=("id",),
+        properties={"enableRowTracking": True, "enableChangeDataFeed": True},
+        max_history=4,
+    )
+
+    def _ids():
+        out = {}
+        for r in mt.read(spark, path, with_row_ids=True).collect():
+            out[r.id] = r._row_id
+        assert len(set(out.values())) == len(out), "duplicate row ids"
+        assert all(v is not None for v in out.values())
+        return out
+
+    id_model = _ids()
+    id_history = {0: dict(id_model)}
+    model_history = {0: dict(model)}
+    ops_run = []
+    for step in range(22):
+        op = rng.choice(
+            ["merge", "delete", "delete_dv", "update", "update_dv",
+             "restore", "compact", "overwrite"]
+        )
+        ops_run.append(op)
+        hw_before = mt._read_marker(path)["row_tracking"]["high_water"]
+        survivors_keep = True  # ids of surviving keys must not move
+        if op == "merge":
+            delta = {
+                i: f"m{step}_{i}"
+                for i in rng.sample(range(30), rng.randint(1, 6))
+            }
+            mt.merge_upsert(
+                spark, path, _df(delta), keys=("id",), max_history=4
+            )
+            model.update(delta)
+        elif op in ("delete", "delete_dv"):
+            cutoff = rng.randint(0, 30)
+            mt.delete_where(
+                spark, path, F.col("id") < cutoff,
+                deletion_vectors=(op == "delete_dv"), max_history=4,
+            )
+            model = {i: v for i, v in model.items() if not i < cutoff}
+        elif op in ("update", "update_dv"):
+            mt.update_where(
+                spark, path, F.col("id") % 3 == 0,
+                {"v": F.concat(F.col("v"), F.lit("!"))},
+                deletion_vectors=(op == "update_dv"), max_history=4,
+            )
+            model = {
+                i: (v + "!" if i % 3 == 0 else v) for i, v in model.items()
+            }
+        elif op == "restore":
+            targets = [
+                v for v in mt.list_versions(path)[:-1] if v in id_history
+            ]
+            if not targets:
+                continue
+            tgt = rng.choice(targets)
+            mt.restore_table(spark, path, tgt, max_history=4)
+            model = dict(model_history[tgt])
+            id_model = dict(id_history[tgt])
+            survivors_keep = None  # checked against the restored map below
+        elif op == "compact":
+            if mt._read_marker(path).get("dv"):
+                continue  # binpack/compact refuse DV tables by contract
+            compact(spark, path, target_file_bytes=1 << 20)
+        else:  # overwrite: reassignment allowed, uniqueness still holds
+            model = {
+                i: f"o{step}_{i}"
+                for i in rng.sample(range(30), rng.randint(1, 8))
+            }
+            mt.commit_overwrite(
+                _df(model), path, keys=("id",), max_history=4
+            )
+            survivors_keep = False
+
+        got = {r.id: r.v for r in mt.read(spark, path).collect()}
+        assert got == model, (step, ops_run)
+        new_ids = _ids()
+        assert set(new_ids) == set(model), (step, ops_run)
+        if survivors_keep is None:  # restore: exact revert
+            assert new_ids == id_model, (step, ops_run)
+        elif survivors_keep:
+            for k in set(id_model) & set(new_ids):
+                assert new_ids[k] == id_model[k], (step, op, k, ops_run)
+            for k in set(new_ids) - set(id_model):
+                assert new_ids[k] > hw_before, (step, op, k, ops_run)
+        hw_after = mt._read_marker(path)["row_tracking"]["high_water"]
+        assert hw_after >= hw_before, (step, ops_run)
+        id_model = new_ids
+        ver = mt.table_version(path)
+        id_history[ver] = dict(id_model)
+        model_history[ver] = dict(model)
+        retained = set(mt.list_versions(path))
+        id_history = {v: s for v, s in id_history.items() if v in retained}
+        model_history = {
+            v: s for v, s in model_history.items() if v in retained
+        }
