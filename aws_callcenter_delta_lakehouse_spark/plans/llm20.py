@@ -491,3 +491,57 @@ def eval_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("auc"),
     )
+
+
+@query(
+    "eval_langid_confusion",
+    oracle="""
+    WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+               FROM documents),
+    counts AS (SELECT lang, word, count(*) cnt FROM w GROUP BY 1, 2),
+    profiles AS (SELECT lang, word FROM (
+        SELECT lang, word,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, word) rn
+        FROM counts) WHERE rn <= 10),
+    toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+    n AS (SELECT doc_id, count(*) n FROM toks GROUP BY 1),
+    hits AS (SELECT t.doc_id, p.lang, count(*) h
+             FROM toks t JOIN profiles p ON t.word = p.word GROUP BY 1, 2),
+    scored AS (SELECT h.doc_id, h.lang, h.h * 1.0 / n.n AS score
+               FROM hits h JOIN n ON h.doc_id = n.doc_id),
+    pred AS (SELECT doc_id, lang AS predicted_lang FROM (
+        SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+                                                ORDER BY score DESC, lang) rn
+        FROM scored) WHERE rn = 1)
+    SELECT d.lang AS actual_lang, p.predicted_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the n-gram language classifier against the
+    gold ``lang`` column — the eval every classifier in a curation
+    pipeline needs next to its AUC. Pure integer counts (exact across
+    engines); the classifier is the registry's own `text_language_id`
+    path, so this also pins end-to-end that its predictions and the
+    gold labels join 1:1.
+
+    Scale shape: the profile build is one grouped count + a top-N
+    window per language; scoring is an explode + broadcast-sized
+    profile join; the matrix itself is one grouped count over
+    (lang, predicted) — nothing here exceeds the corpus token scan."""
+    from ..operators import text
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    profiles = text.language_profiles(docs, "lang", "text", top_n=10)
+    pred = text.language_id(docs, "doc_id", "text", profiles)
+    return (
+        docs.select("doc_id", F.col("lang").alias("actual_lang"))
+        .join(pred, "doc_id")
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
