@@ -1023,6 +1023,15 @@ def apply_changes(
     target_exists = _fs().exists(os.path.join(path, _MARKER))
     if target_exists:
         target = read(spark, path)
+        # a feed that predates an ADD COLUMN supplies the declared
+        # default for it (same contract as merge_upsert sources)
+        for c, spec in sorted(
+            _read_marker(path).get("added_columns", {}).items()
+        ):
+            if c not in changes.columns:
+                changes = changes.withColumn(
+                    c, F.lit(spec.get("default")).cast(spec["type"])
+                )
     else:
         # bootstrap: an absent target is an empty table with the feed's
         # payload schema — the first feed chunk creates it
@@ -1207,6 +1216,15 @@ def merge_upsert(
     target_types = dict(target.dtypes)
     for c in sorted(auto_cols - set(source.columns)):
         source = source.withColumn(c, F.lit(None).cast(target_types[c]))
+    # pending ADD COLUMNs a source doesn't carry take their declared
+    # DEFAULT (SQL DEFAULT semantics for the unspecified column; before
+    # materialization every target row reads the default anyway, so a
+    # matched update cannot lose a divergent value)
+    for c, spec in sorted(meta.get("added_columns", {}).items()):
+        if c not in source.columns:
+            source = source.withColumn(
+                c, F.lit(spec.get("default")).cast(spec["type"])
+            )
     src = F.broadcast(source) if broadcast_source else source
     if validate_source:
         dup_matched = (
@@ -2043,7 +2061,11 @@ def _update_where_dv(
                     f"for {counts[f'__c{i}']} row(s); commit aborted, "
                     "table unchanged"
                 )
-    # appended files must match the snapshot's PHYSICAL schema exactly
+    # appended files must match the snapshot's PHYSICAL schema exactly;
+    # the change record keeps the LOGICAL frame (same values — the cast
+    # only renames/retypes to physical — PLUS any pending ADD COLUMN the
+    # physical schema has no slot for yet)
+    post_logical = post
     mapping = marker.get("column_mapping", {})
     back = {log: phys for log, phys in mapping.items() if log in post.columns}
     if back:
@@ -2057,17 +2079,10 @@ def _update_where_dv(
     _link_snapshot_files(path, staging)
     has_cdf = False
     if _cdf_on(marker):
-        # pre-images under logical names; post-images are the exact
-        # committed rows (physical cast applied) renamed back logical
         pre = matched.drop(_DV_FILE_COL, _DV_IDX_COL).withColumn(
             "_change_type", F.lit("update_preimage")
         )
-        fwd = {
-            phys: log
-            for log, phys in mapping.items()
-            if phys in post.columns
-        }
-        cdf_post = (post.withColumnsRenamed(fwd) if fwd else post).withColumn(
+        cdf_post = post_logical.withColumn(
             "_change_type", F.lit("update_postimage")
         )
         _write_cdf(pre.unionByName(cdf_post), staging)

@@ -141,3 +141,50 @@ def test_stripped_build_refuses_read_and_write(spark, tmp_path):
         with pytest.raises(mt.ProtocolError, match="columnDefaults"):
             mt.delete_where(spark, path, "id = 1")
     assert mt.read(spark, path).count() == 5
+
+
+def test_dv_update_with_cdf_and_pending_column(spark, tmp_path):
+    """The DV UPDATE's change record must union pre/post images even
+    while a pending ADD COLUMN is synthesized on the logical side only
+    (regression: phys-cast post-images lost the column and the
+    unionByName threw)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 5)], ["id", "v"])
+    mt.commit_overwrite(
+        df, path, keys=("id",),
+        properties={"enableChangeDataFeed": True},
+    )
+    mt.add_column(spark, path, "tier", "string", default="bronze")
+    mt.update_where(
+        spark, path, "id = 2", {"v": F.lit(9.0)}, deletion_vectors=True
+    )
+    ch = mt.table_changes(spark, path, mt.table_version(path) - 1)
+    rows = {r._change_type: r for r in ch.collect()}
+    assert rows["update_preimage"].tier == "bronze"
+    assert rows["update_postimage"].tier == "bronze"
+    assert rows["update_postimage"].v == 9.0
+
+
+def test_merge_source_without_pending_column_gets_default(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.add_column(spark, path, "tier", "string", default="bronze")
+    # old-schema source: no tier column — must not throw, inserts/updates
+    # take the declared default
+    src = spark.createDataFrame([(2, "upd"), (9, "new")], ["id", "name"])
+    mt.merge_upsert(spark, path, src, keys=("id",))
+    got = {r.id: r.tier for r in mt.read(spark, path).collect()}
+    assert got[9] == "bronze" and got[2] == "bronze"
+
+
+def test_apply_changes_feed_without_pending_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.add_column(spark, path, "tier", "string", default="bronze")
+    feed = spark.createDataFrame(
+        [(1, "u1", "update_postimage", 10), (9, "n9", "insert", 11)],
+        ["id", "name", "_change_type", "seq"],
+    )
+    mt.apply_changes(spark, path, feed, keys=("id",), sequence_col="seq")
+    got = {r.id: r.tier for r in mt.read(spark, path).collect()}
+    assert got[1] == "bronze" and got[9] == "bronze"
