@@ -139,6 +139,16 @@ def refresh_agg_mv(
     # their snapshots; refresh at least as often as the base retains)
     ch = mt.table_changes(spark, base_path, last, cur)
     mv = mt.read(spark, mv_path)
+    # group-key joins are NULL-SAFE throughout: a NULL dimension value
+    # is a legitimate group (groupBy keeps it), and an equality join
+    # would silently fork it into duplicate MV rows / never refresh it
+    def _nullsafe(left, right):
+        cond = None
+        for c in group_cols:
+            eq = left[c].eqNullSafe(right[c])
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
     if any(kind in _RECOMPUTE for kind, _ in aggs.values()):
         # min/max present: recompute exactly the groups the feed names
         # (semi-join prunes the base scan to touched groups — zone/
@@ -146,14 +156,14 @@ def refresh_agg_mv(
         # untouched groups keep their stored row, vanished groups
         # produce no fresh row and leave the MV
         touched = ch.select(*group_cols).distinct()
+        base = mt.read(spark, base_path)
         fresh = (
-            mt.read(spark, base_path)
-            .join(touched, on=group_cols, how="left_semi")
+            base.join(touched, on=_nullsafe(base, touched), how="left_semi")
             .groupBy(*group_cols)
             .agg(*_agg_exprs(aggs))
         )
         merged = mv.join(
-            touched, on=group_cols, how="left_anti"
+            touched, on=_nullsafe(mv, touched), how="left_anti"
         ).unionByName(fresh)
         strategy = "touched_groups"
     else:
@@ -167,12 +177,16 @@ def refresh_agg_mv(
         deltas = ch.groupBy(*group_cols).agg(*delta_exprs)
 
         value_cols = [_COUNT_COL, *sorted(aggs)]
-        merged = mv.join(deltas, on=group_cols, how="full_outer").select(
-            *group_cols,
+        merged = mv.join(
+            deltas, on=_nullsafe(mv, deltas), how="full_outer"
+        ).select(
+            *[
+                F.coalesce(mv[c], deltas[c]).alias(c) for c in group_cols
+            ],
             *[
                 (
-                    F.coalesce(F.col(c), F.lit(0))
-                    + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+                    F.coalesce(mv[c], F.lit(0))
+                    + F.coalesce(deltas[f"__d_{c}"], F.lit(0))
                 ).alias(c)
                 for c in value_cols
             ],

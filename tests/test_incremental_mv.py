@@ -207,6 +207,45 @@ def test_refresh_cost_independent_of_base_size(spark, tmp_path):
     assert t10 / t1 < 6.0, f"refresh scaled with base size: {t1:.2f}s -> {t10:.2f}s"
 
 
+def test_null_group_keys_refresh_correctly(spark, tmp_path):
+    """A NULL dimension value is a legitimate group: an equality join
+    would fork it into duplicate MV rows (full_outer never matches
+    NULL=NULL) or never refresh it (semi-join). Both refresh paths use
+    null-safe joins."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    df = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "a", 30), (4, "a", 40)],
+        "id int, grp string, cents long",
+    )
+    mt.commit_overwrite(
+        df, base, keys=("id",), properties={"enableChangeDataFeed": True}
+    )
+    imv.create_agg_mv(spark, base, mv, ["grp"], AGGS)
+    mt.delete_where(spark, base, "id = 1", max_history=10)  # NULL group
+    mt.update_where(
+        spark, base, "id = 2", {"cents": F.lit(99).cast("long")},
+        max_history=10,
+    )
+    imv.refresh_agg_mv(spark, base, mv)
+    rows = mt.read(spark, mv).collect()
+    assert len(rows) == 2  # exactly one NULL-group row, not a fork
+    state = {r.grp: (r.total_cents, r.n_rows) for r in rows}
+    assert state[None] == (99, 1) and state["a"] == (70, 2)
+    # min/max path: NULL group must recompute too
+    mv2 = str(tmp_path / "mv2")
+    imv.create_agg_mv(
+        spark, base, mv2, ["grp"],
+        {"mx": ("max", "cents"), "total": ("sum", "cents")},
+    )
+    mt.update_where(
+        spark, base, "id = 2", {"cents": F.lit(5).cast("long")},
+        max_history=10,
+    )
+    imv.refresh_agg_mv(spark, base, mv2)
+    rows2 = {r.grp: (r.mx, r.total) for r in mt.read(spark, mv2).collect()}
+    assert rows2[None] == (5, 5) and rows2["a"] == (40, 70)
+
+
 def test_wrong_base_refused(spark, tmp_path):
     base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
     _base(spark, base)
