@@ -715,6 +715,16 @@ def add_column(
     if name in logical:
         raise ValueError(f"add_column: {name!r} already exists")
     json.dumps(default)  # fail fast on non-storable defaults
+    # validate the type string AND that the default casts to it NOW —
+    # a bad declaration must fail the ALTER, not every later read
+    try:
+        probe = spark.range(1).select(F.lit(default).cast(dtype)).schema
+    except Exception as exc:
+        raise ValueError(
+            f"add_column: invalid type {dtype!r} or incompatible default "
+            f"{default!r}: {exc}"
+        ) from None
+    del probe
     marker.setdefault("added_columns", {})[name] = {
         "type": dtype,
         "default": default,
@@ -813,7 +823,9 @@ def read(
     )
 
 
-def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
+def read_as_of(
+    spark: SparkSession, path: str, ts: float, with_row_ids: bool = False
+) -> DataFrame:
     """Delta ``TIMESTAMP AS OF`` time travel: read the newest retained
     snapshot whose commit time is <= ``ts`` (a unix timestamp; each
     snapshot's marker records its commit ``ts`` atomically with the
@@ -835,7 +847,7 @@ def read_as_of(spark: SparkSession, path: str, ts: float) -> DataFrame:
             f"{path}: no retained snapshot at or before timestamp {ts} "
             f"(earliest retained commit: {min(candidates)[0] if candidates else None})"
         )
-    return read(spark, path, version=max(eligible)[1])
+    return read(spark, path, version=max(eligible)[1], with_row_ids=with_row_ids)
 
 
 def history(spark: SparkSession, path: str) -> DataFrame:

@@ -119,6 +119,12 @@ def test_duplicate_and_unstorable_refused(spark, tmp_path):
         mt.add_column(spark, path, "name", "string")
     with pytest.raises(TypeError):
         mt.add_column(spark, path, "blob", "binary", default=b"\x00")
+    # a bad declaration fails the ALTER, not every later read
+    with pytest.raises(ValueError, match="invalid type"):
+        mt.add_column(spark, path, "x", "strnig", default="a")
+    with pytest.raises(ValueError, match="incompatible default"):
+        mt.add_column(spark, path, "y", "array<int>", default="nope")
+    assert "added_columns" not in mt._read_marker(path)
 
 
 def test_stripped_build_refuses_read_and_write(spark, tmp_path):
