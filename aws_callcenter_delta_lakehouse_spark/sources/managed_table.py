@@ -2309,6 +2309,7 @@ def clone_table(src_path: str, dst_path: str) -> dict:
         },
     }
     new_marker.pop("has_cdf", None)
+    _stamp_features(new_marker)  # canonical for the CLONE's content
     _fs().write_atomic(os.path.join(staging, _MARKER), json.dumps(new_marker))
     _fs().rename_dir(staging, dst_path)
     return {"files_linked": n_files, "source_version": src_version}
