@@ -73,6 +73,65 @@ def _agg_exprs(aggs: dict) -> list:
     return exprs
 
 
+def _nullsafe(left: DataFrame, right: DataFrame, group_cols: list):
+    """Null-safe group-key join condition: a NULL dimension value is a
+    legitimate group (groupBy keeps it), and an equality join would
+    silently fork it into duplicate MV rows / never refresh it."""
+    cond = None
+    for c in group_cols:
+        eq = left[c].eqNullSafe(right[c])
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
+def fold_change_deltas(
+    mv: DataFrame | None,
+    changes: DataFrame,
+    group_cols: list,
+    aggs: dict,
+) -> DataFrame:
+    """Merge a change frame's SIGNED per-group deltas into an MV frame
+    (insert/update_postimage add, delete/update_preimage retract) —
+    the retractable-aggregate fold shared by the batch refresh
+    (:func:`refresh_agg_mv`) and the streaming CDF sink
+    (``streaming.streams.foreach_batch_mv_from_cdf``). ``mv=None``
+    starts from an empty view (the MV as a pure function of the feed).
+    Zero-count groups leave the result — keeping them would serve
+    sum=0 for a group that no longer exists."""
+    sign = F.when(
+        F.col("_change_type").isin(*_INSERTS), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta_exprs = [F.sum(sign).cast("bigint").alias(f"__d_{_COUNT_COL}")]
+    for out, (kind, col) in sorted(aggs.items()):
+        src = F.col(col) if kind == "sum" else F.lit(1)
+        delta_exprs.append(F.sum(sign * src).alias(f"__d_{out}"))
+    deltas = changes.groupBy(*group_cols).agg(*delta_exprs)
+
+    value_cols = [_COUNT_COL, *sorted(aggs)]
+    if mv is None:
+        merged = deltas.select(
+            *group_cols,
+            *[
+                F.coalesce(F.col(f"__d_{c}"), F.lit(0)).alias(c)
+                for c in value_cols
+            ],
+        )
+    else:
+        merged = mv.join(
+            deltas, on=_nullsafe(mv, deltas, group_cols), how="full_outer"
+        ).select(
+            *[F.coalesce(mv[c], deltas[c]).alias(c) for c in group_cols],
+            *[
+                (
+                    F.coalesce(mv[c], F.lit(0))
+                    + F.coalesce(deltas[f"__d_{c}"], F.lit(0))
+                ).alias(c)
+                for c in value_cols
+            ],
+        )
+    return merged.filter(F.col(_COUNT_COL) > 0)
+
+
 def create_agg_mv(
     spark: SparkSession,
     base_path: str,
@@ -139,16 +198,6 @@ def refresh_agg_mv(
     # their snapshots; refresh at least as often as the base retains)
     ch = mt.table_changes(spark, base_path, last, cur)
     mv = mt.read(spark, mv_path)
-    # group-key joins are NULL-SAFE throughout: a NULL dimension value
-    # is a legitimate group (groupBy keeps it), and an equality join
-    # would silently fork it into duplicate MV rows / never refresh it
-    def _nullsafe(left, right):
-        cond = None
-        for c in group_cols:
-            eq = left[c].eqNullSafe(right[c])
-            cond = eq if cond is None else (cond & eq)
-        return cond
-
     if any(kind in _RECOMPUTE for kind, _ in aggs.values()):
         # min/max present: recompute exactly the groups the feed names
         # (semi-join prunes the base scan to touched groups — zone/
@@ -158,42 +207,16 @@ def refresh_agg_mv(
         touched = ch.select(*group_cols).distinct()
         base = mt.read(spark, base_path)
         fresh = (
-            base.join(touched, on=_nullsafe(base, touched), how="left_semi")
+            base.join(touched, on=_nullsafe(base, touched, group_cols), how="left_semi")
             .groupBy(*group_cols)
             .agg(*_agg_exprs(aggs))
         )
         merged = mv.join(
-            touched, on=_nullsafe(mv, touched), how="left_anti"
+            touched, on=_nullsafe(mv, touched, group_cols), how="left_anti"
         ).unionByName(fresh)
         strategy = "touched_groups"
     else:
-        sign = F.when(
-            F.col("_change_type").isin(*_INSERTS), F.lit(1)
-        ).otherwise(F.lit(-1))
-        delta_exprs = [F.sum(sign).cast("bigint").alias(f"__d_{_COUNT_COL}")]
-        for out, (kind, col) in sorted(aggs.items()):
-            src = F.col(col) if kind == "sum" else F.lit(1)
-            delta_exprs.append(F.sum(sign * src).alias(f"__d_{out}"))
-        deltas = ch.groupBy(*group_cols).agg(*delta_exprs)
-
-        value_cols = [_COUNT_COL, *sorted(aggs)]
-        merged = mv.join(
-            deltas, on=_nullsafe(mv, deltas), how="full_outer"
-        ).select(
-            *[
-                F.coalesce(mv[c], deltas[c]).alias(c) for c in group_cols
-            ],
-            *[
-                (
-                    F.coalesce(mv[c], F.lit(0))
-                    + F.coalesce(deltas[f"__d_{c}"], F.lit(0))
-                ).alias(c)
-                for c in value_cols
-            ],
-        )
-        # a group whose live row count reached zero leaves the MV —
-        # keeping it would serve sum=0 for a group that no longer exists
-        merged = merged.filter(F.col(_COUNT_COL) > 0)
+        merged = fold_change_deltas(mv, ch, group_cols, aggs)
         strategy = "delta"
     mt.commit_overwrite(
         merged,

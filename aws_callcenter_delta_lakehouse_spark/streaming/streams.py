@@ -688,3 +688,68 @@ def foreach_batch_multi_table(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def foreach_batch_mv_from_cdf(
+    stream: DataFrame,
+    mv_path: str,
+    group_cols: Sequence[str],
+    aggs: dict,
+    checkpoint: str,
+) -> "object":
+    """Continuously-maintained aggregate MV from a CHANGE-FEED stream —
+    the full lakehouse loop: DML on a CDF-enabled base table →
+    ``table_changes_stream`` (the readChangeFeed analogue,
+    ``sources/pydatasource.py``) → this sink folds each micro-batch's
+    signed deltas into the MV (``incremental_mv.fold_change_deltas``,
+    the same algebra the batch ``refresh_agg_mv`` uses). The MV is a
+    PURE FUNCTION of the feed: it starts empty and needs no bootstrap
+    when the stream begins at the initial-load version.
+
+    Retractable aggregates only (sum/count): a streaming sink has no
+    base table to re-scan for min/max's touched groups — declare those
+    on the batch refresher instead.
+
+    Exactly-once: a delta fold double-applies on replay, so the highest
+    applied epoch commits as ``txn`` metadata ATOMICALLY with the MV
+    snapshot (the house sink contract); a replayed micro-batch is
+    skipped by ``last_epoch``. Per batch the work is O(|batch|) + one
+    keyed merge against the group-cardinality MV — never a base scan.
+    Returns the query handle."""
+    from ..sources import incremental_mv as imv
+    from ..sources import managed_table as mt
+
+    imv._validate(aggs)
+    bad = {k for k, (kind, _) in aggs.items() if kind in imv._RECOMPUTE}
+    if bad:
+        raise ValueError(
+            f"foreach_batch_mv_from_cdf: aggregates {sorted(bad)} are not "
+            "retractable — a stream cannot re-scan the base for touched "
+            "groups; maintain min/max with the batch refresh_agg_mv"
+        )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        exists = mt.is_table(spark, mv_path)
+        last = int(mt.table_txn(mv_path).get("last_epoch", -1)) if exists else -1
+        if epoch_id <= last:
+            return  # replayed batch: already folded
+        mv = mt.read(spark, mv_path) if exists else None
+        merged = imv.fold_change_deltas(
+            mv, batch_df, list(group_cols), aggs
+        )
+        mt.commit_overwrite(
+            merged,
+            mv_path,
+            keys=tuple(group_cols),
+            max_history=0,
+            txn={"last_epoch": int(epoch_id)},
+            # the first fold CREATES the MV schema; later folds keep it
+            schema_mode="overwrite" if not exists else "enforce",
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -254,3 +254,73 @@ def test_wrong_base_refused(spark, tmp_path):
     _base(spark, other)
     with pytest.raises(ValueError, match="not an MV over"):
         imv.refresh_agg_mv(spark, other, mv)
+
+
+def test_streaming_cdf_to_mv_sink(spark, tmp_path):
+    """The full loop: DML on a CDF base -> table_changes_stream ->
+    foreach_batch_mv_from_cdf folds the deltas -> the MV equals the
+    direct aggregate of the live base. Restarting the stream from its
+    checkpoint after more DMLs continues without double-counting."""
+    from aws_callcenter_delta_lakehouse_spark.sources.pydatasource import (
+        make_table_changes_stream_source,
+    )
+    from aws_callcenter_delta_lakehouse_spark.streaming.streams import (
+        foreach_batch_mv_from_cdf,
+    )
+
+    base = str(tmp_path / "b")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2], i * 100) for i in range(1, 11)],
+        ["id", "grp", "cents"],
+    )
+    # CDF on at creation: v0 records the initial load as inserts, so the
+    # MV builds purely from the feed (no bootstrap)
+    mt.commit_overwrite(
+        df, base, keys=("id",), properties={"enableChangeDataFeed": True}
+    )
+    mt.delete_where(spark, base, "id = 1", max_history=10)
+    mt.update_where(
+        spark, base, "id = 2", {"cents": F.lit(9999)}, max_history=10
+    )
+
+    spark.dataSource.register(make_table_changes_stream_source())
+
+    def _tail():
+        return (
+            spark.readStream.format("table_changes_stream")
+            .option("path", base)
+            .option("startingversion", 0)
+            .load()
+        )
+
+    q = foreach_batch_mv_from_cdf(
+        _tail(), mv, ["grp"], AGGS, checkpoint=ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert _mv_state(spark, mv) == _recompute(spark, base)
+
+    # more DML while the stream is down; restart from the checkpoint
+    mt.delete_where(
+        spark, base, "grp = 'a' AND id < 8", deletion_vectors=True,
+        max_history=10,
+    )
+    mt.merge_upsert(
+        spark, base,
+        spark.createDataFrame([(42, "b", 7)], ["id", "grp", "cents"]),
+        keys=("id",), max_history=10,
+    )
+    q2 = foreach_batch_mv_from_cdf(
+        _tail(), mv, ["grp"], AGGS, checkpoint=ckpt
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert _mv_state(spark, mv) == _recompute(spark, base)
+    # epoch cursor advanced with the data (exactly-once contract)
+    assert int(mt.table_txn(mv)["last_epoch"]) >= 1
