@@ -545,3 +545,59 @@ def eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("actual_lang", "predicted_lang")
     )
+
+
+@query(
+    "eval_calibration_bins",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') w, lang FROM documents),
+    m AS (SELECT doc_id, lang, len(w) AS n,
+           len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is')))
+             AS n_stop,
+           len(list_distinct(w)) AS n_distinct
+          FROM t),
+    s AS (SELECT doc_id,
+           floor((0.5 * least(n / 50.0, 1.0)
+                 + 0.3 * (1 - n_stop * 1.0 / n)
+                 + 0.2 * least(n_distinct * 1.0 / n * 2, 1.0)) * 10000 + 0.5)
+             / 10000 AS score,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          FROM m)
+    SELECT CAST(least(floor(score * 10), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(pos) AS BIGINT) AS n_pos
+    FROM s GROUP BY 1 ORDER BY 1
+    """,
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table of the quality classifier against the
+    lang=='en' weak label: decile score bins with (total, positives)
+    counts — the reliability-diagram input (observed rate = n_pos /
+    n_docs per bin vs the bin's nominal score). Pure integer counts on
+    the 1e-4-rounded score grid: exact across engines, no FP fold
+    anywhere. One grouped count over the corpus — map-side combinable,
+    10 output rows, the only eval shape that works at 100 TB."""
+    from ..operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    qs = text.quality_score(docs, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    lab = docs.select(
+        "doc_id", (F.col("lang") == F.lit("en")).cast("int").alias("pos")
+    )
+    return (
+        qs.join(lab, "doc_id")
+        .select(
+            F.least(
+                F.floor(F.col("quality_score") * 10), F.lit(9)
+            ).cast("bigint").alias("bin"),
+            "pos",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+        )
+        .orderBy("bin")
+    )
