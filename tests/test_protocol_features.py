@@ -210,3 +210,24 @@ def test_maintenance_carries_writer_features(spark, tmp_path):
         )
         with pytest.raises(mt.ProtocolError, match="checkConstraints"):
             maintenance.compact(spark, path, target_file_bytes=1 << 30)
+
+
+def test_clone_carries_canonical_features(spark, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    _make(spark, src)
+    mt.add_constraint(spark, src, "bal_pos", "bal >= 0")
+    mt.delete_where(spark, src, "id = 1", deletion_vectors=True)
+    mt.clone_table(src, dst)
+    m = _marker(dst)
+    assert m["reader_features"] == ["deletionVectors"]
+    assert m["writer_features"] == ["checkConstraints", "deletionVectors"]
+    # and the clone's gates actually bite
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(
+            mt,
+            "SUPPORTED_READER_FEATURES",
+            mt.SUPPORTED_READER_FEATURES - {"deletionVectors"},
+        )
+        with pytest.raises(mt.ProtocolError, match="deletionVectors"):
+            mt.read(spark, dst).count()
+    assert mt.read(spark, dst).count() == 7
