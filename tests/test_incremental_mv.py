@@ -324,3 +324,53 @@ def test_streaming_cdf_to_mv_sink(spark, tmp_path):
     assert _mv_state(spark, mv) == _recompute(spark, base)
     # epoch cursor advanced with the data (exactly-once contract)
     assert int(mt.table_txn(mv)["last_epoch"]) >= 1
+
+
+def test_refresh_crash_never_double_applies(spark, tmp_path, monkeypatch):
+    """Exactly-once across a crash: inject a failure at the MV's swap
+    renames during refresh; after recover, a re-run must land on
+    exactly the recompute — whether the crash hit before the publish
+    (cursor old, deltas re-applied onto the pre-image) or after
+    (cursor new, re-run no-ops). Cursor and data move atomically or
+    not at all."""
+    import os as _os
+
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    _base(spark, base)
+    imv.create_agg_mv(spark, base, mv, ["grp"], AGGS)
+    mt.delete_where(spark, base, "grp = 'a' AND id <= 5", max_history=10)
+    mt.update_where(
+        spark, base, "id = 6", {"cents": F.lit(1)}, max_history=10
+    )
+
+    class _CrashOnce:
+        def __init__(self, prefix):
+            self.real = _os.rename
+            self.prefix = prefix
+            self.armed = True
+
+        def __call__(self, src, dst):
+            if self.armed and (
+                str(src).startswith(self.prefix)
+                or str(dst).startswith(self.prefix)
+            ):
+                self.armed = False
+                raise RuntimeError("injected crash")
+            return self.real(src, dst)
+
+    crasher = _CrashOnce(mv)
+    monkeypatch.setattr(_os, "rename", crasher)
+    try:
+        with pytest.raises(RuntimeError, match="injected crash"):
+            imv.refresh_agg_mv(spark, base, mv)
+    finally:
+        monkeypatch.setattr(_os, "rename", crasher.real)
+    mt.recover(mv)
+    # the crashed refresh left (old MV, old cursor) or (new MV, new
+    # cursor) — never a mix; a re-run converges either way
+    imv.refresh_agg_mv(spark, base, mv)
+    assert _mv_state(spark, mv) == _recompute(spark, base)
+    assert mt.table_txn(mv)["mv_base_version"] == mt.table_version(base)
+    # and a further re-run is a no-op (no double-apply)
+    assert imv.refresh_agg_mv(spark, base, mv)["refreshed"] is False
+    assert _mv_state(spark, mv) == _recompute(spark, base)
