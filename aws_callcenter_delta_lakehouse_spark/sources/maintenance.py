@@ -334,6 +334,8 @@ def optimize_zorder(
     clustered = zorder_layout(df, list(cols), int(n_out), bits)
     managed_table.commit_overwrite(
         clustered, path, keys=marker.get("keys", []), auto_optimize=False,
+        # OPTIMIZE preserves rows: allowed on appendOnly tables
+        _append_only_ok=True,
         # OPTIMIZE preserves data, so it must preserve the table's txn
         # metadata too — resetting it would re-arm exactly-once sinks'
         # last_epoch and replay committed epochs after a(n auto-)
@@ -382,6 +384,8 @@ def optimize_hilbert(
     clustered = hilbert_layout(df, x, y, int(n_out), order)
     managed_table.commit_overwrite(
         clustered, path, keys=marker.get("keys", []), auto_optimize=False,
+        # OPTIMIZE preserves rows: allowed on appendOnly tables
+        _append_only_ok=True,
         # OPTIMIZE preserves data, so it must preserve the table's txn
         # metadata too — resetting it would re-arm exactly-once sinks'
         # last_epoch and replay committed epochs after a(n auto-)

@@ -74,6 +74,13 @@ _CDF_PROP = "enableChangeDataFeed"
 _ROWID_COL = "__row_id"
 _ROWID_PUBLIC = "_row_id"
 _ROWTRACK_PROP = "enableRowTracking"
+# Delta `delta.appendOnly`: rows may be ADDED, never changed or removed
+# — the governance property audit/event-log tables declare so no
+# pipeline (or operator fat-finger) can rewrite history. Enforced at
+# every mutating entry point; GDPR purge_rows is the ONE documented
+# override (legal erasure outranks immutability) and requires the
+# caller to drop the property first.
+_APPEND_ONLY_PROP = "appendOnly"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -99,6 +106,22 @@ class ConcurrentWriteError(RuntimeError):
 class ConstraintViolationError(ValueError):
     """A write contained rows for which a table CHECK constraint
     evaluated to FALSE (NULL passes, per SQL/Delta CHECK semantics)."""
+
+
+class AppendOnlyError(RuntimeError):
+    """A mutating operation hit a table with the ``appendOnly`` property
+    (Delta ``delta.appendOnly``): rows may be added, never changed or
+    removed. Drop the property explicitly (an audited ALTER) if history
+    really must be rewritten."""
+
+
+def _check_append_only(marker: dict, op: str) -> None:
+    if (marker.get("properties") or {}).get(_APPEND_ONLY_PROP):
+        raise AppendOnlyError(
+            f"{op} is not allowed on an appendOnly table — rows may be "
+            "added, never changed or removed (drop the appendOnly "
+            "property first if history really must be rewritten)"
+        )
 
 
 class SchemaEnforcementError(ValueError):
@@ -1034,6 +1057,9 @@ def apply_changes(
     seq_type = dict(changes.dtypes)[sequence_col]
     target_exists = _fs().exists(os.path.join(path, _MARKER))
     if target_exists:
+        # a CDC apply updates and deletes by definition
+        _check_append_only(_read_marker(path), "APPLY CHANGES")
+    if target_exists:
         target = read(spark, path)
         # a feed that predates an ADD COLUMN supplies the declared
         # default for it (same contract as merge_upsert sources)
@@ -1211,6 +1237,24 @@ def merge_upsert(
     target = _read_logical(spark, path)
     base_version = table_version(path)  # optimistic-concurrency baseline
     meta = _read_marker(path)
+    if (meta.get("properties") or {}).get(_APPEND_ONLY_PROP):
+        # Delta delta.appendOnly: INSERT-ONLY merges pass (adding rows
+        # is the point of an event log); a matched row would be an
+        # update, a BY SOURCE DELETE a removal — both refuse
+        if not_matched_by_source == "delete":
+            raise AppendOnlyError(
+                "merge_upsert(not_matched_by_source='delete') deletes "
+                "rows — not allowed on an appendOnly table"
+            )
+        if not target.join(
+            source.select(*[F.col(k) for k in keys]),
+            on=list(keys),
+            how="left_semi",
+        ).isEmpty():
+            raise AppendOnlyError(
+                "merge_upsert matched existing keys (an update) — an "
+                "appendOnly table only accepts insert-only merges"
+            )
     if _ROWID_COL in target.columns:
         # row tracking: matched source rows INHERIT the target row's
         # stable id (an update preserves identity — the whole point);
@@ -1305,6 +1349,9 @@ def merge_upsert(
         # merged frame was built on target.columns, so enforce is a no-op
         # kept as a tripwire
         schema_mode="overwrite" if schema_evolution else "enforce",
+        # vetted above: on appendOnly tables only insert-only merges
+        # reach this commit
+        _append_only_ok=True,
     )
 
 
@@ -1371,11 +1418,12 @@ def _commit_snapshot(
     expected_version: int | None = None,
     changes: DataFrame | None = None,
     schema_mode: str = "enforce",
+    _append_only_ok: bool = False,
 ) -> None:
     commit_overwrite(
         df, path, keys=keys, partition_by=partition_by, max_history=max_history,
         txn=txn, expected_version=expected_version, changes=changes,
-        schema_mode=schema_mode,
+        schema_mode=schema_mode, _append_only_ok=_append_only_ok,
     )
 
 
@@ -1394,6 +1442,7 @@ def commit_overwrite(
     changes: DataFrame | None = None,
     auto_optimize: bool = True,
     schema_mode: str = "enforce",
+    _append_only_ok: bool = False,
 ) -> None:
     """Atomic full-snapshot commit via stage-and-swap — works whether or
     not the table exists yet, so it is also the crash-safe first write.
@@ -1481,6 +1530,10 @@ def commit_overwrite(
             )
     live_marker = _read_marker(path) if exists else {}
     _check_writer(live_marker, path)
+    if exists and not _append_only_ok:
+        # a full-snapshot commit on an appendOnly table is a rewrite;
+        # only vetted insert-only paths (merge with zero matches) pass
+        _check_append_only(live_marker, "overwrite")
     constraints = live_marker.get("constraints", {})
     # column metadata persists across commits; creation-time args only
     # apply on the first commit (Delta: generated/identity columns are
@@ -1767,6 +1820,7 @@ def delete_where(
     Skipping-manifest sidecars stay valid: a deleted row's min/max or
     bloom bits can only over-KEEP a file, never skip a live row."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    _check_append_only(_read_marker(path), "DELETE")
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         DeltaTable.forPath(spark, path).delete(cond)
         return
@@ -1965,6 +2019,7 @@ def update_where(
     when the table carries pending dropped-column metadata (appended
     files would fork the physical schema)."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    _check_append_only(_read_marker(path), "UPDATE")
     if HAS_DELTA and DeltaTable.isDeltaTable(spark, path):  # pragma: no cover
         DeltaTable.forPath(spark, path).update(cond, assignments)
         return
@@ -2201,6 +2256,7 @@ def restore_table(
     Returns {"restored_version", "new_version"}."""
     recover(path)
     marker = _read_marker(path)
+    _check_append_only(marker, "RESTORE")
     if not marker:
         raise ValueError(f"{path} is not a managed table")
     # _read_logical: a restored row keeps the stable id it had in the
