@@ -1,0 +1,572 @@
+"""delta-spark ``DeltaTable`` API facade over the managed-table layer.
+
+The reference's Glue jobs drive Delta through the ``DeltaTable``
+builder API (reference ``glue/01_silver_delta_upsert.py:103-117`` —
+``DeltaTable.forPath(...).alias("t").merge(src.alias("s"), cond)
+.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()``), so a
+user switching from the reference should find the same surface here:
+:class:`DeltaTable` with ``forPath/isDeltaTable/convertToDelta``,
+``toDF/history/detail/vacuum/delete/update/restoreToVersion/clone``,
+an ``optimize()`` builder (``executeCompaction``/``executeZOrderBy``),
+and a full ``merge()`` clause builder.
+
+Everything delegates to the functions in
+:mod:`..sources.managed_table` / :mod:`..sources.maintenance` — the
+facade adds NO storage logic. The classic clause combination
+(``whenMatchedUpdateAll + whenNotMatchedInsertAll``
+[+ ``whenNotMatchedBySourceDelete``] on an equi-key condition) routes
+through :func:`managed_table.merge_upsert`, which has the cheapest
+plan (key joins only). Any other combination — clause conditions,
+``whenMatchedDelete``, explicit ``SET``/``VALUES`` maps, by-source
+updates, non-equi conditions — runs through :func:`general_merge`,
+a full-semantics Delta MERGE executor built on the same crash-atomic
+commit path (CHECK constraints, PK probes, CDF sidecars, row-tracking
+ids, generated/identity recompute all apply identically).
+
+Scale notes (100 TB discipline): ``general_merge`` costs one
+``left_outer`` join (target x source on the merge condition) for the
+target-side clause resolution, one ``left_anti`` for the insert side,
+and one aggregate for the multiple-match validation — all key-
+partitioned shuffles when the condition is an equi-join, which
+Catalyst detects from the expression; there is no driver-side row
+traffic. The multiple-match probe groups on a target row id, so its
+shuffle is bounded by MATCHED rows, not the table.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import maintenance, managed_table
+from .managed_table import _ROWID_COL
+
+
+# --------------------------------------------------------------------------
+# MERGE clause model
+# --------------------------------------------------------------------------
+
+_MATCHED = "matched"
+_NOT_MATCHED = "not_matched"
+_BY_SOURCE = "by_source"
+
+
+@dataclass(frozen=True)
+class _Clause:
+    """One WHEN clause: ``group`` is the match bucket, ``action`` is
+    update | delete | insert, ``condition`` the optional extra
+    predicate, ``assignments`` the SET/VALUES map (None = *All)."""
+
+    group: str
+    action: str
+    condition: str | Column | None = None
+    assignments: dict | None = None
+
+
+def _as_col(expr) -> Column:
+    return F.expr(expr) if isinstance(expr, str) else expr
+
+
+def _q(alias: str, col: str) -> Column:
+    return F.col(f"{alias}.{col}")
+
+
+# --------------------------------------------------------------------------
+# General MERGE executor
+# --------------------------------------------------------------------------
+
+def general_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    condition,
+    clauses: Sequence[_Clause],
+    target_alias: str = "t",
+    source_alias: str = "s",
+    max_history: int = 2,
+    txn: dict | None = None,
+) -> None:
+    """Full-semantics Delta MERGE: arbitrary WHEN clause lists with
+    per-clause conditions, evaluated in order within each match bucket
+    (first applicable clause wins — the Delta contract).
+
+    * ``WHEN MATCHED [AND cond] THEN UPDATE SET ... | DELETE``
+    * ``WHEN NOT MATCHED [AND cond] THEN INSERT (...) VALUES (...)``
+    * ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE ... | DELETE``
+
+    ``condition`` and every clause condition/assignment may reference
+    ``<target_alias>.col`` and ``<source_alias>.col`` (defaults
+    ``t.``/``s.``). Target rows matching NO applicable clause are kept
+    unchanged; source rows matching no insert clause are dropped.
+
+    Multiple source rows matching one target row raise (Delta's
+    DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW) whenever a
+    matched-bucket clause exists — the update/delete would be
+    nondeterministic. The probe is one count over MATCHED target ids.
+
+    The commit runs through the standard stage-and-swap, so CHECK
+    constraints, PRIMARY KEY probes, generated/identity recompute,
+    schema enforcement, optimistic concurrency and crash recovery all
+    behave exactly as :func:`managed_table.merge_upsert`. On
+    CDF-enabled tables the executor records the row-level change set
+    (update pre/post images, deletes, inserts) in the same commit.
+    """
+    clauses = list(clauses)
+    if not clauses:
+        raise ValueError("general_merge: at least one WHEN clause is required")
+    matched_cl = [c for c in clauses if c.group == _MATCHED]
+    insert_cl = [c for c in clauses if c.group == _NOT_MATCHED]
+    by_src_cl = [c for c in clauses if c.group == _BY_SOURCE]
+
+    managed_table.recover(path)
+    meta = managed_table._read_marker(path)
+    managed_table._check_writer(meta, path)
+    if matched_cl or by_src_cl:
+        # updates/deletes are rewrites — refused on appendOnly tables;
+        # a pure insert-only merge is the one allowed shape
+        managed_table._check_append_only(meta, "general_merge")
+    base_version = managed_table.table_version(path)
+
+    target = managed_table._read_logical(spark, path)
+    out_cols = list(target.columns)  # includes __row_id on tracked tables
+    auto_cols = set(meta.get("generated", {})) | set(meta.get("identity", {}))
+    for cl in clauses:
+        for c in (cl.assignments or {}):
+            if c in auto_cols:
+                raise ValueError(
+                    f"general_merge: column {c!r} is generated/identity — "
+                    "the commit computes it; remove it from SET/VALUES"
+                )
+            if c == _ROWID_COL:
+                raise ValueError("general_merge: __row_id is engine-managed")
+            if c not in out_cols:
+                raise ValueError(
+                    f"general_merge: unknown target column {c!r} in clause"
+                )
+
+    keys = list(meta.get("keys", []))
+    partition_by = tuple(meta.get("partition_by", ()) or ())
+    cdf_on = managed_table._cdf_on(meta)
+    source = source.localCheckpoint(eager=False)
+
+    t = (
+        target.withColumn("__tid", F.monotonically_increasing_id())
+        .withColumn("__t_present", F.lit(True))
+        .alias(target_alias)
+    )
+    s = source.withColumn("__s_present", F.lit(True)).alias(source_alias)
+    src_cols = set(source.columns)
+    on = _as_col(condition)
+
+    # ---- target side: one left_outer join resolves matched + by-source.
+    # An INSERT-ONLY merge never joins the target side at all — the
+    # target passes through verbatim (and multiple source matches are
+    # legal there, exactly the Delta rule).
+    pairs = None
+    if matched_cl or by_src_cl:
+        pairs = t.join(s, on, "left_outer")
+        s_present = _q(source_alias, "__s_present").isNotNull()
+        dup = (
+            pairs.filter(s_present)
+            .groupBy(_q(target_alias, "__tid"))
+            .count()
+            .filter(F.col("count") > 1)
+        )
+        if not dup.isEmpty():
+            raise ValueError(
+                "general_merge: multiple source rows match the same target "
+                "row — the update/delete is nondeterministic (Delta: "
+                "DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW). "
+                "Deduplicate the source on the merge condition first."
+            )
+
+        # first-applicable-clause action code, per the Delta ordering rules
+        action = F.when(F.lit(False), F.lit(""))  # seed an empty CASE chain
+        for i, cl in enumerate(matched_cl):
+            cond = s_present if cl.condition is None else s_present & _as_col(cl.condition)
+            action = action.when(cond, F.lit(f"m{i}"))
+        for i, cl in enumerate(by_src_cl):
+            cond = ~s_present if cl.condition is None else ~s_present & _as_col(cl.condition)
+            action = action.when(cond, F.lit(f"b{i}"))
+        action = action.otherwise(F.lit("keep"))
+
+    def _new_val(col: str) -> Column:
+        """CASE over the clause actions for one output column."""
+        val = F.when(F.lit(False), F.lit(None))
+        for i, cl in enumerate(matched_cl + by_src_cl):
+            code = f"m{i}" if cl.group == _MATCHED else f"b{i - len(matched_cl)}"
+            if cl.action == "delete":
+                continue  # deleted rows are filtered, value irrelevant
+            if cl.assignments is None:  # UPDATE ALL: take source's column
+                new = (
+                    _q(source_alias, col)
+                    if col in src_cols and col != _ROWID_COL
+                    else _q(target_alias, col)
+                )
+            else:
+                new = (
+                    _as_col(cl.assignments[col])
+                    if col in cl.assignments
+                    else _q(target_alias, col)
+                )
+            val = val.when(F.col("__action") == code, new)
+        return val.otherwise(_q(target_alias, col))
+
+    delete_codes = [
+        (f"m{i}" if cl.group == _MATCHED else f"b{i - len(matched_cl)}")
+        for i, cl in enumerate(matched_cl + by_src_cl)
+        if cl.action == "delete"
+    ]
+    update_codes = [
+        (f"m{i}" if cl.group == _MATCHED else f"b{i - len(matched_cl)}")
+        for i, cl in enumerate(matched_cl + by_src_cl)
+        if cl.action == "update"
+    ]
+    if pairs is not None:
+        # old values ride along for CDF pre-images; new values for the rows
+        wide = pairs.withColumn("__action", action).select(
+            F.col("__action"),
+            *[_q(target_alias, c).alias(f"__old_{c}") for c in out_cols],
+            *[_new_val(c).alias(c) for c in out_cols],
+        )
+        kept = (
+            wide.filter(~F.col("__action").isin(delete_codes))
+            if delete_codes
+            else wide
+        )
+        target_rows = kept.select(*out_cols)
+    else:
+        wide = None
+        target_rows = target.select(*out_cols)
+
+    # ---- source side: anti join picks the insert candidates
+    inserts = None
+    if insert_cl:
+        cand = s.join(t, on, "left_anti")
+        ins_action = F.when(F.lit(False), F.lit(""))
+        for i, cl in enumerate(insert_cl):
+            cond = F.lit(True) if cl.condition is None else _as_col(cl.condition)
+            ins_action = ins_action.when(cond, F.lit(f"i{i}"))
+        ins_action = ins_action.otherwise(F.lit("drop"))
+
+        def _ins_val(col: str) -> Column:
+            val = F.when(F.lit(False), F.lit(None))
+            for i, cl in enumerate(insert_cl):
+                if cl.assignments is None:  # INSERT ALL
+                    new = (
+                        _q(source_alias, col)
+                        if col in src_cols and col != _ROWID_COL
+                        else F.lit(None)
+                    )
+                else:
+                    new = (
+                        _as_col(cl.assignments[col])
+                        if col in cl.assignments
+                        else F.lit(None)
+                    )
+                val = val.when(F.col("__ins") == f"i{i}", new)
+            return val.otherwise(F.lit(None))
+
+        target_types = dict(target.dtypes)
+        inserts = (
+            cand.withColumn("__ins", ins_action)
+            .filter(F.col("__ins") != "drop")
+            .select(
+                *[
+                    _ins_val(c).cast(target_types[c]).alias(c)
+                    for c in out_cols
+                ]
+            )
+        )
+
+    merged = (
+        target_rows.unionByName(inserts) if inserts is not None else target_rows
+    )
+
+    changes = None
+    if cdf_on:
+        data_cols = [c for c in out_cols if c != _ROWID_COL]
+        upd = wide.filter(F.col("__action").isin(update_codes)) if update_codes else None
+        parts = []
+        if upd is not None:
+            parts.append(
+                upd.select(
+                    *[F.col(f"__old_{c}").alias(c) for c in data_cols]
+                ).withColumn("_change_type", F.lit("update_preimage"))
+            )
+            parts.append(
+                upd.select(*data_cols).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            )
+        if delete_codes:
+            parts.append(
+                wide.filter(F.col("__action").isin(delete_codes))
+                .select(*[F.col(f"__old_{c}").alias(c) for c in data_cols])
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        if inserts is not None:
+            parts.append(
+                inserts.select(*data_cols).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            )
+        if parts:
+            changes = parts[0]
+            for p in parts[1:]:
+                changes = changes.unionByName(p)
+
+    managed_table._commit_snapshot(
+        merged.drop("__tid", "__t_present", "__s_present"),
+        path,
+        keys,
+        partition_by,
+        max_history,
+        txn,
+        base_version,
+        changes=changes,
+        schema_mode="enforce",
+        _append_only_ok=True,  # vetted above: insert-only on appendOnly
+    )
+
+
+# --------------------------------------------------------------------------
+# Builders
+# --------------------------------------------------------------------------
+
+class DeltaMergeBuilder:
+    """``DeltaTable.merge(...)`` clause builder — the delta-spark
+    surface (whenMatchedUpdate[All] / whenMatchedDelete /
+    whenNotMatchedInsert[All] / whenNotMatchedBySourceUpdate|Delete),
+    each with an optional ``condition``. ``execute()`` picks the plan:
+    the classic updateAll+insertAll(+bySourceDelete) combo on an
+    equi-key condition routes to :func:`managed_table.merge_upsert`
+    (key-join plan); everything else runs :func:`general_merge`."""
+
+    def __init__(self, table: "DeltaTable", source: DataFrame, condition):
+        self._table = table
+        self._source = source
+        self._condition = condition
+        self._clauses: list[_Clause] = []
+        self._schema_evolution = False
+
+    # -- matched ----------------------------------------------------------
+    def whenMatchedUpdateAll(self, condition=None) -> "DeltaMergeBuilder":
+        self._clauses.append(_Clause(_MATCHED, "update", condition, None))
+        return self
+
+    def whenMatchedUpdate(self, condition=None, set=None) -> "DeltaMergeBuilder":
+        if not set:
+            raise ValueError("whenMatchedUpdate requires a non-empty set map")
+        self._clauses.append(_Clause(_MATCHED, "update", condition, dict(set)))
+        return self
+
+    def whenMatchedDelete(self, condition=None) -> "DeltaMergeBuilder":
+        self._clauses.append(_Clause(_MATCHED, "delete", condition, None))
+        return self
+
+    # -- not matched ------------------------------------------------------
+    def whenNotMatchedInsertAll(self, condition=None) -> "DeltaMergeBuilder":
+        self._clauses.append(_Clause(_NOT_MATCHED, "insert", condition, None))
+        return self
+
+    def whenNotMatchedInsert(self, condition=None, values=None) -> "DeltaMergeBuilder":
+        if not values:
+            raise ValueError("whenNotMatchedInsert requires a non-empty values map")
+        self._clauses.append(_Clause(_NOT_MATCHED, "insert", condition, dict(values)))
+        return self
+
+    # -- not matched by source ---------------------------------------------
+    def whenNotMatchedBySourceUpdate(self, condition=None, set=None) -> "DeltaMergeBuilder":
+        if not set:
+            raise ValueError("whenNotMatchedBySourceUpdate requires a set map")
+        self._clauses.append(_Clause(_BY_SOURCE, "update", condition, dict(set)))
+        return self
+
+    def whenNotMatchedBySourceDelete(self, condition=None) -> "DeltaMergeBuilder":
+        self._clauses.append(_Clause(_BY_SOURCE, "delete", condition, None))
+        return self
+
+    def withSchemaEvolution(self) -> "DeltaMergeBuilder":
+        """mergeSchema for the classic combo (delegates to
+        merge_upsert's schema_evolution); the general executor keeps
+        write-time enforcement and refuses evolution."""
+        self._schema_evolution = True
+        return self
+
+    # -- execution ---------------------------------------------------------
+    def _equi_keys(self) -> list[str] | None:
+        """``t.k1 = s.k1 AND t.k2 = s.k2`` (any alias order) -> keys;
+        anything else -> None (general path)."""
+        if not isinstance(self._condition, str):
+            return None
+        import re
+
+        ta, sa = self._table._alias, "s"
+        keys = []
+        for part in re.split(r"(?i)\s+and\s+", self._condition.strip()):
+            m = re.fullmatch(
+                rf"\s*(?:{ta}|{sa})\.(\w+)\s*=\s*(?:{ta}|{sa})\.(\w+)\s*", part
+            )
+            if not m or m.group(1) != m.group(2):
+                return None
+            keys.append(m.group(1))
+        return keys or None
+
+    def execute(self) -> None:
+        kinds = sorted(
+            (c.group, c.action, c.condition is None, c.assignments is None)
+            for c in self._clauses
+        )
+        classic_core = [
+            (_MATCHED, "update", True, True),
+            (_NOT_MATCHED, "insert", True, True),
+        ]
+        classic = sorted(classic_core) == kinds or sorted(
+            classic_core + [(_BY_SOURCE, "delete", True, True)]
+        ) == kinds
+        keys = self._equi_keys()
+        spark = self._source.sparkSession
+        if classic and keys:
+            managed_table.merge_upsert(
+                spark,
+                self._table.path,
+                self._source,
+                keys,
+                schema_evolution=self._schema_evolution,
+                not_matched_by_source=(
+                    "delete"
+                    if any(c.group == _BY_SOURCE for c in self._clauses)
+                    else "keep"
+                ),
+            )
+            return
+        if self._schema_evolution:
+            raise NotImplementedError(
+                "withSchemaEvolution is supported only for the classic "
+                "updateAll+insertAll merge shape"
+            )
+        general_merge(
+            spark,
+            self._table.path,
+            self._source,
+            self._condition,
+            self._clauses,
+            target_alias=self._table._alias,
+        )
+
+
+class DeltaOptimizeBuilder:
+    """``DeltaTable.optimize()`` — ``executeCompaction()`` binpacks,
+    ``executeZOrderBy(cols)`` rewrites clustered; ``where`` scopes
+    compaction to partition directories (Delta ``OPTIMIZE ... WHERE``)."""
+
+    def __init__(self, table: "DeltaTable"):
+        self._table = table
+        self._where: str | None = None
+
+    def where(self, predicate: str) -> "DeltaOptimizeBuilder":
+        self._where = predicate
+        return self
+
+    def executeCompaction(self) -> dict:
+        marker = managed_table._read_marker(self._table.path)
+        part = tuple(marker.get("partition_by", ()) or ())
+        return maintenance.compact(
+            self._table._spark, self._table.path, partition_by=part,
+            where=self._where,
+        )
+
+    def executeZOrderBy(self, *cols: str) -> dict:
+        if self._where is not None:
+            raise NotImplementedError(
+                "OPTIMIZE ... WHERE is supported for compaction only"
+            )
+        flat = [c for group in cols for c in
+                (group if isinstance(group, (list, tuple)) else [group])]
+        return maintenance.optimize_zorder(
+            self._table._spark, self._table.path, flat
+        )
+
+
+# --------------------------------------------------------------------------
+# The table handle
+# --------------------------------------------------------------------------
+
+class DeltaTable:
+    """delta-spark-shaped handle over a managed table path."""
+
+    def __init__(self, spark: SparkSession, path: str, alias: str = "t"):
+        self._spark = spark
+        self.path = path
+        self._alias = alias
+
+    # -- constructors -------------------------------------------------------
+    @classmethod
+    def forPath(cls, spark: SparkSession, path: str) -> "DeltaTable":
+        if not managed_table.is_table(spark, path):
+            raise ValueError(f"{path} is not a managed table")
+        return cls(spark, path)
+
+    @classmethod
+    def isDeltaTable(cls, spark: SparkSession, path: str) -> bool:
+        return managed_table.is_table(spark, path)
+
+    @classmethod
+    def convertToDelta(
+        cls, spark: SparkSession, path: str, partition_by: Sequence[str] = ()
+    ) -> "DeltaTable":
+        managed_table.convert_to_managed(spark, path, partition_by=partition_by)
+        return cls(spark, path)
+
+    # -- reads ---------------------------------------------------------------
+    def alias(self, name: str) -> "DeltaTable":
+        return DeltaTable(self._spark, self.path, alias=name)
+
+    def toDF(self) -> DataFrame:
+        return managed_table.read(self._spark, self.path)
+
+    def history(self, limit: int | None = None) -> DataFrame:
+        h = managed_table.history(self._spark, self.path)
+        return h.limit(limit) if limit is not None else h
+
+    def detail(self) -> dict:
+        return managed_table.table_detail(self.path)
+
+    # -- DML -----------------------------------------------------------------
+    def delete(self, condition=None) -> None:
+        cond = F.lit(True) if condition is None else _as_col(condition)
+        managed_table.delete_where(self._spark, self.path, cond)
+
+    def update(self, condition=None, set=None) -> None:
+        if not set:
+            raise ValueError("update requires a non-empty set map")
+        cond = F.lit(True) if condition is None else _as_col(condition)
+        managed_table.update_where(
+            self._spark, self.path, cond,
+            {c: _as_col(e) for c, e in set.items()},
+        )
+
+    def merge(self, source: DataFrame, condition) -> DeltaMergeBuilder:
+        # the source is re-aliased "s" at execution (outer alias of the
+        # same name is a no-op when the caller already did it), so
+        # delta-spark's `merge(src.alias("s"), "t.k = s.k")` idiom works
+        return DeltaMergeBuilder(self, source.alias("s"), condition)
+
+    # -- maintenance -----------------------------------------------------------
+    def optimize(self) -> DeltaOptimizeBuilder:
+        return DeltaOptimizeBuilder(self)
+
+    def vacuum(self, retentionHours: float = 168.0, dry_run: bool = False) -> list:
+        return maintenance.vacuum(
+            self.path, retention_hours=retentionHours, dry_run=dry_run
+        )
+
+    def restoreToVersion(self, version: int) -> dict:
+        return managed_table.restore_table(self._spark, self.path, version)
+
+    def clone(self, target: str) -> "DeltaTable":
+        managed_table.clone_table(self.path, target)
+        return DeltaTable(self._spark, target)
