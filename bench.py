@@ -130,14 +130,23 @@ def main() -> None:
     # per-round snapshot so later rounds can diff per-query timings
     # (bench_detail.json alone is overwritten every run); the round
     # number is inferred from the driver's BENCH_r{N}.json series —
-    # a run during round N+1 happens after BENCH_r{N} was recorded
+    # a run during round N+1 happens after BENCH_r{N} was recorded.
+    # NEVER overwrite an existing BENCH_DETAIL_r{N}.json: the driver
+    # skips BENCH_r{N} for some rounds, so max+1 can recompute an old
+    # round number (round 7 clobbered the committed r06 detail this
+    # way) — bump N until the slot is free instead.
     import glob
 
     rounds = [
         int(os.path.basename(p)[len("BENCH_r"):].split(".")[0])
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+    ] + [
+        int(os.path.basename(p)[len("BENCH_DETAIL_r"):].split(".")[0])
+        for p in glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
     ]
     rnd = (max(rounds) + 1) if rounds else 1
+    while os.path.exists(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")):
+        rnd += 1
     with open(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json"), "w") as fh:
         json.dump(payload, fh, indent=1)
     print(
