@@ -187,6 +187,33 @@ def compact(
     return {"before": stats, "after": table_file_stats(path)}
 
 
+def _hive_partition_dirs(
+    path: str, partition_by: tuple[str, ...]
+) -> dict[str, str]:
+    """Map Spark-rendered partition key ('/'-joined cast-to-string
+    values, the same rendering ``concat_ws`` gives at plan time) ->
+    on-disk partition directory, by WALKING the Hive layout and
+    unescaping each ``col=value`` dir name (Spark escapes ``:``, ``%``
+    etc. with %XX in paths — ``urllib.parse.unquote`` is the exact
+    inverse). Listing cost is partition-count metadata, the same
+    listing Delta's OPTIMIZE planner does. NULL partition values
+    (``__HIVE_DEFAULT_PARTITION__``) don't key-match and are skipped —
+    same (pre-existing) limit as the concat_ws key itself."""
+    from urllib.parse import unquote
+
+    levels: list[tuple[str, list[str]]] = [(path, [])]
+    for col in partition_by:
+        prefix = f"{col}="
+        nxt = []
+        for d, vals in levels:
+            for name in _fs().listdir(d):
+                sub = os.path.join(d, name)
+                if name.startswith(prefix) and _fs().isdir(sub):
+                    nxt.append((sub, vals + [unquote(name[len(prefix):])]))
+        levels = nxt
+    return {"/".join(vals): d for d, vals in levels}
+
+
 def _compact_partitions(
     spark: SparkSession,
     path: str,
@@ -235,23 +262,30 @@ def _compact_partitions(
     # on (partition, slot) and write partitionBy in a single pass. The
     # per-directory swap stays — rename-pair per matched dir, metadata
     # only, same atomicity as before.
-    matched: list[tuple] = []
+    # Partition directories come from the FILESYSTEM, matched on the
+    # unescaped dir values against the Spark-rendered key — never from
+    # Python f"{c}={row[c]}" rendering, which disagrees with Spark's
+    # path encoding for bool (True vs true), timestamp (: is
+    # %3A-escaped on disk), and float values, silently skipping those
+    # partitions (the isdir probe misses).
+    live_dirs = _hive_partition_dirs(path, partition_by)
+    matched: list[tuple[str, str]] = []  # (spark_key, live subdir)
     n_out_by_key: dict[str, int] = {}
     for row in part_rows:
-        subdir = os.path.join(path, *(f"{c}={row[c]}" for c in partition_by))
-        if not _fs().isdir(subdir):  # pragma: no cover - defensive
+        key = row["__spark_key"]
+        subdir = live_dirs.get(key)
+        if subdir is None:  # pragma: no cover - defensive
             continue
         stats = table_file_stats(subdir)
-        key = row["__spark_key"]
         n_out_by_key[key] = int(
             max(1, stats["total_bytes"] // target_file_bytes)
         )
-        matched.append((row, subdir))
+        matched.append((key, subdir))
     if not matched:
         return {"before": before, "after": before}
 
     sel = spark.read.option("basePath", path).parquet(
-        *[subdir for _row, subdir in matched]
+        *[subdir for _key, subdir in matched]
     )
     data_cols = [c for c in sel.columns if c not in partition_by]
     nout_map = F.create_map(
@@ -278,16 +312,17 @@ def _compact_partitions(
         .partitionBy(*partition_by)
         .parquet(staging)
     )
-    for row, subdir in matched:
-        staged_dir = os.path.join(
-            staging, *(f"{c}={row[c]}" for c in partition_by)
-        )
-        if not _fs().isdir(staged_dir):  # pragma: no cover - defensive
+    staged_dirs = _hive_partition_dirs(staging, partition_by)
+    for key, subdir in matched:
+        staged_dir = staged_dirs.get(key)
+        if staged_dir is None:  # pragma: no cover - defensive
             continue
         # backup is a SIBLING of the table root (never inside it: a
-        # stray dir under the root would corrupt partition discovery)
-        key = "_".join(f"{c}={row[c]}" for c in partition_by)
-        backup = f"{path}__compact_old_{key}"
+        # stray dir under the root would corrupt partition discovery);
+        # its name reuses the on-disk (escaped) dir names, so it is
+        # filesystem-safe for any partition value
+        tag = os.path.relpath(subdir, path).replace(os.sep, "_")
+        backup = f"{path}__compact_old_{tag}"
         _fs().rename_dir(subdir, backup)
         _fs().rename_dir(staged_dir, subdir)
         _fs().rmtree(backup)

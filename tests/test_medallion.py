@@ -210,6 +210,54 @@ def test_compact_where_is_partition_scoped(spark, tmp_path):
         compact(spark, path, where="bucket = 0")
 
 
+def test_compact_where_bool_and_timestamp_partitions(spark, tmp_path):
+    """Partition dirs whose on-disk rendering differs from Python's
+    str() — bool (true vs True) and timestamp (: is %3A-escaped) — must
+    actually compact, not silently no-op: the dir lookup matches the
+    filesystem's unescaped names against the Spark-rendered key."""
+    import datetime
+    import glob
+    import os
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import compact
+
+    path = str(tmp_path / "bt_table")
+    df = spark.createDataFrame(
+        [
+            (
+                i,
+                i % 2 == 0,
+                datetime.datetime(2024, 1, 1 + i % 2, 3, 30, 0),
+                f"v{i}",
+            )
+            for i in range(200)
+        ],
+        "id long, flag boolean, ts timestamp, v string",
+    )
+    df.repartition(6).write.partitionBy("flag", "ts").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+
+    stats = compact(
+        spark, path, partition_by=("flag", "ts"), where="flag = true",
+        target_file_bytes=10**9,
+    )
+    # the bool/timestamp partitions were REWRITTEN (the old Python
+    # f-string dir probe missed them and returned before == after)
+    assert stats["after"]["n_files"] < stats["before"]["n_files"]
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows
+    for ts_dir in glob.glob(os.path.join(path, "flag=true", "ts=*")):
+        assert len(glob.glob(os.path.join(ts_dir, "*.parquet"))) == 1
+    # flag=false untouched (still multiple files)
+    false_files = [
+        f
+        for d in glob.glob(os.path.join(path, "flag=false", "ts=*"))
+        for f in glob.glob(os.path.join(d, "*.parquet"))
+    ]
+    assert len(false_files) > len(glob.glob(os.path.join(path, "flag=false", "ts=*")))
+    # no staging/backup siblings left behind
+    assert glob.glob(f"{path}__*") == []
+
+
 def test_analytics_queries_over_gold(spark, pipeline):
     """The reference's five Athena queries run unchanged (minus catalog
     prefix) over our Gold tables via spark.sql."""
