@@ -3,6 +3,7 @@
 from . import advanced  # noqa: F401
 from . import athena  # noqa: F401
 from . import callcenter  # noqa: F401
+from . import delta_facade  # noqa: F401
 from . import formats  # noqa: F401
 from . import llm  # noqa: F401
 from . import llm2  # noqa: F401

@@ -1,0 +1,165 @@
+"""Registry queries driving DML through the delta-spark ``DeltaTable``
+facade (``sources/delta_api.py``) — the reference's literal API surface
+(``/root/reference/glue_jobs/01_silver_delta_upsert.py:99-112``), made
+CORRECTNESS-visible: the oracle reconstructs the post-merge table
+directly from the source views, so the clause resolution (first
+applicable wins), delete filtering, insert anti-join, and the
+classic-vs-general plan routing all have to be right for the value
+hashes to match.
+
+- ``delta_api_merge_clauses`` — the GENERAL merge executor: conditional
+  ``whenMatchedUpdate`` + ``whenMatchedDelete`` + ``whenNotMatchedInsertAll``
+  (clause conditions force the general path; one left_outer + one
+  left_anti join, key-partitioned shuffles).
+- ``delta_api_convert_upsert`` — ``convertToDelta`` adoption of a plain
+  parquet directory followed by the reference's classic
+  ``updateAll + insertAll`` combo, which routes to the
+  ``merge_upsert`` key-join plan.
+
+Scale note: the managed-table scratch writes are the point (the commit
+protocol is the operator under test); the analytical read-back is a
+single hash-agg on the merged snapshot.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+@query(
+    "delta_api_merge_clauses",
+    oracle="""
+    WITH target AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), src AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), kept AS (
+      -- matched & even custkey -> updated to 'X'; matched & odd -> deleted;
+      -- unmatched target rows pass through unchanged
+      SELECT t.o_orderkey, t.o_custkey,
+             CASE WHEN s.o_orderkey IS NOT NULL AND t.o_custkey % 2 = 0
+                  THEN 'X' ELSE t.o_orderstatus END AS o_orderstatus
+      FROM target t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE s.o_orderkey IS NULL OR t.o_custkey % 2 = 0
+    ), ins AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM src WHERE o_orderkey % 3 <> 0
+    ), merged AS (
+      SELECT * FROM kept UNION ALL SELECT * FROM ins
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def delta_api_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-clause Delta MERGE through the facade: a third of orders is
+    the target table, even-keyed orders the source; matched rows update
+    to status 'X' when the customer key is even, are DELETED when odd,
+    and unmatched source rows insert — the general executor's one
+    left_outer + one left_anti plan. The read-back aggregate equals the
+    oracle's direct reconstruction only if every clause resolved in
+    Delta order."""
+    from ..sources import managed_table as mt
+    from ..sources.delta_api import DeltaTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    path = tempfile.mkdtemp(prefix="dapi_gen_") + "/t"
+    mt.initial_write(
+        orders.filter(F.col("o_orderkey") % 3 == 0), path,
+        keys=("o_orderkey",),
+    )
+    src = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_orderstatus", F.lit("X")
+    )
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(source=src.alias("s"), condition="t.o_orderkey = s.o_orderkey")
+        .whenMatchedUpdate(
+            condition="t.o_custkey % 2 = 0",
+            set={"o_orderstatus": "s.o_orderstatus"},
+        )
+        .whenMatchedDelete(condition="t.o_custkey % 2 = 1")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return (
+        mt.read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_custkey").cast("long").alias("sum_cust"),
+        )
+    )
+
+
+@query(
+    "delta_api_convert_upsert",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment
+      FROM customer WHERE c_custkey % 2 = 1
+    ), src AS (
+      SELECT c_custkey, c_nationkey, 'UPD' AS c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 0
+    ), merged AS (
+      SELECT t.c_custkey,
+             COALESCE(s.c_nationkey, t.c_nationkey) AS c_nationkey,
+             CASE WHEN s.c_custkey IS NOT NULL
+                  THEN 'UPD' ELSE t.c_mktsegment END AS c_mktsegment
+      FROM target t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+      UNION ALL
+      SELECT c_custkey, c_nationkey, c_mktsegment
+      FROM src WHERE c_custkey % 2 = 0
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_nationkey) AS BIGINT) AS sum_nat
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def delta_api_convert_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT TO DELTA + the reference's classic merge idiom: odd-keyed
+    customers land as a PLAIN parquet directory, ``convertToDelta``
+    adopts it in place (marker only — no rewrite), and the literal
+    ``updateAll + insertAll`` combo from the Silver job routes through
+    the key-join ``merge_upsert`` plan. The aggregate proves both the
+    adoption (nothing lost/duplicated) and the upsert."""
+    from ..sources import managed_table as mt
+    from ..sources.delta_api import DeltaTable
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    path = tempfile.mkdtemp(prefix="dapi_cvt_") + "/t"
+    cust.filter(F.col("c_custkey") % 2 == 1).write.parquet(path)
+    DeltaTable.convertToDelta(spark, path, keys=("c_custkey",))
+    src = cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_mktsegment", F.lit("UPD")
+    )
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(source=src.alias("s"), condition="t.c_custkey = s.c_custkey")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    return (
+        mt.read(spark, path)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("c_nationkey").cast("long").alias("sum_nat"),
+        )
+    )

@@ -73,6 +73,22 @@ def _q(alias: str, col: str) -> Column:
     return F.col(f"{alias}.{col}")
 
 
+def _plan_alias(df: DataFrame) -> str | None:
+    """Name of the top-level ``SubqueryAlias`` on *df*'s analyzed plan
+    (i.e. the result of ``df.alias(name)``), or None when the caller
+    never aliased. delta-spark resolves merge conditions against the
+    caller's own alias, so the facade must preserve it — re-aliasing to
+    a fixed name would shadow ``src.alias("u")`` and break the legal
+    ``merge(src.alias("u"), "t.k = u.k")`` idiom."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "SubqueryAlias":
+            return plan.alias()
+    except Exception:  # pragma: no cover - defensive (Connect, etc.)
+        return None
+    return None
+
+
 # --------------------------------------------------------------------------
 # General MERGE executor
 # --------------------------------------------------------------------------
@@ -149,7 +165,34 @@ def general_merge(
     keys = list(meta.get("keys", []))
     partition_by = tuple(meta.get("partition_by", ()) or ())
     cdf_on = managed_table._cdf_on(meta)
+    # checkpoint the source so the target-side join and the insert anti
+    # join read ONE materialization; the blocks are RDD persistence
+    # (clearCache doesn't touch them — perf trap 4), so they must be
+    # dropped after the commit or a many-merges loop pins memory.
+    sc = spark.sparkContext
+    persisted_before = set(sc._jsc.getPersistentRDDs().keys())
     source = source.localCheckpoint(eager=False)
+    try:
+        _general_merge_body(
+            spark, path, source, condition, meta, base_version,
+            matched_cl, insert_cl, by_src_cl,
+            target_alias, source_alias, keys, partition_by, cdf_on,
+            max_history, txn,
+        )
+    finally:
+        for rid, jrdd in sc._jsc.getPersistentRDDs().items():
+            if rid not in persisted_before:
+                jrdd.unpersist(False)
+
+
+def _general_merge_body(
+    spark, path, source, condition, meta, base_version,
+    matched_cl, insert_cl, by_src_cl,
+    target_alias, source_alias, keys, partition_by, cdf_on,
+    max_history, txn,
+) -> None:
+    target = managed_table._read_logical(spark, path)
+    out_cols = list(target.columns)  # includes __row_id on tracked tables
 
     t = (
         target.withColumn("__tid", F.monotonically_increasing_id())
@@ -251,6 +294,18 @@ def general_merge(
             ins_action = ins_action.when(cond, F.lit(f"i{i}"))
         ins_action = ins_action.otherwise(F.lit("drop"))
 
+        # a column the clause doesn't assign takes its pending ADD
+        # COLUMN DEFAULT when one is declared (SQL DEFAULT semantics —
+        # the same rule merge_upsert applies, so classic and general
+        # routing insert identical rows), NULL otherwise
+        added = meta.get("added_columns", {})
+
+        def _unassigned(col: str) -> Column:
+            spec = added.get(col)
+            if spec is not None:
+                return F.lit(spec.get("default")).cast(spec["type"])
+            return F.lit(None)
+
         def _ins_val(col: str) -> Column:
             val = F.when(F.lit(False), F.lit(None))
             for i, cl in enumerate(insert_cl):
@@ -258,13 +313,13 @@ def general_merge(
                     new = (
                         _q(source_alias, col)
                         if col in src_cols and col != _ROWID_COL
-                        else F.lit(None)
+                        else _unassigned(col)
                     )
                 else:
                     new = (
                         _as_col(cl.assignments[col])
                         if col in cl.assignments
-                        else F.lit(None)
+                        else _unassigned(col)
                     )
                 val = val.when(F.col("__ins") == f"i{i}", new)
             return val.otherwise(F.lit(None))
@@ -347,7 +402,21 @@ class DeltaMergeBuilder:
 
     def __init__(self, table: "DeltaTable", source: DataFrame, condition):
         self._table = table
+        # preserve the caller's alias (delta-spark resolves the merge
+        # condition against whatever alias the source carries); only an
+        # UNaliased source gets the conventional "s"
+        alias = _plan_alias(source)
+        if alias is None:
+            alias = "s"
+            source = source.alias("s")
+        if alias == table._alias:
+            raise ValueError(
+                f"merge: source alias {alias!r} collides with the target "
+                "alias — the merge condition could not distinguish the "
+                "two sides; alias one of them differently"
+            )
         self._source = source
+        self._source_alias = alias
         self._condition = condition
         self._clauses: list[_Clause] = []
         self._schema_evolution = False
@@ -399,20 +468,28 @@ class DeltaMergeBuilder:
     # -- execution ---------------------------------------------------------
     def _equi_keys(self) -> list[str] | None:
         """``t.k1 = s.k1 AND t.k2 = s.k2`` (any alias order) -> keys;
-        anything else -> None (general path)."""
+        anything else -> None (general path). Each conjunct must pair
+        ONE target-alias side with ONE source-alias side — a same-alias
+        tautology like ``t.k = t.k`` is NOT an equi-key (routing it to
+        the key-join plan would silently change the merge semantics)."""
         if not isinstance(self._condition, str):
             return None
         import re
 
-        ta, sa = self._table._alias, "s"
+        ta, sa = self._table._alias, self._source_alias
         keys = []
         for part in re.split(r"(?i)\s+and\s+", self._condition.strip()):
             m = re.fullmatch(
-                rf"\s*(?:{ta}|{sa})\.(\w+)\s*=\s*(?:{ta}|{sa})\.(\w+)\s*", part
+                rf"\s*({re.escape(ta)}|{re.escape(sa)})\.(\w+)"
+                rf"\s*=\s*({re.escape(ta)}|{re.escape(sa)})\.(\w+)\s*",
+                part,
             )
-            if not m or m.group(1) != m.group(2):
+            if not m:
                 return None
-            keys.append(m.group(1))
+            a1, c1, a2, c2 = m.groups()
+            if {a1, a2} != {ta, sa} or c1 != c2:
+                return None
+            keys.append(c1)
         return keys or None
 
     def execute(self) -> None:
@@ -455,6 +532,7 @@ class DeltaMergeBuilder:
             self._condition,
             self._clauses,
             target_alias=self._table._alias,
+            source_alias=self._source_alias,
         )
 
 
@@ -491,6 +569,118 @@ class DeltaOptimizeBuilder:
         )
 
 
+class DeltaTableBuilder:
+    """delta-spark ``DeltaTable.create/createIfNotExists/createOrReplace/
+    replace`` DDL builder: declare schema (``addColumn``/``addColumns``),
+    layout (``partitionedBy``), and table metadata (``property``,
+    ``comment``), then ``execute()`` to commit an EMPTY table through the
+    standard crash-atomic path. ``generatedAlwaysAs`` maps to the
+    engine's generated-column marker (recomputed at every commit),
+    exactly delta-spark's semantic.
+
+    ``mode`` semantics match delta-spark: ``create`` errors if the table
+    exists, ``createIfNotExists`` no-ops, ``createOrReplace`` replaces
+    (or creates), ``replace`` errors if the table does NOT exist.
+    """
+
+    def __init__(self, spark: SparkSession, mode: str):
+        self._spark = spark
+        self._mode = mode
+        self._path: str | None = None
+        self._cols: list[tuple] = []  # (name, ddl_type, generated_expr)
+        self._partition_by: tuple[str, ...] = ()
+        self._properties: dict = {}
+        self._comment: str | None = None
+        self._keys: tuple[str, ...] = ()
+
+    def location(self, path: str) -> "DeltaTableBuilder":
+        self._path = path
+        return self
+
+    def tableName(self, identifier: str) -> "DeltaTableBuilder":
+        raise NotImplementedError(
+            "metastore-registered CREATE TABLE is not supported by the "
+            "path-based engine — use .location(path) (register the path "
+            "in the session catalog separately if needed)"
+        )
+
+    def addColumn(
+        self,
+        colName: str,
+        dataType,
+        nullable: bool = True,  # noqa: ARG002 - parity; emptiness makes it moot
+        generatedAlwaysAs: str | None = None,
+        comment: str | None = None,  # noqa: ARG002 - accepted for parity
+    ) -> "DeltaTableBuilder":
+        dtype = dataType if isinstance(dataType, str) else dataType.simpleString()
+        self._cols.append((colName, dtype, generatedAlwaysAs))
+        return self
+
+    def addColumns(self, schema) -> "DeltaTableBuilder":
+        for f in schema.fields:
+            self._cols.append((f.name, f.dataType.simpleString(), None))
+        return self
+
+    def partitionedBy(self, *cols: str) -> "DeltaTableBuilder":
+        self._partition_by = tuple(
+            c for group in cols
+            for c in (group if isinstance(group, (list, tuple)) else [group])
+        )
+        return self
+
+    def property(self, key: str, value) -> "DeltaTableBuilder":
+        self._properties[key] = value
+        return self
+
+    def comment(self, text: str) -> "DeltaTableBuilder":
+        self._comment = text
+        return self
+
+    def primaryKeys(self, *keys: str) -> "DeltaTableBuilder":
+        """Engine extension: record merge/PK keys in the marker."""
+        self._keys = tuple(keys)
+        return self
+
+    def execute(self) -> "DeltaTable":
+        if self._path is None:
+            raise ValueError("create builder requires .location(path)")
+        if not self._cols:
+            raise ValueError("create builder requires at least one addColumn")
+        exists = managed_table.is_table(self._spark, self._path)
+        if exists:
+            if self._mode == "create":
+                raise ValueError(f"{self._path} is already a managed table")
+            if self._mode == "createIfNotExists":
+                return DeltaTable(self._spark, self._path)
+        elif self._mode == "replace":
+            raise ValueError(
+                f"replace: {self._path} is not a managed table (use "
+                "createOrReplace to create it)"
+            )
+        generated = {
+            name: gen for name, _t, gen in self._cols if gen is not None
+        }
+        physical = [
+            (name, dtype) for name, dtype, gen in self._cols if gen is None
+        ]
+        empty = self._spark.createDataFrame(
+            [], ", ".join(f"{n} {t}" for n, t in physical)
+        )
+        props = dict(self._properties)
+        if self._comment is not None:
+            props["comment"] = self._comment
+        managed_table.commit_overwrite(
+            empty,
+            self._path,
+            keys=self._keys,
+            partition_by=self._partition_by,
+            generated=generated or None,
+            properties=props,
+            schema_mode="overwrite",
+        )
+        return DeltaTable(self._spark, self._path)
+
+
 # --------------------------------------------------------------------------
 # The table handle
 # --------------------------------------------------------------------------
@@ -514,11 +704,38 @@ class DeltaTable:
     def isDeltaTable(cls, spark: SparkSession, path: str) -> bool:
         return managed_table.is_table(spark, path)
 
+    # -- DDL builders ---------------------------------------------------------
+    @classmethod
+    def create(cls, spark: SparkSession) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(spark, "create")
+
+    @classmethod
+    def createIfNotExists(cls, spark: SparkSession) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(spark, "createIfNotExists")
+
+    @classmethod
+    def createOrReplace(cls, spark: SparkSession) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(spark, "createOrReplace")
+
+    @classmethod
+    def replace(cls, spark: SparkSession) -> "DeltaTableBuilder":
+        return DeltaTableBuilder(spark, "replace")
+
     @classmethod
     def convertToDelta(
-        cls, spark: SparkSession, path: str, partition_by: Sequence[str] = ()
+        cls,
+        spark: SparkSession,
+        path: str,
+        partition_by: Sequence[str] = (),
+        keys: Sequence[str] = (),
     ) -> "DeltaTable":
-        managed_table.convert_to_managed(spark, path, partition_by=partition_by)
+        """``CONVERT TO DELTA`` — adopt an existing parquet directory in
+        place. ``partition_by`` declares the existing Hive layout
+        (delta-spark's ``partitionSchema``); ``keys`` is an engine
+        extension recording the merge keys in the marker."""
+        managed_table.convert_to_managed(
+            spark, path, keys=keys, partition_by=partition_by
+        )
         return cls(spark, path)
 
     # -- reads ---------------------------------------------------------------
@@ -550,10 +767,10 @@ class DeltaTable:
         )
 
     def merge(self, source: DataFrame, condition) -> DeltaMergeBuilder:
-        # the source is re-aliased "s" at execution (outer alias of the
-        # same name is a no-op when the caller already did it), so
-        # delta-spark's `merge(src.alias("s"), "t.k = s.k")` idiom works
-        return DeltaMergeBuilder(self, source.alias("s"), condition)
+        # the builder preserves the caller's source alias when present
+        # (`merge(src.alias("u"), "t.k = u.k")` is legal delta-spark)
+        # and aliases an unaliased source "s" by convention
+        return DeltaMergeBuilder(self, source, condition)
 
     # -- maintenance -----------------------------------------------------------
     def optimize(self) -> DeltaOptimizeBuilder:

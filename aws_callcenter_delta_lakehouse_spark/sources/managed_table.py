@@ -147,7 +147,8 @@ class ProtocolError(RuntimeError):
 # ``_check_writer``) — mirroring Delta's table-features negotiation,
 # where readers check readerFeatures and writers check writerFeatures.
 SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionVectors", "columnMapping", "columnDefaults"}
+    {"deletionVectors", "columnMapping", "columnDefaults",
+     "emptyTableSchema"}
 )
 SUPPORTED_WRITER_FEATURES = frozenset(
     {
@@ -160,6 +161,7 @@ SUPPORTED_WRITER_FEATURES = frozenset(
         "uniqueKeys",
         "rowTracking",
         "columnDefaults",
+        "emptyTableSchema",
     }
 )
 
@@ -195,6 +197,14 @@ def _required_features(marker: dict) -> tuple[set, set]:
         writer.add("identityColumns")
     if marker.get("unique_keys"):
         writer.add("uniqueKeys")
+    if marker.get("schema_json"):
+        # zero-data-file snapshot: the schema lives in the marker
+        # (Delta's schema-in-log). Reader: a scan that can't synthesize
+        # the empty frame fails (loudly) on schema inference; writer: a
+        # file-preserving commit that drops the field strands the table
+        # unreadable.
+        reader.add("emptyTableSchema")
+        writer.add("emptyTableSchema")
     if marker.get("row_tracking") or (marker.get("properties") or {}).get(
         _ROWTRACK_PROP
     ):
@@ -375,7 +385,9 @@ def _write_marker_like(
         extra=(
             {
                 k: live_marker[k]
-                for k in ("has_cdf", "row_tracking")
+                # schema_json: a data-preserving rewrite of an EMPTY
+                # table stays empty, so the marker-held schema carries
+                for k in ("has_cdf", "row_tracking", "schema_json")
                 if live_marker.get(k)
             }
             or None
@@ -651,7 +663,21 @@ def _read_physical(spark: SparkSession, snap: str) -> DataFrame:
     (an unknown reader feature refuses loudly instead of misreading)."""
     marker = _read_marker(snap)
     _check_reader(marker, snap)
-    return _apply_dv(spark, spark.read.parquet(snap), snap, marker)
+    try:
+        raw = spark.read.parquet(snap)
+    except Exception as exc:
+        # a snapshot committed EMPTY has zero parquet footers (a
+        # partitioned write of an empty frame emits no files at all):
+        # serve the schema the commit recorded in the marker — Delta's
+        # schema-in-log. Files, when present, always win (the fallback
+        # only fires when inference finds nothing to read).
+        sj = marker.get("schema_json")
+        if not sj or "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+            raise
+        from pyspark.sql.types import StructType
+
+        raw = spark.createDataFrame([], StructType.fromJson(json.loads(sj)))
+    return _apply_dv(spark, raw, snap, marker)
 
 
 def _refuse_if_referenced(marker: dict, col: str, action: str) -> None:
@@ -1237,6 +1263,13 @@ def merge_upsert(
     target = _read_logical(spark, path)
     base_version = table_version(path)  # optimistic-concurrency baseline
     meta = _read_marker(path)
+    # MERGE never changes the table's partitioning (the Delta contract):
+    # when the caller doesn't name a layout, the marker's declared one
+    # carries through — a bare merge on a partitioned table must not
+    # silently rewrite it unpartitioned and drop the layout.
+    partition_by = tuple(partition_by) or tuple(
+        meta.get("partition_by", ()) or ()
+    )
     if (meta.get("properties") or {}).get(_APPEND_ONLY_PROP):
         # Delta delta.appendOnly: INSERT-ONLY merges pass (adding rows
         # is the point of an event log); a matched row would be an
@@ -1617,8 +1650,16 @@ def commit_overwrite(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
-    _enforce_constraints(df.sparkSession, staging, constraints)
-    if uk:
+    # an EMPTY staged snapshot (CREATE TABLE, or a partitioned write of
+    # zero rows — which emits no files) has nothing to probe: skip every
+    # staged-parquet read below (each would die on schema inference) and
+    # record the schema in the marker instead, so reads can serve the
+    # declared empty frame (Delta's schema-in-log)
+    staged_stats = _snapshot_stats(staging)
+    staged_empty = int(staged_stats["n_files"]) == 0
+    if not staged_empty:
+        _enforce_constraints(df.sparkSession, staging, constraints)
+    if uk and not staged_empty:
         # key-pruned duplicate existence probe over the staged snapshot
         dup = (
             df.sparkSession.read.parquet(staging)
@@ -1634,7 +1675,7 @@ def commit_overwrite(
                 f"tuple {tuple(offender[0])}; commit aborted, table "
                 "unchanged"
             )
-    if id_cols:  # advance high-water from the STAGED snapshot (one
+    if id_cols and not staged_empty:  # advance high-water from the STAGED snapshot (one
         # column-pruned max; the value commits atomically in the marker)
         staged = df.sparkSession.read.parquet(staging)
         maxes = staged.agg(
@@ -1650,7 +1691,7 @@ def commit_overwrite(
             ) if maxes[c] is not None else int(spec["high_water"])}
             for c, spec in id_cols.items()
         }
-    if tracking:
+    if tracking and not staged_empty:
         # monotonic like identity: a RESTORE or delete-of-newest must
         # never hand out an already-issued row id again
         staged_max = (
@@ -1694,6 +1735,17 @@ def commit_overwrite(
         extra["has_cdf"] = True
     if tracking:
         extra["row_tracking"] = {"high_water": int(row_hw)}
+    extra["stats"] = staged_stats  # computed above; spare the recount
+    if staged_empty:
+        from pyspark.sql.types import StructType
+
+        # partition columns go LAST — the order a file-backed read of a
+        # partitioned snapshot reports, so the schema is stable across
+        # the table's first real data commit
+        pset = set(partition_by)
+        fields = [f for f in df.schema.fields if f.name not in pset]
+        fields += [f for f in df.schema.fields if f.name in pset]
+        extra["schema_json"] = StructType(fields).json()
     _write_marker(
         staging, key_list, partition_by, version=version, txn=txn,
         constraints=constraints, generated=gen_cols, identity=id_cols,
@@ -1969,6 +2021,7 @@ def _delete_where_dv(
         "dropped_columns",
         "row_tracking",
         "added_columns",
+        "schema_json",  # file-preserving commit on an empty table stays empty
     ):
         if marker.get(carried):
             extra[carried] = marker[carried]
@@ -2194,6 +2247,7 @@ def _update_where_dv(
         "dropped_columns",
         "row_tracking",
         "added_columns",
+        "schema_json",  # file-preserving commit on an empty table stays empty
     ):
         if marker.get(carried):
             extra[carried] = marker[carried]
@@ -2431,7 +2485,10 @@ def table_detail(path: str) -> dict:
 
 
 def convert_to_managed(
-    spark: SparkSession, path: str, keys: Sequence[str] = ()
+    spark: SparkSession,
+    path: str,
+    keys: Sequence[str] = (),
+    partition_by: Sequence[str] = (),
 ) -> dict:
     """``CONVERT TO DELTA`` analogue: adopt an EXISTING plain-parquet
     directory as a managed table IN PLACE — no data rewrite, no copy;
@@ -2439,12 +2496,25 @@ def convert_to_managed(
     atomic replace) into the directory as version 0. The first
     post-conversion DML then runs the full stage-and-swap like any
     other table. Refuses directories that are already managed (convert
-    is not idempotent-overwrite: it would reset version/txn state)."""
+    is not idempotent-overwrite: it would reset version/txn state).
+
+    ``partition_by`` declares the Hive partitioning of the EXISTING
+    layout (Delta's ``CONVERT TO DELTA ... PARTITIONED BY`` — the
+    directory names are the only record of it, so the caller must say);
+    it is validated against the inferred schema and recorded in the
+    marker so later rewrites preserve the layout."""
     if not _fs().isdir(path):
         raise ValueError(f"{path} is not a directory")
     if _fs().exists(os.path.join(path, _MARKER)):
         raise ValueError(f"{path} is already a managed table")
-    # sanity: it must actually hold parquet (schema readable)
-    spark.read.parquet(path).schema
-    _write_marker(path, tuple(keys), ())
+    # sanity: it must actually hold parquet (schema readable), and the
+    # declared partition columns must be real (partition-dir inferred)
+    schema_cols = set(spark.read.parquet(path).schema.names)
+    missing = [c for c in partition_by if c not in schema_cols]
+    if missing:
+        raise ValueError(
+            f"convert_to_managed: partition column(s) {missing} not found "
+            f"in the directory's inferred schema ({sorted(schema_cols)})"
+        )
+    _write_marker(path, tuple(keys), tuple(partition_by))
     return table_detail(path)

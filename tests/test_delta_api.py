@@ -1,0 +1,719 @@
+"""delta-spark ``DeltaTable`` facade contract tests.
+
+Mirrors the reference's literal Glue-job idioms
+(``/root/reference/glue_jobs/01_silver_delta_upsert.py:99-112`` —
+``isDeltaTable`` branch, ``forPath().alias("t").merge(source=...,
+condition="t.call_id = s.call_id").whenMatchedUpdateAll()
+.whenNotMatchedInsertAll().execute()``) plus the full delta-spark
+clause surface the facade claims: conditional update/delete/insert,
+by-source clauses, the multiple-source-match error, plan routing
+(classic combo -> merge_upsert key joins, anything else ->
+general_merge), caller-supplied source aliases, CDF change-set
+recording, row-tracking id preservation, appendOnly gating,
+ADD COLUMN DEFAULT parity between the two routes, convertToDelta,
+and the maintenance pass-throughs."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_callcenter_delta_lakehouse_spark.sources import delta_api as da
+from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+from aws_callcenter_delta_lakehouse_spark.sources.delta_api import DeltaTable
+
+
+def _make(spark, path, properties=None, keys=("id",)):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "name", "v"]
+    )
+    mt.commit_overwrite(df, path, keys=keys, properties=properties or {})
+    return df
+
+
+def _rows(spark, path):
+    return sorted(
+        (r.id, r.name, r.v) for r in mt.read(spark, path).collect()
+    )
+
+
+# ---------------------------------------------------------------------------
+# The reference's literal Silver idiom
+# ---------------------------------------------------------------------------
+
+def test_reference_silver_merge_idiom(spark, tmp_path):
+    """01_silver_delta_upsert.py:99-112 verbatim shape: existence probe,
+    alias("t"), merge(source=..., condition=...), updateAll+insertAll."""
+    path = str(tmp_path / "silver")
+    assert DeltaTable.isDeltaTable(spark, path) is False
+    _make(spark, path)
+    assert DeltaTable.isDeltaTable(spark, path) is True
+
+    src = spark.createDataFrame(
+        [(2, "B!", 99), (4, "d", 40)], ["id", "name", "v"]
+    )
+    delta_table = DeltaTable.forPath(spark, path)
+    (
+        delta_table.alias("t")
+        .merge(source=src.alias("s"), condition="t.id = s.id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert _rows(spark, path) == [
+        (1, "a", 10), (2, "B!", 99), (3, "c", 30), (4, "d", 40)
+    ]
+
+
+def test_for_path_rejects_non_table(spark, tmp_path):
+    with pytest.raises(ValueError, match="not a managed table"):
+        DeltaTable.forPath(spark, str(tmp_path / "nope"))
+
+
+# ---------------------------------------------------------------------------
+# Plan routing: classic combo -> merge_upsert, anything else -> general
+# ---------------------------------------------------------------------------
+
+def test_classic_combo_routes_to_merge_upsert(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(3, "C", 33)], ["id", "name", "v"])
+    calls = {}
+    real = mt.merge_upsert
+
+    def spy(*a, **kw):
+        calls["hit"] = kw.get("keys") or a[3]
+        return real(*a, **kw)
+
+    monkeypatch.setattr(da.managed_table, "merge_upsert", spy)
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert list(calls["hit"]) == ["id"]
+    assert _rows(spark, path) == [(1, "a", 10), (2, "b", 20), (3, "C", 33)]
+
+
+def test_classic_with_by_source_delete_routes_classic(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(1, "A", 11), (9, "i", 90)], ["id", "name", "v"])
+    hit = []
+    real = mt.merge_upsert
+    monkeypatch.setattr(
+        da.managed_table, "merge_upsert",
+        lambda *a, **kw: (hit.append(kw), real(*a, **kw))[1],
+    )
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .whenNotMatchedBySourceDelete()
+        .execute()
+    )
+    assert hit and hit[0]["not_matched_by_source"] == "delete"
+    assert _rows(spark, path) == [(1, "A", 11), (9, "i", 90)]
+
+
+def test_conditional_clause_routes_general(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(1, "A", 11)], ["id", "name", "v"])
+    monkeypatch.setattr(
+        da.managed_table, "merge_upsert",
+        lambda *a, **kw: pytest.fail("classic path must not be taken"),
+    )
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenMatchedUpdateAll(condition="s.v > 5")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert _rows(spark, path) == [(1, "A", 11), (2, "b", 20), (3, "c", 30)]
+
+
+def test_tautology_condition_is_not_equi_key(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(1, "A", 11)], ["id", "name", "v"])
+    b = (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = t.id")
+        .whenMatchedUpdateAll()
+    )
+    assert b._equi_keys() is None
+    b2 = (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "s.id = s.id")
+        .whenMatchedUpdateAll()
+    )
+    assert b2._equi_keys() is None
+
+
+def test_composite_equi_keys_any_order(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path, keys=("id", "name"))
+    src = spark.createDataFrame([(1, "a", 99)], ["id", "name", "v"])
+    b = (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id AND s.name = t.name")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+    )
+    assert b._equi_keys() == ["id", "name"]
+
+
+# ---------------------------------------------------------------------------
+# Caller-supplied source aliases (delta-spark accepts any alias)
+# ---------------------------------------------------------------------------
+
+def test_non_s_source_alias_classic(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(2, "B", 99), (5, "e", 50)], ["id", "name", "v"])
+    b = (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src.alias("u"), "t.id = u.id")
+    )
+    assert b._equi_keys() == ["id"]
+    b.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    assert _rows(spark, path) == [
+        (1, "a", 10), (2, "B", 99), (3, "c", 30), (5, "e", 50)
+    ]
+
+
+def test_non_s_source_alias_general_path(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(1, "A1", 111), (3, "C3", 3)], ["id", "name", "v"])
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src.alias("u"), "t.id = u.id")
+        .whenMatchedUpdate(condition="u.v > 100", set={"v": "u.v"})
+        .execute()
+    )
+    assert _rows(spark, path) == [(1, "a", 111), (2, "b", 20), (3, "c", 30)]
+
+
+def test_source_alias_colliding_with_target_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(1, "A", 11)], ["id", "name", "v"])
+    with pytest.raises(ValueError, match="collides"):
+        DeltaTable.forPath(spark, path).alias("t").merge(
+            src.alias("t"), "t.id = t.id"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Clause semantics (general executor)
+# ---------------------------------------------------------------------------
+
+def test_first_applicable_matched_clause_wins(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame(
+        [(1, "x", 100), (2, "x", 1)], ["id", "name", "v"]
+    )
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenMatchedUpdate(condition="s.v > 50", set={"name": F.lit("big")})
+        .whenMatchedUpdate(set={"name": F.lit("small")})
+        .execute()
+    )
+    assert _rows(spark, path) == [
+        (1, "big", 10), (2, "small", 20), (3, "c", 30)
+    ]
+
+
+def test_matched_delete_with_condition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame(
+        [(1, "_", 0), (2, "_", 0), (3, "_", 0)], ["id", "name", "v"]
+    )
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenMatchedDelete(condition="t.v >= 20")
+        .execute()
+    )
+    assert _rows(spark, path) == [(1, "a", 10)]
+
+
+def test_not_matched_insert_values_and_condition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame(
+        [(8, "keep", 80), (9, "drop", -1)], ["id", "name", "v"]
+    )
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenNotMatchedInsert(
+            condition="s.v > 0",
+            values={"id": "s.id", "name": F.upper("s.name"), "v": "s.v * 2"},
+        )
+        .execute()
+    )
+    assert _rows(spark, path) == [
+        (1, "a", 10), (2, "b", 20), (3, "c", 30), (8, "KEEP", 160)
+    ]
+
+
+def test_by_source_update_and_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(1, "_", 0)], ["id", "name", "v"])
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenNotMatchedBySourceUpdate(
+            condition="t.v < 25", set={"name": F.lit("stale")}
+        )
+        .whenNotMatchedBySourceDelete(condition="t.v >= 25")
+        .execute()
+    )
+    assert _rows(spark, path) == [(1, "a", 10), (2, "stale", 20)]
+
+
+def test_multiple_source_rows_matching_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame(
+        [(1, "d1", 1), (1, "d2", 2)], ["id", "name", "v"]
+    )
+    with pytest.raises(ValueError, match="multiple source rows"):
+        (
+            DeltaTable.forPath(spark, path).alias("t")
+            .merge(src, "t.id = s.id")
+            .whenMatchedUpdate(set={"v": "s.v"})
+            .execute()
+        )
+    # insert-only merges tolerate duplicate matches (the Delta rule)
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    assert _rows(spark, path) == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+
+
+def test_non_equi_merge_condition(spark, tmp_path):
+    """A range condition runs through the general executor untouched."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(15, "mid", 0)], ["lo", "name", "v"])
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.v > s.lo AND t.v < s.lo + 10")
+        .whenMatchedUpdate(set={"name": "s.name"})
+        .execute()
+    )
+    assert _rows(spark, path) == [(1, "a", 10), (2, "mid", 20), (3, "c", 30)]
+
+
+# ---------------------------------------------------------------------------
+# Engine integration: CDF, row tracking, appendOnly, defaults, unpersist
+# ---------------------------------------------------------------------------
+
+def test_general_merge_records_cdf_change_set(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path, properties={"enableChangeDataFeed": True})
+    v0 = mt.table_version(path)
+    src = spark.createDataFrame(
+        [(1, "A", 11), (7, "g", 70), (3, "_", 0)], ["id", "name", "v"]
+    )
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenMatchedUpdate(condition="s.id = 1", set={"v": "s.v"})
+        .whenMatchedDelete(condition="s.id = 3")
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    ch = mt.table_changes(spark, path, v0, mt.table_version(path))
+    got = sorted((r["_change_type"], r["id"]) for r in ch.collect())
+    assert got == [
+        ("delete", 3),
+        ("insert", 7),
+        ("update_postimage", 1),
+        ("update_preimage", 1),
+    ]
+
+
+def test_general_merge_preserves_row_tracking_ids(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path, properties={"enableRowTracking": True})
+    before = {
+        r.id: r[mt._ROWID_COL]
+        for r in mt._read_logical(spark, path).collect()
+    }
+    src = spark.createDataFrame([(2, "B", 99), (6, "f", 60)], ["id", "name", "v"])
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenMatchedUpdate(set={"v": "s.v"})
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    after = {
+        r.id: r[mt._ROWID_COL]
+        for r in mt._read_logical(spark, path).collect()
+    }
+    for k in (1, 2, 3):  # surviving rows keep their ids (update included)
+        assert after[k] == before[k]
+    assert after[6] not in set(before.values())  # insert got a fresh id
+
+
+def test_append_only_gating(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path, properties={"appendOnly": True})
+    src = spark.createDataFrame([(7, "g", 70)], ["id", "name", "v"])
+    dt = DeltaTable.forPath(spark, path).alias("t")
+    # pure insert (conditional, so it routes general): allowed
+    (
+        dt.merge(src, "t.id = s.id")
+        .whenNotMatchedInsert(condition="s.v > 0", values={
+            "id": "s.id", "name": "s.name", "v": "s.v"})
+        .execute()
+    )
+    assert len(_rows(spark, path)) == 4
+    with pytest.raises(mt.AppendOnlyError):
+        dt.merge(src, "t.id = s.id").whenMatchedUpdate(
+            set={"v": "s.v"}
+        ).execute()
+    with pytest.raises(mt.AppendOnlyError):
+        dt.delete("id = 1")
+
+
+def test_insert_fills_add_column_default_both_routes(spark, tmp_path):
+    """The same logical merge must insert the declared DEFAULT whether
+    it routes classic (merge_upsert) or general (conditional insert)."""
+    for route in ("classic", "general"):
+        path = str(tmp_path / f"t_{route}")
+        mt.commit_overwrite(
+            spark.createDataFrame([(1, "a")], ["id", "name"]),
+            path, keys=("id",),
+        )
+        mt.add_column(spark, path, "tier", "string", default="bronze")
+        src = spark.createDataFrame([(5, "e")], ["id", "name"])
+        b = DeltaTable.forPath(spark, path).alias("t").merge(
+            src, "t.id = s.id"
+        )
+        if route == "classic":
+            b.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+        else:
+            b.whenNotMatchedInsert(
+                condition="s.id > 0", values={"id": "s.id", "name": "s.name"}
+            ).execute()
+        got = {(r.id, r.tier) for r in mt.read(spark, path).collect()}
+        assert got == {(1, "bronze"), (5, "bronze")}, route
+
+
+def test_no_persistent_rdd_blocks_after_execute(spark, tmp_path):
+    """perf trap 4: general_merge's lazy localCheckpoint must be
+    unpersisted after the commit — a many-merges loop would otherwise
+    pin executor memory."""
+    sc = spark.sparkContext
+    before = set(sc._jsc.getPersistentRDDs().keys())
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(1, "A", 11)], ["id", "name", "v"])
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenMatchedUpdate(set={"v": "s.v"})
+        .execute()
+    )
+    leaked = set(sc._jsc.getPersistentRDDs().keys()) - before
+    assert not leaked
+
+
+def test_generated_column_assignment_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10)], ["id", "v"])
+    mt.commit_overwrite(
+        df, path, keys=("id",), generated={"v2": "v * 2"}
+    )
+    src = spark.createDataFrame([(1, 99)], ["id", "v"])
+    with pytest.raises(ValueError, match="generated/identity"):
+        (
+            DeltaTable.forPath(spark, path).alias("t")
+            .merge(src, "t.id = s.id")
+            .whenMatchedUpdate(set={"v2": "s.v"})
+            .execute()
+        )
+
+
+def test_schema_evolution_general_path_refused(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(1, "A", 11)], ["id", "name", "v"])
+    with pytest.raises(NotImplementedError, match="classic"):
+        (
+            DeltaTable.forPath(spark, path).alias("t")
+            .merge(src, "t.id = s.id")
+            .withSchemaEvolution()
+            .whenMatchedUpdate(set={"v": "s.v"})
+            .execute()
+        )
+
+
+# ---------------------------------------------------------------------------
+# convertToDelta
+# ---------------------------------------------------------------------------
+
+def test_convert_to_delta_unpartitioned(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    spark.createDataFrame([(1, "x"), (2, "y")], ["id", "v"]).write.parquet(raw)
+    dt = DeltaTable.convertToDelta(spark, raw)
+    assert DeltaTable.isDeltaTable(spark, raw)
+    assert dt.toDF().count() == 2
+    # post-conversion DML runs the normal commit path
+    dt.delete("id = 1")
+    assert dt.toDF().count() == 1
+
+
+def test_convert_to_delta_partitioned(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "b")], ["id", "v", "part"]
+    ).write.partitionBy("part").parquet(raw)
+    DeltaTable.convertToDelta(spark, raw, partition_by=("part",))
+    assert mt._read_marker(raw)["partition_by"] == ["part"]
+    # the declared layout survives a rewriting commit (the live
+    # snapshot is the table directory itself)
+    DeltaTable.forPath(spark, raw).update("id = 2", set={"v": F.lit("Y")})
+    assert any(
+        d.startswith("part=") for d in os.listdir(raw)
+        if not d.startswith("_")
+    )
+    got = {(r.id, r.v, r.part) for r in mt.read(spark, raw).collect()}
+    assert got == {(1, "x", "a"), (2, "Y", "b")}
+
+
+def test_convert_to_delta_rejects_bad_partition_and_double_convert(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    spark.createDataFrame([(1, "x")], ["id", "v"]).write.parquet(raw)
+    with pytest.raises(ValueError, match="partition column"):
+        DeltaTable.convertToDelta(spark, raw, partition_by=("nope",))
+    DeltaTable.convertToDelta(spark, raw)
+    with pytest.raises(ValueError, match="already a managed table"):
+        DeltaTable.convertToDelta(spark, raw)
+
+
+# ---------------------------------------------------------------------------
+# Pass-throughs: DML, maintenance, history/detail, restore, clone
+# ---------------------------------------------------------------------------
+
+def test_update_delete_history_detail(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    dt = DeltaTable.forPath(spark, path)
+    dt.update("id = 1", set={"v": F.lit(111)})
+    dt.delete("id = 3")
+    assert _rows(spark, path) == [(1, "a", 111), (2, "b", 20)]
+    h = dt.history()
+    assert h.count() >= 3
+    assert dt.history(limit=1).count() == 1
+    d = dt.detail()
+    assert d["numRows"] == 2 if "numRows" in d else True
+
+
+def test_restore_and_clone(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    v0 = mt.table_version(path)
+    dt = DeltaTable.forPath(spark, path)
+    dt.delete("id = 2")
+    assert len(_rows(spark, path)) == 2
+    dt.restoreToVersion(v0)
+    assert len(_rows(spark, path)) == 3
+    cl = dt.clone(str(tmp_path / "t2"))
+    assert _rows(spark, str(tmp_path / "t2")) == _rows(spark, path)
+    assert cl.toDF().count() == 3
+
+
+def test_optimize_compaction_and_vacuum(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 200).withColumn("v", F.col("id") * 2)
+    mt.commit_overwrite(df.repartition(8), path, keys=("id",))
+    dt = DeltaTable.forPath(spark, path)
+    res = dt.optimize().executeCompaction()
+    assert res["after"]["n_files"] <= res["before"]["n_files"]
+    assert dt.toDF().count() == 200
+    removed = dt.vacuum(retentionHours=0.0, dry_run=True)
+    assert isinstance(removed, list)
+
+
+# ---------------------------------------------------------------------------
+# DDL builders: create / createIfNotExists / createOrReplace / replace
+# ---------------------------------------------------------------------------
+
+def test_create_builder_schema_partition_properties(spark, tmp_path):
+    path = str(tmp_path / "t")
+    dt = (
+        DeltaTable.create(spark)
+        .location(path)
+        .addColumn("id", "bigint")
+        .addColumn("v", "double")
+        .addColumn("part", "string")
+        .addColumn("v2", "double", generatedAlwaysAs="v * 2")
+        .partitionedBy("part")
+        .property("enableChangeDataFeed", True)
+        .comment("builder-made")
+        .primaryKeys("id")
+        .execute()
+    )
+    assert DeltaTable.isDeltaTable(spark, path)
+    assert dt.toDF().count() == 0
+    marker = mt._read_marker(path)
+    assert marker["partition_by"] == ["part"]
+    assert marker["keys"] == ["id"]
+    assert marker["generated"] == {"v2": "v * 2"}
+    assert marker["properties"]["enableChangeDataFeed"] is True
+    assert marker["properties"]["comment"] == "builder-made"
+    # the declared schema is live: a merge into the empty table works
+    src = spark.createDataFrame([(1, 1.5, "a")], ["id", "v", "part"])
+    (
+        dt.alias("t").merge(src, "t.id = s.id")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    )
+    row = dt.toDF().collect()[0]
+    assert (row.id, row.v, row.part, row.v2) == (1, 1.5, "a", 3.0)
+
+
+def test_create_modes(spark, tmp_path):
+    path = str(tmp_path / "t")
+
+    def builder(mode):
+        b = getattr(DeltaTable, mode)(spark)
+        return b.location(path).addColumn("id", "bigint")
+
+    with pytest.raises(ValueError, match="not a managed table"):
+        builder("replace").execute()
+    builder("create").execute()
+    with pytest.raises(ValueError, match="already a managed table"):
+        builder("create").execute()
+    # IfNotExists no-ops: the existing (empty) table is untouched
+    mt.merge_upsert(
+        spark, path, spark.createDataFrame([(1,)], ["id"]), keys=("id",)
+    )
+    builder("createIfNotExists").execute()
+    assert mt.read(spark, path).count() == 1
+    # createOrReplace replaces
+    builder("createOrReplace").execute()
+    assert mt.read(spark, path).count() == 0
+    # replace now succeeds too
+    builder("replace").execute()
+    assert mt.read(spark, path).count() == 0
+
+
+def test_create_builder_validation(spark, tmp_path):
+    with pytest.raises(ValueError, match="location"):
+        DeltaTable.create(spark).addColumn("id", "bigint").execute()
+    with pytest.raises(ValueError, match="addColumn"):
+        DeltaTable.create(spark).location(str(tmp_path / "x")).execute()
+    with pytest.raises(NotImplementedError, match="location"):
+        DeltaTable.create(spark).tableName("db.t")
+
+
+def test_create_builder_add_columns_struct_type(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    path = str(tmp_path / "t")
+    schema = StructType([
+        StructField("id", LongType()),
+        StructField("name", StringType()),
+    ])
+    dt = (
+        DeltaTable.createOrReplace(spark)
+        .location(path)
+        .addColumns(schema)
+        .execute()
+    )
+    assert [f.name for f in dt.toDF().schema.fields] == ["id", "name"]
+
+
+def test_empty_table_lifecycle_partitioned(spark, tmp_path):
+    """CREATE TABLE of an empty PARTITIONED table emits zero parquet
+    files — the schema must live in the marker (Delta's schema-in-log):
+    reads serve the declared empty frame, DML populates it, and a
+    delete-to-empty round-trips back to marker-held schema."""
+    path = str(tmp_path / "t")
+    (
+        DeltaTable.createOrReplace(spark)
+        .location(path)
+        .addColumn("id", "bigint")
+        .addColumn("v", "string")
+        .addColumn("part", "string")
+        .partitionedBy("part")
+        .primaryKeys("id")
+        .execute()
+    )
+    dt = DeltaTable.forPath(spark, path)
+    assert dt.toDF().count() == 0
+    assert dt.toDF().columns == ["id", "v", "part"]
+    marker = mt._read_marker(path)
+    assert marker.get("schema_json")
+    assert "emptyTableSchema" in marker["reader_features"]
+    assert marker["stats"]["n_rows"] == 0
+
+    src = spark.createDataFrame([(1, "x", "a"), (2, "y", "b")], ["id", "v", "part"])
+    (
+        dt.alias("t").merge(src, "t.id = s.id")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+    )
+    assert dt.toDF().count() == 2
+    # data exists now: the schema rides in the files again
+    assert "schema_json" not in mt._read_marker(path)
+
+    # delete back to empty: a partitioned overwrite of zero rows emits
+    # zero files — the marker must pick the schema back up
+    dt.delete()
+    assert dt.toDF().count() == 0
+    assert dt.toDF().columns == ["id", "v", "part"]
+    assert mt._read_marker(path).get("schema_json")
+    # ... and the populated snapshot stays time-travel readable
+    assert mt.read(spark, path, version=1).count() == 2
+
+
+def test_empty_table_detail_history_clone(spark, tmp_path):
+    path = str(tmp_path / "t")
+    (
+        DeltaTable.create(spark)
+        .location(path)
+        .addColumn("id", "bigint")
+        .addColumn("part", "string")
+        .partitionedBy("part")
+        .execute()
+    )
+    dt = DeltaTable.forPath(spark, path)
+    assert dt.detail()["num_rows"] == 0
+    assert dt.history().count() == 1
+    cl = dt.clone(str(tmp_path / "t2"))
+    assert cl.toDF().count() == 0
+    assert cl.toDF().columns == ["id", "part"]
+
+
+def test_optimize_zorder(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 500).withColumn(
+        "k", (F.col("id") * 7919) % 100
+    ).withColumn("v", F.col("id") * 2)
+    mt.commit_overwrite(df.repartition(4), path, keys=("id",))
+    dt = DeltaTable.forPath(spark, path)
+    dt.optimize().executeZOrderBy("k")
+    assert dt.toDF().count() == 500
