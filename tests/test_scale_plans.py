@@ -554,3 +554,42 @@ def test_token_budget_single_source_shuffle(spark):
     # no shuffle ever carries the text payload
     for g in hash_parts:
         assert "text" not in g
+
+
+def test_general_merge_plan_is_key_joined(spark, tmp_path, monkeypatch):
+    """The facade's general merge executor must plan its target-side
+    left_outer and insert-side left_anti as EQUI joins when the merge
+    condition is an equi-condition — never a cartesian/nested-loop (at
+    100 TB that's target x source). Captured by intercepting the commit
+    and explaining the merged frame it was handed."""
+    from aws_callcenter_delta_lakehouse_spark.sources import delta_api as da
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.delta_api import DeltaTable
+
+    path = str(tmp_path / "t")
+    base = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    mt.commit_overwrite(base, path, keys=("id",))
+    src = spark.range(5_000, 15_000).withColumn("v", F.col("id") * 3)
+
+    captured = {}
+
+    def fake_commit(df, *a, **kw):
+        captured["df"] = df
+
+    monkeypatch.setattr(da.managed_table, "_commit_snapshot", fake_commit)
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .whenMatchedUpdate(condition="s.v > 0", set={"v": "s.v"})
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    p = captured["df"]._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "LeftAnti" in p  # the insert side is an anti join, not a subtract-rescan
