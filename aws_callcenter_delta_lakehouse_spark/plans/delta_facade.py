@@ -105,6 +105,81 @@ def delta_api_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_table_snapshot_tail",
+    oracle="""
+    WITH snap AS (
+      SELECT c_custkey, c_name, c_nationkey
+      FROM customer WHERE c_custkey % 3 = 0
+    ), ins AS (
+      SELECT c_custkey, c_name, c_nationkey
+      FROM customer WHERE c_custkey % 3 = 1
+    ), post AS (
+      SELECT c_custkey, c_name, CAST(-1 AS INT) AS c_nationkey
+      FROM customer
+      WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 5 = 0
+    )
+    SELECT * FROM (
+      SELECT * FROM snap UNION ALL SELECT * FROM ins
+      UNION ALL SELECT * FROM post)
+    ORDER BY c_custkey, c_nationkey, c_name
+    """,
+)
+def streaming_table_snapshot_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PLAIN table stream (Delta ``readStream.format("delta")``
+    analogue, `managed_table_stream` in sources/pydatasource.py) end to
+    end: snapshot of version 0 as the first microbatch, an insert-only
+    merge tailed from its change sidecar, and an UPDATE commit streamed
+    as post-images under ``ignoreChanges`` — all three phases land in
+    one memory sink whose exact rows the oracle reconstructs from the
+    source view. Deterministic predicates; O(changes) tail (one input
+    partition per sidecar file); scratch table in a per-run temp dir."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources import managed_table as mt
+    from ..sources.pydatasource import make_table_stream_source
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    path = tempfile.mkdtemp(prefix="tbl_stream_") + "/t"
+    mt.commit_overwrite(
+        base.filter(F.col("c_custkey") % 3 == 0), path, keys=("c_custkey",)
+    )
+    mt.set_table_property(path, "enableChangeDataFeed", True)
+    mt.merge_upsert(  # v1: insert-only
+        spark, path, base.filter(F.col("c_custkey") % 3 == 1),
+        keys=("c_custkey",),
+    )
+    mt.update_where(  # v2: post-images under ignoreChanges
+        spark, path, "c_custkey % 5 = 0",
+        {"c_nationkey": F.lit(-1).cast("int")},
+    )
+    spark.dataSource.register(make_table_stream_source())
+    sink = f"tbl_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("managed_table_stream")
+        .option("path", path)
+        .option("startingversion", 0)
+        .option("ignorechanges", True)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import os as _os
+    import shutil
+
+    shutil.rmtree(_os.path.dirname(path), ignore_errors=True)
+    return spark.table(sink).orderBy("c_custkey", "c_nationkey", "c_name")
+
+
+@query(
     "delta_api_convert_upsert",
     oracle="""
     WITH target AS (

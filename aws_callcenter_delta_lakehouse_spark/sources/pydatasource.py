@@ -307,3 +307,282 @@ def make_table_changes_stream_source():
             )
 
     return TableChangesStream
+
+
+def make_table_stream_source():
+    """Return a STREAMING DataSource serving a managed table's ROWS —
+    the Delta ``spark.readStream.format("delta")`` analogue (the plain
+    table stream, vs :func:`make_table_changes_stream_source` which is
+    ``readChangeFeed``): the FULL snapshot at stream start forms the
+    first microbatch, then each later version contributes its INSERTED
+    rows, identified O(changes) from the version's ``_change_data``
+    sidecar.
+
+    Delta's append-only streaming contract is mirrored exactly
+    (``DeltaSource`` refuses data updates with "Detected a data update
+    ... This is currently not supported"):
+
+    - a tailed version containing updates/deletes FAILS the stream by
+      default;
+    - ``.option("skipchangecommits", "true")`` skips such commits
+      entirely (Delta ``skipChangeCommits``);
+    - ``.option("ignorechanges", "true")`` additionally streams update
+      POST-IMAGES as new rows and drops deletes (Delta ``ignoreChanges``
+      replays whole rewritten files — the CDF post-image set is the
+      precise row-level version of the same semantic).
+    - ``.option("startingversion", V | "latest")``: an int serves the
+      snapshot AT version V first (must still be retained), then tails
+      V+1 onwards; ``"latest"`` skips the snapshot and tails only
+      commits after stream start (Delta ``startingVersion: latest``).
+
+    Protocol coupling, stated loudly instead of silently mis-served:
+    the tail needs ``enableChangeDataFeed`` (this engine's commits are
+    full snapshots — without the sidecar, a version's new rows are not
+    identifiable in O(changes); Delta gets this from its add-file log),
+    a snapshot with an ACTIVE deletion vector refuses (a raw file read
+    would resurrect soft-deleted rows — run materialize_deletes), and
+    pending column renames/drops refuse (commit a rewrite first).
+    Pending ADD COLUMN defaults ARE synthesized. Unpartitioned tables
+    only — partitioned feeds stream via ``table_changes_stream``.
+
+    Scale shape: driver work per microbatch = marker reads + one
+    sidecar listing + one ``_change_type``-column read (O(changes));
+    all row I/O is executor-side pyarrow, one input partition per
+    snapshot/sidecar file."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    _MARKER = "_engine_table.json"
+    _CDF = "_change_data"
+    _ROWID = "__row_id"
+
+    def _marker(snap):
+        p = _os.path.join(snap, _MARKER)
+        if not _os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return _json.loads(f.read())
+
+    def _snap_dir(path, v):
+        live = int(_marker(path).get("version", 0))
+        return (
+            path if v == live
+            else _os.path.join(f"{path}__history", f"v{v:06d}")
+        )
+
+    def _data_files(snap):
+        return sorted(_glob.glob(_os.path.join(snap, "*.parquet")))
+
+    _DDL_TYPES = {
+        "int64": "bigint",
+        "int32": "int",
+        "double": "double",
+        "float": "float",
+        "string": "string",
+        "large_string": "string",
+        "bool": "boolean",
+        "date32[day]": "date",
+        "timestamp[us]": "timestamp",
+        "timestamp[ns]": "timestamp",
+    }
+
+    def _logical_cols(path):
+        """[(name, ddl_type, default-or-None)] of the table's logical
+        data columns — from the marker-held schema when the table is
+        empty (schema-in-log), else one parquet footer."""
+        m = _marker(path)
+        if not m:
+            raise ValueError(f"{path} is not a managed table")
+        if m.get("column_mapping") or m.get("dropped_columns"):
+            raise ValueError(
+                "managed_table_stream: pending column renames/drops — "
+                "commit a rewrite to materialize them before streaming"
+            )
+        if m.get("partition_by"):
+            raise ValueError(
+                "managed_table_stream supports unpartitioned tables "
+                "(partition values live in dir names, not files); tail "
+                "partitioned tables via table_changes_stream"
+            )
+        cols = []
+        if m.get("schema_json"):
+            for f in _json.loads(m["schema_json"])["fields"]:
+                if not isinstance(f["type"], str):
+                    raise ValueError(
+                        f"managed_table_stream: unsupported nested type "
+                        f"for column {f['name']}"
+                    )
+                cols.append((f["name"], f["type"], None))
+        else:
+            files = _data_files(path)
+            if not files:
+                raise ValueError(
+                    f"{path}: no data files and no marker-held schema"
+                )
+            import pyarrow.parquet as _pq
+
+            for field in _pq.read_schema(files[0]):
+                t = _DDL_TYPES.get(str(field.type))
+                if t is None:
+                    raise ValueError(
+                        f"managed_table_stream: unsupported column type "
+                        f"{field.type} for {field.name}"
+                    )
+                cols.append((field.name, t, None))
+        cols = [c for c in cols if c[0] != _ROWID]
+        for name, spec in sorted((m.get("added_columns") or {}).items()):
+            cols.append((name, spec["type"], spec.get("default")))
+        return cols
+
+    class _TableStreamReader(DataSourceStreamReader):
+        def __init__(self, options, cols):
+            self.path = options["path"]
+            self.cols = cols
+            self.starting = options.get("startingversion")
+            self.ignore_changes = (
+                str(options.get("ignorechanges", "false")).lower() == "true"
+            )
+            self.skip_change_commits = (
+                str(options.get("skipchangecommits", "false")).lower()
+                == "true"
+            )
+
+        def initialOffset(self):
+            live = int(_marker(self.path).get("version", 0))
+            if self.starting is not None and str(
+                self.starting
+            ).lower() == "latest":
+                return {"version": live, "snapshot_done": True}
+            sv = live if self.starting is None else int(self.starting)
+            # snapshot_at rides IN the offset: a checkpoint restart
+            # replays exactly the snapshot version the stream began at
+            return {"version": sv, "snapshot_at": sv, "snapshot_done": False}
+
+        def latestOffset(self):
+            return {
+                "version": int(_marker(self.path).get("version", 0)),
+                "snapshot_done": True,
+            }
+
+        def partitions(self, start, end):
+            parts = []
+            if not start.get("snapshot_done", True):
+                sv = int(start["snapshot_at"])
+                snap = _snap_dir(self.path, sv)
+                m = _marker(snap)
+                if not m:
+                    raise ValueError(
+                        f"version {sv} of {self.path} is no longer "
+                        "retained — cannot serve the starting snapshot"
+                    )
+                if m.get("dv"):
+                    raise ValueError(
+                        "managed_table_stream: the starting snapshot has "
+                        "an active deletion vector — a raw file read "
+                        "would resurrect soft-deleted rows; run "
+                        "maintenance.materialize_deletes first"
+                    )
+                parts.extend(
+                    InputPartition(("snap", f, None))
+                    for f in _data_files(snap)
+                )
+            for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+                snap = _snap_dir(self.path, v)
+                m = _marker(snap)
+                if not m:
+                    raise ValueError(
+                        f"version {v} of {self.path} is no longer "
+                        "retained — the stream fell behind the table's "
+                        "history window"
+                    )
+                if not m.get("has_cdf"):
+                    raise ValueError(
+                        f"version {v} of {self.path} recorded no change "
+                        "sidecar — the plain table stream needs "
+                        "enableChangeDataFeed to identify a version's "
+                        "new rows in O(changes)"
+                    )
+                files = sorted(
+                    _glob.glob(_os.path.join(snap, _CDF, "*.parquet"))
+                )
+                import pyarrow.parquet as _pq
+
+                # classify the commit from the (changes-bounded) sidecar:
+                # ONLY the _change_type column crosses to the driver
+                types: set = set()
+                for f in files:
+                    types.update(
+                        _pq.read_table(f, columns=["_change_type"])
+                        .column(0)
+                        .to_pylist()
+                    )
+                mutating = types - {"insert"}
+                if mutating and self.skip_change_commits:
+                    continue
+                if mutating and not self.ignore_changes:
+                    raise ValueError(
+                        f"version {v} of {self.path} contains data "
+                        f"changes ({sorted(mutating)}) — a plain table "
+                        "stream serves appends only (the Delta "
+                        "contract). Set skipChangeCommits to skip such "
+                        "commits, or ignoreChanges to stream update "
+                        "post-images."
+                    )
+                allowed = (
+                    ("insert", "update_postimage")
+                    if self.ignore_changes
+                    else ("insert",)
+                )
+                parts.extend(
+                    InputPartition(("cdf", f, allowed)) for f in files
+                )
+            # Spark refuses an empty plan: no-op partition for
+            # zero-change advances (e.g. every tailed commit skipped)
+            return parts or [InputPartition(("noop", None, None))]
+
+        def read(self, partition):
+            kind, fpath, allowed = partition.value
+            if kind == "noop":
+                return
+            import pyarrow.parquet as _pq
+
+            cols = self.cols
+            table = _pq.read_table(fpath)
+            names = set(table.schema.names)
+            for batch in table.to_batches():
+                for r in batch.to_pylist():
+                    if kind == "cdf" and r.get("_change_type") not in allowed:
+                        continue
+                    # columns a file predates take their declared
+                    # DEFAULT — same rule as the batch read path
+                    yield tuple(
+                        r.get(c) if c in names else d for c, _t, d in cols
+                    )
+
+        def commit(self, end):
+            pass
+
+    class ManagedTableStream(DataSource):
+        @classmethod
+        def name(cls):
+            return "managed_table_stream"
+
+        def schema(self):
+            return ", ".join(
+                f"`{n}` {t}"
+                for n, t, _d in _logical_cols(self.options["path"])
+            )
+
+        def streamReader(self, schema):
+            return _TableStreamReader(
+                self.options, _logical_cols(self.options["path"])
+            )
+
+    return ManagedTableStream

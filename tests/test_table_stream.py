@@ -1,0 +1,271 @@
+"""Plain managed-table streaming source (`managed_table_stream`) — the
+Delta ``spark.readStream.format("delta")`` analogue: initial snapshot as
+the first microbatch, then each tailed version's INSERTED rows from its
+change sidecar. Pins the Delta append-only streaming contract:
+
+- data-changing commits FAIL the stream by default ("Detected a data
+  update" in Delta);
+- ``skipChangeCommits`` skips such commits; ``ignoreChanges`` streams
+  update post-images and drops deletes;
+- ``startingVersion`` replays from a retained snapshot; ``latest``
+  skips the snapshot phase;
+- checkpoint restart resumes at the committed version (offsets are
+  table versions from the marker, not reader state);
+- protocol refusals are loud: DV-active snapshot, CDF-less tail
+  version, partitioned table, pending renames.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import StreamingQueryException
+
+from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+from aws_callcenter_delta_lakehouse_spark.sources.pydatasource import (
+    make_table_stream_source,
+)
+
+
+def _make(spark, path, cdf=True, n=4):
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i * 10)) for i in range(1, n + 1)],
+        ["id", "name", "bal"],
+    )
+    mt.commit_overwrite(
+        df, path, keys=("id",),
+        properties={"enableChangeDataFeed": True} if cdf else None,
+    )
+
+
+def _drain(spark, path, **options):
+    spark.dataSource.register(make_table_stream_source())
+    reader = spark.readStream.format("managed_table_stream").option(
+        "path", path
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    sink = f"tstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sorted(
+        (r.id, r.name, r.bal) for r in spark.table(sink).collect()
+    )
+
+
+def test_snapshot_then_insert_tail(spark, tmp_path):
+    """First batch = the full snapshot; a later insert-only merge is
+    tailed from its sidecar; total equals the live table exactly."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+
+    spark.dataSource.register(make_table_stream_source())
+    sink = f"tstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("managed_table_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(sink).count() == 4  # the snapshot
+        new = spark.createDataFrame(
+            [(9, "n9", 90.0), (10, "n10", 100.0)], ["id", "name", "bal"]
+        )
+        mt.merge_upsert(spark, path, new, keys=("id",))  # insert-only
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r.id, r.name, r.bal) for r in spark.table(sink).collect())
+    want = sorted(
+        (r.id, r.name, r.bal) for r in mt.read(spark, path).collect()
+    )
+    assert got == want and len(got) == 6
+
+
+def test_update_commit_fails_stream_by_default(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.update_where(spark, path, "id = 1", {"bal": F.lit(0.0)})
+    # snapshot at v0, the v1 UPDATE lands in the tail range -> refuse
+    with pytest.raises(
+        (StreamingQueryException, Exception), match="data changes"
+    ):
+        _drain(spark, path, startingversion=0)
+
+
+def test_skip_change_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.update_where(spark, path, "id = 1", {"bal": F.lit(0.0)})  # v1: skipped
+    mt.merge_upsert(  # v2: tailed
+        spark, path,
+        spark.createDataFrame([(9, "n9", 90.0)], ["id", "name", "bal"]),
+        keys=("id",),
+    )
+    got = _drain(spark, path, startingversion=1, skipchangecommits=True)
+    # startingversion=1 serves the v1 SNAPSHOT (post-update) + v2 insert
+    assert (9, "n9", 90.0) in got
+    assert (1, "n1", 0.0) in got  # via the snapshot, not the change
+    assert len(got) == 5
+
+
+def test_ignore_changes_streams_postimages_drops_deletes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.update_where(spark, path, "id = 2", {"bal": F.lit(-2.0)})  # v1
+    mt.delete_where(spark, path, "id = 3")  # v2: delete rows dropped
+    got = _drain(spark, path, startingversion=0, ignorechanges=True)
+    # snapshot AT v0 (pre-update values) + the v1 post-image; no deletes
+    assert got.count((2, "n2", 20.0)) == 1  # snapshot row
+    assert got.count((2, "n2", -2.0)) == 1  # update post-image
+    assert (3, "n3", 30.0) in got  # v0 snapshot keeps it; v2 emits nothing
+    assert len(got) == 5
+
+
+def test_starting_version_latest_skips_snapshot(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+
+    spark.dataSource.register(make_table_stream_source())
+    sink = f"tstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("managed_table_stream")
+        .option("path", path)
+        .option("startingversion", "latest")
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(sink).count() == 0  # no snapshot phase
+        mt.merge_upsert(
+            spark, path,
+            spark.createDataFrame([(9, "n9", 90.0)], ["id", "name", "bal"]),
+            keys=("id",),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [(r.id, r.name, r.bal) for r in spark.table(sink).collect()]
+    assert got == [(9, "n9", 90.0)]
+
+
+def test_checkpoint_restart_resumes_not_replays(spark, tmp_path):
+    path = str(tmp_path / "t")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _make(spark, path)
+    spark.dataSource.register(make_table_stream_source())
+
+    def run_once():
+        q = (
+            spark.readStream.format("managed_table_stream")
+            .option("path", path)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()  # snapshot (4 rows)
+    mt.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(9, "n9", 90.0)], ["id", "name", "bal"]),
+        keys=("id",),
+    )
+    run_once()  # only the insert — snapshot not replayed
+    rows = sorted((r.id, r.bal) for r in spark.read.parquet(out_dir).collect())
+    assert rows == [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0), (9, 90.0)]
+
+
+def test_refusals_are_loud(spark, tmp_path):
+    # active deletion vector on the starting snapshot
+    dv = str(tmp_path / "dv")
+    _make(spark, dv)
+    mt.delete_where(spark, dv, "id = 1", deletion_vectors=True)
+    with pytest.raises(Exception, match="deletion vector"):
+        _drain(spark, dv)
+    # tail version without a change sidecar (CDF never enabled)
+    nocdf = str(tmp_path / "nocdf")
+    _make(spark, nocdf, cdf=False)
+    mt.merge_upsert(
+        spark, nocdf,
+        spark.createDataFrame([(9, "n9", 90.0)], ["id", "name", "bal"]),
+        keys=("id",),
+    )
+    with pytest.raises(Exception, match="no change sidecar"):
+        _drain(spark, nocdf, startingversion=0)
+    # partitioned table
+    part = str(tmp_path / "part")
+    df = spark.createDataFrame([(1, "a", "p1")], ["id", "v", "part"])
+    mt.commit_overwrite(df, part, keys=("id",), partition_by=("part",))
+    with pytest.raises(Exception, match="unpartitioned"):
+        _drain(spark, part)
+
+
+def test_empty_created_table_streams_schema_then_rows(spark, tmp_path):
+    """A builder-created EMPTY table (schema-in-log) starts a stream
+    with zero snapshot rows and tails its first inserts."""
+    from aws_callcenter_delta_lakehouse_spark.sources.delta_api import (
+        DeltaTable,
+    )
+
+    path = str(tmp_path / "t")
+    (
+        DeltaTable.create(spark)
+        .location(path)
+        .addColumn("id", "bigint")
+        .addColumn("name", "string")
+        .addColumn("bal", "double")
+        .property("enableChangeDataFeed", True)
+        .primaryKeys("id")
+        .execute()
+    )
+    spark.dataSource.register(make_table_stream_source())
+    sink = f"tstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("managed_table_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.table(sink).count() == 0
+        mt.merge_upsert(
+            spark, path,
+            spark.createDataFrame([(1, "a", 1.0)], ["id", "name", "bal"]),
+            keys=("id",),
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = [(r.id, r.name, r.bal) for r in spark.table(sink).collect()]
+    assert got == [(1, "a", 1.0)]
