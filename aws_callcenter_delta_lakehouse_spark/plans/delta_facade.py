@@ -105,6 +105,59 @@ def delta_api_merge_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "delta_append_ingest",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def delta_append_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blind-APPEND ingest path (`managed_table.append_rows` —
+    Delta ``mode("append")``): a quarter of orders loads initially,
+    the remaining three quarters land as TWO append commits that
+    hardlink the existing files and write only the new rows
+    (O(appended), never a rewrite). The final aggregate equals the
+    oracle's direct scan of the whole view only if no append lost,
+    duplicated, or reordered anything across the three commits. Money
+    as integer cents (trap #13)."""
+    import tempfile
+
+    from ..sources import managed_table as mt
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="append_ingest_") + "/t"
+    mt.commit_overwrite(
+        orders.filter(F.col("o_orderkey") % 4 == 0), path,
+        keys=("o_orderkey",),
+    )
+    mt.append_rows(
+        spark, orders.filter(F.col("o_orderkey") % 4 == 1), path,
+        txn={"app": "ingest", "last_epoch": 1},
+    )
+    mt.append_rows(
+        spark, orders.filter(F.col("o_orderkey") % 4 >= 2), path,
+        txn={"app": "ingest", "last_epoch": 2},
+    )
+    return (
+        mt.read(spark, path)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+@query(
     "streaming_table_snapshot_tail",
     oracle="""
     WITH snap AS (

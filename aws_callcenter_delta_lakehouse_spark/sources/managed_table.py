@@ -2273,6 +2273,297 @@ def _update_where_dv(
     _publish_staging(path, staging, True, base_version + 1, max_history, tag)
 
 
+def append_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    max_history: int = 2,
+    txn: dict | None = None,
+    expected_version: int | None = None,
+) -> None:
+    """Blind-APPEND commit (Delta ``df.write.format("delta")
+    .mode("append").save(path)``): the new rows are written as fresh
+    files into a staging dir whose EXISTING data files are hardlinks to
+    the live snapshot — commit cost is O(appended data) + O(existing
+    files) metadata, never the full-table rewrite every other commit
+    here performs. At 100 TB this is THE hot ingest path: a day's
+    partition lands without touching a byte of history.
+
+    Everything the rewriting commits maintain holds identically:
+
+    - crash-atomic stage-and-swap (the replaced snapshot retires into
+      ``__history`` — time travel to pre-append keeps working; shared
+      hardlinks are safe because snapshots are immutable);
+    - schema ENFORCED against the table (missing or unknown columns
+      refuse; appended files are cast to the exact physical schema so
+      the snapshot never forks);
+    - generated columns recomputed, identity slots filled above the
+      high-water mark, row-tracking ids assigned (marker high-water
+      advances from the appended files alone — O(appended));
+    - CHECK constraints validated on the appended rows only (existing
+      rows passed at their own commits); PRIMARY KEY probes appended
+      keys against the live table AND within the batch;
+    - CDF tables record the appended rows as an ``insert`` sidecar —
+      the plain table stream (``managed_table_stream``) tails appends
+      O(changes);
+    - ``txn`` commits atomically with the data (exactly-once streaming
+      append sinks: skip replayed epochs by ``table_txn``);
+    - an ACTIVE deletion vector carries (appended file names are fresh,
+      snapshot-relative DV keys stay valid);
+    - ``appendOnly`` tables accept this commit — appending is exactly
+      what the property licenses.
+
+    Refuses while column renames/drops are pending (appended files/
+    partition dirs would fork the physical schema — commit a rewrite to
+    materialize first), and when the frame carries a pending ADD COLUMN
+    (no physical slot yet; same rule as the DV update).
+    """
+    recover(path)
+    marker = _read_marker(path)
+    if not marker:
+        raise ValueError(
+            f"{path} is not a managed table — append_rows extends an "
+            "existing table (commit_overwrite creates one)"
+        )
+    _check_writer(marker, path)
+    if marker.get("column_mapping") or marker.get("dropped_columns"):
+        raise ValueError(
+            "append_rows: pending column renames/drops — appended files "
+            "would fork the physical schema; commit a rewrite to "
+            "materialize the mapping first"
+        )
+    pending = set(marker.get("added_columns", {})) & set(df.columns)
+    if pending:
+        raise ValueError(
+            f"append_rows: columns {sorted(pending)} are pending ADD "
+            "COLUMNs with no physical slot — the appended files keep the "
+            "snapshot's physical schema, so the values would be silently "
+            "lost. Run a rewriting commit to materialize the column first."
+        )
+    base_version = table_version(path)
+    if expected_version is not None and base_version != expected_version:
+        raise ConcurrentWriteError(
+            f"{path}: expected version {expected_version}, live is "
+            f"{base_version}; re-read and retry"
+        )
+    partition_by = tuple(marker.get("partition_by", ()) or ())
+    phys_types = dict(_read_physical(spark, path).dtypes)
+    gen_cols = marker.get("generated", {})
+    id_cols = dict(marker.get("identity", {}))
+    auto = set(gen_cols) | set(id_cols)
+    props = marker.get("properties") or {}
+    tracking = bool(props.get(_ROWTRACK_PROP)) and _ROWID_COL in phys_types
+
+    # ---- schema enforcement: the frame must carry exactly the table's
+    # non-derived data columns (identity columns MAY be supplied)
+    data_cols = [c for c in phys_types if c != _ROWID_COL]
+    required = [c for c in data_cols if c not in auto]
+    missing = [c for c in required if c not in df.columns]
+    unknown = [c for c in df.columns if c not in data_cols]
+    if missing or unknown:
+        raise SchemaEnforcementError(
+            f"append_rows to {path}: appended frame does not match the "
+            f"table schema (missing: {missing}, unknown: {unknown}). "
+            "Appends never evolve the schema — use commit_overwrite/"
+            "merge_upsert(schema_evolution=True) for that."
+        )
+
+    out = df
+    for name, expr in sorted(gen_cols.items()):
+        out = out.withColumn(name, F.expr(expr))
+    for name, spec in sorted(id_cols.items()):
+        out = out.withColumn(
+            name,
+            F.coalesce(
+                (
+                    F.col(name) if name in df.columns else F.lit(None)
+                ).cast("bigint"),
+                F.lit(int(spec["high_water"]))
+                + F.lit(int(spec["step"]))
+                * (F.monotonically_increasing_id() + F.lit(1)),
+            ),
+        )
+    row_hw = int(marker.get("row_tracking", {}).get("high_water", 0))
+    if tracking:
+        out = out.withColumn(
+            _ROWID_COL,
+            F.lit(row_hw) + F.monotonically_increasing_id() + F.lit(1),
+        )
+    out = out.select(*[F.col(c).cast(t) for c, t in phys_types.items()])
+
+    def _data_file_set(root: str) -> set:
+        found = set()
+        for r, _d, files in _fs().walk(root):
+            rel = os.path.relpath(r, root)
+            parts = [] if rel == "." else rel.split(os.sep)
+            if parts and parts[0].startswith("_"):
+                continue
+            found.update(
+                os.path.join(r, fn) for fn in files if fn.endswith(".parquet")
+            )
+        return found
+
+    tag = uuid.uuid4().hex[:8]
+    staging = f"{path}__staging_{tag}"
+    _link_snapshot_files(path, staging)
+    if marker.get("dv"):
+        # the vector carries VERBATIM (appended files are fresh names —
+        # no stored position can reference them); _link_snapshot_files
+        # skips _dv because DV commits write a fresh merged vector
+        dv_dst = os.path.join(staging, _DV_DIR)
+        _fs().makedirs(dv_dst, exist_ok=True)
+        for f in _fs().glob(os.path.join(path, _DV_DIR, "*")):
+            if _fs().isfile(f):
+                _fs().link_or_copy(f, os.path.join(dv_dst, os.path.basename(f)))
+    linked = _data_file_set(staging)
+    writer = out.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+    appended_files = sorted(_data_file_set(staging) - linked)
+
+    try:
+        appended = (
+            spark.read.option("basePath", staging).parquet(*appended_files)
+            if appended_files
+            else None
+        )
+        # ---- validations run on the WRITTEN rows (one materialization —
+        # monotonic ids must never be recomputed into different values)
+        constraints = marker.get("constraints", {})
+        if appended is not None and constraints:
+            items = sorted(constraints.items())
+            counts = appended.agg(
+                *[
+                    F.sum(
+                        F.expr(expr).eqNullSafe(F.lit(False)).cast("long")
+                    ).alias(f"__c{i}")
+                    for i, (_, expr) in enumerate(items)
+                ]
+            ).first()
+            for i, (name, expr) in enumerate(items):
+                if counts is not None and (counts[f"__c{i}"] or 0) > 0:
+                    raise ConstraintViolationError(
+                        f"append violates CHECK constraint {name!r} "
+                        f"({expr}) for {counts[f'__c{i}']} row(s); commit "
+                        "aborted, table unchanged"
+                    )
+        key_list = list(marker.get("keys", []))
+        if appended is not None and marker.get("unique_keys") and key_list:
+            dup = (
+                appended.groupBy(*key_list)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ConstraintViolationError(
+                    f"append violates PRIMARY KEY {key_list}: duplicate "
+                    f"key tuple within the appended batch; commit aborted"
+                )
+            clash = (
+                appended.select(*key_list)
+                .join(read(spark, path), on=key_list, how="left_semi")
+                .limit(1)
+                .collect()
+            )
+            if clash:
+                raise ConstraintViolationError(
+                    f"append violates PRIMARY KEY {key_list}: key "
+                    f"{tuple(clash[0])} already exists in the table; "
+                    "appends never update — use merge_upsert"
+                )
+
+        has_cdf = False
+        if _cdf_on(marker) and appended is not None:
+            _write_cdf(
+                appended.withColumn("_change_type", F.lit("insert")),
+                staging,
+            )
+            has_cdf = True
+        if not partition_by:
+            # hardlinked files keep their basename-matched index entries;
+            # only the appended files need fresh footer stats
+            _refresh_staged_stats_manifest(staging, incremental=True)
+
+        # ---- marker: advance high-water marks from the APPENDED files
+        if appended is not None and id_cols:
+            maxes = appended.agg(
+                *[F.max(c).alias(c) for c in sorted(id_cols)]
+            ).first()
+            id_cols = {
+                c: {
+                    **spec,
+                    "high_water": max(
+                        int(maxes[c]), int(spec["high_water"])
+                    )
+                    if maxes[c] is not None
+                    else int(spec["high_water"]),
+                }
+                for c, spec in id_cols.items()
+            }
+        if tracking and appended is not None:
+            m = appended.agg(F.max(_ROWID_COL)).first()[0]
+            if m is not None:
+                row_hw = max(row_hw, int(m))
+
+        staged_stats = _snapshot_stats(staging)
+        n_dv = int(marker.get("dv", {}).get("n_rows", 0))
+        extra: dict = {
+            "operation": "append",
+            "stats": {
+                "n_rows": int(staged_stats["n_rows"]) - n_dv,
+                "n_files": int(staged_stats["n_files"]),
+                "bytes": int(staged_stats["bytes"]),
+            },
+        }
+        if has_cdf:
+            extra["has_cdf"] = True
+        if marker.get("dv"):
+            extra["dv"] = marker["dv"]
+        if bool(props.get(_ROWTRACK_PROP)):
+            extra["row_tracking"] = {"high_water": int(row_hw)}
+        for carried in ("added_columns",):
+            if marker.get(carried):
+                extra[carried] = marker[carried]
+        if marker.get("schema_json") and int(staged_stats["n_files"]) == 0:
+            extra["schema_json"] = marker["schema_json"]  # still empty
+        _write_marker(
+            staging,
+            key_list,
+            partition_by,
+            version=base_version + 1,
+            txn=txn,
+            constraints=marker.get("constraints"),
+            generated=gen_cols,
+            identity=id_cols,
+            unique_keys=bool(marker.get("unique_keys", False)),
+            properties=props,
+            extra=extra,
+        )
+    except Exception:
+        _fs().rmtree(staging)
+        raise
+    if table_version(path) != base_version:
+        _fs().rmtree(staging)
+        raise ConcurrentWriteError(
+            f"{path}: version advanced past {base_version} during the "
+            "append staging — another commit intervened; re-read and retry"
+        )
+    _publish_staging(path, staging, True, base_version + 1, max_history, tag)
+    spec = props.get("autoOptimize")
+    if spec and not partition_by:
+        from .maintenance import optimize_if_degraded
+
+        optimize_if_degraded(
+            spark,
+            path,
+            spec["column"],
+            float(spec.get("max_avg_depth", 2.0)),
+        )
+
+
 def write_or_merge(
     spark: SparkSession,
     df: DataFrame,

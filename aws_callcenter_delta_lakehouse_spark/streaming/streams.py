@@ -427,6 +427,49 @@ def foreach_batch_merge_upsert(
     )
 
 
+def foreach_batch_append(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    keys: Sequence[str] = (),
+) -> "object":
+    """Streaming APPEND sink — the Delta
+    ``writeStream.format("delta").outputMode("append")`` analogue over
+    the blind-append commit: every micro-batch lands as fresh files in
+    an otherwise hardlinked snapshot (``managed_table.append_rows`` —
+    O(batch) write cost, never a table rewrite), which is THE
+    continuous-ingest hot path at 100 TB.
+
+    Exactly-once: the epoch rides the same atomic marker as the
+    appended files (``append_rows(txn=)``), so a replayed micro-batch
+    after a crash is skipped — never double-appended. The first batch
+    bootstraps the table (``keys`` recorded in the marker). Works on
+    ``appendOnly``-governed tables by construction — appends are
+    exactly what the property licenses."""
+    from ..sources import managed_table as mt
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if mt.is_table(spark, path):
+            last = int(mt.table_txn(path).get("last_epoch", -1))
+            if epoch_id <= last:
+                return  # replayed batch: already appended
+            mt.append_rows(
+                spark, batch_df, path, txn={"last_epoch": int(epoch_id)}
+            )
+        else:
+            mt.commit_overwrite(
+                batch_df, path, keys=tuple(keys),
+                txn={"last_epoch": int(epoch_id)},
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def foreach_batch_apply_changes(
     stream: DataFrame,
     path: str,
