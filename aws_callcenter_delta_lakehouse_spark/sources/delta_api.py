@@ -776,6 +776,18 @@ class DeltaTable:
     def optimize(self) -> DeltaOptimizeBuilder:
         return DeltaOptimizeBuilder(self)
 
+    def generate(self, mode: str) -> list:
+        """``DeltaTable.generate("symlink_format_manifest")`` — write
+        the external-reader manifest (Presto/Trino/Athena symlink
+        format). Point-in-time: regenerate after every commit, exactly
+        Delta's manual generate mode."""
+        if mode != "symlink_format_manifest":
+            raise ValueError(
+                f"generate: unsupported mode {mode!r} (only "
+                "'symlink_format_manifest', same as delta-spark)"
+            )
+        return maintenance.generate_symlink_manifest(self.path)
+
     def vacuum(self, retentionHours: float = 168.0, dry_run: bool = False) -> list:
         return maintenance.vacuum(
             self.path, retention_hours=retentionHours, dry_run=dry_run

@@ -903,3 +903,61 @@ def optimize_if_degraded(
         "depth_after": clustering_depth(path, column),
         "files": stats,
     }
+
+
+def generate_symlink_manifest(path: str) -> list[str]:
+    """Delta ``GENERATE symlink_format_manifest`` (delta-spark
+    ``DeltaTable.generate``): write ``_symlink_format_manifest/
+    [<partition dirs>/]manifest`` text files listing the live
+    snapshot's data files by absolute path — the integration surface
+    external engines (Presto / Trino / Athena / DuckDB) use to read a
+    Delta table's CURRENT snapshot through plain parquet scans, without
+    a Delta reader.
+
+    Same contract as Delta's MANUAL generate mode: the manifest is a
+    point-in-time listing — regenerate after every commit (a stale
+    manifest names files a later swap retired, which fails the external
+    read loudly rather than serving wrong rows). Refuses tables with an
+    active deletion vector: an external raw scan of the listed files
+    would resurrect soft-deleted rows — run
+    :func:`materialize_deletes` first. Returns the manifest file paths.
+
+    Driver cost: one partition-dir walk + dirent listings — metadata
+    only, the same listing Delta's manifest generation does."""
+    import glob as _glob
+
+    marker = managed_table._read_marker(path)
+    if not marker:
+        raise ValueError(f"{path} is not a managed table")
+    if marker.get("dv"):
+        raise ValueError(
+            "generate_symlink_manifest: the table has an active deletion "
+            "vector — an external scan of the listed files would "
+            "resurrect soft-deleted rows. Run "
+            "maintenance.materialize_deletes first."
+        )
+    base = os.path.join(path, "_symlink_format_manifest")
+    if _fs().isdir(base):
+        _fs().rmtree(base)
+    partition_by = tuple(marker.get("partition_by", ()) or ())
+    written: list[str] = []
+
+    def _emit(dirpath: str, rel: str) -> None:
+        files = sorted(
+            os.path.abspath(f)
+            for f in _glob.glob(os.path.join(dirpath, "*.parquet"))
+        )
+        if not files:
+            return
+        mdir = base if rel == "." else os.path.join(base, rel)
+        _fs().makedirs(mdir, exist_ok=True)
+        mpath = os.path.join(mdir, "manifest")
+        _fs().write_atomic(mpath, "\n".join(files) + "\n")
+        written.append(mpath)
+
+    if partition_by:
+        for _key, d in sorted(_hive_partition_dirs(path, partition_by).items()):
+            _emit(d, os.path.relpath(d, path))
+    else:
+        _emit(path, ".")
+    return written

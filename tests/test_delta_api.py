@@ -717,3 +717,53 @@ def test_optimize_zorder(spark, tmp_path):
     dt = DeltaTable.forPath(spark, path)
     dt.optimize().executeZOrderBy("k")
     assert dt.toDF().count() == 500
+
+
+def test_generate_symlink_manifest_duckdb_readable(spark, tmp_path):
+    """GENERATE symlink_format_manifest: the listed files, read by an
+    EXTERNAL engine (DuckDB raw parquet scan), equal the table."""
+    import duckdb
+
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    manifests = DeltaTable.forPath(spark, path).generate(
+        "symlink_format_manifest"
+    )
+    assert len(manifests) == 1 and manifests[0].endswith("manifest")
+    files = open(manifests[0]).read().splitlines()
+    assert files and all(f.endswith(".parquet") for f in files)
+    ext = duckdb.sql(
+        f"SELECT id, name, v FROM read_parquet({files!r}) ORDER BY id"
+    ).fetchall()
+    ours = sorted(
+        (r.id, r.name, r.v) for r in mt.read(spark, path).collect()
+    )
+    assert [tuple(r) for r in ext] == ours
+
+
+def test_generate_symlink_manifest_partitioned_and_dv_refusal(spark, tmp_path):
+    import duckdb
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2"), (3, "c", "p2")],
+        ["id", "v", "part"],
+    )
+    mt.commit_overwrite(df, path, keys=("id",), partition_by=("part",))
+    manifests = DeltaTable.forPath(spark, path).generate(
+        "symlink_format_manifest"
+    )
+    assert len(manifests) == 2  # one per partition dir
+    all_files = [
+        f for m in manifests for f in open(m).read().splitlines()
+    ]
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet({all_files!r})"
+    ).fetchone()[0]
+    assert n == 3
+    # DV-active tables refuse: the external scan would resurrect rows
+    mt.delete_where(spark, path, "id = 1", deletion_vectors=True)
+    with pytest.raises(ValueError, match="deletion vector"):
+        DeltaTable.forPath(spark, path).generate("symlink_format_manifest")
+    with pytest.raises(ValueError, match="unsupported mode"):
+        DeltaTable.forPath(spark, path).generate("nope")
