@@ -924,8 +924,6 @@ def generate_symlink_manifest(path: str) -> list[str]:
 
     Driver cost: one partition-dir walk + dirent listings — metadata
     only, the same listing Delta's manifest generation does."""
-    import glob as _glob
-
     marker = managed_table._read_marker(path)
     if not marker:
         raise ValueError(f"{path} is not a managed table")
@@ -945,7 +943,7 @@ def generate_symlink_manifest(path: str) -> list[str]:
     def _emit(dirpath: str, rel: str) -> None:
         files = sorted(
             os.path.abspath(f)
-            for f in _glob.glob(os.path.join(dirpath, "*.parquet"))
+            for f in _fs().glob(os.path.join(dirpath, "*.parquet"))
         )
         if not files:
             return
