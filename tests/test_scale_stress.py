@@ -65,6 +65,11 @@ STRESS_QUERIES = (
     # regression in any of the three (hot-shingle cap lost, bucket
     # fan-out, per-element md5 re-evaluation) would superlinearize it
     "dedup_lsh_recall_eval",
+    # round-8: corpus x benchmark near-dup decontamination — the bucket
+    # join must stay corpus x bench (the synthetic corpus's every-17th
+    # near-dup structure makes the bench slice real); a lost side
+    # filter degrades it to the full self-join
+    "decontaminate_near_dup",
 )
 
 
@@ -177,3 +182,36 @@ def test_heavy_ops_scale_near_linearly(spark, tmp_path):
         f"superlinear scaling at {SCALE}x rows (bound {RATIO_BOUND}x): "
         f"{failures}"
     )
+
+
+@pytest.mark.slow
+def test_append_cost_invariant_to_table_size(spark, tmp_path):
+    """`append_rows` must cost O(appended): the SAME batch appended to a
+    100x-larger table (similar file count — hardlink metadata is the
+    only table-size-coupled work) must not cost proportionally more. A
+    regression that rescans or rewrites the table shows up as a ~10x+
+    ratio; the bound is generous for scheduler noise."""
+    from aws_callcenter_delta_lakehouse_spark.sources import (
+        managed_table as mt,
+    )
+
+    small, big = str(tmp_path / "small"), str(tmp_path / "big")
+    for n, p in ((20_000, small), (2_000_000, big)):
+        mt.commit_overwrite(
+            spark.range(n).withColumn("v", F.col("id") * 2).repartition(8),
+            p,
+            keys=("id",),
+        )
+    batch = spark.range(9_000_000, 9_001_000).withColumn(
+        "v", F.col("id") * 2
+    )
+
+    def t(path):
+        t0 = time.perf_counter()
+        mt.append_rows(spark, batch, path)
+        return time.perf_counter() - t0
+
+    t(small), t(big)  # warm both plan shapes
+    t_small = max(min(t(small), t(small)), 0.2)
+    t_big = min(t(big), t(big))
+    assert t_big / t_small < 5.0, (t_small, t_big)
