@@ -701,6 +701,15 @@ class DeltaTable:
         return cls(spark, path)
 
     @classmethod
+    def forName(cls, spark: SparkSession, name: str) -> "DeltaTable":
+        raise NotImplementedError(
+            "metastore-registered tables are not supported by the "
+            "path-based engine — use DeltaTable.forPath(spark, path) "
+            "(register the path in the session catalog separately if "
+            "SQL access is needed)"
+        )
+
+    @classmethod
     def isDeltaTable(cls, spark: SparkSession, path: str) -> bool:
         return managed_table.is_table(spark, path)
 
@@ -749,8 +758,21 @@ class DeltaTable:
         h = managed_table.history(self._spark, self.path)
         return h.limit(limit) if limit is not None else h
 
-    def detail(self) -> dict:
-        return managed_table.table_detail(self.path)
+    def detail(self) -> DataFrame:
+        """One-row DataFrame, like delta-spark's ``detail()`` (the
+        engine's dict form stays available as
+        ``managed_table.table_detail``). Nested metadata fields are
+        JSON-encoded strings, mirroring how Delta surfaces properties."""
+        import json
+
+        d = managed_table.table_detail(self.path)
+        row = {
+            k: (json.dumps(v) if isinstance(v, (dict, list)) else v)
+            for k, v in d.items()
+        }
+        from pyspark.sql import Row
+
+        return self._spark.createDataFrame([Row(**row)])
 
     # -- DML -----------------------------------------------------------------
     def delete(self, condition=None) -> None:

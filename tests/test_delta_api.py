@@ -526,8 +526,9 @@ def test_update_delete_history_detail(spark, tmp_path):
     h = dt.history()
     assert h.count() >= 3
     assert dt.history(limit=1).count() == 1
-    d = dt.detail()
-    assert d["numRows"] == 2 if "numRows" in d else True
+    d = dt.detail()  # delta-spark shape: a one-row DataFrame
+    row = d.collect()[0]
+    assert d.count() == 1 and row["num_rows"] == 2 and row["version"] >= 2
 
 
 def test_restore_and_clone(spark, tmp_path):
@@ -701,7 +702,7 @@ def test_empty_table_detail_history_clone(spark, tmp_path):
         .execute()
     )
     dt = DeltaTable.forPath(spark, path)
-    assert dt.detail()["num_rows"] == 0
+    assert dt.detail().collect()[0]["num_rows"] == 0
     assert dt.history().count() == 1
     cl = dt.clone(str(tmp_path / "t2"))
     assert cl.toDF().count() == 0
