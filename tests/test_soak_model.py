@@ -62,7 +62,7 @@ def test_random_dml_soak_matches_model(spark, tmp_path, monkeypatch):
     for step in range(N_OPS):
         op = rng.choice(
             ["overwrite", "merge", "delete", "update", "restore", "crash_merge",
-             "compact"]
+             "compact", "append", "crash_append"]
         )
         ops_run.append(op)
         ver = mt.table_version(path)
@@ -118,6 +118,34 @@ def test_random_dml_soak_matches_model(spark, tmp_path, monkeypatch):
             else:
                 compact_binpack(spark, path, target_file_bytes=1 << 20)
             assert mt.table_version(path) == ver, (step, ops_run)
+        elif op == "append":
+            # blind append: fresh ids only (append never updates) —
+            # the 100+ id space is untouchable by the delete op's
+            # cutoff < 40, so appended rows persist until overwritten
+            delta = {
+                100 + step * 5 + j: f"a{step}_{j}"
+                for j in range(rng.randint(1, 5))
+            }
+            mt.append_rows(spark, _df(spark, delta), path)
+            model.update(delta)
+        elif op == "crash_append":
+            delta = {
+                300 + step * 5 + j: f"ca{step}_{j}"
+                for j in range(rng.randint(1, 4))
+            }
+            crasher = _CrashOnce(path)
+            monkeypatch.setattr(os, "rename", crasher)
+            try:
+                with pytest.raises(RuntimeError, match="injected crash"):
+                    mt.append_rows(spark, _df(spark, delta), path)
+            finally:
+                monkeypatch.setattr(os, "rename", crasher.real)
+            mt.recover(path)
+            got = _snapshot(spark, path)
+            appended = {**model, **delta}
+            assert got in (model, appended), (step, ops_run)
+            if got == appended:  # crash landed after the publish
+                model = appended
         elif op == "crash_merge":
             delta = {
                 i: f"c{step}_{i}"
