@@ -158,3 +158,54 @@ def decontaminate_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(round_portable(F.max("jaccard"), 4).alias("near_jaccard"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "decontaminate_embedding_cosine",
+    oracle="""
+    WITH pairs AS (
+      SELECT c.vec_id AS doc_id,
+             floor(list_cosine_similarity(c.embedding, b.embedding)
+                   * 1e4 + 0.5) / 1e4 AS cos
+      FROM embeddings c JOIN embeddings b
+        ON c.label = b.label
+       AND c.vec_id % 17 <> 0 AND b.vec_id % 17 = 0)
+    SELECT doc_id, max(cos) AS near_cos,
+           CAST(COUNT(*) AS BIGINT) AS n_bench_hits
+    FROM pairs WHERE cos >= 0.3 GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def decontaminate_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the vector-space sibling of
+    ``decontaminate_near_dup``: flag corpus embeddings whose cosine to
+    any benchmark embedding (the 1/17 slice) reaches the threshold,
+    catching rephrasings that share no n-grams at all. Blocked on the
+    precomputed cluster id (``label`` — an IVF cell in production), so
+    the corpus x bench join is per-block, never all-pairs; the bench
+    side of each block is small and broadcast-joined. Output:
+    (doc_id, max cosine, #benchmark hits) — the semantic-leak report a
+    curation pipeline reviews before training."""
+    from ..operators.similarity import cosine
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 17 == 0).select(
+        "label", F.col("embedding").alias("bvec")
+    )
+    corpus = emb.filter(F.col("vec_id") % 17 != 0).select(
+        F.col("vec_id").alias("doc_id"), "label", "embedding"
+    )
+    scored = corpus.join(F.broadcast(bench), "label").select(
+        "doc_id",
+        round_portable(cosine(F.col("embedding"), F.col("bvec")), 4).alias(
+            "cos"
+        ),
+    )
+    return (
+        scored.filter(F.col("cos") >= 0.3)
+        .groupBy("doc_id")
+        .agg(
+            F.max("cos").alias("near_cos"),
+            F.count("*").alias("n_bench_hits"),
+        )
+        .orderBy("doc_id")
+    )
