@@ -2562,6 +2562,18 @@ def append_rows(
             spec["column"],
             float(spec.get("max_avg_depth", 2.0)),
         )
+    ac = props.get("autoCompact")
+    if ac and not partition_by and not marker.get("dv"):
+        # Delta autoCompact: continuous appends accrete one small file
+        # set per commit — when the property's file-count threshold is
+        # crossed, binpack the small files in a data-preserving follow-up
+        # (version/txn carried, so exactly-once sinks never replay).
+        # The count probe is the marker stats — zero listing.
+        min_files = int(ac.get("min_files", 16)) if isinstance(ac, dict) else 16
+        if int(_read_marker(path).get("stats", {}).get("n_files", 0)) >= min_files:
+            from .maintenance import compact_binpack
+
+            compact_binpack(spark, path)
 
 
 def write_or_merge(

@@ -285,3 +285,34 @@ def test_foreach_batch_append_sink_exactly_once(spark, tmp_path):
     assert mt.read(spark, target).count() == 3
     # epoch recorded atomically with the data
     assert "last_epoch" in mt.table_txn(target)
+
+
+def test_append_auto_compact_property(spark, tmp_path):
+    """Delta autoCompact: continuous appends accrete one small file set
+    per commit; the table property triggers a data-preserving binpack
+    once the marker's file count crosses the threshold — rows, version
+    continuity, and txn survive, and the file count stays bounded."""
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.createDataFrame([(0, "base")], "id long, v string").coalesce(1),
+        path,
+        keys=("id",),
+        properties={"autoCompact": {"min_files": 5}},
+    )
+    for i in range(1, 9):
+        mt.append_rows(
+            spark,
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string")
+            .coalesce(1),
+            path,
+            txn={"last_epoch": i},
+        )
+    d = mt.table_detail(path)
+    assert d["num_rows"] == 9
+    assert d["num_files"] < 5, d  # binpacked below the threshold
+    got = sorted(r.id for r in mt.read(spark, path).collect())
+    assert got == list(range(9))
+    # the compaction follow-ups carried txn forward (exactly-once sinks
+    # must not replay) and never reset the version
+    assert mt.table_txn(path)["last_epoch"] == 8
+    assert mt.table_version(path) == 8  # one bump per append only
