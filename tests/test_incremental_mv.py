@@ -374,3 +374,38 @@ def test_refresh_crash_never_double_applies(spark, tmp_path, monkeypatch):
     # and a further re-run is a no-op (no double-apply)
     assert imv.refresh_agg_mv(spark, base, mv)["refreshed"] is False
     assert _mv_state(spark, mv) == _recompute(spark, base)
+
+
+def test_refresh_over_blind_appends(spark, tmp_path):
+    """The full ingest loop at its intended cost profile: blind APPENDS
+    land O(appended) (hardlinked base, insert sidecars), and the MV
+    refresh folds exactly those sidecars — O(changes) end to end, never
+    a base rescan. Two append commits + one mixed DML between refreshes
+    must leave the MV equal to the direct aggregate."""
+    base, mv = str(tmp_path / "b"), str(tmp_path / "mv")
+    _base(spark, base)
+    imv.create_agg_mv(spark, base, mv, ["grp"], AGGS)
+
+    mt.append_rows(
+        spark,
+        spark.createDataFrame(
+            [(100, "a", 1000), (101, "c", 50)], ["id", "grp", "cents"]
+        ),
+        base,
+        max_history=10,
+    )
+    out = imv.refresh_agg_mv(spark, base, mv)
+    assert out["refreshed"] is True
+    assert _mv_state(spark, mv) == _recompute(spark, base)  # new group 'c'
+
+    mt.append_rows(
+        spark,
+        spark.createDataFrame([(102, "b", 7)], ["id", "grp", "cents"]),
+        base,
+        max_history=10,
+    )
+    mt.delete_where(spark, base, "id = 1", max_history=10)
+    out = imv.refresh_agg_mv(spark, base, mv)
+    assert out["refreshed"] is True
+    assert _mv_state(spark, mv) == _recompute(spark, base)
+    assert mt.table_txn(mv)["mv_base_version"] == mt.table_version(base)
