@@ -595,6 +595,22 @@ def vacuum(
     for leftover in sorted(_fs().glob(f"{path}__*")):
         if retain_history and leftover == f"{path}__history":
             continue
+        if leftover == path + managed_table._LOCK_SUFFIX:
+            # crash-orphaned commit-lock FILE: sweep once it is stale
+            # (a live writer's lock is seconds old; _commit_lock steals
+            # stale ones itself, this just tidies the listing)
+            try:
+                stale = (
+                    _time.time() - _fs().getmtime(leftover)
+                    > managed_table._LOCK_STALE_SECONDS
+                )
+            except OSError:
+                continue
+            if stale:
+                removed.append(leftover)
+                if not dry_run:
+                    _fs().remove(leftover)
+            continue
         if not _fs().isdir(leftover) or _young(leftover):
             continue
         removed.append(leftover)

@@ -29,6 +29,7 @@ exactly what the Delta backend's log store does.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -386,8 +387,16 @@ def _write_marker_like(
             {
                 k: live_marker[k]
                 # schema_json: a data-preserving rewrite of an EMPTY
-                # table stays empty, so the marker-held schema carries
-                for k in ("has_cdf", "row_tracking", "schema_json")
+                # table stays empty, so the marker-held schema carries.
+                # last_rewrite_version: OPTIMIZE/compaction preserve the
+                # logical data, so the append-rebase watermark carries —
+                # a racing blind append still commutes across them
+                for k in (
+                    "has_cdf",
+                    "row_tracking",
+                    "schema_json",
+                    "last_rewrite_version",
+                )
                 if live_marker.get(k)
             }
             or None
@@ -1752,15 +1761,10 @@ def commit_overwrite(
         unique_keys=uk, properties=props,
         extra=extra or None,
     )
-    if expected_version is not None and exists:
-        if table_version(path) != expected_version:
-            _fs().rmtree(staging)
-            raise ConcurrentWriteError(
-                f"{path}: version advanced past {expected_version} during "
-                "staging — another commit intervened; re-read and retry"
-            )
-
-    _publish_staging(path, staging, exists, version, max_history, tag)
+    _checked_publish(
+        path, staging, exists, version, max_history, tag,
+        expected_version if exists else None,
+    )
     spec = props.get("autoOptimize")
     if auto_optimize and spec and not partition_by:
         from .maintenance import optimize_if_degraded
@@ -1837,6 +1841,116 @@ def _publish_staging(
             _fs().rmtree(os.path.join(hist, stale))
     else:
         _fs().rmtree(backup)
+
+
+# -- commit serialization ------------------------------------------------
+# The version recheck + snapshot swap is the one window where two
+# writers can silently lose an update (both pass the check, both swap;
+# the second swap retires the first writer's fresh commit into history).
+# A per-table put-if-absent lock FILE closes it: write_exclusive is the
+# fs seam's conditional-PUT primitive (hard-link create locally,
+# If-None-Match:* on an object store — the same primitive Delta's log
+# store builds its commit CAS on), so the check-and-swap becomes a
+# critical section. The lock guards METADATA ops only (one version read
+# + two renames, sub-millisecond) — staging, validation, and all data
+# I/O happen outside it, so writer throughput is unaffected.
+_LOCK_SUFFIX = "__commitlock"
+_LOCK_STALE_SECONDS = 60.0  # holder does renames only; >60s = crashed
+_LOCK_ACQUIRE_TIMEOUT = 120.0
+
+
+@contextlib.contextmanager
+def _commit_lock(path: str):
+    """Acquire the table's commit lock (put-if-absent lock file). A
+    holder that crashed mid-publish left a consistent table (recover()
+    heals the swap window), so a stale lock is safe to STEAL after
+    ``_LOCK_STALE_SECONDS`` — the lock provides liveness-bounded mutual
+    exclusion, not correctness (atomicity is the rename pair's job)."""
+    lock = path + _LOCK_SUFFIX
+    deadline = time.time() + _LOCK_ACQUIRE_TIMEOUT
+    while True:
+        try:
+            _fs().write_exclusive(
+                lock, json.dumps({"pid": os.getpid(), "ts": time.time()})
+            )
+            break
+        except FileExistsError:
+            try:
+                if time.time() - _fs().getmtime(lock) > _LOCK_STALE_SECONDS:
+                    _fs().remove(lock)  # crashed holder — steal
+                    continue
+            except OSError:
+                continue  # holder released between probe and getmtime
+            if time.time() > deadline:
+                raise ConcurrentWriteError(
+                    f"{path}: could not acquire the commit lock within "
+                    f"{_LOCK_ACQUIRE_TIMEOUT:.0f}s — another writer is "
+                    "stuck mid-publish or the lock file is orphaned "
+                    f"({lock})"
+                ) from None
+            time.sleep(0.02)
+    try:
+        yield
+    finally:
+        try:
+            _fs().remove(lock)
+        except OSError:  # pragma: no cover - already stolen as stale
+            pass
+
+
+def _last_rewrite_version(marker: dict) -> int:
+    """Version of the most recent commit that REWROTE table data (vs a
+    blind append / data-preserving rewrite). Blind appends carry the
+    field forward; every other commit leaves it unset, which reads as
+    "this very version rewrote" — conservative for legacy markers and
+    for any writer build that predates the field. Deliberately NOT a
+    protocol feature: dropping it only disables append auto-rebase
+    (liveness), never correctness."""
+    lr = marker.get("last_rewrite_version")
+    return int(lr) if lr is not None else int(marker.get("version", 0))
+
+
+def _checked_publish(
+    path: str,
+    staging: str,
+    exists: bool,
+    version: int,
+    max_history: int,
+    tag: str,
+    base_version: int | None,
+) -> None:
+    """Version recheck + snapshot swap as ONE critical section under the
+    table's commit lock — the CAS every optimistic commit needs (Delta:
+    the log store's conditional PUT of the next commit file).
+
+    ``base_version`` set: abort with :class:`ConcurrentWriteError` (the
+    staged snapshot was derived from that version) if the live version
+    moved — the error carries ``.base_version`` so append auto-rebase
+    can judge what landed in between. ``base_version=None`` (an
+    unconditional overwrite): last-writer-wins, but the staged marker's
+    version is re-stamped to live+1 under the lock so concurrent
+    unconditional writers serialize into distinct versions instead of
+    colliding in ``__history``."""
+    with _commit_lock(path):
+        if exists and base_version is not None:
+            live_v = table_version(path)
+            if live_v != base_version:
+                _fs().rmtree(staging)
+                err = ConcurrentWriteError(
+                    f"{path}: version advanced {base_version} -> {live_v} "
+                    "during staging — another commit intervened; re-read "
+                    "and retry"
+                )
+                err.base_version = base_version
+                raise err
+        elif exists:
+            live_v = table_version(path)
+            if live_v != version - 1:
+                version = live_v + 1
+                m = _read_marker(staging)
+                m["version"] = version
+                _replace_marker(staging, m)
+        _publish_staging(path, staging, exists, version, max_history, tag)
 
 
 def delete_where(
@@ -2037,14 +2151,9 @@ def _delete_where_dv(
         properties=marker.get("properties"),
         extra=extra,
     )
-    if table_version(path) != base_version:
-        _fs().rmtree(staging)
-        raise ConcurrentWriteError(
-            f"{path}: version advanced past {base_version} during the "
-            "deletion-vector staging — another commit intervened; "
-            "re-read and retry"
-        )
-    _publish_staging(path, staging, True, base_version + 1, max_history, tag)
+    _checked_publish(
+        path, staging, True, base_version + 1, max_history, tag, base_version
+    )
 
 
 def update_where(
@@ -2263,17 +2372,64 @@ def _update_where_dv(
         properties=marker.get("properties"),
         extra=extra,
     )
-    if table_version(path) != base_version:
-        _fs().rmtree(staging)
-        raise ConcurrentWriteError(
-            f"{path}: version advanced past {base_version} during the "
-            "deletion-vector update staging — another commit intervened; "
-            "re-read and retry"
-        )
-    _publish_staging(path, staging, True, base_version + 1, max_history, tag)
+    _checked_publish(
+        path, staging, True, base_version + 1, max_history, tag, base_version
+    )
+
+
+# Bounded retries: each rebase restages O(appended) against the new
+# snapshot; under an N-writer burst a loser needs at most N-1 retries,
+# and the post-publish lock serialization makes livelock impossible.
+_APPEND_REBASE_LIMIT = 20
 
 
 def append_rows(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    max_history: int = 2,
+    txn: dict | None = None,
+    expected_version: int | None = None,
+) -> None:
+    """Blind-APPEND commit with Delta's append-vs-append OCC semantics:
+    concurrent blind appends COMMUTE. When the commit loses the
+    version CAS, the loser inspects what landed in between (the
+    ``last_rewrite_version`` watermark blind appends thread through
+    their markers): if every intervening commit was itself a blind
+    append, the whole append is re-staged against the new snapshot and
+    retried — schema enforcement, constraints, PK probes, identity and
+    row-id assignment all re-derive from the NEW live marker, so the
+    rebase is a fresh append, not a file graft (identity/row-id
+    collisions with the winner are impossible by construction). A
+    REWRITING commit in the gap (merge/overwrite/delete/update) is a
+    real conflict and still raises :class:`ConcurrentWriteError`, as
+    does an explicit ``expected_version`` (the caller pinned a version;
+    auto-rebase would defeat their CAS). N racing appenders therefore
+    all commit, each batch exactly once — the behavior real Delta's
+    logical conflict detection gives `mode("append")` writers.
+
+    See :func:`_append_rows_once` for the single-attempt mechanics
+    (staging layout, validations, marker bookkeeping)."""
+    attempts = 0
+    while True:
+        try:
+            return _append_rows_once(
+                spark, df, path, max_history, txn, expected_version
+            )
+        except ConcurrentWriteError as e:
+            base = getattr(e, "base_version", None)
+            if expected_version is not None or base is None:
+                raise
+            attempts += 1
+            if attempts >= _APPEND_REBASE_LIMIT:
+                raise
+            recover(path)
+            if _last_rewrite_version(_read_marker(path)) > int(base):
+                raise  # a rewrite landed in the gap — real conflict
+            time.sleep(0.01 * attempts)  # brief backoff, then re-stage
+
+
+def _append_rows_once(
     spark: SparkSession,
     df: DataFrame,
     path: str,
@@ -2512,6 +2668,10 @@ def append_rows(
         n_dv = int(marker.get("dv", {}).get("n_rows", 0))
         extra: dict = {
             "operation": "append",
+            # blind appends never rewrite data: thread the watermark of
+            # the last rewriting commit forward so a racing appender can
+            # prove its rebase window is append-only (_last_rewrite_version)
+            "last_rewrite_version": _last_rewrite_version(marker),
             "stats": {
                 "n_rows": int(staged_stats["n_rows"]) - n_dv,
                 "n_files": int(staged_stats["n_files"]),
@@ -2545,13 +2705,9 @@ def append_rows(
     except Exception:
         _fs().rmtree(staging)
         raise
-    if table_version(path) != base_version:
-        _fs().rmtree(staging)
-        raise ConcurrentWriteError(
-            f"{path}: version advanced past {base_version} during the "
-            "append staging — another commit intervened; re-read and retry"
-        )
-    _publish_staging(path, staging, True, base_version + 1, max_history, tag)
+    _checked_publish(
+        path, staging, True, base_version + 1, max_history, tag, base_version
+    )
     spec = props.get("autoOptimize")
     if spec and not partition_by:
         from .maintenance import optimize_if_degraded

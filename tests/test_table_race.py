@@ -184,3 +184,261 @@ def test_cross_process_append_race_is_atomic(spark, tmp_path):
     vacuum(path)
     assert not glob.glob(path + "__staging_*")
     assert not glob.glob(path + "__old_*")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: blind appends COMMUTE (Delta append-vs-append OCC semantics).
+# The deterministic tests below inject a concurrent commit into the
+# victim's staging window by hooking _link_snapshot_files (the first
+# staging step, after the base version was read) — no process juggling,
+# the interleaving is exact.
+# ---------------------------------------------------------------------------
+
+
+def test_append_rebase_commutes_with_concurrent_append(spark, tmp_path, monkeypatch):
+    """An append that loses the version CAS to ANOTHER blind append
+    auto-rebases and commits: both batches land exactly once, and on a
+    CDF table each commit's insert sidecar is recorded once."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 20).selectExpr("id", "0 AS v"),
+        path,
+        keys=("id",),
+        properties={"enableChangeDataFeed": True},
+    )
+
+    real = mt._link_snapshot_files
+    fired = {"done": False}
+
+    def hooked(src, staging):
+        if not fired["done"]:
+            fired["done"] = True  # guard BEFORE the inner append recurses
+            mt.append_rows(
+                spark,
+                spark.range(100, 110).selectExpr("id", "1 AS v"),
+                path,
+                txn={"writer": "inner"},
+            )
+        return real(src, staging)
+
+    monkeypatch.setattr(mt, "_link_snapshot_files", hooked)
+    mt.append_rows(
+        spark,
+        spark.range(200, 210).selectExpr("id", "2 AS v"),
+        path,
+        txn={"writer": "outer"},
+    )
+
+    assert mt.table_version(path) == 2
+    rows = {(r.id, r.v) for r in mt.read(spark, path).collect()}
+    want = (
+        {(i, 0) for i in range(20)}
+        | {(i, 1) for i in range(100, 110)}
+        | {(i, 2) for i in range(200, 210)}
+    )
+    assert rows == want
+    # the rebased commit's marker: still a blind append, watermark intact
+    marker = mt._read_marker(path)
+    assert marker["operation"] == "append"
+    assert marker["last_rewrite_version"] == 0
+    assert mt.table_txn(path) == {"writer": "outer"}
+    # CDF: each commit recorded its own insert sidecar exactly once
+    ch1 = mt.table_changes(spark, path, 0, 1).collect()
+    ch2 = mt.table_changes(spark, path, 1, 2).collect()
+    assert {r.id for r in ch1} == set(range(100, 110))
+    assert {r.id for r in ch2} == set(range(200, 210))
+    assert all(r["_change_type"] == "insert" for r in ch1 + ch2)
+
+
+def test_append_rebase_refuses_after_rewrite(spark, tmp_path, monkeypatch):
+    """A REWRITING commit (overwrite) landing inside the append's
+    staging window is a real conflict: no silent rebase, the append
+    raises and the table holds exactly the rewrite's rows."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 20).selectExpr("id", "0 AS v"), path, keys=("id",)
+    )
+
+    real = mt._link_snapshot_files
+    fired = {"done": False}
+
+    def hooked(src, staging):
+        if not fired["done"]:
+            fired["done"] = True
+            mt.commit_overwrite(
+                spark.range(0, 5).selectExpr("id", "9 AS v"), path, keys=("id",)
+            )
+        return real(src, staging)
+
+    monkeypatch.setattr(mt, "_link_snapshot_files", hooked)
+    with pytest.raises(mt.ConcurrentWriteError):
+        mt.append_rows(
+            spark, spark.range(200, 210).selectExpr("id", "2 AS v"), path
+        )
+    rows = {(r.id, r.v) for r in mt.read(spark, path).collect()}
+    assert rows == {(i, 9) for i in range(5)}
+    import glob as _glob
+
+    assert not _glob.glob(path + "__staging_*")  # loser cleaned up
+
+
+def test_append_rebase_reassigns_identity_and_row_ids(spark, tmp_path, monkeypatch):
+    """The rebase is a FRESH append against the new snapshot: identity
+    slots and row-tracking ids re-derive from the winner's advanced
+    high-water marks, so ids stay globally unique across the race."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 20).selectExpr("id", "0 AS v"),
+        path,
+        keys=("id",),
+        identity={"rid": {"start": 1, "step": 1}},
+        properties={"enableRowTracking": True},
+    )
+
+    real = mt._link_snapshot_files
+    fired = {"done": False}
+
+    def hooked(src, staging):
+        if not fired["done"]:
+            fired["done"] = True
+            mt.append_rows(
+                spark, spark.range(100, 110).selectExpr("id", "1 AS v"), path
+            )
+        return real(src, staging)
+
+    monkeypatch.setattr(mt, "_link_snapshot_files", hooked)
+    mt.append_rows(
+        spark, spark.range(200, 210).selectExpr("id", "2 AS v"), path
+    )
+
+    out = mt.read(spark, path, with_row_ids=True).collect()
+    assert len(out) == 40
+    rids = [r.rid for r in out]
+    assert len(set(rids)) == 40, "identity values collided across the race"
+    row_ids = [r._row_id for r in out]
+    assert len(set(row_ids)) == 40, "row-tracking ids collided across the race"
+
+
+def test_threaded_appends_all_commit(spark, tmp_path):
+    """Four same-JVM threads blind-append disjoint batches with no
+    coordination: under the commit lock + auto-rebase ALL of them must
+    commit, each batch exactly once — the Delta append-commute
+    contract, in-process edition."""
+    import threading
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 20).selectExpr("id", "0 AS v"), path, keys=("id",)
+    )
+
+    errors = []
+    barrier = threading.Barrier(4)
+
+    def worker(tag: int):
+        try:
+            barrier.wait(timeout=60)
+            mt.append_rows(
+                spark,
+                spark.range(100 * tag, 100 * tag + 10).selectExpr(
+                    "id", f"{tag} AS v"
+                ),
+                path,
+                txn={"writer": tag},
+            )
+        except Exception as e:  # pragma: no cover - diagnostics
+            errors.append((tag, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in (1, 2, 3, 4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+
+    assert mt.table_version(path) == 4
+    rows = {(r.id, r.v) for r in mt.read(spark, path).collect()}
+    want = {(i, 0) for i in range(20)}
+    for tag in (1, 2, 3, 4):
+        want |= {(100 * tag + i, tag) for i in range(10)}
+    assert rows == want
+    assert not glob.glob(path + "__staging_*")
+    assert not glob.glob(path + "__old_*")
+    assert not os.path.exists(path + "__commitlock")
+
+
+def _append_commute_writer(path: str, tag: int, barrier, out):
+    from pyspark.sql import SparkSession
+
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName(f"append-commute-{tag}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+    )
+    try:
+        df = spark.range(100 * tag, 100 * tag + 10).selectExpr(
+            "id", f"{tag} AS v"
+        )
+        barrier.wait()
+        try:
+            mt.append_rows(spark, df, path, txn={"writer": tag})
+            out.put(("win", tag))
+        except Exception as e:
+            out.put(("error", f"{tag}: {e!r}"))
+    finally:
+        spark.stop()
+
+
+@pytest.mark.slow
+def test_cross_process_appends_all_commit(spark, tmp_path):
+    """Three OS processes (own JVMs) blind-append disjoint batches
+    concurrently. Auto-rebase means NO writer loses: every append
+    commits exactly once and the final version counts all three — the
+    'N racing appenders all commit' contract real Delta's logical
+    conflict detection gives blind appends."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import vacuum
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 20).selectExpr("id", "0 AS v"), path, keys=("id",),
+        max_history=8,
+    )
+
+    tags = (3, 5, 7)
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(len(tags))
+    out = ctx.Queue()
+    procs = [
+        ctx.Process(target=_append_commute_writer, args=(path, tag, barrier, out))
+        for tag in tags
+    ]
+    for p in procs:
+        p.start()
+    results = [out.get(timeout=300) for _ in procs]
+    for p in procs:
+        p.join(timeout=300)
+
+    assert sorted(results) == sorted(("win", t) for t in tags), results
+
+    mt.recover(path)
+    assert mt.table_version(path) == len(tags)
+    rows = {(r.id, r.v) for r in mt.read(spark, path).collect()}
+    want = {(i, 0) for i in range(20)}
+    for tag in tags:
+        want |= {(100 * tag + i, tag) for i in range(10)}
+    assert rows == want
+    vacuum(path)
+    assert not glob.glob(path + "__staging_*")
+    assert not glob.glob(path + "__old_*")
