@@ -103,6 +103,7 @@ def general_merge(
     source_alias: str = "s",
     max_history: int = 2,
     txn: dict | None = None,
+    schema_evolution: bool = False,
 ) -> None:
     """Full-semantics Delta MERGE: arbitrary WHEN clause lists with
     per-clause conditions, evaluated in order within each match bucket
@@ -128,6 +129,18 @@ def general_merge(
     behave exactly as :func:`managed_table.merge_upsert`. On
     CDF-enabled tables the executor records the row-level change set
     (update pre/post images, deletes, inserts) in the same commit.
+
+    ``schema_evolution=True`` is delta-spark's ``withSchemaEvolution``
+    for ARBITRARY clause shapes (the classic-combo route delegates to
+    ``merge_upsert(schema_evolution=True)``): the target schema widens
+    by (a) every source column an UPDATE ALL / INSERT ALL clause would
+    copy, and (b) every explicitly ASSIGNED column missing from the
+    target — types come from the source schema / the assignment
+    expression resolved against both aliases, exactly Delta's automatic
+    schema-evolution rule for merge. Pre-existing rows (and matched
+    rows no clause touches) read NULL in the new columns; CDF sidecars
+    record the widened schema (``table_changes`` unions versions with
+    ``allowMissingColumns``, the Delta CDF batch-schema contract).
     """
     clauses = list(clauses)
     if not clauses:
@@ -148,8 +161,10 @@ def general_merge(
     target = managed_table._read_logical(spark, path)
     out_cols = list(target.columns)  # includes __row_id on tracked tables
     auto_cols = set(meta.get("generated", {})) | set(meta.get("identity", {}))
+    pending = set(meta.get("added_columns", {}))
+    evolve_assigned: list[tuple[str, object]] = []  # (col, assignment expr)
     for cl in clauses:
-        for c in (cl.assignments or {}):
+        for c, expr in (cl.assignments or {}).items():
             if c in auto_cols:
                 raise ValueError(
                     f"general_merge: column {c!r} is generated/identity — "
@@ -158,9 +173,42 @@ def general_merge(
             if c == _ROWID_COL:
                 raise ValueError("general_merge: __row_id is engine-managed")
             if c not in out_cols:
+                if schema_evolution and c not in pending:
+                    evolve_assigned.append((c, expr))
+                    continue
                 raise ValueError(
                     f"general_merge: unknown target column {c!r} in clause"
+                    + (
+                        " (a pending ADD COLUMN cannot be merge-assigned "
+                        "before a rewrite materializes it)"
+                        if c in pending
+                        else ""
+                    )
                 )
+
+    # ---- schema evolution: resolve the NEW columns and their types.
+    # (a) ALL clauses copy every source column -> source's type;
+    # (b) explicit assignments to missing columns -> the expression's
+    #     type, resolved against a zero-row two-alias probe (the
+    #     expression may reference both t. and s. columns).
+    evolved: dict[str, str] = {}
+    if schema_evolution:
+        known = set(out_cols) | pending
+        if any(cl.assignments is None for cl in clauses):
+            for c, tp in source.dtypes:
+                if c not in known and c != _ROWID_COL and not c.startswith("__"):
+                    evolved[c] = tp
+        if evolve_assigned:
+            probe = (
+                target.limit(0)
+                .alias(target_alias)
+                .join(source.limit(0).alias(source_alias), F.lit(True), "inner")
+            )
+            for c, expr in evolve_assigned:
+                if c not in evolved:
+                    evolved[c] = probe.select(
+                        _as_col(expr).alias(c)
+                    ).dtypes[0][1]
 
     keys = list(meta.get("keys", []))
     partition_by = tuple(meta.get("partition_by", ()) or ())
@@ -177,7 +225,7 @@ def general_merge(
             spark, path, source, condition, meta, base_version,
             matched_cl, insert_cl, by_src_cl,
             target_alias, source_alias, keys, partition_by, cdf_on,
-            max_history, txn,
+            max_history, txn, evolved,
         )
     finally:
         for rid, jrdd in sc._jsc.getPersistentRDDs().items():
@@ -189,9 +237,13 @@ def _general_merge_body(
     spark, path, source, condition, meta, base_version,
     matched_cl, insert_cl, by_src_cl,
     target_alias, source_alias, keys, partition_by, cdf_on,
-    max_history, txn,
+    max_history, txn, evolved=None,
 ) -> None:
     target = managed_table._read_logical(spark, path)
+    for c, tp in (evolved or {}).items():
+        # schema evolution: pre-existing rows read NULL in the new
+        # column (Delta's rule); assigning clauses overwrite per row
+        target = target.withColumn(c, F.lit(None).cast(tp))
     out_cols = list(target.columns)  # includes __row_id on tracked tables
 
     t = (
@@ -382,7 +434,10 @@ def _general_merge_body(
         txn,
         base_version,
         changes=changes,
-        schema_mode="enforce",
+        # evolution INTENDS the widened schema (enforce would refuse
+        # it); the evolved frame was built from the live schema + the
+        # vetted new columns, so "overwrite" here is exact, not lax
+        schema_mode="overwrite" if evolved else "enforce",
         _append_only_ok=True,  # vetted above: insert-only on appendOnly
     )
 
@@ -459,9 +514,11 @@ class DeltaMergeBuilder:
         return self
 
     def withSchemaEvolution(self) -> "DeltaMergeBuilder":
-        """mergeSchema for the classic combo (delegates to
-        merge_upsert's schema_evolution); the general executor keeps
-        write-time enforcement and refuses evolution."""
+        """Delta automatic schema evolution for ANY clause shape: the
+        classic combo delegates to merge_upsert's schema_evolution; the
+        general executor widens the target by ALL-clause source columns
+        and explicitly-assigned missing columns (see
+        :func:`general_merge`)."""
         self._schema_evolution = True
         return self
 
@@ -520,11 +577,6 @@ class DeltaMergeBuilder:
                 ),
             )
             return
-        if self._schema_evolution:
-            raise NotImplementedError(
-                "withSchemaEvolution is supported only for the classic "
-                "updateAll+insertAll merge shape"
-            )
         general_merge(
             spark,
             self._table.path,
@@ -533,6 +585,7 @@ class DeltaMergeBuilder:
             self._clauses,
             target_alias=self._table._alias,
             source_alias=self._source_alias,
+            schema_evolution=self._schema_evolution,
         )
 
 

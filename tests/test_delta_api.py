@@ -455,16 +455,115 @@ def test_generated_column_assignment_rejected(spark, tmp_path):
         )
 
 
-def test_schema_evolution_general_path_refused(spark, tmp_path):
+def test_schema_evolution_general_conditional_clauses(spark, tmp_path):
+    """withSchemaEvolution on NON-classic shapes (r9): explicit
+    update/insert clauses assigning a column the target lacks widen the
+    schema; pre-existing rows read NULL, CDF records the widened change
+    set, and survivors keep their row-tracking ids."""
+    path = str(tmp_path / "t")
+    _make(
+        spark,
+        path,
+        properties={"enableChangeDataFeed": True, "enableRowTracking": True},
+    )
+    ids_before = {
+        r.id: r._row_id
+        for r in mt.read(spark, path, with_row_ids=True).collect()
+    }
+    v0 = mt.table_version(path)
+    src = spark.createDataFrame(
+        [(1, 11, 100), (4, 40, 400)], ["id", "v", "score"]
+    )
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .withSchemaEvolution()
+        .whenMatchedUpdate(set={"v": "s.v", "score": "s.score"})
+        .whenNotMatchedInsert(
+            values={
+                "id": "s.id",
+                "name": "'new'",
+                "v": "s.v",
+                "score": "s.score * 2",
+            }
+        )
+        .execute()
+    )
+    out = {r.id: r for r in mt.read(spark, path).collect()}
+    assert "score" in mt.read(spark, path).columns
+    assert (out[1].v, out[1].score) == (11, 100)  # updated, evolved col set
+    assert (out[2].score, out[3].score) == (None, None)  # pre-existing: NULL
+    assert (out[4].name, out[4].v, out[4].score) == ("new", 40, 800)
+    # row-tracking ids survive the evolving rewrite for untouched+updated rows
+    ids_after = {
+        r.id: r._row_id
+        for r in mt.read(spark, path, with_row_ids=True).collect()
+    }
+    for i in (1, 2, 3):
+        assert ids_after[i] == ids_before[i]
+    # CDF: the widened change set was recorded in the same commit
+    ch = mt.table_changes(spark, path, v0, v0 + 1)
+    kinds = {
+        (r.id, r["_change_type"]): r for r in ch.collect()
+    }
+    assert kinds[(1, "update_postimage")].score == 100
+    assert kinds[(1, "update_preimage")].score is None
+    assert kinds[(4, "insert")].score == 800
+
+
+def test_schema_evolution_general_update_all_new_source_col(spark, tmp_path):
+    """A CONDITIONAL updateAll/insertAll (general route) with evolution:
+    every new source column widens the target; rows no clause touches
+    read NULL."""
     path = str(tmp_path / "t")
     _make(spark, path)
-    src = spark.createDataFrame([(1, "A", 11)], ["id", "name", "v"])
-    with pytest.raises(NotImplementedError, match="classic"):
+    src = spark.createDataFrame(
+        [(1, "A", 11, "x1"), (2, "B", 21, "x2"), (4, "D", 40, "x4")],
+        ["id", "name", "v", "tag"],
+    )
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .withSchemaEvolution()
+        .whenMatchedUpdateAll(condition="s.v > 15")  # condition => general
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+    out = {r.id: r for r in mt.read(spark, path).collect()}
+    assert out[1].tag is None and out[1].v == 10  # condition false: kept
+    assert (out[2].v, out[2].tag) == (21, "x2")  # updated, evolved col
+    assert out[3].tag is None  # never matched: NULL
+    assert (out[4].name, out[4].tag) == ("D", "x4")  # inserted
+
+
+def test_schema_evolution_assigned_expression_type(spark, tmp_path):
+    """An evolved column assigned from an EXPRESSION over both aliases
+    takes the expression's resolved type."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(1, 5.5)], ["id", "bonus"])
+    (
+        DeltaTable.forPath(spark, path).alias("t")
+        .merge(src, "t.id = s.id")
+        .withSchemaEvolution()
+        .whenMatchedUpdate(set={"total": "t.v + s.bonus"})
+        .execute()
+    )
+    df = mt.read(spark, path)
+    assert dict(df.dtypes)["total"] == "double"
+    out = {r.id: r.total for r in df.collect()}
+    assert out[1] == 15.5 and out[2] is None
+
+
+def test_schema_evolution_off_still_refuses_unknown_column(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    src = spark.createDataFrame([(1, 9)], ["id", "score"])
+    with pytest.raises(ValueError, match="unknown target column"):
         (
             DeltaTable.forPath(spark, path).alias("t")
             .merge(src, "t.id = s.id")
-            .withSchemaEvolution()
-            .whenMatchedUpdate(set={"v": "s.v"})
+            .whenMatchedUpdate(set={"score": "s.score"})
             .execute()
         )
 
