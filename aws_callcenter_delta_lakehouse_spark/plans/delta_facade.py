@@ -291,3 +291,99 @@ def delta_api_convert_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_nationkey").cast("long").alias("sum_nat"),
         )
     )
+
+
+@query(
+    "delta_api_name_first",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM customer
+    ), seeded AS (
+      SELECT c_custkey, cents FROM base WHERE c_custkey % 3 = 0
+    ), upd AS (
+      SELECT c_custkey, cents + 10000 AS cents FROM base
+      WHERE c_custkey % 2 = 0
+    ), merged AS (
+      -- updateAll+insertAll over the seed == full outer, source wins
+      SELECT COALESCE(u.c_custkey, s.c_custkey) AS c_custkey,
+             COALESCE(u.cents, s.cents) AS cents
+      FROM seeded s FULL OUTER JOIN upd u ON s.c_custkey = u.c_custkey
+    )
+    SELECT CAST(c_custkey % 5 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY 1
+    """,
+)
+def delta_api_name_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAME-ADDRESSED tables end to end (the reference's Glue-catalog
+    idiom, ``sql/athena_queries.sql:14``): CREATE by ``tableName`` (data
+    under the registry's managed warehouse), seed + upsert through
+    ``DeltaTable.forName`` merges, then the read-back runs through
+    ``spark.sql`` over the registered name (``register_sql_view``) — no
+    path appears in the query surface. Money as integer cents (trap
+    #13); the oracle reconstructs the upsert as a full-outer
+    source-wins join."""
+    import shutil
+    import tempfile
+
+    from ..sources import managed_table as mt  # noqa: F401 (parity imports)
+    from ..sources.delta_api import (
+        _REGISTRY_CONF,
+        DeltaTable,
+        register_sql_view,
+    )
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    registry = tempfile.mkdtemp(prefix="dapi_namereg_")
+    spark.conf.set(_REGISTRY_CONF, registry)
+    try:
+        (
+            DeltaTable.create(spark)
+            .tableName("regq_nf.cust")
+            .addColumn("c_custkey", "bigint")
+            .addColumn("cents", "bigint")
+            .primaryKeys("c_custkey")
+            .execute()
+        )
+        seed = base.filter(F.col("c_custkey") % 3 == 0)
+        (
+            DeltaTable.forName(spark, "regq_nf.cust").alias("t")
+            .merge(seed.alias("s"), "t.c_custkey = s.c_custkey")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        upd = base.filter(F.col("c_custkey") % 2 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(10000)
+        )
+        (
+            DeltaTable.forName(spark, "regq_nf.cust").alias("t")
+            .merge(upd.alias("s"), "t.c_custkey = s.c_custkey")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        register_sql_view(spark, "regq_nf.cust")
+        out = spark.sql(
+            """
+            SELECT CAST(c_custkey % 5 AS BIGINT) AS bucket,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM regq_nf.cust GROUP BY 1
+            """
+        )
+        # materialize BEFORE the rmtree (lazy frames read deleted paths)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS regq_nf CASCADE")
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)

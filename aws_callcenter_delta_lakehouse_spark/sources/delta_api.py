@@ -34,14 +34,88 @@ shuffle is bounded by MATCHED rows, not the table.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import maintenance, managed_table
+from . import maintenance, managed_table, txn_catalog
 from .managed_table import _ROWID_COL
+
+# --------------------------------------------------------------------------
+# Name registry wiring (metastore-lite — txn_catalog.register_table_name)
+# --------------------------------------------------------------------------
+# The reference addresses tables BY NAME through the Glue catalog
+# (`/root/reference/sql/athena_queries.sql:14` reads
+# `callcenter_analytics.<table>`); delta-spark's `forName`/`tableName`
+# resolve through the session metastore. The engine's analogue: a
+# registry directory named by this session conf (runtime-settable on a
+# vanilla session), holding one JSON binding per identifier.
+_REGISTRY_CONF = "spark.managedTable.nameRegistry"
+
+
+def _registry_dir(spark: SparkSession, explicit: str | None = None) -> str:
+    if explicit:
+        return explicit
+    val = spark.conf.get(_REGISTRY_CONF, None)
+    if not val:
+        raise ValueError(
+            "name-addressed table access needs a registry directory: "
+            f'spark.conf.set("{_REGISTRY_CONF}", "<dir>") '
+            "or pass registry_dir= explicitly"
+        )
+    return val
+
+
+def register_sql_view(
+    spark: SparkSession,
+    name: str,
+    registry_dir: str | None = None,
+    view_name: str | None = None,
+) -> str:
+    """Make a registered table queryable by NAME through ``spark.sql``
+    (the reference's Athena idiom: ``SELECT ... FROM
+    callcenter_analytics.daily_call_summary``): creates the database
+    (in-memory session catalog) and a VIEW over the live snapshot
+    path. The view re-resolves the path at every query, so later
+    commits are visible without re-registration (the snapshot swap
+    keeps the path constant); it projects the table's PUBLIC columns
+    (hidden ``__row_id`` stays hidden).
+
+    Same external-reader contract as ``generate("symlink_format_
+    manifest")``: the view is a RAW parquet read, so tables whose
+    correct scan needs engine reader features (active deletion
+    vectors, pending column renames/drops or ADD COLUMNs, zero-file
+    snapshots) are refused — materialize with
+    ``maintenance.materialize_deletes`` / a rewriting commit first.
+    Re-register after schema evolution (the projected column list is
+    captured here)."""
+    registry = _registry_dir(spark, registry_dir)
+    path = txn_catalog.resolve_table_name(registry, name)
+    marker = managed_table._read_marker(path)
+    reader, _w = managed_table._required_features(marker)
+    if reader:
+        raise managed_table.ProtocolError(
+            f"register_sql_view({name!r}): a raw SQL view cannot honor "
+            f"reader features {sorted(reader)} — it would serve wrong "
+            "rows. Materialize first (materialize_deletes / a rewriting "
+            "commit)."
+        )
+    cols = managed_table.read(spark, path).columns
+    parts = [p.strip() for p in (view_name or name).split(".")]
+    if len(parts) > 2:
+        raise ValueError(f"identifier {view_name or name!r}: at most db.table")
+    if len(parts) == 2:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{parts[0]}`")
+    quoted = ".".join(f"`{p}`" for p in parts)
+    collist = ", ".join(f"`{c}`" for c in cols)
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {quoted} AS "
+        f"SELECT {collist} FROM parquet.`{path}`"
+    )
+    return quoted
 
 
 # --------------------------------------------------------------------------
@@ -640,6 +714,7 @@ class DeltaTableBuilder:
         self._spark = spark
         self._mode = mode
         self._path: str | None = None
+        self._name: str | None = None
         self._cols: list[tuple] = []  # (name, ddl_type, generated_expr)
         self._partition_by: tuple[str, ...] = ()
         self._properties: dict = {}
@@ -651,11 +726,16 @@ class DeltaTableBuilder:
         return self
 
     def tableName(self, identifier: str) -> "DeltaTableBuilder":
-        raise NotImplementedError(
-            "metastore-registered CREATE TABLE is not supported by the "
-            "path-based engine — use .location(path) (register the path "
-            "in the session catalog separately if needed)"
-        )
+        """Name-addressed CREATE (delta-spark's metastore registration):
+        the identifier binds in the session's name registry
+        (``spark.managedTable.nameRegistry`` conf). Without an explicit
+        ``location`` the data lands under the registry's managed
+        warehouse dir (``<registry>/tables/<identifier>``) — Delta's
+        managed-vs-external split. The bound name then works with
+        ``DeltaTable.forName`` and (via :func:`register_sql_view`)
+        ``spark.sql``."""
+        self._name = identifier.strip().lower()
+        return self
 
     def addColumn(
         self,
@@ -695,15 +775,52 @@ class DeltaTableBuilder:
         return self
 
     def execute(self) -> "DeltaTable":
+        registry = bound = None
+        if self._name is not None:
+            registry = _registry_dir(self._spark)
+            try:
+                bound = txn_catalog.resolve_table_name(registry, self._name)
+            except txn_catalog.TableNameError:
+                bound = None
+            if self._path is None:
+                # managed placement: data lives under the registry's
+                # warehouse dir, keyed by the identifier
+                self._path = bound or os.path.join(
+                    registry, "tables", self._name
+                )
+            elif bound is not None and os.path.abspath(
+                bound
+            ) != os.path.abspath(self._path):
+                raise ValueError(
+                    f"table name {self._name!r} is already bound to "
+                    f"{bound} — it cannot also be created at {self._path}"
+                )
         if self._path is None:
-            raise ValueError("create builder requires .location(path)")
+            raise ValueError(
+                "create builder requires .location(path) or .tableName(name)"
+            )
         if not self._cols:
             raise ValueError("create builder requires at least one addColumn")
+        def _bind() -> None:
+            # record (or repair) the name binding; a lost put-if-absent
+            # race is fine iff the winner bound the SAME path
+            if self._name is None or bound == self._path:
+                return
+            try:
+                txn_catalog.register_table_name(
+                    registry, self._name, self._path
+                )
+            except txn_catalog.TableNameError:
+                other = txn_catalog.resolve_table_name(registry, self._name)
+                if os.path.abspath(other) != os.path.abspath(self._path):
+                    raise
+
         exists = managed_table.is_table(self._spark, self._path)
         if exists:
             if self._mode == "create":
                 raise ValueError(f"{self._path} is already a managed table")
             if self._mode == "createIfNotExists":
+                _bind()
                 return DeltaTable(self._spark, self._path)
         elif self._mode == "replace":
             raise ValueError(
@@ -731,6 +848,7 @@ class DeltaTableBuilder:
             properties=props,
             schema_mode="overwrite",
         )
+        _bind()
         return DeltaTable(self._spark, self._path)
 
 
@@ -754,13 +872,21 @@ class DeltaTable:
         return cls(spark, path)
 
     @classmethod
-    def forName(cls, spark: SparkSession, name: str) -> "DeltaTable":
-        raise NotImplementedError(
-            "metastore-registered tables are not supported by the "
-            "path-based engine — use DeltaTable.forPath(spark, path) "
-            "(register the path in the session catalog separately if "
-            "SQL access is needed)"
+    def forName(
+        cls, spark: SparkSession, name: str, registry_dir: str | None = None
+    ) -> "DeltaTable":
+        """Name-addressed handle (delta-spark's metastore resolution):
+        the identifier resolves through the session's name registry
+        (``spark.managedTable.nameRegistry`` conf, or an explicit
+        ``registry_dir``) — the engine's Glue-catalog analogue, so the
+        reference's ``callcenter_analytics.<table>`` idiom works
+        name-first end to end (create by name via
+        ``DeltaTable.create(spark).tableName(...)``, SQL by name via
+        :func:`register_sql_view`)."""
+        path = txn_catalog.resolve_table_name(
+            _registry_dir(spark, registry_dir), name
         )
+        return cls.forPath(spark, path)
 
     @classmethod
     def isDeltaTable(cls, spark: SparkSession, path: str) -> bool:

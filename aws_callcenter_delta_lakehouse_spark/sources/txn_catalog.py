@@ -188,3 +188,97 @@ def read_table(
     if head == entry["version"]:
         return mt.read(spark, entry["path"])
     return mt.read(spark, entry["path"], version=entry["version"])
+
+
+# ---------------------------------------------------------------------------
+# Name registry (metastore-lite): identifier -> table path
+# ---------------------------------------------------------------------------
+# The reference addresses tables by CATALOG NAME through Glue/Athena
+# (`/root/reference/sql/athena_queries.sql:14` queries
+# `callcenter_analytics.<table>`), while the engine's storage layer is
+# path-based. This registry is the thin metastore between the two: one
+# small JSON file PER NAME (`<registry>/names/<identifier>.json`), so
+# concurrent registrations of DIFFERENT names never race a shared file,
+# and CREATE-if-absent uses the same put-if-absent primitive as the
+# commit protocol (`write_exclusive` — conditional PUT on object
+# stores). Identifiers are case-insensitive, like Spark/Glue.
+#
+# Scale note: resolution is one O(1) file read per lookup; listing is a
+# directory scan of names (metadata, never data). At any fleet size the
+# registry is the cheapest component in the system — exactly why every
+# lakehouse (Glue, Unity, Iceberg REST) fronts paths with a tiny
+# catalog service.
+
+_NAMES_DIR = "names"
+
+
+class TableNameError(KeyError):
+    """Unknown (or already-registered) table name."""
+
+
+def _name_file(registry_dir: str, name: str) -> str:
+    ident = name.strip().lower()
+    if not ident or any(ch in ident for ch in "/\\\0"):
+        raise ValueError(f"invalid table identifier {name!r}")
+    return os.path.join(registry_dir, _NAMES_DIR, f"{ident}.json")
+
+
+def register_table_name(
+    registry_dir: str, name: str, path: str, replace: bool = False
+) -> None:
+    """Bind ``name`` (e.g. ``callcenter_analytics.silver_calls``) to a
+    managed-table path. ``replace=False`` is CREATE semantics: raises
+    :class:`TableNameError` if the name is already bound (atomic
+    put-if-absent — two racing creators resolve to exactly one
+    winner); ``replace=True`` re-points the name (CREATE OR REPLACE)."""
+    f = _name_file(registry_dir, name)
+    _fs().makedirs(os.path.dirname(f), exist_ok=True)
+    payload = json.dumps({"name": name.strip().lower(), "path": path})
+    if replace:
+        _fs().write_atomic(f, payload)
+        return
+    try:
+        _fs().write_exclusive(f, payload)
+    except FileExistsError:
+        raise TableNameError(
+            f"table name {name!r} is already registered "
+            f"(-> {resolve_table_name(registry_dir, name)}); use "
+            "replace=True to re-point it"
+        ) from None
+
+
+def resolve_table_name(registry_dir: str, name: str) -> str:
+    """Name -> path; raises :class:`TableNameError` when unbound."""
+    f = _name_file(registry_dir, name)
+    if not _fs().exists(f):
+        raise TableNameError(
+            f"unknown table name {name!r} (registry: {registry_dir}; "
+            f"known: {sorted(list_table_names(registry_dir))})"
+        )
+    return json.loads(_fs().read_text(f))["path"]
+
+
+def unregister_table_name(registry_dir: str, name: str) -> None:
+    """DROP the name binding (the table's data is untouched — exactly
+    dropping an EXTERNAL table)."""
+    f = _name_file(registry_dir, name)
+    if not _fs().exists(f):
+        raise TableNameError(f"unknown table name {name!r}")
+    _fs().remove(f)
+
+
+def list_table_names(registry_dir: str) -> dict[str, str]:
+    """{identifier: path} for every registered name."""
+    d = os.path.join(registry_dir, _NAMES_DIR)
+    if not _fs().isdir(d):
+        return {}
+    out = {}
+    for fn in sorted(_fs().listdir(d)):
+        if not fn.endswith(".json"):
+            continue
+        try:
+            payload = json.loads(_fs().read_text(os.path.join(d, fn)))
+        except json.JSONDecodeError:  # pragma: no cover - torn admin write
+            continue
+        out[payload["name"]] = payload["path"]
+    return out

@@ -720,12 +720,149 @@ def test_create_modes(spark, tmp_path):
 
 
 def test_create_builder_validation(spark, tmp_path):
-    with pytest.raises(ValueError, match="location"):
+    with pytest.raises(ValueError, match="location|tableName"):
         DeltaTable.create(spark).addColumn("id", "bigint").execute()
     with pytest.raises(ValueError, match="addColumn"):
         DeltaTable.create(spark).location(str(tmp_path / "x")).execute()
-    with pytest.raises(NotImplementedError, match="location"):
-        DeltaTable.create(spark).tableName("db.t")
+    # tableName without a session registry conf: actionable error
+    spark.conf.unset("spark.managedTable.nameRegistry")
+    with pytest.raises(ValueError, match="nameRegistry"):
+        (
+            DeltaTable.create(spark)
+            .tableName("db.t")
+            .addColumn("id", "bigint")
+            .execute()
+        )
+
+
+# ---------------------------------------------------------------------------
+# Name-addressed tables (r9): forName / tableName / spark.sql by name
+# ---------------------------------------------------------------------------
+
+def test_name_first_create_merge_sql(spark, tmp_path):
+    """The reference's catalog idiom end to end WITHOUT a path in user
+    code: create by name (managed placement under the registry), merge
+    by name, query by name through spark.sql."""
+    from aws_callcenter_delta_lakehouse_spark.sources.delta_api import (
+        register_sql_view,
+    )
+
+    registry = str(tmp_path / "registry")
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    try:
+        (
+            DeltaTable.create(spark)
+            .tableName("cc_analytics.silver_calls")
+            .addColumn("id", "bigint")
+            .addColumn("status", "string")
+            .primaryKeys("id")
+            .execute()
+        )
+        # managed placement: data landed under the registry warehouse
+        assert mt.is_table(
+            spark, os.path.join(registry, "tables", "cc_analytics.silver_calls")
+        )
+
+        src = spark.createDataFrame(
+            [(1, "COMPLETED"), (2, "DROPPED")], ["id", "status"]
+        )
+        (
+            DeltaTable.forName(spark, "CC_Analytics.Silver_Calls")  # case-insensitive
+            .alias("t")
+            .merge(src, "t.id = s.id")
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        assert sorted(
+            (r.id, r.status)
+            for r in DeltaTable.forName(spark, "cc_analytics.silver_calls")
+            .toDF()
+            .collect()
+        ) == [(1, "COMPLETED"), (2, "DROPPED")]
+
+        # SQL by name — and the view tracks LATER commits (path-stable swap)
+        register_sql_view(spark, "cc_analytics.silver_calls")
+        got = spark.sql(
+            "SELECT status, COUNT(*) AS n FROM cc_analytics.silver_calls "
+            "GROUP BY status ORDER BY status"
+        ).collect()
+        assert [(r.status, r.n) for r in got] == [("COMPLETED", 1), ("DROPPED", 1)]
+        mt.append_rows(
+            spark,
+            spark.createDataFrame([(3, "DROPPED")], ["id", "status"]),
+            os.path.join(registry, "tables", "cc_analytics.silver_calls"),
+        )
+        assert (
+            spark.sql("SELECT COUNT(*) AS n FROM cc_analytics.silver_calls")
+            .first().n == 3
+        )
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS cc_analytics CASCADE")
+        spark.conf.unset("spark.managedTable.nameRegistry")
+
+
+def test_name_registry_bindings(spark, tmp_path):
+    """Binding semantics: create is put-if-absent, rebinding to another
+    path refuses, external location registers under the name too,
+    forName on an unknown name lists what exists."""
+    from aws_callcenter_delta_lakehouse_spark.sources import txn_catalog as tc
+
+    registry = str(tmp_path / "registry")
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    try:
+        ext = str(tmp_path / "ext")
+        (
+            DeltaTable.create(spark)
+            .tableName("db.ext_table")
+            .location(ext)  # EXTERNAL: explicit path + name binding
+            .addColumn("id", "bigint")
+            .execute()
+        )
+        assert tc.resolve_table_name(registry, "db.ext_table") == ext
+        assert DeltaTable.forName(spark, "db.ext_table").path == ext
+
+        # same name at a DIFFERENT path refuses
+        with pytest.raises(ValueError, match="already bound"):
+            (
+                DeltaTable.createOrReplace(spark)
+                .tableName("db.ext_table")
+                .location(str(tmp_path / "other"))
+                .addColumn("id", "bigint")
+                .execute()
+            )
+        # createIfNotExists by the SAME name no-ops cleanly
+        (
+            DeltaTable.createIfNotExists(spark)
+            .tableName("db.ext_table")
+            .addColumn("id", "bigint")
+            .execute()
+        )
+        with pytest.raises(KeyError, match="unknown table name"):
+            DeltaTable.forName(spark, "db.nope")
+        assert tc.list_table_names(registry) == {"db.ext_table": ext}
+        tc.unregister_table_name(registry, "db.ext_table")
+        assert tc.list_table_names(registry) == {}
+        assert mt.is_table(spark, ext)  # DROP of the NAME keeps the data
+    finally:
+        spark.conf.unset("spark.managedTable.nameRegistry")
+
+
+def test_register_sql_view_refuses_reader_features(spark, tmp_path):
+    """A raw SQL view over a DV table would resurrect deleted rows —
+    the registration refuses, same contract as external manifests."""
+    from aws_callcenter_delta_lakehouse_spark.sources import txn_catalog as tc
+    from aws_callcenter_delta_lakehouse_spark.sources.delta_api import (
+        register_sql_view,
+    )
+
+    registry = str(tmp_path / "registry")
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.delete_where(spark, path, "id = 1", deletion_vectors=True)
+    tc.register_table_name(registry, "db.dv_table", path)
+    with pytest.raises(mt.ProtocolError, match="deletionVectors"):
+        register_sql_view(spark, "db.dv_table", registry_dir=registry)
 
 
 def test_create_builder_add_columns_struct_type(spark, tmp_path):
