@@ -666,7 +666,9 @@ class DeltaMergeBuilder:
 class DeltaOptimizeBuilder:
     """``DeltaTable.optimize()`` — ``executeCompaction()`` binpacks,
     ``executeZOrderBy(cols)`` rewrites clustered; ``where`` scopes
-    compaction to partition directories (Delta ``OPTIMIZE ... WHERE``)."""
+    EITHER to the matching partition directories (Delta
+    ``OPTIMIZE ... WHERE [... ZORDER BY]``) — only those dirs are
+    rewritten, each atomically."""
 
     def __init__(self, table: "DeltaTable"):
         self._table = table
@@ -685,12 +687,15 @@ class DeltaOptimizeBuilder:
         )
 
     def executeZOrderBy(self, *cols: str) -> dict:
-        if self._where is not None:
-            raise NotImplementedError(
-                "OPTIMIZE ... WHERE is supported for compaction only"
-            )
         flat = [c for group in cols for c in
                 (group if isinstance(group, (list, tuple)) else [group])]
+        if self._where is not None:
+            # partition-scoped re-clustering: only the selected Hive
+            # partition dirs are rewritten (compact(where=)'s walk),
+            # each clustered on the Morton key of `cols`
+            return maintenance.optimize_zorder_partitions(
+                self._table._spark, self._table.path, flat, self._where
+            )
         return maintenance.optimize_zorder(
             self._table._spark, self._table.path, flat
         )

@@ -214,15 +214,46 @@ def _hive_partition_dirs(
     return {"/".join(vals): d for d, vals in levels}
 
 
+def optimize_zorder_partitions(
+    spark: SparkSession,
+    path: str,
+    cols: Sequence[str],
+    where: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    bits: int = 16,
+) -> dict[str, int]:
+    """Delta ``OPTIMIZE ... WHERE ... ZORDER BY (cols)``: re-cluster
+    ONLY the partition directories the predicate selects, leaving every
+    other partition's files untouched on disk. Same partition walk and
+    per-directory atomic swap as ``compact(where=)``; within the one
+    rewrite job the selected rows are range-partitioned on
+    (partition key, Morton code) and sorted, so each rewritten
+    partition's files carry tight per-file min/max on every clustered
+    column. At 100 TB this is the incremental-maintenance shape: the
+    day's hot partitions re-cluster without touching years of cold
+    ones."""
+    marker = managed_table._read_marker(path)
+    partition_by = tuple(marker.get("partition_by", ()) or ())
+    return _compact_partitions(
+        spark, path, partition_by, target_file_bytes, where,
+        zorder_cols=list(cols), bits=bits,
+    )
+
+
 def _compact_partitions(
     spark: SparkSession,
     path: str,
     partition_by: tuple[str, ...],
     target_file_bytes: int,
     where: str,
+    zorder_cols: list[str] | None = None,
+    bits: int = 16,
 ) -> dict[str, int]:
     """Partition-scoped compaction: rewrite only the partition dirs
     selected by ``where``; all other data stays in place on disk.
+    With ``zorder_cols`` the rewrite additionally CLUSTERS each
+    selected partition on the Morton interleave of those columns
+    (range partition + sort instead of hash slots).
 
     The only driver-side materialization is the distinct matching
     partition-value tuples — partition *metadata* (bounded by partition
@@ -287,28 +318,42 @@ def _compact_partitions(
     sel = spark.read.option("basePath", path).parquet(
         *[subdir for _key, subdir in matched]
     )
-    data_cols = [c for c in sel.columns if c not in partition_by]
-    nout_map = F.create_map(
-        *[F.lit(x) for k, n in n_out_by_key.items() for x in (k, n)]
-    )
-    part_key = F.concat_ws(
-        "/", *[F.col(c).cast("string") for c in partition_by]
-    )
-    slotted = sel.withColumn(
-        "__slot",
-        F.pmod(
-            F.xxhash64(F.struct(*[F.col(c) for c in data_cols])),
-            nout_map[part_key],
-        ),
-    )
     staging = f"{path}__compact_staging_parts"
     if _fs().isdir(staging):  # pragma: no cover - leftover from crash
         _fs().rmtree(staging)
     n_tasks = max(sum(n_out_by_key.values()), 1)
+    if zorder_cols:
+        # cluster within each selected partition: range-partitioning on
+        # (partition key, Morton code) keeps each partition contiguous
+        # and z-sorted across its output files; the sort makes per-file
+        # min/max tight on every clustered column
+        from ..operators.layout import zorder_key
+
+        clustered = (
+            sel.withColumn(
+                "__z", zorder_key([F.col(c) for c in zorder_cols], bits)
+            )
+            .repartitionByRange(n_tasks, *partition_by, F.col("__z"))
+            .sortWithinPartitions(*partition_by, "__z")
+            .drop("__z")
+        )
+    else:
+        data_cols = [c for c in sel.columns if c not in partition_by]
+        nout_map = F.create_map(
+            *[F.lit(x) for k, n in n_out_by_key.items() for x in (k, n)]
+        )
+        part_key = F.concat_ws(
+            "/", *[F.col(c).cast("string") for c in partition_by]
+        )
+        clustered = sel.withColumn(
+            "__slot",
+            F.pmod(
+                F.xxhash64(F.struct(*[F.col(c) for c in data_cols])),
+                nout_map[part_key],
+            ),
+        ).repartition(n_tasks, *partition_by, F.col("__slot")).drop("__slot")
     (
-        slotted.repartition(n_tasks, *partition_by, F.col("__slot"))
-        .drop("__slot")
-        .write.mode("overwrite")
+        clustered.write.mode("overwrite")
         .partitionBy(*partition_by)
         .parquet(staging)
     )

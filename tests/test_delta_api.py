@@ -956,6 +956,64 @@ def test_optimize_zorder(spark, tmp_path):
     assert dt.toDF().count() == 500
 
 
+def test_optimize_where_zorder_partition_scoped(spark, tmp_path):
+    """OPTIMIZE ... WHERE ... ZORDER BY (r9): only the selected Hive
+    partition's files are rewritten, and the rewritten files are
+    z-clustered (non-overlapping per-file Morton ranges); the other
+    partition's files are byte-identical on disk."""
+    import glob as _glob
+
+    from aws_callcenter_delta_lakehouse_spark.operators.layout import (
+        zorder_key,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 600)
+        .withColumn("p", (F.col("id") % 2).cast("int"))
+        .withColumn("x", (F.col("id") * 7919) % 256)
+        .withColumn("y", (F.col("id") * 104729) % 256)
+    )
+    mt.commit_overwrite(
+        df.repartition(6), path, keys=("id",), partition_by=("p",)
+    )
+    before_rows = sorted(
+        (r.id, r.p, r.x, r.y) for r in mt.read(spark, path).collect()
+    )
+    cold = sorted(_glob.glob(os.path.join(path, "p=1", "*.parquet")))
+    cold_m = [os.path.getmtime(f) for f in cold]
+    hot_before = sorted(_glob.glob(os.path.join(path, "p=0", "*.parquet")))
+
+    dt = DeltaTable.forPath(spark, path)
+    dt.optimize().where("p = 0").executeZOrderBy("x", "y")
+
+    # untouched partition: same files, same mtimes
+    assert sorted(_glob.glob(os.path.join(path, "p=1", "*.parquet"))) == cold
+    assert [os.path.getmtime(f) for f in cold] == cold_m
+    hot_after = sorted(_glob.glob(os.path.join(path, "p=0", "*.parquet")))
+    assert hot_after != hot_before  # rewritten
+    # no data loss anywhere
+    assert before_rows == sorted(
+        (r.id, r.p, r.x, r.y) for r in mt.read(spark, path).collect()
+    )
+    # clusteredness: per-file Morton ranges of the rewritten partition
+    # don't overlap (each file reads a contiguous z-range)
+    ranges = []
+    for f in hot_after:
+        zs = (
+            spark.read.parquet(f)
+            .select(zorder_key([F.col("x"), F.col("y")]).alias("z"))
+            .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+            .first()
+        )
+        ranges.append((zs.lo, zs.hi))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+    # no staging/backup leftovers
+    assert _glob.glob(f"{path}__compact*") == []
+
+
 def test_generate_symlink_manifest_duckdb_readable(spark, tmp_path):
     """GENERATE symlink_format_manifest: the listed files, read by an
     EXTERNAL engine (DuckDB raw parquet scan), equal the table."""
@@ -1004,3 +1062,46 @@ def test_generate_symlink_manifest_partitioned_and_dv_refusal(spark, tmp_path):
         DeltaTable.forPath(spark, path).generate("symlink_format_manifest")
     with pytest.raises(ValueError, match="unsupported mode"):
         DeltaTable.forPath(spark, path).generate("nope")
+
+
+def test_optimize_where_zorder_multi_file_ranges(spark, tmp_path):
+    """Same, but forcing MULTIPLE output files per partition (tiny
+    target_file_bytes) so the non-overlap assertion has teeth."""
+    import glob as _glob
+
+    from aws_callcenter_delta_lakehouse_spark.operators.layout import (
+        zorder_key,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        optimize_zorder_partitions,
+    )
+
+    path = str(tmp_path / "t")
+    df = (
+        spark.range(0, 4000)
+        .withColumn("p", (F.col("id") % 2).cast("int"))
+        .withColumn("x", (F.col("id") * 7919) % 1024)
+        .withColumn("y", (F.col("id") * 104729) % 1024)
+    )
+    mt.commit_overwrite(
+        df.repartition(6), path, keys=("id",), partition_by=("p",)
+    )
+    n_before = mt.read(spark, path).count()
+    optimize_zorder_partitions(
+        spark, path, ["x", "y"], where="p = 0", target_file_bytes=8_000
+    )
+    hot = sorted(_glob.glob(os.path.join(path, "p=0", "*.parquet")))
+    assert len(hot) >= 3, hot  # genuinely multi-file
+    ranges = []
+    for f in hot:
+        zs = (
+            spark.read.parquet(f)
+            .select(zorder_key([F.col("x"), F.col("y")]).alias("z"))
+            .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+            .first()
+        )
+        ranges.append((zs.lo, zs.hi))
+    ranges.sort()
+    for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+    assert mt.read(spark, path).count() == n_before
