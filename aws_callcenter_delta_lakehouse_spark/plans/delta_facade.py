@@ -387,3 +387,52 @@ def delta_api_name_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql("DROP DATABASE IF EXISTS regq_nf CASCADE")
         spark.conf.unset(_REGISTRY_CONF)
         shutil.rmtree(registry, ignore_errors=True)
+
+
+@query(
+    "delta_api_log_export_read",
+    oracle="""
+    SELECT n_nationkey % 5 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_regionkey) AS BIGINT) AS sum_region
+    FROM nation GROUP BY 1
+    """,
+)
+def delta_api_log_export_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-log EXPORT interop (`maintenance.export_delta_log`): the
+    nation table commits as a managed snapshot, a real `_delta_log`
+    (public delta-io protocol JSON) is exported over it, and the
+    read-back scans EXACTLY the add-listed files the way an external
+    Delta engine would — matching the oracle proves the log's file
+    inventory is complete and nothing else leaked in."""
+    import json as _json
+    import os as _os
+    import tempfile
+    from urllib.parse import unquote
+
+    from ..sources import managed_table as mt
+    from ..sources.maintenance import export_delta_log
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="dapi_dlog_") + "/t"
+    mt.commit_overwrite(nation.repartition(3), path, keys=("n_nationkey",))
+    log_file = export_delta_log(spark, path)
+    with open(log_file) as f:
+        actions = [_json.loads(line) for line in f if line.strip()]
+    files = [
+        _os.path.join(path, unquote(a["add"]["path"]))
+        for a in actions
+        if "add" in a
+    ]
+    out = (
+        spark.read.parquet(*files)
+        .groupBy((F.col("n_nationkey") % 5).alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_regionkey").cast("long").alias("sum_region"),
+        )
+    )
+    # materialize BEFORE the scratch dir disappears with the registry
+    return spark.createDataFrame(out.collect(), out.schema)

@@ -994,6 +994,15 @@ class DeltaTable:
             )
         return maintenance.generate_symlink_manifest(self.path)
 
+    def exportDeltaLog(self) -> str:
+        """Engine extension: write a REAL `_delta_log` (public Delta
+        protocol JSON — protocol/metaData/add actions) describing the
+        live snapshot, making the directory a readable Delta table for
+        external Delta engines. Point-in-time like ``generate``:
+        re-export after each commit. See
+        :func:`maintenance.export_delta_log`."""
+        return maintenance.export_delta_log(self._spark, self.path)
+
     def vacuum(self, retentionHours: float = 168.0, dry_run: bool = False) -> list:
         return maintenance.vacuum(
             self.path, retention_hours=retentionHours, dry_run=dry_run

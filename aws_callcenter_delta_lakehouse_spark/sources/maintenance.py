@@ -1020,3 +1020,114 @@ def generate_symlink_manifest(path: str) -> list[str]:
     else:
         _emit(path, ".")
     return written
+
+
+def export_delta_log(spark: SparkSession, path: str) -> str:
+    """Write a REAL Delta Lake transaction log (`_delta_log/
+    00000000000000000000.json`) describing the live snapshot, per the
+    public Delta protocol spec (delta-io PROTOCOL.md): `protocol`
+    (minReader 1 / minWriter 2 — plain parquet, no table features),
+    `metaData` (Spark-JSON schemaString — the exact format Delta uses —
+    partition columns, table properties as configuration), and one
+    `add` action per data file (URL-encoded relative path,
+    partitionValues from the Hive layout, size, modificationTime,
+    dataChange). The snapshot directory then IS a readable Delta table
+    for any external Delta engine (delta-spark, Trino/Presto, DuckDB's
+    delta extension) — one step beyond the symlink manifest, which
+    only lists files.
+
+    Same point-in-time contract as ``generate_symlink_manifest``:
+    regenerate after every commit (the next snapshot swap replaces the
+    directory, log included — a reader can never see a stale log over
+    new files). Refuses tables whose correct scan needs engine reader
+    features (active deletion vectors, pending column renames/drops or
+    ADD COLUMNs, zero-file snapshots): exporting those as plain adds
+    would serve wrong rows. The hidden ``__row_id`` column may exist in
+    the parquet files; Delta readers project the declared schemaString,
+    so it stays hidden. No external Delta reader ships in this sandbox,
+    so the contract is pinned structurally (tests parse the log, check
+    the file inventory byte-for-byte, round-trip the schema, and replay
+    an external read through DuckDB over the add-file list).
+
+    Driver cost: one file walk + one JSON write — metadata only.
+    Returns the log file path."""
+    import json
+    import uuid as _uuid
+    from urllib.parse import quote, unquote
+
+    recover = managed_table.recover
+    recover(path)
+    marker = managed_table._read_marker(path)
+    if not marker:
+        raise ValueError(f"{path} is not a managed table")
+    reader_feats, _w = managed_table._required_features(marker)
+    if reader_feats:
+        raise managed_table.ProtocolError(
+            f"export_delta_log: table requires reader features "
+            f"{sorted(reader_feats)} — plain add-file actions would "
+            "serve wrong rows (materialize deletes / rewrite pending "
+            "column ops first)"
+        )
+    partition_by = list(marker.get("partition_by", ()) or ())
+    public_schema = managed_table.read(spark, path).schema
+
+    adds = []
+    for f in sorted(
+        _fs().glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(f, path)
+        parts = rel.split(os.sep)
+        if any(p.startswith("_") for p in parts[:-1]):
+            continue  # sidecar dirs are not table data
+        pvals = {}
+        for comp in parts[:-1]:
+            col, _eq, raw = comp.partition("=")
+            pvals[col] = (
+                None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+            )
+        adds.append(
+            {
+                "add": {
+                    "path": quote(rel.replace(os.sep, "/"), safe="/"),
+                    "partitionValues": pvals,
+                    "size": _fs().getsize(f),
+                    "modificationTime": int(_fs().getmtime(f) * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+
+    props = marker.get("properties") or {}
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "WRITE",
+                "operationParameters": {"mode": "Overwrite"},
+                "engineInfo": "managed-table-emulation delta-log export",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(_uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": public_schema.json(),
+                "partitionColumns": partition_by,
+                "configuration": {
+                    k: str(v) for k, v in props.items()
+                    if isinstance(v, (str, int, float, bool))
+                },
+                "createdTime": int(float(marker.get("ts", 0.0)) * 1000),
+            }
+        },
+        *adds,
+    ]
+    log_dir = os.path.join(path, "_delta_log")
+    if _fs().isdir(log_dir):
+        _fs().rmtree(log_dir)
+    _fs().makedirs(log_dir)
+    log_file = os.path.join(log_dir, f"{0:020d}.json")
+    _fs().write_atomic(
+        log_file, "\n".join(json.dumps(a) for a in actions) + "\n"
+    )
+    return log_file

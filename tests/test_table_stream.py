@@ -269,3 +269,37 @@ def test_empty_created_table_streams_schema_then_rows(spark, tmp_path):
         q.stop()
     got = [(r.id, r.name, r.bal) for r in spark.table(sink).collect()]
     assert got == [(1, "a", 1.0)]
+
+
+def test_available_now_drains_and_terminates(spark, tmp_path):
+    """Trigger.AvailableNow on the table stream (the production
+    drain-then-stop trigger, Delta parity): snapshot + appended tail
+    are all served, then the query terminates ON ITS OWN — no stop()
+    needed. Pins that the Python-source offset range is honored by the
+    availableNow wrapper."""
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    mt.append_rows(
+        spark,
+        spark.createDataFrame([(9, "n9", 90.0)], ["id", "name", "bal"]),
+        path,
+    )
+
+    spark.dataSource.register(make_table_stream_source())
+    sink = f"tstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("managed_table_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not terminate"
+    got = sorted((r.id, r.name, r.bal) for r in spark.table(sink).collect())
+    want = sorted(
+        (r.id, r.name, r.bal) for r in mt.read(spark, path).collect()
+    )
+    assert got == want and len(got) == 5
