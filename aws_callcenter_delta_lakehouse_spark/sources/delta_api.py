@@ -230,7 +230,6 @@ def general_merge(
         # updates/deletes are rewrites — refused on appendOnly tables;
         # a pure insert-only merge is the one allowed shape
         managed_table._check_append_only(meta, "general_merge")
-    base_version = managed_table.table_version(path)
 
     target = managed_table._read_logical(spark, path)
     out_cols = list(target.columns)  # includes __row_id on tracked tables
@@ -284,9 +283,6 @@ def general_merge(
                         _as_col(expr).alias(c)
                     ).dtypes[0][1]
 
-    keys = list(meta.get("keys", []))
-    partition_by = tuple(meta.get("partition_by", ()) or ())
-    cdf_on = managed_table._cdf_on(meta)
     # checkpoint the source so the target-side join and the insert anti
     # join read ONE materialization; the blocks are RDD persistence
     # (clearCache doesn't touch them — perf trap 4), so they must be
@@ -294,13 +290,28 @@ def general_merge(
     sc = spark.sparkContext
     persisted_before = set(sc._jsc.getPersistentRDDs().keys())
     source = source.localCheckpoint(eager=False)
-    try:
+
+    def _attempt() -> None:
+        # Delta-style commit retry: re-derive marker/version/layout from
+        # the LIVE table each attempt — a CAS loss re-runs the merge
+        # against the winner's snapshot (WriteSerializable). The
+        # checkpointed source is attempt-stable, so every retry merges
+        # the same source rows.
+        managed_table.recover(path)
+        m = managed_table._read_marker(path)
         _general_merge_body(
-            spark, path, source, condition, meta, base_version,
+            spark, path, source, condition, m,
+            managed_table.table_version(path),
             matched_cl, insert_cl, by_src_cl,
-            target_alias, source_alias, keys, partition_by, cdf_on,
+            target_alias, source_alias,
+            list(m.get("keys", [])),
+            tuple(m.get("partition_by", ()) or ()),
+            managed_table._cdf_on(m),
             max_history, txn, evolved,
         )
+
+    try:
+        managed_table._retry_dml(_attempt, path)
     finally:
         for rid, jrdd in sc._jsc.getPersistentRDDs().items():
             if rid not in persisted_before:

@@ -1225,6 +1225,34 @@ def merge_upsert(
     txn: dict | None = None,
     not_matched_by_source: str = "keep",
 ) -> None:
+    """See :func:`_merge_upsert_impl` for the MERGE semantics. This
+    wrapper adds Delta's automatic commit retry: a version-CAS loss to
+    a concurrent commit re-executes the whole merge against the new
+    snapshot (WriteSerializable — the retried merge sees the winner's
+    rows), bounded by :func:`_retry_dml`."""
+    return _retry_dml(
+        lambda: _merge_upsert_impl(
+            spark, path, source, keys, partition_by, broadcast_source,
+            schema_evolution, validate_source, max_history, txn,
+            not_matched_by_source,
+        ),
+        path,
+    )
+
+
+def _merge_upsert_impl(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: Sequence[str],
+    partition_by: Sequence[str] = (),
+    broadcast_source: bool = False,
+    schema_evolution: bool = False,
+    validate_source: bool = True,
+    max_history: int = 2,
+    txn: dict | None = None,
+    not_matched_by_source: str = "keep",
+) -> None:
     """UPSERT keyed on ``keys`` — whenMatchedUpdateAll +
     whenNotMatchedInsertAll (01_silver_delta_upsert.py:103-112).
     ``not_matched_by_source="delete"`` adds Delta's
@@ -1898,6 +1926,26 @@ def _commit_lock(path: str):
             pass
 
 
+def _retry_dml(fn, path: str, attempts: int = 5):
+    """Delta-style automatic commit retry for DML that READS the table
+    (MERGE / DELETE / UPDATE): on a version-CAS loss the WHOLE op
+    re-executes against the new live snapshot — re-read, re-stage,
+    re-validate — which is exactly WriteSerializable semantics (the
+    retried op serializes AFTER the winner and sees its rows). Real
+    Delta's OptimisticTransaction does the same internally
+    (checkAndRetry); before the r9 commit lock these races were silent
+    lost-updates, so surfacing-then-retrying is strictly safer.
+    Bounded: persistent contention re-raises the last conflict."""
+    for i in range(attempts):
+        try:
+            return fn()
+        except ConcurrentWriteError:
+            if i == attempts - 1:
+                raise
+            recover(path)
+            time.sleep(0.02 * (i + 1))
+
+
 def _last_rewrite_version(marker: dict) -> int:
     """Version of the most recent commit that REWROTE table data (vs a
     blind append / data-preserving rewrite). Blind appends carry the
@@ -1954,6 +2002,24 @@ def _checked_publish(
 
 
 def delete_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    max_history: int = 2,
+    deletion_vectors: bool = False,
+) -> None:
+    """See :func:`_delete_where_impl`; this wrapper adds Delta's
+    automatic commit retry (:func:`_retry_dml`) — a CAS loss to a
+    concurrent commit re-runs the delete against the new snapshot."""
+    return _retry_dml(
+        lambda: _delete_where_impl(
+            spark, path, condition, max_history, deletion_vectors
+        ),
+        path,
+    )
+
+
+def _delete_where_impl(
     spark: SparkSession,
     path: str,
     condition,
@@ -2157,6 +2223,26 @@ def _delete_where_dv(
 
 
 def update_where(
+    spark: SparkSession,
+    path: str,
+    condition,
+    assignments: dict,
+    max_history: int = 2,
+    deletion_vectors: bool = False,
+) -> None:
+    """See :func:`_update_where_impl`; this wrapper adds Delta's
+    automatic commit retry (:func:`_retry_dml`) — a CAS loss to a
+    concurrent commit re-runs the update against the new snapshot."""
+    return _retry_dml(
+        lambda: _update_where_impl(
+            spark, path, condition, assignments, max_history,
+            deletion_vectors,
+        ),
+        path,
+    )
+
+
+def _update_where_impl(
     spark: SparkSession,
     path: str,
     condition,

@@ -156,27 +156,34 @@ def test_purge_rows_never_resurrects_from_dv_history(spark, tmp_path):
 
 
 def test_dv_concurrent_commit_conflict(spark, tmp_path):
+    """PERSISTENT contention: every commit attempt loses the version
+    CAS — the bounded DML retry loop (r9) re-raises after its attempts
+    and the loser leaves no staging behind. (One-shot conflicts now
+    auto-retry and SUCCEED — pinned by the merge/delete retry tests in
+    test_table_race.py.)"""
+    import glob as _glob
+
     path = str(tmp_path / "t")
     _make(spark, path)
-    orig = mt.table_version
-    calls = {"n": 0}
-
-    def racing_version(p):
-        # simulate a commit landing between the snapshot read and the
-        # final pre-swap recheck: report version+1 on the recheck only
-        calls["n"] += 1
-        return orig(p) + (1 if calls["n"] > 1 else 0)
-
     import aws_callcenter_delta_lakehouse_spark.sources.managed_table as m
 
-    m.table_version, saved = racing_version, m.table_version
+    def always_conflict(
+        path_, staging, exists, version, max_history, tag, base_version
+    ):
+        m._fs().rmtree(staging)
+        err = m.ConcurrentWriteError("simulated persistent conflict")
+        err.base_version = base_version
+        raise err
+
+    m._checked_publish, saved = always_conflict, m._checked_publish
     try:
         with pytest.raises(mt.ConcurrentWriteError):
             mt.delete_where(spark, path, "id = 1", deletion_vectors=True)
     finally:
-        m.table_version = saved
+        m._checked_publish = saved
     # loser left no staging behind and the table is intact
     assert mt.read(spark, path).count() == 8
+    assert not _glob.glob(path + "__staging_*")
 
 
 def test_dv_clone_preserves_logical_rows(spark, tmp_path):

@@ -442,3 +442,72 @@ def test_cross_process_appends_all_commit(spark, tmp_path):
     vacuum(path)
     assert not glob.glob(path + "__staging_*")
     assert not glob.glob(path + "__old_*")
+
+
+def test_merge_auto_retries_after_concurrent_append(spark, tmp_path, monkeypatch):
+    """Delta-style DML commit retry (r9): an append landing inside a
+    merge's staging window no longer fails the merge — the merge
+    re-executes against the new snapshot (WriteSerializable) and the
+    final table holds the appended row AND the merged rows."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 10).selectExpr("id", "CAST(0 AS BIGINT) AS v"),
+        path, keys=("id",),
+    )
+
+    real = mt._snapshot_stats
+    fired = {"done": False}
+
+    def hooked(dirpath):
+        if not fired["done"]:
+            fired["done"] = True
+            mt.append_rows(
+                spark,
+                spark.createDataFrame([(100, 1)], "id long, v long"),
+                path,
+            )
+        return real(dirpath)
+
+    monkeypatch.setattr(mt, "_snapshot_stats", hooked)
+    mt.merge_upsert(
+        spark,
+        path,
+        spark.createDataFrame([(0, 9), (50, 9)], "id long, v long"),
+        keys=("id",),
+    )
+    rows = {(r.id, r.v) for r in mt.read(spark, path).collect()}
+    want = {(i, 0) for i in range(1, 10)} | {(0, 9), (50, 9), (100, 1)}
+    assert rows == want
+    assert mt.table_version(path) == 2  # append + retried merge
+
+
+def test_delete_auto_retries_and_sees_winner_rows(spark, tmp_path, monkeypatch):
+    """The retried DELETE serializes AFTER the concurrent append: an
+    appended row matching the predicate is deleted too (the
+    WriteSerializable read-your-winner contract)."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 10).selectExpr("id", "0 AS v"), path, keys=("id",)
+    )
+
+    real = mt._snapshot_stats
+    fired = {"done": False}
+
+    def hooked(dirpath):
+        if not fired["done"]:
+            fired["done"] = True
+            mt.append_rows(
+                spark,
+                spark.createDataFrame([(100, 1)], "id long, v long"),
+                path,
+            )
+        return real(dirpath)
+
+    monkeypatch.setattr(mt, "_snapshot_stats", hooked)
+    mt.delete_where(spark, path, "id >= 5")
+    rows = {(r.id, r.v) for r in mt.read(spark, path).collect()}
+    assert rows == {(i, 0) for i in range(5)}  # 100 deleted by the retry
