@@ -327,8 +327,12 @@ def _general_merge_body(
     target = managed_table._read_logical(spark, path)
     for c, tp in (evolved or {}).items():
         # schema evolution: pre-existing rows read NULL in the new
-        # column (Delta's rule); assigning clauses overwrite per row
-        target = target.withColumn(c, F.lit(None).cast(tp))
+        # column (Delta's rule); assigning clauses overwrite per row.
+        # Skip columns the live table ALREADY has — on a commit-retry a
+        # concurrent winner may have evolved the same column, and
+        # re-nulling it would erase the winner's values.
+        if c not in target.columns:
+            target = target.withColumn(c, F.lit(None).cast(tp))
     out_cols = list(target.columns)  # includes __row_id on tracked tables
 
     t = (
