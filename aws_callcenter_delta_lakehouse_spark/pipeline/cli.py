@@ -69,15 +69,59 @@ ANALYTICS_QUERIES = {
 }
 
 
+# The reference's five queries VERBATIM — catalog prefix and all
+# (sql/athena_queries.sql:7-63; the database IS `callcenter_analytics`).
+# Runnable because `register_gold_catalog` binds the Gold tables in the
+# name registry and exposes them to spark.sql by their qualified names.
+ANALYTICS_QUERIES_CATALOG = {
+    i: q.replace("FROM gold_", "FROM callcenter_analytics.gold_")
+    for i, q in ANALYTICS_QUERIES.items()
+}
+
+CATALOG_DB = "callcenter_analytics"
+
+
 def register_gold_views(spark: SparkSession, gold_root: str) -> None:
     for t in GOLD_TABLES:
         managed_table.read(spark, f"{gold_root}/{t}").createOrReplaceTempView(t)
 
 
-def run_analytics(spark: SparkSession, gold_root: str, query: int | None = None):
-    register_gold_views(spark, gold_root)
-    ids = [query] if query else sorted(ANALYTICS_QUERIES)
-    return {i: spark.sql(ANALYTICS_QUERIES[i]) for i in ids}
+def register_gold_catalog(spark: SparkSession, gold_root: str) -> str:
+    """Name-first registration (r9): bind the three Gold tables in the
+    Gold root's name registry as ``callcenter_analytics.<table>`` and
+    expose each to ``spark.sql`` — after this the reference's Athena
+    SQL runs VERBATIM, catalog prefix included (the Glue+Athena
+    database becomes the engine's registry + session views). Returns
+    the registry directory."""
+    from ..sources import txn_catalog
+    from ..sources.delta_api import register_sql_view
+
+    registry = f"{gold_root}/_name_registry"
+    for t in GOLD_TABLES:
+        txn_catalog.register_table_name(
+            registry, f"{CATALOG_DB}.{t}", f"{gold_root}/{t}", replace=True
+        )
+        register_sql_view(spark, f"{CATALOG_DB}.{t}", registry_dir=registry)
+    return registry
+
+
+def run_analytics(
+    spark: SparkSession,
+    gold_root: str,
+    query: int | None = None,
+    catalog: bool = False,
+):
+    """``catalog=False``: session temp views + the prefix-less SQL.
+    ``catalog=True``: name-registry + qualified views + the reference
+    SQL verbatim (``callcenter_analytics.`` prefix kept)."""
+    if catalog:
+        register_gold_catalog(spark, gold_root)
+        queries = ANALYTICS_QUERIES_CATALOG
+    else:
+        register_gold_views(spark, gold_root)
+        queries = ANALYTICS_QUERIES
+    ids = [query] if query else sorted(queries)
+    return {i: spark.sql(queries[i]) for i in ids}
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -99,6 +143,11 @@ def main(argv: list[str] | None = None) -> None:
     a = sub.add_parser("analytics", help="run the five analytics queries")
     a.add_argument("--gold", required=True)
     a.add_argument("--query", type=int, choices=sorted(ANALYTICS_QUERIES), default=None)
+    a.add_argument(
+        "--catalog", action="store_true",
+        help="register callcenter_analytics.* names and run the "
+        "reference SQL verbatim (catalog prefix kept)",
+    )
 
     args = p.parse_args(argv)
     spark = get_spark(app_name=f"cli-{args.cmd}")
@@ -111,7 +160,9 @@ def main(argv: list[str] | None = None) -> None:
     elif args.cmd == "gold":
         print(gold_job(spark, args.silver, args.gold, processing_date=args.processing_date))
     else:
-        for i, df in run_analytics(spark, args.gold, args.query).items():
+        for i, df in run_analytics(
+            spark, args.gold, args.query, catalog=args.catalog
+        ).items():
             print(f"-- query {i}")
             df.show(truncate=False)
 

@@ -38,6 +38,24 @@ def test_cli_full_workflow(spark, tmp_path):
           "--processing-date", PDATE])
     main(["analytics", "--gold", gold, "--query", "1"])
 
+    # the reference's Athena SQL VERBATIM — catalog prefix kept (r9):
+    # name-registry + qualified views make `callcenter_analytics.<t>`
+    # resolvable, and results equal the prefix-less session-view path
+    from aws_callcenter_delta_lakehouse_spark.pipeline.cli import (
+        run_analytics,
+    )
+
+    try:
+        plain = run_analytics(spark, gold)
+        qualified = run_analytics(spark, gold, catalog=True)
+        for i in plain:
+            a = [tuple(r) for r in plain[i].collect()]
+            b = [tuple(r) for r in qualified[i].collect()]
+            assert a == b, f"query {i} differs between view paths"
+        main(["analytics", "--gold", gold, "--query", "4", "--catalog"])
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS callcenter_analytics CASCADE")
+
     # lifecycle on the live tables: CHECK constraint holds on real data
     mt.add_constraint(spark, silver, "call_id_present", "call_id IS NOT NULL")
     assert "call_id_present" in mt.table_constraints(silver)
