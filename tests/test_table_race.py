@@ -511,3 +511,56 @@ def test_delete_auto_retries_and_sees_winner_rows(spark, tmp_path, monkeypatch):
     mt.delete_where(spark, path, "id >= 5")
     rows = {(r.id, r.v) for r in mt.read(spark, path).collect()}
     assert rows == {(i, 0) for i in range(5)}  # 100 deleted by the retry
+
+
+def test_append_rebase_partitioned_table(spark, tmp_path, monkeypatch):
+    """Commute on a Hive-PARTITIONED table: the rebase re-links the new
+    base's partition dirs and re-writes the appended rows partitionBy —
+    both batches land in their right partitions, nothing forks."""
+    from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 20).selectExpr(
+            "id", "CAST(id % 2 AS INT) AS p", "CAST(0 AS BIGINT) AS v"
+        ),
+        path,
+        keys=("id",),
+        partition_by=("p",),
+    )
+
+    real = mt._link_snapshot_files
+    fired = {"done": False}
+
+    def hooked(src, staging):
+        if not fired["done"]:
+            fired["done"] = True
+            mt.append_rows(
+                spark,
+                spark.createDataFrame(
+                    [(100, 0, 1), (101, 1, 1)], "id long, p int, v long"
+                ),
+                path,
+            )
+        return real(src, staging)
+
+    monkeypatch.setattr(mt, "_link_snapshot_files", hooked)
+    mt.append_rows(
+        spark,
+        spark.createDataFrame(
+            [(200, 0, 2), (201, 1, 2)], "id long, p int, v long"
+        ),
+        path,
+    )
+
+    assert mt.table_version(path) == 2
+    rows = {(r.id, r.p, r.v) for r in mt.read(spark, path).collect()}
+    want = {(i, i % 2, 0) for i in range(20)} | {
+        (100, 0, 1), (101, 1, 1), (200, 0, 2), (201, 1, 2)
+    }
+    assert rows == want
+    # partition dirs hold exactly their rows (no layout fork)
+    p0 = spark.read.option("basePath", path).parquet(path + "/p=0")
+    assert {r.id for r in p0.collect()} == {
+        i for i in range(0, 20, 2)
+    } | {100, 200}
