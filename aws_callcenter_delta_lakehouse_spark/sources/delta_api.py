@@ -781,6 +781,21 @@ class DeltaTableBuilder:
         )
         return self
 
+    def clusterBy(self, *cols: str) -> "DeltaTableBuilder":
+        """Delta LIQUID CLUSTERING declaration (delta-spark 3.x
+        ``clusterBy``): the table self-maintains its layout — every
+        rewriting commit probes the declared columns' zone depth
+        (driver metadata only) and re-clusters on the multi-key Morton
+        interleave when any column degraded past the threshold
+        (``autoOptimize`` property, ``optimize_if_degraded``).
+        Mutually exclusive with ``partitionedBy``, like Delta."""
+        flat = [c for group in cols for c in
+                (group if isinstance(group, (list, tuple)) else [group])]
+        self._properties["autoOptimize"] = {
+            "columns": flat, "max_avg_depth": 2.0,
+        }
+        return self
+
     def property(self, key: str, value) -> "DeltaTableBuilder":
         self._properties[key] = value
         return self
@@ -821,6 +836,13 @@ class DeltaTableBuilder:
             )
         if not self._cols:
             raise ValueError("create builder requires at least one addColumn")
+        if self._partition_by and self._properties.get("autoOptimize"):
+            raise ValueError(
+                "clusterBy and partitionedBy are mutually exclusive "
+                "(Delta's liquid-clustering rule; the depth-probe "
+                "trigger maintains flat tables only)"
+            )
+
         def _bind() -> None:
             # record (or repair) the name binding; a lost put-if-absent
             # race is fine iff the winner bound the SAME path

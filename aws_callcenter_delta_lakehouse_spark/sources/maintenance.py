@@ -940,28 +940,35 @@ def clustering_depth(path: str, column: str) -> dict:
 def optimize_if_degraded(
     spark: SparkSession,
     path: str,
-    column: str,
+    column: str | Sequence[str],
     max_avg_depth: float = 2.0,
     target_file_bytes: int = TARGET_FILE_BYTES,
 ) -> dict:
     """Liquid-clustering-style MAINTENANCE TRIGGER: measure the zone
-    depth for ``column`` and re-cluster ONLY when it degraded past
-    ``max_avg_depth`` — appends/merges erode clustering gradually, and
-    rewriting a well-clustered 100 TB table on a schedule is pure
-    waste. The depth probe is driver metadata (no Spark job); the
-    rewrite, when triggered, is the atomic versioned
-    ``optimize_zorder`` single-key path with a refreshed skipping
-    manifest. Returns the decision with before/after depths."""
-    before = clustering_depth(path, column)
-    if before["n_files"] == 0 or before["avg_depth"] <= max_avg_depth:
-        return {"reclustered": False, "depth": before}
+    depth for the clustering column(s) and re-cluster ONLY when it
+    degraded past ``max_avg_depth`` — appends/merges erode clustering
+    gradually, and rewriting a well-clustered 100 TB table on a
+    schedule is pure waste. The depth probe is driver metadata (no
+    Spark job; multi-column = worst single-column depth, since one
+    badly-overlapped dimension already breaks that column's skipping);
+    the rewrite, when triggered, is the atomic versioned
+    ``optimize_zorder`` (Morton interleave across ALL declared
+    columns) with a refreshed skipping manifest. Returns the decision
+    with before/after depths."""
+    cols = [column] if isinstance(column, str) else list(column)
+    before = {c: clustering_depth(path, c) for c in cols}
+    worst = max((d["avg_depth"] for d in before.values()), default=0.0)
+    if all(d["n_files"] == 0 for d in before.values()) or worst <= max_avg_depth:
+        return {"reclustered": False, "depth": before[cols[0]], "depths": before}
     stats = optimize_zorder(
-        spark, path, [column], target_file_bytes=target_file_bytes
+        spark, path, cols, target_file_bytes=target_file_bytes
     )
     return {
         "reclustered": True,
-        "depth": before,
-        "depth_after": clustering_depth(path, column),
+        "depth": before[cols[0]],
+        "depths": before,
+        "depth_after": clustering_depth(path, cols[0]),
+        "depths_after": {c: clustering_depth(path, c) for c in cols},
         "files": stats,
     }
 

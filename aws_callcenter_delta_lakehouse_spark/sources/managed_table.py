@@ -1799,11 +1799,12 @@ def commit_overwrite(
 
         # metadata-only depth probe; re-clusters (a separate OPTIMIZE
         # commit, auto_optimize=False inside) only when THIS commit
-        # pushed the zone depth past the declared threshold
+        # pushed the zone depth past the declared threshold.
+        # "columns" (clusterBy, multi-key Morton) or legacy "column".
         optimize_if_degraded(
             df.sparkSession,
             path,
-            spec["column"],
+            spec.get("columns") or spec["column"],
             float(spec.get("max_avg_depth", 2.0)),
         )
 
@@ -2824,7 +2825,7 @@ def _append_rows_once(
         optimize_if_degraded(
             spark,
             path,
-            spec["column"],
+            spec.get("columns") or spec["column"],
             float(spec.get("max_avg_depth", 2.0)),
         )
     ac = props.get("autoCompact")

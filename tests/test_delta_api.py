@@ -1105,3 +1105,61 @@ def test_optimize_where_zorder_multi_file_ranges(spark, tmp_path):
     for (_lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, ranges
     assert mt.read(spark, path).count() == n_before
+
+
+def test_cluster_by_liquid_maintenance(spark, tmp_path):
+    """DeltaTableBuilder.clusterBy (r9, delta-spark 3.x liquid
+    clustering): the created table self-maintains a MULTI-column
+    layout — a scattering rewrite is auto-followed by a Morton
+    re-cluster on both declared columns; partitionedBy+clusterBy
+    refuses (Delta's rule)."""
+    from aws_callcenter_delta_lakehouse_spark.sources.layout import (
+        write_stats_manifest,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        clustering_depth,
+    )
+
+    path = str(tmp_path / "t")
+    (
+        DeltaTable.create(spark)
+        .location(path)
+        .addColumn("k", "bigint")
+        .addColumn("j", "bigint")
+        .addColumn("v", "bigint")
+        .clusterBy("k", "j")
+        .primaryKeys("k")
+        .execute()
+    )
+    assert mt.table_properties(path)["autoOptimize"]["columns"] == ["k", "j"]
+
+    base = spark.range(0, 8000).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7919) % 8000).alias("j"),
+        (F.col("id") * 2).alias("v"),
+    )
+    # first data commit: clustered well by construction, manifest fresh
+    from aws_callcenter_delta_lakehouse_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    mt.commit_overwrite(zorder_layout(base, ["k", "j"], 8), path)
+    write_stats_manifest(path, ["k", "j"])
+    assert clustering_depth(path, "k")["avg_depth"] <= 2.0
+
+    # a round-robin rewrite scatters BOTH columns; the property's
+    # trigger re-clusters automatically in a follow-up commit
+    mt.commit_overwrite(mt.read(spark, path).repartition(6), path)
+    assert clustering_depth(path, "k")["avg_depth"] <= 2.0
+    assert clustering_depth(path, "j")["avg_depth"] <= 4.0  # interleaved key
+    assert mt.read(spark, path).count() == 8000
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        (
+            DeltaTable.create(spark)
+            .location(str(tmp_path / "t2"))
+            .addColumn("k", "bigint")
+            .partitionedBy("k")
+            .clusterBy("k")
+            .execute()
+        )
