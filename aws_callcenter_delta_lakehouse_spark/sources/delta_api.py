@@ -91,7 +91,16 @@ def register_sql_view(
     snapshots) are refused — materialize with
     ``maintenance.materialize_deletes`` / a rewriting commit first.
     Re-register after schema evolution (the projected column list is
-    captured here)."""
+    captured here).
+
+    The registration is RECORDED in a sibling sentinel: if a LATER
+    commit enables deletion vectors (``delete_where(deletion_vectors=
+    True)`` / ``update_where(...)``) the committing session drops the
+    recorded views — the next query fails loudly with VIEW_NOT_FOUND
+    instead of silently serving soft-deleted rows. Views created by
+    OTHER concurrently-live sessions cannot be reached (each
+    SparkSession owns its in-memory catalog); re-register there after
+    materializing."""
     registry = _registry_dir(spark, registry_dir)
     path = txn_catalog.resolve_table_name(registry, name)
     marker = managed_table._read_marker(path)
@@ -115,6 +124,7 @@ def register_sql_view(
         f"CREATE OR REPLACE VIEW {quoted} AS "
         f"SELECT {collist} FROM parquet.`{path}`"
     )
+    managed_table._record_sql_view(path, quoted)
     return quoted
 
 
@@ -791,6 +801,10 @@ class DeltaTableBuilder:
         Mutually exclusive with ``partitionedBy``, like Delta."""
         flat = [c for group in cols for c in
                 (group if isinstance(group, (list, tuple)) else [group])]
+        if not flat:
+            # fail at declaration time — an empty spec would otherwise
+            # surface as a KeyError on the first auto-optimize probe
+            raise ValueError("clusterBy() needs at least one column")
         self._properties["autoOptimize"] = {
             "columns": flat, "max_avg_depth": 2.0,
         }

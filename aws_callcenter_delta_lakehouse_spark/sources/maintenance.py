@@ -640,10 +640,14 @@ def vacuum(
     for leftover in sorted(_fs().glob(f"{path}__*")):
         if retain_history and leftover == f"{path}__history":
             continue
-        if leftover == path + managed_table._LOCK_SUFFIX:
-            # crash-orphaned commit-lock FILE: sweep once it is stale
-            # (a live writer's lock is seconds old; _commit_lock steals
-            # stale ones itself, this just tidies the listing)
+        base = os.path.basename(leftover)
+        lockbase = os.path.basename(path + managed_table._LOCK_SUFFIX)
+        claimbase = os.path.basename(path) + managed_table._CLAIM_SUFFIX
+        if base.startswith(lockbase) or base.startswith(claimbase):
+            # crash-orphaned commit-lock / version-claim / steal-
+            # tombstone FILES: sweep once stale (a live writer's are
+            # seconds old; _commit_lock/_claim_version steal stale ones
+            # themselves, this just tidies the listing)
             try:
                 stale = (
                     _time.time() - _fs().getmtime(leftover)

@@ -66,6 +66,16 @@ _DV_IDX_COL = "__dv_idx"
 # from data reads, same as _dv.
 _CDF_DIR = "_change_data"
 _CDF_PROP = "enableChangeDataFeed"
+# External-reader export sidecars (maintenance.export_delta_log): a
+# point-in-time Delta transaction log over the live snapshot, plus the
+# hardlinked retained-version files the versioned export references.
+# Both are underscore-hidden from data reads and MUST be shed by every
+# hardlinking commit (append / DV delete / DV update) — carrying them
+# forward would serve an external Delta engine a log that predates the
+# commit (missing appended rows, resurrecting soft-deleted ones).
+# Rewriting commits shed them by construction.
+_DELTA_LOG_DIR = "_delta_log"
+_DELTA_HISTORY_DIR = "_delta_history"
 # Row tracking (Delta `delta.enableRowTracking`): a hidden BIGINT column
 # materialized in the data files gives every row a STABLE id — preserved
 # across UPDATE / MERGE-update / DELETE-survivor / OPTIMIZE / DV commits,
@@ -1888,25 +1898,68 @@ _LOCK_STALE_SECONDS = 60.0  # holder does renames only; >60s = crashed
 _LOCK_ACQUIRE_TIMEOUT = 120.0
 
 
+def _steal_stale(lockfile: str) -> None:
+    """Retire a stale lock/claim file ATOMICALLY: rename it to a unique
+    tombstone — exactly one of N concurrent stealers wins the rename
+    (the source vanishes; the rest get ENOENT and re-probe). An
+    unconditional ``remove()`` here was the round-9 bug: two stealers
+    that both observed staleness could interleave so the second remove
+    deleted the first stealer's FRESHLY ACQUIRED lock, letting two
+    writers into the critical section. After the rename, verify the
+    captured incarnation really was the stale one — if a live writer's
+    fresh lock was grabbed in the probe→rename window, put it back
+    (put-if-absent). The only residual overlap needs a THIRD writer to
+    acquire inside that restore window; the version-claim CAS in
+    ``_checked_publish`` turns even that into a loud
+    ConcurrentWriteError instead of a silent lost update."""
+    tomb = f"{lockfile}.steal.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    try:
+        _fs().replace(lockfile, tomb)
+    except OSError:
+        return  # another stealer won the rename, or the holder released
+    try:
+        fresh = time.time() - _fs().getmtime(tomb) <= _LOCK_STALE_SECONDS
+    except OSError:  # pragma: no cover - tombstone swept underneath us
+        return
+    if fresh:  # captured a LIVE writer's lock — restore it
+        try:
+            _fs().write_exclusive(lockfile, _fs().read_text(tomb))
+        except (FileExistsError, OSError):  # pragma: no cover
+            pass  # a third writer took the name; the claim CAS backstops
+    try:
+        _fs().remove(tomb)
+    except OSError:  # pragma: no cover
+        pass
+
+
 @contextlib.contextmanager
 def _commit_lock(path: str):
     """Acquire the table's commit lock (put-if-absent lock file). A
     holder that crashed mid-publish left a consistent table (recover()
     heals the swap window), so a stale lock is safe to STEAL after
-    ``_LOCK_STALE_SECONDS`` — the lock provides liveness-bounded mutual
-    exclusion, not correctness (atomicity is the rename pair's job)."""
+    ``_LOCK_STALE_SECONDS`` — via :func:`_steal_stale`'s atomic-rename
+    protocol, never a blind remove. The lock carries a holder-unique
+    token and release is OWNERSHIP-VERIFIED: a holder whose lock was
+    stolen (frozen >60s) walks away instead of deleting the thief's
+    successor's lock. The lock provides liveness-bounded mutual
+    exclusion; the version-claim CAS in :func:`_checked_publish` is the
+    correctness backstop."""
     lock = path + _LOCK_SUFFIX
+    token = f"{os.getpid()}.{uuid.uuid4().hex}"
     deadline = time.time() + _LOCK_ACQUIRE_TIMEOUT
     while True:
         try:
             _fs().write_exclusive(
-                lock, json.dumps({"pid": os.getpid(), "ts": time.time()})
+                lock,
+                json.dumps(
+                    {"token": token, "pid": os.getpid(), "ts": time.time()}
+                ),
             )
             break
         except FileExistsError:
             try:
                 if time.time() - _fs().getmtime(lock) > _LOCK_STALE_SECONDS:
-                    _fs().remove(lock)  # crashed holder — steal
+                    _steal_stale(lock)  # crashed holder — atomic steal
                     continue
             except OSError:
                 continue  # holder released between probe and getmtime
@@ -1922,9 +1975,14 @@ def _commit_lock(path: str):
         yield
     finally:
         try:
-            _fs().remove(lock)
-        except OSError:  # pragma: no cover - already stolen as stale
-            pass
+            mine = json.loads(_fs().read_text(lock)).get("token") == token
+        except (OSError, ValueError):  # pragma: no cover - stolen/torn
+            mine = False
+        if mine:
+            try:
+                _fs().remove(lock)
+            except OSError:  # pragma: no cover - stolen as stale
+                pass
 
 
 def _retry_dml(fn, path: str, attempts: int = 5):
@@ -1959,6 +2017,66 @@ def _last_rewrite_version(marker: dict) -> int:
     return int(lr) if lr is not None else int(marker.get("version", 0))
 
 
+# Commit claims: version-addressed put-if-absent files, the
+# filesystem-level analogue of Delta's log-store conditional PUT of
+# `N.json` — exactly one writer may PRODUCE version N of a table, even
+# if the commit lock's mutual exclusion is ever breached (a frozen
+# holder stolen as stale). Claims persist for _CLAIM_KEEP versions
+# behind the live one so a writer frozen mid-publish cannot re-claim a
+# version that already shipped; publish sweeps older claims, vacuum
+# sweeps orphans.
+_CLAIM_SUFFIX = "__commit_v"
+_CLAIM_KEEP = 8
+
+
+def _claim_version(path: str, version: int, base_version: int | None) -> None:
+    """Put-if-absent claim of (table, version). A FRESH existing claim
+    is a live concurrent writer publishing the same version — raise
+    :class:`ConcurrentWriteError` (auto-retried by ``_retry_dml`` /
+    append rebase). A STALE claim is a crashed writer's orphan (its
+    swap either completed — in which case the live version moved and
+    the recheck already failed — or ``recover()`` rolled it back):
+    stolen via the same atomic-rename protocol as the commit lock."""
+    claim = f"{path}{_CLAIM_SUFFIX}{version:06d}"
+    while True:
+        try:
+            _fs().write_exclusive(
+                claim, json.dumps({"pid": os.getpid(), "ts": time.time()})
+            )
+            return
+        except FileExistsError:
+            try:
+                stale = (
+                    time.time() - _fs().getmtime(claim) > _LOCK_STALE_SECONDS
+                )
+            except OSError:
+                continue  # claimer swept it between probe and getmtime
+            if stale:
+                _steal_stale(claim)
+                continue
+            err = ConcurrentWriteError(
+                f"{path}: another writer holds the commit claim for "
+                f"version {version} — a concurrent publish of the same "
+                "version is in flight; re-read and retry"
+            )
+            if base_version is not None:
+                err.base_version = base_version
+            raise err
+
+
+def _sweep_claims(path: str, version: int) -> None:
+    """Drop claim files retired past the keep horizon (cheap prefix
+    glob of the table's siblings; runs after every publish)."""
+    for f in _fs().glob(f"{path}{_CLAIM_SUFFIX}*"):
+        tail = f.rsplit(_CLAIM_SUFFIX, 1)[1]
+        if not tail.isdigit() or int(tail) > version - _CLAIM_KEEP:
+            continue
+        try:
+            _fs().remove(f)
+        except OSError:  # pragma: no cover
+            pass
+
+
 def _checked_publish(
     path: str,
     staging: str,
@@ -1970,7 +2088,13 @@ def _checked_publish(
 ) -> None:
     """Version recheck + snapshot swap as ONE critical section under the
     table's commit lock — the CAS every optimistic commit needs (Delta:
-    the log store's conditional PUT of the next commit file).
+    the log store's conditional PUT of the next commit file). The lock
+    gives liveness-bounded exclusion; the version CLAIM
+    (:func:`_claim_version`, taken inside the lock before any rename)
+    makes the CAS hold at the filesystem level even across a lock
+    breach — two writers publishing the same next version can never
+    both swap, so the lost-update is structurally impossible, not just
+    excluded in the common path.
 
     ``base_version`` set: abort with :class:`ConcurrentWriteError` (the
     staged snapshot was derived from that version) if the live version
@@ -1999,7 +2123,26 @@ def _checked_publish(
                 m = _read_marker(staging)
                 m["version"] = version
                 _replace_marker(staging, m)
-        _publish_staging(path, staging, exists, version, max_history, tag)
+        try:
+            _claim_version(path, version, base_version)
+        except ConcurrentWriteError:
+            _fs().rmtree(staging)
+            raise
+        try:
+            _publish_staging(path, staging, exists, version, max_history, tag)
+        except BaseException:
+            # a FAILED publish (exception, not process death) releases
+            # its claim — otherwise the next commit within the stale
+            # window would conflict against a version that never
+            # shipped. A hard CRASH leaves the claim; successors pay at
+            # most _LOCK_STALE_SECONDS, the same liveness bound as a
+            # crashed lock holder.
+            try:
+                _fs().remove(f"{path}{_CLAIM_SUFFIX}{version:06d}")
+            except OSError:  # pragma: no cover
+                pass
+            raise
+    _sweep_claims(path, version)
 
 
 def delete_where(
@@ -2097,8 +2240,13 @@ def _link_snapshot_files(src: str, staging: str) -> int:
         # _dv: the commit writes a fresh merged vector; _change_data:
         # it describes the PREVIOUS version's changes, and this commit
         # writes its own record (linking the old one would claim the
-        # old changes happened again at the new version)
-        if parts and parts[0] in (_DV_DIR, _CDF_DIR):
+        # old changes happened again at the new version); _delta_log /
+        # _delta_history: an exported external-reader log describes the
+        # PREVIOUS snapshot — carrying it forward would hand an external
+        # Delta engine a stale file inventory over the new version
+        if parts and parts[0] in (
+            _DV_DIR, _CDF_DIR, _DELTA_LOG_DIR, _DELTA_HISTORY_DIR
+        ):
             continue
         tgt = staging if rel == "." else os.path.join(staging, rel)
         _fs().makedirs(tgt, exist_ok=True)
@@ -2108,6 +2256,58 @@ def _link_snapshot_files(src: str, staging: str) -> int:
             _fs().link_or_copy(os.path.join(root, fn), os.path.join(tgt, fn))
             n += 1
     return n
+
+
+# Raw-SQL-view bookkeeping: register_sql_view (sources/delta_api.py)
+# creates session-catalog VIEWs that scan the snapshot as PLAIN parquet.
+# A commit that introduces a reader feature (deletion vectors: the raw
+# scan would serve soft-deleted rows) must invalidate them — the view
+# names are recorded in a sibling sentinel so the DV commit can DROP
+# them in its own session and leave a tombstone reason for any other
+# session's re-registration attempt. Views in OTHER live sessions
+# cannot be reached (each SparkSession has its own in-memory catalog) —
+# that residual hazard is documented at register_sql_view.
+_SQL_VIEWS_SUFFIX = "__sql_views.json"
+
+
+def _record_sql_view(path: str, qualified: str) -> None:
+    sentinel = path + _SQL_VIEWS_SUFFIX
+    try:
+        names = json.loads(_fs().read_text(sentinel))
+    except (OSError, ValueError):
+        names = []
+    if qualified not in names:
+        names.append(qualified)
+    _fs().write_atomic(sentinel, json.dumps(names))
+
+
+def _invalidate_sql_views(spark: SparkSession, path: str, reason: str) -> None:
+    """DROP every recorded raw-parquet VIEW over ``path`` in THIS
+    session (the next query fails loudly with VIEW_NOT_FOUND instead of
+    silently serving wrong rows) and remove the sentinel."""
+    sentinel = path + _SQL_VIEWS_SUFFIX
+    try:
+        names = json.loads(_fs().read_text(sentinel))
+    except (OSError, ValueError):
+        return
+    import warnings
+
+    for q in names:
+        try:
+            spark.sql(f"DROP VIEW IF EXISTS {q}")
+        except Exception:  # pragma: no cover - malformed recorded name
+            pass
+    try:
+        _fs().remove(sentinel)
+    except OSError:  # pragma: no cover
+        pass
+    warnings.warn(
+        f"{path}: {reason} — registered SQL view(s) {names} were dropped "
+        "(a raw parquet view cannot honor the new reader feature); "
+        "materialize and re-register. Views registered by OTHER live "
+        "sessions must be re-registered there.",
+        stacklevel=3,
+    )
 
 
 def _delete_where_dv(
@@ -2220,6 +2420,9 @@ def _delete_where_dv(
     )
     _checked_publish(
         path, staging, True, base_version + 1, max_history, tag, base_version
+    )
+    _invalidate_sql_views(
+        spark, path, "DELETE enabled deletion vectors on this table"
     )
 
 
@@ -2461,6 +2664,9 @@ def _update_where_dv(
     )
     _checked_publish(
         path, staging, True, base_version + 1, max_history, tag, base_version
+    )
+    _invalidate_sql_views(
+        spark, path, "UPDATE enabled deletion vectors on this table"
     )
 
 

@@ -1,0 +1,455 @@
+"""SQL DML front-end over name-addressed managed tables.
+
+Real Delta accepts the reference's merge idiom
+(``/root/reference/glue_jobs/01_silver_delta_upsert.py:104-112``) as a
+literal SQL string — ``spark.sql("MERGE INTO t USING s ON ... WHEN
+MATCHED ...")`` — plus ``UPDATE`` / ``DELETE FROM`` / ``INSERT INTO``.
+The engine's Python facade (:mod:`sources.delta_api`) already executes
+every one of those semantics; this module adds the SQL SKIN: parse the
+four DML verbs against names in the txn-catalog registry
+(:mod:`sources.txn_catalog`) and dispatch to the existing executors.
+No new engine semantics live here — every statement bottoms out in
+``DeltaTable.merge/update/delete`` or ``append_rows`` /
+``commit_overwrite``, so CDF, row tracking, constraints, OCC retry and
+schema enforcement all apply unchanged.
+
+Entry point: :func:`sql` — DML statements are parsed here; anything
+else passes through to ``spark.sql`` untouched (reads work via
+:func:`delta_api.register_sql_view`'s views or plain Spark SQL).
+
+Grammar (the Delta SQL DML subset; case-insensitive keywords, ANSI
+quoting, arbitrary Spark SQL expressions inside conditions/values):
+
+    MERGE INTO tgt [AS] [t] USING src|(subquery) [AS] [s] ON <cond>
+      { WHEN MATCHED [AND <cond>] THEN { UPDATE SET * | UPDATE SET c=e,... | DELETE }
+      | WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+            { INSERT * | INSERT (c,...) VALUES (e,...) }
+      | WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+            { UPDATE SET c=e,... | DELETE } } ...
+    UPDATE tgt [[AS] a] SET c=e, ... [WHERE <cond>]
+    DELETE FROM tgt [[AS] a] [WHERE <cond>]
+    INSERT INTO tgt [(c, ...)] { VALUES (e,...), ... | SELECT ... }
+    INSERT OVERWRITE [TABLE] tgt [(c, ...)] { VALUES ... | SELECT ... }
+
+Scale: the parser is driver-side string work on statements (bytes);
+all data movement happens in the dispatched executors, which keep
+their documented 100 TB plans (key-join MERGE, DV-aware DELETE/UPDATE,
+hardlink append).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import managed_table, txn_catalog
+from .delta_api import DeltaTable, _registry_dir
+
+__all__ = ["sql", "SqlDmlError"]
+
+
+class SqlDmlError(ValueError):
+    """Malformed or unsupported DML statement."""
+
+
+# -- lexical helpers --------------------------------------------------------
+# The splitter walks the statement once, tracking quote/paren state, and
+# finds keyword phrases only at TOP level — expressions, string literals
+# and subqueries pass through verbatim to Spark.
+
+_QUOTES = {"'": "'", '"': '"', "`": "`"}
+
+
+def _scan(s: str, phrases: list[str]) -> list[tuple[int, int, str]]:
+    """Positions of top-level keyword phrases (longest-first match).
+    Each phrase is spelled with single spaces; any whitespace run
+    matches between its words."""
+    pats = [
+        (p, re.compile(r"\s+".join(map(re.escape, p.split())) + r"\b", re.I))
+        for p in sorted(phrases, key=len, reverse=True)
+    ]
+    out: list[tuple[int, int, str]] = []
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in _QUOTES:
+            end = _QUOTES[c]
+            i += 1
+            while i < n and s[i] != end:
+                i += 2 if s[i] == "\\" and end != "`" else 1
+            i += 1
+            continue
+        if c == "(":
+            depth += 1
+            i += 1
+            continue
+        if c == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0 and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+            for phrase, pat in pats:
+                m = pat.match(s, i)
+                if m:
+                    out.append((i, m.end(), phrase))
+                    i = m.end()
+                    break
+            else:
+                i += 1
+            continue
+        i += 1
+    return out
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split at top-level occurrences of a single-char separator."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in _QUOTES:
+            end = _QUOTES[c]
+            i += 1
+            while i < n and s[i] != end:
+                i += 2 if s[i] == "\\" and end != "`" else 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _parse_assignments(s: str) -> dict[str, str]:
+    """``a = expr, b = expr`` -> {column: expression-string}. The LHS is
+    an identifier (optionally backticked / alias-qualified); the split
+    is at its FIRST top-level ``=`` so ``=`` inside the RHS expression
+    (CASE WHEN x = 1 ...) is untouched."""
+    out: dict[str, str] = {}
+    for item in _split_top(s):
+        depth, cut = 0, -1
+        j = 0
+        while j < len(item):
+            c = item[j]
+            if c in _QUOTES:
+                end = _QUOTES[c]
+                j += 1
+                while j < len(item) and item[j] != end:
+                    j += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "=" and depth == 0:
+                # reject comparison spellings <= >= != == landing first
+                if j and item[j - 1] in "<>!=":
+                    raise SqlDmlError(f"malformed assignment: {item!r}")
+                cut = j
+                break
+            j += 1
+        if cut < 0:
+            raise SqlDmlError(f"malformed assignment: {item!r}")
+        col = item[:cut].strip().strip("`")
+        if "." in col:  # strip a target-alias qualification
+            col = col.rsplit(".", 1)[1].strip("`")
+        if not col:
+            raise SqlDmlError(f"malformed assignment: {item!r}")
+        out[col] = item[cut + 1 :].strip()
+    return out
+
+
+_IDENT = r"(?:`[^`]+`|[A-Za-z_][\w$]*)(?:\.(?:`[^`]+`|[A-Za-z_][\w$]*))*"
+
+
+def _parse_relation(s: str) -> tuple[str, str | None]:
+    """``name [AS] [alias]`` -> (name, alias-or-None)."""
+    m = re.fullmatch(
+        rf"\s*({_IDENT})(?:\s+(?:AS\s+)?(`[^`]+`|[A-Za-z_]\w*))?\s*",
+        s,
+        re.I,
+    )
+    if not m:
+        raise SqlDmlError(f"cannot parse table reference: {s!r}")
+    alias = m.group(2)
+    if alias and alias.upper() in ("SET", "WHERE", "VALUES", "SELECT"):
+        raise SqlDmlError(f"cannot parse table reference: {s!r}")
+    return m.group(1).replace("`", ""), alias.strip("`") if alias else None
+
+
+def _strip_alias(cond: str, alias: str | None) -> str:
+    """Rewrite ``alias.col`` -> ``col`` for single-table UPDATE/DELETE
+    conditions (the executors evaluate against the bare table frame)."""
+    if not alias:
+        return cond
+    return re.sub(rf"\b{re.escape(alias)}\.", "", cond)
+
+
+# -- statement executors -----------------------------------------------------
+
+
+def _resolve(spark: SparkSession, name: str, registry_dir: str | None) -> str:
+    return txn_catalog.resolve_table_name(
+        _registry_dir(spark, registry_dir), name
+    )
+
+
+def _source_df(
+    spark: SparkSession, src: str, registry_dir: str | None
+) -> tuple[DataFrame, str | None]:
+    """USING clause -> (DataFrame, declared alias). The source is a
+    registered managed-table name, a Spark temp view / catalog table,
+    or a parenthesized subquery."""
+    src = src.strip()
+    m = re.fullmatch(
+        r"\((?P<sub>.*)\)\s*(?:AS\s+)?(?P<alias>`[^`]+`|[A-Za-z_]\w*)?\s*",
+        src,
+        re.I | re.S,
+    )
+    if m and m.group("sub"):
+        df = spark.sql(m.group("sub"))
+        alias = (m.group("alias") or "").strip("`") or None
+        return df, alias
+    name, alias = _parse_relation(src)
+    try:
+        path = _resolve(spark, name, registry_dir)
+        df = managed_table.read(spark, path)
+    except (txn_catalog.TableNameError, ValueError):
+        df = spark.table(name)
+    return df, alias
+
+
+def _merge(spark: SparkSession, body: str, registry_dir: str | None) -> None:
+    marks = _scan(body, ["USING", "ON", "WHEN"])
+    using = next((m for m in marks if m[2] == "USING"), None)
+    on = next((m for m in marks if m[2] == "ON"), None)
+    whens = [m for m in marks if m[2] == "WHEN"]
+    if not (using and on and whens) or not (using[0] < on[0] < whens[0][0]):
+        raise SqlDmlError(
+            "MERGE needs: MERGE INTO <tgt> USING <src> ON <cond> WHEN ..."
+        )
+    tgt_name, tgt_alias = _parse_relation(body[: using[0]])
+    src_df, src_alias = _source_df(
+        spark, body[using[1] : on[0]], registry_dir
+    )
+    condition = body[on[1] : whens[0][0]].strip()
+
+    dt = DeltaTable.forName(spark, tgt_name, registry_dir)
+    if tgt_alias:
+        dt = dt.alias(tgt_alias)
+    if src_alias:
+        src_df = src_df.alias(src_alias)
+    mb = dt.merge(src_df, condition)
+
+    for i, w in enumerate(whens):
+        end = whens[i + 1][0] if i + 1 < len(whens) else len(body)
+        clause = body[w[1] : end].strip().rstrip(";").strip()
+        _apply_when(mb, clause)
+    mb.execute()
+
+
+_WHEN_HEAD = re.compile(
+    r"^(?P<kind>MATCHED|NOT\s+MATCHED(?:\s+BY\s+(?:TARGET|SOURCE))?)"
+    r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+(?P<action>.*)$",
+    re.I | re.S,
+)
+
+
+def _apply_when(mb, clause: str) -> None:
+    m = _WHEN_HEAD.match(clause)
+    if not m:
+        raise SqlDmlError(f"cannot parse WHEN clause: WHEN {clause!r}")
+    kind = re.sub(r"\s+", " ", m.group("kind")).upper()
+    cond = m.group("cond")
+    cond = cond.strip() if cond else None
+    action = m.group("action").strip()
+    au = action.upper()
+
+    if kind == "MATCHED":
+        if au.startswith("DELETE"):
+            mb.whenMatchedDelete(condition=cond)
+        elif re.match(r"UPDATE\s+SET\s+\*\s*$", action, re.I):
+            mb.whenMatchedUpdateAll(condition=cond)
+        elif au.startswith("UPDATE"):
+            setpart = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I)
+            mb.whenMatchedUpdate(condition=cond, set=_parse_assignments(setpart))
+        else:
+            raise SqlDmlError(f"WHEN MATCHED supports UPDATE/DELETE, got: {action!r}")
+    elif kind in ("NOT MATCHED", "NOT MATCHED BY TARGET"):
+        if re.match(r"INSERT\s+\*\s*$", action, re.I):
+            mb.whenNotMatchedInsertAll(condition=cond)
+        elif au.startswith("INSERT"):
+            im = re.match(
+                r"INSERT\s*\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
+                action,
+                re.I | re.S,
+            )
+            if not im:
+                raise SqlDmlError(
+                    f"WHEN NOT MATCHED INSERT needs `INSERT *` or "
+                    f"`INSERT (cols) VALUES (exprs)`, got: {action!r}"
+                )
+            cols = [c.strip().strip("`") for c in _split_top(im.group("cols"))]
+            vals = _split_top(im.group("vals"))
+            if len(cols) != len(vals):
+                raise SqlDmlError("INSERT column/value count mismatch")
+            mb.whenNotMatchedInsert(
+                condition=cond, values=dict(zip(cols, vals))
+            )
+        else:
+            raise SqlDmlError(f"WHEN NOT MATCHED supports INSERT, got: {action!r}")
+    else:  # NOT MATCHED BY SOURCE
+        if au.startswith("DELETE"):
+            mb.whenNotMatchedBySourceDelete(condition=cond)
+        elif au.startswith("UPDATE"):
+            setpart = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I)
+            mb.whenNotMatchedBySourceUpdate(
+                condition=cond, set=_parse_assignments(setpart)
+            )
+        else:
+            raise SqlDmlError(
+                f"WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE, got: {action!r}"
+            )
+
+
+def _update(spark: SparkSession, body: str, registry_dir: str | None) -> None:
+    marks = _scan(body, ["SET", "WHERE"])
+    set_m = next((m for m in marks if m[2] == "SET"), None)
+    where_m = next((m for m in marks if m[2] == "WHERE"), None)
+    if not set_m:
+        raise SqlDmlError("UPDATE needs: UPDATE <tgt> SET c = e [WHERE cond]")
+    name, alias = _parse_relation(body[: set_m[0]])
+    set_end = where_m[0] if where_m else len(body)
+    assigns = _parse_assignments(
+        _strip_alias(body[set_m[1] : set_end].strip().rstrip(";"), alias)
+    )
+    cond = (
+        _strip_alias(body[where_m[1] :].strip().rstrip(";"), alias)
+        if where_m
+        else None
+    )
+    dt = DeltaTable.forName(spark, name, registry_dir)
+    dt.update(condition=cond, set=assigns)
+
+
+def _delete(spark: SparkSession, body: str, registry_dir: str | None) -> None:
+    marks = _scan(body, ["WHERE"])
+    where_m = marks[0] if marks else None
+    name, alias = _parse_relation(body[: where_m[0]] if where_m else body)
+    cond = (
+        _strip_alias(body[where_m[1] :].strip().rstrip(";"), alias)
+        if where_m
+        else None
+    )
+    DeltaTable.forName(spark, name, registry_dir).delete(condition=cond)
+
+
+def _insert(
+    spark: SparkSession,
+    body: str,
+    registry_dir: str | None,
+    overwrite: bool,
+) -> None:
+    m = re.match(
+        rf"\s*({_IDENT})\s*(?:\((?P<cols>[^)]*)\))?\s*(?P<rest>.*)$",
+        body,
+        re.S,
+    )
+    if not m or not m.group("rest").strip():
+        raise SqlDmlError(
+            "INSERT needs: INSERT INTO <tgt> [(cols)] VALUES ... | SELECT ..."
+        )
+    name = m.group(1).replace("`", "")
+    declared = (
+        [c.strip().strip("`") for c in _split_top(m.group("cols"))]
+        if m.group("cols")
+        else None
+    )
+    rest = m.group("rest").strip().rstrip(";").strip()
+    path = _resolve(spark, name, registry_dir)
+    table_schema = managed_table.read(spark, path).schema
+
+    if re.match(r"VALUES\b", rest, re.I):
+        rows_sql = rest[len("VALUES") :].strip()
+        cols = declared or [f.name for f in table_schema.fields]
+        named = ", ".join(f"`{c}`" for c in cols)
+        df = spark.sql(f"SELECT * FROM (VALUES {rows_sql}) AS __v({named})")
+    elif re.match(r"SELECT\b|\(", rest, re.I):
+        df = spark.sql(rest.strip("()") if rest.startswith("(") else rest)
+        cols = declared or [f.name for f in table_schema.fields]
+        if len(df.columns) != len(cols):
+            raise SqlDmlError(
+                f"INSERT SELECT produces {len(df.columns)} columns, "
+                f"target list has {len(cols)}"
+            )
+        df = df.toDF(*cols)  # SQL INSERT maps by POSITION
+    else:
+        raise SqlDmlError(f"INSERT source must be VALUES or SELECT, got: {rest!r}")
+
+    # fill omitted columns with typed NULLs (ANSI INSERT with a column
+    # list), and cast the provided ones to the table's exact types so
+    # VALUES literals (e.g. INT for a BIGINT column) land enforceable
+    by_name = {f.name: f for f in table_schema.fields}
+    missing = [f.name for f in table_schema.fields if f.name not in df.columns]
+    unknown = [c for c in df.columns if c not in by_name]
+    if unknown:
+        raise SqlDmlError(f"INSERT names unknown column(s) {unknown} for {name}")
+    sel = [
+        F.col(f.name).cast(f.dataType) if f.name in df.columns
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in table_schema.fields
+    ]
+    df = df.select(*sel)
+
+    if overwrite:
+        marker = managed_table._read_marker(path)
+        managed_table.commit_overwrite(
+            df,
+            path,
+            keys=marker.get("keys", ()),
+            partition_by=marker.get("partition_by", ()),
+        )
+    else:
+        managed_table.append_rows(spark, df, path)
+
+
+# -- entry point -------------------------------------------------------------
+
+
+def sql(
+    spark: SparkSession, statement: str, registry_dir: str | None = None
+) -> DataFrame | None:
+    """Execute one SQL statement. The four DML verbs (MERGE INTO /
+    UPDATE / DELETE FROM / INSERT INTO|OVERWRITE) are parsed here and
+    dispatched to the managed-table executors by registry NAME —
+    the reference's Delta SQL idiom end-to-end. Everything else
+    passes through to ``spark.sql`` and its DataFrame comes back.
+    DML returns ``None`` (like delta-spark's Python DML surface);
+    read the table to observe the effect."""
+    stmt = statement.strip()
+    m = re.match(r"MERGE\s+INTO\b", stmt, re.I)
+    if m:
+        _merge(spark, stmt[m.end() :], registry_dir)
+        return None
+    m = re.match(r"UPDATE\b", stmt, re.I)
+    if m:
+        _update(spark, stmt[m.end() :], registry_dir)
+        return None
+    m = re.match(r"DELETE\s+FROM\b", stmt, re.I)
+    if m:
+        _delete(spark, stmt[m.end() :], registry_dir)
+        return None
+    m = re.match(r"INSERT\s+(INTO|OVERWRITE)(\s+TABLE)?\b", stmt, re.I)
+    if m:
+        _insert(
+            spark,
+            stmt[m.end() :],
+            registry_dir,
+            overwrite=m.group(1).upper() == "OVERWRITE",
+        )
+        return None
+    return spark.sql(statement)
