@@ -436,3 +436,170 @@ def delta_api_log_export_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize BEFORE the scratch dir disappears with the registry
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "sql_merge_into_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS cents
+      FROM customer
+    ), tgt AS (
+      SELECT c_custkey, cents FROM base WHERE c_custkey % 3 = 0
+    ), src AS (
+      SELECT c_custkey, cents + 10000 AS cents FROM base
+      WHERE c_custkey % 2 = 0
+    ), merged AS (
+      -- UPDATE SET * / INSERT * over the keyed target == full outer,
+      -- source wins
+      SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+             COALESCE(s.cents, t.cents) AS cents
+      FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    )
+    SELECT CAST(c_custkey % 5 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY 1
+    """,
+)
+def sql_merge_into_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Delta merge idiom
+    (``/root/reference/glue_jobs/01_silver_delta_upsert.py:104-112``)
+    executed as a LITERAL SQL STRING — ``MERGE INTO <name> USING <view>
+    ON ... WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT
+    *`` — through the SQL DML front-end (``sources/sql_dml.py``), which
+    parses the statement against the txn-catalog name registry and
+    dispatches to the same key-join merge executor the Python facade
+    uses. Matching the oracle proves the SQL skin changes nothing:
+    clause shape, source-wins update, anti-join insert, commit protocol
+    all identical. Money as integer cents (trap #13)."""
+    import shutil
+    import tempfile
+
+    from ..sources import managed_table as mt
+    from ..sources import sql_dml, txn_catalog
+    from ..sources.delta_api import _REGISTRY_CONF
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal").cast("double") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    registry = tempfile.mkdtemp(prefix="sql_dml_reg_")
+    path = registry + "/silver"
+    spark.conf.set(_REGISTRY_CONF, registry)
+    try:
+        mt.commit_overwrite(
+            base.filter(F.col("c_custkey") % 3 == 0), path,
+            keys=("c_custkey",),
+        )
+        txn_catalog.register_table_name(registry, "sqlq.silver", path)
+        base.filter(F.col("c_custkey") % 2 == 0).withColumn(
+            "cents", F.col("cents") + F.lit(10000)
+        ).createOrReplaceTempView("sql_merge_src")
+        sql_dml.sql(
+            spark,
+            """
+            MERGE INTO sqlq.silver AS t
+            USING sql_merge_src AS s
+            ON t.c_custkey = s.c_custkey
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+        out = (
+            mt.read(spark, path)
+            .groupBy((F.col("c_custkey") % 5).cast("long").alias("bucket"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+        )
+        # materialize BEFORE the rmtree (lazy frames read deleted paths)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.catalog.dropTempView("sql_merge_src")
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)
+
+
+@query(
+    "sql_dml_crud",
+    oracle="""
+    WITH tgt AS (
+      SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 20
+    ), ins AS (
+      SELECT n_nationkey + 100 AS n_nationkey, n_regionkey
+      FROM nation WHERE n_nationkey < 5
+    ), all_rows AS (
+      SELECT * FROM tgt UNION ALL SELECT * FROM ins
+    ), updated AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey + 10
+                  ELSE n_regionkey END AS n_regionkey
+      FROM all_rows
+    ), kept AS (
+      SELECT * FROM updated WHERE NOT n_regionkey >= 13
+    )
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+    FROM kept GROUP BY 1
+    """,
+)
+def sql_dml_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO ... SELECT, UPDATE ... WHERE, DELETE FROM ... WHERE
+    as literal SQL strings over a registry name — the full Delta SQL
+    DML surface beyond MERGE (``sources/sql_dml.py``). Each verb
+    bottoms out in the engine's existing executor (hardlink append /
+    update_where / delete_where), so the commit protocol, schema
+    enforcement, and history semantics are the ones every other test
+    pins; the oracle replays the three statements relationally."""
+    import shutil
+    import tempfile
+
+    from ..sources import managed_table as mt
+    from ..sources import sql_dml, txn_catalog
+    from ..sources.delta_api import _REGISTRY_CONF
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    registry = tempfile.mkdtemp(prefix="sql_crud_reg_")
+    path = registry + "/nations"
+    spark.conf.set(_REGISTRY_CONF, registry)
+    try:
+        mt.commit_overwrite(
+            nation.filter(F.col("n_nationkey") < 20), path,
+            keys=("n_nationkey",),
+        )
+        txn_catalog.register_table_name(registry, "sqlq.nations", path)
+        nation.createOrReplaceTempView("sql_crud_nation")
+        sql_dml.sql(
+            spark,
+            "INSERT INTO sqlq.nations "
+            "SELECT n_nationkey + 100, n_regionkey FROM sql_crud_nation "
+            "WHERE n_nationkey < 5",
+        )
+        sql_dml.sql(
+            spark,
+            "UPDATE sqlq.nations SET n_regionkey = n_regionkey + 10 "
+            "WHERE n_nationkey % 2 = 0",
+        )
+        sql_dml.sql(spark, "DELETE FROM sqlq.nations WHERE n_regionkey >= 13")
+        out = (
+            mt.read(spark, path)
+            .groupBy(F.col("n_regionkey").cast("long").alias("region"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("n_nationkey").cast("long").alias("sum_key"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.catalog.dropTempView("sql_crud_nation")
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)

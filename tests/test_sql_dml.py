@@ -1,0 +1,233 @@
+"""SQL DML front-end (sources/sql_dml.py): the reference's Delta SQL
+idiom — ``spark.sql("MERGE INTO ...")``,
+``/root/reference/glue_jobs/01_silver_delta_upsert.py:104-112`` as a
+LITERAL SQL string — plus UPDATE / DELETE FROM / INSERT INTO, parsed
+against registry names and dispatched to the existing facade
+executors. Parity is checked against the Python-API results; CDF and
+row tracking must flow through unchanged (no new engine semantics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_callcenter_delta_lakehouse_spark.sources import (
+    managed_table as mt,
+    sql_dml,
+    txn_catalog,
+)
+from aws_callcenter_delta_lakehouse_spark.sources.sql_dml import SqlDmlError
+
+
+@pytest.fixture()
+def named_table(spark, tmp_path):
+    """A registered managed table sqldb.accounts (id, name, balance)
+    plus the registry conf; yields (name, path, registry)."""
+    registry = str(tmp_path / "registry")
+    path = str(tmp_path / "accounts")
+    df = spark.createDataFrame(
+        [(1, "alice", 100.0), (2, "bob", 200.0), (3, "carol", 300.0)],
+        "id INT, name STRING, balance DOUBLE",
+    )
+    mt.commit_overwrite(df, path, keys=("id",))
+    txn_catalog.register_table_name(registry, "sqldb.accounts", path)
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    yield "sqldb.accounts", path, registry
+    spark.conf.unset("spark.managedTable.nameRegistry")
+
+
+def _rows(spark, path):
+    return {
+        (r["id"], r["name"], float(r["balance"]))
+        for r in mt.read(spark, path).collect()
+    }
+
+
+# -- MERGE -------------------------------------------------------------------
+
+
+def test_merge_reference_idiom_verbatim(spark, named_table):
+    """The exact clause shape of the reference Glue job, as SQL."""
+    name, path, _ = named_table
+    src = spark.createDataFrame(
+        [(2, "bob2", 222.0), (4, "dave", 400.0)],
+        "id INT, name STRING, balance DOUBLE",
+    )
+    src.createOrReplaceTempView("acc_updates")
+    try:
+        sql_dml.sql(
+            spark,
+            f"""
+            MERGE INTO {name} AS t
+            USING acc_updates AS s
+            ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+    finally:
+        spark.catalog.dropTempView("acc_updates")
+    assert _rows(spark, path) == {
+        (1, "alice", 100.0),
+        (2, "bob2", 222.0),
+        (3, "carol", 300.0),
+        (4, "dave", 400.0),
+    }
+
+
+def test_merge_explicit_clauses_and_subquery_source(spark, named_table):
+    name, path, _ = named_table
+    src = spark.createDataFrame(
+        [(1, "ALICE", 50.0), (3, "carol", -1.0), (9, "zed", 900.0)],
+        "id INT, name STRING, balance DOUBLE",
+    )
+    src.createOrReplaceTempView("feed")
+    try:
+        sql_dml.sql(
+            spark,
+            f"""
+            MERGE INTO {name} t
+            USING (SELECT * FROM feed WHERE balance >= 0) s
+            ON t.id = s.id
+            WHEN MATCHED AND s.balance < 100 THEN
+              UPDATE SET balance = t.balance + s.balance, name = s.name
+            WHEN MATCHED THEN DELETE
+            WHEN NOT MATCHED THEN
+              INSERT (id, name, balance) VALUES (s.id, upper(s.name), s.balance * 2)
+            """,
+        )
+    finally:
+        spark.catalog.dropTempView("feed")
+    # id 1 matched with balance 50 < 100 -> updated; id 3 filtered out of
+    # the source (negative); id 9 inserted with doubled balance
+    assert _rows(spark, path) == {
+        (1, "ALICE", 150.0),
+        (2, "bob", 200.0),
+        (3, "carol", 300.0),
+        (9, "ZED", 1800.0),
+    }
+
+
+def test_merge_by_source_delete(spark, named_table):
+    name, path, _ = named_table
+    spark.createDataFrame([(1,), (2,)], "id INT").createOrReplaceTempView(
+        "keep_ids"
+    )
+    try:
+        sql_dml.sql(
+            spark,
+            f"""
+            MERGE INTO {name} t
+            USING keep_ids s ON t.id = s.id
+            WHEN NOT MATCHED BY SOURCE THEN DELETE
+            """,
+        )
+    finally:
+        spark.catalog.dropTempView("keep_ids")
+    assert {r[0] for r in _rows(spark, path)} == {1, 2}
+
+
+# -- UPDATE / DELETE ----------------------------------------------------------
+
+
+def test_update_with_alias_and_where(spark, named_table):
+    name, path, _ = named_table
+    sql_dml.sql(
+        spark,
+        f"UPDATE {name} a SET a.balance = a.balance * 2, "
+        f"name = concat(a.name, '!') WHERE a.id <= 2",
+    )
+    assert _rows(spark, path) == {
+        (1, "alice!", 200.0),
+        (2, "bob!", 400.0),
+        (3, "carol", 300.0),
+    }
+
+
+def test_delete_with_and_without_where(spark, named_table):
+    name, path, _ = named_table
+    sql_dml.sql(spark, f"DELETE FROM {name} WHERE balance > 250;")
+    assert {r[0] for r in _rows(spark, path)} == {1, 2}
+    sql_dml.sql(spark, f"DELETE FROM {name}")
+    assert mt.read(spark, path).count() == 0
+
+
+# -- INSERT -------------------------------------------------------------------
+
+
+def test_insert_values_full_and_column_list(spark, named_table):
+    name, path, _ = named_table
+    sql_dml.sql(
+        spark, f"INSERT INTO {name} VALUES (10, 'x', 1.0), (11, 'y', 2.0)"
+    )
+    assert (10, "x", 1.0) in _rows(spark, path)
+    assert mt.read(spark, path).count() == 5
+    # column list: omitted column lands as typed NULL
+    sql_dml.sql(spark, f"INSERT INTO {name} (id, name) VALUES (12, 'z')")
+    row = mt.read(spark, path).where("id = 12").first()
+    assert row["name"] == "z" and row["balance"] is None
+
+
+def test_insert_select_positional(spark, named_table):
+    name, path, _ = named_table
+    sql_dml.sql(
+        spark,
+        f"INSERT INTO {name} SELECT id + 100, upper(name), balance "
+        f"FROM parquet.`{path}` WHERE id = 1",
+    )
+    assert (101, "ALICE", 100.0) in _rows(spark, path)
+
+
+def test_insert_overwrite(spark, named_table):
+    name, path, _ = named_table
+    v0 = mt.table_version(path)
+    sql_dml.sql(
+        spark, f"INSERT OVERWRITE {name} VALUES (7, 'only', 7.0)"
+    )
+    assert _rows(spark, path) == {(7, "only", 7.0)}
+    assert mt.table_version(path) == v0 + 1  # a real commit, history intact
+
+
+# -- engine invariants flow through -------------------------------------------
+
+
+def test_sql_dml_preserves_cdf(spark, tmp_path):
+    registry = str(tmp_path / "registry")
+    path = str(tmp_path / "cdf_t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "id INT, v INT")
+    mt.commit_overwrite(df, path, keys=("id",))
+    mt.set_table_property(path, "enableChangeDataFeed", True)
+    txn_catalog.register_table_name(registry, "sqldb.cdf_t", path)
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    try:
+        v0 = mt.table_version(path)
+        sql_dml.sql(spark, "UPDATE sqldb.cdf_t SET v = v + 1 WHERE id = 1")
+        sql_dml.sql(spark, "DELETE FROM sqldb.cdf_t WHERE id = 2")
+        ch = mt.table_changes(spark, path, v0, mt.table_version(path))
+        kinds = {
+            (r["id"], r["_change_type"]) for r in ch.collect()
+        }
+        assert (1, "update_postimage") in kinds or (1, "update") in kinds
+        assert (2, "delete") in kinds
+    finally:
+        spark.conf.unset("spark.managedTable.nameRegistry")
+
+
+def test_sql_errors(spark, named_table):
+    name, _, _ = named_table
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql(spark, f"MERGE INTO {name} USING x WHEN MATCHED THEN DELETE")
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql(spark, f"UPDATE {name} WHERE id = 1")
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql(
+            spark,
+            f"MERGE INTO {name} t USING (SELECT 1 AS id) s ON t.id = s.id "
+            "WHEN MATCHED THEN TRUNCATE",
+        )
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql(spark, f"INSERT INTO {name} (id, nope) VALUES (1, 2)")
+
+
+def test_non_dml_passthrough(spark, named_table):
+    df = sql_dml.sql(spark, "SELECT 1 AS one")
+    assert df.first()["one"] == 1
