@@ -603,3 +603,72 @@ def sql_dml_crud(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView("sql_crud_nation")
         spark.conf.unset(_REGISTRY_CONF)
         shutil.rmtree(registry, ignore_errors=True)
+
+
+@query(
+    "delta_api_log_export_versions",
+    oracle="""
+    WITH seed AS (
+      SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey % 2 = 0
+    )
+    SELECT CAST(n_regionkey AS BIGINT) AS region,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+    FROM seed GROUP BY 1
+    """,
+)
+def delta_api_log_export_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSIONED delta-log export + auto-refresh
+    (``delta.logExport.auto``): the even-keyed half of nation seeds the
+    table, the property turns on in-commit re-export, an append lands
+    the odd half — and the read-back TIME-TRAVELS to the seed version
+    through the exported log alone (replay adds/removes of commits
+    0..N-1, scan exactly those files), the way an external Delta engine
+    would. Matching the seed-only oracle proves the per-version
+    add/remove diffs and the `_delta_history` hardlink mapping are
+    exact — stale or leaked files would drag odd keys in."""
+    import json as _json
+    import os as _os
+    import tempfile
+    from urllib.parse import unquote
+
+    from ..sources import managed_table as mt
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    path = tempfile.mkdtemp(prefix="dapi_dlogv_") + "/t"
+    mt.commit_overwrite(
+        nation.filter(F.col("n_nationkey") % 2 == 0), path,
+        keys=("n_nationkey",), max_history=5,
+    )
+    mt.set_table_property(path, "delta.logExport.auto", True)
+    # the commit re-exports the log itself — no manual regenerate
+    mt.append_rows(
+        spark, nation.filter(F.col("n_nationkey") % 2 == 1), path
+    )
+    log_dir = _os.path.join(path, "_delta_log")
+    commits = sorted(
+        f for f in _os.listdir(log_dir) if f.endswith(".json")
+    )
+    live: set[str] = set()
+    for fname in commits[:-1]:  # replay to version N-1 (the seed)
+        with open(_os.path.join(log_dir, fname)) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                a = _json.loads(line)
+                if "add" in a:
+                    live.add(unquote(a["add"]["path"]))
+                elif "remove" in a:
+                    live.discard(unquote(a["remove"]["path"]))
+    files = sorted(_os.path.join(path, p) for p in live)
+    out = (
+        spark.read.parquet(*files)
+        .groupBy(F.col("n_regionkey").cast("long").alias("region"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_nationkey").cast("long").alias("sum_key"),
+        )
+    )
+    return spark.createDataFrame(out.collect(), out.schema)

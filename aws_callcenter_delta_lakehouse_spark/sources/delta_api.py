@@ -1045,14 +1045,17 @@ class DeltaTable:
             )
         return maintenance.generate_symlink_manifest(self.path)
 
-    def exportDeltaLog(self) -> str:
+    def exportDeltaLog(self, versioned: bool = False) -> str:
         """Engine extension: write a REAL `_delta_log` (public Delta
         protocol JSON — protocol/metaData/add actions) describing the
         live snapshot, making the directory a readable Delta table for
-        external Delta engines. Point-in-time like ``generate``:
-        re-export after each commit. See
-        :func:`maintenance.export_delta_log`."""
-        return maintenance.export_delta_log(self._spark, self.path)
+        external Delta engines. ``versioned=True`` emits one commit
+        JSON per retained version (external time travel + log tail);
+        set the ``delta.logExport.auto`` table property to re-export
+        inside every commit. See :func:`maintenance.export_delta_log`."""
+        return maintenance.export_delta_log(
+            self._spark, self.path, versioned=versioned
+        )
 
     def vacuum(self, retentionHours: float = 168.0, dry_run: bool = False) -> list:
         return maintenance.vacuum(

@@ -591,6 +591,21 @@ def purge_rows(
             mt._history_dir(path), f"v{v:06d}"
         )
         cdf_scrubbed += _scrub_cdf(spark, snap, match)
+    # an exported external-reader log hardlinks RETAINED-version files
+    # under the live snapshot (_delta_history) — those links keep the
+    # pre-purge bytes alive after the in-place history rewrites. Scrub
+    # the export wholesale; re-export if the table auto-exports.
+    exported = False
+    for d in (mt._DELTA_LOG_DIR, mt._DELTA_HISTORY_DIR):
+        full = os.path.join(path, d)
+        if _fs().isdir(full):
+            _fs().rmtree(full)
+            exported = True
+    live_marker = mt._read_marker(path) or {}
+    if exported and (live_marker.get("properties") or {}).get(
+        mt._LOG_EXPORT_PROP
+    ):
+        export_delta_log(spark, path, versioned=True)
     return {
         "live_removed": int(live_removed),
         "history_rewritten": rewritten,
@@ -1033,38 +1048,93 @@ def generate_symlink_manifest(path: str) -> list[str]:
     return written
 
 
-def export_delta_log(spark: SparkSession, path: str) -> str:
+def _snapshot_data_files(snap: str) -> dict[str, tuple[int, int]]:
+    """Relative-path inventory of a snapshot's DATA files:
+    ``relpath -> (size, mtime_ms)``. Sidecar dirs (underscore-prefixed)
+    are excluded. Relpath is a stable file identity ACROSS versions:
+    every write path creates fresh uniquely-named files, so the same
+    relpath in two retained snapshots is the same hardlinked inode
+    (append chains), never two different byte streams."""
+    out: dict[str, tuple[int, int]] = {}
+    for f in sorted(
+        _fs().glob(os.path.join(snap, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(f, snap)
+        if any(p.startswith("_") for p in rel.split(os.sep)[:-1]):
+            continue
+        out[rel.replace(os.sep, "/")] = (
+            _fs().getsize(f),
+            int(_fs().getmtime(f) * 1000),
+        )
+    return out
+
+
+def _partition_values(rel: str) -> dict:
+    from urllib.parse import unquote
+
+    pvals = {}
+    for comp in rel.split("/")[:-1]:
+        col, _eq, raw = comp.partition("=")
+        pvals[col] = (
+            None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+        )
+    return pvals
+
+
+def export_delta_log(
+    spark: SparkSession, path: str, versioned: bool = False
+) -> str:
     """Write a REAL Delta Lake transaction log (`_delta_log/
-    00000000000000000000.json`) describing the live snapshot, per the
-    public Delta protocol spec (delta-io PROTOCOL.md): `protocol`
-    (minReader 1 / minWriter 2 — plain parquet, no table features),
-    `metaData` (Spark-JSON schemaString — the exact format Delta uses —
-    partition columns, table properties as configuration), and one
-    `add` action per data file (URL-encoded relative path,
-    partitionValues from the Hive layout, size, modificationTime,
-    dataChange). The snapshot directory then IS a readable Delta table
-    for any external Delta engine (delta-spark, Trino/Presto, DuckDB's
-    delta extension) — one step beyond the symlink manifest, which
-    only lists files.
+    {version:020d}.json`) per the public Delta protocol spec (delta-io
+    PROTOCOL.md): `protocol` (minReader 1 / minWriter 2 — plain
+    parquet, no table features), `metaData` (Spark-JSON schemaString —
+    the exact format Delta uses — partition columns, table properties
+    as configuration), and one `add` action per data file (URL-encoded
+    relative path, partitionValues from the Hive layout, size,
+    modificationTime, dataChange). The snapshot directory then IS a
+    readable Delta table for any external Delta engine (delta-spark,
+    Trino/Presto, DuckDB's delta extension) — one step beyond the
+    symlink manifest, which only lists files.
 
-    Same point-in-time contract as ``generate_symlink_manifest``:
-    regenerate after every commit (the next snapshot swap replaces the
-    directory, log included — a reader can never see a stale log over
-    new files). Refuses tables whose correct scan needs engine reader
-    features (active deletion vectors, pending column renames/drops or
-    ADD COLUMNs, zero-file snapshots): exporting those as plain adds
-    would serve wrong rows. The hidden ``__row_id`` column may exist in
-    the parquet files; Delta readers project the declared schemaString,
-    so it stays hidden. No external Delta reader ships in this sandbox,
-    so the contract is pinned structurally (tests parse the log, check
-    the file inventory byte-for-byte, round-trip the schema, and replay
-    an external read through DuckDB over the add-file list).
+    ``versioned=False``: one commit JSON describing the live snapshot —
+    the point-in-time contract of ``generate_symlink_manifest``
+    (regenerate after every commit; the next snapshot swap or
+    hardlinking commit sheds the log, so a reader can never see a
+    stale log over new files).
 
-    Driver cost: one file walk + one JSON write — metadata only.
-    Returns the log file path."""
+    ``versioned=True``: one commit JSON per RETAINED version, oldest
+    first — external engines can time-travel (`VERSION AS OF k`) and
+    tail the log. Export commit `k` is the k-th oldest retained engine
+    version (Delta requires the log to start at 0; retention means the
+    engine's absolute version numbers need not) — each commitInfo
+    records the engine version as `engineCommitVersion`. Files that
+    exist only in retained history snapshots are HARDLINKED under the
+    live snapshot's `_delta_history/` (underscore-hidden from raw data
+    reads; add paths point into it), so every referenced path resolves
+    under the table root. Consecutive versions diff into add/remove
+    actions; a schema change re-emits `metaData` at the commit where
+    it happened. Versions older than a snapshot requiring engine
+    reader features (e.g. a historical deletion-vector commit) are
+    excluded — exporting them as plain adds would serve wrong rows.
+
+    Refuses tables whose LIVE scan needs engine reader features
+    (active deletion vectors, pending column renames/drops or ADD
+    COLUMNs, zero-file snapshots). The hidden ``__row_id`` column may
+    exist in the parquet files; Delta readers project the declared
+    schemaString, so it stays hidden. No external Delta reader ships
+    in this sandbox, so the contract is pinned structurally (tests
+    parse the log, check the file inventory byte-for-byte, round-trip
+    the schema, and replay an external read through DuckDB over the
+    add-file list, including version N and N-1 of a versioned export).
+
+    Driver cost: one file walk per retained version + hardlinks +
+    JSON writes — metadata only, no Spark jobs beyond schema reads.
+    Returns the newest commit-JSON path. Set the
+    ``delta.logExport.auto`` table property to re-export (versioned)
+    inside every commit — see ``managed_table._checked_publish``."""
     import json
     import uuid as _uuid
-    from urllib.parse import quote, unquote
+    from urllib.parse import quote
 
     recover = managed_table.recover
     recover(path)
@@ -1079,66 +1149,130 @@ def export_delta_log(spark: SparkSession, path: str) -> str:
             "serve wrong rows (materialize deletes / rewrite pending "
             "column ops first)"
         )
-    partition_by = list(marker.get("partition_by", ()) or ())
-    public_schema = managed_table.read(spark, path).schema
+    live_v = managed_table.table_version(path)
+    hist = managed_table._history_dir(path)
 
-    adds = []
-    for f in sorted(
-        _fs().glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-    ):
-        rel = os.path.relpath(f, path)
-        parts = rel.split(os.sep)
-        if any(p.startswith("_") for p in parts[:-1]):
-            continue  # sidecar dirs are not table data
-        pvals = {}
-        for comp in parts[:-1]:
-            col, _eq, raw = comp.partition("=")
-            pvals[col] = (
-                None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
-            )
-        adds.append(
-            {
-                "add": {
-                    "path": quote(rel.replace(os.sep, "/"), safe="/"),
-                    "partitionValues": pvals,
-                    "size": _fs().getsize(f),
-                    "modificationTime": int(_fs().getmtime(f) * 1000),
-                    "dataChange": True,
-                }
-            }
-        )
+    # retained snapshots, oldest first; drop anything at or before a
+    # version whose own scan would need reader features
+    snaps: list[tuple[int, str]] = [(live_v, path)]
+    if versioned:
+        snaps = []
+        for v in managed_table.list_versions(path):
+            snap = path if v == live_v else os.path.join(hist, f"v{v:06d}")
+            m = managed_table._read_marker(snap)
+            if not m:
+                continue
+            r, _ = managed_table._required_features(m)
+            if r:
+                snaps = []  # restart after the last feature-bearing version
+                continue
+            snaps.append((v, snap))
 
+    log_dir = os.path.join(path, managed_table._DELTA_LOG_DIR)
+    hist_link_dir = os.path.join(path, managed_table._DELTA_HISTORY_DIR)
+    for d in (log_dir, hist_link_dir):
+        if _fs().isdir(d):
+            _fs().rmtree(d)
+    _fs().makedirs(log_dir)
+
+    inv = {v: _snapshot_data_files(snap) for v, snap in snaps}
+    live_files = inv[live_v]
+
+    # files referenced only by retained history: hardlink them under
+    # the live root so every add path resolves against the table dir
+    retained_only: dict[str, str] = {}  # relpath -> source snapshot dir
+    for v, snap in snaps:
+        for rel in inv[v]:
+            if rel not in live_files:
+                retained_only[rel] = snap  # newest containing snap wins
+    for rel, snap in sorted(retained_only.items()):
+        tgt = os.path.join(hist_link_dir, rel.replace("/", os.sep))
+        _fs().makedirs(os.path.dirname(tgt), exist_ok=True)
+        _fs().link_or_copy(os.path.join(snap, rel.replace("/", os.sep)), tgt)
+
+    def _served_path(rel: str) -> str:
+        if rel in live_files:
+            return quote(rel, safe="/")
+        return quote(f"{managed_table._DELTA_HISTORY_DIR}/{rel}", safe="/")
+
+    table_id = str(_uuid.uuid4())
     props = marker.get("properties") or {}
-    actions = [
-        {
-            "commitInfo": {
-                "operation": "WRITE",
-                "operationParameters": {"mode": "Overwrite"},
-                "engineInfo": "managed-table-emulation delta-log export",
-            }
-        },
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
-        {
+
+    def _metadata_action(schema_json: str, created_ts: float) -> dict:
+        return {
             "metaData": {
-                "id": str(_uuid.uuid4()),
+                "id": table_id,
                 "format": {"provider": "parquet", "options": {}},
-                "schemaString": public_schema.json(),
-                "partitionColumns": partition_by,
+                "schemaString": schema_json,
+                "partitionColumns": list(marker.get("partition_by", ()) or ()),
                 "configuration": {
                     k: str(v) for k, v in props.items()
                     if isinstance(v, (str, int, float, bool))
                 },
-                "createdTime": int(float(marker.get("ts", 0.0)) * 1000),
+                "createdTime": int(created_ts * 1000),
             }
-        },
-        *adds,
-    ]
-    log_dir = os.path.join(path, "_delta_log")
-    if _fs().isdir(log_dir):
-        _fs().rmtree(log_dir)
-    _fs().makedirs(log_dir)
-    log_file = os.path.join(log_dir, f"{0:020d}.json")
-    _fs().write_atomic(
-        log_file, "\n".join(json.dumps(a) for a in actions) + "\n"
-    )
+        }
+
+    log_file = ""
+    prev_inv: dict[str, tuple[int, int]] = {}
+    prev_schema: str | None = None
+    for i, (v, snap) in enumerate(snaps):
+        snap_marker = managed_table._read_marker(snap) or {}
+        schema_json = managed_table.read(
+            spark, path, version=None if v == live_v else v
+        ).schema.json()
+        actions = [
+            {
+                "commitInfo": {
+                    "operation": "WRITE" if i == 0 else "MERGE",
+                    "operationParameters": {},
+                    "engineInfo": "managed-table-emulation delta-log export",
+                    "engineCommitVersion": v,
+                    "timestamp": int(
+                        float(snap_marker.get("ts", 0.0)) * 1000
+                    ),
+                }
+            }
+        ]
+        if i == 0:
+            actions.append(
+                {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+            )
+        if schema_json != prev_schema:
+            actions.append(
+                _metadata_action(
+                    schema_json, float(snap_marker.get("ts", 0.0))
+                )
+            )
+        cur = inv[v]
+        for rel in sorted(set(prev_inv) - set(cur)):
+            actions.append(
+                {
+                    "remove": {
+                        "path": _served_path(rel),
+                        "deletionTimestamp": int(
+                            float(snap_marker.get("ts", 0.0)) * 1000
+                        ),
+                        "dataChange": True,
+                    }
+                }
+            )
+        for rel in sorted(set(cur) - set(prev_inv)):
+            size, mtime = cur[rel]
+            actions.append(
+                {
+                    "add": {
+                        "path": _served_path(rel),
+                        "partitionValues": _partition_values(rel),
+                        "size": size,
+                        "modificationTime": mtime,
+                        "dataChange": True,
+                    }
+                }
+            )
+        log_file = os.path.join(log_dir, f"{i:020d}.json")
+        _fs().write_atomic(
+            log_file, "\n".join(json.dumps(a) for a in actions) + "\n"
+        )
+        prev_inv, prev_schema = cur, schema_json
     return log_file

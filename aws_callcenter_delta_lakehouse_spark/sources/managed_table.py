@@ -1802,6 +1802,7 @@ def commit_overwrite(
     _checked_publish(
         path, staging, exists, version, max_history, tag,
         expected_version if exists else None,
+        spark=df.sparkSession,
     )
     spec = props.get("autoOptimize")
     if auto_optimize and spec and not partition_by:
@@ -2077,6 +2078,14 @@ def _sweep_claims(path: str, version: int) -> None:
             pass
 
 
+# Table property: re-export a versioned external-reader _delta_log
+# inside every commit (maintenance.export_delta_log) — the log is
+# never stale because the re-export happens before the commit lock
+# releases. Commits that introduce reader features skip silently (the
+# hardlink skip-list already shed the old log, so no log is served).
+_LOG_EXPORT_PROP = "delta.logExport.auto"
+
+
 def _checked_publish(
     path: str,
     staging: str,
@@ -2085,6 +2094,7 @@ def _checked_publish(
     max_history: int,
     tag: str,
     base_version: int | None,
+    spark: SparkSession | None = None,
 ) -> None:
     """Version recheck + snapshot swap as ONE critical section under the
     table's commit lock — the CAS every optimistic commit needs (Delta:
@@ -2142,6 +2152,17 @@ def _checked_publish(
             except OSError:  # pragma: no cover
                 pass
             raise
+        if spark is not None and (
+            (_read_marker(path) or {}).get("properties") or {}
+        ).get(_LOG_EXPORT_PROP):
+            from .maintenance import export_delta_log
+
+            try:
+                # still inside the lock: the exported log always matches
+                # the version it describes (no torn-export window)
+                export_delta_log(spark, path, versioned=True)
+            except ProtocolError:
+                pass  # reader features — the commit shed the old log
     _sweep_claims(path, version)
 
 
@@ -2419,7 +2440,8 @@ def _delete_where_dv(
         extra=extra,
     )
     _checked_publish(
-        path, staging, True, base_version + 1, max_history, tag, base_version
+        path, staging, True, base_version + 1, max_history, tag,
+        base_version, spark=spark,
     )
     _invalidate_sql_views(
         spark, path, "DELETE enabled deletion vectors on this table"
@@ -2663,7 +2685,8 @@ def _update_where_dv(
         extra=extra,
     )
     _checked_publish(
-        path, staging, True, base_version + 1, max_history, tag, base_version
+        path, staging, True, base_version + 1, max_history, tag,
+        base_version, spark=spark,
     )
     _invalidate_sql_views(
         spark, path, "UPDATE enabled deletion vectors on this table"
@@ -3022,7 +3045,8 @@ def _append_rows_once(
         _fs().rmtree(staging)
         raise
     _checked_publish(
-        path, staging, True, base_version + 1, max_history, tag, base_version
+        path, staging, True, base_version + 1, max_history, tag,
+        base_version, spark=spark,
     )
     spec = props.get("autoOptimize")
     if spec and not partition_by:

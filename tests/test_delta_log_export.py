@@ -151,3 +151,130 @@ def test_export_refuses_reader_features_and_regenerates(spark, tmp_path):
     mt.delete_where(spark, path, "id = 0", deletion_vectors=True)
     with pytest.raises(mt.ProtocolError, match="deletionVectors"):
         export_delta_log(spark, path)
+
+
+# -- versioned export (round 10) --------------------------------------------
+
+
+def _replay_files(log_dir: str, upto: int) -> list[str]:
+    """Replay commits 0..upto the way a Delta reader builds a snapshot:
+    apply add/remove actions in order; return absolute file paths."""
+    table_root = os.path.dirname(log_dir)
+    live: set[str] = set()
+    for k in range(upto + 1):
+        for a in _actions(os.path.join(log_dir, f"{k:020d}.json")):
+            if "add" in a:
+                live.add(unquote(a["add"]["path"]))
+            elif "remove" in a:
+                live.discard(unquote(a["remove"]["path"]))
+    return sorted(os.path.join(table_root, p) for p in live)
+
+
+def _duck_sum(files: list[str]) -> tuple[int, int]:
+    import duckdb
+
+    n, s = duckdb.sql(
+        f"SELECT COUNT(*), SUM(v) FROM read_parquet({files!r})"
+    ).fetchall()[0]
+    return int(n), int(s)
+
+
+def test_versioned_export_auto_refresh_duckdb_time_travel(spark, tmp_path):
+    """VERDICT r9 item 2 'done' shape: after two commits on an
+    auto-exporting table, an external-style reader replays version N
+    AND N-1 from the log with NO manual regenerate."""
+    path = str(tmp_path / "t")
+    df0 = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    mt.commit_overwrite(df0, path, keys=("id",), max_history=5)
+    mt.set_table_property(path, "delta.logExport.auto", True)
+
+    # two commits, zero manual exports
+    mt.append_rows(spark, spark.range(10, 15).selectExpr("id", "id * 2 AS v"), path)
+    mt.delete_where(spark, path, "id < 3")
+
+    log_dir = os.path.join(path, "_delta_log")
+    commits = sorted(glob.glob(os.path.join(log_dir, "*.json")))
+    assert len(commits) >= 3  # v0 seed (pre-property) retained + 2 commits
+
+    latest = len(commits) - 1
+    # export version latest == live table
+    n, s = _duck_sum(_replay_files(log_dir, latest))
+    live_df = mt.read(spark, path)
+    assert (n, s) == (live_df.count(), live_df.agg(F.sum("v")).first()[0])
+    # export version latest-1 == engine version live-1 (time travel)
+    n1, s1 = _duck_sum(_replay_files(log_dir, latest - 1))
+    prev = mt.read(spark, path, version=mt.table_version(path) - 1)
+    assert (n1, s1) == (prev.count(), prev.agg(F.sum("v")).first()[0])
+    # engine version mapping is recorded
+    acts = _actions(commits[-1])
+    ci = _one(acts, "commitInfo")
+    assert ci["engineCommitVersion"] == mt.table_version(path)
+    # exactly one protocol action, in commit 0
+    assert "protocol" in {k for a in _actions(commits[0]) for k in a}
+
+
+def test_versioned_export_history_links_are_hidden(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df0 = spark.range(0, 10).selectExpr("id", "id * 2 AS v")
+    mt.commit_overwrite(df0, path, keys=("id",), max_history=5)
+    mt.commit_overwrite(
+        spark.range(0, 4).selectExpr("id", "id * 3 AS v"), path, keys=("id",),
+        max_history=5,
+    )
+    export_delta_log(spark, path, versioned=True)
+    hist_links = glob.glob(
+        os.path.join(path, "_delta_history", "**", "*.parquet"),
+        recursive=True,
+    )
+    assert hist_links  # v0's rewritten-away files live here
+    # raw Spark data reads and engine reads DON'T see them
+    assert mt.read(spark, path).count() == 4
+    assert spark.read.parquet(path).count() == 4
+
+
+def test_versioned_export_schema_change_reemits_metadata(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 5).selectExpr("id", "id AS v"), path, keys=("id",),
+        max_history=5,
+    )
+    mt.commit_overwrite(
+        spark.range(0, 5).selectExpr("id", "id AS v", "id AS extra"),
+        path, keys=("id",), max_history=5, schema_mode="overwrite",
+    )
+    log_file = export_delta_log(spark, path, versioned=True)
+    acts = _actions(log_file)  # newest commit
+    metas = [a["metaData"] for a in acts if "metaData" in a]
+    assert len(metas) == 1  # schema changed at this commit -> re-emitted
+    assert "extra" in metas[0]["schemaString"]
+
+
+def test_purge_scrubs_versioned_export_links(spark, tmp_path):
+    """_delta_history hardlinks must not resurrect purged bytes."""
+    from aws_callcenter_delta_lakehouse_spark.sources.maintenance import (
+        purge_rows,
+    )
+
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v"), path,
+        keys=("id",), max_history=5,
+    )
+    mt.set_table_property(path, "delta.logExport.auto", True)
+    mt.delete_where(spark, path, "id = 7")  # auto-exports (id=7 in history)
+    assert os.path.isdir(os.path.join(path, "_delta_history"))
+    purge_rows(spark, path, "id = 7")
+    # the auto re-export after the purge must reference NO file
+    # containing id=7 at ANY replayable version
+    log_dir = os.path.join(path, "_delta_log")
+    commits = sorted(glob.glob(os.path.join(log_dir, "*.json")))
+    import duckdb
+
+    for k in range(len(commits)):
+        files = _replay_files(log_dir, k)
+        if not files:
+            continue
+        hit = duckdb.sql(
+            f"SELECT COUNT(*) FROM read_parquet({files!r}) WHERE id = 7"
+        ).fetchall()[0][0]
+        assert hit == 0, f"purged row visible at export version {k}"
