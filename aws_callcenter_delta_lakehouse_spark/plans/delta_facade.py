@@ -672,3 +672,54 @@ def delta_api_log_export_versions(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "writer_api_partitioned_ingest",
+    oracle="""
+    SELECT CAST(o_orderpriority AS VARCHAR) AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM orders WHERE o_orderkey % 4 < 2 GROUP BY 1
+    """,
+)
+def writer_api_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's DataFrameWriter idiom
+    (``01_silver_delta_upsert.py:115-121``) through the driver-side
+    builder: ``write(df).format("delta").mode("overwrite")
+    .partitionBy(...).save(path)`` for the initial load, then
+    ``mode("append")`` for the increment — both bottoming out in the
+    commit protocol (atomic swap / hardlink append). The read-back
+    aggregate over the Hive-partitioned snapshot equals the oracle's
+    direct scan only if both writes landed exactly once with the
+    declared layout."""
+    import tempfile
+
+    from ..sources import managed_table as mt
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="writer_api_") + "/t"
+    (
+        mt.write(orders.filter(F.col("o_orderkey") % 4 == 0))
+        .format("delta")
+        .mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .keys("o_orderkey")
+        .save(path)
+    )
+    (
+        mt.write(orders.filter(F.col("o_orderkey") % 4 == 1))
+        .mode("append")
+        .option("txn", {"app": "writer_api", "last_epoch": 1})
+        .save(path)
+    )
+    return (
+        mt.read(spark, path)
+        .groupBy(F.col("o_orderpriority").alias("prio"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )

@@ -3317,3 +3317,132 @@ def convert_to_managed(
         )
     _write_marker(path, tuple(keys), tuple(partition_by))
     return table_detail(path)
+
+
+# -- DataFrameWriter-shaped builder ----------------------------------------
+
+
+class ManagedWriter:
+    """Driver-side writer builder restoring the reference's write idiom
+    (``/root/reference/glue_jobs/01_silver_delta_upsert.py:115-121``):
+
+        managed_table.write(df).mode("overwrite") \\
+            .partitionBy("year", "month").save(path)
+
+    Every call runs ON THE DRIVER and delegates to the engine's commit
+    protocol (:func:`commit_overwrite` / :func:`append_rows`) — unlike
+    a Python ``DataSource`` writer, whose ``commit()`` executes in a
+    worker with no SparkSession and cannot run the protocol (prototyped
+    and dropped, see CLAUDE.md r8). Save modes match Spark's
+    DataFrameWriter: ``errorifexists`` (default), ``overwrite``,
+    ``append`` (creates the table when absent, like Delta), ``ignore``.
+
+    Engine extensions: ``.keys(...)`` records merge/PK keys in the
+    marker; ``.option("maxHistory", n)`` bounds time travel;
+    ``.saveAsTable(name)`` resolves/creates through the txn-catalog
+    name registry (the metastore analogue)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+        self._mode = "errorifexists"
+        self._partition_by: tuple = ()
+        self._keys: tuple = ()
+        self._options: dict = {}
+
+    def format(self, fmt: str) -> "ManagedWriter":
+        if fmt not in ("delta", "managed_table", "parquet"):
+            raise ValueError(
+                f"write(df).format({fmt!r}): the managed writer commits "
+                "parquet snapshots ('delta' | 'managed_table' | 'parquet')"
+            )
+        return self
+
+    def mode(self, m: str) -> "ManagedWriter":
+        canon = {
+            "overwrite": "overwrite",
+            "append": "append",
+            "error": "errorifexists",
+            "errorifexists": "errorifexists",
+            "ignore": "ignore",
+        }.get(m.lower())
+        if canon is None:
+            raise ValueError(f"unknown save mode {m!r}")
+        self._mode = canon
+        return self
+
+    def partitionBy(self, *cols) -> "ManagedWriter":
+        self._partition_by = tuple(
+            c for group in cols
+            for c in (group if isinstance(group, (list, tuple)) else [group])
+        )
+        return self
+
+    def keys(self, *cols: str) -> "ManagedWriter":
+        self._keys = tuple(cols)
+        return self
+
+    def option(self, key: str, value) -> "ManagedWriter":
+        self._options[key] = value
+        return self
+
+    def options(self, **kv) -> "ManagedWriter":
+        self._options.update(kv)
+        return self
+
+    def save(self, path: str) -> None:
+        recover(path)
+        exists = is_table(self._df.sparkSession, path)
+        max_history = int(self._options.get("maxHistory", 2))
+        txn = self._options.get("txn")
+        if self._mode == "ignore" and exists:
+            return
+        if self._mode == "errorifexists" and exists:
+            raise ValueError(
+                f"{path} already exists (mode errorifexists — the "
+                "DataFrameWriter default); use mode('overwrite') or "
+                "mode('append')"
+            )
+        if self._mode == "append" and exists:
+            marker = _read_marker(path)
+            declared = tuple(marker.get("partition_by", ()) or ())
+            if self._partition_by and tuple(self._partition_by) != declared:
+                raise ValueError(
+                    f"append partitionBy{self._partition_by} does not match "
+                    f"the table's layout {declared} — appends never "
+                    "re-partition (overwrite to change layout)"
+                )
+            append_rows(
+                self._df.sparkSession, self._df, path,
+                max_history=max_history, txn=txn,
+            )
+            return
+        commit_overwrite(
+            self._df, path, keys=self._keys,
+            partition_by=self._partition_by, max_history=max_history,
+            txn=txn,
+        )
+
+    def saveAsTable(self, name: str, registry_dir: str | None = None) -> str:
+        """Name-first save through the txn-catalog registry: an already
+        bound name saves to its path; an unbound one is created under
+        the registry's managed warehouse and registered (put-if-absent,
+        so two concurrent creators cannot split-brain the name).
+        Returns the resolved path."""
+        from . import txn_catalog
+        from .delta_api import _registry_dir
+
+        registry = _registry_dir(self._df.sparkSession, registry_dir)
+        try:
+            path = txn_catalog.resolve_table_name(registry, name)
+        except txn_catalog.TableNameError:
+            path = os.path.join(registry, "tables", name)
+            self.save(path)
+            txn_catalog.register_table_name(registry, name, path)
+            return path
+        self.save(path)
+        return path
+
+
+def write(df: DataFrame) -> ManagedWriter:
+    """Entry point of the writer-shaped API: see :class:`ManagedWriter`."""
+    return ManagedWriter(df)
