@@ -723,3 +723,79 @@ def writer_api_partitioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("o_orderkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "streaming_table_partitioned_tail",
+    oracle="""
+    WITH snap AS (
+      SELECT c_custkey, c_name, c_nationkey % 4 AS part
+      FROM customer WHERE c_custkey % 3 = 0
+    ), ins AS (
+      SELECT c_custkey, c_name, c_nationkey % 4 AS part
+      FROM customer WHERE c_custkey % 3 = 1
+    )
+    SELECT CAST(part AS BIGINT) AS part,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM (SELECT * FROM snap UNION ALL SELECT * FROM ins)
+    GROUP BY 1
+    """,
+)
+def streaming_table_partitioned_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITIONED plain table stream (round 10 — a 100 TB table is
+    always partitioned): a Hive-partitioned snapshot streams as the
+    first microbatch with partition columns SYNTHESIZED typed from the
+    dir names, then an append tails through the change sidecar (where
+    the partition values are ordinary columns). Trigger.AvailableNow
+    drains and self-terminates. The aggregate equals the oracle's
+    direct reconstruction only if every (file, partition-dir) pair
+    mapped to the right typed values in both phases."""
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources import managed_table as mt
+    from ..sources.pydatasource import make_table_stream_source
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        (F.col("c_nationkey") % 4).alias("part"),
+    )
+    path = tempfile.mkdtemp(prefix="tbl_pstream_") + "/t"
+    mt.commit_overwrite(
+        base.filter(F.col("c_custkey") % 3 == 0), path,
+        keys=("c_custkey",), partition_by=("part",),
+        properties={"enableChangeDataFeed": True},
+    )
+    mt.append_rows(
+        spark, base.filter(F.col("c_custkey") % 3 == 1), path
+    )
+    spark.dataSource.register(make_table_stream_source())
+    sink = f"tbl_pstream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("managed_table_stream")
+        .option("path", path)
+        .option("startingversion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    import os as _os
+    import shutil
+
+    out = (
+        spark.table(sink)
+        .groupBy(F.col("part").cast("long").alias("part"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+    )
+    res = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(_os.path.dirname(path), ignore_errors=True)
+    return res

@@ -342,8 +342,18 @@ def make_table_stream_source():
     a snapshot with an ACTIVE deletion vector refuses (a raw file read
     would resurrect soft-deleted rows — run materialize_deletes), and
     pending column renames/drops refuse (commit a rewrite first).
-    Pending ADD COLUMN defaults ARE synthesized. Unpartitioned tables
-    only — partitioned feeds stream via ``table_changes_stream``.
+    Pending ADD COLUMN defaults ARE synthesized.
+
+    PARTITIONED tables stream too (round 10; a 100 TB table is always
+    partitioned): partition columns are synthesized from the Hive dir
+    names when serving snapshot files — types inferred per Spark's
+    partition-inference ladder (int, double, date, else string), values
+    parsed driver-side at planning time and carried in each
+    ``InputPartition`` — and come back as ordinary columns from the
+    change sidecar when tailing (the sidecar is written unpartitioned,
+    so they are data columns there). Column order matches the batch
+    read of a partitioned snapshot: data columns, then partition
+    columns, then pending ADD COLUMNs.
 
     Scale shape: driver work per microbatch = marker reads + one
     sidecar listing + one ``_change_type``-column read (O(changes));
@@ -378,7 +388,67 @@ def make_table_stream_source():
         )
 
     def _data_files(snap):
-        return sorted(_glob.glob(_os.path.join(snap, "*.parquet")))
+        """Data files of a snapshot, Hive layout included; sidecar /
+        export dirs (underscore-prefixed components) excluded."""
+        out = []
+        for f in sorted(
+            _glob.glob(
+                _os.path.join(snap, "**", "*.parquet"), recursive=True
+            )
+        ):
+            rel = _os.path.relpath(f, snap)
+            if any(p.startswith("_") for p in rel.split(_os.sep)[:-1]):
+                continue
+            out.append(f)
+        return out
+
+    def _pval_type(raw: str) -> str:
+        """Spark's partition-value type-inference ladder (the common
+        rungs): int32 -> double -> ISO date -> string."""
+        try:
+            v = int(raw)
+            return "int" if -(2**31) <= v < 2**31 else "bigint"
+        except ValueError:
+            pass
+        try:
+            float(raw)
+            return "double"
+        except ValueError:
+            pass
+        import datetime as _dt
+
+        try:
+            _dt.date.fromisoformat(raw)
+            return "date"
+        except ValueError:
+            return "string"
+
+    def _typed_pval(raw, ddl: str):
+        import datetime as _dt
+        from urllib.parse import unquote as _unquote
+
+        if raw is None:
+            return None
+        raw = _unquote(raw)
+        if ddl in ("int", "bigint"):
+            return int(raw)
+        if ddl == "double":
+            return float(raw)
+        if ddl == "date":
+            return _dt.date.fromisoformat(raw)
+        return raw
+
+    def _file_pvals(snap: str, fpath: str) -> dict:
+        """{partition column: raw dir value} parsed from the file's
+        Hive path components (relative to the snapshot root)."""
+        rel = _os.path.relpath(fpath, snap)
+        pvals = {}
+        for comp in rel.split(_os.sep)[:-1]:
+            col, _eq, raw = comp.partition("=")
+            pvals[col] = (
+                None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+            )
+        return pvals
 
     _DDL_TYPES = {
         "int64": "bigint",
@@ -405,14 +475,10 @@ def make_table_stream_source():
                 "managed_table_stream: pending column renames/drops — "
                 "commit a rewrite to materialize them before streaming"
             )
-        if m.get("partition_by"):
-            raise ValueError(
-                "managed_table_stream supports unpartitioned tables "
-                "(partition values live in dir names, not files); tail "
-                "partitioned tables via table_changes_stream"
-            )
+        partition_by = list(m.get("partition_by", ()) or ())
         cols = []
         if m.get("schema_json"):
+            # schema-in-log records partition columns LAST already
             for f in _json.loads(m["schema_json"])["fields"]:
                 if not isinstance(f["type"], str):
                     raise ValueError(
@@ -436,6 +502,17 @@ def make_table_stream_source():
                         f"{field.type} for {field.name}"
                     )
                 cols.append((field.name, t, None))
+            if partition_by:
+                # Hive layout: partition values live in dir names, not
+                # files — synthesize them LAST (the batch-read order),
+                # types inferred from the first file's dir components
+                pvals = _file_pvals(path, files[0])
+                for c in partition_by:
+                    raw = pvals.get(c)
+                    cols.append(
+                        (c, _pval_type(raw) if raw is not None else "string",
+                         None)
+                    )
         cols = [c for c in cols if c[0] != _ROWID]
         for name, spec in sorted((m.get("added_columns") or {}).items()):
             cols.append((name, spec["type"], spec.get("default")))
@@ -490,7 +567,10 @@ def make_table_stream_source():
                         "maintenance.materialize_deletes first"
                     )
                 parts.extend(
-                    InputPartition(("snap", f, None))
+                    # third slot: raw Hive partition values of THIS file
+                    # (parsed driver-side; typed in read() against the
+                    # declared schema) — empty dict when unpartitioned
+                    InputPartition(("snap", f, _file_pvals(snap, f)))
                     for f in _data_files(snap)
                 )
             for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
@@ -548,12 +628,35 @@ def make_table_stream_source():
             return parts or [InputPartition(("noop", None, None))]
 
         def read(self, partition):
-            kind, fpath, allowed = partition.value
+            # runs in a Python WORKER: keep the body self-contained
+            # (no factory-closure references — CLAUDE.md trap 2)
+            kind, fpath, extra = partition.value
             if kind == "noop":
                 return
+            import datetime as _dt
+            from urllib.parse import unquote as _unq
+
             import pyarrow.parquet as _pq
 
             cols = self.cols
+            allowed = extra if kind == "cdf" else ()
+            typed_pvals = {}
+            if kind == "snap" and extra:
+                # Hive dir values -> the declared partition-column types
+                for c, t, _d in cols:
+                    if c not in extra:
+                        continue
+                    raw = extra[c]
+                    if raw is None:
+                        typed_pvals[c] = None
+                    elif t in ("int", "bigint"):
+                        typed_pvals[c] = int(_unq(raw))
+                    elif t == "double":
+                        typed_pvals[c] = float(_unq(raw))
+                    elif t == "date":
+                        typed_pvals[c] = _dt.date.fromisoformat(_unq(raw))
+                    else:
+                        typed_pvals[c] = _unq(raw)
             table = _pq.read_table(fpath)
             names = set(table.schema.names)
             for batch in table.to_batches():
@@ -561,9 +664,13 @@ def make_table_stream_source():
                     if kind == "cdf" and r.get("_change_type") not in allowed:
                         continue
                     # columns a file predates take their declared
-                    # DEFAULT — same rule as the batch read path
+                    # DEFAULT — same rule as the batch read path;
+                    # partition columns come from the dir values
                     yield tuple(
-                        r.get(c) if c in names else d for c, _t, d in cols
+                        r.get(c)
+                        if c in names
+                        else typed_pvals.get(c, d)
+                        for c, _t, d in cols
                     )
 
         def commit(self, end):

@@ -12,7 +12,10 @@ change sidecar. Pins the Delta append-only streaming contract:
 - checkpoint restart resumes at the committed version (offsets are
   table versions from the marker, not reader state);
 - protocol refusals are loud: DV-active snapshot, CDF-less tail
-  version, partitioned table, pending renames.
+  version, pending renames;
+- partitioned tables stream (round 10): partition columns synthesized
+  typed from the Hive dirs in the snapshot phase, served as sidecar
+  columns in the tail phase.
 """
 
 from __future__ import annotations
@@ -219,12 +222,6 @@ def test_refusals_are_loud(spark, tmp_path):
     )
     with pytest.raises(Exception, match="no change sidecar"):
         _drain(spark, nocdf, startingversion=0)
-    # partitioned table
-    part = str(tmp_path / "part")
-    df = spark.createDataFrame([(1, "a", "p1")], ["id", "v", "part"])
-    mt.commit_overwrite(df, part, keys=("id",), partition_by=("part",))
-    with pytest.raises(Exception, match="unpartitioned"):
-        _drain(spark, part)
 
 
 def test_empty_created_table_streams_schema_then_rows(spark, tmp_path):
@@ -303,3 +300,88 @@ def test_available_now_drains_and_terminates(spark, tmp_path):
         (r.id, r.name, r.bal) for r in mt.read(spark, path).collect()
     )
     assert got == want and len(got) == 5
+
+
+# -- partitioned tables (round 10) -------------------------------------------
+
+
+def test_partitioned_snapshot_and_tail_available_now(spark, tmp_path):
+    """VERDICT r9 item 4 'done' shape: stream a year/month-partitioned
+    table snapshot + tail with Trigger.AvailableNow — partition columns
+    present and correct (typed from the Hive dirs in the snapshot
+    phase, from the sidecar columns in the tail phase)."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, 2024 + i % 2, 1 + i % 3, f"r{i}") for i in range(1, 13)],
+        "call_id INT, year INT, month INT, payload STRING",
+    )
+    mt.commit_overwrite(
+        df, path, keys=("call_id",), partition_by=("year", "month"),
+        properties={"enableChangeDataFeed": True},
+    )
+    mt.append_rows(
+        spark,
+        spark.createDataFrame(
+            [(100, 2026, 7, "late")],
+            "call_id INT, year INT, month INT, payload STRING",
+        ),
+        path,
+    )
+    spark.dataSource.register(make_table_stream_source())
+    sink = f"tstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("managed_table_stream")
+        .option("path", path)
+        .option("startingversion", 0)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query did not terminate"
+    out = spark.table(sink)
+    # partition columns come LAST, typed int (the batch-read order)
+    assert out.columns == ["call_id", "payload", "year", "month"]
+    got = sorted(
+        (r.call_id, r.year, r.month, r.payload) for r in out.collect()
+    )
+    want = sorted(
+        (r.call_id, r.year, r.month, r.payload)
+        for r in mt.read(spark, path).collect()
+    )
+    assert got == want and len(got) == 13
+    assert (100, 2026, 7, "late") in got  # tail row, sidecar-served
+
+
+def test_partitioned_stream_null_and_string_partitions(spark, tmp_path):
+    """String partition values (URL-encoded dirs) and the
+    __HIVE_DEFAULT_PARTITION__ null dir both round-trip."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "us east"), (2, None), (3, "eu/west")], "id INT, region STRING"
+    )
+    mt.commit_overwrite(
+        df, path, keys=("id",), partition_by=("region",),
+        properties={"enableChangeDataFeed": True},
+    )
+    spark.dataSource.register(make_table_stream_source())
+    sink = f"tstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("managed_table_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.id, r.region) for r in spark.table(sink).collect()
+    )
+    assert got == [(1, "us east"), (2, None), (3, "eu/west")]
