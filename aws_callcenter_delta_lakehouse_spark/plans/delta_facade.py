@@ -799,3 +799,131 @@ def streaming_table_partitioned_tail(spark: SparkSession, sf_dir: str) -> DataFr
     res = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(_os.path.dirname(path), ignore_errors=True)
     return res
+
+
+@query(
+    "maintenance_zorder_where",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority FROM orders
+    )
+    SELECT CAST(o_custkey % 7 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM base
+    WHERE o_orderpriority = '1-URGENT' AND o_custkey BETWEEN 100 AND 500
+    GROUP BY 1
+    """,
+)
+def maintenance_zorder_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... WHERE ... ZORDER BY through the facade
+    (``DeltaTable.optimize().where(p).executeZOrderBy(cols)``,
+    ``maintenance.optimize_zorder_partitions``): a priority-partitioned
+    orders table re-clusters ONLY the urgent partition on o_custkey,
+    then the read-back goes through the STATS-SKIPPING path
+    (``layout.pruned_file_list`` against the rewritten files' footers —
+    the point of zordering: a custkey range now touches few files).
+    Matching the oracle proves the partition-scoped rewrite lost or
+    duplicated nothing and the skipping read serves exactly the
+    predicate rows."""
+    import os as _os
+    import tempfile
+
+    from ..sources import managed_table as mt
+    from ..sources.delta_api import DeltaTable
+    from ..sources.layout import read_with_skipping
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="zorder_where_") + "/t"
+    mt.commit_overwrite(
+        # several unsorted files per partition -> zorder has work to do
+        orders.repartition(4), path,
+        keys=("o_orderkey",), partition_by=("o_orderpriority",),
+    )
+    (
+        DeltaTable.forPath(spark, path)
+        .optimize()
+        .where("o_orderpriority = '1-URGENT'")
+        .executeZOrderBy("o_custkey")
+    )
+    urgent_dir = _os.path.join(path, "o_orderpriority=1-URGENT")
+    hits = read_with_skipping(spark, urgent_dir, "o_custkey", 100, 500)
+    return (
+        hits.groupBy((F.col("o_custkey") % 7).cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("o_orderkey").cast("long").alias("sum_key"),
+        )
+    )
+
+
+@query(
+    "append_autorebase_race",
+    oracle="""
+    WITH seed AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 = 0
+    ), a AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 = 1
+    ), b AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 3 = 2
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM (SELECT * FROM seed UNION ALL SELECT * FROM a
+          UNION ALL SELECT * FROM b)
+    GROUP BY 1
+    """,
+)
+def append_autorebase_race(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-vs-append OCC COMMUTE made correctness-visible: two
+    threads race ``append_rows`` on one table from a shared barrier —
+    the CAS loser re-stages its whole append against the winner's
+    snapshot (``last_rewrite_version`` watermark gates the rebase) and
+    commits too. The aggregate equals seed + BOTH halves exactly once,
+    whatever the interleaving; a lost update or double-land breaks the
+    value hash. Driver-side cost: one extra O(appended) restage for
+    the loser."""
+    import tempfile
+    import threading
+
+    from ..sources import managed_table as mt
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    path = tempfile.mkdtemp(prefix="append_race_") + "/t"
+    mt.commit_overwrite(
+        base.filter(F.col("c_custkey") % 3 == 0), path, keys=("c_custkey",)
+    )
+    halves = [
+        base.filter(F.col("c_custkey") % 3 == 1),
+        base.filter(F.col("c_custkey") % 3 == 2),
+    ]
+    barrier = threading.Barrier(2)
+    errors: list = []
+
+    def run(df):
+        try:
+            barrier.wait(timeout=120)
+            mt.append_rows(spark, df, path)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(h,)) for h in halves]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return (
+        mt.read(spark, path)
+        .groupBy(F.col("c_nationkey").cast("long").alias("nation"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("c_custkey").cast("long").alias("sum_key"),
+        )
+    )
