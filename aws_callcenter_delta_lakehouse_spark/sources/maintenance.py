@@ -18,7 +18,9 @@ that reason.
 
 from __future__ import annotations
 
+import contextlib
 import os
+import uuid as _uuid
 
 from collections.abc import Sequence
 
@@ -130,6 +132,35 @@ def _require_no_dv(path: str, op: str) -> None:
         )
 
 
+@contextlib.contextmanager
+def _compaction_swap_guard(path: str, base_version: int, staging: str | None):
+    """Serialize a data-preserving rewrite's swap against the commit
+    protocol (round 10): take the table's COMMIT LOCK and re-check that
+    no commit landed since the compaction was staged — the staged files
+    reproduce THAT version's logical content only, so swapping them
+    over a newer version would silently destroy the intervening commit
+    (the OPTIMIZE-vs-append lost-update). On conflict the compaction
+    output is discarded and :class:`ConcurrentWriteError` raised
+    (maintenance is deferrable, data is not; the auto-compact/optimize
+    hooks catch it and let the next commit's probe re-trigger). No
+    version CLAIM is taken: compaction keeps the version, and the lock
+    alone excludes the version-bumping writers, which all publish under
+    the same lock."""
+    with managed_table._commit_lock(path):
+        live = managed_table.table_version(path)
+        if live != base_version:
+            if staging and _fs().isdir(staging):
+                _fs().rmtree(staging)
+            err = managed_table.ConcurrentWriteError(
+                f"{path}: version advanced {base_version} -> {live} while "
+                "a compaction was staging — its output reproduces the old "
+                "version's content only; compaction discarded, re-run"
+            )
+            err.base_version = base_version
+            raise err
+        yield
+
+
 def compact(
     spark: SparkSession,
     path: str,
@@ -154,11 +185,12 @@ def compact(
     df = managed_table._read_logical(spark, path)  # keep __row_id through the rewrite
     live_marker = managed_table._read_marker(path)
     managed_table._check_writer(live_marker, path)
+    base_version = int(live_marker.get("version", 0))
     stats = table_file_stats(path)
     n_out = max(1, stats["total_bytes"] // target_file_bytes)
     compacted = df.coalesce(int(n_out))
 
-    staging = f"{path}__compact_staging"
+    staging = f"{path}__compact_staging_{_uuid.uuid4().hex[:8]}"
     writer = compacted.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -178,10 +210,11 @@ def compact(
     # last_epoch and drop CHECK constraints
     managed_table._write_marker_like(staging, live_marker, partition_by)
 
-    backup = f"{path}__compact_old"
-    _fs().rename_dir(path, backup)
-    _fs().rename_dir(staging, path)
-    _fs().rmtree(backup)
+    with _compaction_swap_guard(path, base_version, staging):
+        backup = f"{path}__compact_old_{_uuid.uuid4().hex[:8]}"
+        _fs().rename_dir(path, backup)
+        _fs().rename_dir(staging, path)
+        _fs().rmtree(backup)
     if not partition_by:  # manifests index flat tables only
         _refresh_skipping_indexes(spark, path)
     return {"before": stats, "after": table_file_stats(path)}
@@ -266,6 +299,7 @@ def _compact_partitions(
             "partition directories to rewrite, not rows"
         )
     _require_no_dv(path, "compact(where=...)")
+    base_version = managed_table.table_version(path)
     df = managed_table._read_logical(spark, path)  # keep __row_id through the rewrite
     # collect the SPARK-rendered partition key alongside the values: the
     # slot map below is looked up with concat_ws(cast-to-string) at plan
@@ -318,7 +352,7 @@ def _compact_partitions(
     sel = spark.read.option("basePath", path).parquet(
         *[subdir for _key, subdir in matched]
     )
-    staging = f"{path}__compact_staging_parts"
+    staging = f"{path}__compact_staging_parts_{_uuid.uuid4().hex[:8]}"
     if _fs().isdir(staging):  # pragma: no cover - leftover from crash
         _fs().rmtree(staging)
     n_tasks = max(sum(n_out_by_key.values()), 1)
@@ -358,20 +392,24 @@ def _compact_partitions(
         .parquet(staging)
     )
     staged_dirs = _hive_partition_dirs(staging, partition_by)
-    for key, subdir in matched:
-        staged_dir = staged_dirs.get(key)
-        if staged_dir is None:  # pragma: no cover - defensive
-            continue
-        # backup is a SIBLING of the table root (never inside it: a
-        # stray dir under the root would corrupt partition discovery);
-        # its name reuses the on-disk (escaped) dir names, so it is
-        # filesystem-safe for any partition value
-        tag = os.path.relpath(subdir, path).replace(os.sep, "_")
-        backup = f"{path}__compact_old_{tag}"
-        _fs().rename_dir(subdir, backup)
-        _fs().rename_dir(staged_dir, subdir)
-        _fs().rmtree(backup)
-    _fs().rmtree(staging)
+    # ONE lock + version recheck covers every per-dir swap: the rename
+    # phase is metadata-only, so the hold is short, and a commit that
+    # landed mid-staging aborts the whole rewrite before any dir moves
+    with _compaction_swap_guard(path, base_version, staging):
+        for key, subdir in matched:
+            staged_dir = staged_dirs.get(key)
+            if staged_dir is None:  # pragma: no cover - defensive
+                continue
+            # backup is a SIBLING of the table root (never inside it: a
+            # stray dir under the root would corrupt partition discovery);
+            # its name reuses the on-disk (escaped) dir names, so it is
+            # filesystem-safe for any partition value
+            tag = os.path.relpath(subdir, path).replace(os.sep, "_")
+            backup = f"{path}__compact_old_{tag}"
+            _fs().rename_dir(subdir, backup)
+            _fs().rename_dir(staged_dir, subdir)
+            _fs().rmtree(backup)
+        _fs().rmtree(staging)
     return {"before": before, "after": table_file_stats(path)}
 
 
@@ -414,6 +452,10 @@ def optimize_zorder(
     clustered = zorder_layout(df, list(cols), int(n_out), bits)
     managed_table.commit_overwrite(
         clustered, path, keys=marker.get("keys", []), auto_optimize=False,
+        # pin the version the rewrite was derived from: a commit landing
+        # mid-optimize must make the OPTIMIZE lose loudly, never be
+        # clobbered by a last-writer-wins overwrite (round 10)
+        expected_version=int(marker.get("version", 0)),
         # OPTIMIZE preserves rows: allowed on appendOnly tables
         _append_only_ok=True,
         # OPTIMIZE preserves data, so it must preserve the table's txn
@@ -464,6 +506,10 @@ def optimize_hilbert(
     clustered = hilbert_layout(df, x, y, int(n_out), order)
     managed_table.commit_overwrite(
         clustered, path, keys=marker.get("keys", []), auto_optimize=False,
+        # pin the version the rewrite was derived from: a commit landing
+        # mid-optimize must make the OPTIMIZE lose loudly, never be
+        # clobbered by a last-writer-wins overwrite (round 10)
+        expected_version=int(marker.get("version", 0)),
         # OPTIMIZE preserves rows: allowed on appendOnly tables
         _append_only_ok=True,
         # OPTIMIZE preserves data, so it must preserve the table's txn
@@ -745,6 +791,7 @@ def compact_binpack(
     small_file_bytes = small_file_bytes or target_file_bytes // 2
     marker = managed_table._read_marker(path)
     managed_table._check_writer(marker, path)
+    base_version = int(marker.get("version", 0))
     if marker.get("partition_by"):
         raise ValueError(
             "compact_binpack supports unpartitioned tables; compact "
@@ -781,7 +828,7 @@ def compact_binpack(
             bins.append([f])
             loads.append(s)
 
-    staging = f"{path}__compact_staging"
+    staging = f"{path}__compact_staging_{_uuid.uuid4().hex[:8]}"
     if _fs().isdir(staging):  # pragma: no cover - leftover from crash
         _fs().rmtree(staging)
     _fs().makedirs(staging)
@@ -840,10 +887,11 @@ def compact_binpack(
     # never the logical table
     managed_table._write_marker_like(staging, marker, ())
 
-    backup = f"{path}__compact_old"
-    _fs().rename_dir(path, backup)
-    _fs().rename_dir(staging, path)
-    _fs().rmtree(backup)
+    with _compaction_swap_guard(path, base_version, staging):
+        backup = f"{path}__compact_old_{_uuid.uuid4().hex[:8]}"
+        _fs().rename_dir(path, backup)
+        _fs().rename_dir(staging, path)
+        _fs().rmtree(backup)
     _refresh_skipping_indexes(spark, path)
     return {
         "before": before,

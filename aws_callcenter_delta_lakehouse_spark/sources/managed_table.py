@@ -1812,12 +1812,35 @@ def commit_overwrite(
         # commit, auto_optimize=False inside) only when THIS commit
         # pushed the zone depth past the declared threshold.
         # "columns" (clusterBy, multi-key Morton) or legacy "column".
-        optimize_if_degraded(
-            df.sparkSession,
-            path,
-            spec.get("columns") or spec["column"],
-            float(spec.get("max_avg_depth", 2.0)),
-        )
+        # A commit racing the re-cluster makes the OPTIMIZE lose its
+        # CAS — maintenance is deferrable: swallow the conflict, the
+        # data commit already shipped and the next probe re-triggers.
+        v_trigger = _table_state_token(path)
+        try:
+            optimize_if_degraded(
+                df.sparkSession,
+                path,
+                spec.get("columns") or spec["column"],
+                float(spec.get("max_avg_depth", 2.0)),
+            )
+        except ConcurrentWriteError:
+            pass
+        except Exception:
+            # a concurrent commit can also yank the optimize's input
+            # files mid-job (the swap renames the snapshot dir) — a
+            # version probe separates that benign race from a real bug
+            if _table_state_token(path) == v_trigger:
+                raise
+
+
+
+def _table_state_token(path: str) -> tuple:
+    """(version, commit ts) — changes on EVERY publish, including
+    data-preserving compaction swaps (which keep the version but stamp
+    a fresh ts). The auto-maintenance hooks use it to tell a benign
+    concurrent-swap failure from a real bug."""
+    m = _read_marker(path) or {}
+    return (int(m.get("version", 0)), m.get("ts"))
 
 
 def _refresh_staged_stats_manifest(
@@ -1986,6 +2009,23 @@ def _commit_lock(path: str):
                 pass
 
 
+def _is_transient_read_error(exc: BaseException) -> bool:
+    """A read-time listing/footer failure caused by a concurrent swap
+    retiring the files mid-job — the ONLY generic-exception shape the
+    retry loops may eat. Anything else re-raises: in particular a
+    failure DURING the swap must never retry (the staged marker may be
+    committed-ready, recover() would roll it forward, and re-running a
+    non-idempotent op — UPDATE SET v = v + 1 — would apply it twice)."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    s = str(exc)
+    return (
+        "FileNotFoundException" in s
+        or "PATH_NOT_FOUND" in s
+        or "does not exist" in s
+    )
+
+
 def _retry_dml(fn, path: str, attempts: int = 5):
     """Delta-style automatic commit retry for DML that READS the table
     (MERGE / DELETE / UPDATE): on a version-CAS loss the WHOLE op
@@ -1995,12 +2035,29 @@ def _retry_dml(fn, path: str, attempts: int = 5):
     Delta's OptimisticTransaction does the same internally
     (checkAndRetry); before the r9 commit lock these races were silent
     lost-updates, so surfacing-then-retrying is strictly safer.
-    Bounded: persistent contention re-raises the last conflict."""
+    Bounded: persistent contention re-raises the last conflict.
+
+    A concurrent SWAP can also yank the op's input files mid-job
+    (FileNotFound from a retired snapshot dir — e.g. a compaction that
+    kept the version but moved every file). That is the same conflict
+    in a different coat: retried IF the table's (version, ts) state
+    token moved since the attempt began; an unchanged token means a
+    real bug, re-raised."""
     for i in range(attempts):
+        token = _table_state_token(path)
         try:
             return fn()
         except ConcurrentWriteError:
             if i == attempts - 1:
+                raise
+            recover(path)
+            time.sleep(0.02 * (i + 1))
+        except Exception as e:
+            if (
+                i == attempts - 1
+                or not _is_transient_read_error(e)
+                or _table_state_token(path) == token
+            ):
                 raise
             recover(path)
             time.sleep(0.02 * (i + 1))
@@ -2728,6 +2785,7 @@ def append_rows(
     (staging layout, validations, marker bookkeeping)."""
     attempts = 0
     while True:
+        token = _table_state_token(path)
         try:
             return _append_rows_once(
                 spark, df, path, max_history, txn, expected_version
@@ -2743,6 +2801,23 @@ def append_rows(
             if _last_rewrite_version(_read_marker(path)) > int(base):
                 raise  # a rewrite landed in the gap — real conflict
             time.sleep(0.01 * attempts)  # brief backoff, then re-stage
+        except Exception as e:
+            # a concurrent SWAP (e.g. an autoCompact binpack, which
+            # keeps the version but moves every file) can yank this
+            # append's reads mid-staging — nothing committed, so a
+            # full re-stage is plainly valid. Retried only for the
+            # transient read shape AND when the (version, ts) state
+            # token moved; anything else = real bug, re-raised.
+            attempts += 1
+            if (
+                expected_version is not None
+                or attempts >= _APPEND_REBASE_LIMIT
+                or not _is_transient_read_error(e)
+                or _table_state_token(path) == token
+            ):
+                raise
+            recover(path)
+            time.sleep(0.01 * attempts)
 
 
 def _append_rows_once(
@@ -3052,24 +3127,47 @@ def _append_rows_once(
     if spec and not partition_by:
         from .maintenance import optimize_if_degraded
 
-        optimize_if_degraded(
-            spark,
-            path,
-            spec.get("columns") or spec["column"],
-            float(spec.get("max_avg_depth", 2.0)),
-        )
+        # deferred maintenance: a concurrent commit beating the
+        # re-cluster's CAS must never fail the APPEND that triggered it
+        # (the append already shipped); the next commit re-probes
+        v_trigger = _table_state_token(path)
+        try:
+            optimize_if_degraded(
+                spark,
+                path,
+                spec.get("columns") or spec["column"],
+                float(spec.get("max_avg_depth", 2.0)),
+            )
+        except ConcurrentWriteError:
+            pass
+        except Exception:
+            if _table_state_token(path) != v_trigger:
+                pass  # racing commit yanked the optimize's inputs
+            else:
+                raise
     ac = props.get("autoCompact")
     if ac and not partition_by and not marker.get("dv"):
         # Delta autoCompact: continuous appends accrete one small file
         # set per commit — when the property's file-count threshold is
         # crossed, binpack the small files in a data-preserving follow-up
         # (version/txn carried, so exactly-once sinks never replay).
-        # The count probe is the marker stats — zero listing.
+        # The count probe is the marker stats — zero listing. Same
+        # conflict tolerance as autoOptimize: a racing append aborts the
+        # binpack's swap, never the append.
         min_files = int(ac.get("min_files", 16)) if isinstance(ac, dict) else 16
         if int(_read_marker(path).get("stats", {}).get("n_files", 0)) >= min_files:
             from .maintenance import compact_binpack
 
-            compact_binpack(spark, path)
+            v_trigger = _table_state_token(path)
+            try:
+                compact_binpack(spark, path)
+            except ConcurrentWriteError:
+                pass
+            except Exception:
+                if _table_state_token(path) != v_trigger:
+                    pass  # racing commit yanked the binpack's inputs
+                else:
+                    raise
 
 
 def write_or_merge(

@@ -168,7 +168,8 @@ def test_dv_concurrent_commit_conflict(spark, tmp_path):
     import aws_callcenter_delta_lakehouse_spark.sources.managed_table as m
 
     def always_conflict(
-        path_, staging, exists, version, max_history, tag, base_version
+        path_, staging, exists, version, max_history, tag, base_version,
+        spark=None,
     ):
         m._fs().rmtree(staging)
         err = m.ConcurrentWriteError("simulated persistent conflict")
