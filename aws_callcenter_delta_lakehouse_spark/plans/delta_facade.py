@@ -927,3 +927,79 @@ def append_autorebase_race(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c_custkey").cast("long").alias("sum_key"),
         )
     )
+
+
+@query(
+    "sql_ddl_journey",
+    oracle="""
+    WITH ins AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 4 = 0
+    ), upd AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 8 = 0 THEN c_nationkey + 100
+                  ELSE c_nationkey END AS c_nationkey,
+             'seed' AS tag
+      FROM ins
+    )
+    SELECT CAST(c_nationkey % 10 AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CASE WHEN tag = 'seed' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tagged
+    FROM upd GROUP BY 1
+    """,
+)
+def sql_ddl_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-ONLY lifecycle (sources/sql_dml.sql_command): CREATE
+    TABLE → INSERT INTO SELECT → ALTER TABLE ADD COLUMN DEFAULT →
+    UPDATE → OPTIMIZE — a SQL-first user driving the engine end to end
+    with literal statements, every verb bottoming out in the existing
+    executors. The post-OPTIMIZE aggregate (default materialized by
+    the UPDATE's rewrite, compaction data-preserving) must equal the
+    oracle's relational replay."""
+    import shutil
+    import tempfile
+
+    from ..sources import managed_table as mt
+    from ..sources import sql_dml, txn_catalog  # noqa: F401
+    from ..sources.delta_api import _REGISTRY_CONF
+
+    registry = tempfile.mkdtemp(prefix="sql_ddl_reg_")
+    spark.conf.set(_REGISTRY_CONF, registry)
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    ).createOrReplaceTempView("sql_ddl_cust")
+    try:
+        sql_dml.sql(
+            spark,
+            "CREATE TABLE sqlj.t (c_custkey bigint, c_nationkey int) "
+            f"LOCATION '{registry}/t'",
+        )
+        sql_dml.sql(
+            spark,
+            "INSERT INTO sqlj.t SELECT c_custkey, c_nationkey "
+            "FROM sql_ddl_cust WHERE c_custkey % 4 = 0",
+        )
+        sql_dml.sql(
+            spark, "ALTER TABLE sqlj.t ADD COLUMN (tag string DEFAULT 'seed')"
+        )
+        sql_dml.sql(
+            spark,
+            "UPDATE sqlj.t SET c_nationkey = c_nationkey + 100 "
+            "WHERE c_custkey % 8 = 0",
+        )
+        sql_dml.sql(spark, "OPTIMIZE sqlj.t")
+        out = (
+            mt.read(spark, registry + "/t")
+            .groupBy((F.col("c_nationkey") % 10).cast("long").alias("bucket"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("sum_key"),
+                F.sum((F.col("tag") == "seed").cast("long")).alias("n_tagged"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.catalog.dropTempView("sql_ddl_cust")
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)

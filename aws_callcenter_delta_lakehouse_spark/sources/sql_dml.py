@@ -31,6 +31,20 @@ quoting, arbitrary Spark SQL expressions inside conditions/values):
     INSERT INTO tgt [(c, ...)] { VALUES (e,...), ... | SELECT ... }
     INSERT OVERWRITE [TABLE] tgt [(c, ...)] { VALUES ... | SELECT ... }
 
+Commands (``sql_command``, routed automatically by :func:`sql`):
+
+    CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t
+        (c type [GENERATED ALWAYS AS (expr)], ...)
+        [USING delta] [PARTITIONED BY (...)] [CLUSTER BY (...)]
+        [LOCATION '...'] [TBLPROPERTIES (k=v, ...)] [COMMENT '...']
+    ALTER TABLE t { ADD COLUMN[S] (c type [DEFAULT lit], ...)
+                  | SET TBLPROPERTIES (k=v, ...)
+                  | RENAME COLUMN a TO b | DROP COLUMN c }
+    DESCRIBE { HISTORY | DETAIL } t
+    OPTIMIZE t [WHERE pred] [ZORDER BY (cols)]
+    VACUUM t [RETAIN n HOURS] [DRY RUN]
+    RESTORE [TABLE] t TO VERSION AS OF k
+
 Scale: the parser is driver-side string work on statements (bytes);
 all data movement happens in the dispatched executors, which keep
 their documented 100 TB plans (key-join MERGE, DV-aware DELETE/UPDATE,
@@ -47,7 +61,7 @@ from pyspark.sql import functions as F
 from . import managed_table, txn_catalog
 from .delta_api import DeltaTable, _registry_dir
 
-__all__ = ["sql", "SqlDmlError"]
+__all__ = ["sql", "sql_command", "SqlDmlError"]
 
 
 class SqlDmlError(ValueError):
@@ -417,6 +431,268 @@ def _insert(
         managed_table.append_rows(spark, df, path)
 
 
+# -- DDL / utility commands ---------------------------------------------------
+
+
+def _parse_literal(s: str):
+    """SQL literal -> Python: 'str' | number | true/false."""
+    s = s.strip()
+    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+        return s[1:-1]
+    low = s.lower()
+    if low == "true":
+        return True
+    if low == "false":
+        return False
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        return s
+
+
+def _parse_props(body: str) -> dict:
+    """``k = v, 'k2' = v2`` -> dict with literal values."""
+    out = {}
+    for item in _split_top(body):
+        k, _eq, v = item.partition("=")
+        if not _eq:
+            raise SqlDmlError(f"malformed property: {item!r}")
+        key = _parse_literal(k)
+        out[str(key)] = _parse_literal(v)
+    return out
+
+
+_CREATE_HEAD_RE = re.compile(
+    r"CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>" + _IDENT + r")\s*\(",
+    re.I | re.S,
+)
+
+
+def _balanced(s: str, open_idx: int) -> int:
+    """Index just past the ``)`` matching the ``(`` at ``open_idx``
+    (quote-aware); -1 when unbalanced."""
+    depth, i, n = 0, open_idx, len(s)
+    while i < n:
+        c = s[i]
+        if c in _QUOTES:
+            end = _QUOTES[c]
+            i += 1
+            while i < n and s[i] != end:
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return -1
+
+
+def _create_table(spark: SparkSession, stmt: str, registry_dir: str | None):
+    from .delta_api import DeltaTable
+
+    m = _CREATE_HEAD_RE.match(stmt)
+    close = _balanced(stmt, m.end() - 1) if m else -1
+    if not m or close < 0:
+        raise SqlDmlError(
+            "CREATE TABLE needs: CREATE [OR REPLACE] TABLE [IF NOT EXISTS] "
+            "<name> (col type [GENERATED ALWAYS AS (expr)], ...) "
+            "[USING delta] [PARTITIONED BY (...)] [CLUSTER BY (...)] "
+            "[LOCATION '...'] [TBLPROPERTIES (...)] [COMMENT '...']"
+        )
+    cols_body = stmt[m.end() : close - 1]
+    rest_body = stmt[close:]
+    if m.group("replace"):
+        builder = DeltaTable.createOrReplace(spark)
+    elif m.group("ine"):
+        builder = DeltaTable.createIfNotExists(spark)
+    else:
+        builder = DeltaTable.create(spark)
+    builder = builder.tableName(m.group("name").replace("`", ""))
+    for coldef in _split_top(cols_body):
+        cm = re.match(
+            r"(`[^`]+`|\w+)\s+(\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+            r"(?:\s+GENERATED\s+ALWAYS\s+AS\s*\((?P<gen>.+)\))?\s*$",
+            coldef.strip(),
+            re.I,
+        )
+        if not cm:
+            raise SqlDmlError(
+                f"cannot parse column definition: {coldef!r} (column "
+                "DEFAULTs are added post-create via ALTER TABLE ... ADD "
+                "COLUMN ... DEFAULT)"
+            )
+        builder = builder.addColumn(
+            cm.group(1).strip("`"),
+            cm.group(2).lower(),
+            generatedAlwaysAs=cm.group("gen"),
+        )
+    rest = rest_body.rstrip(";").strip()
+    marks = _scan(
+        rest,
+        ["USING", "PARTITIONED BY", "CLUSTER BY", "LOCATION",
+         "TBLPROPERTIES", "COMMENT"],
+    )
+    for i, (s0, s1, kw) in enumerate(marks):
+        end = marks[i + 1][0] if i + 1 < len(marks) else len(rest)
+        arg = rest[s1:end].strip()
+        if kw == "USING":
+            if arg.lower() not in ("delta", "managed_table", "parquet"):
+                raise SqlDmlError(f"USING {arg}: unsupported table format")
+        elif kw == "PARTITIONED BY":
+            builder = builder.partitionedBy(
+                *[c.strip("` ") for c in _split_top(arg.strip("()"))]
+            )
+        elif kw == "CLUSTER BY":
+            builder = builder.clusterBy(
+                *[c.strip("` ") for c in _split_top(arg.strip("()"))]
+            )
+        elif kw == "LOCATION":
+            builder = builder.location(str(_parse_literal(arg)))
+        elif kw == "TBLPROPERTIES":
+            for k, v in _parse_props(arg.strip("()")).items():
+                builder = builder.property(k, v)
+        elif kw == "COMMENT":
+            builder = builder.comment(str(_parse_literal(arg)))
+    builder.execute()
+
+
+def _alter_table(spark: SparkSession, body: str, registry_dir: str | None):
+    m = re.match(rf"\s*({_IDENT})\s+(?P<rest>.*)$", body, re.S)
+    if not m:
+        raise SqlDmlError(f"cannot parse ALTER TABLE target: {body!r}")
+    path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+    rest = m.group("rest").rstrip(";").strip()
+    am = re.match(
+        r"ADD\s+COLUMNS?\s*\((?P<cols>.*)\)\s*$", rest, re.I | re.S
+    )
+    if am:
+        for coldef in _split_top(am.group("cols")):
+            cm = re.match(
+                r"(`[^`]+`|\w+)\s+(\w+)(?:\s+DEFAULT\s+(?P<dflt>.+))?\s*$",
+                coldef.strip(),
+                re.I,
+            )
+            if not cm:
+                raise SqlDmlError(f"cannot parse column: {coldef!r}")
+            managed_table.add_column(
+                spark, path, cm.group(1).strip("`"), cm.group(2).lower(),
+                default=_parse_literal(cm.group("dflt"))
+                if cm.group("dflt") else None,
+            )
+        return
+    pm = re.match(
+        r"SET\s+TBLPROPERTIES\s*\((?P<props>.*)\)\s*$", rest, re.I | re.S
+    )
+    if pm:
+        for k, v in _parse_props(pm.group("props")).items():
+            managed_table.set_table_property(path, k, v)
+        return
+    rm = re.match(
+        r"RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$",
+        rest, re.I,
+    )
+    if rm:
+        managed_table.rename_column(
+            spark, path, rm.group(1).strip("`"), rm.group(2).strip("`")
+        )
+        return
+    dm = re.match(r"DROP\s+COLUMN\s+(`[^`]+`|\w+)\s*$", rest, re.I)
+    if dm:
+        managed_table.drop_column(spark, path, dm.group(1).strip("`"))
+        return
+    raise SqlDmlError(
+        "ALTER TABLE supports ADD COLUMN(S) / SET TBLPROPERTIES / "
+        f"RENAME COLUMN / DROP COLUMN, got: {rest!r}"
+    )
+
+
+def _optimize(spark: SparkSession, body: str, registry_dir: str | None):
+    from .delta_api import DeltaTable
+
+    marks = _scan(body, ["WHERE", "ZORDER BY"])
+    where_m = next((x for x in marks if x[2] == "WHERE"), None)
+    z_m = next((x for x in marks if x[2] == "ZORDER BY"), None)
+    name_end = min([x[0] for x in marks], default=len(body))
+    name, _alias = _parse_relation(body[:name_end].rstrip(";").strip() or body)
+    b = DeltaTable.forName(spark, name, registry_dir).optimize()
+    if where_m:
+        w_end = z_m[0] if z_m and z_m[0] > where_m[0] else len(body)
+        b = b.where(body[where_m[1] : w_end].rstrip(";").strip())
+    if z_m:
+        cols = body[z_m[1] :].rstrip(";").strip().strip("()")
+        return b.executeZOrderBy(*[c.strip("` ") for c in _split_top(cols)])
+    return b.executeCompaction()
+
+
+def sql_command(
+    spark: SparkSession, statement: str, registry_dir: str | None = None
+):
+    """DDL / utility verbs of the Delta SQL surface (split from
+    :func:`sql` so callers can see DML vs command intent; :func:`sql`
+    routes here automatically)."""
+    stmt = statement.strip()
+    m = re.match(r"CREATE\s+(OR\s+REPLACE\s+)?TABLE\b", stmt, re.I)
+    if m:
+        return _create_table(spark, stmt, registry_dir)
+    m = re.match(r"ALTER\s+TABLE\b", stmt, re.I)
+    if m:
+        return _alter_table(spark, stmt[m.end() :], registry_dir)
+    m = re.match(r"DESCRIBE\s+(HISTORY|DETAIL)\b", stmt, re.I)
+    if m:
+        from .delta_api import DeltaTable
+
+        name, _a = _parse_relation(stmt[m.end() :].rstrip(";").strip())
+        dt = DeltaTable.forName(spark, name, registry_dir)
+        return dt.history() if m.group(1).upper() == "HISTORY" else dt.detail()
+    m = re.match(r"OPTIMIZE\b", stmt, re.I)
+    if m:
+        return _optimize(spark, stmt[m.end() :], registry_dir)
+    m = re.match(r"VACUUM\b", stmt, re.I)
+    if m:
+        from .delta_api import DeltaTable
+
+        body = stmt[m.end() :].rstrip(";").strip()
+        vm = re.match(
+            rf"({_IDENT})(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?"
+            r"(\s+DRY\s+RUN)?\s*$",
+            body,
+            re.I,
+        )
+        if not vm:
+            raise SqlDmlError(f"cannot parse VACUUM: {body!r}")
+        dt = DeltaTable.forName(
+            spark, vm.group(1).replace("`", ""), registry_dir
+        )
+        return dt.vacuum(
+            retentionHours=float(vm.group(2)) if vm.group(2) else 168.0,
+            dry_run=bool(vm.group(3)),
+        )
+    m = re.match(
+        rf"RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
+        r"(\d+)\s*;?\s*$",
+        stmt,
+        re.I,
+    )
+    if m:
+        path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        return managed_table.restore_table(spark, path, int(m.group(2)))
+    raise SqlDmlError(f"unsupported command: {stmt.split()[0] if stmt else ''}")
+
+
+_COMMAND_RE = re.compile(
+    r"(CREATE\s+(OR\s+REPLACE\s+)?TABLE|ALTER\s+TABLE|"
+    r"DESCRIBE\s+(HISTORY|DETAIL)|OPTIMIZE|VACUUM|RESTORE)\b",
+    re.I,
+)
+
+
 # -- entry point -------------------------------------------------------------
 
 
@@ -452,4 +728,7 @@ def sql(
             overwrite=m.group(1).upper() == "OVERWRITE",
         )
         return None
+    if _COMMAND_RE.match(stmt):
+        out = sql_command(spark, statement, registry_dir)
+        return out if isinstance(out, DataFrame) else None
     return spark.sql(statement)

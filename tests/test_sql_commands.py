@@ -1,0 +1,166 @@
+"""SQL DDL / utility commands (sources/sql_dml.sql_command): the rest
+of the Delta SQL surface a SQL-first user speaks — CREATE TABLE /
+ALTER TABLE / DESCRIBE HISTORY|DETAIL / OPTIMIZE / VACUUM / RESTORE —
+parsed against registry names and dispatched to the DeltaTableBuilder /
+facade / managed-table executors. One full SQL-only journey pins that a
+user never needs the Python API."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_callcenter_delta_lakehouse_spark.sources import (
+    managed_table as mt,
+    sql_dml,
+    txn_catalog,
+)
+from aws_callcenter_delta_lakehouse_spark.sources.sql_dml import SqlDmlError
+
+
+@pytest.fixture()
+def registry(spark, tmp_path):
+    reg = str(tmp_path / "registry")
+    spark.conf.set("spark.managedTable.nameRegistry", reg)
+    yield reg
+    spark.conf.unset("spark.managedTable.nameRegistry")
+
+
+def test_create_table_full_clause_set(spark, registry, tmp_path):
+    loc = str(tmp_path / "calls")
+    sql_dml.sql(
+        spark,
+        f"""
+        CREATE TABLE sqlc.calls (
+            call_id int,
+            year int,
+            month int,
+            payload string
+        ) USING delta
+        PARTITIONED BY (year, month)
+        LOCATION '{loc}'
+        TBLPROPERTIES ('enableChangeDataFeed' = true, 'autoCompact' = false)
+        COMMENT 'silver calls'
+        """,
+    )
+    assert txn_catalog.resolve_table_name(registry, "sqlc.calls") == loc
+    marker = mt._read_marker(loc)
+    assert marker["partition_by"] == ["year", "month"]
+    assert marker["properties"]["enableChangeDataFeed"] is True
+    # IF NOT EXISTS: second create is a no-op, not an error
+    sql_dml.sql(
+        spark,
+        f"CREATE TABLE IF NOT EXISTS sqlc.calls (call_id int) LOCATION '{loc}'",
+    )
+    # bare CREATE on an existing table refuses
+    with pytest.raises(Exception):
+        sql_dml.sql(
+            spark,
+            f"CREATE TABLE sqlc.calls (call_id int) LOCATION '{loc}'",
+        )
+
+
+def test_create_cluster_by_and_generated(spark, registry):
+    sql_dml.sql(
+        spark,
+        """
+        CREATE TABLE sqlc.metrics (
+            id bigint,
+            v double,
+            v2 double GENERATED ALWAYS AS (v * 2)
+        ) CLUSTER BY (id)
+        """,
+    )
+    path = txn_catalog.resolve_table_name(
+        spark.conf.get("spark.managedTable.nameRegistry"), "sqlc.metrics"
+    )
+    marker = mt._read_marker(path)
+    assert marker["properties"]["autoOptimize"]["columns"] == ["id"]
+    assert "v2" in (marker.get("generated") or {})
+    sql_dml.sql(spark, "INSERT INTO sqlc.metrics (id, v) VALUES (1, 3.0)")
+    row = mt.read(spark, path).first()
+    assert row["v2"] == 6.0  # generated recomputed by the commit
+
+
+def test_sql_only_journey(spark, registry, tmp_path):
+    """CREATE → INSERT → ALTER ADD COLUMN DEFAULT → UPDATE → DESCRIBE
+    HISTORY/DETAIL → OPTIMIZE → VACUUM DRY RUN → RESTORE — no Python
+    API calls anywhere."""
+    sql_dml.sql(
+        spark,
+        "CREATE TABLE sqlc.j (id bigint, v bigint) "
+        f"LOCATION '{tmp_path / 'j'}'",
+    )
+    sql_dml.sql(
+        spark, "INSERT INTO sqlc.j VALUES (1, 10), (2, 20), (3, 30)"
+    )
+    sql_dml.sql(
+        spark, "ALTER TABLE sqlc.j ADD COLUMN (tag string DEFAULT 'x')"
+    )
+    path = txn_catalog.resolve_table_name(registry, "sqlc.j")
+    assert [r.tag for r in mt.read(spark, path).collect()] == ["x"] * 3
+    v_before_update = mt.table_version(path)
+    sql_dml.sql(spark, "UPDATE sqlc.j SET v = v + 1 WHERE id = 2")
+    hist = sql_dml.sql(spark, "DESCRIBE HISTORY sqlc.j")
+    assert hist.count() >= 2
+    detail = sql_dml.sql(spark, "DESCRIBE DETAIL sqlc.j")
+    assert detail.count() == 1
+    out = sql_dml.sql(spark, "OPTIMIZE sqlc.j")
+    assert out is None or out  # compaction stats dict swallowed by sql()
+    removed = sql_dml.sql_command(spark, "VACUUM sqlc.j RETAIN 0 HOURS DRY RUN")
+    assert isinstance(removed, list)
+    sql_dml.sql(
+        spark, f"RESTORE TABLE sqlc.j TO VERSION AS OF {v_before_update}"
+    )
+    rows = {r.id: r.v for r in mt.read(spark, path).collect()}
+    assert rows == {1: 10, 2: 20, 3: 30}  # the UPDATE rolled back
+
+
+def test_alter_set_properties_and_rename_drop(spark, registry, tmp_path):
+    sql_dml.sql(
+        spark,
+        f"CREATE TABLE sqlc.a (id bigint, old string) LOCATION '{tmp_path/'a'}'",
+    )
+    sql_dml.sql(spark, "INSERT INTO sqlc.a VALUES (1, 'v')")
+    sql_dml.sql(
+        spark,
+        "ALTER TABLE sqlc.a SET TBLPROPERTIES ('appendOnly' = false, 'k' = 7)",
+    )
+    path = txn_catalog.resolve_table_name(registry, "sqlc.a")
+    assert mt._read_marker(path)["properties"]["k"] == 7
+    sql_dml.sql(spark, "ALTER TABLE sqlc.a RENAME COLUMN old TO fresh")
+    assert "fresh" in mt.read(spark, path).columns
+    sql_dml.sql(spark, "ALTER TABLE sqlc.a DROP COLUMN fresh")
+    assert mt.read(spark, path).columns == ["id"]
+
+
+def test_optimize_where_zorder_sql(spark, registry, tmp_path):
+    sql_dml.sql(
+        spark,
+        "CREATE TABLE sqlc.z (id bigint, p int) PARTITIONED BY (p) "
+        f"LOCATION '{tmp_path / 'z'}'",
+    )
+    df = spark.range(0, 40).selectExpr("id", "CAST(id % 2 AS INT) AS p")
+    mt.append_rows(spark, df.repartition(4),
+                   txn_catalog.resolve_table_name(registry, "sqlc.z"))
+    out = sql_dml.sql_command(
+        spark, "OPTIMIZE sqlc.z WHERE p = 1 ZORDER BY (id)"
+    )
+    assert out["after"]["n_files"] <= out["before"]["n_files"]
+    path = txn_catalog.resolve_table_name(registry, "sqlc.z")
+    assert mt.read(spark, path).count() == 40
+
+
+def test_command_errors(spark, registry, tmp_path):
+    with pytest.raises(SqlDmlError, match="CREATE TABLE needs"):
+        sql_dml.sql(spark, "CREATE TABLE sqlc.bad")
+    sql_dml.sql(
+        spark,
+        f"CREATE TABLE sqlc.e (id bigint) LOCATION '{tmp_path / 'e'}'",
+    )
+    with pytest.raises(SqlDmlError, match="ALTER TABLE supports"):
+        sql_dml.sql(spark, "ALTER TABLE sqlc.e TRUNCATE")
+    with pytest.raises(SqlDmlError, match="unsupported table format"):
+        sql_dml.sql(
+            spark,
+            f"CREATE TABLE sqlc.csvt (id int) USING csv LOCATION '{tmp_path/'c'}'",
+        )
