@@ -44,6 +44,13 @@ Commands (``sql_command``, routed automatically by :func:`sql`):
     OPTIMIZE t [WHERE pred] [ZORDER BY (cols)]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     RESTORE [TABLE] t TO VERSION AS OF k
+    TRUNCATE TABLE t
+    SHOW TBLPROPERTIES t
+
+Passthrough reads additionally support Delta's time-travel pin on
+registry names — ``SELECT ... FROM t VERSION AS OF 3`` /
+``FROM t TIMESTAMP AS OF '2026-01-01T00:00:00'`` — rewritten to temp
+views over ``read(version=)`` / ``read_as_of`` before ``spark.sql``.
 
 Scale: the parser is driver-side string work on statements (bytes);
 all data movement happens in the dispatched executors, which keep
@@ -683,14 +690,78 @@ def sql_command(
     if m:
         path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
         return managed_table.restore_table(spark, path, int(m.group(2)))
+    m = re.match(rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*;?\s*$", stmt, re.I)
+    if m:
+        from .delta_api import DeltaTable
+
+        DeltaTable.forName(
+            spark, m.group(1).replace("`", ""), registry_dir
+        ).delete(None)
+        return None
+    m = re.match(rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*;?\s*$", stmt, re.I)
+    if m:
+        path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        props = (managed_table._read_marker(path) or {}).get(
+            "properties"
+        ) or {}
+        import json as _json
+
+        rows = [
+            (k, v if isinstance(v, str) else _json.dumps(v))
+            for k, v in sorted(props.items())
+        ]
+        return spark.createDataFrame(rows or [], "key string, value string")
     raise SqlDmlError(f"unsupported command: {stmt.split()[0] if stmt else ''}")
 
 
 _COMMAND_RE = re.compile(
     r"(CREATE\s+(OR\s+REPLACE\s+)?TABLE|ALTER\s+TABLE|"
-    r"DESCRIBE\s+(HISTORY|DETAIL)|OPTIMIZE|VACUUM|RESTORE)\b",
+    r"DESCRIBE\s+(HISTORY|DETAIL)|OPTIMIZE|VACUUM|RESTORE|"
+    r"TRUNCATE\s+TABLE|SHOW\s+TBLPROPERTIES)\b",
     re.I,
 )
+
+
+# -- time travel in passthrough reads ----------------------------------------
+
+_TT_RE = re.compile(
+    rf"\b(FROM|JOIN)\s+(?P<name>{_IDENT})\s+"
+    r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<pin>\d+|'[^']*')",
+    re.I,
+)
+
+
+def _rewrite_time_travel(
+    spark: SparkSession, stmt: str, registry_dir: str | None
+) -> str:
+    """Delta's time-travel read syntax over registry names:
+    ``SELECT ... FROM t VERSION AS OF 3`` / ``TIMESTAMP AS OF '...'``.
+    Each pinned reference becomes a unique temp view over
+    ``managed_table.read(version=)`` / ``read_as_of`` and the segment
+    is substituted before the statement passes to ``spark.sql``.
+    Names that do not resolve in the registry are left untouched
+    (Spark's own catalog may know them)."""
+    import datetime as _dt
+    import uuid as _uuid
+
+    def _sub(m: re.Match) -> str:
+        name = m.group("name").replace("`", "")
+        try:
+            path = _resolve(spark, name, registry_dir)
+        except Exception:
+            return m.group(0)
+        pin = m.group("pin")
+        if m.group("kind").upper() == "VERSION":
+            df = managed_table.read(spark, path, version=int(pin))
+        else:
+            ts = _dt.datetime.fromisoformat(pin.strip("'"))
+            df = managed_table.read_as_of(spark, path, ts.timestamp())
+        view = f"__tt_{_uuid.uuid4().hex[:10]}"
+        df.createOrReplaceTempView(view)
+        return f"{m.group(1)} {view}"
+
+    return _TT_RE.sub(_sub, stmt)
 
 
 # -- entry point -------------------------------------------------------------
@@ -731,4 +802,4 @@ def sql(
     if _COMMAND_RE.match(stmt):
         out = sql_command(spark, statement, registry_dir)
         return out if isinstance(out, DataFrame) else None
-    return spark.sql(statement)
+    return spark.sql(_rewrite_time_travel(spark, statement, registry_dir))

@@ -164,3 +164,42 @@ def test_command_errors(spark, registry, tmp_path):
             spark,
             f"CREATE TABLE sqlc.csvt (id int) USING csv LOCATION '{tmp_path/'c'}'",
         )
+
+
+def test_time_travel_reads_and_truncate(spark, registry, tmp_path):
+    import time as _time
+
+    sql_dml.sql(
+        spark,
+        f"CREATE TABLE sqlc.tt (id bigint, v bigint) LOCATION '{tmp_path/'tt'}'",
+    )
+    sql_dml.sql(spark, "INSERT INTO sqlc.tt VALUES (1, 10), (2, 20)")
+    path = txn_catalog.resolve_table_name(registry, "sqlc.tt")
+    v1 = mt.table_version(path)
+    _time.sleep(0.05)
+    import datetime as _dt
+
+    ts_between = _dt.datetime.now().isoformat()
+    _time.sleep(0.05)
+    sql_dml.sql(spark, "UPDATE sqlc.tt SET v = v * 100")
+    # VERSION AS OF the pre-update version
+    old = sql_dml.sql(
+        spark, f"SELECT SUM(v) AS s FROM sqlc.tt VERSION AS OF {v1}"
+    ).first()["s"]
+    assert old == 30
+    # TIMESTAMP AS OF between the two commits
+    old_ts = sql_dml.sql(
+        spark,
+        f"SELECT SUM(v) AS s FROM sqlc.tt TIMESTAMP AS OF '{ts_between}'",
+    ).first()["s"]
+    assert old_ts == 30
+    props = sql_dml.sql(spark, "SHOW TBLPROPERTIES sqlc.tt")
+    assert props.columns == ["key", "value"]
+    sql_dml.sql(spark, "TRUNCATE TABLE sqlc.tt")
+    assert mt.read(spark, path).count() == 0
+    # non-registry names pass through untouched
+    spark.range(3).createOrReplaceTempView("plain_view")
+    assert sql_dml.sql(
+        spark, "SELECT COUNT(*) AS c FROM plain_view"
+    ).first()["c"] == 3
+    spark.catalog.dropTempView("plain_view")
