@@ -1003,3 +1003,64 @@ def sql_ddl_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView("sql_ddl_cust")
         spark.conf.unset(_REGISTRY_CONF)
         shutil.rmtree(registry, ignore_errors=True)
+
+
+@query(
+    "sql_copy_into_idempotent",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+    FROM customer WHERE c_custkey % 5 < 2 GROUP BY 1
+    """,
+)
+def sql_copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO — Delta's idempotent keyless ingest (the reference's
+    'files land in source/, load them' shape without relying on MERGE
+    keys): batch 1 loads, a RE-RUN of the same statement loads nothing
+    (the loaded-file set commits atomically with the appended rows),
+    batch 2 lands and only IT loads. The aggregate equals the plain
+    union only if no file loaded twice and none was missed."""
+    import shutil
+    import tempfile
+
+    from ..sources import managed_table as mt
+    from ..sources import sql_dml, txn_catalog  # noqa: F401
+    from ..sources.delta_api import _REGISTRY_CONF
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    registry = tempfile.mkdtemp(prefix="sql_copy_reg_")
+    landing = registry + "/landing"
+    spark.conf.set(_REGISTRY_CONF, registry)
+    try:
+        base.filter(F.col("c_custkey") % 5 == 0).write.parquet(
+            landing + "/batch1"
+        )
+        sql_dml.sql(
+            spark,
+            "CREATE TABLE sqlcp.t (c_custkey bigint, c_nationkey int) "
+            f"LOCATION '{registry}/t'",
+        )
+        stmt = f"COPY INTO sqlcp.t FROM '{landing}' FILEFORMAT = PARQUET"
+        first = sql_dml.sql_command(spark, stmt)
+        rerun = sql_dml.sql_command(spark, stmt)  # idempotent: loads 0
+        assert rerun["loaded_files"] == 0 and rerun["rows"] == 0, rerun
+        base.filter(F.col("c_custkey") % 5 == 1).write.parquet(
+            landing + "/batch2"
+        )
+        second = sql_dml.sql_command(spark, stmt)
+        assert second["skipped_files"] == first["loaded_files"], second
+        out = (
+            mt.read(spark, registry + "/t")
+            .groupBy(F.col("c_nationkey").cast("long").alias("nation"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("sum_key"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)

@@ -2763,6 +2763,7 @@ def append_rows(
     max_history: int = 2,
     txn: dict | None = None,
     expected_version: int | None = None,
+    extra_properties: dict | None = None,
 ) -> None:
     """Blind-APPEND commit with Delta's append-vs-append OCC semantics:
     concurrent blind appends COMMUTE. When the commit loses the
@@ -2788,7 +2789,8 @@ def append_rows(
         token = _table_state_token(path)
         try:
             return _append_rows_once(
-                spark, df, path, max_history, txn, expected_version
+                spark, df, path, max_history, txn, expected_version,
+                extra_properties,
             )
         except ConcurrentWriteError as e:
             base = getattr(e, "base_version", None)
@@ -2827,6 +2829,7 @@ def _append_rows_once(
     max_history: int = 2,
     txn: dict | None = None,
     expected_version: int | None = None,
+    extra_properties: dict | None = None,
 ) -> None:
     """Blind-APPEND commit (Delta ``df.write.format("delta")
     .mode("append").save(path)``): the new rows are written as fresh
@@ -2898,7 +2901,12 @@ def _append_rows_once(
     gen_cols = marker.get("generated", {})
     id_cols = dict(marker.get("identity", {}))
     auto = set(gen_cols) | set(id_cols)
-    props = marker.get("properties") or {}
+    props = dict(marker.get("properties") or {})
+    if extra_properties:
+        # committed ATOMICALLY with the appended data (marker is staged
+        # last) — the idempotency substrate COPY INTO's loaded-file set
+        # rides on; a crash between data and property can't happen
+        props.update(extra_properties)
     tracking = bool(props.get(_ROWTRACK_PROP)) and _ROWID_COL in phys_types
 
     # ---- schema enforcement: the frame must carry exactly the table's

@@ -46,6 +46,8 @@ Commands (``sql_command``, routed automatically by :func:`sql`):
     RESTORE [TABLE] t TO VERSION AS OF k
     TRUNCATE TABLE t
     SHOW TBLPROPERTIES t
+    COPY INTO t FROM '<dir|file|glob>' [FILEFORMAT = PARQUET|CSV|JSON]
+        [PATTERN = '<glob>'] [FORMAT_OPTIONS (k=v, ...)]
 
 Passthrough reads additionally support Delta's time-travel pin on
 registry names — ``SELECT ... FROM t VERSION AS OF 3`` /
@@ -690,6 +692,35 @@ def sql_command(
     if m:
         path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
         return managed_table.restore_table(spark, path, int(m.group(2)))
+    m = re.match(
+        rf"COPY\s+INTO\s+(?P<name>{_IDENT})\s+FROM\s+(?P<src>'[^']*')\s*"
+        r"(?:FILEFORMAT\s*=\s*(?P<fmt>\w+))?\s*"
+        r"(?:PATTERN\s*=\s*(?P<pat>'[^']*'))?\s*"
+        r"(?:FORMAT_OPTIONS\s*\((?P<opts>[^)]*)\))?\s*;?\s*$",
+        stmt,
+        re.I | re.S,
+    )
+    if m:
+        from .copy_into import copy_into
+
+        path = _resolve(spark, m.group("name").replace("`", ""), registry_dir)
+        return copy_into(
+            spark,
+            path,
+            str(_parse_literal(m.group("src"))),
+            file_format=(m.group("fmt") or "parquet").lower(),
+            pattern=(
+                str(_parse_literal(m.group("pat"))) if m.group("pat") else None
+            ),
+            format_options=(
+                {
+                    str(k): str(v)
+                    for k, v in _parse_props(m.group("opts")).items()
+                }
+                if m.group("opts")
+                else None
+            ),
+        )
     m = re.match(rf"TRUNCATE\s+TABLE\s+({_IDENT})\s*;?\s*$", stmt, re.I)
     if m:
         from .delta_api import DeltaTable
@@ -717,7 +748,7 @@ def sql_command(
 _COMMAND_RE = re.compile(
     r"(CREATE\s+(OR\s+REPLACE\s+)?TABLE|ALTER\s+TABLE|"
     r"DESCRIBE\s+(HISTORY|DETAIL)|OPTIMIZE|VACUUM|RESTORE|"
-    r"TRUNCATE\s+TABLE|SHOW\s+TBLPROPERTIES)\b",
+    r"TRUNCATE\s+TABLE|SHOW\s+TBLPROPERTIES|COPY\s+INTO)\b",
     re.I,
 )
 

@@ -203,3 +203,71 @@ def test_time_travel_reads_and_truncate(spark, registry, tmp_path):
         spark, "SELECT COUNT(*) AS c FROM plain_view"
     ).first()["c"] == 3
     spark.catalog.dropTempView("plain_view")
+
+
+def test_copy_into_idempotent(spark, registry, tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id BIGINT, name STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+    sql_dml.sql(
+        spark,
+        f"CREATE TABLE sqlc.cp (id bigint, name string) "
+        f"LOCATION '{tmp_path / 'cp'}'",
+    )
+    out = sql_dml.sql_command(
+        spark, f"COPY INTO sqlc.cp FROM '{src}' FILEFORMAT = PARQUET"
+    )
+    assert out["loaded_files"] >= 1 and out["rows"] == 2
+    # re-run: nothing new -> nothing loaded
+    out2 = sql_dml.sql_command(
+        spark, f"COPY INTO sqlc.cp FROM '{src}' FILEFORMAT = PARQUET"
+    )
+    assert out2 == {"loaded_files": 0, "skipped_files": out["loaded_files"], "rows": 0}
+    # a new file lands: only IT loads
+    spark.createDataFrame(
+        [(3, "c")], "id BIGINT, name STRING"
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch2"))
+    out3 = sql_dml.sql_command(
+        spark, f"COPY INTO sqlc.cp FROM '{src}' FILEFORMAT = PARQUET"
+    )
+    assert out3["rows"] == 1
+    path = txn_catalog.resolve_table_name(registry, "sqlc.cp")
+    assert sorted(r.id for r in mt.read(spark, path).collect()) == [1, 2, 3]
+
+
+def test_copy_into_csv_with_options_and_missing_column(spark, registry, tmp_path):
+    from aws_callcenter_delta_lakehouse_spark.sources.copy_into import (
+        copy_into,
+        reset_copy_into,
+    )
+
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,name\n7,x\n8,y\n")
+    sql_dml.sql(
+        spark,
+        f"CREATE TABLE sqlc.cpc (id bigint, name string, extra double) "
+        f"LOCATION '{tmp_path / 'cpc'}'",
+    )
+    out = sql_dml.sql_command(
+        spark,
+        f"COPY INTO sqlc.cpc FROM '{csv}' FILEFORMAT = CSV "
+        "FORMAT_OPTIONS ('header' = 'true')",
+    )
+    assert out["rows"] == 2
+    path = txn_catalog.resolve_table_name(registry, "sqlc.cpc")
+    rows = {r.id: (r.name, r.extra) for r in mt.read(spark, path).collect()}
+    assert rows == {7: ("x", None), 8: ("y", None)}  # typed-NULL fill
+    # unknown source column refuses
+    bad = tmp_path / "bad.csv"
+    bad.write_text("id,nope\n9,z\n")
+    with pytest.raises(ValueError, match="not in the table schema"):
+        copy_into(spark, path, str(bad), "csv", format_options={"header": "true"})
+    # reset forgets the loaded set -> the same file loads again
+    reset_copy_into(path)
+    out2 = copy_into(
+        spark, path, str(csv), "csv", format_options={"header": "true"}
+    )
+    assert out2["rows"] == 2
+    assert mt.read(spark, path).count() == 4
