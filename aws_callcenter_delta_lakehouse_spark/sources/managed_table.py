@@ -3517,6 +3517,14 @@ class ManagedWriter:
                     f"the table's layout {declared} — appends never "
                     "re-partition (overwrite to change layout)"
                 )
+            merge_schema = str(
+                self._options.get("mergeSchema", "false")
+            ).lower() in ("true", "1")
+            table_cols = set(read(self._df.sparkSession, path).columns)
+            new_cols = [c for c in self._df.columns if c not in table_cols]
+            if new_cols and merge_schema:
+                self._append_evolving(path, max_history, txn)
+                return
             append_rows(
                 self._df.sparkSession, self._df, path,
                 max_history=max_history, txn=txn,
@@ -3527,6 +3535,47 @@ class ManagedWriter:
             partition_by=self._partition_by, max_history=max_history,
             txn=txn,
         )
+
+    def _append_evolving(self, path: str, max_history: int, txn) -> None:
+        """``mode("append").option("mergeSchema", "true")`` with NEW
+        columns (Delta's append schema evolution): the engine's
+        snapshot model reads one parquet footer per snapshot, so a
+        mixed-schema hardlink append could serve a nondeterministic
+        schema — evolution therefore commits as a UNION REWRITE
+        (existing ∪ appended, allowMissingColumns), version-pinned and
+        auto-retried like every other read-modify-write. O(table), not
+        O(appended) — documented cost of evolving outside MERGE; plain
+        appends (no new columns) stay on the O(appended) hot path.
+        Refused on row-tracking tables (the rewrite path that preserves
+        ids is MERGE ``withSchemaEvolution``)."""
+        spark = self._df.sparkSession
+        if (
+            (_read_marker(path).get("properties") or {}).get(_ROWTRACK_PROP)
+        ):
+            raise ValueError(
+                "mergeSchema append on a row-tracking table: use the "
+                "merge facade's withSchemaEvolution, which preserves "
+                "row ids through the rewrite"
+            )
+
+        def _once():
+            marker = _read_marker(path)
+            base_v = table_version(path)
+            union = read(spark, path).unionByName(
+                self._df, allowMissingColumns=True
+            )
+            commit_overwrite(
+                union,
+                path,
+                keys=marker.get("keys", ()),
+                partition_by=marker.get("partition_by", ()),
+                max_history=max_history,
+                txn=txn,
+                expected_version=base_v,
+                schema_mode="overwrite",  # evolution INTENDS the change
+            )
+
+        _retry_dml(_once, path)
 
     def saveAsTable(self, name: str, registry_dir: str | None = None) -> str:
         """Name-first save through the txn-catalog registry: an already

@@ -185,3 +185,25 @@ def test_medallion_initial_load_through_writer(spark, tmp_path):
     cols = sorted(a.columns)
     assert a.select(cols).subtract(b.select(cols)).count() == 0
     assert b.select(cols).subtract(a.select(cols)).count() == 0
+
+
+def test_merge_schema_append_evolves(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mt.write(_df(spark)).keys("id").save(path)
+    widened = spark.range(100, 103).selectExpr(
+        "id", "id * 2 AS v", "'new' AS tag"
+    )
+    # without mergeSchema: refused
+    with pytest.raises(Exception, match="never evolve|unknown"):
+        mt.write(widened).mode("append").save(path)
+    mt.write(widened).mode("append").option("mergeSchema", "true").save(path)
+    got = mt.read(spark, path)
+    assert set(got.columns) == {"id", "v", "tag"}
+    rows = {r.id: r.tag for r in got.collect()}
+    assert rows[100] == "new" and rows[0] is None  # old rows: typed NULL
+    assert got.count() == 13
+    # plain append (no new columns) stays on the hot path afterwards
+    mt.write(
+        spark.range(200, 202).selectExpr("id", "id * 2 AS v", "'x' AS tag")
+    ).mode("append").save(path)
+    assert mt.read(spark, path).count() == 15
