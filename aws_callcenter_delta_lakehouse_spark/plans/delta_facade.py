@@ -675,6 +675,86 @@ def delta_api_log_export_versions(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "delta_api_log_export_checkpoint",
+    oracle="""
+    WITH kept AS (
+      SELECT c_nationkey, c_acctbal FROM customer
+      WHERE c_custkey % 3 <> 0
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(floor(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS bal_cents
+    FROM kept GROUP BY 1
+    """,
+)
+def delta_api_log_export_checkpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CHECKPOINT-first external read of the exported `_delta_log`
+    (delta-io PROTOCOL.md §checkpoints): customer seeds the table, a
+    DELETE removes every third key, the versioned export writes
+    `{v:020d}.checkpoint.parquet` + `_last_checkpoint` — and the
+    read-back reconstructs the table from the CHECKPOINT ALONE
+    (pointer → one columnar action file → add list → scan), replaying
+    zero commit JSONs, the way a Delta reader opens a long-history
+    table. Matching the oracle proves the checkpoint's add set is the
+    exact post-DELETE state — a stale pointer or a leaked pre-delete
+    file would drag removed keys back in. Cross-engine money sum via
+    integer cents (CLAUDE.md trap 13)."""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+    from urllib.parse import unquote
+
+    from ..sources import managed_table as mt
+    from ..sources.maintenance import export_delta_log
+
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    scratch = tempfile.mkdtemp(prefix="dapi_dlogck_")
+    path = scratch + "/t"
+    try:
+        mt.commit_overwrite(
+            customer, path, keys=("c_custkey",), max_history=5
+        )
+        mt.delete_where(spark, path, "c_custkey % 3 = 0")
+        export_delta_log(spark, path, versioned=True)
+
+        log_dir = _os.path.join(path, "_delta_log")
+        with open(_os.path.join(log_dir, "_last_checkpoint")) as f:
+            lc = _json.load(f)
+        ckpt = _os.path.join(
+            log_dir, f"{lc['version']:020d}.checkpoint.parquet"
+        )
+        add_paths = [
+            r[0]
+            for r in spark.read.parquet(ckpt)
+            .filter(F.col("add").isNotNull())
+            .select("add.path")
+            .collect()  # file LIST — metadata-sized, never data rows
+        ]
+        files = sorted(_os.path.join(path, unquote(p)) for p in add_paths)
+        out = (
+            spark.read.parquet(*files)
+            .groupBy(F.col("c_nationkey").cast("long").alias("nation"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum(
+                    F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias("bal_cents"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+@query(
     "writer_api_partitioned_ingest",
     oracle="""
     SELECT CAST(o_orderpriority AS VARCHAR) AS prio,

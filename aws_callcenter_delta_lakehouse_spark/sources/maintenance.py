@@ -1129,8 +1129,124 @@ def _partition_values(rel: str) -> dict:
     return pvals
 
 
+def _write_checkpoint(
+    log_dir: str, version: int, metadata: dict, adds: list[dict]
+) -> str:
+    """Write the Delta protocol's CHECKPOINT for export commit
+    ``version``: `{version:020d}.checkpoint.parquet` (one row per
+    action — exactly one of txn/add/remove/metaData/protocol non-null,
+    the classic checkpoint column layout from delta-io PROTOCOL.md)
+    plus the `_last_checkpoint` pointer JSON. An external reader then
+    loads the full table state from ONE parquet file and replays only
+    commits newer than the checkpoint — O(tail), not O(versions); at
+    a 1000-commit retained history that is the difference between one
+    columnar read and a thousand NDJSON parses. Written with pyarrow
+    (driver-side, no Spark job — this runs inside the commit lock when
+    ``delta.logExport.auto`` is set). Per the spec, add actions in a
+    checkpoint carry ``dataChange=false``; remove tombstones are
+    omitted because the emulation's snapshot swap already physically
+    retired those files (there is nothing for an external VACUUM to
+    coordinate on)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    map_t = pa.map_(pa.string(), pa.string())
+    txn_t = pa.struct(
+        [
+            ("appId", pa.string()),
+            ("version", pa.int64()),
+            ("lastUpdated", pa.int64()),
+        ]
+    )
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("partitionValues", map_t),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    remove_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    meta_t = pa.struct(
+        [
+            ("id", pa.string()),
+            ("name", pa.string()),
+            ("description", pa.string()),
+            (
+                "format",
+                pa.struct([("provider", pa.string()), ("options", map_t)]),
+            ),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", map_t),
+            ("createdTime", pa.int64()),
+        ]
+    )
+    proto_t = pa.struct(
+        [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+    )
+
+    n = 2 + len(adds)
+    meta_row = {
+        "id": metadata["id"],
+        "name": None,
+        "description": None,
+        "format": {
+            "provider": metadata["format"]["provider"],
+            "options": list(metadata["format"]["options"].items()),
+        },
+        "schemaString": metadata["schemaString"],
+        "partitionColumns": metadata["partitionColumns"],
+        "configuration": list(metadata["configuration"].items()),
+        "createdTime": metadata["createdTime"],
+    }
+    add_rows = [None, None] + [
+        {
+            "path": a["path"],
+            "partitionValues": list(a["partitionValues"].items()),
+            "size": a["size"],
+            "modificationTime": a["modificationTime"],
+            "dataChange": False,
+        }
+        for a in adds
+    ]
+    table = pa.table(
+        {
+            "txn": pa.array([None] * n, type=txn_t),
+            "add": pa.array(add_rows, type=add_t),
+            "remove": pa.array([None] * n, type=remove_t),
+            "metaData": pa.array(
+                [None, meta_row] + [None] * len(adds), type=meta_t
+            ),
+            "protocol": pa.array(
+                [{"minReaderVersion": 1, "minWriterVersion": 2}]
+                + [None] * (n - 1),
+                type=proto_t,
+            ),
+        }
+    )
+    ckpt = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(table, ckpt + ".__tmp")
+    _fs().replace(ckpt + ".__tmp", ckpt)
+    _fs().write_atomic(
+        os.path.join(log_dir, "_last_checkpoint"),
+        json.dumps({"version": version, "size": n}) + "\n",
+    )
+    return ckpt
+
+
 def export_delta_log(
-    spark: SparkSession, path: str, versioned: bool = False
+    spark: SparkSession, path: str, versioned: bool = False,
+    checkpoint: bool = True,
 ) -> str:
     """Write a REAL Delta Lake transaction log (`_delta_log/
     {version:020d}.json`) per the public Delta protocol spec (delta-io
@@ -1174,6 +1290,13 @@ def export_delta_log(
     parse the log, check the file inventory byte-for-byte, round-trip
     the schema, and replay an external read through DuckDB over the
     add-file list, including version N and N-1 of a versioned export).
+
+    ``checkpoint=True`` (default) also writes the protocol's
+    CHECKPOINT at the newest export version — a single
+    `{v:020d}.checkpoint.parquet` holding the full reconstructed
+    state plus the `_last_checkpoint` pointer — so an external reader
+    starts from one columnar file instead of replaying every commit
+    JSON (see :func:`_write_checkpoint`).
 
     Driver cost: one file walk per retained version + hardlinks +
     JSON writes — metadata only, no Spark jobs beyond schema reads.
@@ -1264,6 +1387,7 @@ def export_delta_log(
     log_file = ""
     prev_inv: dict[str, tuple[int, int]] = {}
     prev_schema: str | None = None
+    last_meta: dict = {}
     for i, (v, snap) in enumerate(snaps):
         snap_marker = managed_table._read_marker(snap) or {}
         schema_json = managed_table.read(
@@ -1292,6 +1416,7 @@ def export_delta_log(
                     schema_json, float(snap_marker.get("ts", 0.0))
                 )
             )
+            last_meta = actions[-1]["metaData"]
         cur = inv[v]
         for rel in sorted(set(prev_inv) - set(cur)):
             actions.append(
@@ -1323,4 +1448,22 @@ def export_delta_log(
             log_file, "\n".join(json.dumps(a) for a in actions) + "\n"
         )
         prev_inv, prev_schema = cur, schema_json
+    if checkpoint and snaps:
+        # full state at the newest export version: prev_inv IS the
+        # live inventory when the loop exits (every live rel serves
+        # from the table root, never _delta_history)
+        _write_checkpoint(
+            log_dir,
+            len(snaps) - 1,
+            last_meta,
+            [
+                {
+                    "path": _served_path(rel),
+                    "partitionValues": _partition_values(rel),
+                    "size": prev_inv[rel][0],
+                    "modificationTime": prev_inv[rel][1],
+                }
+                for rel in sorted(prev_inv)
+            ],
+        )
     return log_file

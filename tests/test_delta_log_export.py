@@ -278,3 +278,125 @@ def test_purge_scrubs_versioned_export_links(spark, tmp_path):
             f"SELECT COUNT(*) FROM read_parquet({files!r}) WHERE id = 7"
         ).fetchall()[0][0]
         assert hit == 0, f"purged row visible at export version {k}"
+
+
+# -- checkpoints (protocol §checkpoints) --------------------------------------
+
+
+def _checkpoint_state(log_dir: str):
+    """Load table state the way a checkpoint-aware reader starts: read
+    `_last_checkpoint`, scan the checkpoint parquet, return
+    (version, add_rows, metaData_row, protocol_row, n_actions)."""
+    import duckdb
+
+    lc = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    ck = os.path.join(log_dir, f"{lc['version']:020d}.checkpoint.parquet")
+    assert os.path.isfile(ck)
+    adds = duckdb.sql(
+        "SELECT add.path, add.size, add.dataChange, add.partitionValues "
+        f"FROM read_parquet('{ck}') WHERE add IS NOT NULL"
+    ).fetchall()
+    metas = duckdb.sql(
+        "SELECT metaData.schemaString, metaData.partitionColumns "
+        f"FROM read_parquet('{ck}') WHERE metaData IS NOT NULL"
+    ).fetchall()
+    protos = duckdb.sql(
+        "SELECT protocol.minReaderVersion, protocol.minWriterVersion "
+        f"FROM read_parquet('{ck}') WHERE protocol IS NOT NULL"
+    ).fetchall()
+    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{ck}')").fetchall()
+    return lc, adds, metas, protos, int(n[0][0])
+
+
+def test_checkpoint_matches_full_json_replay(spark, tmp_path):
+    """The tip checkpoint must reconstruct EXACTLY the state a reader
+    gets by replaying every commit JSON — same file set, one metaData
+    (the latest schema), one protocol, adds flagged dataChange=false."""
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 20).selectExpr("id", "id * 2 AS v"),
+        path, keys=("id",), max_history=5,
+    )
+    mt.append_rows(
+        spark, spark.range(20, 30).selectExpr("id", "id * 2 AS v"), path
+    )
+    mt.delete_where(spark, path, "id % 7 = 0")
+    export_delta_log(spark, path, versioned=True)
+
+    log_dir = os.path.join(path, "_delta_log")
+    commits = sorted(glob.glob(os.path.join(log_dir, "*.json")))
+    latest = len(commits) - 1
+    lc, adds, metas, protos, n_actions = _checkpoint_state(log_dir)
+    assert lc["version"] == latest
+    assert lc["size"] == n_actions == 2 + len(adds)
+    replayed = _replay_files(log_dir, latest)
+    assert sorted(
+        os.path.join(path, unquote(p)) for (p, _s, _dc, _pv) in adds
+    ) == replayed
+    assert all(dc is False for (_p, _s, dc, _pv) in adds)
+    assert len(metas) == 1 and len(protos) == 1
+    assert protos[0] == (1, 2)
+    # checkpoint metaData == the latest JSON-emitted metaData
+    json_metas = [
+        a["metaData"] for c in commits for a in _actions(c) if "metaData" in a
+    ]
+    assert metas[0][0] == json_metas[-1]["schemaString"]
+    assert list(metas[0][1]) == json_metas[-1]["partitionColumns"]
+
+
+def test_checkpoint_external_read_partitioned(spark, tmp_path):
+    """A checkpoint-first reader (no JSON replay at all) sees the right
+    rows on a partitioned table, partitionValues included."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, p int, v double"
+    )
+    mt.commit_overwrite(df, path, keys=("id",), partition_by=("p",))
+    export_delta_log(spark, path)  # point-in-time export checkpoints too
+
+    log_dir = os.path.join(path, "_delta_log")
+    lc, adds, metas, _protos, _n = _checkpoint_state(log_dir)
+    assert lc["version"] == 0
+    assert list(metas[0][1]) == ["p"]
+    for p, _s, _dc, pv in adds:
+        # duckdb renders MAP as {'key': [...], 'value': [...]}
+        assert dict(zip(pv["key"], pv["value"])) == {
+            "p": unquote(p).split("/")[0].split("=")[1]
+        }
+    import duckdb
+
+    files = [os.path.join(path, unquote(p)) for (p, _s, _dc, _pv) in adds]
+    n, s = duckdb.sql(
+        f"SELECT COUNT(*), SUM(v) FROM read_parquet({files!r})"
+    ).fetchall()[0]
+    live = mt.read(spark, path)
+    assert (int(n), float(s)) == (
+        live.count(), live.agg(F.sum("v")).first()[0]
+    )
+
+
+def test_checkpoint_refreshes_under_auto_export(spark, tmp_path):
+    """delta.logExport.auto re-exports inside every commit — the
+    checkpoint pointer must advance with it (a stale _last_checkpoint
+    over a longer log would serve old rows to a checkpoint reader)."""
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.range(0, 10).selectExpr("id", "id * 2 AS v"),
+        path, keys=("id",), max_history=5,
+    )
+    mt.set_table_property(path, "delta.logExport.auto", True)
+    mt.append_rows(
+        spark, spark.range(10, 14).selectExpr("id", "id * 2 AS v"), path
+    )
+    log_dir = os.path.join(path, "_delta_log")
+    lc1, adds1, _m, _p, _n = _checkpoint_state(log_dir)
+    mt.delete_where(spark, path, "id >= 12")
+    lc2, adds2, _m, _p, _n = _checkpoint_state(log_dir)
+    assert lc2["version"] == lc1["version"] + 1
+    import duckdb
+
+    files = [os.path.join(path, unquote(p)) for (p, _s, _dc, _pv) in adds2]
+    n = duckdb.sql(
+        f"SELECT COUNT(*) FROM read_parquet({files!r})"
+    ).fetchall()[0][0]
+    assert int(n) == mt.read(spark, path).count() == 12
