@@ -602,3 +602,100 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-level duplication (token-window formulation)
+# ---------------------------------------------------------------------------
+
+
+def substring_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 10,
+    portable: bool = False,
+) -> DataFrame:
+    """Exact substring-level duplication profile — the token-window
+    formulation of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"): a k-token window is DUPLICATED when the
+    identical window occurs in >= 2 distinct documents. One row per
+    document containing at least one duplicated window:
+    ``(id, n_tokens, dup_windows, dup_tokens)`` where ``dup_tokens`` is
+    the size of the UNION of the duplicated ``[pos, pos+k)`` intervals
+    (overlaps merged, never double-counted) — the token mass a
+    substring-level deduper would cut from the document.
+
+    100 TB design: windows are hashed BEFORE the shuffle (xxhash64;
+    ``portable=True`` swaps in the low 60 bits of md5 so the whole
+    query diffs against a SQL oracle — CLAUDE.md portable-hash
+    pattern), so raw text never shuffles. The duplicated-hash set is a
+    hash-aggregate with an early ``countDistinct(id) >= 2`` filter; the
+    join back to (id, pos, hash) carries 8-byte keys only. The interval
+    merge is a per-document fold over the sorted position list (bounded
+    by document length) — pure built-ins end to end, no Python workers.
+
+    The window array is materialized in its OWN projection and exploded
+    with ``posexplode_outer`` (perf traps 1 and 7: lambda re-evaluation
+    / InferFiltersFromGenerate inlining)."""
+
+    def _whash(s):
+        if portable:
+            return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+        return F.xxhash64(s)
+
+    toks = (
+        df.select(
+            F.col(id_col), F.split(F.trim(F.col(text_col)), " ").alias("__w")
+        )
+        .select(id_col, "__w", F.size("__w").alias("__n"))
+        .filter(F.col("__n") >= k)
+    )
+    warr = toks.select(
+        id_col,
+        "__n",
+        F.transform(
+            F.sequence(F.lit(0), F.col("__n") - k),
+            lambda i: _whash(F.concat_ws("\x1f", F.slice("__w", i + 1, k))),
+        ).alias("__wh"),
+    )
+    wins = warr.select(
+        id_col, "__n", F.posexplode_outer("__wh").alias("pos", "wh")
+    )
+    dup_hashes = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("wh")
+    )
+    per_doc = (
+        wins.join(dup_hashes, "wh")
+        .groupBy(id_col, "__n")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("__ps"),
+            F.count("*").alias("__dw"),
+        )
+    )
+    # covered tokens = sum over sorted positions of min(k, gap to the
+    # previous position), seeding the first gap at k via a -k sentinel.
+    # zip_with pads the shorter array with null; least() IGNORES nulls
+    # (least(null, k) = k), so the pad slot must be nulled explicitly
+    # before the fold.
+    ps = F.col("__ps")
+    prev = F.concat(F.array(F.lit(-k)), ps)
+    gaps = F.zip_with(
+        prev,
+        ps,
+        lambda a, b: F.when(b.isNotNull(), F.least(b - a, F.lit(k))),
+    )
+    covered = F.aggregate(
+        F.filter(gaps, lambda x: x.isNotNull()),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.col("__dw").cast("long").alias("dup_windows"),
+        covered.cast("long").alias("dup_tokens"),
+    )

@@ -136,6 +136,59 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("d1", "d2", round_portable(F.col("jaccard"), 4).alias("jaccard"))
 
 
+@query(
+    "dedup_substring_exact",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+    ),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 10),
+    wins AS (
+      SELECT doc_id, n, t, unnest(generate_series(0, n - 10)) AS pos
+      FROM sized
+    ),
+    h AS (
+      SELECT doc_id, n, pos,
+        CAST('0x' || substr(
+          md5(array_to_string(t[pos+1:pos+10], chr(31))), 1, 15
+        ) AS BIGINT) AS wh
+      FROM wins
+    ),
+    duph AS (
+      SELECT wh FROM h GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dup AS (SELECT h.doc_id, h.n, h.pos FROM h JOIN duph USING (wh)),
+    per_doc AS (
+      SELECT doc_id, n, list_sort(list(pos)) AS ps, COUNT(*) AS dw
+      FROM dup GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(dw AS BIGINT) AS dup_windows,
+           CAST(10 + coalesce(list_sum(list_transform(
+                 generate_series(2, len(ps)),
+                 i -> least(ps[i] - ps[i-1], 10))), 0) AS BIGINT)
+             AS dup_tokens
+    FROM per_doc
+    """,
+)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level EXACT duplication profile (Lee et al. 2022
+    token-window formulation): per document, the number of 10-token
+    windows that recur verbatim in other documents and the merged token
+    mass those windows cover — what a substring deduper would cut.
+    Portable md5 window hashes make the full pipeline (window hash ->
+    cross-doc count -> join-back -> interval-merge fold) diff against
+    the SQL oracle; xxhash64 is the production default in the
+    operator."""
+    from ..operators.dedup import substring_duplicate_spans
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    return substring_duplicate_spans(
+        docs, "doc_id", "text", k=10, portable=True
+    )
+
+
 def _simhash_oracle_sql(bits: int = 60, max_hamming: int = 3) -> str:
     """All-pairs SimHash oracle with the portable 60-bit md5 word hash:
     banding in the engine is EXACT for hamming <= chunks-1, so the

@@ -922,3 +922,50 @@ def test_containment_pairs_finds_embedded_quote(spark):
     }
     assert got[(1, 2)] == 1.0  # every shingle of the quote is in doc 2
     assert (2, 1) not in got  # long doc is NOT contained in the quote
+
+
+def test_substring_duplicate_spans_interval_merge(spark):
+    """Constructed corpus pins the interval-merge arithmetic: doc 1 and
+    doc 2 share one verbatim 12-token run (3 duplicated k=10 windows,
+    merged cover = 12 tokens); doc 3 shares nothing; doc 4 repeats the
+    run INTERNALLY only (within-doc repeats are not cross-doc dups)."""
+    from aws_callcenter_delta_lakehouse_spark.operators.dedup import (
+        substring_duplicate_spans,
+    )
+
+    run = " ".join(f"shared{i}" for i in range(12))
+    rows = [
+        (1, "alpha beta " + run + " gamma delta"),          # 16 tokens
+        (2, run + " epsilon zeta eta theta"),               # 16 tokens
+        (3, " ".join(f"solo{i}" for i in range(16))),       # no dups
+        (4, run.replace("shared", "self") + " x y "
+            + run.replace("shared", "self")),               # self-repeat
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in substring_duplicate_spans(
+            _docs(spark, rows), "doc_id", "text", k=10
+        ).collect()
+    }
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_tokens"] == 16
+        assert out[d]["dup_windows"] == 3  # starts at 3 positions
+        assert out[d]["dup_tokens"] == 12  # merged, not 3*10
+    # disjoint duplicated runs don't bridge: doc 5/6 share two separate
+    # 10-token runs with a unique middle -> cover = 20, not 10+k-merge
+    runa = " ".join(f"aa{i}" for i in range(10))
+    runb = " ".join(f"bb{i}" for i in range(10))
+    rows2 = [
+        (5, runa + " mid5a mid5b " + runb),
+        (6, runa + " other other2 other3 " + runb),
+    ]
+    out2 = {
+        r["doc_id"]: r
+        for r in substring_duplicate_spans(
+            _docs(spark, rows2), "doc_id", "text", k=10
+        ).collect()
+    }
+    assert out2[5]["dup_windows"] == 2
+    assert out2[5]["dup_tokens"] == 20
+    assert out2[6]["dup_tokens"] == 20
