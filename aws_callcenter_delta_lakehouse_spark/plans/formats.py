@@ -270,3 +270,72 @@ def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("l") < 2)
     )
+
+
+@query(
+    "dq_dp_noisy_counts",
+    oracle="""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(LEAST(GREATEST(
+                 CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT),
+                 0), 500000)) AS cs
+      FROM customer GROUP BY 1, 2),
+    u AS (
+      SELECT *,
+        (CAST('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || chr(31)
+             || c_mktsegment || chr(31) || '7'), 1, 15) AS BIGINT) + 0.5)
+          / 1152921504606846976.0 AS u_n,
+        (CAST('0x' || substr(md5(CAST(c_nationkey AS VARCHAR) || chr(31)
+             || c_mktsegment || chr(31) || '11'), 1, 15) AS BIGINT) + 0.5)
+          / 1152921504606846976.0 AS u_s
+      FROM g)
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment, n,
+      floor((CAST(n AS DOUBLE)
+             + CASE WHEN u_n - 0.5 >= 0
+                    THEN -2.0 * ln(1.0 - 2.0 * abs(u_n - 0.5))
+                    ELSE  2.0 * ln(1.0 - 2.0 * abs(u_n - 0.5)) END)
+            * 1e6 + 0.5) / 1e6 AS noisy_n,
+      CAST(cs AS BIGINT) AS clipped_cents,
+      floor((CAST(cs AS DOUBLE)
+             + CASE WHEN u_s - 0.5 >= 0
+                    THEN -250000.0 * ln(1.0 - 2.0 * abs(u_s - 0.5))
+                    ELSE  250000.0 * ln(1.0 - 2.0 * abs(u_s - 0.5)) END)
+            * 1e6 + 0.5) / 1e6 AS noisy_cents
+    FROM u
+    """,
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of customer counts and clipped
+    account-balance sums per (nation, market segment) — the Laplace
+    mechanism (Dwork et al. 2006) from ``operators/privacy.py``.
+    Count: n + Laplace(1/0.5). Sum: balances in integer cents clipped
+    to [0, 500000] (sensitivity bound), + Laplace(500000/2.0). Noise
+    is a seeded inverse-CDF draw from the PORTABLE low-60-bit-md5
+    uniform (repo PORTABLE-HASH pattern), so the oracle reproduces the
+    exact deviates; cents-integer sums keep the pre-noise aggregate
+    reduce-order-exact (trap 13). One hash aggregate per release —
+    noise is a per-group scalar expression, no extra shuffle."""
+    from ..operators.privacy import dp_noisy_counts, dp_noisy_sums
+
+    keys = ["c_nationkey", "c_mktsegment"]
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("bigint").alias("c_nationkey"),
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    counts = dp_noisy_counts(cust, keys, epsilon=0.5, seed=7, portable=True)
+    sums = dp_noisy_sums(
+        cust, keys, "cents", clip=500000.0, epsilon=2.0, seed=11,
+        portable=True,
+    )
+    return counts.join(sums, on=keys).select(
+        *keys,
+        "n",
+        round_portable(F.col("noisy_n"), 6).alias("noisy_n"),
+        F.col("clipped_sum").cast("bigint").alias("clipped_cents"),
+        round_portable(F.col("noisy_sum"), 6).alias("noisy_cents"),
+    )

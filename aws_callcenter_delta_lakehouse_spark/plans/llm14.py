@@ -477,3 +477,78 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "n_tokens", round_portable(F.col("logweight"), 4).alias("logweight")
     )
+
+
+def _geohash_cells_oracle() -> str:
+    from ..operators.spatial import geohash_oracle_parts
+
+    p = geohash_oracle_parts(6)
+    return f"""
+    WITH cpts AS (
+      SELECT (c_custkey * 37 % 1800) / CAST(10 AS DOUBLE) - 90.0 AS lat,
+             (c_custkey * 91 % 3600) / CAST(10 AS DOUBLE) - 180.0 AS lon
+      FROM customer),
+    cq AS (SELECT {p['latq'].format(expr='lat')} AS latq,
+                  {p['lonq'].format(expr='lon')} AS lonq FROM cpts),
+    cm AS (SELECT {p['morton']} AS mz FROM cq),
+    cg AS (SELECT {p['chars']} AS gh6 FROM cm),
+    cc AS (SELECT substr(gh6, 1, 2) AS gh2,
+                  CAST(COUNT(*) AS BIGINT) AS n_cust,
+                  min(gh6) AS sample_gh6
+           FROM cg GROUP BY 1),
+    spts AS (
+      SELECT (s_suppkey * 53 % 1800) / CAST(10 AS DOUBLE) - 90.0 AS lat,
+             (s_suppkey * 17 % 3600) / CAST(10 AS DOUBLE) - 180.0 AS lon
+      FROM supplier),
+    sq AS (SELECT {p['latq'].format(expr='lat')} AS latq,
+                  {p['lonq'].format(expr='lon')} AS lonq FROM spts),
+    sm AS (SELECT {p['morton']} AS mz FROM sq),
+    sg AS (SELECT {p['chars']} AS gh6 FROM sm),
+    sc AS (SELECT substr(gh6, 1, 2) AS gh2,
+                  CAST(COUNT(*) AS BIGINT) AS n_supp
+           FROM sg GROUP BY 1)
+    SELECT cc.gh2 AS gh2, cc.n_cust, cc.sample_gh6, sc.n_supp
+    FROM cc JOIN sc ON cc.gh2 = sc.gh2
+    """
+
+
+@query("spatial_geohash_cells", oracle=_geohash_cells_oracle())
+def spatial_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash co-location: bucket customers and suppliers into
+    standard base-32 geohash cells (operators/spatial.py ``geohash`` —
+    pure bit algebra, matches the public test vectors, e.g.
+    u4pruyd) and equi-join the precision-2 cells that contain both,
+    reporting per-cell counts and the lexicographically-first
+    full-precision (6-char) customer hash. Geohash is HIERARCHICAL, so
+    the coarse cell is substr(gh6, 1, 2) — one encode pass serves every
+    zoom level. Scale shape: per-row JVM-side encode (no UDF, no
+    shuffle), then two cell-keyed aggregates + an equi-join on the
+    short cell id; the oracle recomputes the identical interleave in
+    SQL generated from the same bit layout."""
+    from ..operators.spatial import geohash
+
+    def pts(tbl, key, mlat, mlon):
+        return load_table(spark, sf_dir, tbl).select(
+            ((F.col(key) * mlat % 1800) / 10.0 - 90.0).alias("lat"),
+            ((F.col(key) * mlon % 3600) / 10.0 - 180.0).alias("lon"),
+        )
+
+    def hashed(df):
+        return df.select(
+            geohash(F.col("lat"), F.col("lon"), 6).alias("gh6")
+        )
+
+    cust = hashed(pts("customer", "c_custkey", 37, 91))
+    supp = hashed(pts("supplier", "s_suppkey", 53, 17))
+    cc = cust.select(
+        F.substring("gh6", 1, 2).alias("gh2"), "gh6"
+    ).groupBy("gh2").agg(
+        F.count("*").cast("bigint").alias("n_cust"),
+        F.min("gh6").alias("sample_gh6"),
+    )
+    sc = supp.select(F.substring("gh6", 1, 2).alias("gh2")).groupBy(
+        "gh2"
+    ).agg(F.count("*").cast("bigint").alias("n_supp"))
+    return cc.join(sc, on="gh2").select(
+        "gh2", "n_cust", "sample_gh6", "n_supp"
+    )
