@@ -1144,3 +1144,75 @@ def sql_copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.unset(_REGISTRY_CONF)
         shutil.rmtree(registry, ignore_errors=True)
+
+
+@query(
+    "sql_ctas_clone_journey",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation
+    FROM customer
+    WHERE c_custkey % 3 = 0 AND NOT c_custkey % 9 = 0
+    GROUP BY 1
+    """,
+)
+def sql_ctas_clone_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-10 SQL additions as one literal-statement lifecycle:
+    CTAS (partitioned CREATE TABLE ... AS SELECT) → ALTER TABLE ADD
+    CONSTRAINT ... CHECK → DELETE → CREATE TABLE ... SHALLOW CLONE →
+    post-clone UPDATE of the SOURCE. The result reads the CLONE, so the
+    oracle match proves three things at once: CTAS committed the query
+    snapshot, the clone carried the post-delete state, and the source's
+    later UPDATE did NOT leak through the hardlinks (snapshots are
+    immutable; commits write fresh files)."""
+    import shutil
+    import tempfile
+
+    from ..sources import managed_table as mt
+    from ..sources import sql_dml, txn_catalog  # noqa: F401
+    from ..sources.delta_api import _REGISTRY_CONF
+
+    registry = tempfile.mkdtemp(prefix="sql_ctas_reg_")
+    spark.conf.set(_REGISTRY_CONF, registry)
+    load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    ).createOrReplaceTempView("sql_ctas_cust")
+    try:
+        sql_dml.sql(
+            spark,
+            "CREATE TABLE sqlcc.base PARTITIONED BY (seg) AS "
+            "SELECT c_custkey, c_mktsegment AS seg, c_nationkey "
+            "FROM sql_ctas_cust WHERE c_custkey % 3 = 0",
+        )
+        sql_dml.sql(
+            spark,
+            "ALTER TABLE sqlcc.base ADD CONSTRAINT key_pos "
+            "CHECK (c_custkey >= 0)",
+        )
+        sql_dml.sql(spark, "DELETE FROM sqlcc.base WHERE c_custkey % 9 = 0")
+        sql_dml.sql(spark, "CREATE TABLE sqlcc.copy SHALLOW CLONE sqlcc.base")
+        sql_dml.sql(spark, "UPDATE sqlcc.base SET c_nationkey = 0")
+        n_parts = sql_dml.sql(spark, "SHOW PARTITIONS sqlcc.copy").count()
+        clone_path = txn_catalog.resolve_table_name(registry, "sqlcc.copy")
+        out = (
+            mt.read(spark, clone_path)
+            .groupBy("seg")
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("c_custkey").cast("long").alias("sum_key"),
+                F.sum("c_nationkey").cast("long").alias("sum_nation"),
+            )
+        )
+        rows = out.collect()
+        if n_parts != len(rows):
+            raise AssertionError(
+                f"SHOW PARTITIONS saw {n_parts} dirs, aggregate saw "
+                f"{len(rows)} groups"
+            )
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.catalog.dropTempView("sql_ctas_cust")
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)

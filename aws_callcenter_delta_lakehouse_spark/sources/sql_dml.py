@@ -37,15 +37,21 @@ Commands (``sql_command``, routed automatically by :func:`sql`):
         (c type [GENERATED ALWAYS AS (expr)], ...)
         [USING delta] [PARTITIONED BY (...)] [CLUSTER BY (...)]
         [LOCATION '...'] [TBLPROPERTIES (k=v, ...)] [COMMENT '...']
+    CREATE [OR REPLACE] TABLE [IF NOT EXISTS] t [clauses as above]
+        AS <query>                                  -- CTAS / RTAS
+    CREATE TABLE [IF NOT EXISTS] dst [SHALLOW] CLONE src [LOCATION '...']
     ALTER TABLE t { ADD COLUMN[S] (c type [DEFAULT lit], ...)
                   | SET TBLPROPERTIES (k=v, ...)
-                  | RENAME COLUMN a TO b | DROP COLUMN c }
+                  | RENAME COLUMN a TO b | DROP COLUMN c
+                  | ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n }
     DESCRIBE { HISTORY | DETAIL } t
     OPTIMIZE t [WHERE pred] [ZORDER BY (cols)]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     RESTORE [TABLE] t TO VERSION AS OF k
     TRUNCATE TABLE t
     SHOW TBLPROPERTIES t
+    SHOW PARTITIONS t
+    REORG TABLE t APPLY (PURGE)
     COPY INTO t FROM '<dir|file|glob>' [FILEFORMAT = PARQUET|CSV|JSON]
         [PATTERN = '<glob>'] [FORMAT_OPTIONS (k=v, ...)]
 
@@ -62,6 +68,7 @@ hardlink append).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -481,6 +488,191 @@ _CREATE_HEAD_RE = re.compile(
     re.I | re.S,
 )
 
+_CREATE_NOPAREN_RE = re.compile(
+    r"CREATE\s+(?P<replace>OR\s+REPLACE\s+)?TABLE\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>" + _IDENT + r")",
+    re.I | re.S,
+)
+
+
+def _parse_table_options(rest: str, marks) -> dict:
+    """USING / PARTITIONED BY / CLUSTER BY / LOCATION / TBLPROPERTIES /
+    COMMENT clause values for the column-list-free CREATE forms."""
+    out: dict = {
+        "partition_by": [], "cluster_by": [], "location": None,
+        "props": {}, "comment": None,
+    }
+    for i, (_s0, s1, kw) in enumerate(marks):
+        end = marks[i + 1][0] if i + 1 < len(marks) else len(rest)
+        arg = rest[s1:end].strip()
+        if kw == "USING":
+            if arg.lower() not in ("delta", "managed_table", "parquet"):
+                raise SqlDmlError(f"USING {arg}: unsupported table format")
+        elif kw == "PARTITIONED BY":
+            out["partition_by"] = [
+                c.strip("` ") for c in _split_top(arg.strip("()"))
+            ]
+        elif kw == "CLUSTER BY":
+            out["cluster_by"] = [
+                c.strip("` ") for c in _split_top(arg.strip("()"))
+            ]
+        elif kw == "LOCATION":
+            out["location"] = str(_parse_literal(arg))
+        elif kw == "TBLPROPERTIES":
+            out["props"] = dict(_parse_props(arg.strip("()")))
+        elif kw == "COMMENT":
+            out["comment"] = str(_parse_literal(arg))
+    return out
+
+
+def _table_placement(
+    spark: SparkSession,
+    name: str,
+    location: str | None,
+    registry_dir: str | None,
+):
+    """(path, bind) for creating a table under a registry name — same
+    placement + put-if-absent binding rules as
+    ``DeltaTableBuilder.execute`` (managed placement under the
+    registry's warehouse dir when no LOCATION; a name already bound to
+    a DIFFERENT path refuses)."""
+    registry = _registry_dir(spark, registry_dir)
+    try:
+        bound = txn_catalog.resolve_table_name(registry, name)
+    except txn_catalog.TableNameError:
+        bound = None
+    path = location or bound or os.path.join(registry, "tables", name)
+    if bound is not None and os.path.abspath(bound) != os.path.abspath(path):
+        raise SqlDmlError(
+            f"table name {name!r} is already bound to {bound} — it cannot "
+            f"also be created at {path}"
+        )
+
+    def bind() -> None:
+        if bound == path:
+            return
+        try:
+            txn_catalog.register_table_name(registry, name, path)
+        except txn_catalog.TableNameError:
+            other = txn_catalog.resolve_table_name(registry, name)
+            if os.path.abspath(other) != os.path.abspath(path):
+                raise
+
+    return path, bind
+
+
+def _ctas(
+    spark: SparkSession,
+    nm: re.Match,
+    tail: str,
+    registry_dir: str | None,
+) -> None:
+    """CREATE TABLE ... AS <query> (CTAS / CREATE OR REPLACE ... AS):
+    evaluate the query (time-travel pins on registry names honored) and
+    commit it as the table's first (or replacing) snapshot through
+    ``commit_overwrite`` — constraints, CDF, properties and OCC all
+    apply as on any other commit."""
+    marks = _scan(
+        tail,
+        ["USING", "PARTITIONED BY", "CLUSTER BY", "LOCATION",
+         "TBLPROPERTIES", "COMMENT", "AS"],
+    )
+    as_m = next(
+        (
+            x for x in marks
+            if x[2] == "AS"
+            and re.match(r"\s*(SELECT|WITH|VALUES|TABLE|\()", tail[x[1]:], re.I)
+        ),
+        None,
+    )
+    if as_m is None:
+        raise SqlDmlError(
+            "CREATE TABLE needs a column list, AS <query> (CTAS), or "
+            "[SHALLOW] CLONE <src>"
+        )
+    opts = _parse_table_options(
+        tail[: as_m[0]], [x for x in marks if x[0] < as_m[0] and x[2] != "AS"]
+    )
+    if opts["partition_by"] and opts["cluster_by"]:
+        raise SqlDmlError(
+            "CLUSTER BY and PARTITIONED BY are mutually exclusive "
+            "(Delta's liquid-clustering rule)"
+        )
+    name = nm.group("name").replace("`", "")
+    path, bind = _table_placement(spark, name, opts["location"], registry_dir)
+    exists = managed_table.is_table(spark, path)
+    if exists and not nm.group("replace"):
+        if nm.group("ine"):
+            bind()
+            return
+        raise SqlDmlError(f"{path} is already a managed table")
+    df = spark.sql(_rewrite_time_travel(spark, tail[as_m[1]:].strip(),
+                                        registry_dir))
+    props = dict(opts["props"])
+    if opts["comment"] is not None:
+        props["comment"] = opts["comment"]
+    if opts["cluster_by"]:
+        props["autoOptimize"] = {
+            "columns": opts["cluster_by"], "max_avg_depth": 2.0,
+        }
+    managed_table.commit_overwrite(
+        df,
+        path,
+        partition_by=opts["partition_by"] or (),
+        properties=props or None,
+        schema_mode="overwrite",
+    )
+    bind()
+
+
+def _clone_table_sql(
+    spark: SparkSession,
+    nm: re.Match,
+    rest: str,
+    kind: str,
+    registry_dir: str | None,
+) -> None:
+    """CREATE TABLE dst [SHALLOW] CLONE src [LOCATION '...'] —
+    zero-copy clone via ``managed_table.clone_table`` (hardlinked
+    snapshot, fresh history). DEEP is refused rather than silently
+    aliased: snapshots are immutable, so SHALLOW already yields a fully
+    independent table and a byte-copying DEEP would only burn storage."""
+    if kind == "DEEP":
+        raise SqlDmlError(
+            "DEEP CLONE is not supported: snapshots are immutable, so "
+            "SHALLOW CLONE already yields a fully independent table"
+        )
+    if nm.group("replace"):
+        raise SqlDmlError(
+            "CREATE OR REPLACE ... CLONE is not supported — clone to a "
+            "fresh name/location"
+        )
+    m = re.match(rf"(?P<src>{_IDENT})\s*(?P<rest>.*)$", rest, re.S)
+    if not m:
+        raise SqlDmlError(f"cannot parse CLONE source: {rest!r}")
+    extra = m.group("rest").strip()
+    if re.search(r"(VERSION|TIMESTAMP)\s+AS\s+OF", extra, re.I):
+        raise SqlDmlError(
+            "CLONE pins the live snapshot; RESTORE the source to the "
+            "wanted version first for a historical clone"
+        )
+    location = None
+    if extra:
+        lm = re.fullmatch(r"LOCATION\s+('[^']*')", extra, re.I)
+        if not lm:
+            raise SqlDmlError(f"cannot parse CLONE options: {extra!r}")
+        location = str(_parse_literal(lm.group(1)))
+    src_path = _resolve(spark, m.group("src").replace("`", ""), registry_dir)
+    name = nm.group("name").replace("`", "")
+    path, bind = _table_placement(spark, name, location, registry_dir)
+    if managed_table.is_table(spark, path):
+        if nm.group("ine"):
+            bind()
+            return
+        raise SqlDmlError(f"{path} is already a managed table")
+    managed_table.clone_table(src_path, path)
+    bind()
+
 
 def _balanced(s: str, open_idx: int) -> int:
     """Index just past the ``)`` matching the ``(`` at ``open_idx``
@@ -509,11 +701,23 @@ def _create_table(spark: SparkSession, stmt: str, registry_dir: str | None):
     m = _CREATE_HEAD_RE.match(stmt)
     close = _balanced(stmt, m.end() - 1) if m else -1
     if not m or close < 0:
+        nm = _CREATE_NOPAREN_RE.match(stmt)
+        if nm:
+            tail = stmt[nm.end() :].rstrip(";").strip()
+            cm = re.match(r"(?:(SHALLOW|DEEP)\s+)?CLONE\b", tail, re.I)
+            if cm:
+                return _clone_table_sql(
+                    spark, nm, tail[cm.end() :].strip(),
+                    (cm.group(1) or "SHALLOW").upper(), registry_dir,
+                )
+            return _ctas(spark, nm, tail, registry_dir)
         raise SqlDmlError(
             "CREATE TABLE needs: CREATE [OR REPLACE] TABLE [IF NOT EXISTS] "
             "<name> (col type [GENERATED ALWAYS AS (expr)], ...) "
             "[USING delta] [PARTITIONED BY (...)] [CLUSTER BY (...)] "
-            "[LOCATION '...'] [TBLPROPERTIES (...)] [COMMENT '...']"
+            "[LOCATION '...'] [TBLPROPERTIES (...)] [COMMENT '...'] — "
+            "or the column-list-free forms ... AS <query> (CTAS) and "
+            "... [SHALLOW] CLONE <src>"
         )
     cols_body = stmt[m.end() : close - 1]
     rest_body = stmt[close:]
@@ -616,9 +820,24 @@ def _alter_table(spark: SparkSession, body: str, registry_dir: str | None):
     if dm:
         managed_table.drop_column(spark, path, dm.group(1).strip("`"))
         return
+    acm = re.match(
+        r"ADD\s+CONSTRAINT\s+(`[^`]+`|\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*$",
+        rest,
+        re.I | re.S,
+    )
+    if acm:
+        managed_table.add_constraint(
+            spark, path, acm.group(1).strip("`"), acm.group("expr").strip()
+        )
+        return
+    dcm = re.match(r"DROP\s+CONSTRAINT\s+(`[^`]+`|\w+)\s*$", rest, re.I)
+    if dcm:
+        managed_table.drop_constraint(path, dcm.group(1).strip("`"))
+        return
     raise SqlDmlError(
         "ALTER TABLE supports ADD COLUMN(S) / SET TBLPROPERTIES / "
-        f"RENAME COLUMN / DROP COLUMN, got: {rest!r}"
+        "RENAME COLUMN / DROP COLUMN / ADD CONSTRAINT ... CHECK (...) / "
+        f"DROP CONSTRAINT, got: {rest!r}"
     )
 
 
@@ -742,13 +961,54 @@ def sql_command(
             for k, v in sorted(props.items())
         ]
         return spark.createDataFrame(rows or [], "key string, value string")
+    m = re.match(rf"SHOW\s+PARTITIONS\s+({_IDENT})\s*;?\s*$", stmt, re.I)
+    if m:
+        from urllib.parse import unquote
+
+        from .maintenance import _hive_partition_dirs
+
+        path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        managed_table.recover(path)
+        pby = (managed_table._read_marker(path) or {}).get(
+            "partition_by"
+        ) or []
+        if not pby:
+            raise SqlDmlError("SHOW PARTITIONS: table is not partitioned")
+        rows = []
+        for d in _hive_partition_dirs(path, tuple(pby)).values():
+            rel = os.path.relpath(d, path).split(os.sep)
+            vals = [unquote(seg.split("=", 1)[1]) for seg in rel]
+            rows.append(
+                tuple(
+                    None if v == "__HIVE_DEFAULT_PARTITION__" else v
+                    for v in vals
+                )
+            )
+        # partition values come back as STRINGS (the on-disk Hive
+        # rendering) — typed reads go through the table scan itself
+        return spark.createDataFrame(
+            sorted(rows, key=lambda t: tuple("" if v is None else v
+                                             for v in t)),
+            ", ".join(f"`{c}` string" for c in pby),
+        )
+    m = re.match(
+        rf"REORG\s+TABLE\s+({_IDENT})\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$",
+        stmt,
+        re.I,
+    )
+    if m:
+        from .maintenance import materialize_deletes
+
+        path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        return materialize_deletes(spark, path)
     raise SqlDmlError(f"unsupported command: {stmt.split()[0] if stmt else ''}")
 
 
 _COMMAND_RE = re.compile(
     r"(CREATE\s+(OR\s+REPLACE\s+)?TABLE|ALTER\s+TABLE|"
     r"DESCRIBE\s+(HISTORY|DETAIL)|OPTIMIZE|VACUUM|RESTORE|"
-    r"TRUNCATE\s+TABLE|SHOW\s+TBLPROPERTIES|COPY\s+INTO)\b",
+    r"TRUNCATE\s+TABLE|SHOW\s+TBLPROPERTIES|SHOW\s+PARTITIONS|"
+    r"REORG\s+TABLE|COPY\s+INTO)\b",
     re.I,
 )
 

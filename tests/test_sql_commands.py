@@ -271,3 +271,140 @@ def test_copy_into_csv_with_options_and_missing_column(spark, registry, tmp_path
     )
     assert out2["rows"] == 2
     assert mt.read(spark, path).count() == 4
+
+
+def test_ctas_rtas_and_clone(spark, registry, tmp_path):
+    spark.range(12).selectExpr(
+        "id", "id % 4 AS b", "CAST(id * 2.5 AS DOUBLE) AS v"
+    ).createOrReplaceTempView("ctas_src")
+    sql_dml.sql(
+        spark,
+        "CREATE TABLE ctas.t PARTITIONED BY (b) "
+        "TBLPROPERTIES ('enableChangeDataFeed' = true) COMMENT 'c' "
+        "AS SELECT * FROM ctas_src",
+    )
+    p = txn_catalog.resolve_table_name(registry, "ctas.t")
+    assert mt.read(spark, p).count() == 12
+    marker = mt._read_marker(p)
+    assert marker["partition_by"] == ["b"]
+    assert marker["properties"]["enableChangeDataFeed"] is True
+    assert marker["properties"]["comment"] == "c"
+    # IF NOT EXISTS: no-op; bare CREATE: refuses
+    sql_dml.sql(spark, "CREATE TABLE IF NOT EXISTS ctas.t AS SELECT 1 AS x")
+    assert mt.read(spark, p).count() == 12
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql(spark, "CREATE TABLE ctas.t AS SELECT 1 AS x")
+    # RTAS replaces data and schema
+    sql_dml.sql(
+        spark,
+        "CREATE OR REPLACE TABLE ctas.t AS "
+        "SELECT id, v FROM ctas_src WHERE id < 5",
+    )
+    assert mt.read(spark, p).count() == 5
+    assert set(mt.read(spark, p).columns) == {"id", "v"}
+    # SHALLOW CLONE: independent from later source commits
+    sql_dml.sql(spark, "CREATE TABLE ctas.c SHALLOW CLONE ctas.t")
+    cp = txn_catalog.resolve_table_name(registry, "ctas.c")
+    sql_dml.sql(spark, "UPDATE ctas.t SET v = 0.0")
+    clone_vals = {r["v"] for r in mt.read(spark, cp).collect()}
+    assert clone_vals == {0.0, 2.5, 5.0, 7.5, 10.0}
+    # DEEP refused; VERSION AS OF refused; OR REPLACE CLONE refused
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql(spark, "CREATE TABLE ctas.d DEEP CLONE ctas.t")
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql(
+            spark, "CREATE TABLE ctas.d CLONE ctas.t VERSION AS OF 0"
+        )
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql(spark, "CREATE OR REPLACE TABLE ctas.c CLONE ctas.t")
+    spark.catalog.dropTempView("ctas_src")
+
+
+def test_ctas_time_travel_source(spark, registry):
+    spark.range(6).selectExpr("id", "id % 2 AS b").createOrReplaceTempView(
+        "ctt_src"
+    )
+    sql_dml.sql(spark, "CREATE TABLE ctt.t AS SELECT * FROM ctt_src")
+    sql_dml.sql(spark, "DELETE FROM ctt.t WHERE id >= 3")
+    sql_dml.sql(
+        spark, "CREATE TABLE ctt.old AS SELECT * FROM ctt.t VERSION AS OF 0"
+    )
+    old = txn_catalog.resolve_table_name(registry, "ctt.old")
+    assert mt.read(spark, old).count() == 6
+    spark.catalog.dropTempView("ctt_src")
+
+
+def test_show_partitions(spark, registry):
+    spark.range(9).selectExpr(
+        "id", "id % 3 AS y", "CAST(id % 2 AS STRING) AS m"
+    ).createOrReplaceTempView("sp_src")
+    sql_dml.sql(
+        spark,
+        "CREATE TABLE sp.t PARTITIONED BY (y, m) AS SELECT * FROM sp_src",
+    )
+    out = sql_dml.sql(spark, "SHOW PARTITIONS sp.t")
+    assert out.columns == ["y", "m"]
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == sorted(
+        {(str(i % 3), str(i % 2)) for i in range(9)}
+    )
+    # unpartitioned refuses (Delta parity)
+    sql_dml.sql(spark, "CREATE TABLE sp.flat AS SELECT 1 AS x")
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql(spark, "SHOW PARTITIONS sp.flat")
+    spark.catalog.dropTempView("sp_src")
+
+
+def test_constraint_sql_and_reorg_purge(spark, registry):
+    spark.range(10).selectExpr("id", "id * 10 AS v").createOrReplaceTempView(
+        "cr_src"
+    )
+    sql_dml.sql(spark, "CREATE TABLE cr.t AS SELECT * FROM cr_src")
+    p = txn_catalog.resolve_table_name(registry, "cr.t")
+    sql_dml.sql(spark, "ALTER TABLE cr.t ADD CONSTRAINT v_ok CHECK (v >= 0)")
+    assert mt.table_constraints(p) == {"v_ok": "v >= 0"}
+    # constraint enforced on the next commit
+    with pytest.raises(Exception):
+        sql_dml.sql(spark, "UPDATE cr.t SET v = -5 WHERE id = 1")
+    # violating ADD refused
+    with pytest.raises(mt.ConstraintViolationError):
+        sql_dml.sql(
+            spark, "ALTER TABLE cr.t ADD CONSTRAINT bad CHECK (v > 50)"
+        )
+    sql_dml.sql(spark, "ALTER TABLE cr.t DROP CONSTRAINT v_ok")
+    assert mt.table_constraints(p) == {}
+    # REORG APPLY (PURGE) materializes a DV soft delete
+    mt.delete_where(spark, p, "id = 3", deletion_vectors=True)
+    assert mt._read_marker(p).get("dv")
+    info = sql_dml.sql_command(spark, "REORG TABLE cr.t APPLY (PURGE)")
+    assert isinstance(info, dict)
+    assert not mt._read_marker(p).get("dv")
+    assert mt.read(spark, p).count() == 9
+    spark.catalog.dropTempView("cr_src")
+
+
+def test_ctas_cluster_by_and_placement_conflict(spark, registry, tmp_path):
+    spark.range(8).selectExpr("id", "id % 2 AS g").createOrReplaceTempView(
+        "cb_src"
+    )
+    sql_dml.sql(
+        spark, "CREATE TABLE cb.t CLUSTER BY (id) AS SELECT * FROM cb_src"
+    )
+    p = txn_catalog.resolve_table_name(registry, "cb.t")
+    assert mt._read_marker(p)["properties"]["autoOptimize"]["columns"] == [
+        "id"
+    ]
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql(
+            spark,
+            "CREATE TABLE cb.x PARTITIONED BY (g) CLUSTER BY (id) "
+            "AS SELECT * FROM cb_src",
+        )
+    # a name bound to one path refuses creation at another
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql(
+            spark,
+            f"CREATE OR REPLACE TABLE cb.t LOCATION '{tmp_path}/elsewhere' "
+            "AS SELECT 1 AS x",
+        )
+    spark.catalog.dropTempView("cb_src")
