@@ -80,3 +80,105 @@ def rolling_time_window(
         F.count("*").over(w).alias("n_trailing"),
         F.sum(value_col).over(w).alias("sum_trailing"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    horizons: tuple[int, ...] = (1, 7),
+    n_steps: int | None = None,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) per
+    group — the classic local-trend forecaster (Holt 1957):
+
+        l_t = alpha * x_t + (1 - alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
+
+    initialized textbook-style (l_1 = x_1, b_1 = x_2 - x_1), forecast
+    ŷ_{T+h} = l_T + h·b_T per horizon. The fold starts at t = 3: under
+    this initialization the textbook t = 2 update is an algebraic
+    identity (l_2 = x_2, b_2 = b_1), and skipping it keeps the
+    floating-point op sequence identical to the unrolled oracle.
+
+    ``df`` holds one observation per (group, order) — the caller
+    gap-fills first if the series has holes. When ``n_steps`` is set,
+    only groups with AT LEAST that many observations participate and
+    each uses its LAST ``n_steps`` points — this makes the step count
+    a constant of the plan, which is what lets an oracle unroll the
+    recurrence exactly (see ``forecast_holt_linear``).
+
+    Scale: one shuffle to assemble each group's ordered series
+    (collect_list + array_sort — series length is bounded by the
+    window the caller feeds, never raw-row cardinality), then the fold
+    runs as a single JVM-side ``aggregate`` HOF over the array; the
+    accumulator is a 2-field struct, fine in Spark (the DuckDB
+    list_reduce struct-accumulator bug is an oracle-side concern only).
+    Output: group, level, trend, f_<h> per horizon."""
+    pairs = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    if n_steps is not None:
+        w = Window.partitionBy("__g").orderBy(F.col("__o").desc())
+        pairs = (
+            pairs.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n_steps)
+            .drop("__rk")
+        )
+    series = (
+        pairs.groupBy("__g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__o", "__x"))),
+                lambda s: s["__x"],
+            ).alias("xs")
+        )
+    )
+    if n_steps is not None:
+        series = series.filter(F.size("xs") == n_steps)
+    else:
+        series = series.filter(F.size("xs") >= 2)
+    # materialize xs before the HOF (perf trap 1: never hand a
+    # non-trivial expression to a lambda-bearing operator)
+    folded = series.select(
+        "__g",
+        F.aggregate(
+            F.slice("xs", 3, F.size("xs") - 2),
+            # the state AFTER the textbook t = 2 update: l_2 = x_2
+            # exactly (alpha*x_2 + (1-alpha)*(x_1 + (x_2 - x_1)) is an
+            # identity only in exact arithmetic — seeding x_2 directly
+            # keeps it exact in floats too), b_2 = b_1 = x_2 - x_1
+            F.struct(
+                F.element_at("xs", 2).alias("l"),
+                (F.element_at("xs", 2) - F.element_at("xs", 1)).alias("b"),
+            ),
+            lambda acc, x: F.struct(
+                (alpha * x + (1.0 - alpha) * (acc["l"] + acc["b"])).alias(
+                    "l"
+                ),
+                (
+                    beta
+                    * (
+                        (alpha * x + (1.0 - alpha) * (acc["l"] + acc["b"]))
+                        - acc["l"]
+                    )
+                    + (1.0 - beta) * acc["b"]
+                ).alias("b"),
+            ),
+        ).alias("st"),
+    )
+    out = folded.select(
+        F.col("__g").alias(group_col),
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        *[
+            (F.col("st.l") + float(h) * F.col("st.b")).alias(f"f_{h}")
+            for h in horizons
+        ],
+    )
+    return out

@@ -637,3 +637,74 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("revenue_cents").over(w).cast("double")
         ).alias("region_share"),
     )
+
+
+def _holt_oracle(n: int = 21) -> str:
+    """Unrolled Holt recurrence: one chained CTE per step (trap 12 —
+    DuckDB list_reduce miscomputes struct accumulators, so multi-field
+    folds unroll; single-reference chains need no MATERIALIZED)."""
+    steps = []
+    pl, pb = "l2", "b2"
+    for k in range(3, n + 1):
+        lnew = f"0.25 * xs[{k}] + 0.75 * ({pl} + {pb})"
+        steps.append(
+            f"s{k} AS (SELECT *, {lnew} AS l{k}, "
+            f"0.125 * (({lnew}) - {pl}) + 0.875 * {pb} AS b{k} "
+            f"FROM s{k - 1})"
+        )
+        pl, pb = f"l{k}", f"b{k}"
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY d DESC) AS rk
+      FROM daily),
+    series AS (
+      SELECT event_type, list(n ORDER BY d) AS xs
+      FROM ranked WHERE rk <= {n} GROUP BY 1 HAVING COUNT(*) = {n}),
+    s2 AS (SELECT event_type, xs, xs[2] AS l2, xs[2] - xs[1] AS b2
+           FROM series),
+    {chain}
+    SELECT event_type,
+           floor({pl} * 1e6 + 0.5) / 1e6 AS level,
+           floor({pb} * 1e6 + 0.5) / 1e6 AS trend,
+           floor(({pl} + 1.0 * {pb}) * 1e6 + 0.5) / 1e6 AS f_1,
+           floor(({pl} + 7.0 * {pb}) * 1e6 + 0.5) / 1e6 AS f_7
+    FROM s{n}
+    """
+
+
+@query("forecast_holt_linear", oracle=_holt_oracle())
+def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (level + linear trend) of the
+    daily event count per event type over each type's last 21 observed
+    days, with 1-day and 7-day-ahead forecasts
+    (operators/timeseries.py ``holt_linear``). alpha = 0.25 and
+    beta = 0.125 are exact binary fractions, and the fixed step count
+    makes the recurrence unrollable: the oracle replays the identical
+    floating-point op sequence one CTE per step, so the diff is exact
+    to the 1e-6 portable rounding. Scale: one shuffle to the per-group
+    ordered series (21 elements per group), then a JVM-side aggregate
+    HOF fold — no Python, no driver loop."""
+    from ..operators.timeseries import holt_linear
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    out = holt_linear(
+        daily, "event_type", "d", "n",
+        alpha=0.25, beta=0.125, horizons=(1, 7), n_steps=21,
+    )
+    return out.select(
+        "event_type",
+        round_portable(F.col("level"), 6).alias("level"),
+        round_portable(F.col("trend"), 6).alias("trend"),
+        round_portable(F.col("f_1"), 6).alias("f_1"),
+        round_portable(F.col("f_7"), 6).alias("f_7"),
+    )

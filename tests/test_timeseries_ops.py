@@ -1,0 +1,64 @@
+"""Unit tests for the Holt linear-trend operator (the registry query
+``forecast_holt_linear`` carries the cross-engine oracle diff; these
+pin the operator contract on a hand-checkable series)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_callcenter_delta_lakehouse_spark.operators.timeseries import (
+    holt_linear,
+)
+
+
+def _py_holt(xs, alpha=0.25, beta=0.125):
+    # state after the textbook t=2 update: l_2 = x_2, b_2 = x_2 - x_1
+    lvl, tr = float(xs[1]), float(xs[1]) - float(xs[0])
+    for x in xs[2:]:
+        lnew = alpha * x + (1.0 - alpha) * (lvl + tr)
+        tr = beta * (lnew - lvl) + (1.0 - beta) * tr
+        lvl = lnew
+    return lvl, tr
+
+
+def _series_df(spark, rows):
+    return spark.createDataFrame(rows, "g string, t int, x double")
+
+
+def test_holt_matches_python_reference(spark):
+    xs = [10.0, 12.0, 11.0, 15.0, 16.0, 14.0, 18.0, 21.0]
+    df = _series_df(spark, [("a", i, v) for i, v in enumerate(xs)])
+    row = holt_linear(df, "g", "t", "x", horizons=(1, 3)).first()
+    lvl, tr = _py_holt(xs)
+    assert row["level"] == pytest.approx(lvl, rel=1e-12)
+    assert row["trend"] == pytest.approx(tr, rel=1e-12)
+    assert row["f_1"] == pytest.approx(lvl + tr, rel=1e-12)
+    assert row["f_3"] == pytest.approx(lvl + 3.0 * tr, rel=1e-12)
+
+
+def test_holt_linear_series_is_exact(spark):
+    # a perfectly linear series: level tracks the last point, trend the
+    # slope, forecasts continue the line (Holt is exact on lines)
+    df = _series_df(spark, [("a", i, 5.0 + 2.0 * i) for i in range(10)])
+    row = holt_linear(df, "g", "t", "x").first()
+    assert row["level"] == pytest.approx(5.0 + 2.0 * 9, rel=1e-12)
+    assert row["trend"] == pytest.approx(2.0, rel=1e-12)
+    assert row["f_7"] == pytest.approx(5.0 + 2.0 * 16, rel=1e-12)
+
+
+def test_holt_n_steps_uses_last_window_and_filters_short(spark):
+    rows = [("long", i, float(i)) for i in range(10)]
+    rows += [("short", i, float(i)) for i in range(3)]
+    df = _series_df(spark, rows)
+    out = holt_linear(df, "g", "t", "x", n_steps=5)
+    got = {r["g"]: r for r in out.collect()}
+    assert set(got) == {"long"}  # short series excluded at n_steps=5
+    lvl, tr = _py_holt([5.0, 6.0, 7.0, 8.0, 9.0])
+    assert got["long"]["level"] == pytest.approx(lvl, rel=1e-12)
+
+
+def test_holt_two_point_series_returns_init(spark):
+    df = _series_df(spark, [("a", 0, 4.0), ("a", 1, 10.0)])
+    row = holt_linear(df, "g", "t", "x").first()
+    assert row["level"] == 10.0
+    assert row["trend"] == 6.0
