@@ -1,0 +1,87 @@
+"""Event-sequence pattern matching (MATCH_RECOGNIZE-lite).
+
+SQL:2016 MATCH_RECOGNIZE (and Flink CEP) find regex-shaped patterns
+over ordered event streams; Spark has no built-in. The scale-shaped
+reduction: encode each partition's time-ordered event types as ONE
+character string, then run an ordinary regular expression over it —
+`regexp_extract_all` is JVM-side and codegen-friendly, and the string
+per key is bounded by the key's event count (at 100 TB you window the
+key first — e.g. sessionize — exactly as MATCH_RECOGNIZE's PARTITION BY
+... ORDER BY contract assumes the per-partition stream fits a task).
+
+One shuffle (the groupBy that assembles each key's sequence), no
+Python, no driver loops. Determinism: events are sorted by
+(microsecond timestamp, symbol) so same-timestamp ties cannot reorder
+across engines, and patterns whose repeated character classes EXCLUDE
+the terminator symbol (e.g. ``v[cv]*p``) match identically under
+leftmost-greedy (Java) and RE2 (DuckDB) semantics — the property the
+oracle relies on.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def encode_symbols(type_col: Column, mapping: Mapping[str, str]) -> Column:
+    """Map event-type values to single-character symbols; unmapped
+    types become '.' (excluded from any sane pattern's classes)."""
+    for sym in mapping.values():
+        if len(sym) != 1:
+            raise ValueError(f"symbols must be single chars, got {sym!r}")
+    expr = None
+    for val, sym in sorted(mapping.items()):
+        cond = type_col == F.lit(val)
+        expr = F.when(cond, sym) if expr is None else expr.when(cond, sym)
+    return expr.otherwise(F.lit("."))
+
+
+def match_event_pattern(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    mapping: Mapping[str, str],
+    pattern: str,
+) -> DataFrame:
+    """Per key: the time-ordered symbol sequence and every
+    non-overlapping match of ``pattern`` (a plain regex over the
+    symbol alphabet), MATCH_RECOGNIZE's AFTER MATCH SKIP PAST LAST ROW
+    semantics. Returns key, seq_len, n_matches, total_matched,
+    longest (longest single match length) — keys with zero matches
+    included (n_matches = 0), so the result is a total report."""
+    sym = encode_symbols(F.col(type_col), mapping)
+    rows = df.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        sym.alias("__c"),
+    )
+    seqs = rows.groupBy("__k").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__us", "__c"))),
+                lambda s: s["__c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    matches = seqs.select(
+        "__k",
+        F.length("seq").alias("seq_len"),
+        F.regexp_extract_all("seq", F.lit(pattern), 0).alias("__m"),
+    )
+    # materialize __m before the size/aggregate exprs reference it
+    return matches.select(
+        F.col("__k").alias(key_col),
+        "seq_len",
+        F.size("__m").cast("bigint").alias("n_matches"),
+        F.aggregate(
+            "__m", F.lit(0).cast("bigint"), lambda acc, m: acc + F.length(m)
+        ).alias("total_matched"),
+        F.coalesce(
+            F.array_max(F.transform("__m", F.length)), F.lit(0)
+        ).cast("int").alias("longest"),
+    )

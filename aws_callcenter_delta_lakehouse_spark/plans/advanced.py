@@ -241,3 +241,60 @@ def events_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("converted", "first_event")
     )
+
+
+@query(
+    "events_pattern_match",
+    oracle="""
+    WITH syms AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE event_type
+               WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+               WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+               WHEN 'view' THEN 'v' ELSE '.' END AS ch
+      FROM events),
+    seqs AS (
+      SELECT user_id, string_agg(ch, '' ORDER BY us, ch) AS seq
+      FROM syms GROUP BY 1),
+    m AS (
+      SELECT user_id, CAST(length(seq) AS INTEGER) AS seq_len,
+             regexp_extract_all(seq, 'v[cv]*p') AS ms
+      FROM seqs)
+    SELECT CAST(user_id AS BIGINT) AS user_id, seq_len,
+           CAST(len(ms) AS BIGINT) AS n_matches,
+           CAST(coalesce(list_sum(list_transform(ms, x -> length(x))), 0)
+                AS BIGINT) AS total_matched,
+           CAST(coalesce(list_max(list_transform(ms, x -> length(x))), 0)
+                AS INTEGER) AS longest
+    FROM m
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite (operators/patterns.py): each user's
+    time-ordered event types collapse to a symbol string and the CEP
+    pattern ``view (click|view)* purchase`` runs as a plain regex with
+    AFTER MATCH SKIP PAST LAST ROW semantics — the SQL:2016 / Flink-CEP
+    construct Spark lacks, reduced to one shuffle plus JVM-side
+    regexp_extract_all. The repeated class excludes the terminator
+    symbol, so Java (leftmost-greedy) and RE2 agree match-for-match;
+    ties inside a microsecond sort by symbol on both engines."""
+    from ..operators.patterns import match_event_pattern
+
+    ev = load_table(spark, sf_dir, "events")
+    out = match_event_pattern(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        {"click": "c", "error": "e", "purchase": "p",
+         "signup": "s", "view": "v"},
+        "v[cv]*p",
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("seq_len").cast("int").alias("seq_len"),
+        "n_matches",
+        "total_matched",
+        "longest",
+    )
