@@ -26,6 +26,7 @@ from . import llm18  # noqa: F401
 from . import llm19  # noqa: F401
 from . import llm20  # noqa: F401
 from . import llm21  # noqa: F401
+from . import llm22  # noqa: F401
 from . import relational  # noqa: F401
 from . import relational2  # noqa: F401
 from . import relational3  # noqa: F401
