@@ -77,7 +77,7 @@ from pyspark.sql import functions as F
 from . import managed_table, txn_catalog
 from .delta_api import DeltaTable, _registry_dir
 
-__all__ = ["sql", "sql_command", "SqlDmlError"]
+__all__ = ["sql", "sql_command", "sql_script", "SqlDmlError"]
 
 
 class SqlDmlError(ValueError):
@@ -1094,3 +1094,45 @@ def sql(
         out = sql_command(spark, statement, registry_dir)
         return out if isinstance(out, DataFrame) else None
     return spark.sql(_rewrite_time_travel(spark, statement, registry_dir))
+
+
+def _strip_line_comments(text: str) -> str:
+    """Remove ``--`` line comments, quote-aware (a ``--`` inside a
+    string literal survives)."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in _QUOTES:
+            end = _QUOTES[c]
+            j = i + 1
+            while j < n and text[j] != end:
+                j += 2 if text[j] == "\\" and end != "`" else 1
+            out.append(text[i : min(j + 1, n)])
+            i = j + 1
+        elif c == "-" and i + 1 < n and text[i + 1] == "-":
+            while i < n and text[i] != "\n":
+                i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def sql_script(
+    spark: SparkSession, script: str, registry_dir: str | None = None
+) -> list[DataFrame | None]:
+    """Execute a multi-statement SQL script (the ``.sql``-file idiom,
+    e.g. the reference's ``sql/athena_queries.sql``): strip ``--``
+    comments, split on top-level ``;`` (quote/paren-aware — a ``;``
+    inside a string literal or subquery survives), run each statement
+    through :func:`sql` in order, and return the per-statement results
+    (a DataFrame for reads/commands that produce one, else None).
+    Statements run sequentially with no implicit transaction — each
+    DML commit is individually atomic exactly as in single-statement
+    use; a failing statement raises and leaves earlier commits in
+    place (same as running the file line by line)."""
+    results: list[DataFrame | None] = []
+    for stmt in _split_top(_strip_line_comments(script), ";"):
+        results.append(sql(spark, stmt, registry_dir))
+    return results

@@ -593,3 +593,40 @@ def test_general_merge_plan_is_key_joined(spark, tmp_path, monkeypatch):
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
     assert "LeftAnti" in p  # the insert side is an anti join, not a subtract-rescan
+
+
+def test_geohash_is_pure_projection_then_equi_join(spark):
+    # the encode is a per-row expression (no shuffle, no python); the
+    # co-location join is an equi-join on the cell id
+    p = _plan(spark, "spatial_geohash_cells")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dp_release_single_aggregate_per_branch(spark):
+    # Laplace noise is a per-group scalar expression — no extra
+    # exchange beyond the two aggregates + the key join
+    p = _plan(spark, "dq_dp_noisy_counts")
+    assert "BatchEvalPython" not in p
+    assert p.count("Exchange") <= 6  # 2 aggs (partial+final) + join sides
+
+
+def test_holt_fold_single_shuffle_no_python(spark):
+    p = _plan(spark, "forecast_holt_linear")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pattern_match_single_shuffle_no_python(spark):
+    p = _plan(spark, "events_pattern_match")
+    assert "BatchEvalPython" not in p
+    # one hash aggregate assembles each user's sequence; the regex runs
+    # in the same stage's projection
+    assert "CartesianProduct" not in p
+
+
+def test_url_canonical_no_shuffle_before_aggregate(spark):
+    p = _plan(spark, "dedup_url_canonical")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p

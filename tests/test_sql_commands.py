@@ -408,3 +408,36 @@ def test_ctas_cluster_by_and_placement_conflict(spark, registry, tmp_path):
             "AS SELECT 1 AS x",
         )
     spark.catalog.dropTempView("cb_src")
+
+
+def test_sql_script_multi_statement(spark, registry):
+    out = sql_dml.sql_script(
+        spark,
+        """
+        -- a .sql file, comments and all
+        CREATE TABLE scr.t (id bigint, note string) LOCATION '{loc}';
+        INSERT INTO scr.t VALUES (1, 'a;b -- not a comment'), (2, 'c');
+        UPDATE scr.t SET note = 'x' WHERE id = 2;  -- trailing comment
+        SHOW TBLPROPERTIES scr.t;
+        """.replace("{loc}", registry + "/scr_t"),
+    )
+    assert len(out) == 4
+    p = txn_catalog.resolve_table_name(registry, "scr.t")
+    rows = sorted(
+        (r["id"], r["note"]) for r in mt.read(spark, p).collect()
+    )
+    assert rows == [(1, "a;b -- not a comment"), (2, "x")]
+
+
+def test_sql_script_failure_keeps_earlier_commits(spark, registry):
+    with pytest.raises(SqlDmlError):
+        sql_dml.sql_script(
+            spark,
+            f"""
+            CREATE TABLE scr.f (id bigint) LOCATION '{registry}/scr_f';
+            INSERT INTO scr.f VALUES (7);
+            REORG TABLE scr.f APPLY (FROBNICATE);
+            """,
+        )
+    p = txn_catalog.resolve_table_name(registry, "scr.f")
+    assert mt.read(spark, p).count() == 1
