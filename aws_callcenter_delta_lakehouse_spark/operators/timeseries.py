@@ -182,3 +182,91 @@ def holt_linear(
         ],
     )
     return out
+
+
+def _median_by_selection(
+    df: DataFrame, group: str, value: str, out_name: str
+) -> DataFrame:
+    """Exact per-group median via k-th selection: sort, pick positions
+    (n+1)//2 and n//2 + 1, average as sum/count — for odd n both
+    positions coincide so the division is by 1 and the median is an
+    ELEMENT (no float averaging); for even n it is (a + b) / 2 with the
+    same op order any mirroring SQL writes. Value ties are harmless:
+    row_number among equal values is arbitrary, but only the VALUES at
+    the selected ranks are read and the k-th smallest of a multiset is
+    unique."""
+    w = Window.partitionBy(group).orderBy(F.col(value))
+    ranked = df.select(
+        group,
+        F.col(value).alias("__v"),
+        F.row_number().over(w).alias("__rk"),
+        F.count("*").over(Window.partitionBy(group)).alias("__n"),
+    )
+    k1 = (F.col("__n") + 1) / 2
+    k2 = F.col("__n") / 2 + 1
+    hit = (F.col("__rk") == F.floor(k1)) | (F.col("__rk") == F.floor(k2))
+    return ranked.groupBy(group).agg(
+        (
+            F.sum(F.when(hit, F.col("__v")))
+            / F.sum(F.when(hit, F.lit(1)))
+        ).alias(out_name),
+        F.first("__n").alias(f"__n_{out_name}"),
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil–Sen robust trend per group (Theil 1950, Sen 1968): slope =
+    median of all pairwise slopes (y_j - y_i) / (x_j - x_i) over x_i <
+    x_j, intercept = median of y_i - slope * x_i. Breakdown point
+    ~29% — the robust alternative to OLS when the daily series has
+    outlier days.
+
+    Scale shape: the pair build is a WITHIN-GROUP self-join (equi-join
+    on the group key + x inequality filter — a hash join, never a
+    cartesian), so pair count is C(points-per-group, 2), bounded by the
+    caller's window (days, not raw rows), while the group count
+    parallelizes. Medians are exact k-th selection
+    (``_median_by_selection``) — reduce-order-independent, so a SQL
+    oracle can replay them verbatim. Returns group, n_points, slope,
+    intercept."""
+    pts = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    a = pts.select("__g", F.col("__x").alias("x1"), F.col("__y").alias("y1"))
+    b = pts.select("__g", F.col("__x").alias("x2"), F.col("__y").alias("y2"))
+    slopes = (
+        a.join(b, on="__g")
+        .filter(F.col("x2") > F.col("x1"))
+        .select(
+            "__g",
+            (
+                (F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1"))
+            ).alias("__s"),
+        )
+    )
+    slope = _median_by_selection(slopes, "__g", "__s", "slope").select(
+        "__g", "slope"
+    )
+    resid = pts.join(slope, on="__g").select(
+        "__g",
+        "slope",
+        (F.col("__y") - F.col("slope") * F.col("__x")).alias("__r"),
+    )
+    inter = _median_by_selection(resid, "__g", "__r", "intercept")
+    n_pts = pts.groupBy("__g").agg(
+        F.count("*").cast("bigint").alias("n_points")
+    )
+    return (
+        n_pts.join(slope, on="__g")
+        .join(inter.select("__g", "intercept"), on="__g")
+        .select(
+            F.col("__g").alias(group_col), "n_points", "slope", "intercept"
+        )
+    )

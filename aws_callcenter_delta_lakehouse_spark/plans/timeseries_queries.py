@@ -708,3 +708,96 @@ def forecast_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_portable(F.col("f_1"), 6).alias("f_1"),
         round_portable(F.col("f_7"), 6).alias("f_7"),
     )
+
+
+@query(
+    "regression_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    pts AS (
+      SELECT event_type,
+             CAST(d - MIN(d) OVER (PARTITION BY event_type) AS DOUBLE) AS x,
+             y
+      FROM daily),
+    slopes AS (
+      SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS v
+      FROM pts a JOIN pts b
+        ON a.event_type = b.event_type AND b.x > a.x),
+    sr AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes),
+    slope AS (
+      SELECT event_type,
+             SUM(CASE WHEN rk = CAST(floor((n + 1) / 2) AS BIGINT)
+                       OR rk = CAST(floor(n / 2 + 1) AS BIGINT)
+                      THEN v END)
+             / SUM(CASE WHEN rk = CAST(floor((n + 1) / 2) AS BIGINT)
+                         OR rk = CAST(floor(n / 2 + 1) AS BIGINT)
+                        THEN 1 END) AS slope
+      FROM sr GROUP BY 1),
+    resid AS (
+      SELECT p.event_type, p.y - sl.slope * p.x AS v
+      FROM pts p JOIN slope sl ON p.event_type = sl.event_type),
+    rr AS (
+      SELECT event_type, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM resid),
+    inter AS (
+      SELECT event_type,
+             SUM(CASE WHEN rk = CAST(floor((n + 1) / 2) AS BIGINT)
+                       OR rk = CAST(floor(n / 2 + 1) AS BIGINT)
+                      THEN v END)
+             / SUM(CASE WHEN rk = CAST(floor((n + 1) / 2) AS BIGINT)
+                         OR rk = CAST(floor(n / 2 + 1) AS BIGINT)
+                        THEN 1 END) AS intercept
+      FROM rr GROUP BY 1),
+    np AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+      FROM daily GROUP BY 1)
+    SELECT np.event_type, np.n_points,
+           floor(slope.slope * 1e6 + 0.5) / 1e6 AS slope,
+           floor(inter.intercept * 1e6 + 0.5) / 1e6 AS intercept
+    FROM np
+    JOIN slope ON np.event_type = slope.event_type
+    JOIN inter ON np.event_type = inter.event_type
+    """,
+)
+def regression_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily event count per type
+    (operators/timeseries.py ``theil_sen``): slope = exact median of
+    all C(days, 2) pairwise slopes, intercept = exact median of the
+    residuals — the outlier-resistant alternative to the OLS battery
+    (``regression_ols_battery``). Pair building is a within-group
+    equi-join (hash, never cartesian; pinned in test_scale_plans);
+    medians are k-th selection, so the SQL oracle replays them
+    verbatim — element-exact for odd counts, (a + b)/2 with identical
+    op order for even."""
+    from pyspark.sql import Window
+
+    from ..operators.timeseries import theil_sen
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    pts = daily.select(
+        "event_type",
+        F.datediff(
+            "d", F.min("d").over(Window.partitionBy("event_type"))
+        ).cast("double").alias("x"),
+        "y",
+    )
+    out = theil_sen(pts, "event_type", "x", "y")
+    return out.select(
+        "event_type",
+        "n_points",
+        round_portable(F.col("slope"), 6).alias("slope"),
+        round_portable(F.col("intercept"), 6).alias("intercept"),
+    )

@@ -630,3 +630,10 @@ def test_url_canonical_no_shuffle_before_aggregate(spark):
     p = _plan(spark, "dedup_url_canonical")
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_theil_sen_pairs_are_hash_join_not_cartesian(spark):
+    p = _plan(spark, "regression_theil_sen")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p

@@ -62,3 +62,50 @@ def test_holt_two_point_series_returns_init(spark):
     row = holt_linear(df, "g", "t", "x").first()
     assert row["level"] == 10.0
     assert row["trend"] == 6.0
+
+
+# -- Theil-Sen ---------------------------------------------------------------
+
+from aws_callcenter_delta_lakehouse_spark.operators.timeseries import (  # noqa: E402
+    theil_sen,
+)
+
+
+def test_theil_sen_exact_on_line(spark):
+    df = _series_df(spark, [("a", i, 3.0 + 2.0 * i) for i in range(8)])
+    row = theil_sen(df, "g", "t", "x").first()
+    assert row["n_points"] == 8
+    assert row["slope"] == pytest.approx(2.0, rel=1e-12)
+    assert row["intercept"] == pytest.approx(3.0, rel=1e-12)
+
+
+def test_theil_sen_ignores_one_outlier(spark):
+    # OLS would tilt badly; the pairwise-median slope stays 2
+    pts = [(i, 3.0 + 2.0 * i) for i in range(9)]
+    pts[4] = (4, 500.0)
+    df = _series_df(spark, [("a", t, v) for t, v in pts])
+    row = theil_sen(df, "g", "t", "x").first()
+    assert row["slope"] == pytest.approx(2.0, rel=1e-12)
+    assert row["intercept"] == pytest.approx(3.0, rel=1e-12)
+
+
+def test_theil_sen_even_count_median_averages(spark):
+    # 3 points -> 3 pairwise slopes (odd, element median); intercept
+    # over 3 residuals (odd). 4 points -> 6 slopes (even): median is
+    # the mean of the 3rd and 4th smallest
+    df = _series_df(
+        spark, [("a", 0, 0.0), ("a", 1, 1.0), ("a", 2, 4.0), ("a", 3, 5.0)]
+    )
+    # pairwise slopes sorted: [1, 1, 5/3, 2, 2, 3] -> even count,
+    # median = (5/3 + 2) / 2 = 11/6
+    row = theil_sen(df, "g", "t", "x").first()
+    assert row["slope"] == pytest.approx(11.0 / 6.0, rel=1e-12)
+
+
+def test_theil_sen_multiple_groups_independent(spark):
+    rows = [("up", i, float(i)) for i in range(5)]
+    rows += [("down", i, float(-2 * i)) for i in range(5)]
+    df = _series_df(spark, rows)
+    got = {r["g"]: r for r in theil_sen(df, "g", "t", "x").collect()}
+    assert got["up"]["slope"] == pytest.approx(1.0)
+    assert got["down"]["slope"] == pytest.approx(-2.0)
