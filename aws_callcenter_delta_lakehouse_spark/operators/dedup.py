@@ -699,3 +699,66 @@ def substring_duplicate_spans(
         F.col("__dw").cast("long").alias("dup_windows"),
         covered.cast("long").alias("dup_tokens"),
     )
+
+
+def hamming_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-pairs of PRECOMPUTED ``bits``-wide fingerprints — the
+    banding half of :func:`simhash_near_pairs` factored over any hash
+    source (SimHash, image average-hash, audio chromaprints…): band
+    into ``bits/chunks``-bit chunks, bucket-join, verify with
+    bit_count(xor). Pigeonhole-EXACT for hamming <= chunks - 1; the
+    shuffle carries (id, hash, bucket) rows — 16 bytes per band, never
+    the payloads the hashes summarize."""
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"banding with {chunks} chunks is only exact for hamming <= "
+            f"{chunks - 1}, got max_hamming={max_hamming}"
+        )
+    width = bits // chunks
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col(hash_col), c * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bucket"),
+            )
+            for c in range(chunks)
+        ]
+    )
+    buckets = df.select(
+        id_col, hash_col, F.explode(chunk_structs).alias("cb")
+    ).select(
+        id_col,
+        hash_col,
+        F.col("cb.chunk").alias("chunk"),
+        F.col("cb.bucket").alias("bucket"),
+    )
+    l = buckets.select(
+        F.col(id_col).alias("d1"), F.col(hash_col).alias("h1"),
+        "chunk", "bucket",
+    )
+    r = buckets.select(
+        F.col(id_col).alias("d2"), F.col(hash_col).alias("h2"),
+        "chunk", "bucket",
+    )
+    return (
+        l.join(r, on=["chunk", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

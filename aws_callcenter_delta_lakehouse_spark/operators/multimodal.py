@@ -173,3 +173,36 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
         ).alias("frame_offset"),
     )
+
+
+def average_hash(pixels, n: int = 64):
+    """Perceptual average-hash (aHash — Krawetz 2011, "Looks Like It")
+    of a decoded ``n``-pixel luma thumbnail held as ``array<int>``:
+    bit i is set when pixel i is above the image mean. The comparison
+    is ``pixel * n > sum`` — pure integers, so the threshold can never
+    fall cross-engine-differently on a float mean. Returns a BIGINT
+    fingerprint; feed to ``dedup.hamming_near_pairs`` for the
+    banded near-duplicate join.
+
+    This is the hash half of the image-dedup pipeline; the decode half
+    (codec -> thumbnail array) is the Arrow-batched ``extract_features``
+    tier (real decode env-gated in this container). Per-row expression,
+    no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    if not 1 <= n <= 64:
+        raise ValueError(f"n must be in [1, 64] (BIGINT packing), got {n}")
+    total = F.aggregate(
+        pixels, F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    bit = None
+    for i in range(n):
+        # bit 63 is the sign bit of the packed BIGINT: adding -2^63
+        # sets it in two's complement (1 << 63 would overflow)
+        weight = -(2**63) if i == 63 else (1 << i)
+        term = F.when(
+            F.element_at(pixels, i + 1).cast("bigint") * n > total,
+            F.lit(weight).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        bit = term if bit is None else bit + term
+    return bit

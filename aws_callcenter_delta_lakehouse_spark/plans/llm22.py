@@ -114,3 +114,78 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("canonical").cast("bigint").alias("n_canonical"),
         F.min("canonical").alias("sample_canonical"),
     )
+
+
+def _ahash_sql(px: str = "px", s: str = "s", n: int = 64) -> str:
+    """The 64-term average-hash packing as SQL (mirror of
+    operators/multimodal.average_hash, bit 63 = sign bit)."""
+    terms = []
+    for i in range(n):
+        w = -(2**63) if i == 63 else (1 << i)
+        terms.append(
+            f"CASE WHEN {px}[{i + 1}] * {n} > {s} "
+            f"THEN CAST({w} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "multimodal_phash_neardup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS m
+      FROM documents),
+    px AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               i -> (g * 37 + i * i * 13) % 251
+                    + CASE WHEN i < m THEN 300 ELSE 0 END) AS px
+      FROM base),
+    h AS (
+      SELECT doc_id, {_ahash_sql()} AS ah
+      FROM (SELECT doc_id, px, list_sum(px) AS s FROM px)),
+    pairs AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2,
+             bit_count(xor(a.ah, b.ah)) AS hamming
+      FROM h a JOIN h b ON a.doc_id < b.doc_id)
+    SELECT d1, d2, CAST(hamming AS INTEGER) AS hamming
+    FROM pairs WHERE hamming <= 3
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual average-hash
+    (aHash — Krawetz 2011): each document gets a synthetic decoded
+    8x8 luma thumbnail (exact integer arithmetic; docs sharing
+    doc_id//4 are the same base image with 0-3 perturbed pixels —
+    recompressions/crops of one another), hashed to 64 bits by
+    mean-thresholding (operators/multimodal.average_hash, integer
+    ``pixel*64 > sum`` so the threshold never floats), then paired by
+    the banded Hamming join (operators/dedup.hamming_near_pairs —
+    pigeonhole-exact for hamming <= 3). The oracle brute-forces
+    all-pairs, so the diff also proves the banding loses nothing. At
+    100 TB: per-row hash, 4 bucket-keyed shuffle rows per image of 16
+    bytes each — payload bytes never shuffle; the decode tier is the
+    Arrow-batched extract_features path."""
+    from ..operators.dedup import hamming_near_pairs
+    from ..operators.multimodal import average_hash
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("doc_id DIV 4").alias("g"),
+        (F.col("doc_id") % 4).alias("m"),
+    )
+    px = base.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: (F.col("g") * 37 + i * i * 13) % 251
+            + F.when(i < F.col("m"), 300).otherwise(0),
+        ).alias("px"),
+    )
+    hashed = px.select("doc_id", average_hash(F.col("px")).alias("ah"))
+    pairs = hamming_near_pairs(
+        hashed, "doc_id", "ah", max_hamming=3, chunks=4
+    )
+    return pairs.select(
+        "d1", "d2", F.col("hamming").cast("int").alias("hamming")
+    )

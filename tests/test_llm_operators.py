@@ -969,3 +969,66 @@ def test_substring_duplicate_spans_interval_merge(spark):
     assert out2[5]["dup_windows"] == 2
     assert out2[5]["dup_tokens"] == 20
     assert out2[6]["dup_tokens"] == 20
+
+
+# -- perceptual hash near-dup (round 10) -------------------------------------
+
+
+def test_average_hash_packs_bits_and_sign(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.multimodal import (
+        average_hash,
+    )
+
+    # 64 pixels: exactly the last 32 above the mean -> bits 32..63 set,
+    # which in two's complement is a negative BIGINT
+    px = [0] * 32 + [100] * 32
+    df = spark.createDataFrame([(px,)], "px array<int>")
+    h = df.select(average_hash(F.col("px")).alias("h")).first()["h"]
+    expect = sum(1 << i for i in range(32, 63)) - 2**63
+    assert h == expect
+
+
+def test_average_hash_rejects_oversize(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.multimodal import (
+        average_hash,
+    )
+
+    with pytest.raises(ValueError):
+        average_hash(F.col("px"), n=65)
+
+
+def test_hamming_near_pairs_matches_brute_force(spark):
+    import itertools
+
+    from aws_callcenter_delta_lakehouse_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    hashes = [
+        (0, 0b1111000),
+        (1, 0b1111001),          # hamming 1 to id 0
+        (2, 0b1111111),          # hamming 3 to id 0, 2 to id 1
+        (3, -(2**63) + 5),       # negative fingerprint, far from all
+        (4, -(2**63) + 4),       # hamming 1 to id 3
+    ]
+    df = spark.createDataFrame(hashes, "doc_id long, h long")
+    got = {
+        (r["d1"], r["d2"]): r["hamming"]
+        for r in hamming_near_pairs(df, "doc_id", "h", 3, 4).collect()
+    }
+    expect = {}
+    for (i, a), (j, b) in itertools.combinations(hashes, 2):
+        d = bin((a ^ b) & (2**64 - 1)).count("1")
+        if d <= 3:
+            expect[(i, j)] = d
+    assert got == expect
+
+
+def test_hamming_near_pairs_rejects_unsound_banding(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.dedup import (
+        hamming_near_pairs,
+    )
+
+    df = spark.createDataFrame([(0, 1)], "doc_id long, h long")
+    with pytest.raises(ValueError):
+        hamming_near_pairs(df, "doc_id", "h", max_hamming=4, chunks=4)

@@ -637,3 +637,10 @@ def test_theil_sen_pairs_are_hash_join_not_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_phash_neardup_banded_join_no_cartesian(spark):
+    p = _plan(spark, "multimodal_phash_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
