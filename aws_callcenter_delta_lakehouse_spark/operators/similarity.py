@@ -18,7 +18,7 @@ randomness, no collect.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalars import round_portable
@@ -600,4 +600,132 @@ def standardize_embeddings(
                 F.col("__pz"), lambda s: round_portable(s["z"], round_digits)
             ).alias("z_embedding"),
         )
+    )
+
+
+def mmr_select(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    lam: float = 0.75,
+    pool: int = 16,
+    q_id_col: str = "q_id",
+    q_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_query_ids: bool = False,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversification pass RAG retrievers run after ANN:
+    greedily pick ``k`` documents maximizing
+    ``lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)``, so each
+    pick is relevant AND novel against the already-picked set.
+
+    Batched over MANY queries at once — the scale shape: (1) one
+    broadcast of the query set scores relevance and keeps each query's
+    top-``pool`` candidates (TakeOrdered-style window, RAW score with
+    id tie-break); (2) the pool self-joins once per query for the
+    pairwise cosines (pool^2 rows per query, pool is a small constant);
+    (3) ``k`` plan-level iterations (k is a constant, like the
+    pagerank/kcore unrolls) each do one window argmax + one equi-join
+    update of the running max-sim — every query advances in parallel,
+    no driver loop over data. First pick is pure argmax relevance
+    (max-sim starts undefined, not 0 — cosines can be negative).
+    Returns (q_id, rank, id, rel, score); rank-1 score = lam * rel.
+    """
+    q = queries.select(
+        F.col(q_id_col).alias("__q"), F.col(q_vec_col).alias("__qv")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        "__q",
+        F.col(id_col).alias("__d"),
+        F.col(vec_col).alias("__v"),
+        cosine(F.col(vec_col), F.col("__qv")).alias("__rel"),
+    )
+    if exclude_query_ids:
+        # querying the corpus by one of its own members: the member
+        # itself (cos = 1) is not an answer
+        scored = scored.filter(F.col("__d") != F.col("__q"))
+    w = Window.partitionBy("__q").orderBy(F.desc("__rel"), F.asc("__d"))
+    pooled = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= pool)
+        .select("__q", "__d", "__v", "__rel")
+    )
+    a = pooled.select("__q", F.col("__d").alias("__a"), F.col("__v").alias("__va"))
+    b = pooled.select("__q", F.col("__d").alias("__b"), F.col("__v").alias("__vb"))
+    sims = (
+        a.join(b, on="__q")
+        .filter(F.col("__a") != F.col("__b"))
+        .select(
+            "__q", "__a", "__b",
+            cosine(F.col("__va"), F.col("__vb")).alias("__s"),
+        )
+    )
+    cands = pooled.select(
+        "__q", "__d", "__rel", F.lit(None).cast("double").alias("__ms")
+    )
+    picks = []
+    for t in range(1, k + 1):
+        score = F.when(
+            F.col("__ms").isNull(), F.lit(lam) * F.col("__rel")
+        ).otherwise(
+            F.lit(lam) * F.col("__rel") - F.lit(1.0 - lam) * F.col("__ms")
+        )
+        wt = Window.partitionBy("__q").orderBy(
+            F.desc("__score"), F.asc("__d")
+        )
+        ranked = cands.withColumn("__score", score).withColumn(
+            "__rn", F.row_number().over(wt)
+        )
+        sel = ranked.filter(F.col("__rn") == 1).select(
+            "__q",
+            F.col("__d").alias("__sel"),
+            F.col("__rel").alias("__sel_rel"),
+            F.col("__score").alias("__sel_score"),
+        )
+        picks.append(
+            sel.select(
+                "__q", F.lit(t).alias("rank"), F.col("__sel").alias("__d"),
+                F.col("__sel_rel").alias("rel"),
+                F.col("__sel_score").alias("score"),
+            )
+        )
+        if t < k:
+            s_al = sims.alias("S")
+            p_al = sel.select("__q", "__sel").alias("P")
+            upd = s_al.join(
+                p_al,
+                on=[
+                    F.col("S.__q") == F.col("P.__q"),
+                    F.col("S.__b") == F.col("P.__sel"),
+                ],
+            )
+            # rebuild candidate state: drop the pick, fold its sim into
+            # the running max
+            upd2 = upd.select(
+                F.col("S.__q").alias("__q"),
+                F.col("S.__a").alias("__d"),
+                F.col("S.__s").alias("__news"),
+            )
+            cands = (
+                cands.join(sel.select("__q", "__sel"), on="__q")
+                .filter(F.col("__d") != F.col("__sel"))
+                .drop("__sel")
+                .join(upd2, on=["__q", "__d"], how="left")
+                .select(
+                    "__q", "__d", "__rel",
+                    F.when(
+                        F.col("__ms").isNull(), F.col("__news")
+                    ).otherwise(
+                        F.greatest(F.col("__ms"), F.col("__news"))
+                    ).alias("__ms"),
+                )
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        F.col("__q").alias(q_id_col), "rank",
+        F.col("__d").alias(id_col), "rel", "score",
     )

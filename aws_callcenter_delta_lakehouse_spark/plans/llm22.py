@@ -189,3 +189,110 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "d1", "d2", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    rng = f"range(1, {dim + 1})"
+    return (
+        f"list_sum(list_transform({rng}, i -> CAST({a}[i] AS DOUBLE)"
+        f" * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform({rng}, i -> CAST({a}[i] AS"
+        f" DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform({rng}, i -> CAST({b}[i] AS"
+        f" DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+
+
+def _mmr_oracle(k: int = 3, pool: int = 16) -> str:
+    """Unrolled MMR greedy selection: one (rank, candidate-update) CTE
+    pair per pick. ``pool``/``sims`` are referenced more than once ->
+    MATERIALIZED (r5 chained-CTE rule)."""
+    steps = []
+    uni = []
+    for t in range(1, k + 1):
+        score = (
+            "0.75 * rel" if t == 1 else "0.75 * rel - 0.25 * ms"
+        )
+        steps.append(
+            f"r{t} AS (SELECT *, {score} AS score, ROW_NUMBER() OVER ("
+            f"PARTITION BY q_id ORDER BY {score} DESC, vec_id) AS rn "
+            f"FROM c{t})"
+        )
+        steps.append(
+            f"s{t} AS (SELECT q_id, vec_id AS sel, rel AS sel_rel, "
+            f"score AS sel_score FROM r{t} WHERE rn = 1)"
+        )
+        if t < k:
+            ms = "sim.s" if t == 1 else "GREATEST(c.ms, sim.s)"
+            steps.append(
+                f"c{t + 1} AS (SELECT c.q_id, c.vec_id, c.rel, {ms} AS ms "
+                f"FROM c{t} c "
+                f"JOIN s{t} ON c.q_id = s{t}.q_id AND c.vec_id <> s{t}.sel "
+                f"JOIN sims sim ON sim.q_id = c.q_id "
+                f"AND sim.ia = c.vec_id AND sim.ib = s{t}.sel)"
+            )
+        uni.append(
+            f"SELECT q_id, {t} AS rank, sel AS vec_id, "
+            f"floor(sel_rel * 1e6 + 0.5) / 1e6 AS rel, "
+            f"floor(sel_score * 1e6 + 0.5) / 1e6 AS score FROM s{t}"
+        )
+    chain = ",\n    ".join(steps)
+    final = "\n    UNION ALL ".join(uni)
+    return f"""
+    WITH qs AS (
+      SELECT vec_id AS q_id, embedding AS qv
+      FROM embeddings WHERE vec_id IN (0, 1, 2)),
+    rel0 AS (
+      SELECT q.q_id, e.vec_id, e.embedding,
+             {_cos_sql('e.embedding', 'q.qv')} AS rel
+      FROM embeddings e JOIN qs q ON e.vec_id <> q.q_id),
+    pool AS MATERIALIZED (
+      SELECT q_id, vec_id, embedding, rel FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY rel DESC, vec_id) AS rn
+        FROM rel0)
+      WHERE rn <= {pool}),
+    sims AS MATERIALIZED (
+      SELECT a.q_id, a.vec_id AS ia, b.vec_id AS ib,
+             {_cos_sql('a.embedding', 'b.embedding')} AS s
+      FROM pool a JOIN pool b
+        ON a.q_id = b.q_id AND a.vec_id <> b.vec_id),
+    c1 AS (SELECT q_id, vec_id, rel, CAST(NULL AS DOUBLE) AS ms
+           FROM pool),
+    {chain}
+    {final}
+    """
+
+
+@query("similarity_mmr_rerank", oracle=_mmr_oracle())
+def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-3 for three query
+    vectors over the embedding corpus (operators/similarity.py
+    ``mmr_select`` — Carbonell & Goldstein 1998), lam = 0.75, pool =
+    16: the RAG re-ranking pass that trades pure relevance for novelty
+    against the already-picked set. Batched across queries — broadcast
+    scoring, per-query pooling window, pool-local pairwise cosines,
+    then k constant plan-level argmax+update iterations (no driver
+    data loop). The oracle unrolls the greedy selection CTE-per-pick
+    and diffs exactly: identical fold arithmetic, RAW-score ranking
+    with id tie-breaks, 1e-6 rounding only at the output."""
+    from ..catalog import load_table_parallel
+    from ..operators.similarity import mmr_select
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qvec")
+    )
+    out = mmr_select(
+        qs, emb.select("vec_id", "embedding"),
+        k=3, lam=0.75, pool=16, exclude_query_ids=True,
+    )
+    from ..functions.scalars import round_portable as rp
+
+    return out.select(
+        "q_id",
+        F.col("rank").cast("int").alias("rank"),
+        "vec_id",
+        rp(F.col("rel"), 6).alias("rel"),
+        rp(F.col("score"), 6).alias("score"),
+    )

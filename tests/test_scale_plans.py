@@ -644,3 +644,9 @@ def test_phash_neardup_banded_join_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_mmr_broadcast_queries_no_cartesian(spark):
+    p = _plan(spark, "similarity_mmr_rerank")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
