@@ -296,3 +296,62 @@ def similarity_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         rp(F.col("rel"), 6).alias("rel"),
         rp(F.col("score"), 6).alias("score"),
     )
+
+
+@query(
+    "stats_bootstrap_ci",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    grp AS (
+      SELECT event_type, list_sort(list(y)) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1),
+    ms AS (
+      SELECT event_type, xs, n,
+        list_sort(list_transform(range(1, 201), b ->
+          list_sum(list_transform(range(1, CAST(n AS INTEGER) + 1), i ->
+            xs[CAST(CAST('0x' || substr(md5(event_type || chr(31) || '0'
+                 || chr(31) || CAST(b AS VARCHAR) || chr(31)
+                 || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+               % n + 1 AS INTEGER)]
+          )) / n
+        )) AS mlist
+      FROM grp)
+    SELECT event_type, n,
+           floor(list_sum(xs) / n * 1e6 + 0.5) / 1e6 AS mean,
+           floor(mlist[6] * 1e6 + 0.5) / 1e6 AS ci_lo,
+           floor(mlist[195] * 1e6 + 0.5) / 1e6 AS ci_hi
+    FROM ms
+    """,
+)
+def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% percentile-bootstrap CI (Efron 1979) of the mean daily event
+    count per type: B = 200 hash-seeded resamples
+    (operators/bootstrap.py — deterministic portable-md5 draws, the
+    seeded-randomness pattern shared with the DP Laplace mechanism),
+    CI = resample means of rank 6 and 195 by explicit selection, no
+    interpolation. The whole B x n resample runs as one nested
+    higher-order expression per group row — JVM-side, zero shuffles
+    beyond the daily aggregate, and the oracle replays every draw."""
+    from ..operators.bootstrap import bootstrap_mean_ci
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    out = bootstrap_mean_ci(
+        daily, "event_type", "y", B=200, alpha=0.05, seed=0, portable=True
+    )
+    from ..functions.scalars import round_portable as rp
+
+    return out.select(
+        "event_type",
+        "n",
+        rp(F.col("mean"), 6).alias("mean"),
+        rp(F.col("ci_lo"), 6).alias("ci_lo"),
+        rp(F.col("ci_hi"), 6).alias("ci_hi"),
+    )

@@ -650,3 +650,9 @@ def test_mmr_broadcast_queries_no_cartesian(spark):
     p = _plan(spark, "similarity_mmr_rerank")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_bootstrap_resample_no_python_no_extra_exchange(spark):
+    p = _plan(spark, "stats_bootstrap_ci")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p

@@ -109,3 +109,39 @@ def test_theil_sen_multiple_groups_independent(spark):
     got = {r["g"]: r for r in theil_sen(df, "g", "t", "x").collect()}
     assert got["up"]["slope"] == pytest.approx(1.0)
     assert got["down"]["slope"] == pytest.approx(-2.0)
+
+
+# -- bootstrap CI ------------------------------------------------------------
+
+from aws_callcenter_delta_lakehouse_spark.operators.bootstrap import (  # noqa: E402
+    bootstrap_mean_ci,
+)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    rows = [("a", i, float(10 + (i % 5))) for i in range(30)]
+    df = _series_df(spark, rows)
+    r1 = bootstrap_mean_ci(df, "g", "x", B=50, seed=3).first()
+    r2 = bootstrap_mean_ci(df, "g", "x", B=50, seed=3).first()
+    assert r1["n"] == 30
+    assert r1["ci_lo"] <= r1["mean"] <= r1["ci_hi"]
+    assert (r1["ci_lo"], r1["ci_hi"]) == (r2["ci_lo"], r2["ci_hi"])
+    r3 = bootstrap_mean_ci(df, "g", "x", B=50, seed=4).first()
+    assert (r1["ci_lo"], r1["ci_hi"]) != (r3["ci_lo"], r3["ci_hi"])
+
+
+def test_bootstrap_ci_degenerate_constant_series(spark):
+    df = _series_df(spark, [("a", i, 7.0) for i in range(10)])
+    row = bootstrap_mean_ci(df, "g", "x", B=20).first()
+    assert row["mean"] == 7.0
+    assert row["ci_lo"] == 7.0 and row["ci_hi"] == 7.0
+
+
+def test_bootstrap_ci_rejects_bad_params(spark):
+    df = _series_df(spark, [("a", 0, 1.0)])
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bootstrap_mean_ci(df, "g", "x", B=1)
+    with _pt.raises(ValueError):
+        bootstrap_mean_ci(df, "g", "x", alpha=1.5)
