@@ -270,3 +270,62 @@ def theil_sen(
             F.col("__g").alias(group_col), "n_points", "slope", "intercept"
         )
     )
+
+
+def single_changepoint(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single change-point per group by between-segment variance
+    maximization — the one-split step of binary segmentation (Scott &
+    Knott 1974): for every split k of the ordered series, score
+    ``k * (n - k) / n * (m_left - m_right)^2`` (the SSE reduction of a
+    two-mean fit) and pick the argmax (ties broken by the earlier
+    split). All from one windowed prefix-sum pass — no per-split
+    rescan, no iteration: cum/total sums give both means per row, so
+    the whole detector is two windows over one shuffle on the group.
+    Returns group, n, split_at (the order value of the LAST point of
+    the left segment), mean_left, mean_right, score."""
+    w_ord = Window.partitionBy("__g").orderBy("__o")
+    w_all = Window.partitionBy("__g")
+    pts = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__y"),
+    )
+    pre = pts.select(
+        "__g",
+        "__o",
+        F.sum("__y").over(w_ord).alias("__cum"),
+        F.row_number().over(w_ord).alias("__k"),
+        F.sum("__y").over(w_all).alias("__tot"),
+        F.count("*").over(w_all).alias("__n"),
+    )
+    k, n = F.col("__k").cast("double"), F.col("__n").cast("double")
+    m1 = F.col("__cum") / k
+    m2 = (F.col("__tot") - F.col("__cum")) / (n - k)
+    scored = pre.filter(F.col("__k") < F.col("__n")).select(
+        "__g",
+        "__o",
+        "__n",
+        m1.alias("__m1"),
+        m2.alias("__m2"),
+        (k * (n - k) / n * (m1 - m2) * (m1 - m2)).alias("__score"),
+    )
+    w_best = Window.partitionBy("__g").orderBy(
+        F.desc("__score"), F.asc("__o")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").cast("bigint").alias("n"),
+            F.col("__o").alias("split_at"),
+            F.col("__m1").alias("mean_left"),
+            F.col("__m2").alias("mean_right"),
+            F.col("__score").alias("score"),
+        )
+    )

@@ -801,3 +801,64 @@ def regression_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_portable(F.col("slope"), 6).alias("slope"),
         round_portable(F.col("intercept"), 6).alias("intercept"),
     )
+
+
+@query(
+    "events_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    pre AS (
+      SELECT event_type, d,
+             SUM(y) OVER (PARTITION BY event_type ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS k,
+             SUM(y) OVER (PARTITION BY event_type) AS tot,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    m AS (
+      SELECT event_type, d, n,
+             cum / k AS m1, (tot - cum) / (n - k) AS m2, k
+      FROM pre WHERE k < n),
+    scored AS (
+      SELECT event_type, d, n, m1, m2,
+             CAST(k AS DOUBLE) * (n - k) / n * (m1 - m2) * (m1 - m2)
+               AS score
+      FROM m),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY score DESC, d) AS rn
+      FROM scored)
+    SELECT event_type, CAST(n AS BIGINT) AS n, d AS split_at,
+           floor(m1 * 1e6 + 0.5) / 1e6 AS mean_left,
+           floor(m2 * 1e6 + 0.5) / 1e6 AS mean_right,
+           floor(score * 1e6 + 0.5) / 1e6 AS score
+    FROM best WHERE rn = 1
+    """,
+)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point per event type over the daily count series
+    (operators/timeseries.py ``single_changepoint`` — the one-split
+    step of binary segmentation): maximize the between-segment SSE
+    reduction ``k(n-k)/n * (m_left - m_right)^2`` over all splits,
+    computed from ONE windowed prefix-sum pass — no per-split rescan.
+    Integer-valued doubles keep the cumulative sums exact; the argmax
+    tie-breaks on the earlier date (trap 6)."""
+    from ..operators.timeseries import single_changepoint
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    out = single_changepoint(daily, "event_type", "d", "y")
+    return out.select(
+        "event_type",
+        "n",
+        F.col("split_at"),
+        round_portable(F.col("mean_left"), 6).alias("mean_left"),
+        round_portable(F.col("mean_right"), 6).alias("mean_right"),
+        round_portable(F.col("score"), 6).alias("score"),
+    )

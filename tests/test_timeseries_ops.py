@@ -145,3 +145,37 @@ def test_bootstrap_ci_rejects_bad_params(spark):
         bootstrap_mean_ci(df, "g", "x", B=1)
     with _pt.raises(ValueError):
         bootstrap_mean_ci(df, "g", "x", alpha=1.5)
+
+
+# -- changepoint -------------------------------------------------------------
+
+from aws_callcenter_delta_lakehouse_spark.operators.timeseries import (  # noqa: E402
+    single_changepoint,
+)
+
+
+def test_changepoint_finds_obvious_level_shift(spark):
+    rows = [("a", i, 10.0) for i in range(10)]
+    rows += [("a", 10 + i, 50.0) for i in range(10)]
+    df = _series_df(spark, rows)
+    row = single_changepoint(df, "g", "t", "x").first()
+    assert row["split_at"] == 9  # last point of the left segment
+    assert row["mean_left"] == 10.0
+    assert row["mean_right"] == 50.0
+    assert row["n"] == 20
+
+
+def test_changepoint_constant_series_scores_zero_earliest_split(spark):
+    df = _series_df(spark, [("a", i, 3.0) for i in range(6)])
+    row = single_changepoint(df, "g", "t", "x").first()
+    assert row["score"] == 0.0
+    assert row["split_at"] == 0  # all splits tie at 0; earliest wins
+
+
+def test_changepoint_per_group(spark):
+    rows = [("flat", i, 5.0) for i in range(8)]
+    rows += [("step", i, 0.0 if i < 3 else 9.0) for i in range(8)]
+    df = _series_df(spark, rows)
+    got = {r["g"]: r for r in single_changepoint(df, "g", "t", "x").collect()}
+    assert got["step"]["split_at"] == 2
+    assert got["flat"]["score"] == 0.0
