@@ -9,6 +9,8 @@ scales with a single (lang, word) aggregate.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -418,4 +420,81 @@ def hashed_linear_quality(
         "n_words",
         F.col("raw").alias("raw_score"),
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("raw")))).alias("keep_prob"),
+    )
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: Sequence[str],
+    top_k: int = 20,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens; each word scores
+    degree/frequency (degree = summed length of the phrases its
+    occurrences sit in), and a phrase scores the sum of its members'
+    scores. Returns the corpus top-``top_k`` phrases by score
+    (tie-broken on the phrase text) with ``n_words``, ``n_docs`` and
+    ``score_micro``.
+
+    Determinism: phrase runs come from the gaps-and-islands index
+    trick (pos - row_number over non-stop words — pure integers, no
+    regex-boundary subtleties), and scores stay INTEGER end to end:
+    score_micro(w) = degree * 1_000_000 DIV freq, phrase score = the
+    exact BIGINT sum — no float summation order anywhere, so a SQL
+    oracle replays it bit-for-bit. Scale: tokenize/explode is per-row;
+    word stats are one hash aggregate on the word; the phrase
+    reassembly shuffles on (doc, run) — token-bounded, text never
+    joins against text."""
+    words = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("__pos", "__w"),
+        )
+        .filter(F.col("__w") != "")
+    )
+    nonstop = words.filter(~F.col("__w").isin(*[s for s in stopwords]))
+    w_run = Window.partitionBy("__id").orderBy("__pos")
+    runs = nonstop.withColumn(
+        "__grp", F.col("__pos") - F.row_number().over(w_run)
+    )
+    plen = runs.groupBy("__id", "__grp").agg(
+        F.count("*").alias("__plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__w"))),
+                lambda s: s["__w"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    members = runs.join(
+        plen.select("__id", "__grp", "__plen"), on=["__id", "__grp"]
+    )
+    wstats = members.groupBy("__w").agg(
+        F.count("*").cast("bigint").alias("__freq"),
+        F.sum("__plen").cast("bigint").alias("__deg"),
+    )
+    wscore = wstats.select(
+        "__w",
+        F.expr("CAST(__deg * 1000000 DIV __freq AS BIGINT)").alias("__ws"),
+    )
+    pscore = (
+        members.join(wscore, on="__w")
+        .groupBy("__id", "__grp")
+        .agg(F.sum("__ws").alias("__ps"))
+    )
+    scored = plen.join(pscore, on=["__id", "__grp"])
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.first("__plen").cast("bigint").alias("n_words"),
+            F.countDistinct("__id").cast("bigint").alias("n_docs"),
+            F.first("__ps").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("phrase"))
+        .limit(top_k)
     )

@@ -355,3 +355,69 @@ def stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         rp(F.col("ci_lo"), 6).alias("ci_lo"),
         rp(F.col("ci_hi"), 6).alias("ci_hi"),
     )
+
+
+@query(
+    "text_rake_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             string_split_regex(lower(text), '[^a-z0-9]+') AS tk
+      FROM documents),
+    words AS (
+      SELECT id, CAST(generate_subscripts(tk, 1) - 1 AS BIGINT) AS pos,
+             unnest(tk) AS w
+      FROM toks),
+    nonstop AS (
+      SELECT * FROM words
+      WHERE w <> '' AND w NOT IN
+        ('a','the','and','of','to','in','is','on','for','with')),
+    runs AS (
+      SELECT *, pos - ROW_NUMBER() OVER (
+        PARTITION BY id ORDER BY pos) AS grp
+      FROM nonstop),
+    plen AS (
+      SELECT id, grp, CAST(COUNT(*) AS BIGINT) AS plen,
+             string_agg(w, ' ' ORDER BY pos) AS phrase
+      FROM runs GROUP BY 1, 2),
+    members AS (
+      SELECT r.id, r.grp, r.w, p.plen
+      FROM runs r JOIN plen p ON r.id = p.id AND r.grp = p.grp),
+    wstats AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS deg
+      FROM members GROUP BY 1),
+    wscore AS (
+      SELECT w, CAST(deg * 1000000 // freq AS BIGINT) AS ws FROM wstats),
+    pscore AS (
+      SELECT m.id, m.grp, CAST(SUM(s.ws) AS BIGINT) AS ps
+      FROM members m JOIN wscore s ON m.w = s.w GROUP BY 1, 2),
+    scored AS (
+      SELECT p.phrase, p.plen, ps.ps, p.id
+      FROM plen p JOIN pscore ps ON p.id = ps.id AND p.grp = ps.grp)
+    SELECT phrase, CAST(MAX(plen) AS BIGINT) AS n_words,
+           CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs,
+           CAST(MAX(ps) AS BIGINT) AS score_micro
+    FROM scored GROUP BY 1
+    ORDER BY score_micro DESC, phrase LIMIT 20
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 RAKE keyphrases (Rose et al. 2010) over the
+    documents table (operators/text.py ``rake_keywords``): phrases are
+    maximal non-stopword runs found by the gaps-and-islands index
+    trick (no regex-boundary subtleties), word score =
+    degree * 1e6 DIV freq in exact BIGINT micro-units, phrase score =
+    the integer sum — zero float summation, so the oracle replays the
+    ranking bit-for-bit. Complements tfidf_top_terms (unigram
+    importance) with multi-word phrase extraction."""
+    from ..operators.text import rake_keywords
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return rake_keywords(
+        docs,
+        "doc_id",
+        "text",
+        ["a", "the", "and", "of", "to", "in", "is", "on", "for", "with"],
+        top_k=20,
+    )

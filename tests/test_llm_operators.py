@@ -1032,3 +1032,39 @@ def test_hamming_near_pairs_rejects_unsound_banding(spark):
     df = spark.createDataFrame([(0, 1)], "doc_id long, h long")
     with pytest.raises(ValueError):
         hamming_near_pairs(df, "doc_id", "h", max_hamming=4, chunks=4)
+
+
+def test_rake_keywords_hand_example(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.text import (
+        rake_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning of deep networks"),
+            (2, "deep learning"),
+        ],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(docs, "doc_id", "text", ["of"], top_k=10).collect()
+    rows = {r["phrase"]: r for r in out}
+    # phrases: "deep learning" (x2), "deep networks"
+    # freq: deep=4, learning=2, networks=1
+    # degree: deep = 2+2+2+2 = 8, learning = 2+2 = 4, networks = 2
+    # ws(micro): deep 2_000_000, learning 2_000_000, networks 2_000_000
+    assert set(rows) == {"deep learning", "deep networks"}
+    assert rows["deep learning"]["score_micro"] == 4_000_000
+    assert rows["deep learning"]["n_docs"] == 2
+    assert rows["deep networks"]["n_words"] == 2
+
+
+def test_rake_phrase_runs_split_on_stopwords_and_punct(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.text import (
+        rake_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Red fish, and BLUE fish!")], "doc_id long, text string"
+    )
+    out = rake_keywords(docs, "doc_id", "text", ["and"], top_k=10).collect()
+    assert {r["phrase"] for r in out} == {"red fish", "blue fish"}

@@ -656,3 +656,9 @@ def test_bootstrap_resample_no_python_no_extra_exchange(spark):
     p = _plan(spark, "stats_bootstrap_ci")
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_rake_no_python_no_cartesian(spark):
+    p = _plan(spark, "text_rake_keywords")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
