@@ -329,3 +329,129 @@ def single_changepoint(
             F.col("__score").alias("score"),
         )
     )
+
+
+def holt_winters_additive(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    alpha: float = 0.25,
+    beta: float = 0.125,
+    gamma: float = 0.25,
+    n_steps: int = 28,
+    horizons: tuple[int, ...] = (1, 7),
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing — Winters
+    1960): level + linear trend + a ``period``-slot seasonal state,
+
+        l_t = alpha * (x_t - s_{t-m}) + (1 - alpha) * (l_{t-1} + b_{t-1})
+        b_t = beta * (l_t - l_{t-1}) + (1 - beta) * b_{t-1}
+        s_t = gamma * (x_t - l_t) + (1 - gamma) * s_{t-m}
+
+    with the standard simple initialization over the first two seasons
+    (l = mean of season 1, b = (mean season 2 - mean season 1) / m,
+    s_i = x_i - l), recurrence from t = m + 1, forecast
+    ŷ_{T+h} = l + h·b + s_{slot(T+h)}. ``n_steps`` must be a multiple
+    of ``period`` >= 2 periods; only groups with >= n_steps points
+    participate (their LAST n_steps points), making the unroll length a
+    plan constant for the oracle.
+
+    Same execution shape as ``holt_linear``: one shuffle to the
+    per-group ordered array, then a single JVM-side fold whose
+    accumulator is (l, b, s[period]); the per-step seasonal update
+    rewrites ONE slot via an index-aware transform. Init sums fold
+    left-to-right, matching the literal chains a SQL oracle writes."""
+    if n_steps < 2 * period or n_steps % period:
+        raise ValueError(
+            f"n_steps must be a multiple of period covering >= 2 seasons "
+            f"(period={period}, n_steps={n_steps})"
+        )
+    pairs = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    w = Window.partitionBy("__g").orderBy(F.col("__o").desc())
+    pairs = (
+        pairs.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_steps)
+        .drop("__rk")
+    )
+    series = (
+        pairs.groupBy("__g")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__o", "__x"))),
+                lambda s: s["__x"],
+            ).alias("xs")
+        )
+        .filter(F.size("xs") == n_steps)
+    )
+    m = period
+
+    def el(i: int):
+        return F.element_at("xs", i)
+
+    sum1 = el(1)
+    for i in range(2, m + 1):
+        sum1 = sum1 + el(i)
+    sum2 = el(m + 1)
+    for i in range(m + 2, 2 * m + 1):
+        sum2 = sum2 + el(i)
+    l0 = sum1 / float(m)
+    b0 = (sum2 / float(m) - sum1 / float(m)) / float(m)
+    s0 = F.array(*[el(i) - l0 for i in range(1, m + 1)])
+
+    def step(acc, i):
+        x = F.element_at("xs", i.cast("int"))
+        slot = (i - 1) % m  # 0-based seasonal slot of step i
+        s_old = F.element_at(acc["s"], (slot + 1).cast("int"))
+        lnew = alpha * (x - s_old) + (1.0 - alpha) * (
+            acc["l"] + acc["b"]
+        )
+        bnew = beta * (
+            (alpha * (x - s_old) + (1.0 - alpha) * (acc["l"] + acc["b"]))
+            - acc["l"]
+        ) + (1.0 - beta) * acc["b"]
+        snew = gamma * (
+            x
+            - (alpha * (x - s_old) + (1.0 - alpha) * (acc["l"] + acc["b"]))
+        ) + (1.0 - gamma) * s_old
+        return F.struct(
+            lnew.alias("l"),
+            bnew.alias("b"),
+            F.transform(
+                acc["s"],
+                lambda v, j: F.when(j == slot, snew).otherwise(v),
+            ).alias("s"),
+        )
+
+    folded = series.select(
+        "__g",
+        "xs",
+        F.aggregate(
+            F.sequence(F.lit(m + 1), F.lit(n_steps)),
+            F.struct(l0.alias("l"), b0.alias("b"), s0.alias("s")),
+            step,
+        ).alias("st"),
+    )
+    fc = []
+    for h in horizons:
+        if h > m:
+            raise ValueError(f"horizon {h} exceeds period {m}")
+        slot = (n_steps + h - 1) % m + 1  # 1-based seasonal slot
+        fc.append(
+            (
+                F.col("st.l")
+                + float(h) * F.col("st.b")
+                + F.element_at("st.s", slot)
+            ).alias(f"f_{h}")
+        )
+    return folded.select(
+        F.col("__g").alias(group_col),
+        F.col("st.l").alias("level"),
+        F.col("st.b").alias("trend"),
+        *fc,
+    )

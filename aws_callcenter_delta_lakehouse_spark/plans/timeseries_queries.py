@@ -862,3 +862,99 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_portable(F.col("mean_right"), 6).alias("mean_right"),
         round_portable(F.col("score"), 6).alias("score"),
     )
+
+
+def _hw_oracle(m: int = 7, n: int = 28) -> str:
+    """Unrolled additive Holt-Winters: SELECT *-carrying CTE per step
+    with UNIQUE column names per assignment (lateral-alias shadowing
+    rules differ across engines; fresh names sidestep them). The
+    generator tracks each seasonal slot's latest column name."""
+    sum1 = " + ".join(f"xs[{i}]" for i in range(1, m + 1))
+    sum2 = " + ".join(f"xs[{i}]" for i in range(m + 1, 2 * m + 1))
+    init_cols = [
+        f"({sum1}) / {float(m)!r} AS l0",
+        f"(({sum2}) / {float(m)!r} - ({sum1}) / {float(m)!r})"
+        f" / {float(m)!r} AS b0",
+    ] + [
+        f"xs[{j}] - (({sum1}) / {float(m)!r}) AS s{j}_0"
+        for j in range(1, m + 1)
+    ]
+    cur = {"l": "l0", "b": "b0"}
+    for j in range(1, m + 1):
+        cur[j] = f"s{j}_0"
+    steps = []
+    for i in range(m + 1, n + 1):
+        slot = (i - 1) % m + 1
+        lex = (
+            f"0.25 * (xs[{i}] - {cur[slot]}) + 0.75 * "
+            f"({cur['l']} + {cur['b']})"
+        )
+        cols = [
+            f"{lex} AS l{i}",
+            f"0.125 * (({lex}) - {cur['l']}) + 0.875 * {cur['b']} AS b{i}",
+            f"0.25 * (xs[{i}] - ({lex})) + 0.75 * {cur[slot]}"
+            f" AS s{slot}_{i}",
+        ]
+        steps.append(
+            f"h{i} AS (SELECT *, {', '.join(cols)} FROM h{i - 1})"
+        )
+        cur["l"], cur["b"], cur[slot] = f"l{i}", f"b{i}", f"s{slot}_{i}"
+    chain = ",\n    ".join(steps)
+    f1_slot = (n + 1 - 1) % m + 1
+    f7_slot = (n + 7 - 1) % m + 1
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY d DESC) AS rk
+      FROM daily),
+    series AS (
+      SELECT event_type, list(y ORDER BY d) AS xs
+      FROM ranked WHERE rk <= {n} GROUP BY 1 HAVING COUNT(*) = {n}),
+    h{m} AS (SELECT event_type, xs, {', '.join(init_cols)} FROM series),
+    {chain}
+    SELECT event_type,
+           floor({cur['l']} * 1e6 + 0.5) / 1e6 AS level,
+           floor({cur['b']} * 1e6 + 0.5) / 1e6 AS trend,
+           floor(({cur['l']} + 1.0 * {cur['b']} + {cur[f1_slot]})
+                 * 1e6 + 0.5) / 1e6 AS f_1,
+           floor(({cur['l']} + 7.0 * {cur['b']} + {cur[f7_slot]})
+                 * 1e6 + 0.5) / 1e6 AS f_7
+    FROM h{n}
+    """
+
+
+@query("forecast_holt_winters", oracle=_hw_oracle())
+def forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (level + trend + weekly seasonality) of
+    the daily event count per type over each type's last 28 days, with
+    1-day and 7-day-ahead seasonal forecasts
+    (operators/timeseries.py ``holt_winters_additive``). alpha = 0.25,
+    beta = 0.125, gamma = 0.25 — exact binary fractions; the oracle
+    unrolls the triple recurrence one CTE per step with fresh column
+    names per assignment, replaying the identical float op sequence
+    (init sums as left-to-right literal chains). Completes the
+    forecasting ladder: seasonal-naive baseline -> Holt linear ->
+    Holt-Winters seasonal."""
+    from ..operators.timeseries import holt_winters_additive
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    out = holt_winters_additive(
+        daily, "event_type", "d", "y",
+        period=7, alpha=0.25, beta=0.125, gamma=0.25,
+        n_steps=28, horizons=(1, 7),
+    )
+    return out.select(
+        "event_type",
+        round_portable(F.col("level"), 6).alias("level"),
+        round_portable(F.col("trend"), 6).alias("trend"),
+        round_portable(F.col("f_1"), 6).alias("f_1"),
+        round_portable(F.col("f_7"), 6).alias("f_7"),
+    )

@@ -662,3 +662,9 @@ def test_rake_no_python_no_cartesian(spark):
     p = _plan(spark, "text_rake_keywords")
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_holt_winters_single_shuffle_no_python(spark):
+    p = _plan(spark, "forecast_holt_winters")
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p

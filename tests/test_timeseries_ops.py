@@ -179,3 +179,71 @@ def test_changepoint_per_group(spark):
     got = {r["g"]: r for r in single_changepoint(df, "g", "t", "x").collect()}
     assert got["step"]["split_at"] == 2
     assert got["flat"]["score"] == 0.0
+
+
+# -- Holt-Winters ------------------------------------------------------------
+
+from aws_callcenter_delta_lakehouse_spark.operators.timeseries import (  # noqa: E402
+    holt_winters_additive,
+)
+
+
+def _py_hw(xs, m=7, a=0.25, b=0.125, g=0.25):
+    s1 = 0.0
+    for i in range(m):
+        s1 = s1 + xs[i]
+    s2 = 0.0
+    for i in range(m, 2 * m):
+        s2 = s2 + xs[i]
+    lvl, tr = s1 / m, (s2 / m - s1 / m) / m
+    s = [xs[i] - lvl for i in range(m)]
+    for t in range(m, len(xs)):
+        slot = t % m
+        so = s[slot]
+        lnew = a * (xs[t] - so) + (1 - a) * (lvl + tr)
+        bnew = b * ((a * (xs[t] - so) + (1 - a) * (lvl + tr)) - lvl) \
+            + (1 - b) * tr
+        snew = g * (xs[t] - (a * (xs[t] - so) + (1 - a) * (lvl + tr))) \
+            + (1 - g) * so
+        lvl, tr, s[slot] = lnew, bnew, snew
+    return lvl, tr, s
+
+
+def test_hw_matches_python_reference(spark):
+    xs = [
+        50.0 + 3.0 * t + [5, -2, 0, 4, -5, 1, -3][t % 7] + (t % 3) * 0.5
+        for t in range(28)
+    ]
+    df = _series_df(spark, [("a", t, v) for t, v in enumerate(xs)])
+    row = holt_winters_additive(df, "g", "t", "x").first()
+    lvl, tr, s = _py_hw(xs)
+    assert row["level"] == pytest.approx(lvl, rel=1e-12)
+    assert row["trend"] == pytest.approx(tr, rel=1e-12)
+    assert row["f_1"] == pytest.approx(lvl + tr + s[28 % 7], rel=1e-12)
+    assert row["f_7"] == pytest.approx(
+        lvl + 7 * tr + s[(28 + 6) % 7], rel=1e-12
+    )
+
+
+def test_hw_exact_on_stationary_seasonal(spark):
+    # zero-trend exact weekly pattern (season sums to 0): the simple
+    # init recovers (l=10, b=0, s=season) exactly and every update is a
+    # fixed point, so forecasts continue the pattern exactly. (On a
+    # TRENDED series the simple init absorbs trend into the seasonal
+    # state — a known bias of this init, deliberately not asserted.)
+    season = [4.0, -1.0, 0.0, 3.0, -2.0, 1.0, -5.0]
+    xs = [10.0 + season[t % 7] for t in range(28)]
+    df = _series_df(spark, [("a", t, v) for t, v in enumerate(xs)])
+    row = holt_winters_additive(df, "g", "t", "x").first()
+    assert row["level"] == pytest.approx(10.0, rel=1e-12)
+    assert row["trend"] == pytest.approx(0.0, abs=1e-12)
+    assert row["f_1"] == pytest.approx(10.0 + season[0], rel=1e-12)
+    assert row["f_7"] == pytest.approx(10.0 + season[6], rel=1e-12)
+
+
+def test_hw_rejects_bad_shape(spark):
+    df = _series_df(spark, [("a", 0, 1.0)])
+    with pytest.raises(ValueError):
+        holt_winters_additive(df, "g", "t", "x", period=7, n_steps=10)
+    with pytest.raises(ValueError):
+        holt_winters_additive(df, "g", "t", "x", horizons=(8,))
