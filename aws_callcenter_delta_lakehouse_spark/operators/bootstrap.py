@@ -38,8 +38,10 @@ def _draw_index(g, seed: int, b, i, n, portable: bool):
     if portable:
         h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
     else:
-        h = F.abs(F.xxhash64(key))
-    return (h % n + 1).cast("int")
+        # pmod, not abs(%): abs(Long.MIN) overflows (ANSI throws at
+        # probability 2^-64); pmod maps negatives into [0, n) directly
+        h = F.xxhash64(key)
+    return (F.pmod(h, n) + 1).cast("int")
 
 
 def bootstrap_mean_ci(

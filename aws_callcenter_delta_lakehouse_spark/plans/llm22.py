@@ -1,17 +1,19 @@
 """Twenty-second LLM-pipeline batch (round 10): URL canonicalization
-dedup.
+dedup, perceptual-hash image near-dup, seeded bootstrap CIs, MMR
+diversified retrieval, RAKE keyphrase extraction.
 
 Web corpora key their first dedup pass on the URL, not the text — the
 same page is crawled under ``HTTP://Www.Site.com/a/?utm_source=x`` and
 ``http://www.site.com/a``, and canonical-form equality collapses the
 recrawls before any content hashing runs (CommonCrawl-style). The
-documents table carries no URL column, so the query synthesizes one
-per doc by exact integer arithmetic (the synthetic-coordinate
-precedent, ``spatial_radius_join``), deliberately injecting every
-variance the canonicalizer must collapse: mixed-case hosts, default
-ports, trailing slashes, tracking params, fragments.
+documents table carries no URL (or image) column, so those queries
+synthesize one per doc by exact integer arithmetic (the
+synthetic-coordinate precedent, ``spatial_radius_join``),
+deliberately injecting the variance the operator must collapse:
+mixed-case hosts / tracking params for the canonicalizer, perturbed
+base images for the aHash near-dup.
 
-Capability extension over the reference's analytics surface; no
+Capability extensions over the reference's analytics surface; no
 counterpart to port — cited for scope, not code.
 """
 
