@@ -1216,3 +1216,58 @@ def sql_ctas_clone_journey(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView("sql_ctas_cust")
         spark.conf.unset(_REGISTRY_CONF)
         shutil.rmtree(registry, ignore_errors=True)
+
+
+@query(
+    "sql_metadata_tables",
+    oracle="""
+    SELECT c_mktsegment AS seg,
+           CAST(MAX(CASE WHEN c_custkey % 4 = 0 THEN 1 ELSE 0 END)
+              + MAX(CASE WHEN c_custkey % 4 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(2 AS BIGINT) AS n_versions
+    FROM customer WHERE c_custkey % 4 IN (0, 1) GROUP BY 1
+    """,
+)
+def sql_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg/Trino-style queryable metadata tables
+    (sources/metadata_tables.py): a partitioned table is created with
+    one file per partition (repartition(1) write) and blind-appended a
+    second single-file batch, then interrogated ENTIRELY through SQL —
+    ``FROM t$partitions`` with a scalar ``t$snapshots`` subquery — so
+    per-partition file counts, physical row counts and the retained
+    version count all come from the metadata relations, matched
+    against the oracle's replay of the data that went in. The
+    collection is a driver-side listing plus footer reads (metadata
+    cardinality); no Spark job scans data."""
+    import shutil
+    import tempfile
+
+    from ..sources import managed_table as mt
+    from ..sources import sql_dml, txn_catalog
+    from ..sources.delta_api import _REGISTRY_CONF
+
+    registry = tempfile.mkdtemp(prefix="sql_md_reg_")
+    spark.conf.set(_REGISTRY_CONF, registry)
+    try:
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", F.col("c_mktsegment").alias("seg")
+        )
+        base = cust.filter(F.col("c_custkey") % 4 == 0).repartition(1)
+        path = registry + "/t"
+        mt.commit_overwrite(base, path, partition_by=["seg"])
+        txn_catalog.register_table_name(registry, "mdq.t", path)
+        extra = cust.filter(F.col("c_custkey") % 4 == 1).repartition(1)
+        mt.append_rows(spark, extra, path)
+        out = sql_dml.sql(
+            spark,
+            "SELECT seg, n_files, n_rows, "
+            "(SELECT COUNT(*) FROM mdq.t$snapshots) AS n_versions "
+            "FROM mdq.t$partitions",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)

@@ -58,7 +58,9 @@ Commands (``sql_command``, routed automatically by :func:`sql`):
 Passthrough reads additionally support Delta's time-travel pin on
 registry names — ``SELECT ... FROM t VERSION AS OF 3`` /
 ``FROM t TIMESTAMP AS OF '2026-01-01T00:00:00'`` — rewritten to temp
-views over ``read(version=)`` / ``read_as_of`` before ``spark.sql``.
+views over ``read(version=)`` / ``read_as_of`` before ``spark.sql``,
+and the Iceberg/Trino metadata-table convention ``FROM t$files |
+t$partitions | t$snapshots`` (:mod:`sources.metadata_tables`).
 
 Scale: the parser is driver-side string work on statements (bytes);
 all data movement happens in the dispatched executors, which keep
@@ -1055,6 +1057,40 @@ def _rewrite_time_travel(
     return _TT_RE.sub(_sub, stmt)
 
 
+_MD_RE = re.compile(
+    rf"\b(FROM|JOIN)\s+(?P<name>{_IDENT})\$"
+    r"(?P<kind>files|partitions|snapshots)\b",
+    re.I,
+)
+
+
+def _rewrite_metadata_tables(
+    spark: SparkSession, stmt: str, registry_dir: str | None
+) -> str:
+    """Iceberg/Trino-style metadata tables over registry names in
+    passthrough reads: ``SELECT ... FROM t$files | t$partitions |
+    t$snapshots`` (:mod:`sources.metadata_tables`). Each reference
+    becomes a unique temp view materialized at rewrite time — metadata
+    cardinality, so the collection is a driver-side listing, not a
+    Spark job. Unresolvable names are left untouched."""
+    import uuid as _uuid
+
+    from .metadata_tables import METADATA_KINDS
+
+    def _sub(m: re.Match) -> str:
+        name = m.group("name").replace("`", "")
+        try:
+            path = _resolve(spark, name, registry_dir)
+        except Exception:
+            return m.group(0)
+        df = METADATA_KINDS[m.group("kind").lower()](spark, path)
+        view = f"__md_{_uuid.uuid4().hex[:10]}"
+        df.createOrReplaceTempView(view)
+        return f"{m.group(1)} {view}"
+
+    return _MD_RE.sub(_sub, stmt)
+
+
 # -- entry point -------------------------------------------------------------
 
 
@@ -1093,7 +1129,13 @@ def sql(
     if _COMMAND_RE.match(stmt):
         out = sql_command(spark, statement, registry_dir)
         return out if isinstance(out, DataFrame) else None
-    return spark.sql(_rewrite_time_travel(spark, statement, registry_dir))
+    return spark.sql(
+        _rewrite_time_travel(
+            spark,
+            _rewrite_metadata_tables(spark, statement, registry_dir),
+            registry_dir,
+        )
+    )
 
 
 def _strip_line_comments(text: str) -> str:
