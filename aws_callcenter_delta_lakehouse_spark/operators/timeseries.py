@@ -455,3 +455,77 @@ def holt_winters_additive(
         F.col("st.b").alias("trend"),
         *fc,
     )
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Mann-Kendall trend test per group (Mann 1945, Kendall 1975) —
+    the standard significance companion to the Theil-Sen slope: S =
+    sum over ordered pairs of sign(x_j - x_i), variance with the tie
+    correction  var = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18  over
+    tied-value groups, and the continuity-corrected normal score
+    z = (S -/+ 1)/sqrt(var) (0 when S = 0). S and both variance terms
+    are EXACT integers; the only floats are one division and one sqrt,
+    so a SQL oracle reproduces z bit-for-bit.
+
+    Same scale shape as ``theil_sen``: the pair build is a
+    within-group equi-join on the group key (hash, never cartesian),
+    C(points, 2) pairs per group with points bounded by the caller's
+    window; tie counting is one extra hash aggregate. Returns group,
+    n, s, var_s, z."""
+    pts = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).alias("__y"),
+    )
+    a = pts.select("__g", F.col("__o").alias("o1"), F.col("__y").alias("y1"))
+    b = pts.select("__g", F.col("__o").alias("o2"), F.col("__y").alias("y2"))
+    s = (
+        a.join(b, on="__g")
+        .filter(F.col("o2") > F.col("o1"))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.when(F.col("y2") > F.col("y1"), 1)
+                .when(F.col("y2") < F.col("y1"), -1)
+                .otherwise(0)
+            ).cast("bigint").alias("s")
+        )
+    )
+    nrows = pts.groupBy("__g").agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        pts.groupBy("__g", "__y")
+        .agg(F.count("*").alias("__t"))
+        .groupBy("__g")
+        .agg(
+            F.sum(
+                F.col("__t")
+                * (F.col("__t") - 1)
+                * (2 * F.col("__t") + 5)
+            ).cast("bigint").alias("__tie_term")
+        )
+    )
+    n = F.col("n")
+    var_s = (
+        n * (n - 1) * (2 * n + 5) - F.col("__tie_term")
+    ).cast("double") / F.lit(18.0)
+    z = (
+        F.when(F.col("s") > 0,
+               (F.col("s").cast("double") - 1.0) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0,
+              (F.col("s").cast("double") + 1.0) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        nrows.join(s, on="__g")
+        .join(ties, on="__g")
+        .withColumn("var_s", var_s)
+        .select(
+            F.col("__g").alias(group_col), "n", "s", "var_s",
+            z.alias("z"),
+        )
+    )

@@ -958,3 +958,68 @@ def forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_portable(F.col("f_1"), 6).alias("f_1"),
         round_portable(F.col("f_7"), 6).alias("f_7"),
     )
+
+
+@query(
+    "events_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d > a.d
+      GROUP BY 1),
+    nn AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT event_type, y, COUNT(*) AS t
+            FROM daily GROUP BY 1, 2)
+      GROUP BY 1),
+    j AS (
+      SELECT nn.event_type, nn.n, s.s,
+             CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                  AS DOUBLE) / 18.0 AS var_s
+      FROM nn JOIN s ON nn.event_type = s.event_type
+      JOIN ties ON nn.event_type = ties.event_type)
+    SELECT event_type, n, s,
+           floor(var_s * 1e6 + 0.5) / 1e6 AS var_s,
+           floor((CASE WHEN s > 0
+                       THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var_s)
+                       WHEN s < 0
+                       THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var_s)
+                       ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS z
+    FROM j
+    """,
+)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotonic-trend test of the daily event count per
+    type (operators/timeseries.py ``mann_kendall``) — the significance
+    companion to ``regression_theil_sen``: exact integer S over all
+    ordered day pairs, tie-corrected variance, continuity-corrected
+    normal score. S and the variance terms never touch floats until
+    one division and one sqrt, both replayed identically by the
+    oracle."""
+    from ..operators.timeseries import mann_kendall
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    out = mann_kendall(daily, "event_type", "d", "y")
+    return out.select(
+        "event_type",
+        "n",
+        "s",
+        round_portable(F.col("var_s"), 6).alias("var_s"),
+        round_portable(F.col("z"), 6).alias("z"),
+    )

@@ -668,3 +668,9 @@ def test_holt_winters_single_shuffle_no_python(spark):
     p = _plan(spark, "forecast_holt_winters")
     assert "BatchEvalPython" not in p
     assert "CartesianProduct" not in p
+
+
+def test_mann_kendall_pairs_hash_join(spark):
+    p = _plan(spark, "events_mann_kendall")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p

@@ -247,3 +247,50 @@ def test_hw_rejects_bad_shape(spark):
         holt_winters_additive(df, "g", "t", "x", period=7, n_steps=10)
     with pytest.raises(ValueError):
         holt_winters_additive(df, "g", "t", "x", horizons=(8,))
+
+
+# -- Mann-Kendall ------------------------------------------------------------
+
+from aws_callcenter_delta_lakehouse_spark.operators.timeseries import (  # noqa: E402
+    mann_kendall,
+)
+
+
+def test_mann_kendall_monotone_series(spark):
+    # strictly increasing: S = C(n,2), no ties
+    df = _series_df(spark, [("a", i, float(i)) for i in range(10)])
+    row = mann_kendall(df, "g", "t", "x").first()
+    assert row["s"] == 45
+    assert row["var_s"] == pytest.approx(10 * 9 * 25 / 18.0)
+    assert row["z"] == pytest.approx(44.0 / (10 * 9 * 25 / 18.0) ** 0.5)
+
+
+def test_mann_kendall_constant_series_zero(spark):
+    # all tied: S = 0, variance fully tie-corrected to 0, z = 0
+    df = _series_df(spark, [("a", i, 5.0) for i in range(6)])
+    row = mann_kendall(df, "g", "t", "x").first()
+    assert row["s"] == 0
+    assert row["var_s"] == 0.0
+    assert row["z"] == 0.0
+
+
+def test_mann_kendall_matches_scipy_style_reference(spark):
+    import itertools
+    import math
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = _series_df(spark, [("a", i, v) for i, v in enumerate(xs)])
+    row = mann_kendall(df, "g", "t", "x").first()
+    s = sum(
+        (0 if a == b else (1 if b > a else -1))
+        for a, b in itertools.combinations(xs, 2)
+    )
+    n = len(xs)
+    from collections import Counter
+
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xs).values())
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    z = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    assert row["s"] == s
+    assert row["var_s"] == pytest.approx(var)
+    assert row["z"] == pytest.approx(z, rel=1e-12)
