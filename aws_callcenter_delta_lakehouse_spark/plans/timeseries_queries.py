@@ -1023,3 +1023,94 @@ def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         round_portable(F.col("var_s"), 6).alias("var_s"),
         round_portable(F.col("z"), 6).alias("z"),
     )
+
+
+@query(
+    "events_spearman_matrix",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    ranked AS (
+      SELECT event_type, d,
+             CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY event_type, y) - 1
+                  AS BIGINT) AS r2
+      FROM daily),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a.r2) AS BIGINT) AS sx,
+             CAST(SUM(b.r2) AS BIGINT) AS sy,
+             CAST(SUM(a.r2 * b.r2) AS BIGINT) AS sxy,
+             CAST(SUM(a.r2 * a.r2) AS BIGINT) AS sxx,
+             CAST(SUM(b.r2 * b.r2) AS BIGINT) AS syy
+      FROM ranked a JOIN ranked b
+        ON a.d = b.d AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n,
+           floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS rho
+    FROM pairs
+    """,
+)
+def events_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank-correlation matrix between the event types' daily
+    count series — do types co-move? Ranks use the tie-averaged
+    convention carried as DOUBLED integers (2*rank + tie_count - 1),
+    so every aggregate (Sx, Sxy, Sxx, ...) is an exact BIGINT and the
+    Pearson-on-ranks formula touches floats only in the final
+    one-division-two-sqrt step, replayed identically by the oracle
+    (the 2x scaling cancels in the ratio). Shape: one window per type,
+    one date-keyed equi-join producing C(types, 2) pair groups — days
+    bound the join, never raw rows."""
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    ranked = daily.select(
+        "event_type",
+        "d",
+        (
+            2 * F.rank().over(
+                Window.partitionBy("event_type").orderBy("y")
+            )
+            + F.count("*").over(
+                Window.partitionBy("event_type", "y")
+            )
+            - 1
+        ).cast("bigint").alias("r2"),
+    )
+    a = ranked.select(
+        F.col("event_type").alias("type_a"), "d", F.col("r2").alias("ra")
+    )
+    b = ranked.select(
+        F.col("event_type").alias("type_b"), "d", F.col("r2").alias("rb")
+    )
+    pairs = (
+        a.join(b, on="d")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("ra").cast("bigint").alias("sx"),
+            F.sum("rb").cast("bigint").alias("sy"),
+            F.sum(F.col("ra") * F.col("rb")).cast("bigint").alias("sxy"),
+            F.sum(F.col("ra") * F.col("ra")).cast("bigint").alias("sxx"),
+            F.sum(F.col("rb") * F.col("rb")).cast("bigint").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    rho = (n * F.col("sxy") - sx * sy).cast("double") / (
+        F.sqrt((n * F.col("sxx") - sx * sx).cast("double"))
+        * F.sqrt((n * F.col("syy") - sy * sy).cast("double"))
+    )
+    return pairs.select(
+        "type_a", "type_b", "n", round_portable(rho, 6).alias("rho")
+    )

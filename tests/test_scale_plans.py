@@ -674,3 +674,9 @@ def test_mann_kendall_pairs_hash_join(spark):
     p = _plan(spark, "events_mann_kendall")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_spearman_matrix_date_keyed_join(spark):
+    p = _plan(spark, "events_spearman_matrix")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
