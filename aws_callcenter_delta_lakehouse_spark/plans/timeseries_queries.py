@@ -1114,3 +1114,79 @@ def events_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "type_a", "type_b", "n", round_portable(rho, 6).alias("rho")
     )
+
+
+@query(
+    "orders_gini_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT seg, cents,
+             ROW_NUMBER() OVER (PARTITION BY seg
+                                ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER (PARTITION BY seg) AS n
+      FROM rev),
+    agg AS (
+      SELECT seg, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(i * cents) AS BIGINT) AS swx,
+             CAST(SUM(cents) AS BIGINT) AS sx
+      FROM ranked GROUP BY 1)
+    SELECT seg, n,
+           floor((CAST(2 * swx AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+                  - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+                 * 1e6 + 0.5) / 1e6 AS gini
+    FROM agg
+    """,
+)
+def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration per market
+    segment — the Lorenz-curve inequality index via the rank formula
+    G = 2*sum(i * x_(i)) / (n * sum(x)) - (n + 1)/n over
+    ascending-sorted revenues. Revenues are integer cents (trap 13)
+    and ranks integer, so both sums are exact BIGINTs (i*cents peaks
+    ~3e12 at sf0.1 — comfortably inside the 9.2e18 BIGINT range up to
+    ~1e6x this scale; beyond that, pre-scale to dollars) and the only
+    float work is the final mirrored expression. Ties on revenue
+    tie-break by customer key (trap 6). One join + one window + one
+    aggregate, all segment-keyed."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    rev = (
+        orders.join(cust, on="o_custkey")
+        .groupBy("seg", "o_custkey")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    w = Window.partitionBy("seg").orderBy("cents", "o_custkey")
+    ranked = rev.select(
+        "seg",
+        "cents",
+        F.row_number().over(w).cast("bigint").alias("i"),
+    )
+    agg = ranked.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("swx"),
+        F.sum("cents").cast("bigint").alias("sx"),
+    )
+    n = F.col("n").cast("double")
+    gini = (2 * F.col("swx")).cast("double") / (
+        n * F.col("sx").cast("double")
+    ) - (n + 1.0) / n
+    return agg.select(
+        "seg", "n", round_portable(gini, 6).alias("gini")
+    )

@@ -680,3 +680,9 @@ def test_spearman_matrix_date_keyed_join(spark):
     p = _plan(spark, "events_spearman_matrix")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_gini_segment_keyed_no_python(spark):
+    p = _plan(spark, "orders_gini_concentration")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
