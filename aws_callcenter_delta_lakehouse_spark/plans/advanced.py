@@ -298,3 +298,66 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_matched",
         "longest",
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rk
+      FROM events),
+    first3 AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY rk) AS path,
+             COUNT(*) AS n_steps
+      FROM seq WHERE rk <= 3 GROUP BY 1 HAVING COUNT(*) = 3),
+    counts AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM first3 GROUP BY 1)
+    SELECT path, n_users FROM counts
+    ORDER BY n_users DESC, path LIMIT 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 opening paths: each user's FIRST THREE events (ordered
+    by microsecond timestamp with the unique event_id tie-break, traps
+    6/10) joined into a '>' path string, counted across users — the
+    classic product-analytics path report, complementing
+    events_markov_transitions (pairwise) with ordered 3-step prefixes.
+    One shuffle to each user's head slice; users with fewer than three
+    events are excluded on both sides."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    first3 = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rk", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("n_steps"),
+        )
+        .filter(F.col("n_steps") == 3)
+    )
+    return (
+        first3.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(10)
+    )

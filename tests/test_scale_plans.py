@@ -686,3 +686,10 @@ def test_gini_segment_keyed_no_python(spark):
     p = _plan(spark, "orders_gini_concentration")
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
+
+
+def test_top_paths_single_window_shuffle(spark):
+    p = _plan(spark, "events_top_paths")
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "TakeOrderedAndProject" in p  # top-10, never a full sort
