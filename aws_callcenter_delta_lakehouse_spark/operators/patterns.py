@@ -29,14 +29,103 @@ from pyspark.sql import functions as F
 def encode_symbols(type_col: Column, mapping: Mapping[str, str]) -> Column:
     """Map event-type values to single-character symbols; unmapped
     types become '.' (excluded from any sane pattern's classes)."""
+    if not mapping:
+        raise ValueError("mapping must be non-empty")
     for sym in mapping.values():
         if len(sym) != 1:
             raise ValueError(f"symbols must be single chars, got {sym!r}")
+    if len(set(mapping.values())) != len(mapping):
+        raise ValueError(
+            f"duplicate symbols in mapping {dict(mapping)!r} — two event "
+            "types sharing a character would silently merge"
+        )
     expr = None
     for val, sym in sorted(mapping.items()):
         cond = type_col == F.lit(val)
         expr = F.when(cond, sym) if expr is None else expr.when(cond, sym)
     return expr.otherwise(F.lit("."))
+
+
+def compile_pattern(pattern: str, mapping: Mapping[str, str]) -> str:
+    """Compile a MATCH_RECOGNIZE ``PATTERN`` clause into the symbol
+    regex :func:`match_event_pattern` runs — the SQL:2016 subset a
+    funnel analyst actually writes:
+
+        variables     event-type names (the ``mapping`` keys), each
+                      standing for one event of that type
+        concatenation ``A B C`` (whitespace)
+        alternation   ``A | B`` — at any grouping depth
+        grouping      ``( ... )``
+        quantifiers   ``*  +  ?  {m}  {m,}  {m,n}`` on a variable or
+                      group, greedy (SQL:2016's default; reluctant
+                      ``??``-style suffixes are rejected — Java and
+                      RE2 disagree on them in ways the oracle cannot
+                      mirror)
+
+    So ``signup view{2,3} purchase`` becomes e.g. ``sv{2,3}p`` and
+    ``view (click|view)* purchase`` becomes ``v(?:c|v)*p``. Groups
+    compile to NON-capturing ``(?:...)`` so ``regexp_extract_all(...,
+    0)`` keeps returning whole matches. Unknown variables raise with
+    the known alphabet (a typo would otherwise silently never match).
+    Matching semantics downstream stay AFTER MATCH SKIP PAST LAST ROW
+    (non-overlapping, leftmost)."""
+    import re
+
+    pattern = pattern.strip()
+    if not pattern:
+        raise ValueError("pattern must be non-empty")
+    tok = re.compile(
+        r"\s*(?:(?P<var>[A-Za-z_][\w.]*)"
+        r"|(?P<open>\()|(?P<close>\))|(?P<alt>\|)"
+        r"|(?P<quant>\*|\+|\?|\{\d+(?:,\d*)?\}))"
+    )
+    out: list[str] = []
+    depth = 0
+    prev_quantifiable = False  # a var or ')' directly behind us
+    i, n = 0, len(pattern)
+    while i < n:
+        m = tok.match(pattern, i)
+        if not m or m.end() == i:
+            raise ValueError(
+                f"PATTERN syntax error at {pattern[i:]!r} in {pattern!r}"
+            )
+        i = m.end()
+        if m.group("var"):
+            var = m.group("var")
+            if var not in mapping:
+                raise ValueError(
+                    f"unknown pattern variable {var!r} — known: "
+                    f"{sorted(mapping)}"
+                )
+            out.append(re.escape(mapping[var]))
+            prev_quantifiable = True
+        elif m.group("open"):
+            out.append("(?:")
+            depth += 1
+            prev_quantifiable = False
+        elif m.group("close"):
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced ')' in {pattern!r}")
+            out.append(")")
+            prev_quantifiable = True
+        elif m.group("alt"):
+            out.append("|")
+            prev_quantifiable = False
+        else:  # quantifier
+            if not prev_quantifiable:
+                raise ValueError(
+                    f"quantifier {m.group('quant')!r} must follow a "
+                    f"variable or group in {pattern!r}"
+                )
+            out.append(m.group("quant"))
+            prev_quantifiable = False  # reject 'A*?' (reluctant)
+    if depth != 0:
+        raise ValueError(f"unbalanced '(' in {pattern!r}")
+    rest = pattern[i:].strip()
+    if rest:
+        raise ValueError(f"trailing junk {rest!r} in {pattern!r}")
+    return "".join(out)
 
 
 def match_event_pattern(

@@ -361,3 +361,63 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "events_pattern_quantified",
+    oracle="""
+    WITH syms AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE event_type
+               WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+               WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+               WHEN 'view' THEN 'v' ELSE '.' END AS ch
+      FROM events),
+    seqs AS (
+      SELECT user_id, string_agg(ch, '' ORDER BY us, ch) AS seq
+      FROM syms GROUP BY 1),
+    m AS (
+      SELECT user_id, CAST(length(seq) AS INTEGER) AS seq_len,
+             regexp_extract_all(seq, 's(?:v|c){2,3}p') AS ms
+      FROM seqs)
+    SELECT CAST(user_id AS BIGINT) AS user_id, seq_len,
+           CAST(len(ms) AS BIGINT) AS n_matches,
+           CAST(coalesce(list_sum(list_transform(ms, x -> length(x))), 0)
+                AS BIGINT) AS total_matched,
+           CAST(coalesce(list_max(list_transform(ms, x -> length(x))), 0)
+                AS INTEGER) AS longest
+    FROM m
+    """,
+)
+def events_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with BOUNDED QUANTIFIERS and ALTERNATION: the
+    PATTERN clause ``signup (view|click){2,3} purchase`` is compiled by
+    ``operators.patterns.compile_pattern`` (variables -> symbols,
+    groups -> non-capturing, quantifiers verbatim) into the regex
+    ``s(?:v|c){2,3}p`` and run with AFTER MATCH SKIP PAST LAST ROW
+    semantics — the next construct a funnel analyst reaches for beyond
+    single-event classes. Oracle-safe for the proven reason: the
+    repeated alternation excludes the terminator symbol, so Java
+    (greedy + backtrack) and RE2 (leftmost-first) agree match-for-match;
+    same-microsecond ties sort by symbol on both engines."""
+    from ..operators.patterns import compile_pattern, match_event_pattern
+
+    mapping = {"click": "c", "error": "e", "purchase": "p",
+               "signup": "s", "view": "v"}
+    ev = load_table(spark, sf_dir, "events")
+    out = match_event_pattern(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        mapping,
+        compile_pattern("signup (view|click){2,3} purchase", mapping),
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("seq_len").cast("int").alias("seq_len"),
+        "n_matches",
+        "total_matched",
+        "longest",
+    )

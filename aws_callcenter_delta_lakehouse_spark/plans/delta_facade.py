@@ -1271,3 +1271,177 @@ def sql_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.unset(_REGISTRY_CONF)
         shutil.rmtree(registry, ignore_errors=True)
+
+
+@query(
+    "sql_select_by_name",
+    oracle="""
+    WITH gold_call_daily_summary AS (
+        SELECT CAST(ts AS DATE) AS call_date,
+               COUNT(*) AS total_calls,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS completed_calls,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS dropped_calls,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS failed_calls,
+               CASE WHEN COUNT(*) > 0
+                    THEN floor((SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 100.0
+                               / COUNT(*)) * 1e2 + 0.5) / 1e2
+                    ELSE 0.0 END AS completion_rate
+        FROM events GROUP BY 1),
+    surviving AS (
+        -- the DV delete removed the mod-5 dropped-call days
+        SELECT * FROM gold_call_daily_summary
+        WHERE NOT (dropped_calls % 5 = 0))
+    SELECT call_date, total_calls, completed_calls, dropped_calls,
+           failed_calls, completion_rate
+    FROM surviving
+    ORDER BY call_date DESC LIMIT 10
+    """,
+)
+def sql_select_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's bare-name Athena idiom end-to-end
+    (``/root/reference/sql/athena_queries.sql:7-16``): the Gold daily
+    summary is COMMITTED as a managed table, soft-deleted with
+    DELETION VECTORS (a reader feature no raw parquet view can honor),
+    registered under ``callcenter_analytics.gold_call_daily_summary``,
+    and then Athena Q1 runs VERBATIM — bare name, no time-travel pin,
+    no register_sql_view — through the SQL front-end's passthrough
+    rewriter (``sources/sql_dml.py:_rewrite_bare_names``), which
+    routes the reference through ``managed_table.read`` so the DV
+    anti-join applies. The oracle rebuilds the summary and filters the
+    deleted days relationally."""
+    import shutil
+
+    from ..sources import managed_table as mt
+    from ..sources import sql_dml, txn_catalog
+    from ..sources.delta_api import _REGISTRY_CONF
+    from .athena import _gold_daily
+
+    registry = tempfile.mkdtemp(prefix="sql_name_reg_")
+    path = registry + "/gold_daily"
+    spark.conf.set(_REGISTRY_CONF, registry)
+    try:
+        mt.commit_overwrite(_gold_daily(spark, sf_dir), path,
+                            keys=("call_date",))
+        mt.delete_where(
+            spark, path, F.col("dropped_calls") % 5 == 0,
+            deletion_vectors=True,
+        )
+        txn_catalog.register_table_name(
+            registry, "callcenter_analytics.gold_call_daily_summary", path
+        )
+        out = sql_dml.sql(
+            spark,
+            """
+            SELECT
+                call_date,
+                total_calls,
+                completed_calls,
+                dropped_calls,
+                failed_calls,
+                completion_rate
+            FROM callcenter_analytics.gold_call_daily_summary
+            ORDER BY call_date DESC
+            LIMIT 10
+            """,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)
+
+
+@query(
+    "sql_table_changes_read",
+    oracle="""
+    WITH tgt AS (
+      SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 20
+    ), ins AS (  -- v1: INSERT of shifted keys
+      SELECT n_nationkey + 100 AS n_nationkey, n_regionkey
+      FROM nation WHERE n_nationkey < 5
+    ), upd_pre AS (  -- v2: UPDATE preimages (even keys, post-insert set)
+      SELECT n_nationkey, n_regionkey
+      FROM (SELECT * FROM tgt UNION ALL SELECT * FROM ins)
+      WHERE n_nationkey % 2 = 0
+    ), upd_post AS (
+      SELECT n_nationkey, n_regionkey + 10 AS n_regionkey FROM upd_pre
+    ), after_upd AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey + 10
+                  ELSE n_regionkey END AS n_regionkey
+      FROM (SELECT * FROM tgt UNION ALL SELECT * FROM ins)
+    ), del AS (  -- v3: DELETE of high regions
+      SELECT n_nationkey, n_regionkey FROM after_upd WHERE n_regionkey >= 13
+    ), feed AS (
+      SELECT 'insert' AS _change_type, 1 AS _commit_version, * FROM ins
+      UNION ALL
+      SELECT 'update_preimage', 2, * FROM upd_pre
+      UNION ALL
+      SELECT 'update_postimage', 2, * FROM upd_post
+      UNION ALL
+      SELECT 'delete', 3, * FROM del
+    )
+    SELECT _change_type, CAST(_commit_version AS INT) AS _commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           CAST(SUM(n_regionkey) AS BIGINT) AS sum_region
+    FROM feed GROUP BY 1, 2
+    """,
+)
+def sql_table_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta's CDF table-valued function in SQL —
+    ``SELECT ... FROM table_changes('name', 0)`` — over a scripted
+    INSERT / UPDATE / DELETE sequence on a CDF-enabled table, read back
+    ENTIRELY through the SQL front-end (``sources/sql_dml.py:
+    _rewrite_table_changes_tvf`` splices the O(changes) sidecar feed in
+    as a per-statement view). The oracle replays the three commits
+    relationally and reconstructs the exact change feed, preimages and
+    postimages included, so the sidecar contents, version stamps and
+    TVF plumbing all have to be right for the hashes to match."""
+    import shutil
+
+    from ..sources import managed_table as mt
+    from ..sources import sql_dml, txn_catalog
+    from ..sources.delta_api import _REGISTRY_CONF
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    registry = tempfile.mkdtemp(prefix="sql_tvf_reg_")
+    path = registry + "/nations"
+    spark.conf.set(_REGISTRY_CONF, registry)
+    try:
+        mt.commit_overwrite(
+            nation.filter(F.col("n_nationkey") < 20), path,
+            keys=("n_nationkey",),
+            properties={"enableChangeDataFeed": True},
+        )
+        txn_catalog.register_table_name(registry, "tvfq.nations", path)
+        nation.createOrReplaceTempView("sql_tvf_nation")
+        sql_dml.sql(
+            spark,
+            "INSERT INTO tvfq.nations "
+            "SELECT n_nationkey + 100, n_regionkey FROM sql_tvf_nation "
+            "WHERE n_nationkey < 5",
+        )
+        sql_dml.sql(
+            spark,
+            "UPDATE tvfq.nations SET n_regionkey = n_regionkey + 10 "
+            "WHERE n_nationkey % 2 = 0",
+        )
+        sql_dml.sql(
+            spark, "DELETE FROM tvfq.nations WHERE n_regionkey >= 13"
+        )
+        out = sql_dml.sql(
+            spark,
+            "SELECT _change_type, _commit_version, "
+            "COUNT(*) AS n_rows, "
+            "CAST(SUM(n_nationkey) AS BIGINT) AS sum_key, "
+            "CAST(SUM(n_regionkey) AS BIGINT) AS sum_region "
+            "FROM table_changes('tvfq.nations', 0) "
+            "GROUP BY _change_type, _commit_version",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.catalog.dropTempView("sql_tvf_nation")
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)

@@ -14,8 +14,12 @@ No new engine semantics live here — every statement bottoms out in
 schema enforcement all apply unchanged.
 
 Entry point: :func:`sql` — DML statements are parsed here; anything
-else passes through to ``spark.sql`` untouched (reads work via
-:func:`delta_api.register_sql_view`'s views or plain Spark SQL).
+else passes through to ``spark.sql`` with registry-name references
+rewritten to per-statement temp views (see "Passthrough reads" below),
+so ``SELECT ... FROM callcenter_analytics.daily_call_summary`` — the
+reference's bare-name Athena idiom
+(``/root/reference/sql/athena_queries.sql``) — just works, deletion
+vectors and all, with no prior ``register_sql_view``.
 
 Grammar (the Delta SQL DML subset; case-insensitive keywords, ANSI
 quoting, arbitrary Spark SQL expressions inside conditions/values):
@@ -55,12 +59,23 @@ Commands (``sql_command``, routed automatically by :func:`sql`):
     COPY INTO t FROM '<dir|file|glob>' [FILEFORMAT = PARQUET|CSV|JSON]
         [PATTERN = '<glob>'] [FORMAT_OPTIONS (k=v, ...)]
 
-Passthrough reads additionally support Delta's time-travel pin on
-registry names — ``SELECT ... FROM t VERSION AS OF 3`` /
-``FROM t TIMESTAMP AS OF '2026-01-01T00:00:00'`` — rewritten to temp
-views over ``read(version=)`` / ``read_as_of`` before ``spark.sql``,
-and the Iceberg/Trino metadata-table convention ``FROM t$files |
-t$partitions | t$snapshots`` (:mod:`sources.metadata_tables`).
+Passthrough reads resolve FOUR registry-name reference shapes, each
+spliced out quote-aware (never inside string literals) as a
+per-statement temp view that :func:`sql` drops after ``spark.sql``'s
+eager analysis inlines it:
+
+    SELECT ... FROM t                        -- bare name, LIVE snapshot
+    SELECT ... FROM t VERSION AS OF 3        -- time travel
+    SELECT ... FROM t TIMESTAMP AS OF '...'
+    SELECT ... FROM t$files|$partitions|$snapshots   -- metadata tables
+    SELECT ... FROM table_changes('t', from[, to])   -- Delta's CDF TVF
+
+Bare names route through :func:`managed_table.read`, so reader
+features (deletion vectors, row tracking, column mapping, empty-table
+schema) are honored — the gap :func:`delta_api.register_sql_view`'s
+raw parquet views cannot close. A registry name shadows a same-named
+session temp view in these positions (the registry is the metastore);
+unresolvable names fall through to Spark's own catalog untouched.
 
 Scale: the parser is driver-side string work on statements (bytes);
 all data movement happens in the dispatched executors, which keep
@@ -243,7 +258,14 @@ def _source_df(
         re.I | re.S,
     )
     if m and m.group("sub"):
-        df = spark.sql(m.group("sub"))
+        sub_views: list[str] = []
+        try:
+            df = spark.sql(
+                _rewrite_reads(spark, m.group("sub"), registry_dir, sub_views)
+            )
+        finally:
+            for v in sub_views:
+                spark.catalog.dropTempView(v)
         alias = (m.group("alias") or "").strip("`") or None
         return df, alias
     name, alias = _parse_relation(src)
@@ -411,7 +433,17 @@ def _insert(
         named = ", ".join(f"`{c}`" for c in cols)
         df = spark.sql(f"SELECT * FROM (VALUES {rows_sql}) AS __v({named})")
     elif re.match(r"SELECT\b|\(", rest, re.I):
-        df = spark.sql(rest.strip("()") if rest.startswith("(") else rest)
+        ins_views: list[str] = []
+        try:
+            df = spark.sql(_rewrite_reads(
+                spark,
+                rest.strip("()") if rest.startswith("(") else rest,
+                registry_dir,
+                ins_views,
+            ))
+        finally:
+            for v in ins_views:
+                spark.catalog.dropTempView(v)
         cols = declared or [f.name for f in table_schema.fields]
         if len(df.columns) != len(cols):
             raise SqlDmlError(
@@ -608,8 +640,13 @@ def _ctas(
             bind()
             return
         raise SqlDmlError(f"{path} is already a managed table")
-    df = spark.sql(_rewrite_time_travel(spark, tail[as_m[1]:].strip(),
-                                        registry_dir))
+    ctas_views: list[str] = []
+    try:
+        df = spark.sql(_rewrite_reads(spark, tail[as_m[1]:].strip(),
+                                      registry_dir, ctas_views))
+    finally:
+        for v in ctas_views:
+            spark.catalog.dropTempView(v)
     props = dict(opts["props"])
     if opts["comment"] is not None:
         props["comment"] = opts["comment"]
@@ -1015,10 +1052,83 @@ _COMMAND_RE = re.compile(
 )
 
 
-# -- time travel in passthrough reads ----------------------------------------
+# -- passthrough reads: quote-aware reference rewriting ----------------------
+#
+# Passthrough SELECTs resolve four reference shapes against the name
+# registry, each spliced out as a per-statement temp view (dropped by
+# sql() after spark.sql's EAGER analysis inlines them into the plan):
+#   FROM t VERSION|TIMESTAMP AS OF pin      -> read(version=)/read_as_of
+#   FROM t$files|$partitions|$snapshots     -> metadata_tables
+#   FROM table_changes('t', from[, to])     -> CDF feed (Delta's TVF)
+#   FROM t                                  -> live snapshot (bare name,
+#                                              the Athena idiom) via
+#                                              managed_table.read — DV
+#                                              anti-join, row tracking,
+#                                              column mapping all honored
+# All matching runs on a LITERAL-MASKED copy of the statement so text
+# inside '...'/"..." strings can never be rewritten; group text is
+# pulled from the ORIGINAL by span (a TVF's name arg IS a literal).
+
+
+def _mask_literals(s: str) -> str:
+    """Copy of ``s`` with the interior of ``'...'``/``"..."`` string
+    literals replaced by ``\\x00`` (positions preserved). Backtick
+    identifiers stay visible — they are legitimate table references."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and s[j] != c:
+                j += 2 if s[j] == "\\" else 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = "\x00"
+            i = j + 1
+        elif c == "`":
+            j = i + 1
+            while j < n and s[j] != "`":
+                j += 1
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _sub_refs(pattern: re.Pattern, stmt: str, repl) -> str:
+    """Regex substitution that never fires inside string literals:
+    iterate matches over the masked text, splice replacements into the
+    original. ``repl(match, stmt)`` returns the replacement string or
+    None to leave that segment untouched; it must take group TEXT from
+    ``stmt`` by span, not from the (masked) match object."""
+    masked = _mask_literals(stmt)
+    out: list[str] = []
+    last = 0
+    for m in pattern.finditer(masked):
+        rep = repl(m, stmt)
+        if rep is None:
+            continue
+        out.append(stmt[last : m.start()])
+        out.append(rep)
+        last = m.end()
+    if not out:
+        return stmt
+    out.append(stmt[last:])
+    return "".join(out)
+
+
+def _ref_view(df: DataFrame, prefix: str, views: list[str] | None) -> str:
+    import uuid as _uuid
+
+    view = f"{prefix}_{_uuid.uuid4().hex[:10]}"
+    df.createOrReplaceTempView(view)
+    if views is not None:
+        views.append(view)
+    return view
+
 
 _TT_RE = re.compile(
-    rf"\b(FROM|JOIN)\s+(?P<name>{_IDENT})\s+"
+    rf"\b(?P<kw>FROM|JOIN)\s+(?P<name>{_IDENT})\s+"
     r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
     r"(?P<pin>\d+|'[^']*')",
     re.I,
@@ -1026,69 +1136,168 @@ _TT_RE = re.compile(
 
 
 def _rewrite_time_travel(
-    spark: SparkSession, stmt: str, registry_dir: str | None
+    spark: SparkSession,
+    stmt: str,
+    registry_dir: str | None,
+    views: list[str] | None = None,
 ) -> str:
     """Delta's time-travel read syntax over registry names:
     ``SELECT ... FROM t VERSION AS OF 3`` / ``TIMESTAMP AS OF '...'``.
-    Each pinned reference becomes a unique temp view over
-    ``managed_table.read(version=)`` / ``read_as_of`` and the segment
-    is substituted before the statement passes to ``spark.sql``.
     Names that do not resolve in the registry are left untouched
     (Spark's own catalog may know them)."""
     import datetime as _dt
-    import uuid as _uuid
 
-    def _sub(m: re.Match) -> str:
-        name = m.group("name").replace("`", "")
+    def _sub(m: re.Match, orig: str) -> str | None:
+        name = orig[m.start("name") : m.end("name")].replace("`", "")
         try:
             path = _resolve(spark, name, registry_dir)
         except Exception:
-            return m.group(0)
-        pin = m.group("pin")
+            return None
+        pin = orig[m.start("pin") : m.end("pin")]
         if m.group("kind").upper() == "VERSION":
             df = managed_table.read(spark, path, version=int(pin))
         else:
             ts = _dt.datetime.fromisoformat(pin.strip("'"))
             df = managed_table.read_as_of(spark, path, ts.timestamp())
-        view = f"__tt_{_uuid.uuid4().hex[:10]}"
-        df.createOrReplaceTempView(view)
-        return f"{m.group(1)} {view}"
+        return f"{m.group('kw')} {_ref_view(df, '__tt', views)}"
 
-    return _TT_RE.sub(_sub, stmt)
+    return _sub_refs(_TT_RE, stmt, _sub)
 
 
 _MD_RE = re.compile(
-    rf"\b(FROM|JOIN)\s+(?P<name>{_IDENT})\$"
+    rf"\b(?P<kw>FROM|JOIN)\s+(?P<name>{_IDENT})\$"
     r"(?P<kind>files|partitions|snapshots)\b",
     re.I,
 )
 
 
 def _rewrite_metadata_tables(
-    spark: SparkSession, stmt: str, registry_dir: str | None
+    spark: SparkSession,
+    stmt: str,
+    registry_dir: str | None,
+    views: list[str] | None = None,
 ) -> str:
     """Iceberg/Trino-style metadata tables over registry names in
     passthrough reads: ``SELECT ... FROM t$files | t$partitions |
-    t$snapshots`` (:mod:`sources.metadata_tables`). Each reference
-    becomes a unique temp view materialized at rewrite time — metadata
-    cardinality, so the collection is a driver-side listing, not a
-    Spark job. Unresolvable names are left untouched."""
-    import uuid as _uuid
-
+    t$snapshots`` (:mod:`sources.metadata_tables`). The view is
+    materialized at rewrite time — metadata cardinality, so the
+    collection is a driver-side listing, not a Spark job.
+    Unresolvable names are left untouched."""
     from .metadata_tables import METADATA_KINDS
 
-    def _sub(m: re.Match) -> str:
-        name = m.group("name").replace("`", "")
+    def _sub(m: re.Match, orig: str) -> str | None:
+        name = orig[m.start("name") : m.end("name")].replace("`", "")
         try:
             path = _resolve(spark, name, registry_dir)
         except Exception:
-            return m.group(0)
+            return None
         df = METADATA_KINDS[m.group("kind").lower()](spark, path)
-        view = f"__md_{_uuid.uuid4().hex[:10]}"
-        df.createOrReplaceTempView(view)
-        return f"{m.group(1)} {view}"
+        return f"{m.group('kw')} {_ref_view(df, '__md', views)}"
 
-    return _MD_RE.sub(_sub, stmt)
+    return _sub_refs(_MD_RE, stmt, _sub)
+
+
+_TVF_RE = re.compile(
+    r"\b(?P<kw>FROM|JOIN)\s+table_changes\s*\(\s*"
+    r"(?P<name>'[^']*')\s*,\s*(?P<frm>'[^']*'|\d+)\s*"
+    r"(?:,\s*(?P<to>'[^']*'|\d+)\s*)?\)",
+    re.I,
+)
+
+
+def _rewrite_table_changes_tvf(
+    spark: SparkSession,
+    stmt: str,
+    registry_dir: str | None,
+    views: list[str] | None = None,
+) -> str:
+    """Delta's CDF table-valued function in passthrough SQL:
+    ``SELECT ... FROM table_changes('name', from[, to])`` becomes the
+    engine's :func:`managed_table.table_changes` feed (O(changes)
+    sidecar read; ``_change_type`` / ``_commit_version`` /
+    ``_commit_timestamp`` columns included). Bounds are VERSION
+    numbers; timestamp bounds raise with a pointer at ``DESCRIBE
+    HISTORY`` (the engine keys sidecars by version). An unresolvable
+    name raises — table_changes() over an unknown table is always an
+    error, never something Spark's catalog can serve."""
+
+    def _sub(m: re.Match, orig: str) -> str | None:
+        name = orig[m.start("name") + 1 : m.end("name") - 1]
+        path = _resolve(spark, name, registry_dir)
+
+        def bound(g: str) -> int | None:
+            if m.start(g) < 0:
+                return None
+            t = orig[m.start(g) : m.end(g)]
+            if t.startswith("'"):
+                raise SqlDmlError(
+                    "table_changes(): timestamp bounds are not supported "
+                    "— pass version numbers (DESCRIBE HISTORY maps "
+                    "timestamps to versions)"
+                )
+            return int(t)
+
+        df = managed_table.table_changes(
+            spark, path, bound("frm"), bound("to")
+        )
+        return f"{m.group('kw')} {_ref_view(df, '__tc', views)}"
+
+    return _sub_refs(_TVF_RE, stmt, _sub)
+
+
+_BARE_RE = re.compile(
+    rf"\b(?P<kw>FROM|JOIN)\s+(?P<name>{_IDENT})(?!\s*\()",
+    re.I,
+)
+
+
+def _rewrite_bare_names(
+    spark: SparkSession,
+    stmt: str,
+    registry_dir: str | None,
+    views: list[str] | None = None,
+) -> str:
+    """Bare registry names in passthrough reads — the reference's
+    Athena idiom (``/root/reference/sql/athena_queries.sql``: every
+    query speaks ``SELECT ... FROM callcenter_analytics.<table>``,
+    no pins): each resolvable ``FROM``/``JOIN`` reference becomes a
+    temp view over the LIVE snapshot via :func:`managed_table.read`,
+    so deletion vectors, row tracking, column mapping and empty-table
+    schema are honored — unlike :func:`delta_api.register_sql_view`'s
+    raw parquet views, which refuse reader-feature tables. Runs LAST
+    in the rewrite chain (after time-travel pins, ``$``-metadata and
+    ``table_changes()`` are already spliced out); names the registry
+    does not know are left for Spark's own catalog (temp views,
+    catalog tables, ``parquet.`path``` refs). A registry name SHADOWS
+    a same-named temp view here — the registry is the metastore."""
+
+    def _sub(m: re.Match, orig: str) -> str | None:
+        name = orig[m.start("name") : m.end("name")].replace("`", "")
+        try:
+            path = _resolve(spark, name, registry_dir)
+        except Exception:
+            return None
+        df = managed_table.read(spark, path)
+        return f"{m.group('kw')} {_ref_view(df, '__bn', views)}"
+
+    return _sub_refs(_BARE_RE, stmt, _sub)
+
+
+def _rewrite_reads(
+    spark: SparkSession,
+    stmt: str,
+    registry_dir: str | None,
+    views: list[str] | None = None,
+) -> str:
+    """The full passthrough-read rewrite chain, in dependency order:
+    metadata tables and the CDF TVF first (their shapes embed names),
+    then time-travel pins (``FROM t VERSION AS OF`` must not be seen
+    by the bare rewriter, which would orphan the pin clause), bare
+    names last."""
+    stmt = _rewrite_metadata_tables(spark, stmt, registry_dir, views)
+    stmt = _rewrite_table_changes_tvf(spark, stmt, registry_dir, views)
+    stmt = _rewrite_time_travel(spark, stmt, registry_dir, views)
+    return _rewrite_bare_names(spark, stmt, registry_dir, views)
 
 
 # -- entry point -------------------------------------------------------------
@@ -1129,13 +1338,15 @@ def sql(
     if _COMMAND_RE.match(stmt):
         out = sql_command(spark, statement, registry_dir)
         return out if isinstance(out, DataFrame) else None
-    return spark.sql(
-        _rewrite_time_travel(
-            spark,
-            _rewrite_metadata_tables(spark, statement, registry_dir),
-            registry_dir,
-        )
-    )
+    views: list[str] = []
+    try:
+        return spark.sql(_rewrite_reads(spark, statement, registry_dir, views))
+    finally:
+        # spark.sql analyzes EAGERLY, so the views are already inlined
+        # into the returned DataFrame's plan — dropping them here leaks
+        # nothing and keeps the session catalog clean across statements
+        for v in views:
+            spark.catalog.dropTempView(v)
 
 
 def _strip_line_comments(text: str) -> str:

@@ -69,3 +69,69 @@ def test_unmapped_type_becomes_dot_and_breaks_runs(spark):
 def test_encode_symbols_rejects_multichar(spark):
     with pytest.raises(ValueError):
         encode_symbols(None, {"view": "vv"})
+
+
+def test_encode_symbols_rejects_empty_and_duplicate_mappings(spark):
+    with pytest.raises(ValueError, match="non-empty"):
+        encode_symbols(None, {})
+    with pytest.raises(ValueError, match="duplicate symbols"):
+        encode_symbols(None, {"view": "x", "click": "x"})
+
+
+# -- PATTERN clause compiler -------------------------------------------------
+
+
+def test_compile_pattern_quantifiers_and_alternation():
+    from aws_callcenter_delta_lakehouse_spark.operators.patterns import (
+        compile_pattern,
+    )
+
+    m = {"view": "v", "click": "c", "purchase": "p", "signup": "s"}
+    assert compile_pattern("view click{2,3} purchase", m) == "vc{2,3}p"
+    assert compile_pattern("view (click|view)* purchase", m) == "v(?:c|v)*p"
+    assert compile_pattern("signup view+ purchase?", m) == "sv+p?"
+    assert compile_pattern("(view|click){2} purchase", m) == "(?:v|c){2}p"
+    assert compile_pattern("view click{1,} purchase", m) == "vc{1,}p"
+
+
+def test_compile_pattern_rejects_malformed():
+    from aws_callcenter_delta_lakehouse_spark.operators.patterns import (
+        compile_pattern,
+    )
+
+    m = {"view": "v", "click": "c"}
+    with pytest.raises(ValueError, match="unknown pattern variable"):
+        compile_pattern("view frobnicate", m)
+    with pytest.raises(ValueError, match="must follow"):
+        compile_pattern("* view", m)
+    with pytest.raises(ValueError, match="unbalanced"):
+        compile_pattern("view (click", m)
+    with pytest.raises(ValueError, match="unbalanced"):
+        compile_pattern("view)", m)
+    with pytest.raises(ValueError, match="non-empty"):
+        compile_pattern("   ", m)
+    with pytest.raises(ValueError, match="must follow"):
+        # reluctant quantifiers are rejected (Java/RE2 divergence)
+        compile_pattern("view click*? purchase", m)
+
+
+def test_compiled_pattern_end_to_end(spark):
+    """signup (view|click){2,3} purchase over a literal sequence."""
+    from aws_callcenter_delta_lakehouse_spark.operators.patterns import (
+        compile_pattern,
+    )
+
+    m = {"view": "v", "click": "c", "purchase": "p", "signup": "s"}
+    # s v c p  -> match (2 middles); s v p -> no match (1 middle)
+    df = _events(
+        spark,
+        [("a", i, t) for i, t in enumerate(
+            ["signup", "view", "click", "purchase"]
+        )]
+        + [("b", i, t) for i, t in enumerate(["signup", "view", "purchase"])],
+    )
+    pat = compile_pattern("signup (view|click){2,3} purchase", m)
+    out = {r["k"]: r for r in
+           match_event_pattern(df, "k", "ts", "t", m, pat).collect()}
+    assert out["a"]["n_matches"] == 1 and out["a"]["longest"] == 4
+    assert out["b"]["n_matches"] == 0

@@ -231,3 +231,138 @@ def test_sql_errors(spark, named_table):
 def test_non_dml_passthrough(spark, named_table):
     df = sql_dml.sql(spark, "SELECT 1 AS one")
     assert df.first()["one"] == 1
+
+
+# -- passthrough reads: bare names / CDF TVF / literal masking ---------------
+
+
+def test_select_bare_name_live_snapshot(spark, named_table):
+    """The reference's Athena idiom: SELECT FROM a bare registry name,
+    no register_sql_view, no time-travel pin — and commits show up on
+    the next statement (live-snapshot resolution per statement)."""
+    name, path, _ = named_table
+    df = sql_dml.sql(
+        spark, f"SELECT count(*) AS n, sum(balance) AS s FROM {name}"
+    )
+    row = df.first()
+    assert (row["n"], row["s"]) == (3, 600.0)
+    sql_dml.sql(spark, f"DELETE FROM {name} WHERE id = 1")
+    assert sql_dml.sql(spark, f"SELECT count(*) AS n FROM {name}").first()[
+        "n"
+    ] == 2
+
+
+def test_select_bare_name_join_and_subquery(spark, named_table):
+    name, _, _ = named_table
+    df = sql_dml.sql(
+        spark,
+        f"SELECT a.id, b.balance FROM {name} a "
+        f"JOIN (SELECT id, balance FROM {name} WHERE balance > 150) b "
+        "ON a.id = b.id ORDER BY a.id",
+    )
+    assert [(r["id"], r["balance"]) for r in df.collect()] == [
+        (2, 200.0),
+        (3, 300.0),
+    ]
+
+
+def test_select_bare_name_honors_deletion_vectors(spark, named_table):
+    """Bare-name reads route through managed_table.read, so a
+    DV-bearing table serves post-delete rows — the exact gap raw
+    register_sql_view parquet views refuse to cover."""
+    from pyspark.sql import functions as F
+
+    name, path, _ = named_table
+    mt.delete_where(spark, path, F.col("id") == 2, deletion_vectors=True)
+    df = sql_dml.sql(spark, f"SELECT id FROM {name} ORDER BY id")
+    assert [r["id"] for r in df.collect()] == [1, 3]
+
+
+def test_string_literal_never_rewritten(spark, named_table):
+    name, _, _ = named_table
+    df = sql_dml.sql(
+        spark,
+        f"SELECT 'FROM {name}$files' AS lit, count(*) AS n FROM {name}",
+    )
+    row = df.first()
+    assert row["lit"] == f"FROM {name}$files" and row["n"] == 3
+
+
+def test_temp_views_dropped_after_statement(spark, named_table):
+    name, _, _ = named_table
+    sql_dml.sql(
+        spark,
+        f"SELECT * FROM {name} VERSION AS OF 0 "
+        f"UNION ALL SELECT * FROM {name}",
+    ).collect()
+    leftovers = [
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith(("__bn_", "__tt_", "__md_", "__tc_"))
+    ]
+    assert leftovers == []
+
+
+def test_table_changes_tvf(spark, tmp_path):
+    """FROM table_changes('name', from[, to]) — Delta's CDF TVF shape
+    over the engine's sidecar feed, version bounds, CDF columns."""
+    registry = str(tmp_path / "registry")
+    path = str(tmp_path / "cdf_t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k INT, v INT")
+    mt.commit_overwrite(
+        df, path, keys=("k",), properties={"enableChangeDataFeed": True}
+    )
+    txn_catalog.register_table_name(registry, "cdfdb.t", path)
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    try:
+        sql_dml.sql(spark, "INSERT INTO cdfdb.t VALUES (3, 30)")
+        sql_dml.sql(spark, "DELETE FROM cdfdb.t WHERE k = 1")
+        out = sql_dml.sql(
+            spark,
+            "SELECT _change_type, k, _commit_version "
+            "FROM table_changes('cdfdb.t', 0) ORDER BY _commit_version, k",
+        ).collect()
+        assert [(r["_change_type"], r["k"], r["_commit_version"]) for r in out] == [
+            ("insert", 3, 1),
+            ("delete", 1, 2),
+        ]
+        # bounded range: only the insert
+        out = sql_dml.sql(
+            spark,
+            "SELECT _change_type, k FROM table_changes('cdfdb.t', 0, 1)",
+        ).collect()
+        assert [(r["_change_type"], r["k"]) for r in out] == [("insert", 3)]
+        with pytest.raises(SqlDmlError, match="timestamp bounds"):
+            sql_dml.sql(
+                spark, "SELECT * FROM table_changes('cdfdb.t', '2026-01-01')"
+            )
+        with pytest.raises(txn_catalog.TableNameError):
+            sql_dml.sql(spark, "SELECT * FROM table_changes('nope.t', 0)")
+    finally:
+        spark.conf.unset("spark.managedTable.nameRegistry")
+
+
+def test_insert_and_ctas_resolve_bare_source_names(spark, named_table):
+    name, path, registry = named_table
+    sql_dml.sql(
+        spark,
+        f"INSERT INTO {name} SELECT id + 10, name, balance FROM {name}",
+    )
+    assert mt.read(spark, path).count() == 6
+    sql_dml.sql(
+        spark,
+        f"CREATE TABLE sqldb.rich AS SELECT * FROM {name} WHERE balance > 150",
+    )
+    n = sql_dml.sql(spark, "SELECT count(*) AS n FROM sqldb.rich").first()["n"]
+    assert n == 4
+
+
+def test_unresolvable_names_fall_through(spark, named_table):
+    spark.range(3).createOrReplaceTempView("sqldml_plain_view")
+    try:
+        df = sql_dml.sql(
+            spark, "SELECT count(*) AS n FROM sqldml_plain_view"
+        )
+        assert df.first()["n"] == 3
+    finally:
+        spark.catalog.dropTempView("sqldml_plain_view")
