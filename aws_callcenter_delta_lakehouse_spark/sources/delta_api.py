@@ -93,13 +93,16 @@ def register_sql_view(
     Re-register after schema evolution (the projected column list is
     captured here).
 
-    The registration is RECORDED in a sibling sentinel: if a LATER
-    commit enables deletion vectors (``delete_where(deletion_vectors=
-    True)`` / ``update_where(...)``) the committing session drops the
-    recorded views — the next query fails loudly with VIEW_NOT_FOUND
-    instead of silently serving soft-deleted rows. Views created by
-    OTHER concurrently-live sessions cannot be reached (each
-    SparkSession owns its in-memory catalog); re-register there after
+    The registration is RECORDED in a sibling sentinel AND guarded by
+    a sibling CANARY: if a LATER commit enables a reader feature
+    (``delete_where(deletion_vectors=True)`` / ``update_where(...)`` /
+    ``rename_column`` / ``drop_column`` / ``add_column``) the
+    committing session drops the recorded views in its own catalog
+    (next query: VIEW_NOT_FOUND) and deletes the canary parquet the
+    view's scalar-subquery guard reads — so a view held by ANY OTHER
+    live session fails its next query at analysis (PATH_NOT_FOUND
+    naming ``...__sql_view_canary``) instead of silently serving
+    soft-deleted rows or stale columns. Re-register after
     materializing."""
     registry = _registry_dir(spark, registry_dir)
     path = txn_catalog.resolve_table_name(registry, name)
@@ -120,9 +123,15 @@ def register_sql_view(
         spark.sql(f"CREATE DATABASE IF NOT EXISTS `{parts[0]}`")
     quoted = ".".join(f"`{p}`" for p in parts)
     collist = ", ".join(f"`{c}`" for c in cols)
+    canary = managed_table._ensure_sql_view_canary(path)
+    # the uncorrelated scalar subquery is trivially true but forces
+    # every analysis of the view to resolve the canary path — deleting
+    # the canary invalidates the view in EVERY session, not just the
+    # one that can reach this catalog
     spark.sql(
         f"CREATE OR REPLACE VIEW {quoted} AS "
-        f"SELECT {collist} FROM parquet.`{path}`"
+        f"SELECT {collist} FROM parquet.`{path}` "
+        f"WHERE (SELECT count(*) FROM parquet.`{canary}`) >= 0"
     )
     managed_table._record_sql_view(path, quoted)
     return quoted

@@ -762,6 +762,9 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
         new if c == old else c for c in marker.get("partition_by", [])
     ]
     _replace_marker(path, marker)
+    _invalidate_sql_views(
+        spark, path, "RENAME COLUMN enabled column mapping on this table"
+    )
 
 
 def add_column(
@@ -798,6 +801,9 @@ def add_column(
         "default": default,
     }
     _replace_marker(path, marker)
+    _invalidate_sql_views(
+        spark, path, "ADD COLUMN declared a pending column on this table"
+    )
 
 
 def drop_column(spark: SparkSession, path: str, col: str) -> None:
@@ -827,6 +833,9 @@ def drop_column(spark: SparkSession, path: str, col: str) -> None:
         set(marker.get("dropped_columns", [])) | {phys}
     )
     _replace_marker(path, marker)
+    _invalidate_sql_views(
+        spark, path, "DROP COLUMN enabled column mapping on this table"
+    )
 
 
 def _read_logical(
@@ -2339,13 +2348,40 @@ def _link_snapshot_files(src: str, staging: str) -> int:
 # Raw-SQL-view bookkeeping: register_sql_view (sources/delta_api.py)
 # creates session-catalog VIEWs that scan the snapshot as PLAIN parquet.
 # A commit that introduces a reader feature (deletion vectors: the raw
-# scan would serve soft-deleted rows) must invalidate them — the view
-# names are recorded in a sibling sentinel so the DV commit can DROP
-# them in its own session and leave a tombstone reason for any other
-# session's re-registration attempt. Views in OTHER live sessions
-# cannot be reached (each SparkSession has its own in-memory catalog) —
-# that residual hazard is documented at register_sql_view.
+# scan would serve soft-deleted rows; column mapping: the raw scan
+# serves stale physical names) must invalidate them — two mechanisms:
+#   1. the view names are recorded in a sibling sentinel so the commit
+#      can DROP them in its OWN session's catalog;
+#   2. every registered view carries a scalar-subquery guard on a
+#      sibling CANARY parquet dir; the invalidating commit DELETES the
+#      canary, so a view in ANY OTHER live session fails its next
+#      query at analysis (PATH_NOT_FOUND naming ...__sql_view_canary)
+#      instead of silently serving wrong rows. Cross-session closure
+#      without cross-session catalog access.
 _SQL_VIEWS_SUFFIX = "__sql_views.json"
+_SQL_VIEW_CANARY_SUFFIX = "__sql_view_canary"
+
+
+def _sql_view_canary_dir(path: str) -> str:
+    return path.rstrip("/") + _SQL_VIEW_CANARY_SUFFIX
+
+
+def _ensure_sql_view_canary(path: str) -> str:
+    """Create (idempotently) the one-row parquet canary every
+    registered raw SQL view over ``path`` guards on; returns its
+    directory. Deleting the directory invalidates the views of EVERY
+    session at their next analysis."""
+    d = _sql_view_canary_dir(path)
+    fp = os.path.join(d, "canary.parquet")
+    if not _fs().exists(fp):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        _fs().makedirs(d, exist_ok=True)
+        tmp = fp + ".tmp"
+        pq.write_table(pa.table({"ok": pa.array([1], pa.int32())}), tmp)
+        _fs().replace(tmp, fp)
+    return d
 
 
 def _record_sql_view(path: str, qualified: str) -> None:
@@ -2360,9 +2396,18 @@ def _record_sql_view(path: str, qualified: str) -> None:
 
 
 def _invalidate_sql_views(spark: SparkSession, path: str, reason: str) -> None:
-    """DROP every recorded raw-parquet VIEW over ``path`` in THIS
-    session (the next query fails loudly with VIEW_NOT_FOUND instead of
-    silently serving wrong rows) and remove the sentinel."""
+    """Invalidate every registered raw-parquet VIEW over ``path``:
+    DROP the recorded names in THIS session's catalog (next query fails
+    loudly with VIEW_NOT_FOUND), and DELETE the sibling canary so views
+    held by OTHER live sessions fail their next analysis with
+    PATH_NOT_FOUND on ``...__sql_view_canary`` instead of silently
+    serving wrong rows."""
+    canary = _sql_view_canary_dir(path)
+    if _fs().isdir(canary):
+        try:
+            _fs().rmtree(canary)
+        except OSError:  # pragma: no cover
+            pass
     sentinel = path + _SQL_VIEWS_SUFFIX
     try:
         names = json.loads(_fs().read_text(sentinel))
@@ -2383,7 +2428,8 @@ def _invalidate_sql_views(spark: SparkSession, path: str, reason: str) -> None:
         f"{path}: {reason} — registered SQL view(s) {names} were dropped "
         "(a raw parquet view cannot honor the new reader feature); "
         "materialize and re-register. Views registered by OTHER live "
-        "sessions must be re-registered there.",
+        "sessions fail their next query on the deleted "
+        f"{_SQL_VIEW_CANARY_SUFFIX} guard — re-register there too.",
         stacklevel=3,
     )
 

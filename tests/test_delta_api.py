@@ -1163,3 +1163,111 @@ def test_cluster_by_liquid_maintenance(spark, tmp_path):
             .clusterBy("k")
             .execute()
         )
+
+
+# -- cross-session raw-view invalidation (canary guard) ----------------------
+
+
+def _canary_view_child(registry: str, barrier, out):
+    """Child JVM: register a raw SQL view, query it, wait for the
+    parent's DV commit, query again — the second query must fail on
+    the deleted canary guard."""
+    from pyspark.sql import SparkSession
+
+    from aws_callcenter_delta_lakehouse_spark.sources.delta_api import (
+        register_sql_view,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("canary-child")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "2")
+        .getOrCreate()
+    )
+    try:
+        quoted = register_sql_view(spark, "xdb.t", registry_dir=registry)
+        n = spark.sql(f"SELECT count(*) AS c FROM {quoted}").first()["c"]
+        out.put(("first", int(n)))
+        barrier.wait(timeout=300)  # parent commits DV delete, then joins
+        try:
+            n2 = spark.sql(f"SELECT count(*) AS c FROM {quoted}").first()["c"]
+            out.put(("served", int(n2)))  # silent wrong rows — the bug
+        except Exception as e:
+            out.put(("invalidated", "sql_view_canary" in str(e)))
+    except Exception as e:  # pragma: no cover - diagnostics
+        out.put(("error", repr(e)))
+    finally:
+        spark.stop()
+
+
+@pytest.mark.slow
+def test_view_canary_invalidates_other_process_sessions(spark, tmp_path):
+    """Cross-SESSION view invalidation (closes the documented r10
+    hazard): a raw SQL view registered by a DIFFERENT process's
+    SparkSession — whose catalog this session can never reach — fails
+    its next query after this session's DV-enabling commit, because
+    the view's scalar-subquery guard reads a sibling canary parquet
+    that the commit deletes. No silent soft-deleted-row service."""
+    import multiprocessing as mp
+
+    from aws_callcenter_delta_lakehouse_spark.sources import (
+        txn_catalog as tc,
+    )
+
+    registry = str(tmp_path / "registry")
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    tc.register_table_name(registry, "xdb.t", path)
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2)
+    out = ctx.Queue()
+    child = ctx.Process(
+        target=_canary_view_child, args=(registry, barrier, out)
+    )
+    child.start()
+    try:
+        kind, val = out.get(timeout=300)
+        assert (kind, val) == ("first", 3), (kind, val)
+        with pytest.warns(UserWarning, match="deletion vectors"):
+            mt.delete_where(spark, path, "id = 1", deletion_vectors=True)
+        import os
+
+        assert not os.path.isdir(path + "__sql_view_canary")
+        barrier.wait(timeout=300)
+        kind, val = out.get(timeout=300)
+        assert kind == "invalidated", (kind, val)
+        assert val is True  # the error names the canary
+    finally:
+        child.join(timeout=300)
+
+
+def test_view_canary_same_session_and_ddl_invalidation(spark, tmp_path):
+    """Same-session invalidation still works via the sentinel DROP, and
+    the column-mapping DDLs (rename/drop/add column) now invalidate
+    views too — each deletes the canary and drops recorded views."""
+    import os
+
+    from aws_callcenter_delta_lakehouse_spark.sources import (
+        txn_catalog as tc,
+    )
+    from aws_callcenter_delta_lakehouse_spark.sources.delta_api import (
+        register_sql_view,
+    )
+
+    registry = str(tmp_path / "registry")
+    path = str(tmp_path / "t")
+    _make(spark, path)
+    tc.register_table_name(registry, "ddldb.t", path)
+    quoted = register_sql_view(spark, "ddldb.t", registry_dir=registry)
+    assert os.path.isdir(path + "__sql_view_canary")
+    assert spark.sql(f"SELECT count(*) AS c FROM {quoted}").first()["c"] == 3
+
+    with pytest.warns(UserWarning, match="RENAME COLUMN"):
+        mt.rename_column(spark, path, "name", "label")
+    assert not spark.catalog.tableExists(quoted.replace("`", ""))
+    assert not os.path.isdir(path + "__sql_view_canary")
+
+    # reads by the engine still serve the renamed schema fine
+    assert "label" in mt.read(spark, path).columns
