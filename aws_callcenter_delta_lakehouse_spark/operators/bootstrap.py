@@ -27,10 +27,15 @@ _SEP = "\x1f"
 
 
 def _draw_index(g, seed: int, b, i, n, portable: bool):
-    """Resample index in [1, n]: hash(group, seed, b, i) mod n + 1."""
+    """Resample index in [1, n]: hash(group, seed, b, i) mod n + 1.
+    The group component coalesces NULL to a sentinel — ``concat_ws``
+    would silently drop it (Spark) while a ``||`` SQL mirror
+    propagates, and a NULL group must not share draws with the
+    empty-string group. Mirror NULLable groups in SQL with
+    ``coalesce(CAST(g AS VARCHAR), chr(0) || 'NULL')``."""
     key = F.concat_ws(
         _SEP,
-        g.cast("string"),
+        F.coalesce(g.cast("string"), F.lit("\x00NULL")),
         F.lit(str(int(seed))),
         b.cast("string"),
         i.cast("string"),

@@ -64,10 +64,23 @@ def laplace_noise(
     return F.when(v >= 0, mag).otherwise(-mag)
 
 
+_NULL_SENTINEL = "\x00NULL"
+
+
 def _group_key(group_cols: Sequence[str], seed: int) -> Column:
+    """Deterministic per-group noise key. Each component is coalesced
+    to a dedicated sentinel BEFORE concatenation: ``concat_ws`` alone
+    silently drops NULL values in Spark (while a ``||`` mirror
+    propagates them), so without the sentinel two groups differing
+    only in a NULL column would collide to the same key — and the same
+    noise. The SQL mirror for NULLable group columns is
+    ``coalesce(CAST(c AS VARCHAR), chr(0) || 'NULL')``."""
     return F.concat_ws(
         _SEP,
-        *[F.col(c).cast("string") for c in group_cols],
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(_NULL_SENTINEL))
+            for c in group_cols
+        ],
         F.lit(str(int(seed))),
     )
 

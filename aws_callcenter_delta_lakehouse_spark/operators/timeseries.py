@@ -263,9 +263,12 @@ def theil_sen(
     n_pts = pts.groupBy("__g").agg(
         F.count("*").cast("bigint").alias("n_points")
     )
+    # LEFT join: a group whose x values are ALL equal produces zero
+    # pairwise slopes (the x2 > x1 filter drops every pair) — it must
+    # surface with NULL slope/intercept, not silently vanish
     return (
-        n_pts.join(slope, on="__g")
-        .join(inter.select("__g", "intercept"), on="__g")
+        n_pts.join(slope, on="__g", how="left")
+        .join(inter.select("__g", "intercept"), on="__g", how="left")
         .select(
             F.col("__g").alias(group_col), "n_points", "slope", "intercept"
         )

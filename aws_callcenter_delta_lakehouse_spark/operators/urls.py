@@ -23,7 +23,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-TRACKING_RE = "^(utm_[^=]*|fbclid|gclid)="
+# '=' is optional (trailing $ alternative): valueless tracking params
+# ('?fbclid', '?utm_source&id=1') must canonicalize away too
+TRACKING_RE = "^(utm_[^=&]*|fbclid|gclid)(=|$)"
 
 
 def canonicalize_url(url: Column) -> Column:

@@ -67,7 +67,7 @@ from .registry import query
         SELECT *, array_to_string(
           list_sort(list_filter(string_split(q, '&'),
             x -> x <> '' AND NOT regexp_matches(
-                   x, '^(utm_[^=]*|fbclid|gclid)='))), '&') AS qs
+                   x, '^(utm_[^=&]*|fbclid|gclid)(=|$)'))), '&') AS qs
         FROM parts))
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_urls,

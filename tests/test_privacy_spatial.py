@@ -152,3 +152,19 @@ def test_geohash_rejects_bad_precision(spark):
         geohash(F.lit(0.0), F.lit(0.0), 0)
     with pytest.raises(ValueError):
         geohash(F.lit(0.0), F.lit(0.0), 13)
+
+
+def test_dp_null_group_values_get_distinct_noise(spark):
+    """NULL group values must not collide with other groups' noise
+    keys (concat_ws silently drops NULLs — round-11 advice fix): a
+    (NULL,) group and an ('',) group draw DIFFERENT noise, and NULL
+    groups appear in the release."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, ""), (4, ""), (5, "x")],
+        "id long, grp string",
+    )
+    out = {r["grp"]: r for r in dp_noisy_counts(df, ["grp"], seed=5).collect()}
+    assert set(out) == {None, "", "x"}
+    n_null = out[None]["noisy_n"] - out[None]["n"]
+    n_empty = out[""]["noisy_n"] - out[""]["n"]
+    assert n_null != n_empty  # distinct keys -> distinct deviates

@@ -294,3 +294,20 @@ def test_mann_kendall_matches_scipy_style_reference(spark):
     assert row["s"] == s
     assert row["var_s"] == pytest.approx(var)
     assert row["z"] == pytest.approx(z, rel=1e-12)
+
+
+def test_theil_sen_degenerate_all_equal_x_surfaces_null(spark):
+    """A group whose x values are ALL equal has no defined slope — it
+    must surface with NULL slope/intercept, not vanish from the
+    output (round-11 advice fix)."""
+    df = _series_df(
+        spark,
+        [("flat", 5, 1.0), ("flat", 5, 2.0), ("flat", 5, 3.0)]
+        + [("ok", i, 2.0 * i) for i in range(4)],
+    )
+    out = {r["g"]: r for r in theil_sen(df, "g", "t", "x").collect()}
+    assert set(out) == {"flat", "ok"}
+    assert out["flat"]["n_points"] == 3
+    assert out["flat"]["slope"] is None
+    assert out["flat"]["intercept"] is None
+    assert out["ok"]["slope"] == pytest.approx(2.0, rel=1e-12)

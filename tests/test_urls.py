@@ -48,3 +48,25 @@ def test_canonical_equality_is_the_dedup_key(spark):
         .count()
     )
     assert n == 1
+
+
+def test_valueless_tracking_params_are_dropped(spark):
+    """'?fbclid' / '?utm_source&id=1' — tracking params without '='
+    must canonicalize away too (round-11 advice fix)."""
+    cases = [
+        ("https://h.io/p?fbclid", "https://h.io/p"),
+        ("https://h.io/p?utm_source&id=1", "https://h.io/p?id=1"),
+        ("https://h.io/p?utm_campaign", "https://h.io/p"),
+        # a non-tracking valueless param survives
+        ("https://h.io/p?flag", "https://h.io/p?flag"),
+        # prefix-only similarity does not match
+        ("https://h.io/p?fbclid2=1", "https://h.io/p?fbclid2=1"),
+    ]
+    df = spark.createDataFrame([(r,) for r, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(
+            canonicalize_url(F.col("url")).alias("c")
+        ).toLocalIterator()
+    ]
+    assert got == [c for _, c in cases]
