@@ -70,6 +70,17 @@ STRESS_QUERIES = (
     # near-dup structure makes the bench slice real); a lost side
     # filter degrades it to the full self-join
     "decontaminate_near_dup",
+    # round-11: the round-10 analytics families (per the r10 verdict).
+    # geohash = per-row bit algebra + cell-keyed join (a lost
+    # hierarchical-substr would force a re-encode); phash = banded
+    # Hamming join (regression -> all-pairs); RAKE = gaps-and-islands
+    # phrase build (regression -> per-word window re-sort); Holt-
+    # Winters = daily agg + constant-length fold (regression -> the
+    # fold going per-row)
+    "spatial_geohash_cells",
+    "multimodal_phash_neardup",
+    "text_rake_keywords",
+    "forecast_holt_winters",
 )
 
 
@@ -155,6 +166,32 @@ def _synth_corpus(spark, out_dir: str, n_docs: int, seed: int = 7) -> None:
         )
     )
     li.write.mode("overwrite").parquet(out_dir + "/lineitem.parquet")
+    # customer / supplier key columns for the geohash co-location query
+    # (it derives synthetic lat/lon from the keys; counts scale linearly)
+    spark.range(n_docs).select(
+        F.col("id").alias("c_custkey")
+    ).write.mode("overwrite").parquet(out_dir + "/customer.parquet")
+    spark.range(max(n_docs // 4, 10)).select(
+        F.col("id").alias("s_suppkey")
+    ).write.mode("overwrite").parquet(out_dir + "/supplier.parquet")
+    # events: 5 types x 45 days (the DAY count stays fixed as rows
+    # scale — Holt-Winters' fold length is constant, only the pre-agg
+    # scan grows), microsecond timestamps
+    spark.range(n_docs).select(
+        F.col("id").alias("event_id"),
+        F.pmod(F.col("id"), F.lit(max(n_docs // 10, 10))).alias("user_id"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + F.pmod(F.col("id"), 45) * F.lit(86_400_000_000)
+            + F.col("id") * F.lit(1_000_000)
+        ).alias("ts"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in
+                      ("view", "click", "purchase", "signup", "error")]),
+            (F.pmod(F.col("id"), 5) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.col("id"), 97).cast("double") / 10.0).alias("value"),
+    ).write.mode("overwrite").parquet(out_dir + "/events.parquet")
 
 
 def _run(spark, name: str, sf_dir: str) -> float:
