@@ -532,3 +532,163 @@ def mann_kendall(
             z.alias("z"),
         )
     )
+
+
+def classical_decompose(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 7,
+    phase_col: str | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method, Persons 1919 — the pre-STL standard): per group,
+
+      trend_t    = centered ``period``-point moving average
+      seasonal_p = mean of (y - trend) over each phase p
+      remainder  = y - trend - seasonal
+
+    ``period`` must be ODD (the even case needs the 2x2x MA; callers
+    with weekly daily data — the common case — pass 7). ``phase_col``
+    names an INTEGER phase column in [0, period); when None the phase
+    is (row_number - 1) mod period, which assumes a gap-free series.
+
+    Cross-engine exactness (the reason a SQL oracle can replay this
+    bit-for-bit): values are quantized to ``scale`` micro-units as
+    BIGINT up front, the moving average is an INTEGER window SUM
+    (association-free — engines may sum frames in any order), the
+    detrended value ``y_q * period - trend_sum`` stays integer, and the
+    per-phase mean is an integer SUM/COUNT — every double appears only
+    in one fixed final division chain. Rows without a full centered
+    window get NULL trend/seasonal/remainder.
+
+    Scale shape: one window pass over the (group, order) shuffle + one
+    phase-keyed aggregate + one broadcastable join back — no self-join,
+    no iteration; group count parallelizes."""
+    if period < 3 or period % 2 == 0:
+        raise ValueError(f"period must be odd and >= 3, got {period}")
+    half = period // 2
+    w = Window.partitionBy("__g").orderBy("__o")
+    frame = w.rowsBetween(-half, half)
+    pts = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__y"),
+        *(
+            [F.col(phase_col).cast("int").alias("__p")]
+            if phase_col
+            else []
+        ),
+    )
+    yq = F.floor(F.col("__y") * scale + F.lit(0.5)).cast("long")
+    base = pts.select(
+        "__g",
+        "__o",
+        "__y",
+        yq.alias("__yq"),
+        (
+            F.col("__p")
+            if phase_col
+            else F.pmod(F.row_number().over(w) - 1, F.lit(period)).cast("int")
+        ).alias("__p"),
+    )
+    windowed = base.select(
+        "*",
+        F.sum("__yq").over(frame).alias("__tsum"),
+        F.count("*").over(frame).alias("__tcnt"),
+    ).withColumn(
+        "__det",
+        F.when(
+            F.col("__tcnt") == period,
+            F.col("__yq") * period - F.col("__tsum"),
+        ),
+    )
+    seasonal = (
+        windowed.filter(F.col("__det").isNotNull())
+        .groupBy("__g", "__p")
+        .agg(
+            F.sum("__det").alias("__snum"),
+            F.count("*").alias("__sden"),
+        )
+    )
+    denom = float(period) * float(scale)
+    trend_d = F.col("__tsum").cast("double") / period / scale
+    seas_d = F.col("__snum").cast("double") / F.col("__sden") / period / scale
+    det_d = F.col("__det").cast("double") / period / scale
+    del denom
+    return (
+        windowed.join(seasonal, on=["__g", "__p"], how="left")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__o").alias(order_col),
+            F.col("__y").alias(value_col),
+            F.col("__p").alias("phase"),
+            F.when(F.col("__tcnt") == period, trend_d).alias("trend"),
+            F.when(F.col("__det").isNotNull(), seas_d).alias("seasonal"),
+            F.when(F.col("__det").isNotNull(), det_d - seas_d).alias(
+                "remainder"
+            ),
+        )
+    )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier detection by the modified z-score (Iglewicz &
+    Hoaglin 1993): per group, ``med`` = exact median of the values,
+    ``mad`` = exact median of |y - med|, and a point is anomalous when
+    ``|0.6745 * (y - med) / mad| > threshold``. Both medians are k-th
+    selection (``_median_by_selection``) — reduce-order-independent,
+    so a SQL oracle replays them verbatim; feed integer-valued doubles
+    (counts, cents) for bit-exactness.
+
+    A group with ``mad = 0`` (over half the values identical) has no
+    usable spread estimate: its points report NULL z and are NOT
+    flagged (the conventional guard; callers wanting the stricter
+    "any deviation from the median" rule can filter ``y != med``).
+
+    Returns every input row with n, med, mad, z, is_anomaly — callers
+    filter ``is_anomaly`` for the report. Scale shape: two selection
+    medians (window rank + aggregate on the group shuffle) and one
+    join back; no self-join."""
+    pts = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).cast("double").alias("__y"),
+    )
+    med = _median_by_selection(pts, "__g", "__y", "med")
+    dev = pts.join(med.select("__g", "med"), on="__g").select(
+        "__g", "__o", "__y", "med",
+        F.abs(F.col("__y") - F.col("med")).alias("__d"),
+    )
+    mad = _median_by_selection(
+        dev.select("__g", F.col("__d").alias("__v")), "__g", "__v", "mad"
+    )
+    n = dev.groupBy("__g").agg(F.count("*").cast("bigint").alias("n"))
+    z = F.when(
+        F.col("mad") > 0,
+        F.lit(0.6745) * (F.col("__y") - F.col("med")) / F.col("mad"),
+    )
+    return (
+        dev.join(mad.select("__g", "mad"), on="__g")
+        .join(n, on="__g")
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__o").alias(order_col),
+            F.col("__y").alias(value_col),
+            "n",
+            "med",
+            "mad",
+            z.alias("z"),
+            F.coalesce(
+                F.abs(z) > F.lit(float(threshold)), F.lit(False)
+            ).alias("is_anomaly"),
+        )
+    )

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.scalars import round_portable
 from ..operators.asof import asof_join
 from ..operators.rangejoin import range_join
 from ..operators.sessionize import sessionize
@@ -420,4 +421,89 @@ def events_pattern_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_matches",
         "total_matched",
         "longest",
+    )
+
+
+@query(
+    "graph_neighbor_jaccard",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    deg AS (
+      SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+    p AS (
+      SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM e a JOIN e b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT CAST(p.s1 AS BIGINT) AS s1, CAST(p.s2 AS BIGINT) AS s2,
+           p.c AS shared_orders, d1.n AS n1, d2.n AS n2,
+           floor((CAST(p.c AS DOUBLE) / (d1.n + d2.n - p.c)) * 1e6 + 0.5)
+             / 1e6 AS jaccard
+    FROM p
+    JOIN deg d1 ON p.s1 = d1.l_suppkey
+    JOIN deg d2 ON p.s2 = d2.l_suppkey
+    ORDER BY CAST(p.c AS DOUBLE) / (d1.n + d2.n - p.c) DESC, p.s1, p.s2
+    LIMIT 100
+    """,
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier similarity by JACCARD OF ORDER NEIGHBORHOODS in the
+    bipartite supplier-order graph: |A ∩ B| / |A ∪ B| for every
+    supplier pair sharing >= 3 orders — the set-similarity view of the
+    co-supply family (triangle/pagerank/kcore count structure; this
+    scores affinity). Top-100 by similarity with (s1, s2) tie-breaks
+    (trap 6).
+
+    Scale shape: pairs key on the ORDER (suppliers per order is small
+    and bounded by order size), never on the supplier or a cartesian —
+    pair cardinality is sum over orders of C(suppliers-in-order, 2),
+    linear in lineitems for bounded order width; degrees broadcast.
+    The jaccard double is an exact integer ratio (c, n1, n2 bigint),
+    identical cross-engine, so the float ORDER BY cannot diverge.
+    Aliased self-join per the round-10 trap (shared-lineage equality
+    would degenerate to trivially-true)."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    deg = li.groupBy("l_suppkey").agg(F.count("*").cast("bigint").alias("n"))
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("s1"),
+            F.col("b.l_suppkey").alias("s2"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    d1 = deg.select(F.col("l_suppkey").alias("s1"), F.col("n").alias("n1"))
+    d2 = deg.select(F.col("l_suppkey").alias("s2"), F.col("n").alias("n2"))
+    jac = (
+        pairs.join(d1, on="s1")
+        .join(d2, on="s2")
+        .withColumn(
+            "__j",
+            F.col("c").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("c")),
+        )
+    )
+    return (
+        jac.orderBy(F.desc("__j"), F.asc("s1"), F.asc("s2"))
+        .limit(100)
+        .select(
+            F.col("s1").cast("bigint").alias("s1"),
+            F.col("s2").cast("bigint").alias("s2"),
+            F.col("c").alias("shared_orders"),
+            "n1",
+            "n2",
+            round_portable(F.col("__j"), 6).alias("jaccard"),
+        )
     )

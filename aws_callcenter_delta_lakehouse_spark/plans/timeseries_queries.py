@@ -1190,3 +1190,164 @@ def orders_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "seg", "n", round_portable(gini, 6).alias("gini")
     )
+
+
+@query(
+    "timeseries_classical_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    q AS (
+      SELECT event_type, d, y,
+             CAST((d - DATE '1970-01-01') % 7 AS INTEGER) AS phase,
+             y * 1000000 AS yq
+      FROM daily),
+    w AS (
+      SELECT *,
+        SUM(yq) OVER (PARTITION BY event_type ORDER BY d
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tsum,
+        COUNT(*) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS tcnt
+      FROM q),
+    dd AS (
+      SELECT *, CASE WHEN tcnt = 7 THEN yq * 7 - tsum END AS det
+      FROM w),
+    seas AS (
+      SELECT event_type, phase, SUM(det) AS snum, COUNT(*) AS sden
+      FROM dd WHERE det IS NOT NULL GROUP BY 1, 2)
+    SELECT dd.event_type, dd.d, dd.y, dd.phase,
+      CASE WHEN dd.tcnt = 7
+           THEN floor((CAST(dd.tsum AS DOUBLE) / 7 / 1000000) * 1e6 + 0.5)
+                / 1e6 END AS trend,
+      CASE WHEN dd.det IS NOT NULL
+           THEN floor((CAST(seas.snum AS DOUBLE) / seas.sden / 7 / 1000000)
+                      * 1e6 + 0.5) / 1e6 END AS seasonal,
+      CASE WHEN dd.det IS NOT NULL
+           THEN floor((CAST(dd.det AS DOUBLE) / 7 / 1000000
+                       - CAST(seas.snum AS DOUBLE) / seas.sden / 7 / 1000000)
+                      * 1e6 + 0.5) / 1e6 END AS remainder
+    FROM dd LEFT JOIN seas
+      ON dd.event_type = seas.event_type AND dd.phase = seas.phase
+    """,
+)
+def timeseries_classical_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive decomposition of the daily event count per
+    type (operators/timeseries.py ``classical_decompose``): centered
+    7-point moving-average trend, day-of-week seasonal means of the
+    detrended series, remainder — the Persons-method precursor of STL,
+    the standard first look at any daily operational metric. Phase is
+    the epoch-day mod 7 (engine-neutral; dayofweek() origins differ
+    across engines). Exactness: integer micro-unit quantization makes
+    the window sum and phase means association-free — every double is
+    one fixed final division chain, replayed verbatim by the oracle.
+    One window pass + one phase aggregate + a broadcast join back."""
+    from ..operators.timeseries import classical_decompose
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("y"))
+        .withColumn(
+            "ph",
+            F.pmod(
+                F.datediff("d", F.to_date(F.lit("1970-01-01"))), F.lit(7)
+            ).cast("int"),
+        )
+    )
+    out = classical_decompose(
+        daily, "event_type", "d", "y", period=7, phase_col="ph"
+    )
+    return out.select(
+        "event_type",
+        "d",
+        F.col("y").cast("bigint").alias("y"),
+        "phase",
+        round_portable(F.col("trend"), 6).alias("trend"),
+        round_portable(F.col("seasonal"), 6).alias("seasonal"),
+        round_portable(F.col("remainder"), 6).alias("remainder"),
+    )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2),
+    mr AS (
+      SELECT event_type, y, d,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    med AS (
+      SELECT event_type,
+             SUM(CASE WHEN rk = CAST(floor((n + 1) / 2) AS BIGINT)
+                       OR rk = CAST(floor(n / 2 + 1) AS BIGINT)
+                      THEN y END)
+             / SUM(CASE WHEN rk = CAST(floor((n + 1) / 2) AS BIGINT)
+                         OR rk = CAST(floor(n / 2 + 1) AS BIGINT)
+                        THEN 1 END) AS med
+      FROM mr GROUP BY 1),
+    dev AS (
+      SELECT daily.event_type, d, y, med, abs(y - med) AS dv
+      FROM daily JOIN med ON daily.event_type = med.event_type),
+    dr AS (
+      SELECT event_type, dv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type,
+             SUM(CASE WHEN rk = CAST(floor((n + 1) / 2) AS BIGINT)
+                       OR rk = CAST(floor(n / 2 + 1) AS BIGINT)
+                      THEN dv END)
+             / SUM(CASE WHEN rk = CAST(floor((n + 1) / 2) AS BIGINT)
+                         OR rk = CAST(floor(n / 2 + 1) AS BIGINT)
+                        THEN 1 END) AS mad
+      FROM dr GROUP BY 1),
+    scored AS (
+      SELECT dev.event_type, d, y, dev.med, mad.mad,
+             CASE WHEN mad.mad > 0
+                  THEN 0.6745 * (y - dev.med) / mad.mad END AS z
+      FROM dev JOIN mad ON dev.event_type = mad.event_type)
+    SELECT event_type, d, CAST(y AS BIGINT) AS y,
+           CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+           med, mad,
+           CASE WHEN z IS NOT NULL
+                THEN floor(z * 1e6 + 0.5) / 1e6 END AS z,
+           COALESCE(abs(z) > 3.5, FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on the daily event count per type —
+    the modified z-score (Iglewicz & Hoaglin 1993) from
+    operators/timeseries.py ``mad_anomalies``: median and MAD by exact
+    k-th selection (reduce-order-independent, oracle replays them
+    verbatim), flag |0.6745 (y - med) / mad| > 3.5. The total report
+    (every day, flagged or not) keeps the result set deterministic;
+    counts are integer-valued doubles so med/mad are exact halves.
+    Two selection medians + one join back — no self-join."""
+    from ..operators.timeseries import mad_anomalies
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count("*").cast("double").alias("y"))
+    )
+    out = mad_anomalies(daily, "event_type", "d", "y", threshold=3.5)
+    return out.select(
+        "event_type",
+        "d",
+        F.col("y").cast("bigint").alias("y"),
+        "n",
+        "med",
+        "mad",
+        round_portable(F.col("z"), 6).alias("z"),
+        "is_anomaly",
+    )

@@ -49,6 +49,9 @@ Commands (``sql_command``, routed automatically by :func:`sql`):
                   | RENAME COLUMN a TO b | DROP COLUMN c
                   | ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n }
     DESCRIBE { HISTORY | DETAIL } t
+    DESCRIBE [TABLE] t                 -- column name/type listing
+    SHOW TABLES [IN db]                -- name-registry listing
+    DROP TABLE [IF EXISTS] t           -- unbinds the NAME (data stays)
     OPTIMIZE t [WHERE pred] [ZORDER BY (cols)]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     RESTORE [TABLE] t TO VERSION AS OF k
@@ -987,6 +990,50 @@ def sql_command(
             spark, m.group(1).replace("`", ""), registry_dir
         ).delete(None)
         return None
+    m = re.match(
+        rf"SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+({_IDENT}))?\s*;?\s*$", stmt, re.I
+    )
+    if m:
+        names = txn_catalog.list_table_names(
+            _registry_dir(spark, registry_dir)
+        )
+        want_db = m.group(1).replace("`", "") if m.group(1) else None
+        rows = []
+        for n in sorted(names):
+            db, _, tbl = n.rpartition(".")
+            if want_db is None or db == want_db:
+                rows.append((db, tbl, False))
+        return spark.createDataFrame(
+            rows or [],
+            "namespace string, tableName string, isTemporary boolean",
+        )
+    m = re.match(
+        rf"DESCRIBE\s+(?:TABLE\s+)?({_IDENT})\s*;?\s*$", stmt, re.I
+    )
+    if m:
+        path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        fields = managed_table.read(spark, path).schema.fields
+        return spark.createDataFrame(
+            [(f.name, f.dataType.simpleString(), None) for f in fields],
+            "col_name string, data_type string, comment string",
+        )
+    m = re.match(
+        rf"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?({_IDENT})\s*;?\s*$", stmt, re.I
+    )
+    if m:
+        # external-location semantics (every managed table here is
+        # path-backed): DROP removes the NAME BINDING only; the data
+        # stays on disk for forPath/vacuum. Delta behaves the same for
+        # external tables.
+        name = m.group(2).replace("`", "")
+        try:
+            txn_catalog.unregister_table_name(
+                _registry_dir(spark, registry_dir), name
+            )
+        except txn_catalog.TableNameError:
+            if not m.group(1):
+                raise SqlDmlError(f"DROP TABLE: no such table {name!r}")
+        return None
     m = re.match(rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*;?\s*$", stmt, re.I)
     if m:
         path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
@@ -1045,8 +1092,9 @@ def sql_command(
 
 _COMMAND_RE = re.compile(
     r"(CREATE\s+(OR\s+REPLACE\s+)?TABLE|ALTER\s+TABLE|"
-    r"DESCRIBE\s+(HISTORY|DETAIL)|OPTIMIZE|VACUUM|RESTORE|"
+    r"DESCRIBE|OPTIMIZE|VACUUM|RESTORE|"
     r"TRUNCATE\s+TABLE|SHOW\s+TBLPROPERTIES|SHOW\s+PARTITIONS|"
+    r"SHOW\s+TABLES|DROP\s+TABLE|"
     r"REORG\s+TABLE|COPY\s+INTO)\b",
     re.I,
 )

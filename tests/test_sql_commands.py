@@ -441,3 +441,52 @@ def test_sql_script_failure_keeps_earlier_commits(spark, registry):
         )
     p = txn_catalog.resolve_table_name(registry, "scr.f")
     assert mt.read(spark, p).count() == 1
+
+
+def test_show_tables_describe_drop(spark, tmp_path):
+    """SHOW TABLES / DESCRIBE TABLE / DROP TABLE — the catalog-listing
+    verbs a SQL-first user expects after CREATE."""
+    import pytest as _pytest
+
+    from aws_callcenter_delta_lakehouse_spark.sources import (
+        managed_table as mt,
+        sql_dml,
+        txn_catalog,
+    )
+
+    registry = str(tmp_path / "registry")
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    try:
+        for nm in ("showdb.a", "showdb.b", "other.c"):
+            p = str(tmp_path / nm.replace(".", "_"))
+            mt.commit_overwrite(
+                spark.range(2).selectExpr("id", "id * 2 AS v"), p
+            )
+            txn_catalog.register_table_name(registry, nm, p)
+
+        allt = sql_dml.sql(spark, "SHOW TABLES").collect()
+        assert {(r["namespace"], r["tableName"]) for r in allt} == {
+            ("showdb", "a"), ("showdb", "b"), ("other", "c"),
+        }
+        assert all(r["isTemporary"] is False for r in allt)
+        some = sql_dml.sql(spark, "SHOW TABLES IN showdb").collect()
+        assert {r["tableName"] for r in some} == {"a", "b"}
+
+        desc = sql_dml.sql(spark, "DESCRIBE TABLE showdb.a").collect()
+        assert [(r["col_name"], r["data_type"]) for r in desc] == [
+            ("id", "bigint"), ("v", "bigint"),
+        ]
+        # bare DESCRIBE works too
+        assert len(sql_dml.sql(spark, "DESCRIBE showdb.a").collect()) == 2
+
+        sql_dml.sql(spark, "DROP TABLE showdb.b")
+        left = sql_dml.sql(spark, "SHOW TABLES IN showdb").collect()
+        assert {r["tableName"] for r in left} == {"a"}
+        # the DATA survives a DROP (external-location semantics)
+        assert mt.read(spark, str(tmp_path / "showdb_b")).count() == 2
+
+        with _pytest.raises(sql_dml.SqlDmlError, match="no such table"):
+            sql_dml.sql(spark, "DROP TABLE showdb.b")
+        sql_dml.sql(spark, "DROP TABLE IF EXISTS showdb.b")  # no raise
+    finally:
+        spark.conf.unset("spark.managedTable.nameRegistry")
