@@ -174,3 +174,106 @@ def match_event_pattern(
             F.array_max(F.transform("__m", F.length)), F.lit(0)
         ).cast("int").alias("longest"),
     )
+
+
+def match_event_spans(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    mapping: Mapping[str, str],
+    pattern: str,
+) -> DataFrame:
+    """MATCH_RECOGNIZE MEASURES for :func:`match_event_pattern`: one
+    ROW PER MATCH with its position and event-time span — the
+    ``FIRST(ts) / LAST(ts)`` measures a funnel analyst reads off each
+    match. Same reduction: symbol string per key, plain regex, AFTER
+    MATCH SKIP PAST LAST ROW.
+
+    Span recovery without per-event bookkeeping: with ``M`` the match
+    list (``regexp_extract_all``) and ``S`` the split segments
+    (``split`` keeps trailing empties), match i starts at
+    ``sum(len(S[1..i])) + sum(len(M[1..i-1])) + 1`` in the symbol
+    string; indexing the key's time-sorted microsecond array at the
+    start/end positions yields the span timestamps. All-integer
+    algebra, so a SQL oracle replays it exactly.
+
+    ``pattern`` must not match the empty string (CEP patterns never
+    do; a zero-width match would desynchronize the split/extract
+    pairing). Keys with zero matches produce no rows. Output: key,
+    match_idx (1-based), start_pos, end_pos (1-based symbol
+    positions), start_us, end_us, n_events."""
+    sym = encode_symbols(F.col(type_col), mapping)
+    rows = df.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        sym.alias("__c"),
+    )
+    seqs = rows.groupBy("__k").agg(
+        F.array_sort(F.collect_list(F.struct("__us", "__c"))).alias("__arr")
+    )
+    base = seqs.select(
+        "__k",
+        F.transform("__arr", lambda s: s["__us"]).alias("usa"),
+        F.array_join(
+            F.transform("__arr", lambda s: s["__c"]), ""
+        ).alias("seq"),
+    )
+    # materialize M and S before the position lambdas reference them
+    # (perf trap 1 — lambda bodies re-evaluate referenced expressions)
+    parts = base.select(
+        "__k",
+        "usa",
+        F.regexp_extract_all("seq", F.lit(pattern), 0).alias("__m"),
+        F.split("seq", pattern, -1).alias("__s"),
+    )
+    start_of = lambda i: (  # noqa: E731 - 1-based symbol position
+        F.aggregate(
+            F.slice("__s", F.lit(1), i),
+            F.lit(0),
+            lambda acc, seg: acc + F.length(seg),
+        )
+        + F.when(
+            i == 1, F.lit(0)
+        ).otherwise(
+            F.aggregate(
+                F.slice("__m", F.lit(1), i - 1),
+                F.lit(0),
+                lambda acc, mm: acc + F.length(mm),
+            )
+        )
+        + F.lit(1)
+    )
+    # drop zero-match keys BEFORE the position transform: Spark's
+    # sequence(1, 0) is DESCENDING [1, 0], so an unguarded transform
+    # would index the empty match list (and ANSI element_at throws)
+    spans = parts.filter(F.size("__m") > 0).select(
+        "__k",
+        "usa",
+        "__m",
+        F.transform(
+            F.sequence(F.lit(1), F.size("__m")),
+            lambda i: F.struct(
+                i.alias("match_idx"),
+                start_of(i).alias("start_pos"),
+                (start_of(i) + F.length(F.element_at("__m", i)) - 1).alias(
+                    "end_pos"
+                ),
+            ),
+        ).alias("__spans"),
+    )
+    # explode_outer on the pre-filtered non-empty array (perf trap 7:
+    # plain explode would let InferFiltersFromGenerate inline the
+    # whole chain into a scan filter)
+    exploded = spans.select(
+        "__k", "usa", F.explode_outer("__spans").alias("sp")
+    )
+    return exploded.select(
+        F.col("__k").alias(key_col),
+        F.col("sp.match_idx").alias("match_idx"),
+        F.col("sp.start_pos").alias("start_pos"),
+        F.col("sp.end_pos").alias("end_pos"),
+        F.element_at("usa", F.col("sp.start_pos")).alias("start_us"),
+        F.element_at("usa", F.col("sp.end_pos")).alias("end_us"),
+        (F.col("sp.end_pos") - F.col("sp.start_pos") + 1).alias("n_events"),
+    )

@@ -507,3 +507,75 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_portable(F.col("__j"), 6).alias("jaccard"),
         )
     )
+
+
+@query(
+    "events_pattern_spans",
+    oracle="""
+    WITH syms AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE event_type
+               WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+               WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+               WHEN 'view' THEN 'v' ELSE '.' END AS ch
+      FROM events),
+    seqs AS (
+      SELECT user_id,
+             string_agg(ch, '' ORDER BY us, ch) AS seq,
+             list(us ORDER BY us, ch) AS usa
+      FROM syms GROUP BY 1),
+    m AS (
+      SELECT user_id, usa,
+             regexp_extract_all(seq, 'v[cv]*p') AS ms,
+             regexp_split_to_array(seq, 'v[cv]*p') AS segs
+      FROM seqs),
+    spans AS (
+      SELECT user_id, usa, ms, segs, CAST(t.i AS INTEGER) AS i
+      FROM m, UNNEST(generate_series(1, len(ms))) AS t(i)
+      WHERE len(ms) > 0),
+    pos AS (
+      SELECT user_id, usa, ms, i,
+        CAST(coalesce(list_sum(list_transform(segs[1:i], x -> length(x))), 0)
+           + coalesce(list_sum(list_transform(ms[1:i-1], x -> length(x))), 0)
+           + 1 AS INTEGER) AS start_pos
+      FROM spans)
+    SELECT CAST(user_id AS BIGINT) AS user_id, i AS match_idx, start_pos,
+           CAST(start_pos + length(ms[i]) - 1 AS INTEGER) AS end_pos,
+           usa[start_pos] AS start_us,
+           usa[CAST(start_pos + length(ms[i]) - 1 AS INTEGER)] AS end_us,
+           CAST(length(ms[i]) AS INTEGER) AS n_events
+    FROM pos
+    """,
+)
+def events_pattern_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE MEASURES (operators/patterns.py
+    ``match_event_spans``): one row per CEP match of ``view (click|
+    view)* purchase`` with its 1-based symbol positions and FIRST/LAST
+    event-time measures, recovered from the match/segment length
+    algebra over the per-user symbol string — all-integer, so the
+    oracle replays it verbatim (prototyped: split keeps empties on
+    both engines, slices ms[1:0] fold to 0). Complements
+    events_pattern_match (per-key totals) with the per-match detail a
+    funnel drill-down needs."""
+    from ..operators.patterns import match_event_spans
+
+    ev = load_table(spark, sf_dir, "events")
+    out = match_event_spans(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        {"click": "c", "error": "e", "purchase": "p",
+         "signup": "s", "view": "v"},
+        "v[cv]*p",
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "match_idx",
+        "start_pos",
+        "end_pos",
+        "start_us",
+        "end_us",
+        "n_events",
+    )

@@ -135,3 +135,46 @@ def test_compiled_pattern_end_to_end(spark):
            match_event_pattern(df, "k", "ts", "t", m, pat).collect()}
     assert out["a"]["n_matches"] == 1 and out["a"]["longest"] == 4
     assert out["b"]["n_matches"] == 0
+
+
+def test_match_spans_positions_and_timestamps(spark):
+    """Per-match MEASURES: positions and FIRST/LAST event times."""
+    from aws_callcenter_delta_lakehouse_spark.operators.patterns import (
+        match_event_spans,
+    )
+
+    df = _events(
+        spark,
+        [("a", i, t) for i, t in enumerate(
+            ["view", "click", "purchase", "refund", "view", "purchase"]
+        )]
+        + [("b", 0, "click")],  # zero matches -> no rows
+    )
+    out = match_event_spans(
+        df, "k", "ts", "t",
+        {**MAP, "refund": "r"}, "v[cv]*p",
+    ).orderBy("k", "match_idx").collect()
+    assert [(r["k"], r["match_idx"], r["start_pos"], r["end_pos"],
+             r["n_events"]) for r in out] == [
+        ("a", 1, 1, 3, 3), ("a", 2, 5, 6, 2),
+    ]
+    assert out[0]["end_us"] - out[0]["start_us"] == 2_000_000
+    assert out[1]["end_us"] - out[1]["start_us"] == 1_000_000
+
+
+def test_match_spans_adjacent_matches(spark):
+    """Back-to-back matches (empty segment between) position correctly."""
+    from aws_callcenter_delta_lakehouse_spark.operators.patterns import (
+        match_event_spans,
+    )
+
+    df = _events(
+        spark,
+        [("a", i, t) for i, t in enumerate(
+            ["view", "purchase", "view", "purchase"]
+        )],
+    )
+    out = match_event_spans(
+        df, "k", "ts", "t", MAP, "v[cv]*p"
+    ).orderBy("match_idx").collect()
+    assert [(r["start_pos"], r["end_pos"]) for r in out] == [(1, 2), (3, 4)]
