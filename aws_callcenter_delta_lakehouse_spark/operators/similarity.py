@@ -230,6 +230,77 @@ def ann_topk(
     )
 
 
+def range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    query_vec_col: str = "q_vec",
+    threshold: float = 0.8,
+    dim: int = 64,
+    num_planes: int = 6,
+    multiprobe: bool = True,
+    portable: bool = False,
+    round_digits: int = 4,
+) -> DataFrame:
+    """RANGE (radius) search: for each query, EVERY corpus vector with
+    rounded cosine >= ``threshold`` — the all-neighbors member of the
+    similarity family (``ann_topk`` caps at k; this returns the whole
+    ball, the shape retrieval filters and near-dup audits need).
+
+    Same candidate generation as ``ann_topk``: shared hyperplane
+    buckets, query-side Hamming-1 multiprobe, exact cosine verify —
+    approximate (banding recall), with ``portable=True`` making the
+    bucketing itself oracle-replayable (the repo PORTABLE-HASH
+    pattern). The candidate shuffle is NARROW (ids only through the
+    bucket join; vectors fetched by two hash joins afterwards — the
+    ``cosine_near_dup_pairs`` discipline), so the exchange payload is
+    two longs per candidate, not 2 x dim floats.
+
+    The threshold compares the ROUNDED similarity (``round_digits``),
+    so the boundary cannot flip cross-engine. Output: query_id_col,
+    id_col, sim."""
+    c = hyperplane_lsh_buckets(corpus, vec_col, dim, num_planes, portable)
+    q = hyperplane_lsh_buckets(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col).alias(vec_col)
+        ),
+        vec_col,
+        dim,
+        num_planes,
+        portable,
+    )
+    if multiprobe:
+        probe_buckets = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(num_planes)
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probe_buckets))
+    cand = (
+        q.select("bucket", query_id_col)
+        .join(c.select("bucket", id_col), on="bucket")
+        .select(query_id_col, id_col)
+    )
+    qv = queries.select(query_id_col, query_vec_col)
+    cv = corpus.select(id_col, F.col(vec_col).alias("__cv"))
+    scored = (
+        cand.join(qv, on=query_id_col)
+        .join(cv, on=id_col)
+        .select(
+            query_id_col,
+            id_col,
+            round_portable(
+                cosine(F.col(query_vec_col), F.col("__cv")), round_digits
+            ).alias("sim"),
+        )
+    )
+    return scored.filter(F.col("sim") >= threshold)
+
+
 def _centroid_array(centroids: DataFrame) -> DataFrame:
     """Fold the (tiny) centroid table into ONE row holding an
     ``array<struct<centroid_id, centroid_vec>>`` column ``__cents``,

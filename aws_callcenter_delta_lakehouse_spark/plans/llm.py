@@ -813,3 +813,76 @@ def dedup_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.8)
     comps = connected_components(pairs)
     return cluster_summary(comps)
+
+
+def _range_search_oracle_sql(
+    dim: int = 64, num_planes: int = 6, threshold: float = 0.25
+) -> str:
+    """Range-search oracle: replays the PORTABLE hyperplane buckets
+    (md5-derived constants embedded via repr — exact round-trip), the
+    query-side Hamming-1 multiprobe, and the rounded-cosine radius
+    filter. Same pattern as ``_ann_lsh_oracle_sql``."""
+    from ..operators.similarity import hyperplane_constants
+
+    plane_lists = [
+        "[" + ", ".join(repr(v) for v in hyperplane_constants(dim, p)) + "]"
+        for p in range(num_planes)
+    ]
+    bucket_expr = " + ".join(
+        f"""(CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+            i -> CAST(embedding[i] AS DOUBLE) * ({plane_lists[p]})[i])) > 0
+            THEN {1 << p} ELSE 0 END)"""
+        for p in range(num_planes)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(num_planes)]
+    )
+    return f"""
+    WITH b AS MATERIALIZED (
+        SELECT vec_id, embedding, {bucket_expr} AS bucket FROM embeddings
+    ),
+    qp AS (
+        SELECT vec_id AS q_id, embedding AS qv, t.pb AS bucket
+        FROM b, UNNEST([{probes}]) AS t(pb)
+        WHERE vec_id % 101 = 0
+    ),
+    cand AS (
+        SELECT qp.q_id, c.vec_id,
+               floor(
+                 list_sum(list_transform(range(1, {dim + 1}),
+                   i -> CAST(qp.qv[i] AS DOUBLE)
+                        * CAST(c.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> CAST(qp.qv[i] AS DOUBLE)
+                           * CAST(qp.qv[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                      i -> CAST(c.embedding[i] AS DOUBLE)
+                           * CAST(c.embedding[i] AS DOUBLE)))))
+                 * 1e4 + 0.5) / 1e4 AS sim
+        FROM qp JOIN b c ON qp.bucket = c.bucket
+    )
+    SELECT q_id, vec_id, sim FROM cand WHERE sim >= {threshold}
+    """
+
+
+@query("similarity_range_search", oracle=_range_search_oracle_sql())
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (radius) search — every corpus vector within rounded
+    cosine >= 0.25 of each query (vec_id % 101), via shared portable
+    hyperplane buckets + query-side Hamming-1 multiprobe + exact
+    verify (operators/similarity.py ``range_search``): the
+    all-neighbors retrieval shape ``ann_topk`` caps at k. The
+    candidate shuffle carries ids only (vectors re-join after — the
+    near-dup-pairs discipline); the oracle replays buckets, probes and
+    the rounded radius filter from the same embedded constants."""
+    from ..operators.similarity import range_search
+
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 101 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return range_search(
+        emb, queries,
+        threshold=0.25, dim=64, num_planes=6,
+        multiprobe=True, portable=True,
+    )

@@ -1068,3 +1068,41 @@ def test_rake_phrase_runs_split_on_stopwords_and_punct(spark):
     )
     out = rake_keywords(docs, "doc_id", "text", ["and"], top_k=10).collect()
     assert {r["phrase"] for r in out} == {"red fish", "blue fish"}
+
+
+def test_range_search_radius_semantics_and_recall(spark):
+    """range_search returns the WHOLE ball (not top-k): constructed
+    near-neighbors land inside the radius, far vectors stay out, and
+    every query finds itself (self bucket always collides)."""
+    from aws_callcenter_delta_lakehouse_spark.operators.similarity import (
+        cosine, range_search,
+    )
+
+    emb = load_table(spark, SF001, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    # plant one exact near-duplicate of query 0 (tiny perturbation on
+    # one component keeps cosine ~1) under a fresh id
+    dup = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(
+            F.lit(900001).cast(emb.schema["vec_id"].dataType).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x.cast("double") * 1.0001).cast("float")
+            ).alias("embedding"),
+            *[F.col(c) for c in emb.columns if c not in ("vec_id", "embedding")],
+        )
+    )
+    corpus = emb.unionByName(dup)
+    out = range_search(
+        corpus, queries, threshold=0.9, multiprobe=True
+    ).cache()
+    rows = {(r["q_id"], r["vec_id"]): r["sim"] for r in out.collect()}
+    # all 8 self matches at sim 1.0
+    assert all(rows.get((i, i)) == 1.0 for i in range(8))
+    # the planted duplicate is inside query 0's ball
+    assert rows.get((0, 900001), 0.0) >= 0.999
+    # radius semantics: nothing below the threshold leaks through
+    assert all(s >= 0.9 for s in rows.values())
+    out.unpersist()
