@@ -451,3 +451,30 @@ def dsir_importance_weights(
             F.sum("__lr").alias("logweight"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame, id_col: str, group_col: str, k: int, salt: int = 0
+) -> DataFrame:
+    """Deterministic UNIFORM k-per-stratum sample: rank each group's
+    rows by the md5 of (id, salt) and keep the first ``k`` — the
+    reservoir-sampling result without reservoir state. Unlike
+    :func:`per_source_cap` (which keeps the TOP-k by a quality order),
+    this draws a representative random-looking subset per stratum,
+    reproducible from ids alone (re-runs, retries, and any cluster
+    layout keep exactly the same rows); ``salt`` yields independent
+    draws. The hash is the repo PORTABLE pattern, so a SQL oracle
+    replays the exact sample.
+
+    Scale (100 TB): one shuffle on the stratum key; rank-k is a
+    running row_number — groups stream, nothing materializes."""
+    key = F.md5(
+        F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                    F.lit(str(int(salt))))
+    )
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1445,3 +1445,74 @@ def sql_table_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView("sql_tvf_nation")
         spark.conf.unset(_REGISTRY_CONF)
         shutil.rmtree(registry, ignore_errors=True)
+
+
+@query(
+    "sql_logical_view_gold",
+    oracle="""
+    WITH gold_call_daily_summary AS (
+        SELECT CAST(ts AS DATE) AS call_date,
+               COUNT(*) AS total_calls,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS failed_calls
+        FROM events GROUP BY 1)
+    SELECT call_date, failed_calls, total_calls,
+           floor(((failed_calls * 100.0) / total_calls) * 1e2 + 0.5) / 1e2
+             AS failure_rate_pct
+    FROM gold_call_daily_summary
+    WHERE total_calls > 0
+    ORDER BY failure_rate_pct DESC, call_date LIMIT 10
+    """,
+)
+def sql_logical_view_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Athena ARCHITECTURE as registry objects: the
+    silver events land in a committed managed table, the Gold daily
+    summary is a LOGICAL VIEW (``CREATE VIEW ... AS SELECT`` — stored
+    SQL in the name registry, re-resolved against the live table per
+    query, ``sources/txn_catalog.py``), and Athena Q5 runs against the
+    VIEW by bare name. Three layers of the passthrough rewriter
+    compose: Q5 -> view SQL -> base table. The oracle replays the
+    whole chain from raw events; portable floor-rounding per trap 3."""
+    import shutil
+
+    from ..sources import managed_table as mt
+    from ..sources import sql_dml, txn_catalog
+    from ..sources.delta_api import _REGISTRY_CONF
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    registry = tempfile.mkdtemp(prefix="sql_view_reg_")
+    path = registry + "/silver_events"
+    spark.conf.set(_REGISTRY_CONF, registry)
+    try:
+        mt.commit_overwrite(ev, path, keys=("event_id",))
+        txn_catalog.register_table_name(
+            registry, "callcenter_analytics.silver_events", path
+        )
+        sql_dml.sql(
+            spark,
+            """
+            CREATE VIEW callcenter_analytics.gold_call_daily_summary AS
+            SELECT CAST(ts AS DATE) AS call_date,
+                   COUNT(*) AS total_calls,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0
+                            END) AS BIGINT) AS failed_calls
+            FROM callcenter_analytics.silver_events GROUP BY 1
+            """,
+        )
+        out = sql_dml.sql(
+            spark,
+            """
+            SELECT call_date, failed_calls, total_calls,
+                   floor(((failed_calls * 100.0) / total_calls) * 1e2 + 0.5)
+                     / 1e2 AS failure_rate_pct
+            FROM callcenter_analytics.gold_call_daily_summary
+            WHERE total_calls > 0
+            ORDER BY failure_rate_pct DESC, call_date LIMIT 10
+            """,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)

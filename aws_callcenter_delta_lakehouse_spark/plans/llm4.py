@@ -321,3 +321,41 @@ def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table_parallel(spark, sf_dir, "embeddings")
     return standardize_embeddings(emb).orderBy("vec_id")
+
+
+@query(
+    "curation_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || chr(31) || '7'),
+                        doc_id) AS rn
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked WHERE rn <= 40 GROUP BY 1
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform 40-per-source sample
+    (operators/curation.py ``stratified_sample``): md5(doc_id, salt)
+    rank per stratum — reservoir-sampling semantics with zero state,
+    reproducible on any layout; the oracle replays the EXACT row set
+    (md5 is engine-identical, doc_id tie-break per trap 6) and the
+    per-source id/char sums pin it. Complements curation_source_cap
+    (top-k by quality) with the unbiased draw a held-out eval slice
+    needs. One shuffle on the stratum key."""
+    from ..operators.curation import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = stratified_sample(docs, "doc_id", "source", k=40, salt=7)
+    return out.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )

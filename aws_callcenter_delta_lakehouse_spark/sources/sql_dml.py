@@ -50,8 +50,11 @@ Commands (``sql_command``, routed automatically by :func:`sql`):
                   | ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n }
     DESCRIBE { HISTORY | DETAIL } t
     DESCRIBE [TABLE] t                 -- column name/type listing
-    SHOW TABLES [IN db]                -- name-registry listing
+    SHOW TABLES [IN db]                -- name-registry listing (+views)
     DROP TABLE [IF EXISTS] t           -- unbinds the NAME (data stays)
+    CREATE [OR REPLACE] VIEW v AS <q>  -- registry LOGICAL view (stored
+                                       -- SQL, re-resolved per query)
+    DROP VIEW [IF EXISTS] v
     OPTIMIZE t [WHERE pred] [ZORDER BY (cols)]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
     RESTORE [TABLE] t TO VERSION AS OF k
@@ -994,12 +997,13 @@ def sql_command(
         rf"SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+({_IDENT}))?\s*;?\s*$", stmt, re.I
     )
     if m:
-        names = txn_catalog.list_table_names(
-            _registry_dir(spark, registry_dir)
+        registry = _registry_dir(spark, registry_dir)
+        names = sorted(txn_catalog.list_table_names(registry)) + sorted(
+            txn_catalog.list_view_names(registry)
         )
         want_db = m.group(1).replace("`", "") if m.group(1) else None
         rows = []
-        for n in sorted(names):
+        for n in names:
             db, _, tbl = n.rpartition(".")
             if want_db is None or db == want_db:
                 rows.append((db, tbl, False))
@@ -1007,6 +1011,44 @@ def sql_command(
             rows or [],
             "namespace string, tableName string, isTemporary boolean",
         )
+    m = re.match(
+        rf"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(?P<name>{_IDENT})\s+AS\s+"
+        r"(?P<body>.+?)\s*;?\s*$",
+        stmt,
+        re.I | re.S,
+    )
+    if m:
+        name = m.group("name").replace("`", "")
+        body = m.group("body").strip()
+        # eager validation (Delta/metastore behavior): the SELECT must
+        # analyze NOW against the live registry — a typo'd column or
+        # unknown table fails the CREATE, not every later read
+        probe_views: list[str] = []
+        try:
+            spark.sql(_rewrite_reads(spark, body, registry_dir, probe_views))
+        finally:
+            for v in probe_views:
+                spark.catalog.dropTempView(v)
+        txn_catalog.register_view_name(
+            _registry_dir(spark, registry_dir),
+            name,
+            body,
+            replace=bool(m.group(1)),
+        )
+        return None
+    m = re.match(
+        rf"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?({_IDENT})\s*;?\s*$", stmt, re.I
+    )
+    if m:
+        name = m.group(2).replace("`", "")
+        try:
+            txn_catalog.unregister_view_name(
+                _registry_dir(spark, registry_dir), name
+            )
+        except txn_catalog.TableNameError as e:
+            if not m.group(1) or "is a registered TABLE" in str(e):
+                raise SqlDmlError(f"DROP VIEW: {e}") from None
+        return None
     m = re.match(
         rf"DESCRIBE\s+(?:TABLE\s+)?({_IDENT})\s*;?\s*$", stmt, re.I
     )
@@ -1095,6 +1137,7 @@ _COMMAND_RE = re.compile(
     r"DESCRIBE|OPTIMIZE|VACUUM|RESTORE|"
     r"TRUNCATE\s+TABLE|SHOW\s+TBLPROPERTIES|SHOW\s+PARTITIONS|"
     r"SHOW\s+TABLES|DROP\s+TABLE|"
+    r"CREATE\s+(OR\s+REPLACE\s+)?VIEW|DROP\s+VIEW|"
     r"REORG\s+TABLE|COPY\s+INTO)\b",
     re.I,
 )
@@ -1304,6 +1347,7 @@ def _rewrite_bare_names(
     stmt: str,
     registry_dir: str | None,
     views: list[str] | None = None,
+    seen: frozenset[str] = frozenset(),
 ) -> str:
     """Bare registry names in passthrough reads — the reference's
     Athena idiom (``/root/reference/sql/athena_queries.sql``: every
@@ -1317,15 +1361,38 @@ def _rewrite_bare_names(
     ``table_changes()`` are already spliced out); names the registry
     does not know are left for Spark's own catalog (temp views,
     catalog tables, ``parquet.`path``` refs). A registry name SHADOWS
-    a same-named temp view here — the registry is the metastore."""
+    a same-named temp view here — the registry is the metastore.
+    Registry LOGICAL VIEWS (``CREATE VIEW name AS ...``, stored SQL in
+    :mod:`sources.txn_catalog`) resolve by recursively rewriting their
+    stored SELECT — views over views work; cycles raise (``seen``
+    carries the in-progress chain)."""
 
     def _sub(m: re.Match, orig: str) -> str | None:
         name = orig[m.start("name") : m.end("name")].replace("`", "")
         try:
-            path = _resolve(spark, name, registry_dir)
+            entry = txn_catalog.resolve_entry(
+                _registry_dir(spark, registry_dir), name
+            )
         except Exception:
             return None
-        df = managed_table.read(spark, path)
+        if "view_sql" in entry:
+            key = name.strip().lower()
+            if key in seen:
+                raise SqlDmlError(
+                    f"view cycle: {name!r} references itself "
+                    f"(chain: {sorted(seen)})"
+                )
+            df = spark.sql(
+                _rewrite_reads(
+                    spark,
+                    entry["view_sql"],
+                    registry_dir,
+                    views,
+                    seen | {key},
+                )
+            )
+        else:
+            df = managed_table.read(spark, entry["path"])
         return f"{m.group('kw')} {_ref_view(df, '__bn', views)}"
 
     return _sub_refs(_BARE_RE, stmt, _sub)
@@ -1336,16 +1403,17 @@ def _rewrite_reads(
     stmt: str,
     registry_dir: str | None,
     views: list[str] | None = None,
+    seen: frozenset[str] = frozenset(),
 ) -> str:
     """The full passthrough-read rewrite chain, in dependency order:
     metadata tables and the CDF TVF first (their shapes embed names),
     then time-travel pins (``FROM t VERSION AS OF`` must not be seen
     by the bare rewriter, which would orphan the pin clause), bare
-    names last."""
+    names (tables AND logical views) last."""
     stmt = _rewrite_metadata_tables(spark, stmt, registry_dir, views)
     stmt = _rewrite_table_changes_tvf(spark, stmt, registry_dir, views)
     stmt = _rewrite_time_travel(spark, stmt, registry_dir, views)
-    return _rewrite_bare_names(spark, stmt, registry_dir, views)
+    return _rewrite_bare_names(spark, stmt, registry_dir, views, seen)
 
 
 # -- entry point -------------------------------------------------------------

@@ -248,14 +248,23 @@ def register_table_name(
 
 
 def resolve_table_name(registry_dir: str, name: str) -> str:
-    """Name -> path; raises :class:`TableNameError` when unbound."""
+    """Name -> path; raises :class:`TableNameError` when unbound or
+    when the name is bound to a VIEW (views have no path — they are
+    resolved by the SQL front-end's rewriter, and cannot be a DML
+    target)."""
     f = _name_file(registry_dir, name)
     if not _fs().exists(f):
         raise TableNameError(
             f"unknown table name {name!r} (registry: {registry_dir}; "
             f"known: {sorted(list_table_names(registry_dir))})"
         )
-    return json.loads(_fs().read_text(f))["path"]
+    payload = json.loads(_fs().read_text(f))
+    if "path" not in payload:
+        raise TableNameError(
+            f"{name!r} is a registered VIEW, not a table — it can be "
+            "read in SQL but not used as a DML/DDL target"
+        )
+    return payload["path"]
 
 
 def unregister_table_name(registry_dir: str, name: str) -> None:
@@ -280,5 +289,89 @@ def list_table_names(registry_dir: str) -> dict[str, str]:
             payload = json.loads(_fs().read_text(os.path.join(d, fn)))
         except json.JSONDecodeError:  # pragma: no cover - torn admin write
             continue
-        out[payload["name"]] = payload["path"]
+        if "path" in payload:  # view entries list via list_view_names
+            out[payload["name"]] = payload["path"]
+    return out
+
+
+# -- logical views -----------------------------------------------------------
+# A name can bind to a VIEW (stored SQL text) instead of a table path.
+# Views are resolved by the SQL front-end's passthrough rewriter
+# (sources/sql_dml.py), which recursively rewrites the stored SELECT —
+# so a view sees the LIVE state of every table it references at query
+# time, exactly like a metastore view. Distinct from
+# delta_api.register_sql_view, which creates raw parquet views in a
+# single SparkSession's catalog.
+
+
+def register_view_name(
+    registry_dir: str, name: str, sql: str, replace: bool = False
+) -> None:
+    """Bind ``name`` to a stored SELECT (CREATE [OR REPLACE] VIEW).
+    Same put-if-absent create semantics as :func:`register_table_name`;
+    a name already bound to a TABLE refuses (views cannot shadow
+    tables) unless ``replace`` re-points a same-kind binding."""
+    f = _name_file(registry_dir, name)
+    _fs().makedirs(os.path.dirname(f), exist_ok=True)
+    if _fs().exists(f):
+        existing = json.loads(_fs().read_text(f))
+        if "view_sql" not in existing:
+            raise TableNameError(
+                f"{name!r} is a registered TABLE — a view cannot "
+                "replace it (DROP TABLE first)"
+            )
+        if not replace:
+            raise TableNameError(
+                f"view name {name!r} is already registered; use "
+                "replace=True (CREATE OR REPLACE VIEW)"
+            )
+    payload = json.dumps({"name": name.strip().lower(), "view_sql": sql})
+    if replace:
+        _fs().write_atomic(f, payload)
+        return
+    try:
+        _fs().write_exclusive(f, payload)
+    except FileExistsError:  # pragma: no cover - create/create race
+        raise TableNameError(
+            f"view name {name!r} is already registered"
+        ) from None
+
+
+def resolve_entry(registry_dir: str, name: str) -> dict:
+    """Name -> full registry payload ({"path": ...} for a table,
+    {"view_sql": ...} for a view); raises when unbound."""
+    f = _name_file(registry_dir, name)
+    if not _fs().exists(f):
+        raise TableNameError(
+            f"unknown name {name!r} (registry: {registry_dir}; "
+            f"known: {sorted(list_table_names(registry_dir)) + sorted(list_view_names(registry_dir))})"
+        )
+    return json.loads(_fs().read_text(f))
+
+
+def unregister_view_name(registry_dir: str, name: str) -> None:
+    """DROP VIEW: remove a view binding; refuses a table binding."""
+    entry = resolve_entry(registry_dir, name)
+    if "view_sql" not in entry:
+        raise TableNameError(
+            f"{name!r} is a registered TABLE, not a view — use DROP TABLE"
+        )
+    _fs().remove(_name_file(registry_dir, name))
+
+
+def list_view_names(registry_dir: str) -> dict[str, str]:
+    """{identifier: stored SQL} for every registered view."""
+    d = os.path.join(registry_dir, _NAMES_DIR)
+    if not _fs().isdir(d):
+        return {}
+    out = {}
+    for fn in sorted(_fs().listdir(d)):
+        if not fn.endswith(".json"):
+            continue
+        try:
+            payload = json.loads(_fs().read_text(os.path.join(d, fn)))
+        except json.JSONDecodeError:  # pragma: no cover
+            continue
+        if "view_sql" in payload:
+            out[payload["name"]] = payload["view_sql"]
     return out

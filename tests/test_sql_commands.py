@@ -490,3 +490,91 @@ def test_show_tables_describe_drop(spark, tmp_path):
         sql_dml.sql(spark, "DROP TABLE IF EXISTS showdb.b")  # no raise
     finally:
         spark.conf.unset("spark.managedTable.nameRegistry")
+
+
+def test_create_view_logical(spark, tmp_path):
+    """Registry logical views: CREATE VIEW stores SQL, reads re-resolve
+    against the LIVE tables, views compose, cycles and bad SQL fail
+    fast, DROP VIEW/TABLE stay kind-checked."""
+    import pytest as _pytest
+
+    from aws_callcenter_delta_lakehouse_spark.sources import (
+        managed_table as mt,
+        sql_dml,
+        txn_catalog,
+    )
+
+    registry = str(tmp_path / "registry")
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    p = str(tmp_path / "base")
+    try:
+        mt.commit_overwrite(
+            spark.range(10).selectExpr("id", "id % 3 AS grp"), p,
+            keys=("id",),
+        )
+        txn_catalog.register_table_name(registry, "vdb.base", p)
+
+        sql_dml.sql(
+            spark,
+            "CREATE VIEW vdb.evens AS "
+            "SELECT id, grp FROM vdb.base WHERE id % 2 = 0",
+        )
+        assert sql_dml.sql(
+            spark, "SELECT count(*) AS n FROM vdb.evens"
+        ).first()["n"] == 5
+
+        # view over view
+        sql_dml.sql(
+            spark,
+            "CREATE VIEW vdb.even_g0 AS "
+            "SELECT id FROM vdb.evens WHERE grp = 0",
+        )
+        assert sql_dml.sql(
+            spark, "SELECT count(*) AS n FROM vdb.even_g0"
+        ).first()["n"] == 2  # ids 0, 6
+
+        # LIVE resolution: a commit changes what the view serves
+        sql_dml.sql(spark, "DELETE FROM vdb.base WHERE id = 0")
+        assert sql_dml.sql(
+            spark, "SELECT count(*) AS n FROM vdb.even_g0"
+        ).first()["n"] == 1
+
+        # bad SQL fails the CREATE, not later reads
+        with _pytest.raises(Exception):
+            sql_dml.sql(
+                spark,
+                "CREATE VIEW vdb.broken AS SELECT nope FROM vdb.base",
+            )
+        assert "vdb.broken" not in txn_catalog.list_view_names(registry)
+
+        # CREATE without REPLACE refuses a second binding
+        with _pytest.raises(txn_catalog.TableNameError):
+            sql_dml.sql(
+                spark,
+                "CREATE VIEW vdb.evens AS SELECT id FROM vdb.base",
+            )
+        sql_dml.sql(
+            spark,
+            "CREATE OR REPLACE VIEW vdb.evens AS "
+            "SELECT id, grp FROM vdb.base WHERE id % 2 = 1",
+        )
+        assert sql_dml.sql(
+            spark, "SELECT count(*) AS n FROM vdb.evens"
+        ).first()["n"] == 5
+
+        # SHOW TABLES lists views; kind checks on DROP
+        names = {
+            (r["namespace"], r["tableName"])
+            for r in sql_dml.sql(spark, "SHOW TABLES IN vdb").collect()
+        }
+        assert names == {("vdb", "base"), ("vdb", "evens"),
+                         ("vdb", "even_g0")}
+        with _pytest.raises(sql_dml.SqlDmlError, match="DROP TABLE"):
+            sql_dml.sql(spark, "DROP VIEW vdb.base")
+        with _pytest.raises(txn_catalog.TableNameError, match="VIEW"):
+            sql_dml.sql(spark, "DELETE FROM vdb.evens WHERE id = 1")
+        sql_dml.sql(spark, "DROP VIEW vdb.even_g0")
+        sql_dml.sql(spark, "DROP VIEW IF EXISTS vdb.even_g0")
+        assert "vdb.even_g0" not in txn_catalog.list_view_names(registry)
+    finally:
+        spark.conf.unset("spark.managedTable.nameRegistry")
