@@ -1076,6 +1076,37 @@ def sql_command(
             if not m.group(1):
                 raise SqlDmlError(f"DROP TABLE: no such table {name!r}")
         return None
+    m = re.match(
+        rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*;?\s*$", stmt, re.I
+    )
+    if m:
+        name = m.group(1).replace("`", "")
+        path = _resolve(spark, name, registry_dir)
+        marker = managed_table._read_marker(path) or {}
+        fields = managed_table.read(spark, path).schema.fields
+        cols = ",\n".join(
+            f"  `{f.name}` {f.dataType.simpleString().upper()}"
+            for f in fields
+        )
+        lines = [f"CREATE TABLE {name} (\n{cols}\n)", "USING delta"]
+        part = marker.get("partition_by") or []
+        if part:
+            lines.append(
+                "PARTITIONED BY (" + ", ".join(f"`{c}`" for c in part) + ")"
+            )
+        props = marker.get("properties") or {}
+        if props:
+            import json as _json
+
+            kv = ", ".join(
+                f"'{k}' = '{v if isinstance(v, str) else _json.dumps(v)}'"
+                for k, v in sorted(props.items())
+            )
+            lines.append(f"TBLPROPERTIES ({kv})")
+        lines.append(f"LOCATION '{path}'")
+        return spark.createDataFrame(
+            [("\n".join(lines),)], "createtab_stmt string"
+        )
     m = re.match(rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*;?\s*$", stmt, re.I)
     if m:
         path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
@@ -1136,7 +1167,7 @@ _COMMAND_RE = re.compile(
     r"(CREATE\s+(OR\s+REPLACE\s+)?TABLE|ALTER\s+TABLE|"
     r"DESCRIBE|OPTIMIZE|VACUUM|RESTORE|"
     r"TRUNCATE\s+TABLE|SHOW\s+TBLPROPERTIES|SHOW\s+PARTITIONS|"
-    r"SHOW\s+TABLES|DROP\s+TABLE|"
+    r"SHOW\s+TABLES|DROP\s+TABLE|SHOW\s+CREATE\s+TABLE|"
     r"CREATE\s+(OR\s+REPLACE\s+)?VIEW|DROP\s+VIEW|"
     r"REORG\s+TABLE|COPY\s+INTO)\b",
     re.I,

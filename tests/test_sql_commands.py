@@ -578,3 +578,36 @@ def test_create_view_logical(spark, tmp_path):
         assert "vdb.even_g0" not in txn_catalog.list_view_names(registry)
     finally:
         spark.conf.unset("spark.managedTable.nameRegistry")
+
+
+def test_show_create_table(spark, tmp_path):
+    from aws_callcenter_delta_lakehouse_spark.sources import (
+        managed_table as mt,
+        sql_dml,
+        txn_catalog,
+    )
+
+    registry = str(tmp_path / "registry")
+    p = str(tmp_path / "t")
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    try:
+        mt.commit_overwrite(
+            spark.range(4).selectExpr(
+                "id", "concat('p', CAST(id AS STRING)) AS part"
+            ),
+            p,
+            partition_by=["part"],
+            properties={"enableChangeDataFeed": True},
+        )
+        txn_catalog.register_table_name(registry, "sct.t", p)
+        ddl = sql_dml.sql(spark, "SHOW CREATE TABLE sct.t").first()[
+            "createtab_stmt"
+        ]
+        assert "CREATE TABLE sct.t" in ddl
+        assert "`id` BIGINT" in ddl and "`part` STRING" in ddl
+        assert "USING delta" in ddl
+        assert "PARTITIONED BY (`part`)" in ddl
+        assert "'enableChangeDataFeed' = 'true'" in ddl
+        assert f"LOCATION '{p}'" in ddl
+    finally:
+        spark.conf.unset("spark.managedTable.nameRegistry")
