@@ -1372,6 +1372,11 @@ _BARE_RE = re.compile(
     re.I,
 )
 
+# a CTE definition: `name AS (` — nothing else in a read statement has
+# an identifier directly followed by AS-open-paren (select-list aliases
+# are `expr AS name`, table aliases come AFTER the relation)
+_CTE_DEF_RE = re.compile(rf"\b(?P<cte>{_IDENT})\s+AS\s*\(", re.I)
+
 
 def _rewrite_bare_names(
     spark: SparkSession,
@@ -1396,10 +1401,20 @@ def _rewrite_bare_names(
     Registry LOGICAL VIEWS (``CREATE VIEW name AS ...``, stored SQL in
     :mod:`sources.txn_catalog`) resolve by recursively rewriting their
     stored SELECT — views over views work; cycles raise (``seen``
-    carries the in-progress chain)."""
+    carries the in-progress chain). CTE names defined in the statement
+    are EXCLUDED — SQL scoping puts a ``WITH t AS (...)`` definition
+    ahead of any catalog object, so a same-named registry table must
+    not shadow it."""
+    masked = _mask_literals(stmt)
+    cte_names = {
+        masked[m.start("cte") : m.end("cte")].replace("`", "").lower()
+        for m in _CTE_DEF_RE.finditer(masked)
+    }
 
     def _sub(m: re.Match, orig: str) -> str | None:
         name = orig[m.start("name") : m.end("name")].replace("`", "")
+        if name.lower() in cte_names:
+            return None
         try:
             entry = txn_catalog.resolve_entry(
                 _registry_dir(spark, registry_dir), name

@@ -366,3 +366,24 @@ def test_unresolvable_names_fall_through(spark, named_table):
         assert df.first()["n"] == 3
     finally:
         spark.catalog.dropTempView("sqldml_plain_view")
+
+
+def test_cte_name_shadows_registry_table(spark, named_table):
+    """SQL scoping: a WITH-clause CTE named like a registry table must
+    win — the bare-name rewriter excludes statement-defined CTE names."""
+    name, _, registry = named_table
+    from aws_callcenter_delta_lakehouse_spark.sources import txn_catalog
+
+    # register a name that collides with the CTE below
+    txn_catalog.register_table_name(
+        registry, "shadowcte",
+        txn_catalog.resolve_table_name(registry, name),
+    )
+    df = sql_dml.sql(
+        spark,
+        "WITH shadowcte AS (SELECT 1 AS one) "
+        "SELECT count(*) AS n, min(one) AS m FROM shadowcte",
+    )
+    row = df.first()
+    # the CTE (1 row) wins over the 3-row registry table
+    assert (row["n"], row["m"]) == (1, 1)

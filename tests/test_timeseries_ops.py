@@ -311,3 +311,56 @@ def test_theil_sen_degenerate_all_equal_x_surfaces_null(spark):
     assert out["flat"]["slope"] is None
     assert out["flat"]["intercept"] is None
     assert out["ok"]["slope"] == pytest.approx(2.0, rel=1e-12)
+
+
+def test_classical_decompose_recovers_planted_seasonality(spark):
+    """Pure seasonal series (no trend): trend = grand level, seasonal
+    = planted phase effect, remainder = 0 — all exactly (integer
+    micro-unit algebra)."""
+    from aws_callcenter_delta_lakehouse_spark.operators.timeseries import (
+        classical_decompose,
+    )
+
+    rows = [("a", i, 10.0 + float(i % 3)) for i in range(12)]
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = classical_decompose(df, "g", "t", "y", period=3).collect()
+    inner = [r for r in out if r["trend"] is not None]
+    assert len(inner) == 10
+    assert all(r["trend"] == 11.0 for r in inner)
+    assert all(r["remainder"] == 0.0 for r in inner)
+    by_phase = {r["phase"]: r["seasonal"] for r in inner}
+    assert by_phase == {0: -1.0, 1: 0.0, 2: 1.0}
+    # boundary rows surface with NULL decomposition, not dropped
+    assert sum(1 for r in out if r["trend"] is None) == 2
+
+
+def test_classical_decompose_rejects_even_period():
+    from aws_callcenter_delta_lakehouse_spark.operators.timeseries import (
+        classical_decompose,
+    )
+
+    with pytest.raises(ValueError, match="odd"):
+        classical_decompose(None, "g", "t", "y", period=4)
+
+
+def test_mad_anomalies_flags_spike_and_guards_zero_mad(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.timeseries import (
+        mad_anomalies,
+    )
+
+    rows = (
+        [("a", i, 5.0 + (1.0 if i % 2 else 0.0)) for i in range(20)]
+        + [("a", 99, 100.0)]
+        + [("b", i, 7.0) for i in range(5)]
+        + [("b", 9, 8.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, t int, y double")
+    out = mad_anomalies(df, "g", "t", "y").collect()
+    a = [r for r in out if r["g"] == "a"]
+    assert [r["t"] for r in a if r["is_anomaly"]] == [99]
+    # n = 21 (ten 5s, ten 6s, one spike): median = 11th = 6.0;
+    # deviations are ten 1s, ten 0s, one 94 -> MAD = 11th = 1.0
+    assert all(r["med"] == 6.0 and r["mad"] == 1.0 for r in a)
+    # group b: over half identical -> mad 0 -> NULL z, nothing flagged
+    b = [r for r in out if r["g"] == "b"]
+    assert all(r["z"] is None and not r["is_anomaly"] for r in b)
