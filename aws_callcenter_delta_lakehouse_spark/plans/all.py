@@ -35,6 +35,7 @@ from . import relational5  # noqa: F401
 from . import scale  # noqa: F401
 from . import scd2_queries  # noqa: F401
 from . import spark4  # noqa: F401
+from . import stats_queries  # noqa: F401
 from . import streaming_queries  # noqa: F401
 from . import timeseries_queries  # noqa: F401
 from . import tpch  # noqa: F401
