@@ -478,3 +478,53 @@ def stratified_sample(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    weight_col: str,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic WEIGHTED k-per-stratum sample without replacement
+    — Efraimidis & Spirakis (2006) A-ES: each row draws a uniform
+    ``u`` from the portable md5 of (id, salt) and ranks by
+    ``u^(1/w)``, equivalently ``ln(u)/w`` descending; the top k per
+    stratum is a weighted sample (inclusion probability proportional
+    to weight, exactly the reservoir-A-ES result) reproducible from
+    ids alone. Rows with weight <= 0 never qualify (A-ES requires
+    positive weights). The ``ln`` + division are cross-engine-stable,
+    so a SQL oracle replays the exact row set.
+
+    Scale (100 TB): one shuffle on the stratum key, running
+    row_number — no reservoir state, no second pass."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        F.col(id_col).cast("string"),
+                        F.lit(str(int(salt))),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(key), F.asc(F.col(id_col))
+    )
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -359,3 +359,46 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("sum_ids"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+@query(
+    "curation_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                     || chr(31) || '3'), 1, 15) AS BIGINT)
+                 + 0.5) / 1152921504606846976.0)
+               / CAST(n_chars AS DOUBLE) AS k
+      FROM documents WHERE n_chars > 0),
+    ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY k DESC, doc_id) AS rn
+      FROM keyed)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM ranked WHERE rn <= 40 GROUP BY 1
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted 40-per-source sample by Efraimidis-Spirakis A-ES keys
+    (operators/curation.py ``weighted_sample``): u from the portable
+    md5 of (doc_id, salt), rank ln(u)/n_chars descending — longer
+    documents proportionally likelier, the draw reproducible from ids
+    alone. The oracle replays the exact row set (ln and the division
+    are cross-engine-stable; doc_id tie-break per trap 6); per-source
+    id/char sums pin it. Completes the sampling trio: cap (top-k by
+    quality) / stratified (uniform) / weighted (proportional)."""
+    from ..operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = weighted_sample(docs, "doc_id", "source", "n_chars", k=40, salt=3)
+    return out.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("sum_ids"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )

@@ -900,14 +900,12 @@ def read(
     )
 
 
-def read_as_of(
-    spark: SparkSession, path: str, ts: float, with_row_ids: bool = False
-) -> DataFrame:
-    """Delta ``TIMESTAMP AS OF`` time travel: read the newest retained
-    snapshot whose commit time is <= ``ts`` (a unix timestamp; each
-    snapshot's marker records its commit ``ts`` atomically with the
-    data). Raises if every retained snapshot is newer — same contract
-    as Delta's 'timestamp before earliest version' error."""
+def version_as_of(path: str, ts: float) -> int:
+    """The newest retained VERSION whose commit time is <= ``ts`` (a
+    unix timestamp; each snapshot's marker records its commit ``ts``
+    atomically with the data). Raises if every retained snapshot is
+    newer — same contract as Delta's 'timestamp before earliest
+    version' error. Driver-side marker reads only."""
     recover(path)
     live = table_version(path)
     candidates = []  # (commit_ts, version)
@@ -924,7 +922,18 @@ def read_as_of(
             f"{path}: no retained snapshot at or before timestamp {ts} "
             f"(earliest retained commit: {min(candidates)[0] if candidates else None})"
         )
-    return read(spark, path, version=max(eligible)[1], with_row_ids=with_row_ids)
+    return max(eligible)[1]
+
+
+def read_as_of(
+    spark: SparkSession, path: str, ts: float, with_row_ids: bool = False
+) -> DataFrame:
+    """Delta ``TIMESTAMP AS OF`` time travel: read the newest retained
+    snapshot whose commit time is <= ``ts`` (:func:`version_as_of`)."""
+    return read(
+        spark, path, version=version_as_of(path, ts),
+        with_row_ids=with_row_ids,
+    )
 
 
 def history(spark: SparkSession, path: str) -> DataFrame:

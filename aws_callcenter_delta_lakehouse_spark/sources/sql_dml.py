@@ -57,7 +57,8 @@ Commands (``sql_command``, routed automatically by :func:`sql`):
     DROP VIEW [IF EXISTS] v
     OPTIMIZE t [WHERE pred] [ZORDER BY (cols)]
     VACUUM t [RETAIN n HOURS] [DRY RUN]
-    RESTORE [TABLE] t TO VERSION AS OF k
+    RESTORE [TABLE] t TO { VERSION AS OF k | TIMESTAMP AS OF '...' }
+    ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, ...]
     TRUNCATE TABLE t
     SHOW TBLPROPERTIES t
     SHOW PARTITIONS t
@@ -438,7 +439,7 @@ def _insert(
         cols = declared or [f.name for f in table_schema.fields]
         named = ", ".join(f"`{c}`" for c in cols)
         df = spark.sql(f"SELECT * FROM (VALUES {rows_sql}) AS __v({named})")
-    elif re.match(r"SELECT\b|\(", rest, re.I):
+    elif re.match(r"SELECT\b|WITH\b|\(", rest, re.I):
         ins_views: list[str] = []
         try:
             df = spark.sql(_rewrite_reads(
@@ -948,14 +949,53 @@ def sql_command(
             dry_run=bool(vm.group(3)),
         )
     m = re.match(
-        rf"RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+VERSION\s+AS\s+OF\s+"
-        r"(\d+)\s*;?\s*$",
+        rf"RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+        r"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+        r"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']+)')\s*;?\s*$",
         stmt,
         re.I,
     )
     if m:
         path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
-        return managed_table.restore_table(spark, path, int(m.group(2)))
+        if m.group("ver") is not None:
+            version = int(m.group("ver"))
+        else:
+            import datetime as _dt
+
+            version = managed_table.version_as_of(
+                path, _dt.datetime.fromisoformat(m.group("ts")).timestamp()
+            )
+        return managed_table.restore_table(spark, path, version)
+    m = re.match(
+        rf"ANALYZE\s+TABLE\s+({_IDENT})\s+COMPUTE\s+STATISTICS"
+        rf"(?:\s+FOR\s+COLUMNS\s+(?P<cols>[^;]+))?\s*;?\s*$",
+        stmt,
+        re.I,
+    )
+    if m:
+        # maps onto the engine's skipping indexes: plain COMPUTE
+        # STATISTICS refreshes the zone-map stats manifest over every
+        # primitive column; FOR COLUMNS narrows the zone maps to the
+        # named columns AND builds bloom filters on them
+        from pyspark.sql.types import AtomicType
+
+        from .layout import update_bloom_manifest, update_stats_manifest
+
+        path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        if m.group("cols"):
+            cols = [
+                c.strip().strip("`") for c in _split_top(m.group("cols"))
+            ]
+            update_stats_manifest(path, cols)
+            update_bloom_manifest(spark, path, cols)
+        else:
+            schema = managed_table.read(spark, path).schema
+            cols = [
+                f.name for f in schema.fields
+                if isinstance(f.dataType, AtomicType)
+            ]
+            update_stats_manifest(path, cols)
+        return None
     m = re.match(
         rf"COPY\s+INTO\s+(?P<name>{_IDENT})\s+FROM\s+(?P<src>'[^']*')\s*"
         r"(?:FILEFORMAT\s*=\s*(?P<fmt>\w+))?\s*"
@@ -1168,7 +1208,7 @@ _COMMAND_RE = re.compile(
     r"DESCRIBE|OPTIMIZE|VACUUM|RESTORE|"
     r"TRUNCATE\s+TABLE|SHOW\s+TBLPROPERTIES|SHOW\s+PARTITIONS|"
     r"SHOW\s+TABLES|DROP\s+TABLE|SHOW\s+CREATE\s+TABLE|"
-    r"CREATE\s+(OR\s+REPLACE\s+)?VIEW|DROP\s+VIEW|"
+    r"CREATE\s+(OR\s+REPLACE\s+)?VIEW|DROP\s+VIEW|ANALYZE\s+TABLE|"
     r"REORG\s+TABLE|COPY\s+INTO)\b",
     re.I,
 )

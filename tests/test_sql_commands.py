@@ -611,3 +611,60 @@ def test_show_create_table(spark, tmp_path):
         assert f"LOCATION '{p}'" in ddl
     finally:
         spark.conf.unset("spark.managedTable.nameRegistry")
+
+
+def test_insert_with_cte_restore_timestamp_analyze(spark, tmp_path):
+    """Round-11 SQL verbs batch: INSERT INTO ... WITH, RESTORE TO
+    TIMESTAMP AS OF, ANALYZE TABLE COMPUTE STATISTICS [FOR COLUMNS]."""
+    import datetime as dt
+    import json
+    import os
+    import time
+
+    from aws_callcenter_delta_lakehouse_spark.sources import (
+        managed_table as mt,
+        sql_dml,
+        txn_catalog,
+    )
+
+    registry = str(tmp_path / "registry")
+    p = str(tmp_path / "t")
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    try:
+        mt.commit_overwrite(
+            spark.range(5).selectExpr("id", "id * 2 AS v"), p, keys=("id",)
+        )
+        txn_catalog.register_table_name(registry, "r11.t", p)
+
+        # INSERT INTO ... WITH (CTE source, bare-name reference inside)
+        sql_dml.sql(
+            spark,
+            "INSERT INTO r11.t "
+            "WITH src AS (SELECT id + 10 AS id, v FROM r11.t WHERE id < 2) "
+            "SELECT id, v FROM src",
+        )
+        assert mt.read(spark, p).count() == 7
+
+        ts_after_v1 = dt.datetime.now().isoformat()
+        time.sleep(1.1)
+        sql_dml.sql(spark, "DELETE FROM r11.t WHERE id >= 10")
+        assert mt.read(spark, p).count() == 5
+
+        # RESTORE to the pre-delete timestamp brings the rows back
+        sql_dml.sql(
+            spark,
+            f"RESTORE TABLE r11.t TO TIMESTAMP AS OF '{ts_after_v1}'",
+        )
+        assert mt.read(spark, p).count() == 7
+
+        # ANALYZE refreshes the zone-map manifest; FOR COLUMNS blooms
+        sql_dml.sql(spark, "ANALYZE TABLE r11.t COMPUTE STATISTICS")
+        stats = json.loads(open(os.path.join(p, "_stats_manifest.json")).read())
+        assert stats  # one entry per live file
+        sql_dml.sql(
+            spark, "ANALYZE TABLE r11.t COMPUTE STATISTICS FOR COLUMNS id"
+        )
+        bloom = json.loads(open(os.path.join(p, "_bloom_manifest.json")).read())
+        assert bloom["files"]
+    finally:
+        spark.conf.unset("spark.managedTable.nameRegistry")
