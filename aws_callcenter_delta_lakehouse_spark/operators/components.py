@@ -504,3 +504,59 @@ def sssp_weighted(
         )
         frontier = improved
     return dist
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "seed",
+    max_hops: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """:func:`bfs_hops` from SEVERAL sources at once — the building
+    block of sampled centrality (closeness/harmonic over k seeds) and
+    multi-origin reachability. State is (seed, vertex, hops); every
+    seed's frontier advances in the SAME level-synchronous round, so k
+    sources cost one BFS's round count with a k-way-wider frontier
+    join — never k sequential traversals. Same lineage-truncation and
+    early-exit discipline as :func:`bfs_hops`; returns (seed, vertex,
+    hops) for every pair reachable within ``max_hops``."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint()
+            if checkpoint_dir is not None
+            else df.localCheckpoint()
+        )
+
+    e = _materialize(
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+    )
+    dist = _materialize(
+        seeds.select(
+            F.col(seed_col).alias("seed"),
+            F.col(seed_col).alias("vertex"),
+            F.lit(0).alias("hops"),
+        ).distinct()
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["vertex"] == e["__s"])
+            .select("seed", F.col("__d").alias("vertex"))
+            .distinct()
+            .join(dist, ["seed", "vertex"], "left_anti")
+            .select("seed", "vertex", F.lit(h).alias("hops"))
+        )
+        nxt = _materialize(nxt)
+        if nxt.isEmpty():
+            break
+        dist = _materialize(dist.unionAll(nxt))
+        frontier = nxt
+    return dist

@@ -339,3 +339,80 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("clipped_sum").cast("bigint").alias("clipped_cents"),
         round_portable(F.col("noisy_sum"), 6).alias("noisy_cents"),
     )
+
+
+@query(
+    "dq_profile_columns",
+    oracle="""
+    SELECT 'c_custkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(c_custkey) AS DOUBLE) AS min_num,
+           CAST(MAX(c_custkey) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+    FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_nationkey) AS BIGINT),
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT),
+           CAST(MIN(c_nationkey) AS DOUBLE), CAST(MAX(c_nationkey) AS DOUBLE),
+           NULL, NULL
+    FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_acctbal) AS BIGINT),
+           CAST(COUNT(DISTINCT c_acctbal) AS BIGINT),
+           CAST(MIN(c_acctbal) AS DOUBLE), CAST(MAX(c_acctbal) AS DOUBLE),
+           NULL, NULL
+    FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_mktsegment) AS BIGINT),
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT),
+           NULL, NULL, MIN(c_mktsegment), MAX(c_mktsegment)
+    FROM customer
+    UNION ALL
+    SELECT 'c_name', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(c_name) AS BIGINT),
+           CAST(COUNT(DISTINCT c_name) AS BIGINT),
+           NULL, NULL, MIN(c_name), MAX(c_name)
+    FROM customer
+    """,
+)
+def dq_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report (the Deequ/Glue-DataBrew 'profile this
+    table' primitive): per column — row count, null count, exact
+    distinct count, min/max (numeric columns as DOUBLE, string columns
+    as-is; min/max are SELECTIONS, never accumulations, so they are
+    engine-exact). ONE pass over the table: all metrics for all
+    profiled columns in a single hash-free global aggregate, then a
+    driver-side unpivot of the 1-row result into the long report —
+    never one scan per column (the oracle re-scans per column only
+    because DuckDB reads the small sf0.01 parquet)."""
+    cust = load_table(spark, sf_dir, "customer")
+    num_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    str_cols = ["c_mktsegment", "c_name"]
+    aggs = [F.count("*").alias("__n")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__mn"),
+            F.max(c).alias(f"{c}__mx"),
+        ]
+    one = cust.agg(*aggs)
+    row = one.first()
+    out = []
+    for c in num_cols:
+        out.append((c, row["__n"], row["__n"] - row[f"{c}__nn"],
+                    row[f"{c}__nd"], float(row[f"{c}__mn"]),
+                    float(row[f"{c}__mx"]), None, None))
+    for c in str_cols:
+        out.append((c, row["__n"], row["__n"] - row[f"{c}__nn"],
+                    row[f"{c}__nd"], None, None,
+                    row[f"{c}__mn"], row[f"{c}__mx"]))
+    return spark.createDataFrame(
+        out,
+        "column_name string, n bigint, n_null bigint, n_distinct bigint, "
+        "min_num double, max_num double, min_str string, max_str string",
+    )

@@ -534,3 +534,94 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("m_cents", F.col("mq")).alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(F.count("*").alias("n_customers"))
+
+
+@query(
+    "graph_closeness_sampled",
+    oracle="""
+    WITH RECURSIVE e0 AS (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2
+        HAVING COUNT(DISTINCT a.l_orderkey) >= 5
+    ),
+    e AS (
+        SELECT s1 AS src, s2 AS dst FROM e0
+        UNION ALL
+        SELECT s2 AS src, s1 AS dst FROM e0
+    ),
+    seeds AS (
+        SELECT src AS seed FROM (SELECT DISTINCT src FROM e)
+        ORDER BY src LIMIT 3
+    ),
+    bfs(seed, v, d) AS (
+        SELECT seed, seed, 0 FROM seeds
+        UNION
+        SELECT bfs.seed, e.dst, bfs.d + 1
+        FROM bfs JOIN e ON e.src = bfs.v
+        WHERE bfs.d < 6
+    ),
+    dist AS (
+        SELECT seed, v, CAST(MIN(d) AS INT) AS d FROM bfs GROUP BY 1, 2
+    )
+    SELECT CAST(seed AS BIGINT) AS seed,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+           CAST(SUM(d) AS BIGINT) AS total_hops,
+           CASE WHEN SUM(d) > 0
+                THEN floor((CAST(COUNT(*) - 1 AS DOUBLE) / SUM(d))
+                           * 1e6 + 0.5) / 1e6 END AS closeness
+    FROM dist GROUP BY 1
+    """,
+)
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled CLOSENESS CENTRALITY over the supplier co-supply graph:
+    bounded-horizon BFS from the 3 smallest vertices SIMULTANEOUSLY
+    (operators/components.py ``multi_source_bfs`` — k seeds advance in
+    one level-synchronous frontier, never k traversals), closeness =
+    (reached - 1) / sum(hop distances) per seed — the sampled-seed
+    estimator production centrality jobs run when exact all-pairs is
+    off the table. Hop-bounded, so the DuckDB recursive CTE terminates
+    on the same graph and the diff is exact (bfs_hops precedent);
+    closeness is an exact integer ratio."""
+    from ..operators.components import multi_source_bfs
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    e0 = (
+        a.join(b, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.countDistinct("ok").alias("__w"))
+        .filter(F.col("__w") >= 5)
+        .select("s1", "s2")
+    )
+    und = e0.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst")
+    ).unionAll(e0.select(F.col("s2").alias("src"), F.col("s1").alias("dst")))
+    und = und.localCheckpoint(eager=True)
+    seeds = (
+        und.select(F.col("src").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(3)
+    )
+    dist = multi_source_bfs(und, seeds, max_hops=6)
+    agg = dist.groupBy("seed").agg(
+        (F.count("*") - 1).cast("bigint").alias("n_reached"),
+        F.sum("hops").cast("bigint").alias("total_hops"),
+    )
+    return agg.select(
+        F.col("seed").cast("bigint").alias("seed"),
+        "n_reached",
+        "total_hops",
+        F.when(
+            F.col("total_hops") > 0,
+            round_portable(
+                F.col("n_reached").cast("double") / F.col("total_hops"), 6
+            ),
+        ).alias("closeness"),
+    )

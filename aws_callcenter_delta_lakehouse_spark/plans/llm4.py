@@ -402,3 +402,95 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("sum_ids"),
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks WHERE w <> '' GROUP BY 1),
+    ranked AS (
+      SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r FROM freq),
+    head AS (SELECT * FROM ranked WHERE r <= 1000),
+    terms AS (
+      SELECT
+        CAST(floor(ln(CAST(r AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS xq,
+        CAST(floor(ln(CAST(f AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS yq,
+        CAST(floor(ln(CAST(r AS DOUBLE)) * ln(CAST(f AS DOUBLE)) * 1e9
+                   + 0.5) AS BIGINT) AS xyq,
+        CAST(floor(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE)) * 1e9
+                   + 0.5) AS BIGINT) AS xxq
+      FROM head),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(xq) AS sx, SUM(yq) AS sy,
+             SUM(xyq) AS sxy, SUM(xxq) AS sxx
+      FROM terms),
+    fit AS (
+      SELECT n,
+        (CAST(n AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1e9)
+         - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sy AS DOUBLE) / 1e9))
+        / (CAST(n AS DOUBLE) * (CAST(sxx AS DOUBLE) / 1e9)
+           - (CAST(sx AS DOUBLE) / 1e9) * (CAST(sx AS DOUBLE) / 1e9))
+          AS slope_raw,
+        CAST(sx AS DOUBLE) / 1e9 AS sxd, CAST(sy AS DOUBLE) / 1e9 AS syd
+      FROM s)
+    SELECT n AS n_terms,
+           floor(slope_raw * 1e6 + 0.5) / 1e6 AS zipf_slope,
+           floor(((syd - slope_raw * sxd) / n) * 1e6 + 0.5) / 1e6
+             AS ln_intercept
+    FROM fit
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution: OLS slope of
+    ln(freq) on ln(rank) over the top-1000 terms — natural text sits
+    near -1; a synthetic or templated corpus shows up as a flat or
+    kinked slope, making this a one-number corpus-health probe. The
+    regression terms are quantized to 1e-9 units before the sums
+    (association-free integers — the round-11 playbook), so the oracle
+    replays the fit bit-for-bit; ranks tie-break on the token (trap 6).
+    One token explode + hash aggregate + a 1000-row window."""
+    from pyspark.sql import Window
+
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode_outer(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    freq = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("f"))
+    head = (
+        freq.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("f"), F.asc("w"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("r") <= 1000)
+    )
+    lx = F.log(F.col("r").cast("double"))
+    ly = F.log(F.col("f").cast("double"))
+    q = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("bigint")  # noqa: E731
+    terms = head.select(
+        q(lx).alias("xq"), q(ly).alias("yq"),
+        q(lx * ly).alias("xyq"), q(lx * lx).alias("xxq"),
+    )
+    s = terms.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xq").alias("sx"), F.sum("yq").alias("sy"),
+        F.sum("xyq").alias("sxy"), F.sum("xxq").alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double") / F.lit(1e9)
+    syd = F.col("sy").cast("double") / F.lit(1e9)
+    sxyd = F.col("sxy").cast("double") / F.lit(1e9)
+    sxxd = F.col("sxx").cast("double") / F.lit(1e9)
+    slope_raw = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        F.col("n").alias("n_terms"),
+        round_portable(slope_raw, 6).alias("zipf_slope"),
+        round_portable((syd - slope_raw * sxd) / F.col("n"), 6).alias(
+            "ln_intercept"
+        ),
+    )
