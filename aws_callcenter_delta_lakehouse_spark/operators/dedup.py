@@ -762,3 +762,71 @@ def hamming_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def edit1_pairs(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """All pairs within Levenshtein distance <= 1 via DELETION
+    NEIGHBORHOODS (the FastSS / SymSpell blocking, Bocek et al. 2007):
+    every string generates itself plus each single-character-deletion
+    variant; two strings within edit distance 1 ALWAYS share a variant
+    (substitution -> both delete the differing position; insert/delete
+    -> the longer one's deletion equals the shorter one's identity;
+    equality -> identity), so the candidate join on the variant key is
+    LOSSLESS. Sharing a variant does NOT imply distance <= 1 (e.g.
+    "ab"/"ba" share "a" and "b" but are distance 2), so candidates are
+    verified with the built-in ``levenshtein``. Returns (d1, d2, dist)
+    with d1 < d2, dist in {0, 1}.
+
+    Scale shape: variants per string = length + 1 (a projection +
+    explode, never an all-pairs join); the shuffle keys on the variant
+    string, candidate work is sum over variant buckets of C(bucket, 2)
+    — the bucket is the deletion neighborhood, not the corpus. The
+    exact-dup special case (dist 0) falls out of the identity variant.
+    The brute-force oracle diff doubles as the blocking-losslessness
+    proof (the aHash/banding precedent)."""
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+    ).filter(F.col("__t").isNotNull() & (F.length("__t") > 0))
+    # (empty strings are excluded: sequence(1, 0) is DESCENDING in
+    # Spark, which would make the deletion transform misfire)
+    # materialize the variant array in its own select (perf traps 1/7)
+    with_vars = base.select(
+        "__id",
+        "__t",
+        F.concat(
+            F.array(F.col("__t")),
+            F.transform(
+                F.sequence(F.lit(1), F.length("__t")),
+                # delete position i: prefix [1, i) + suffix (i, end]
+                # (substr past the end returns '' — no ANSI hazard)
+                lambda i: F.concat(
+                    F.substring(F.col("__t"), F.lit(1), i - 1),
+                    F.col("__t").substr(i + 1, F.length("__t")),
+                ),
+            ),
+        ).alias("__vars"),
+    ).select(
+        "__id", "__t", F.array_distinct("__vars").alias("__vars")
+    )
+    exploded = with_vars.filter(F.size("__vars") > 0).select(
+        "__id", "__t", F.explode_outer("__vars").alias("__v")
+    )
+    a = exploded.select(
+        F.col("__v"), F.col("__id").alias("d1"), F.col("__t").alias("t1")
+    )
+    b = exploded.select(
+        F.col("__v"), F.col("__id").alias("d2"), F.col("__t").alias("t2")
+    )
+    cand = (
+        a.join(b, on="__v")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "t1", "t2")
+        .distinct()
+    )
+    return cand.select(
+        "d1",
+        "d2",
+        F.levenshtein("t1", "t2").alias("dist"),
+    ).filter(F.col("dist") <= 1)

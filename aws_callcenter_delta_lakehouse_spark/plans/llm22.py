@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, load_table_parallel
 from .registry import query
 
 
@@ -422,4 +422,38 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         ["a", "the", "and", "of", "to", "in", "is", "on", "for", "with"],
         top_k=20,
+    )
+
+
+@query(
+    "dedup_fuzzy_edit1",
+    oracle="""
+    SELECT CAST(a.c_custkey AS BIGINT) AS d1,
+           CAST(b.c_custkey AS BIGINT) AS d2,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_fuzzy_edit1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match join at Levenshtein distance <= 1 over customer
+    names via FastSS DELETION NEIGHBORHOODS (operators/dedup.py
+    ``edit1_pairs``): each name explodes into length+1 deletion
+    variants, candidates equi-join on the variant key (bucket work =
+    the deletion neighborhood, never corpus^2), the built-in
+    ``levenshtein`` verifies — typo-level entity resolution, the
+    string sibling of the aHash/banding family. The oracle is the
+    brute-force all-pairs diff (fine on sf0.01 in DuckDB), which
+    doubles as the blocking-LOSSLESSNESS proof: any distance-<=1 pair
+    the neighborhood join missed would hash-mismatch."""
+    from ..operators.dedup import edit1_pairs
+
+    cust = load_table_parallel(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    out = edit1_pairs(cust, "c_custkey", "c_name")
+    return out.select(
+        F.col("d1").cast("bigint").alias("d1"),
+        F.col("d2").cast("bigint").alias("d2"),
+        F.col("dist").cast("int").alias("dist"),
     )

@@ -1106,3 +1106,27 @@ def test_range_search_radius_semantics_and_recall(spark):
     # radius semantics: nothing below the threshold leaks through
     assert all(s >= 0.9 for s in rows.values())
     out.unpersist()
+
+
+def test_edit1_pairs_fastss_semantics(spark):
+    """Deletion-neighborhood fuzzy join: substitutions, insertions,
+    deletions and exact dups all pair at dist <= 1; transpositions
+    ('ab'/'ba' — distance 2 despite shared variants) are verified
+    away; unrelated strings never pair."""
+    from aws_callcenter_delta_lakehouse_spark.operators.dedup import (
+        edit1_pairs,
+    )
+
+    rows = [(1, "kitten"), (2, "sitten"), (3, "kitte"), (4, "kittens"),
+            (5, "mitten"), (6, "banana"), (7, "kitten"), (8, "ab"),
+            (9, "ba"), (10, "")]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = sorted(
+        (r.d1, r.d2, r.dist) for r in edit1_pairs(df, "id", "t").collect()
+    )
+    assert (1, 7, 0) in out                      # exact duplicate
+    assert (1, 2, 1) in out and (1, 5, 1) in out  # substitutions
+    assert (1, 3, 1) in out                      # deletion
+    assert (1, 4, 1) in out                      # insertion
+    assert not any(p[:2] == (8, 9) for p in out)  # transposition = 2
+    assert not any(6 in p[:2] or 10 in p[:2] for p in out)
