@@ -579,3 +579,87 @@ def events_pattern_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "end_us",
         "n_events",
     )
+
+
+@query(
+    "recsys_item_item_cosine",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    deg AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+    co AS (
+      SELECT a.l_partkey AS i, b.l_partkey AS j,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM e a JOIN e b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT CAST(co.i AS BIGINT) AS i, CAST(co.j AS BIGINT) AS j,
+           co.c AS n_co, di.n AS n_i, dj.n AS n_j,
+           floor((CAST(co.c AS DOUBLE) / sqrt(CAST(di.n * dj.n AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS cosine
+    FROM co
+    JOIN deg di ON co.i = di.l_partkey
+    JOIN deg dj ON co.j = dj.l_partkey
+    ORDER BY CAST(co.c AS DOUBLE) / sqrt(CAST(di.n * dj.n AS DOUBLE)) DESC,
+             co.i, co.j
+    LIMIT 100
+    """,
+)
+def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: cosine similarity of part
+    co-occurrence across order baskets — ``co(i,j) / sqrt(n_i n_j)``,
+    the classic Amazon-style item-to-item recommender score
+    (complements market_basket_lift's probabilistic view with the
+    vector-angle one). Top-100 with (i, j) tie-breaks (trap 6).
+
+    Scale shape: pair generation keys on the ORDER (C(basket, 2) per
+    basket, linear in lineitems for bounded basket width — the
+    neighbor_jaccard discipline), item degrees broadcast; the cosine
+    is one sqrt over an exact integer product, identical cross-engine,
+    so the float ORDER BY cannot diverge."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    deg = li.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    co = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("i"),
+            F.col("b.l_partkey").alias("j"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    di = deg.select(F.col("l_partkey").alias("i"), F.col("n").alias("n_i"))
+    dj = deg.select(F.col("l_partkey").alias("j"), F.col("n").alias("n_j"))
+    scored = (
+        co.join(di, on="i")
+        .join(dj, on="j")
+        .withColumn(
+            "__cos",
+            F.col("n_co").cast("double")
+            / F.sqrt((F.col("n_i") * F.col("n_j")).cast("double")),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("__cos"), F.asc("i"), F.asc("j"))
+        .limit(100)
+        .select(
+            F.col("i").cast("bigint").alias("i"),
+            F.col("j").cast("bigint").alias("j"),
+            "n_co",
+            "n_i",
+            "n_j",
+            round_portable(F.col("__cos"), 6).alias("cosine"),
+        )
+    )
