@@ -277,3 +277,64 @@ def match_event_spans(
         F.element_at("usa", F.col("sp.end_pos")).alias("end_us"),
         (F.col("sp.end_pos") - F.col("sp.start_pos") + 1).alias("n_events"),
     )
+
+
+def match_event_starts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    mapping: Mapping[str, str],
+    pattern: str,
+) -> DataFrame:
+    """AFTER MATCH SKIP TO NEXT ROW semantics — OVERLAPPING matches:
+    every symbol position where a match of ``pattern`` BEGINS, found
+    by anchoring the regex at each suffix (``^pattern`` on
+    ``seq[i:]``). No lookahead tricks (RE2 — the oracle engine — has
+    none); existence-at-position is greediness-independent, so Java
+    and RE2 cannot disagree. Complements :func:`match_event_pattern`
+    (SKIP PAST LAST ROW, non-overlapping) and
+    :func:`match_event_spans` (per-match measures).
+
+    Per key: seq_len, n_matches (overlapping count), first_start,
+    last_start (1-based positions; 0 when no match). Positional scan
+    is O(seq_len) anchored regex probes per key inside one projection
+    — per-key strings are bounded by the caller's windowing contract,
+    same as the rest of the family."""
+    sym = encode_symbols(F.col(type_col), mapping)
+    rows = df.select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        sym.alias("__c"),
+    )
+    seqs = rows.groupBy("__k").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__us", "__c"))),
+                lambda s: s["__c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    anchored = f"^(?:{pattern})"
+    starts = F.filter(
+        F.sequence(F.lit(1), F.length("seq")),
+        lambda i: F.regexp_extract(
+            F.col("seq").substr(i, F.length("seq")), anchored, 0
+        )
+        != "",
+    )
+    with_starts = seqs.select(
+        "__k", F.length("seq").alias("seq_len"), starts.alias("__st")
+    )
+    return with_starts.select(
+        F.col("__k").alias(key_col),
+        F.col("seq_len").cast("int").alias("seq_len"),
+        F.size("__st").cast("bigint").alias("n_matches"),
+        F.coalesce(F.get("__st", F.lit(0)), F.lit(0)).cast("int").alias(
+            "first_start"
+        ),
+        F.coalesce(
+            F.get("__st", F.size("__st") - 1), F.lit(0)
+        ).cast("int").alias("last_start"),
+    )

@@ -663,3 +663,61 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_portable(F.col("__cos"), 6).alias("cosine"),
         )
     )
+
+
+@query(
+    "events_pattern_overlapping",
+    oracle="""
+    WITH syms AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CASE event_type
+               WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+               WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+               WHEN 'view' THEN 'v' ELSE '.' END AS ch
+      FROM events),
+    seqs AS (
+      SELECT user_id, string_agg(ch, '' ORDER BY us, ch) AS seq
+      FROM syms GROUP BY 1),
+    m AS (
+      SELECT user_id, CAST(length(seq) AS INTEGER) AS seq_len,
+             list_filter(range(1, length(seq) + 1),
+                         i -> regexp_extract(seq[i:],
+                                             '^(?:v[cv]*p)') <> '') AS st
+      FROM seqs)
+    SELECT CAST(user_id AS BIGINT) AS user_id, seq_len,
+           CAST(len(st) AS BIGINT) AS n_matches,
+           CAST(coalesce(st[1], 0) AS INTEGER) AS first_start,
+           CAST(coalesce(st[len(st)], 0) AS INTEGER) AS last_start
+    FROM m
+    """,
+)
+def events_pattern_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AFTER MATCH SKIP TO NEXT ROW — OVERLAPPING CEP matches of
+    ``view (click|view)* purchase`` (operators/patterns.py
+    ``match_event_starts``): every position where a match BEGINS,
+    found by anchoring the regex at each suffix. Existence-at-position
+    is greediness-independent, so Java and RE2 agree without the
+    terminator-exclusion property the non-overlapping variant needs —
+    and RE2's missing lookahead never matters. Completes the
+    MATCH_RECOGNIZE skip-semantics pair (events_pattern_match = SKIP
+    PAST LAST ROW)."""
+    from ..operators.patterns import match_event_starts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = match_event_starts(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        {"click": "c", "error": "e", "purchase": "p",
+         "signup": "s", "view": "v"},
+        "v[cv]*p",
+    )
+    return out.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "seq_len",
+        "n_matches",
+        "first_start",
+        "last_start",
+    )

@@ -178,3 +178,23 @@ def test_match_spans_adjacent_matches(spark):
         df, "k", "ts", "t", MAP, "v[cv]*p"
     ).orderBy("match_idx").collect()
     assert [(r["start_pos"], r["end_pos"]) for r in out] == [(1, 2), (3, 4)]
+
+
+def test_overlapping_matches_skip_to_next_row(spark):
+    """SKIP TO NEXT ROW: 'v v p p' has overlapping matches starting
+    at positions 1 AND 2 (the non-overlapping scan reports only one)."""
+    from aws_callcenter_delta_lakehouse_spark.operators.patterns import (
+        match_event_pattern, match_event_starts,
+    )
+
+    df = _events(
+        spark,
+        [("a", i, t) for i, t in enumerate(
+            ["view", "view", "purchase", "purchase"]
+        )],
+    )
+    over = match_event_starts(df, "k", "ts", "t", MAP, "v[cv]*p").first()
+    assert (over["n_matches"], over["first_start"], over["last_start"]) \
+        == (2, 1, 2)
+    non = match_event_pattern(df, "k", "ts", "t", MAP, "v[cv]*p").first()
+    assert non["n_matches"] == 1  # the skip-past-last scan sees one
