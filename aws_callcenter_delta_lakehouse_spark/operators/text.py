@@ -498,3 +498,59 @@ def rake_keywords(
         .orderBy(F.desc("score_micro"), F.asc("phrase"))
         .limit(top_k)
     )
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 64,
+    sep: str = " ",
+) -> DataFrame:
+    """The HASHING TRICK (Weinberger et al. 2009 — the Vowpal-Wabbit
+    featurizer): each document becomes a fixed ``k``-dimensional
+    integer count vector, component j = number of tokens whose
+    portable-md5 hash lands in bucket j. No vocabulary pass, no
+    fit/transform state, bounded memory at any corpus size — the
+    train-ready featurization that needs exactly one projection plus
+    one (id, bucket) aggregate. The bucket hash is the repo PORTABLE
+    pattern (low-60-bit md5), so a SQL oracle replays every component.
+
+    Returns (id, n_tokens, features array<int> of length k). Built-ins
+    only: split/explode/hash aggregate + a map-backed array fill; the
+    per-doc state is the doc's own distinct-bucket list, never k
+    columns through the shuffle."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(F.split(F.col(text_col), sep)).alias("__w"),
+    ).filter(F.col("__w") != "")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("__w"), 1, 15), 16, 10).cast("bigint"),
+        F.lit(k),
+    ).cast("int")
+    counts = (
+        toks.select("__id", bucket.alias("__b"))
+        .groupBy("__id", "__b")
+        .agg(F.count("*").cast("int").alias("__n"))
+    )
+    per_doc = counts.groupBy("__id").agg(
+        F.sum("__n").cast("bigint").alias("n_tokens"),
+        F.map_from_entries(
+            F.collect_list(F.struct("__b", "__n"))
+        ).alias("__m"),
+    )
+    # try_element_at: ANSI element_at THROWS on a missing MAP key
+    # (trap 9's map sibling) — absent buckets must read 0
+    features = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda b: F.coalesce(
+            F.try_element_at("__m", b.cast("int")), F.lit(0)
+        ),
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        features.alias("features"),
+    )

@@ -494,3 +494,47 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ln_intercept"
         ),
     )
+
+
+@query(
+    "features_hashing_trick",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+      FROM documents),
+    b AS (
+      SELECT source,
+             CAST((CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 16)
+                  AS INTEGER) AS bucket
+      FROM toks WHERE w <> '')
+    SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM b GROUP BY 1, 2
+    """,
+)
+def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick featurizer (operators/text.py
+    ``hashed_features`` — Weinberger 2009, the Vowpal-Wabbit
+    vectorizer): every document becomes a fixed 16-bucket token-count
+    vector with NO vocabulary pass and no fit state; here the per-doc
+    vectors element-wise-sum per source (posexplode -> long format),
+    and the oracle recomputes every (source, bucket) mass from the
+    same portable-md5 bucket hash — each vector component is
+    oracle-pinned. One projection + two hash aggregates; per-doc state
+    is the doc's own bucket list, never k columns through a shuffle."""
+    from ..operators.text import hashed_features
+
+    docs = load_table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    vecs = hashed_features(docs, "doc_id", "text", k=16)
+    joined = vecs.join(
+        docs.select("doc_id", "source"), on="doc_id"
+    ).select("source", F.posexplode_outer("features").alias("bucket", "n"))
+    return (
+        joined.groupBy("source", "bucket")
+        .agg(F.sum("n").cast("bigint").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "source", F.col("bucket").cast("int").alias("bucket"), "n_tokens"
+        )
+    )

@@ -1130,3 +1130,24 @@ def test_edit1_pairs_fastss_semantics(spark):
     assert (1, 4, 1) in out                      # insertion
     assert not any(p[:2] == (8, 9) for p in out)  # transposition = 2
     assert not any(6 in p[:2] or 10 in p[:2] for p in out)
+
+
+def test_hashed_features_shape_and_counts(spark):
+    from aws_callcenter_delta_lakehouse_spark.operators.text import (
+        hashed_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "c"), (3, "")], "id int, text string"
+    )
+    out = {r.id: r for r in hashed_features(df, "id", "text", k=8).collect()}
+    assert set(out) == {1, 2}  # empty doc has no tokens -> no row
+    assert len(out[1]["features"]) == 8 and len(out[2]["features"]) == 8
+    assert out[1]["n_tokens"] == 3 and sum(out[1]["features"]) == 3
+    assert out[2]["n_tokens"] == 1 and sum(out[2]["features"]) == 1
+    # same token always lands in the same bucket: 'a' counted twice in
+    # one component
+    assert max(out[1]["features"]) == 2
+    # deterministic across invocations
+    again = {r.id: r for r in hashed_features(df, "id", "text", k=8).collect()}
+    assert again[1]["features"] == out[1]["features"]
