@@ -255,3 +255,89 @@ def events_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("tq").cast("double") / F.lit(1e12), 6
         ).alias("entropy_nats"),
     )
+
+
+@query(
+    "funnel_latency_percentiles",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS v_us
+      FROM events GROUP BY 1),
+    conv AS (
+      SELECT f.user_id,
+             MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) - f.v_us AS lat_us
+      FROM firsts f
+      JOIN events e ON e.user_id = f.user_id
+        AND e.event_type = 'purchase'
+        AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= f.v_us
+      WHERE f.v_us IS NOT NULL
+      GROUP BY f.user_id, f.v_us),
+    ranked AS (
+      SELECT lat_us,
+             ROW_NUMBER() OVER (ORDER BY lat_us, user_id) AS rk,
+             COUNT(*) OVER () AS n
+      FROM conv)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(SUM(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p50_us,
+           CAST(SUM(CASE WHEN rk = CAST(ceil(n * 0.9) AS BIGINT)
+                         THEN lat_us END) AS BIGINT) AS p90_us
+    FROM ranked
+    """,
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: per user, microseconds from the
+    FIRST view to the first purchase at-or-after it; p50/p90 by exact
+    k-th SELECTION (rank ceil(n*q), type-1 lower quantile, user_id
+    tie-break inside equal latencies — traps 6/10: integer
+    microseconds end to end, so the ranked element is engine-exact,
+    never an interpolated float). Complements the funnel counts
+    (events_sequence_funnel) with the latency view an SLO dashboard
+    needs. Two hash aggregates + one global rank over the converted
+    users only."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias(
+            "v_us"
+        )
+    ).filter(F.col("v_us").isNotNull())
+    conv = (
+        firsts.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("us").alias("p_us")
+            ),
+            on="user_id",
+        )
+        .filter(F.col("p_us") >= F.col("v_us"))
+        .groupBy("user_id", "v_us")
+        .agg((F.min("p_us") - F.first("v_us")).alias("lat_us"))
+        .select("user_id", "lat_us")
+    )
+    from pyspark.sql import Window
+
+    ranked = conv.select(
+        "lat_us",
+        F.row_number()
+        .over(Window.orderBy("lat_us", "user_id"))
+        .alias("rk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.sum(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") * 0.5).cast("bigint"),
+                F.col("lat_us"),
+            )
+        ).cast("bigint").alias("p50_us"),
+        F.sum(
+            F.when(
+                F.col("rk") == F.ceil(F.col("n") * 0.9).cast("bigint"),
+                F.col("lat_us"),
+            )
+        ).cast("bigint").alias("p90_us"),
+    )
