@@ -341,3 +341,76 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).cast("bigint").alias("p90_us"),
     )
+
+
+@query(
+    "orders_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY 1),
+    ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS cum,
+             SUM(cents) OVER () AS total
+      FROM rev),
+    classed AS (
+      SELECT cents,
+             CASE WHEN CAST(cum AS DOUBLE) / total <= 0.7 THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / total <= 0.9 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked)
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS revenue_cents
+    FROM classed GROUP BY 1
+    """,
+)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = the head covering 70% of cumulative revenue, B to 90%,
+    C the tail — the 80/20 working-capital report. Revenue in integer
+    cents (trap 13) so the running cumulative sum is exact and the
+    class boundary — an exact-integer ratio compared to 0.7/0.9 —
+    cannot flip cross-engine; rank ties break on the part key (trap
+    6). One hash aggregate + one ordered running-sum window over the
+    PART-level rollup (bounded cardinality, the documented
+    post-aggregation window site) + one class aggregate."""
+    from pyspark.sql import Window
+
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice").cast("double") * 100
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).cast("bigint").alias("cents")
+        )
+    )
+    w = (
+        Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(Window.partitionBy()).alias("total"),
+    )
+    share = F.col("cum").cast("double") / F.col("total")
+    classed = ranked.select(
+        "cents",
+        F.when(share <= 0.7, "A")
+        .when(share <= 0.9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
