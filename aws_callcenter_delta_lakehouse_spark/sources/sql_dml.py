@@ -982,19 +982,37 @@ def sql_command(
         from .layout import update_bloom_manifest, update_stats_manifest
 
         path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
-        if m.group("cols"):
-            cols = [
-                c.strip().strip("`") for c in _split_top(m.group("cols"))
-            ]
-            update_stats_manifest(path, cols)
-            update_bloom_manifest(spark, path, cols)
-        else:
-            schema = managed_table.read(spark, path).schema
-            cols = [
-                f.name for f in schema.fields
-                if isinstance(f.dataType, AtomicType)
-            ]
-            update_stats_manifest(path, cols)
+
+        def _refresh() -> None:
+            if m.group("cols"):
+                cols = [
+                    c.strip().strip("`") for c in _split_top(m.group("cols"))
+                ]
+                update_stats_manifest(path, cols)
+                update_bloom_manifest(spark, path, cols)
+            else:
+                schema = managed_table.read(spark, path).schema
+                cols = [
+                    f.name for f in schema.fields
+                    if isinstance(f.dataType, AtomicType)
+                ]
+                update_stats_manifest(path, cols)
+
+        # state-token re-verify (advice r11): a concurrent rewriting
+        # commit's swap can interleave so this refresh clobbers the
+        # manifest the commit just rebuilt with one derived from the
+        # pre-swap listing. Skipping is fail-open so correctness holds
+        # either way, but the commit-time freshness guarantee would be
+        # silently lost — re-derive from the post-swap snapshot when
+        # the (version, commit-ts) token moved mid-refresh. Token
+        # verification beats holding the commit lock here: a bloom
+        # build is a full Spark scan that could outlive the lock's
+        # stale-steal window on a large table.
+        for _ in range(5):
+            token = managed_table._table_state_token(path)
+            _refresh()
+            if managed_table._table_state_token(path) == token:
+                break
         return None
     m = re.match(
         rf"COPY\s+INTO\s+(?P<name>{_IDENT})\s+FROM\s+(?P<src>'[^']*')\s*"
@@ -1112,9 +1130,15 @@ def sql_command(
             txn_catalog.unregister_table_name(
                 _registry_dir(spark, registry_dir), name
             )
-        except txn_catalog.TableNameError:
+        except txn_catalog.TableNameError as e:
+            # IF EXISTS forgives a MISSING name only; a view binding is
+            # the wrong verb regardless (Spark/Delta: use DROP VIEW)
+            if "is a registered VIEW" in str(e):
+                raise SqlDmlError(f"DROP TABLE: {e}") from None
             if not m.group(1):
-                raise SqlDmlError(f"DROP TABLE: no such table {name!r}")
+                raise SqlDmlError(
+                    f"DROP TABLE: no such table {name!r}"
+                ) from None
         return None
     m = re.match(
         rf"SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*;?\s*$", stmt, re.I
@@ -1417,6 +1441,58 @@ _BARE_RE = re.compile(
 # are `expr AS name`, table aliases come AFTER the relation)
 _CTE_DEF_RE = re.compile(rf"\b(?P<cte>{_IDENT})\s+AS\s*\(", re.I)
 
+# keywords that legitimately precede a '(' that opens a SUBQUERY (or
+# grouping) rather than a function call — used to classify parens so a
+# scalar FROM inside EXTRACT(year FROM d) / TRIM(x FROM s) /
+# SUBSTRING(s FROM 2) is never mistaken for a relation reference, while
+# `WHERE k IN (SELECT k FROM t)` still rewrites t
+_SUBQ_KEYWORDS = frozenset(
+    "in exists as on and or not where then else when select from join "
+    "union intersect except all any some values by having like between "
+    "over using distinct case end lateral limit offset".split()
+)
+
+
+def _func_paren_flags(masked: str) -> list[bool]:
+    """Per-position flag: is this index inside a paren whose innermost
+    unclosed '(' was opened as a FUNCTION CALL (preceded by a non-keyword
+    identifier)? Positions at top level or inside subquery parens are
+    False. Runs on the literal-masked text."""
+    flags = [False] * len(masked)
+    stack: list[bool] = []
+    for i, c in enumerate(masked):
+        if c == "(":
+            j = i - 1
+            while j >= 0 and masked[j].isspace():
+                j -= 1
+            is_func = False
+            if j >= 0 and (masked[j].isalnum() or masked[j] in "_`$"):
+                k = j
+                while k >= 0 and (masked[k].isalnum() or masked[k] in "_`$."):
+                    k -= 1
+                word = masked[k + 1 : j + 1].lower().strip("`")
+                is_func = word not in _SUBQ_KEYWORDS
+            stack.append(is_func)
+        elif c == ")" and stack:
+            stack.pop()
+        if stack:
+            flags[i] = stack[-1]
+    return flags
+
+
+# comma-separated relation lists after FROM (`FROM t1, t2` — legal in
+# the Athena idiom) and the optional alias each relation may carry
+_COMMA_CONT_RE = re.compile(rf"\s*,\s*(?P<name>{_IDENT})(?!\s*\()", re.I)
+_ALIAS_CONT_RE = re.compile(rf"\s+(?:AS\s+)?(?P<a>{_IDENT})", re.I)
+# tokens that may directly follow a relation and must never be read as
+# its alias (they terminate the FROM item list)
+_NOT_ALIAS = frozenset(
+    "where group order having limit union intersect except join inner "
+    "left right full cross natural on using when then else end window "
+    "qualify lateral version timestamp offset semi anti values select "
+    "from distribute cluster sort tablesample pivot unpivot".split()
+)
+
 
 def _rewrite_bare_names(
     spark: SparkSession,
@@ -1444,15 +1520,22 @@ def _rewrite_bare_names(
     carries the in-progress chain). CTE names defined in the statement
     are EXCLUDED — SQL scoping puts a ``WITH t AS (...)`` definition
     ahead of any catalog object, so a same-named registry table must
-    not shadow it."""
+    not shadow it. Two parser refinements (advice r11): a ``FROM``
+    inside a function call's parens is SQL scalar syntax
+    (``EXTRACT(year FROM d)``, ``TRIM(x FROM s)``, ``SUBSTRING(s FROM
+    2)``) and is never a relation reference; and comma-separated
+    relation lists (``FROM t1, t2`` — legal in the Athena idiom)
+    resolve every list member, not just the first."""
     masked = _mask_literals(stmt)
+    in_func = _func_paren_flags(masked)
     cte_names = {
         masked[m.start("cte") : m.end("cte")].replace("`", "").lower()
         for m in _CTE_DEF_RE.finditer(masked)
     }
 
-    def _sub(m: re.Match, orig: str) -> str | None:
-        name = orig[m.start("name") : m.end("name")].replace("`", "")
+    def _resolve_ref(name: str) -> str | None:
+        """Registry name -> spliced temp-view identifier, or None to
+        leave the reference for Spark's own catalog."""
         if name.lower() in cte_names:
             return None
         try:
@@ -1479,9 +1562,46 @@ def _rewrite_bare_names(
             )
         else:
             df = managed_table.read(spark, entry["path"])
-        return f"{m.group('kw')} {_ref_view(df, '__bn', views)}"
+        return _ref_view(df, "__bn", views)
 
-    return _sub_refs(_BARE_RE, stmt, _sub)
+    out: list[str] = []
+    last = 0
+    for m in _BARE_RE.finditer(masked):
+        if m.start() < last:
+            continue  # consumed by a previous match's comma list
+        if m.start() < len(in_func) and in_func[m.start()]:
+            continue  # scalar FROM inside a function call
+        name = stmt[m.start("name") : m.end("name")].replace("`", "")
+        rep = _resolve_ref(name)
+        if rep is not None:
+            out.append(stmt[last : m.start()])
+            out.append(f"{m.group('kw')} {rep}")
+            last = m.end()
+        if m.group("kw").upper() != "FROM":
+            continue
+        # comma-separated relation list: resolve each further member,
+        # skipping at most one alias token per relation
+        pos = m.end()
+        while True:
+            cm = _COMMA_CONT_RE.match(masked, pos)
+            if cm:
+                nm = stmt[cm.start("name") : cm.end("name")].replace("`", "")
+                rep2 = _resolve_ref(nm)
+                if rep2 is not None:
+                    out.append(stmt[last : cm.start("name")])
+                    out.append(rep2)
+                    last = cm.end("name")
+                pos = cm.end()
+                continue
+            am = _ALIAS_CONT_RE.match(masked, pos)
+            if am and am.group("a").replace("`", "").lower() not in _NOT_ALIAS:
+                pos = am.end()
+                continue
+            break
+    if not out:
+        return stmt
+    out.append(stmt[last:])
+    return "".join(out)
 
 
 def _rewrite_reads(

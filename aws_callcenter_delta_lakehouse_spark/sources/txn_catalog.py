@@ -269,10 +269,17 @@ def resolve_table_name(registry_dir: str, name: str) -> str:
 
 def unregister_table_name(registry_dir: str, name: str) -> None:
     """DROP the name binding (the table's data is untouched — exactly
-    dropping an EXTERNAL table)."""
+    dropping an EXTERNAL table). Refuses a VIEW binding — the mirror
+    of :func:`unregister_view_name`'s guard, matching Spark/Delta's
+    'use DROP VIEW instead' behavior."""
     f = _name_file(registry_dir, name)
     if not _fs().exists(f):
         raise TableNameError(f"unknown table name {name!r}")
+    entry = json.loads(_fs().read_text(f))
+    if "view_sql" in entry:
+        raise TableNameError(
+            f"{name!r} is a registered VIEW, not a table — use DROP VIEW"
+        )
     _fs().remove(f)
 
 

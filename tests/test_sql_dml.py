@@ -387,3 +387,60 @@ def test_cte_name_shadows_registry_table(spark, named_table):
     row = df.first()
     # the CTE (1 row) wins over the 3-row registry table
     assert (row["n"], row["m"]) == (1, 1)
+
+def test_scalar_from_inside_function_not_rewritten(spark, named_table):
+    """advice r11: EXTRACT(year FROM col) / TRIM(x FROM col) /
+    SUBSTRING(s FROM n) use SQL scalar FROM syntax — a column named
+    like a registry table must NOT be spliced into a relation ref."""
+    name, _, registry = named_table
+    # a registry name that collides with a column used in scalar FROM
+    txn_catalog.register_table_name(
+        registry, "name", txn_catalog.resolve_table_name(registry, name)
+    )
+    df = sql_dml.sql(
+        spark,
+        f"SELECT id, TRIM(BOTH 'a' FROM name) AS trimmed, "
+        f"SUBSTRING(name FROM 1 FOR 3) AS pre, "
+        f"EXTRACT(YEAR FROM DATE '2026-01-02') AS yr "
+        f"FROM {name} ORDER BY id",
+    )
+    rows = df.collect()
+    assert [r["trimmed"] for r in rows] == ["lice", "bob", "carol"]
+    assert [r["pre"] for r in rows] == ["ali", "bob", "car"]
+    assert rows[0]["yr"] == 2026
+
+
+def test_comma_separated_from_list_resolves_all(spark, named_table):
+    """advice r11: `FROM t1, t2` (the Athena comma-join idiom) must
+    resolve EVERY member of the relation list, not just the first."""
+    name, path, registry = named_table
+    txn_catalog.register_table_name(registry, "sqldb.acc2", path)
+    df = sql_dml.sql(
+        spark,
+        f"SELECT count(*) AS n FROM {name} a, sqldb.acc2 b "
+        "WHERE a.id = b.id",
+    )
+    assert df.first()["n"] == 3
+    # three-member list with mixed aliasing
+    df = sql_dml.sql(
+        spark,
+        f"SELECT count(*) AS n FROM {name} AS a, sqldb.acc2 b, {name} "
+        f"WHERE a.id = b.id",
+    )
+    assert df.first()["n"] == 9
+
+
+def test_drop_table_refuses_view_binding(spark, named_table):
+    """advice r11: DROP TABLE on a registered VIEW must raise (use
+    DROP VIEW), even with IF EXISTS — mirror of DROP VIEW's guard."""
+    name, _, registry = named_table
+    sql_dml.sql(spark, f"CREATE VIEW sqldb.v_acc AS SELECT id FROM {name}")
+    with pytest.raises(SqlDmlError, match="DROP VIEW"):
+        sql_dml.sql(spark, "DROP TABLE sqldb.v_acc")
+    with pytest.raises(SqlDmlError, match="DROP VIEW"):
+        sql_dml.sql(spark, "DROP TABLE IF EXISTS sqldb.v_acc")
+    # and the view still resolves afterwards
+    assert sql_dml.sql(
+        spark, "SELECT count(*) AS n FROM sqldb.v_acc"
+    ).first()["n"] == 3
+    sql_dml.sql(spark, "DROP VIEW sqldb.v_acc")
