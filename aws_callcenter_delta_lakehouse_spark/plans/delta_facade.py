@@ -1448,6 +1448,123 @@ def sql_table_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sql_table_changes_timestamp",
+    oracle="""
+    WITH tgt AS (
+      SELECT n_nationkey, n_regionkey FROM nation WHERE n_nationkey < 20
+    ), ins AS (  -- v1: INSERT of shifted keys
+      SELECT n_nationkey + 100 AS n_nationkey, n_regionkey
+      FROM nation WHERE n_nationkey < 5
+    ), upd_pre AS (  -- v2: UPDATE preimages (even keys, post-insert set)
+      SELECT n_nationkey, n_regionkey
+      FROM (SELECT * FROM tgt UNION ALL SELECT * FROM ins)
+      WHERE n_nationkey % 2 = 0
+    ), upd_post AS (
+      SELECT n_nationkey, n_regionkey + 10 AS n_regionkey FROM upd_pre
+    ), after_upd AS (
+      SELECT n_nationkey,
+             CASE WHEN n_nationkey % 2 = 0 THEN n_regionkey + 10
+                  ELSE n_regionkey END AS n_regionkey
+      FROM (SELECT * FROM tgt UNION ALL SELECT * FROM ins)
+    ), del AS (  -- v3: DELETE of high regions
+      SELECT n_nationkey, n_regionkey FROM after_upd WHERE n_regionkey >= 13
+    ), bounded AS (  -- (mid(v1,v2), mid(v2,v3)] -> v2 only
+      SELECT 'update_preimage' AS _change_type, 2 AS _commit_version, *
+      FROM upd_pre
+      UNION ALL SELECT 'update_postimage', 2, * FROM upd_post
+    ), open_tail AS (  -- (mid(v1,v2), live] -> v2 + v3
+      SELECT * FROM bounded
+      UNION ALL SELECT 'delete', 3, * FROM del
+    ), feed AS (
+      SELECT 'bounded' AS span, * FROM bounded
+      UNION ALL SELECT 'open', * FROM open_tail
+    )
+    SELECT span, _change_type,
+           CAST(_commit_version AS INT) AS _commit_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           CAST(SUM(n_regionkey) AS BIGINT) AS sum_region
+    FROM feed GROUP BY 1, 2, 3
+    """,
+)
+def sql_table_changes_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table_changes('name', '<ts>'[, '<ts>'])`` with TIMESTAMP
+    bounds (verdict r11 item 4): each quoted bound maps to the newest
+    retained version whose marker commit time is at-or-before it —
+    the same ladder ``read_as_of`` uses (``sources/sql_dml.py:
+    _rewrite_table_changes_tvf``). The commit sequence is the CDF
+    script of ``sql_table_changes_read``; the probe timestamps are the
+    MIDPOINTS between recorded commit times (from ``history()``), so
+    the from-bound resolves to v1 (serving changes strictly after it)
+    and the to-bound to v2. The oracle replays both spans
+    relationally; version stamps, sidecar contents, and the
+    timestamp->version ladder all have to agree for the hash to
+    match."""
+    import datetime
+    import shutil
+
+    from ..sources import managed_table as mt
+    from ..sources import sql_dml, txn_catalog
+    from ..sources.delta_api import _REGISTRY_CONF
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    registry = tempfile.mkdtemp(prefix="sql_tvf_ts_reg_")
+    path = registry + "/nations"
+    spark.conf.set(_REGISTRY_CONF, registry)
+    try:
+        mt.commit_overwrite(
+            nation.filter(F.col("n_nationkey") < 20), path,
+            keys=("n_nationkey",),
+            properties={"enableChangeDataFeed": True},
+            max_history=4,
+        )
+        txn_catalog.register_table_name(registry, "tvfts.nations", path)
+        nation.createOrReplaceTempView("sql_tvf_ts_nation")
+        sql_dml.sql(
+            spark,
+            "INSERT INTO tvfts.nations "
+            "SELECT n_nationkey + 100, n_regionkey FROM sql_tvf_ts_nation "
+            "WHERE n_nationkey < 5",
+        )
+        sql_dml.sql(
+            spark,
+            "UPDATE tvfts.nations SET n_regionkey = n_regionkey + 10 "
+            "WHERE n_nationkey % 2 = 0",
+        )
+        sql_dml.sql(
+            spark, "DELETE FROM tvfts.nations WHERE n_regionkey >= 13"
+        )
+        commit_ts = {
+            r["version"]: r["ts"]
+            for r in mt.history(spark, path).collect()
+        }
+        mid = lambda a, b: datetime.datetime.fromtimestamp(  # noqa: E731
+            (commit_ts[a] + commit_ts[b]) / 2.0
+        ).isoformat()
+        agg = (
+            "SELECT '{span}' AS span, _change_type, _commit_version, "
+            "COUNT(*) AS n_rows, "
+            "CAST(SUM(n_nationkey) AS BIGINT) AS sum_key, "
+            "CAST(SUM(n_regionkey) AS BIGINT) AS sum_region "
+            "FROM table_changes('tvfts.nations', {bounds}) "
+            "GROUP BY span, _change_type, _commit_version"
+        )
+        out = sql_dml.sql(
+            spark,
+            agg.format(span="bounded", bounds=f"'{mid(1, 2)}', '{mid(2, 3)}'")
+            + " UNION ALL "
+            + agg.format(span="open", bounds=f"'{mid(1, 2)}'"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.catalog.dropTempView("sql_tvf_ts_nation")
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)
+
+
+@query(
     "sql_logical_view_gold",
     oracle="""
     WITH gold_call_daily_summary AS (
@@ -1515,4 +1632,73 @@ def sql_logical_view_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(registry, ignore_errors=True)
+
+
+@query(
+    "catalog_crawl_register",
+    oracle="""
+    SELECT r.r_name AS region_name,
+           CAST(COUNT(*) AS BIGINT) AS n_nations,
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS sum_key
+    FROM (SELECT * FROM nation WHERE n_nationkey < 15) n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY region_name
+    """,
+)
+def catalog_crawl_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Glue-crawler onboarding story end-to-end (reference
+    ``README.md:51-53``: a crawler registers the S3 prefixes so Athena
+    queries them by name; verdict r11 item 5): a scratch warehouse
+    prefix holds one MANAGED table (engine marker) and one RAW parquet
+    directory nobody wrote through the engine;
+    ``txn_catalog.register_existing`` walks the prefix and binds both —
+    the managed table as a DML-capable TABLE binding, the raw directory
+    as a read-only ``parquet.`path``` VIEW binding — and the Athena-
+    style join then runs by BARE NAME through the SQL front-end with
+    zero manual registration. The oracle replays the join from the
+    source tables."""
+    import shutil
+
+    from ..sources import sql_dml, txn_catalog
+    from ..sources import managed_table as mt
+    from ..sources.delta_api import _REGISTRY_CONF
+
+    warehouse = tempfile.mkdtemp(prefix="crawl_wh_")
+    registry = tempfile.mkdtemp(prefix="crawl_reg_")
+    spark.conf.set(_REGISTRY_CONF, registry)
+    try:
+        # a managed table the engine wrote...
+        mt.commit_overwrite(
+            load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .filter(F.col("n_nationkey") < 15),
+            warehouse + "/nations",
+            keys=("n_nationkey",),
+        )
+        # ...and a raw parquet directory nobody told the engine about
+        load_table(spark, sf_dir, "region").write.parquet(
+            warehouse + "/regions"
+        )
+        found = txn_catalog.register_existing(
+            registry, warehouse, database="crawldb"
+        )
+        assert sorted(found) == ["crawldb.nations", "crawldb.regions"], found
+        out = sql_dml.sql(
+            spark,
+            """
+            SELECT r.r_name AS region_name,
+                   COUNT(*) AS n_nations,
+                   CAST(SUM(n.n_nationkey) AS BIGINT) AS sum_key
+            FROM crawldb.nations n
+            JOIN crawldb.regions r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+            ORDER BY region_name
+            """,
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        spark.conf.unset(_REGISTRY_CONF)
+        shutil.rmtree(warehouse, ignore_errors=True)
         shutil.rmtree(registry, ignore_errors=True)

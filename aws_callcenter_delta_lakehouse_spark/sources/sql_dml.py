@@ -1402,10 +1402,18 @@ def _rewrite_table_changes_tvf(
     engine's :func:`managed_table.table_changes` feed (O(changes)
     sidecar read; ``_change_type`` / ``_commit_version`` /
     ``_commit_timestamp`` columns included). Bounds are VERSION
-    numbers; timestamp bounds raise with a pointer at ``DESCRIBE
-    HISTORY`` (the engine keys sidecars by version). An unresolvable
-    name raises — table_changes() over an unknown table is always an
-    error, never something Spark's catalog can serve."""
+    numbers or quoted TIMESTAMP strings (Delta accepts both): a
+    timestamp maps to the newest retained version whose commit time is
+    at-or-before it — the same marker commit-ts ladder ``read_as_of``
+    / ``RESTORE TO TIMESTAMP`` use — so a ``from`` timestamp serves
+    the changes committed strictly AFTER that instant and a ``to``
+    timestamp serves changes up to its last at-or-before commit. A
+    timestamp older than every retained commit raises with the
+    retention pointer (Delta's 'timestamp before earliest version'
+    contract). An unresolvable name raises — table_changes() over an
+    unknown table is always an error, never something Spark's catalog
+    can serve."""
+    import datetime as _dt
 
     def _sub(m: re.Match, orig: str) -> str | None:
         name = orig[m.start("name") + 1 : m.end("name") - 1]
@@ -1416,11 +1424,22 @@ def _rewrite_table_changes_tvf(
                 return None
             t = orig[m.start(g) : m.end(g)]
             if t.startswith("'"):
-                raise SqlDmlError(
-                    "table_changes(): timestamp bounds are not supported "
-                    "— pass version numbers (DESCRIBE HISTORY maps "
-                    "timestamps to versions)"
-                )
+                try:
+                    ts = _dt.datetime.fromisoformat(t.strip("'")).timestamp()
+                except ValueError:
+                    raise SqlDmlError(
+                        f"table_changes(): cannot parse timestamp bound "
+                        f"{t} — use ISO-8601 (or a version number; "
+                        "DESCRIBE HISTORY maps timestamps to versions)"
+                    ) from None
+                try:
+                    return managed_table.version_as_of(path, ts)
+                except ValueError as e:
+                    raise SqlDmlError(
+                        f"table_changes(): timestamp bound {t} precedes "
+                        f"every retained commit of {name!r} ({e}); "
+                        "DESCRIBE HISTORY lists the retained versions"
+                    ) from None
             return int(t)
 
         df = managed_table.table_changes(

@@ -382,3 +382,66 @@ def list_view_names(registry_dir: str) -> dict[str, str]:
         if "view_sql" in payload:
             out[payload["name"]] = payload["view_sql"]
     return out
+
+def register_existing(
+    registry_dir: str,
+    prefix: str,
+    database: str | None = None,
+    replace: bool = False,
+) -> dict[str, str]:
+    """Glue-crawler analogue (reference ``README.md:51-53``: a crawler
+    walks the S3 prefixes and registers what it finds so Athena can
+    query by name): scan one level of ``prefix`` and register every
+    table discovered.
+
+    - a directory carrying a managed-table marker -> TABLE binding
+      (full engine semantics: DV anti-join, row tracking, time travel,
+      DML targetability);
+    - a directory of parquet files (flat or Hive-partitioned), or a
+      bare ``*.parquet`` file -> read-only VIEW binding over
+      ``parquet.`path``` — raw external data, queryable by bare name
+      through the SQL front-end but never a DML target (exactly a
+      crawled raw prefix in Athena).
+
+    Names register as ``<database>.<entry>`` (entry lowercased,
+    ``.parquet`` suffix stripped). Engine sidecars are skipped by the
+    naming convention every sidecar follows (leading ``_`` or a ``__``
+    infix: ``t__history``, ``t__staging_*``, ``t__commitlock``...).
+    ``replace=False`` keeps per-name CREATE semantics: an
+    already-bound name raises :class:`TableNameError` (crawl into a
+    fresh database, or pass ``replace=True`` to re-point).
+
+    Returns ``{registered name: path}`` for the names registered by
+    THIS call."""
+    if not _fs().isdir(prefix):
+        raise TableNameError(f"register_existing: {prefix!r} is not a directory")
+    out: dict[str, str] = {}
+    for entry in sorted(_fs().listdir(prefix)):
+        if entry.startswith(("_", ".")) or "__" in entry:
+            continue
+        full = os.path.join(prefix, entry)
+        base = entry[: -len(".parquet")] if entry.endswith(".parquet") else entry
+        name = f"{database}.{base}".lower() if database else base.lower()
+        if _fs().isdir(full):
+            if _fs().exists(os.path.join(full, mt._MARKER)):
+                register_table_name(registry_dir, name, full, replace=replace)
+                out[name] = full
+                continue
+            children = _fs().listdir(full)
+            has_parquet = any(c.endswith(".parquet") for c in children)
+            has_hive = any(
+                "=" in c and _fs().isdir(os.path.join(full, c))
+                for c in children
+            )
+            if not (has_parquet or has_hive):
+                continue  # not a table-shaped directory
+        elif not entry.endswith(".parquet"):
+            continue
+        register_view_name(
+            registry_dir,
+            name,
+            f"SELECT * FROM parquet.`{full}`",
+            replace=replace,
+        )
+        out[name] = full
+    return out

@@ -444,3 +444,51 @@ def test_drop_table_refuses_view_binding(spark, named_table):
         spark, "SELECT count(*) AS n FROM sqldb.v_acc"
     ).first()["n"] == 3
     sql_dml.sql(spark, "DROP VIEW sqldb.v_acc")
+
+def test_table_changes_tvf_timestamp_bounds(spark, tmp_path):
+    """verdict r11 item 4: quoted timestamp bounds on table_changes()
+    map to versions via the marker commit-ts ladder; unparseable or
+    pre-retention timestamps raise actionably."""
+    import datetime
+
+    registry = str(tmp_path / "reg")
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k INT, v INT")
+    mt.commit_overwrite(
+        df, path, keys=("k",),
+        properties={"enableChangeDataFeed": True}, max_history=4,
+    )
+    txn_catalog.register_table_name(registry, "cdfts.t", path)
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    try:
+        sql_dml.sql(spark, "UPDATE cdfts.t SET v = v + 1 WHERE k = 1")
+        sql_dml.sql(spark, "DELETE FROM cdfts.t WHERE k = 2")
+        ts = {
+            r["version"]: r["ts"]
+            for r in mt.history(spark, path).collect()
+        }
+        mid01 = datetime.datetime.fromtimestamp(
+            (ts[0] + ts[1]) / 2.0
+        ).isoformat()
+        rows = sql_dml.sql(
+            spark,
+            "SELECT _change_type, _commit_version FROM "
+            f"table_changes('cdfts.t', '{mid01}') "
+            "ORDER BY _commit_version, _change_type",
+        ).collect()
+        assert [(r[0], r[1]) for r in rows] == [
+            ("update_postimage", 1),
+            ("update_preimage", 1),
+            ("delete", 2),
+        ]
+        with pytest.raises(SqlDmlError, match="cannot parse timestamp"):
+            sql_dml.sql(
+                spark, "SELECT * FROM table_changes('cdfts.t', 'nonsense')"
+            )
+        with pytest.raises(SqlDmlError, match="precedes every retained"):
+            sql_dml.sql(
+                spark,
+                "SELECT * FROM table_changes('cdfts.t', '1999-01-01')",
+            )
+    finally:
+        spark.conf.unset("spark.managedTable.nameRegistry")

@@ -262,3 +262,75 @@ def test_cross_process_commit_race_exactly_one_wins_per_version(tmp_path):
             versions.append(json.load(fh)["version"])  # parseable, whole
     assert versions == list(range(n_procs * rounds + 1))  # contiguous
     assert not glob.glob(os.path.join(cat, "*.tmp"))  # losers swept
+
+
+def test_register_existing_crawler(spark, tmp_path):
+    """register_existing (Glue-crawler analogue): managed tables ->
+    TABLE bindings, raw parquet dirs/files -> read-only VIEW bindings,
+    engine sidecars skipped, CREATE semantics per name."""
+    import pytest
+
+    from aws_callcenter_delta_lakehouse_spark.sources import (
+        managed_table as mt,
+        sql_dml,
+        txn_catalog as tc,
+    )
+
+    wh = tmp_path / "wh"
+    wh.mkdir()
+    registry = str(tmp_path / "reg")
+    # managed table (marker present) + its __history sidecar
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k INT, s STRING")
+    mt.commit_overwrite(df, str(wh / "managed"), keys=("k",))
+    mt.merge_upsert(
+        spark,
+        str(wh / "managed"),
+        spark.createDataFrame([(3, "c")], "k INT, s STRING"),
+        keys=("k",),
+    )
+    # raw parquet directory
+    df.write.parquet(str(wh / "rawdir"))
+    # bare parquet file
+    import shutil as _sh
+
+    pq = [p for p in (wh / "rawdir").iterdir() if p.suffix == ".parquet"]
+    _sh.copy(pq[0], wh / "RawFile.parquet")
+    # junk that must be skipped
+    (wh / "notes.txt").write_text("not a table")
+    (wh / "emptydir").mkdir()
+    (wh / "_hidden").mkdir()
+
+    found = tc.register_existing(registry, str(wh), database="crawl")
+    assert sorted(found) == [
+        "crawl.managed", "crawl.rawdir", "crawl.rawfile",
+    ]
+    # managed -> TABLE binding (DML-capable), raw -> VIEW binding
+    assert "crawl.managed" in tc.list_table_names(registry)
+    assert "crawl.rawdir" in tc.list_view_names(registry)
+    assert "crawl.rawfile" in tc.list_view_names(registry)
+    with pytest.raises(tc.TableNameError, match="VIEW"):
+        tc.resolve_table_name(registry, "crawl.rawdir")
+
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    try:
+        n = sql_dml.sql(
+            spark, "SELECT count(*) AS n FROM crawl.managed"
+        ).first()["n"]
+        assert n == 3
+        n = sql_dml.sql(
+            spark, "SELECT count(*) AS n FROM crawl.rawdir"
+        ).first()["n"]
+        assert n == 2
+    finally:
+        spark.conf.unset("spark.managedTable.nameRegistry")
+
+    # CREATE semantics: re-crawl refuses, replace re-points
+    with pytest.raises(tc.TableNameError):
+        tc.register_existing(registry, str(wh), database="crawl")
+    again = tc.register_existing(
+        registry, str(wh), database="crawl", replace=True
+    )
+    assert sorted(again) == sorted(found)
+    # non-directory prefix raises
+    with pytest.raises(tc.TableNameError, match="not a directory"):
+        tc.register_existing(registry, str(wh / "notes.txt"))
