@@ -452,7 +452,12 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression terms are quantized to 1e-9 units before the sums
     (association-free integers — the round-11 playbook), so the oracle
     replays the fit bit-for-bit; ranks tie-break on the token (trap 6).
-    One token explode + hash aggregate + a 1000-row window."""
+    One token explode + hash aggregate + a 1000-row window. The
+    top-1000 head is selected by distributed top-k (orderBy+limit ->
+    TakeOrderedAndProject) BEFORE any window, so the only global
+    row_number runs over a GlobalLimit-bounded 1000-row frame — the
+    r11 formulation ranked the FULL vocabulary on one task, which is
+    the single-partition-window hazard at corpus scale."""
     from pyspark.sql import Window
 
     docs = load_table_parallel(spark, sf_dir, "documents")
@@ -461,13 +466,14 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     freq = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("f"))
     head = (
-        freq.withColumn(
+        freq.orderBy(F.desc("f"), F.asc("w"))
+        .limit(1000)
+        .withColumn(
             "r",
             F.row_number().over(
                 Window.orderBy(F.desc("f"), F.asc("w"))
             ).cast("bigint"),
         )
-        .filter(F.col("r") <= 1000)
     )
     lx = F.log(F.col("r").cast("double"))
     ly = F.log(F.col("f").cast("double"))

@@ -295,8 +295,13 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     microseconds end to end, so the ranked element is engine-exact,
     never an interpolated float). Complements the funnel counts
     (events_sequence_funnel) with the latency view an SLO dashboard
-    needs. Two hash aggregates + one global rank over the converted
-    users only."""
+    needs. Two hash aggregates + one DISTRIBUTED global rank over the
+    converted users: the rank is the two-phase prefix sum
+    (``operators/prefix.py`` — range exchange + per-partition window +
+    broadcast offsets), never a single-partition WindowExec, and the
+    total count is a broadcast 1-row agg, not ``COUNT(*) OVER ()`` —
+    converted-user cardinality scales with the data, so the r11 global
+    window here was the one shape that would single-task at 100 TB."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", F.unix_micros("ts").alias("us")
     )
@@ -317,15 +322,14 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.min("p_us") - F.first("v_us")).alias("lat_us"))
         .select("user_id", "lat_us")
     )
-    from pyspark.sql import Window
+    from ..operators.prefix import global_running_sum
 
-    ranked = conv.select(
-        "lat_us",
-        F.row_number()
-        .over(Window.orderBy("lat_us", "user_id"))
-        .alias("rk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    ranked = global_running_sum(
+        conv.withColumn("__one", F.lit(1).cast("long")),
+        ["lat_us", "user_id"],
+        "__one",
+        out_col="rk",
+    ).join(F.broadcast(conv.agg(F.count("*").alias("n"))))
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_converted"),
         F.sum(
@@ -376,10 +380,14 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents (trap 13) so the running cumulative sum is exact and the
     class boundary — an exact-integer ratio compared to 0.7/0.9 —
     cannot flip cross-engine; rank ties break on the part key (trap
-    6). One hash aggregate + one ordered running-sum window over the
-    PART-level rollup (bounded cardinality, the documented
-    post-aggregation window site) + one class aggregate."""
-    from pyspark.sql import Window
+    6). One hash aggregate + one DISTRIBUTED ordered running sum over
+    the part-level rollup (two-phase prefix sum, ``operators/
+    prefix.py`` — part cardinality scales with the catalog, so the r11
+    single-partition window here was a 100 TB hazard; descending order
+    rides the ascending range exchange on negated cents) + one class
+    aggregate; the grand total is a broadcast 1-row agg, not
+    ``SUM() OVER ()``."""
+    from ..operators.prefix import global_running_sum
 
     rev = (
         load_table(spark, sf_dir, "lineitem")
@@ -393,14 +401,13 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("cents")
         )
     )
-    w = (
-        Window.orderBy(F.desc("cents"), F.asc("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = rev.select(
+    ranked = global_running_sum(
+        rev.withColumn("__neg", -F.col("cents")),
+        ["__neg", "l_partkey"],
         "cents",
-        F.sum("cents").over(w).alias("cum"),
-        F.sum("cents").over(Window.partitionBy()).alias("total"),
+        out_col="cum",
+    ).join(
+        F.broadcast(rev.agg(F.sum("cents").cast("bigint").alias("total")))
     )
     share = F.col("cum").cast("double") / F.col("total")
     classed = ranked.select(
