@@ -693,3 +693,16 @@ def test_top_paths_single_window_shuffle(spark):
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
     assert "TakeOrderedAndProject" in p  # top-10, never a full sort
+
+
+def test_funnel_and_abc_ranks_are_distributed(spark):
+    """Round-12 de-globalization: funnel_latency_percentiles (rank over
+    all converted users) and orders_abc_analysis (running sum over all
+    parts) must rank through the two-phase prefix sum — range exchange,
+    __pid-partitioned window, zero SinglePartition exchange — since
+    both frames scale with the data."""
+    for name in ("funnel_latency_percentiles", "orders_abc_analysis"):
+        p = _plan(spark, name)
+        assert "rangepartitioning" in p.lower(), (name, p)
+        assert "hashpartitioning(__pid" in p, (name, p)
+        assert "Exchange SinglePartition" not in p, (name, p)
