@@ -115,6 +115,14 @@ def global_running_sum(
             .drop("__pid", "__offset")
         )
 
+    # NB: the running-sum branch and the totals branch below each
+    # re-evaluate `ranged` (the sampling RangePartitioner is
+    # nondeterministic, so AQE never plans a ReusedExchange across
+    # them). Callers whose input is an expensive pipeline should
+    # localCheckpoint(eager=False) it BEFORE calling (see
+    # funnel_latency_percentiles / orders_abc_analysis) — checkpointing
+    # HERE would hide the range exchange from callers' final plans,
+    # which the scale tests pin.
     pid_rows = ranged.withColumn("__pid", F.spark_partition_id())
     w = (
         Window.partitionBy("__pid")

@@ -56,7 +56,15 @@ def plan_audit(df: DataFrame) -> dict[str, int]:
 # formulation is the two-phase distributed prefix sum,
 # ``operators/prefix.py``).
 _BOUNDING_NODES = frozenset(
-    {"Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate"}
+    {
+        "Aggregate",
+        "GlobalLimit",
+        "LocalLimit",
+        "Deduplicate",
+        # driver-embedded literal relations are bounded by construction
+        "LocalRelation",
+        "OneRowRelation",
+    }
 )
 
 
@@ -79,11 +87,18 @@ def global_window_audit(df: DataFrame) -> list[dict]:
     jplan = df._jdf.queryExecution().optimizedPlan()
 
     def _subtree_has_bound(node) -> bool:
+        """Cardinality-bounded iff a bounding node caps EVERY path from
+        the window down to the leaves: a join/union with one bounded
+        branch and one raw branch is NOT bounded (the raw side drives
+        the output cardinality), so `all()` over children, with leaves
+        (relations) returning False."""
         name = node.getClass().getSimpleName()
         if name in _BOUNDING_NODES:
             return True
         kids = node.children()
-        return any(
+        if kids.size() == 0:
+            return False
+        return all(
             _subtree_has_bound(kids.apply(i)) for i in range(kids.size())
         )
 

@@ -1540,8 +1540,10 @@ def sql_table_changes_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
             r["version"]: r["ts"]
             for r in mt.history(spark, path).collect()
         }
+        # UTC-explicit ISO stamps: the front-end reads naive literals
+        # as UTC (engine session tz), never the driver host's zone
         mid = lambda a, b: datetime.datetime.fromtimestamp(  # noqa: E731
-            (commit_ts[a] + commit_ts[b]) / 2.0
+            (commit_ts[a] + commit_ts[b]) / 2.0, tz=datetime.timezone.utc
         ).isoformat()
         agg = (
             "SELECT '{span}' AS span, _change_type, _commit_version, "

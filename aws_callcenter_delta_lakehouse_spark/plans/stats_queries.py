@@ -324,6 +324,10 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.prefix import global_running_sum
 
+    # one evaluation of the events pipeline: the rank and the total
+    # both read the checkpoint (the sampling range partitioner defeats
+    # AQE exchange reuse, so lineage sharing alone re-executes it)
+    conv = conv.localCheckpoint(eager=False)
     ranked = global_running_sum(
         conv.withColumn("__one", F.lit(1).cast("long")),
         ["lat_us", "user_id"],
@@ -401,6 +405,8 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("cents")
         )
     )
+    # one lineitem rollup evaluation shared by rank + grand total
+    rev = rev.localCheckpoint(eager=False)
     ranked = global_running_sum(
         rev.withColumn("__neg", -F.col("cents")),
         ["__neg", "l_partkey"],

@@ -960,10 +960,8 @@ def sql_command(
         if m.group("ver") is not None:
             version = int(m.group("ver"))
         else:
-            import datetime as _dt
-
             version = managed_table.version_as_of(
-                path, _dt.datetime.fromisoformat(m.group("ts")).timestamp()
+                path, _parse_ts_utc(m.group("ts"))
             )
         return managed_table.restore_table(spark, path, version)
     m = re.match(
@@ -1256,6 +1254,23 @@ _COMMAND_RE = re.compile(
 # pulled from the ORIGINAL by span (a TVF's name arg IS a literal).
 
 
+def _parse_ts_utc(text: str) -> float:
+    """ISO-8601 timestamp literal -> unix seconds, interpreting a
+    NAIVE timestamp as UTC — the engine pins the session timezone to
+    UTC (CLAUDE.md trap 11), so SQL timestamp literals must mean the
+    same instant on every driver host. ``fromisoformat().timestamp()``
+    alone would read a naive stamp in the HOST's local zone (and pick
+    a DST fold arbitrarily), mapping the same statement to different
+    versions depending on where the driver runs. Explicit offsets are
+    honored as written."""
+    import datetime as _dt
+
+    dt = _dt.datetime.fromisoformat(text)
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=_dt.timezone.utc)
+    return dt.timestamp()
+
+
 def _mask_literals(s: str) -> str:
     """Copy of ``s`` with the interior of ``'...'``/``"..."`` string
     literals replaced by ``\\x00`` (positions preserved). Backtick
@@ -1331,7 +1346,6 @@ def _rewrite_time_travel(
     ``SELECT ... FROM t VERSION AS OF 3`` / ``TIMESTAMP AS OF '...'``.
     Names that do not resolve in the registry are left untouched
     (Spark's own catalog may know them)."""
-    import datetime as _dt
 
     def _sub(m: re.Match, orig: str) -> str | None:
         name = orig[m.start("name") : m.end("name")].replace("`", "")
@@ -1343,8 +1357,9 @@ def _rewrite_time_travel(
         if m.group("kind").upper() == "VERSION":
             df = managed_table.read(spark, path, version=int(pin))
         else:
-            ts = _dt.datetime.fromisoformat(pin.strip("'"))
-            df = managed_table.read_as_of(spark, path, ts.timestamp())
+            df = managed_table.read_as_of(
+                spark, path, _parse_ts_utc(pin.strip("'"))
+            )
         return f"{m.group('kw')} {_ref_view(df, '__tt', views)}"
 
     return _sub_refs(_TT_RE, stmt, _sub)
@@ -1413,7 +1428,6 @@ def _rewrite_table_changes_tvf(
     contract). An unresolvable name raises — table_changes() over an
     unknown table is always an error, never something Spark's catalog
     can serve."""
-    import datetime as _dt
 
     def _sub(m: re.Match, orig: str) -> str | None:
         name = orig[m.start("name") + 1 : m.end("name") - 1]
@@ -1425,7 +1439,7 @@ def _rewrite_table_changes_tvf(
             t = orig[m.start(g) : m.end(g)]
             if t.startswith("'"):
                 try:
-                    ts = _dt.datetime.fromisoformat(t.strip("'")).timestamp()
+                    ts = _parse_ts_utc(t.strip("'"))
                 except ValueError:
                     raise SqlDmlError(
                         f"table_changes(): cannot parse timestamp bound "
@@ -1450,8 +1464,11 @@ def _rewrite_table_changes_tvf(
     return _sub_refs(_TVF_RE, stmt, _sub)
 
 
+# NB the (?![\w$.`]) guard: without it the negative function-call
+# lookahead invites BACKTRACKING — for `FROM range(10)` the IDENT
+# shrinks to 'rang' so that `(?!\s*\()` passes on the final 'e'
 _BARE_RE = re.compile(
-    rf"\b(?P<kw>FROM|JOIN)\s+(?P<name>{_IDENT})(?!\s*\()",
+    rf"\b(?P<kw>FROM|JOIN)\s+(?P<name>{_IDENT})(?![\w$.`])(?!\s*\()",
     re.I,
 )
 
@@ -1467,8 +1484,8 @@ _CTE_DEF_RE = re.compile(rf"\b(?P<cte>{_IDENT})\s+AS\s*\(", re.I)
 # `WHERE k IN (SELECT k FROM t)` still rewrites t
 _SUBQ_KEYWORDS = frozenset(
     "in exists as on and or not where then else when select from join "
-    "union intersect except all any some values by having like between "
-    "over using distinct case end lateral limit offset".split()
+    "union intersect except minus all any some values by having like "
+    "between over using distinct case end lateral limit offset".split()
 )
 
 
@@ -1501,7 +1518,13 @@ def _func_paren_flags(masked: str) -> list[bool]:
 
 # comma-separated relation lists after FROM (`FROM t1, t2` — legal in
 # the Athena idiom) and the optional alias each relation may carry
-_COMMA_CONT_RE = re.compile(rf"\s*,\s*(?P<name>{_IDENT})(?!\s*\()", re.I)
+_COMMA_CONT_RE = re.compile(
+    rf"\s*,\s*(?P<name>{_IDENT})(?![\w$.`])(?!\s*\()", re.I
+)
+# a comma-list member that is a parenthesized subquery or a table
+# function (`range(10)`) — skipped over so LATER registry names in the
+# same list still resolve
+_COMMA_PAREN_RE = re.compile(rf"\s*,\s*(?:{_IDENT}\s*)?\(", re.I)
 _ALIAS_CONT_RE = re.compile(rf"\s+(?:AS\s+)?(?P<a>{_IDENT})", re.I)
 # tokens that may directly follow a relation and must never be read as
 # its alias (they terminate the FROM item list)
@@ -1583,23 +1606,26 @@ def _rewrite_bare_names(
             df = managed_table.read(spark, entry["path"])
         return _ref_view(df, "__bn", views)
 
-    out: list[str] = []
-    last = 0
+    # replacement SPANS, applied sorted at the end: a comma-list scan
+    # can hop over a parenthesized subquery member whose interior holds
+    # its own `FROM name` matches — eager left-to-right splicing would
+    # swallow those; span collection lets the main finditer loop and
+    # the comma scans each contribute independently (they can never
+    # overlap: a comma member is not preceded by FROM/JOIN, so the two
+    # sources match disjoint text)
+    repls: list[tuple[int, int, str]] = []
     for m in _BARE_RE.finditer(masked):
-        if m.start() < last:
-            continue  # consumed by a previous match's comma list
         if m.start() < len(in_func) and in_func[m.start()]:
             continue  # scalar FROM inside a function call
         name = stmt[m.start("name") : m.end("name")].replace("`", "")
         rep = _resolve_ref(name)
         if rep is not None:
-            out.append(stmt[last : m.start()])
-            out.append(f"{m.group('kw')} {rep}")
-            last = m.end()
+            repls.append((m.start(), m.end(), f"{m.group('kw')} {rep}"))
         if m.group("kw").upper() != "FROM":
             continue
         # comma-separated relation list: resolve each further member,
-        # skipping at most one alias token per relation
+        # skipping one optional alias per relation and hopping over
+        # parenthesized subquery / table-function members
         pos = m.end()
         while True:
             cm = _COMMA_CONT_RE.match(masked, pos)
@@ -1607,18 +1633,38 @@ def _rewrite_bare_names(
                 nm = stmt[cm.start("name") : cm.end("name")].replace("`", "")
                 rep2 = _resolve_ref(nm)
                 if rep2 is not None:
-                    out.append(stmt[last : cm.start("name")])
-                    out.append(rep2)
-                    last = cm.end("name")
+                    repls.append((cm.start("name"), cm.end("name"), rep2))
                 pos = cm.end()
+                continue
+            pm = _COMMA_PAREN_RE.match(masked, pos)
+            if pm:
+                depth, j = 1, pm.end()
+                while j < len(masked) and depth:
+                    if masked[j] == "(":
+                        depth += 1
+                    elif masked[j] == ")":
+                        depth -= 1
+                    j += 1
+                if depth:
+                    break  # unbalanced — leave the rest untouched
+                pos = j
                 continue
             am = _ALIAS_CONT_RE.match(masked, pos)
             if am and am.group("a").replace("`", "").lower() not in _NOT_ALIAS:
                 pos = am.end()
                 continue
             break
-    if not out:
+    if not repls:
         return stmt
+    repls.sort()
+    out: list[str] = []
+    last = 0
+    for s, e, text in repls:
+        if s < last:  # pragma: no cover - overlap safety net
+            continue
+        out.append(stmt[last:s])
+        out.append(text)
+        last = e
     out.append(stmt[last:])
     return "".join(out)
 

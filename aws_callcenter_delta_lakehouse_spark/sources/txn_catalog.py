@@ -411,11 +411,18 @@ def register_existing(
     already-bound name raises :class:`TableNameError` (crawl into a
     fresh database, or pass ``replace=True`` to re-point).
 
+    Collisions are detected BEFORE anything registers — two entries
+    normalizing to the same name ('Foo/' vs 'foo/', 'orders/' vs
+    'orders.parquet'), or (with ``replace=False``) a name already
+    bound — so a failed crawl leaves zero partial bindings; a
+    concurrent registrar racing the same name can still surface as a
+    mid-crawl :class:`TableNameError` (put-if-absent is the authority).
+
     Returns ``{registered name: path}`` for the names registered by
     THIS call."""
     if not _fs().isdir(prefix):
         raise TableNameError(f"register_existing: {prefix!r} is not a directory")
-    out: dict[str, str] = {}
+    plan: list[tuple[str, str, str]] = []  # (name, kind, path)
     for entry in sorted(_fs().listdir(prefix)):
         if entry.startswith(("_", ".")) or "__" in entry:
             continue
@@ -424,8 +431,7 @@ def register_existing(
         name = f"{database}.{base}".lower() if database else base.lower()
         if _fs().isdir(full):
             if _fs().exists(os.path.join(full, mt._MARKER)):
-                register_table_name(registry_dir, name, full, replace=replace)
-                out[name] = full
+                plan.append((name, "table", full))
                 continue
             children = _fs().listdir(full)
             has_parquet = any(c.endswith(".parquet") for c in children)
@@ -437,11 +443,38 @@ def register_existing(
                 continue  # not a table-shaped directory
         elif not entry.endswith(".parquet"):
             continue
-        register_view_name(
-            registry_dir,
-            name,
-            f"SELECT * FROM parquet.`{full}`",
-            replace=replace,
+        plan.append((name, "view", full))
+    dupes = {
+        n: [p for nm, _k, p in plan if nm == n]
+        for n in {nm for nm, _k, _p in plan}
+        if sum(1 for nm, _k, _p in plan if nm == n) > 1
+    }
+    if dupes:
+        raise TableNameError(
+            f"register_existing: entries collide after name "
+            f"normalization (nothing was registered): {dupes}"
         )
+    if not replace:
+        bound = set(list_table_names(registry_dir)) | set(
+            list_view_names(registry_dir)
+        )
+        clashes = sorted(n for n, _k, _p in plan if n in bound)
+        if clashes:
+            raise TableNameError(
+                f"register_existing: names already bound (nothing was "
+                f"registered): {clashes} — crawl into a fresh database "
+                "or pass replace=True"
+            )
+    out: dict[str, str] = {}
+    for name, kind, full in plan:
+        if kind == "table":
+            register_table_name(registry_dir, name, full, replace=replace)
+        else:
+            register_view_name(
+                registry_dir,
+                name,
+                f"SELECT * FROM parquet.`{full}`",
+                replace=replace,
+            )
         out[name] = full
     return out

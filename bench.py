@@ -85,7 +85,11 @@ def main() -> None:
     # trap-11 check: the driver regenerates testdata between rounds and
     # the events table has changed shape before — record its row count
     # so an events_* timing swing can be attributed to data, not code.
-    events_rows = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    # Routed through catalog.load_table (the trap-11 rule: EVERY events
+    # read normalizes the timestamp physical type there).
+    from aws_callcenter_delta_lakehouse_spark.catalog import load_table
+
+    events_rows = load_table(spark, SF_DIR, "events").count()
 
     # JVM/codegen warmup on the flagship query (excluded from timings).
     REGISTRY["daily_event_summary"].fn(spark, SF_DIR).write.mode("overwrite").format(

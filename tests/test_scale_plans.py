@@ -221,7 +221,10 @@ def test_range_partitioned_sort_plan(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "rangepartitioning" in p.lower()
-    assert "Exchange SinglePartition" not in p
+    # formatted explain renders a single-partition exchange as
+    # 'Exchange (N)' + 'Arguments: SinglePartition' — match the
+    # argument token, not the (never-printed) one-line form
+    assert "SinglePartition" not in p
 
 
 def test_analyze_table_feeds_cbo_stats(spark, tmp_path):
@@ -699,10 +702,19 @@ def test_funnel_and_abc_ranks_are_distributed(spark):
     """Round-12 de-globalization: funnel_latency_percentiles (rank over
     all converted users) and orders_abc_analysis (running sum over all
     parts) must rank through the two-phase prefix sum — range exchange,
-    __pid-partitioned window, zero SinglePartition exchange — since
-    both frames scale with the data."""
+    __pid-partitioned window, and NO unpartitioned Window anywhere in
+    the optimized plan (global_window_audit; a plain substring check on
+    'Exchange SinglePartition' is vacuous in formatted explain, which
+    renders the mode on a separate Arguments line — and the 1-row
+    broadcast-total agg legitimately plans one)."""
+    from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY as R
+    from aws_callcenter_delta_lakehouse_spark.plans.audit import (
+        global_window_audit,
+    )
+
     for name in ("funnel_latency_percentiles", "orders_abc_analysis"):
         p = _plan(spark, name)
         assert "rangepartitioning" in p.lower(), (name, p)
         assert "hashpartitioning(__pid" in p, (name, p)
-        assert "Exchange SinglePartition" not in p, (name, p)
+        gw = global_window_audit(R[name].fn(spark, SF01))
+        assert gw == [], (name, gw)

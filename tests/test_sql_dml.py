@@ -332,9 +332,12 @@ def test_table_changes_tvf(spark, tmp_path):
             "SELECT _change_type, k FROM table_changes('cdfdb.t', 0, 1)",
         ).collect()
         assert [(r["_change_type"], r["k"]) for r in out] == [("insert", 3)]
-        with pytest.raises(SqlDmlError, match="timestamp bounds"):
+        # timestamp bounds are supported since r12; a pre-retention
+        # stamp raises actionably (full semantics in
+        # test_table_changes_tvf_timestamp_bounds)
+        with pytest.raises(SqlDmlError, match="precedes every retained"):
             sql_dml.sql(
-                spark, "SELECT * FROM table_changes('cdfdb.t', '2026-01-01')"
+                spark, "SELECT * FROM table_changes('cdfdb.t', '1999-01-01')"
             )
         with pytest.raises(txn_catalog.TableNameError):
             sql_dml.sql(spark, "SELECT * FROM table_changes('nope.t', 0)")
@@ -467,9 +470,11 @@ def test_table_changes_tvf_timestamp_bounds(spark, tmp_path):
             r["version"]: r["ts"]
             for r in mt.history(spark, path).collect()
         }
+        # a NAIVE literal must be read as UTC (the engine session tz),
+        # independent of the driver host's local zone
         mid01 = datetime.datetime.fromtimestamp(
-            (ts[0] + ts[1]) / 2.0
-        ).isoformat()
+            (ts[0] + ts[1]) / 2.0, tz=datetime.timezone.utc
+        ).isoformat().replace("+00:00", "")
         rows = sql_dml.sql(
             spark,
             "SELECT _change_type, _commit_version FROM "
@@ -490,5 +495,78 @@ def test_table_changes_tvf_timestamp_bounds(spark, tmp_path):
                 spark,
                 "SELECT * FROM table_changes('cdfts.t', '1999-01-01')",
             )
+    finally:
+        spark.conf.unset("spark.managedTable.nameRegistry")
+
+def test_minus_setop_and_subquery_comma_members(spark, named_table):
+    """review r12: MINUS (Spark's EXCEPT synonym) must not classify the
+    following paren as a function call; comma lists with parenthesized
+    subquery / table-function members must still resolve LATER registry
+    names (and names INSIDE the hopped subquery)."""
+    name, path, registry = named_table
+    txn_catalog.register_table_name(registry, "sqldb.acc3", path)
+    # MINUS: both sides resolve
+    rows = sql_dml.sql(
+        spark,
+        f"SELECT id FROM {name} MINUS "
+        f"(SELECT id FROM sqldb.acc3 WHERE id > 1)",
+    ).collect()
+    assert [r["id"] for r in rows] == [1]
+    # subquery member mid-list: reg names before, inside, and after
+    df = sql_dml.sql(
+        spark,
+        f"SELECT count(*) AS n FROM {name} a, "
+        f"(SELECT id FROM sqldb.acc3 WHERE id <= 2) s, {name} b "
+        "WHERE a.id = s.id AND b.id = s.id",
+    )
+    assert df.first()["n"] == 2
+    # table-function member mid-list
+    df = sql_dml.sql(
+        spark,
+        f"SELECT count(*) AS n FROM {name} a, range(2) r, sqldb.acc3 b "
+        "WHERE a.id = b.id",
+    )
+    assert df.first()["n"] == 6
+
+
+def test_timestamp_literals_are_utc(spark, tmp_path):
+    """review r12: naive SQL timestamp literals mean UTC (the engine
+    session tz), not the driver host's local zone — pinned by writing a
+    commit, computing its UTC ISO stamp, and reading AS OF it."""
+    import datetime
+
+    registry = str(tmp_path / "reg")
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 10)], "k INT, v INT")
+    mt.commit_overwrite(df, path, keys=("k",))
+    txn_catalog.register_table_name(registry, "tzdb.t", path)
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    try:
+        mt.merge_upsert(
+            spark, path,
+            spark.createDataFrame([(2, 20)], "k INT, v INT"),
+            keys=("k",),
+        )
+        ts0 = {r["version"]: r["ts"] for r in mt.history(spark, path).collect()}
+        # naive UTC stamp of just-after-v0: must resolve to version 0
+        # on ANY host tz (a local-zone read would be off by the offset)
+        naive_utc = datetime.datetime.fromtimestamp(
+            ts0[0] + 0.001, tz=datetime.timezone.utc
+        ).isoformat().replace("+00:00", "")
+        n = sql_dml.sql(
+            spark,
+            f"SELECT count(*) AS n FROM tzdb.t TIMESTAMP AS OF '{naive_utc}'",
+        ).first()["n"]
+        assert n == 1
+        # explicit offset honored: same instant written as +02:00
+        plus2 = datetime.datetime.fromtimestamp(
+            ts0[0] + 0.001,
+            tz=datetime.timezone(datetime.timedelta(hours=2)),
+        ).isoformat()
+        n = sql_dml.sql(
+            spark,
+            f"SELECT count(*) AS n FROM tzdb.t TIMESTAMP AS OF '{plus2}'",
+        ).first()["n"]
+        assert n == 1
     finally:
         spark.conf.unset("spark.managedTable.nameRegistry")
