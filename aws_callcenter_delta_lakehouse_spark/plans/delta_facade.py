@@ -1372,6 +1372,7 @@ def sql_select_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), del AS (  -- v3: DELETE of high regions
       SELECT n_nationkey, n_regionkey FROM after_upd WHERE n_regionkey >= 13
     ), feed AS (
+      -- start bound 1 INCLUSIVE (Delta semantics): versions 1..3
       SELECT 'insert' AS _change_type, 1 AS _commit_version, * FROM ins
       UNION ALL
       SELECT 'update_preimage', 2, * FROM upd_pre
@@ -1389,7 +1390,7 @@ def sql_select_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_table_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Delta's CDF table-valued function in SQL —
-    ``SELECT ... FROM table_changes('name', 0)`` — over a scripted
+    ``SELECT ... FROM table_changes('name', 1)`` — over a scripted
     INSERT / UPDATE / DELETE sequence on a CDF-enabled table, read back
     ENTIRELY through the SQL front-end (``sources/sql_dml.py:
     _rewrite_table_changes_tvf`` splices the O(changes) sidecar feed in
@@ -1437,7 +1438,7 @@ def sql_table_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COUNT(*) AS n_rows, "
             "CAST(SUM(n_nationkey) AS BIGINT) AS sum_key, "
             "CAST(SUM(n_regionkey) AS BIGINT) AS sum_region "
-            "FROM table_changes('tvfq.nations', 0) "
+            "FROM table_changes('tvfq.nations', 1) "
             "GROUP BY _change_type, _commit_version",
         )
         return spark.createDataFrame(out.collect(), out.schema)

@@ -925,6 +925,33 @@ def version_as_of(path: str, ts: float) -> int:
     return max(eligible)[1]
 
 
+def version_at_or_after(path: str, ts: float) -> int:
+    """The OLDEST retained version whose commit time is >= ``ts`` —
+    the mapping Delta's CDF ``startingTimestamp`` uses (changes from
+    the first commit at-or-after the instant). Raises when every
+    retained commit is older (same contract as Delta's 'timestamp
+    after latest commit' error); a ``ts`` before the earliest retained
+    commit resolves to the earliest retained version. Driver-side
+    marker reads only."""
+    recover(path)
+    live = table_version(path)
+    candidates = []  # (commit_ts, version)
+    for v in list_versions(path):
+        snap = path if v == live else os.path.join(
+            _history_dir(path), f"v{v:06d}"
+        )
+        marker = _read_marker(snap)
+        if marker:
+            candidates.append((float(marker.get("ts", 0.0)), v))
+    eligible = [(t, v) for t, v in candidates if t >= ts]
+    if not eligible:
+        raise ValueError(
+            f"{path}: no retained commit at or after timestamp {ts} "
+            f"(latest retained commit: {max(candidates)[0] if candidates else None})"
+        )
+    return min(eligible)[1]
+
+
 def read_as_of(
     spark: SparkSession, path: str, ts: float, with_row_ids: bool = False
 ) -> DataFrame:
@@ -1038,7 +1065,15 @@ def table_changes(
     Output: the change rows plus ``_change_type``,
     ``_commit_version``, ``_commit_timestamp`` (Delta's CDF columns).
     Versions must still be retained (``max_history`` /  vacuum prune
-    sidecars together with their snapshots)."""
+    sidecars together with their snapshots).
+
+    ``from_version=-1`` includes the CREATION commit: version 0 (a
+    ``commit_overwrite`` initial load, which records no sidecar) is
+    served as its full retained snapshot tagged ``insert`` when the
+    table was CDF-enabled at creation — Delta likewise reconstructs a
+    pure-add commit's changes from its add files rather than from CDC
+    files. The SQL TVF uses this to give Delta's INCLUSIVE start-bound
+    semantics over this function's exclusive ``from``."""
     recover(path)
     live = table_version(path)
     to_version = live if to_version is None else to_version
@@ -1057,6 +1092,25 @@ def table_changes(
                 f"version {v} of {path} is not retained "
                 f"(available: {list_versions(path)})"
             )
+        if v == 0 and not marker.get("has_cdf"):
+            if not (marker.get("properties") or {}).get(
+                "enableChangeDataFeed"
+            ):
+                raise ValueError(
+                    f"version 0 of {path} was created without "
+                    "enableChangeDataFeed — its rows cannot be served "
+                    "as changes (use read_changes() for a snapshot diff)"
+                )
+            parts.append(
+                read(spark, path, version=0)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(0).cast("int"))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.lit(float(marker.get("ts", 0.0))),
+                )
+            )
+            continue
         if not marker.get("has_cdf"):
             raise ValueError(
                 f"version {v} of {path} has no change-data sidecar "

@@ -116,16 +116,24 @@ class SqlDmlError(ValueError):
 _QUOTES = {"'": "'", '"': '"', "`": "`"}
 
 
+_CASE_RE = re.compile(r"CASE\b", re.I)
+_END_RE = re.compile(r"END\b", re.I)
+
+
 def _scan(s: str, phrases: list[str]) -> list[tuple[int, int, str]]:
     """Positions of top-level keyword phrases (longest-first match).
     Each phrase is spelled with single spaces; any whitespace run
-    matches between its words."""
+    matches between its words. CASE-aware (review r12): keywords
+    between a top-level ``CASE`` and its ``END`` belong to the CASE
+    expression (``WHEN``/``THEN``/``ELSE``) and are never reported —
+    an unparenthesized ``CASE WHEN ... THEN ... END`` in a MERGE ON
+    condition or WHEN-clause predicate must not split the statement."""
     pats = [
         (p, re.compile(r"\s+".join(map(re.escape, p.split())) + r"\b", re.I))
         for p in sorted(phrases, key=len, reverse=True)
     ]
     out: list[tuple[int, int, str]] = []
-    depth, i, n = 0, 0, len(s)
+    depth, case_depth, i, n = 0, 0, 0, len(s)
     while i < n:
         c = s[i]
         if c in _QUOTES:
@@ -144,6 +152,19 @@ def _scan(s: str, phrases: list[str]) -> list[tuple[int, int, str]]:
             i += 1
             continue
         if depth == 0 and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+            m = _CASE_RE.match(s, i)
+            if m:
+                case_depth += 1
+                i = m.end()
+                continue
+            if case_depth:
+                m = _END_RE.match(s, i)
+                if m:
+                    case_depth -= 1
+                    i = m.end()
+                else:
+                    i += 1
+                continue
             for phrase, pat in pats:
                 m = pat.match(s, i)
                 if m:
@@ -237,10 +258,23 @@ def _parse_relation(s: str) -> tuple[str, str | None]:
 
 def _strip_alias(cond: str, alias: str | None) -> str:
     """Rewrite ``alias.col`` -> ``col`` for single-table UPDATE/DELETE
-    conditions (the executors evaluate against the bare table frame)."""
+    conditions (the executors evaluate against the bare table frame).
+    Quote-aware: matches are located on the literal-masked text and
+    spliced from the original, so an ``alias.`` sequence INSIDE a
+    string literal survives (review r12: a blind re.sub silently
+    rewrote ``WHERE u.name = 'u.name'`` into ``name = 'name'``)."""
     if not alias:
         return cond
-    return re.sub(rf"\b{re.escape(alias)}\.", "", cond)
+    masked = _mask_literals(cond)
+    out: list[str] = []
+    last = 0
+    for m in re.finditer(rf"\b{re.escape(alias)}\.", masked):
+        out.append(cond[last : m.start()])
+        last = m.end()
+    if not out:
+        return cond
+    out.append(cond[last:])
+    return "".join(out)
 
 
 # -- statement executors -----------------------------------------------------
@@ -313,21 +347,35 @@ def _merge(spark: SparkSession, body: str, registry_dir: str | None) -> None:
     mb.execute()
 
 
-_WHEN_HEAD = re.compile(
-    r"^(?P<kind>MATCHED|NOT\s+MATCHED(?:\s+BY\s+(?:TARGET|SOURCE))?)"
-    r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+(?P<action>.*)$",
-    re.I | re.S,
+_WHEN_KIND = re.compile(
+    r"^(?P<kind>MATCHED|NOT\s+MATCHED(?:\s+BY\s+(?:TARGET|SOURCE))?)\b",
+    re.I,
 )
 
 
 def _apply_when(mb, clause: str) -> None:
-    m = _WHEN_HEAD.match(clause)
-    if not m:
+    km = _WHEN_KIND.match(clause)
+    if not km:
         raise SqlDmlError(f"cannot parse WHEN clause: WHEN {clause!r}")
-    kind = re.sub(r"\s+", " ", m.group("kind")).upper()
-    cond = m.group("cond")
-    cond = cond.strip() if cond else None
-    action = m.group("action").strip()
+    kind = re.sub(r"\s+", " ", km.group("kind")).upper()
+    rest = clause[km.end() :]
+    # the THEN that ends the clause predicate is the first TOP-LEVEL
+    # one — _scan is CASE-aware, so a `CASE ... THEN ... END` inside
+    # the AND-condition never truncates the split (review r12; the old
+    # lazy `(?P<cond>.*?)\s+THEN` regex stopped at CASE's THEN)
+    thens = _scan(rest, ["THEN"])
+    if not thens:
+        raise SqlDmlError(f"cannot parse WHEN clause: WHEN {clause!r}")
+    t0, t1, _ = thens[0]
+    head = rest[:t0].strip()
+    action = rest[t1:].strip()
+    if head:
+        am = re.match(r"AND\b(?P<cond>.*)$", head, re.I | re.S)
+        if not am:
+            raise SqlDmlError(f"cannot parse WHEN clause: WHEN {clause!r}")
+        cond = am.group("cond").strip() or None
+    else:
+        cond = None
     au = action.upper()
 
     if kind == "MATCHED":
@@ -440,11 +488,16 @@ def _insert(
         named = ", ".join(f"`{c}`" for c in cols)
         df = spark.sql(f"SELECT * FROM (VALUES {rows_sql}) AS __v({named})")
     elif re.match(r"SELECT\b|WITH\b|\(", rest, re.I):
+        # single-layer paren unwrap via the balanced matcher —
+        # str.strip("()") eats EVERY edge paren and turns
+        # `(SELECT id FROM range(10))` into unbalanced SQL (review r12)
+        if rest.startswith("(") and _balanced(rest, 0) == len(rest):
+            rest = rest[1:-1].strip()
         ins_views: list[str] = []
         try:
             df = spark.sql(_rewrite_reads(
                 spark,
-                rest.strip("()") if rest.startswith("(") else rest,
+                rest,
                 registry_dir,
                 ins_views,
             ))
@@ -1109,7 +1162,13 @@ def sql_command(
         rf"DESCRIBE\s+(?:TABLE\s+)?({_IDENT})\s*;?\s*$", stmt, re.I
     )
     if m:
-        path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        try:
+            path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        except txn_catalog.TableNameError:
+            # not a registry name — Spark's own catalog may describe it
+            # (temp views, catalog tables); review r12: raising here
+            # broke the module's names-fall-through contract
+            return spark.sql(stmt)
         fields = managed_table.read(spark, path).schema.fields
         return spark.createDataFrame(
             [(f.name, f.dataType.simpleString(), None) for f in fields],
@@ -1143,7 +1202,10 @@ def sql_command(
     )
     if m:
         name = m.group(1).replace("`", "")
-        path = _resolve(spark, name, registry_dir)
+        try:
+            path = _resolve(spark, name, registry_dir)
+        except txn_catalog.TableNameError:
+            return spark.sql(stmt)  # Spark's catalog may know the name
         marker = managed_table._read_marker(path) or {}
         fields = managed_table.read(spark, path).schema.fields
         cols = ",\n".join(
@@ -1171,7 +1233,10 @@ def sql_command(
         )
     m = re.match(rf"SHOW\s+TBLPROPERTIES\s+({_IDENT})\s*;?\s*$", stmt, re.I)
     if m:
-        path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        try:
+            path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        except txn_catalog.TableNameError:
+            return spark.sql(stmt)  # Spark's catalog may know the name
         props = (managed_table._read_marker(path) or {}).get(
             "properties"
         ) or {}
@@ -1188,7 +1253,10 @@ def sql_command(
 
         from .maintenance import _hive_partition_dirs
 
-        path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        try:
+            path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
+        except txn_catalog.TableNameError:
+            return spark.sql(stmt)  # Spark's catalog may know the name
         managed_table.recover(path)
         pby = (managed_table._read_marker(path) or {}).get(
             "partition_by"
@@ -1222,6 +1290,10 @@ def sql_command(
 
         path = _resolve(spark, m.group(1).replace("`", ""), registry_dir)
         return materialize_deletes(spark, path)
+    if re.match(r"(DESCRIBE|DESC|SHOW)\b", stmt, re.I):
+        # metadata verbs we don't model (DESCRIBE QUERY/FUNCTION, SHOW
+        # DATABASES/FUNCTIONS/...) — Spark's own catalog serves them
+        return spark.sql(stmt)
     raise SqlDmlError(f"unsupported command: {stmt.split()[0] if stmt else ''}")
 
 
@@ -1262,10 +1334,17 @@ def _parse_ts_utc(text: str) -> float:
     alone would read a naive stamp in the HOST's local zone (and pick
     a DST fold arbitrarily), mapping the same statement to different
     versions depending on where the driver runs. Explicit offsets are
-    honored as written."""
+    honored as written. Unparseable text raises :class:`SqlDmlError`
+    (the module's error contract), never a bare ValueError."""
     import datetime as _dt
 
-    dt = _dt.datetime.fromisoformat(text)
+    try:
+        dt = _dt.datetime.fromisoformat(text)
+    except ValueError:
+        raise SqlDmlError(
+            f"cannot parse timestamp literal {text!r} — use ISO-8601 "
+            "(e.g. '2026-08-16T12:00:00', naive = UTC)"
+        ) from None
     if dt.tzinfo is None:
         dt = dt.replace(tzinfo=_dt.timezone.utc)
     return dt.timestamp()
@@ -1417,15 +1496,17 @@ def _rewrite_table_changes_tvf(
     engine's :func:`managed_table.table_changes` feed (O(changes)
     sidecar read; ``_change_type`` / ``_commit_version`` /
     ``_commit_timestamp`` columns included). Bounds are VERSION
-    numbers or quoted TIMESTAMP strings (Delta accepts both): a
-    timestamp maps to the newest retained version whose commit time is
-    at-or-before it — the same marker commit-ts ladder ``read_as_of``
-    / ``RESTORE TO TIMESTAMP`` use — so a ``from`` timestamp serves
-    the changes committed strictly AFTER that instant and a ``to``
-    timestamp serves changes up to its last at-or-before commit. A
-    timestamp older than every retained commit raises with the
-    retention pointer (Delta's 'timestamp before earliest version'
-    contract). An unresolvable name raises — table_changes() over an
+    numbers or quoted TIMESTAMP strings (Delta accepts both), and both
+    bounds are INCLUSIVE exactly as in Delta — ``table_changes('t',
+    1)`` includes version 1's changes (review r12: the engine feed is
+    exclusive-from, so this layer shifts the start down one; a start
+    of 0 serves the CDF-enabled creation snapshot as inserts, the same
+    answer Delta reconstructs from the creation commit's add files). A
+    start timestamp maps to the first commit AT-OR-AFTER it (Delta's
+    ``startingTimestamp``), an end timestamp to the last commit
+    at-or-before — both on the marker commit-ts ladder ``read_as_of``
+    uses. Timestamps outside retained history raise with the retention
+    pointer. An unresolvable name raises — table_changes() over an
     unknown table is always an error, never something Spark's catalog
     can serve."""
 
@@ -1433,32 +1514,40 @@ def _rewrite_table_changes_tvf(
         name = orig[m.start("name") + 1 : m.end("name") - 1]
         path = _resolve(spark, name, registry_dir)
 
-        def bound(g: str) -> int | None:
+        def bound(g: str, *, start: bool) -> int | None:
+            """Delta-semantics bound -> version number. Both bounds are
+            INCLUSIVE in Delta; the engine feed is exclusive-from, so
+            the caller passes start-1. A start TIMESTAMP maps to the
+            first commit AT-OR-AFTER it (Delta's startingTimestamp),
+            an end timestamp to the last commit at-or-before."""
             if m.start(g) < 0:
                 return None
             t = orig[m.start(g) : m.end(g)]
             if t.startswith("'"):
+                ts = _parse_ts_utc(t.strip("'"))  # raises SqlDmlError
                 try:
-                    ts = _parse_ts_utc(t.strip("'"))
-                except ValueError:
-                    raise SqlDmlError(
-                        f"table_changes(): cannot parse timestamp bound "
-                        f"{t} — use ISO-8601 (or a version number; "
-                        "DESCRIBE HISTORY maps timestamps to versions)"
-                    ) from None
-                try:
+                    if start:
+                        return managed_table.version_at_or_after(path, ts)
                     return managed_table.version_as_of(path, ts)
                 except ValueError as e:
                     raise SqlDmlError(
-                        f"table_changes(): timestamp bound {t} precedes "
-                        f"every retained commit of {name!r} ({e}); "
+                        f"table_changes(): timestamp bound {t} is "
+                        f"outside {name!r}'s retained history ({e}); "
                         "DESCRIBE HISTORY lists the retained versions"
                     ) from None
             return int(t)
 
-        df = managed_table.table_changes(
-            spark, path, bound("frm"), bound("to")
-        )
+        frm = bound("frm", start=True)
+        to = bound("to", start=False)
+        if to is not None and frm > to:
+            raise SqlDmlError(
+                f"table_changes(): empty range [{frm}, {to}] — the "
+                "start bound is after the end bound"
+            )
+        # Delta's start bound is INCLUSIVE of that version's changes;
+        # the engine feed is (from, to], so shift the start down one
+        # (version 0 is served from the retained creation snapshot)
+        df = managed_table.table_changes(spark, path, frm - 1, to)
         return f"{m.group('kw')} {_ref_view(df, '__tc', views)}"
 
     return _sub_refs(_TVF_RE, stmt, _sub)
@@ -1525,6 +1614,10 @@ _COMMA_CONT_RE = re.compile(
 # function (`range(10)`) — skipped over so LATER registry names in the
 # same list still resolve
 _COMMA_PAREN_RE = re.compile(rf"\s*,\s*(?:{_IDENT}\s*)?\(", re.I)
+# a FROM whose FIRST member is a parenthesized subquery or table
+# function — `FROM (SELECT ...) s, reg` / `FROM range(10) r, reg`;
+# the bare regex never fires there, so this anchors the list scan
+_FROM_PAREN_RE = re.compile(rf"\bFROM\s*(?:{_IDENT}\s*)?\(", re.I)
 _ALIAS_CONT_RE = re.compile(rf"\s+(?:AS\s+)?(?P<a>{_IDENT})", re.I)
 # tokens that may directly follow a relation and must never be read as
 # its alias (they terminate the FROM item list)
@@ -1562,7 +1655,11 @@ def _rewrite_bare_names(
     carries the in-progress chain). CTE names defined in the statement
     are EXCLUDED — SQL scoping puts a ``WITH t AS (...)`` definition
     ahead of any catalog object, so a same-named registry table must
-    not shadow it. Two parser refinements (advice r11): a ``FROM``
+    not shadow it; the exclusion is DEPTH-SCOPED (review r12): a WITH
+    defined inside a subquery excludes only references at that paren
+    depth or deeper, so an outer ``FROM name`` still resolves when an
+    inner subquery happens to define a same-named CTE. Two parser
+    refinements (advice r11): a ``FROM``
     inside a function call's parens is SQL scalar syntax
     (``EXTRACT(year FROM d)``, ``TRIM(x FROM s)``, ``SUBSTRING(s FROM
     2)``) and is never a relation reference; and comma-separated
@@ -1570,15 +1667,31 @@ def _rewrite_bare_names(
     resolve every list member, not just the first."""
     masked = _mask_literals(stmt)
     in_func = _func_paren_flags(masked)
-    cte_names = {
-        masked[m.start("cte") : m.end("cte")].replace("`", "").lower()
-        for m in _CTE_DEF_RE.finditer(masked)
-    }
+    # paren depth per position (masked text, so parens in literals
+    # don't count) — used to scope CTE-name exclusion
+    depth_at: list[int] = []
+    _d = 0
+    for _c in masked:
+        if _c == "(":
+            depth_at.append(_d)
+            _d += 1
+        elif _c == ")":
+            _d = max(0, _d - 1)
+            depth_at.append(_d)
+        else:
+            depth_at.append(_d)
+    cte_names: dict[str, int] = {}  # name -> shallowest definition depth
+    for cm_ in _CTE_DEF_RE.finditer(masked):
+        nm_ = masked[cm_.start("cte") : cm_.end("cte")].replace("`", "").lower()
+        d_ = depth_at[cm_.start("cte")]
+        cte_names[nm_] = min(cte_names.get(nm_, d_), d_)
 
-    def _resolve_ref(name: str) -> str | None:
+    def _resolve_ref(name: str, ref_pos: int) -> str | None:
         """Registry name -> spliced temp-view identifier, or None to
-        leave the reference for Spark's own catalog."""
-        if name.lower() in cte_names:
+        leave the reference for Spark's own catalog (or to a CTE whose
+        definition scopes over this reference's depth)."""
+        key0 = name.lower()
+        if key0 in cte_names and depth_at[ref_pos] >= cte_names[key0]:
             return None
         try:
             entry = txn_catalog.resolve_entry(
@@ -1614,46 +1727,66 @@ def _rewrite_bare_names(
     # overlap: a comma member is not preceded by FROM/JOIN, so the two
     # sources match disjoint text)
     repls: list[tuple[int, int, str]] = []
-    for m in _BARE_RE.finditer(masked):
-        if m.start() < len(in_func) and in_func[m.start()]:
-            continue  # scalar FROM inside a function call
-        name = stmt[m.start("name") : m.end("name")].replace("`", "")
-        rep = _resolve_ref(name)
-        if rep is not None:
-            repls.append((m.start(), m.end(), f"{m.group('kw')} {rep}"))
-        if m.group("kw").upper() != "FROM":
-            continue
-        # comma-separated relation list: resolve each further member,
-        # skipping one optional alias per relation and hopping over
-        # parenthesized subquery / table-function members
-        pos = m.end()
+
+    def _hop_parens(start: int) -> int:
+        """Index past the balanced paren group opening at masked[start]
+        (which must be '('); -1 when unbalanced."""
+        depth, j = 1, start + 1
+        while j < len(masked) and depth:
+            if masked[j] == "(":
+                depth += 1
+            elif masked[j] == ")":
+                depth -= 1
+            j += 1
+        return -1 if depth else j
+
+    def _scan_comma_list(pos: int) -> None:
+        """Resolve every further member of a FROM relation list from
+        ``pos``: bare names splice, parenthesized subquery /
+        table-function members are hopped (their interiors' own FROM
+        matches splice via the main loop), one optional alias per
+        relation is skipped."""
         while True:
             cm = _COMMA_CONT_RE.match(masked, pos)
             if cm:
                 nm = stmt[cm.start("name") : cm.end("name")].replace("`", "")
-                rep2 = _resolve_ref(nm)
+                rep2 = _resolve_ref(nm, cm.start("name"))
                 if rep2 is not None:
                     repls.append((cm.start("name"), cm.end("name"), rep2))
                 pos = cm.end()
                 continue
             pm = _COMMA_PAREN_RE.match(masked, pos)
             if pm:
-                depth, j = 1, pm.end()
-                while j < len(masked) and depth:
-                    if masked[j] == "(":
-                        depth += 1
-                    elif masked[j] == ")":
-                        depth -= 1
-                    j += 1
-                if depth:
-                    break  # unbalanced — leave the rest untouched
+                j = _hop_parens(pm.end() - 1)
+                if j < 0:
+                    return  # unbalanced — leave the rest untouched
                 pos = j
                 continue
             am = _ALIAS_CONT_RE.match(masked, pos)
             if am and am.group("a").replace("`", "").lower() not in _NOT_ALIAS:
                 pos = am.end()
                 continue
-            break
+            return
+
+    for m in _BARE_RE.finditer(masked):
+        if m.start() < len(in_func) and in_func[m.start()]:
+            continue  # scalar FROM inside a function call
+        name = stmt[m.start("name") : m.end("name")].replace("`", "")
+        rep = _resolve_ref(name, m.start("name"))
+        if rep is not None:
+            repls.append((m.start(), m.end(), f"{m.group('kw')} {rep}"))
+        if m.group("kw").upper() == "FROM":
+            _scan_comma_list(m.end())
+    # a relation list can also START with a parenthesized subquery /
+    # table function (`FROM (SELECT ...) s, reg_t` — review r12): the
+    # bare regex never fires there, so anchor on `FROM (` / `FROM f(`,
+    # hop the group, and scan the remainder of the list the same way
+    for m in _FROM_PAREN_RE.finditer(masked):
+        if m.start() < len(in_func) and in_func[m.start()]:
+            continue
+        j = _hop_parens(m.end() - 1)
+        if j >= 0:
+            _scan_comma_list(j)
     if not repls:
         return stmt
     repls.sort()

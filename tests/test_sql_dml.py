@@ -317,27 +317,29 @@ def test_table_changes_tvf(spark, tmp_path):
     try:
         sql_dml.sql(spark, "INSERT INTO cdfdb.t VALUES (3, 30)")
         sql_dml.sql(spark, "DELETE FROM cdfdb.t WHERE k = 1")
+        # start bound 0 is INCLUSIVE (Delta semantics, review r12): the
+        # CDF-enabled creation commit's rows come back as inserts
         out = sql_dml.sql(
             spark,
             "SELECT _change_type, k, _commit_version "
             "FROM table_changes('cdfdb.t', 0) ORDER BY _commit_version, k",
         ).collect()
         assert [(r["_change_type"], r["k"], r["_commit_version"]) for r in out] == [
+            ("insert", 1, 0),
+            ("insert", 2, 0),
             ("insert", 3, 1),
             ("delete", 1, 2),
         ]
-        # bounded range: only the insert
+        # inclusive bounded range [1, 1]: exactly version 1's insert
         out = sql_dml.sql(
             spark,
-            "SELECT _change_type, k FROM table_changes('cdfdb.t', 0, 1)",
+            "SELECT _change_type, k FROM table_changes('cdfdb.t', 1, 1)",
         ).collect()
         assert [(r["_change_type"], r["k"]) for r in out] == [("insert", 3)]
-        # timestamp bounds are supported since r12; a pre-retention
-        # stamp raises actionably (full semantics in
-        # test_table_changes_tvf_timestamp_bounds)
-        with pytest.raises(SqlDmlError, match="precedes every retained"):
+        # inverted range raises before touching the feed
+        with pytest.raises(SqlDmlError, match="empty range"):
             sql_dml.sql(
-                spark, "SELECT * FROM table_changes('cdfdb.t', '1999-01-01')"
+                spark, "SELECT * FROM table_changes('cdfdb.t', 2, 1)"
             )
         with pytest.raises(txn_catalog.TableNameError):
             sql_dml.sql(spark, "SELECT * FROM table_changes('nope.t', 0)")
@@ -449,9 +451,10 @@ def test_drop_table_refuses_view_binding(spark, named_table):
     sql_dml.sql(spark, "DROP VIEW sqldb.v_acc")
 
 def test_table_changes_tvf_timestamp_bounds(spark, tmp_path):
-    """verdict r11 item 4: quoted timestamp bounds on table_changes()
-    map to versions via the marker commit-ts ladder; unparseable or
-    pre-retention timestamps raise actionably."""
+    """verdict r11 item 4 + review r12: quoted timestamp bounds on
+    table_changes() map to versions via the marker commit-ts ladder
+    (start = first commit at-or-after, Delta's startingTimestamp);
+    unparseable or post-history timestamps raise actionably."""
     import datetime
 
     registry = str(tmp_path / "reg")
@@ -490,10 +493,19 @@ def test_table_changes_tvf_timestamp_bounds(spark, tmp_path):
             sql_dml.sql(
                 spark, "SELECT * FROM table_changes('cdfts.t', 'nonsense')"
             )
-        with pytest.raises(SqlDmlError, match="precedes every retained"):
+        # a start timestamp BEFORE history resolves to the earliest
+        # retained commit (v0 snapshot served as inserts: 2 rows) —
+        # plus the update pre/post and the delete
+        n = sql_dml.sql(
+            spark,
+            "SELECT count(*) AS n FROM table_changes('cdfts.t', '1999-01-01')",
+        ).first()["n"]
+        assert n == 5
+        # a start timestamp AFTER the last commit raises actionably
+        with pytest.raises(SqlDmlError, match="outside .* retained history"):
             sql_dml.sql(
                 spark,
-                "SELECT * FROM table_changes('cdfts.t', '1999-01-01')",
+                "SELECT * FROM table_changes('cdfts.t', '2999-01-01')",
             )
     finally:
         spark.conf.unset("spark.managedTable.nameRegistry")
@@ -570,3 +582,125 @@ def test_timestamp_literals_are_utc(spark, tmp_path):
         assert n == 1
     finally:
         spark.conf.unset("spark.managedTable.nameRegistry")
+
+def test_strip_alias_preserves_literals(spark, named_table):
+    """review r12: UPDATE/DELETE alias stripping must not rewrite
+    alias-looking text INSIDE string literals."""
+    name, path, _ = named_table
+    sql_dml.sql(
+        spark,
+        f"UPDATE {name} a SET a.name = 'a.kept' WHERE a.name = 'alice'",
+    )
+    assert (1, "a.kept", 100.0) in _rows(spark, path)
+    # and a literal in the WHERE side survives too
+    sql_dml.sql(
+        spark,
+        f"DELETE FROM {name} a WHERE a.name = 'a.kept'",
+    )
+    assert {r[0] for r in _rows(spark, path)} == {2, 3}
+
+
+def test_merge_with_case_when_conditions(spark, named_table):
+    """review r12: unparenthesized CASE WHEN inside the ON condition
+    and a WHEN-clause predicate must not split the MERGE parse."""
+    name, path, _ = named_table
+    src = spark.createDataFrame(
+        [(2, "bob9", 999.0), (7, "gina", 70.0)],
+        "id INT, name STRING, balance DOUBLE",
+    )
+    src.createOrReplaceTempView("case_feed")
+    try:
+        sql_dml.sql(
+            spark,
+            f"""
+            MERGE INTO {name} t
+            USING case_feed s
+            ON t.id = s.id AND CASE WHEN s.balance > 0 THEN true
+                                    ELSE false END
+            WHEN MATCHED AND CASE WHEN s.balance > 500 THEN true
+                                  ELSE false END
+              THEN UPDATE SET balance = CASE WHEN s.balance > 900
+                                             THEN 900.0
+                                             ELSE s.balance END
+            WHEN NOT MATCHED THEN INSERT *
+            """,
+        )
+    finally:
+        spark.catalog.dropTempView("case_feed")
+    assert _rows(spark, path) == {
+        (1, "alice", 100.0),
+        (2, "bob", 900.0),     # matched, cond true, capped by CASE
+        (3, "carol", 300.0),
+        (7, "gina", 70.0),     # inserted
+    }
+
+
+def test_insert_parenthesized_select_with_trailing_call(spark, named_table):
+    """review r12: a parenthesized INSERT source ending in a function
+    call must unwrap exactly ONE paren layer (str.strip('()') used to
+    eat the function's closing paren)."""
+    name, path, _ = named_table
+    sql_dml.sql(
+        spark,
+        f"INSERT INTO {name} (id, name) "
+        f"(SELECT CAST(id + 50 AS INT), upper(name) FROM {name})",
+    )
+    assert mt.read(spark, path).count() == 6
+    assert {r["name"] for r in mt.read(spark, path).where("id > 50").collect()} == {
+        "ALICE", "BOB", "CAROL"
+    }
+
+
+def test_inner_cte_does_not_shadow_outer_reference(spark, named_table):
+    """review r12: a WITH defined inside a subquery scopes only that
+    subquery — the outer reference still resolves to the registry."""
+    name, _, registry = named_table
+    txn_catalog.register_table_name(
+        registry, "scoped", txn_catalog.resolve_table_name(registry, name)
+    )
+    df = sql_dml.sql(
+        spark,
+        "SELECT count(*) AS n FROM scoped o WHERE o.id IN "
+        "(WITH scoped AS (SELECT 1 AS id) SELECT id FROM scoped)",
+    )
+    assert df.first()["n"] == 1
+    # and a top-level CTE still shadows everywhere (incl. subqueries)
+    df = sql_dml.sql(
+        spark,
+        "WITH scoped AS (SELECT 1 AS id, 9.0 AS balance) "
+        "SELECT count(*) AS n FROM scoped WHERE id IN "
+        "(SELECT id FROM scoped)",
+    )
+    assert df.first()["n"] == 1
+
+
+def test_leading_subquery_comma_list_resolves_later_names(spark, named_table):
+    """review r12: `FROM (SELECT ...) s, reg_t` — the bare regex never
+    fires on the leading paren member, but later registry names in the
+    same list must still resolve."""
+    name, _, _ = named_table
+    df = sql_dml.sql(
+        spark,
+        f"SELECT count(*) AS n FROM (SELECT 1 AS id UNION ALL "
+        f"SELECT 2) s, {name} b WHERE s.id = b.id",
+    )
+    assert df.first()["n"] == 2
+    df = sql_dml.sql(
+        spark,
+        f"SELECT count(*) AS n FROM range(3) r, {name} b "
+        "WHERE r.id = b.id",
+    )
+    assert df.first()["n"] == 2  # ids 1,2 overlap range(3)={0,1,2}
+
+
+def test_metadata_verbs_fall_through_to_spark(spark, named_table):
+    """review r12: DESCRIBE/SHOW on names the registry does not know
+    delegate to Spark's own catalog instead of raising."""
+    spark.range(3).createOrReplaceTempView("plainv")
+    try:
+        rows = sql_dml.sql(spark, "DESCRIBE plainv").collect()
+        assert any(r[0] == "id" for r in rows)
+        rows = sql_dml.sql(spark, "SHOW DATABASES").collect()
+        assert rows  # Spark served it
+    finally:
+        spark.catalog.dropTempView("plainv")
