@@ -846,32 +846,28 @@ def _create_table(spark: SparkSession, stmt: str, registry_dir: str | None):
             generatedAlwaysAs=cm.group("gen"),
         )
     rest = rest_body.rstrip(";").strip()
-    marks = _scan(
+    # one clause grammar for every CREATE form: the column-list shape
+    # maps _parse_table_options' dict onto the builder instead of
+    # re-implementing the keyword loop (review r12 — the two parsers
+    # had already started to drift)
+    opts = _parse_table_options(
         rest,
-        ["USING", "PARTITIONED BY", "CLUSTER BY", "LOCATION",
-         "TBLPROPERTIES", "COMMENT"],
+        _scan(
+            rest,
+            ["USING", "PARTITIONED BY", "CLUSTER BY", "LOCATION",
+             "TBLPROPERTIES", "COMMENT"],
+        ),
     )
-    for i, (s0, s1, kw) in enumerate(marks):
-        end = marks[i + 1][0] if i + 1 < len(marks) else len(rest)
-        arg = rest[s1:end].strip()
-        if kw == "USING":
-            if arg.lower() not in ("delta", "managed_table", "parquet"):
-                raise SqlDmlError(f"USING {arg}: unsupported table format")
-        elif kw == "PARTITIONED BY":
-            builder = builder.partitionedBy(
-                *[c.strip("` ") for c in _split_top(arg.strip("()"))]
-            )
-        elif kw == "CLUSTER BY":
-            builder = builder.clusterBy(
-                *[c.strip("` ") for c in _split_top(arg.strip("()"))]
-            )
-        elif kw == "LOCATION":
-            builder = builder.location(str(_parse_literal(arg)))
-        elif kw == "TBLPROPERTIES":
-            for k, v in _parse_props(arg.strip("()")).items():
-                builder = builder.property(k, v)
-        elif kw == "COMMENT":
-            builder = builder.comment(str(_parse_literal(arg)))
+    if opts["partition_by"]:
+        builder = builder.partitionedBy(*opts["partition_by"])
+    if opts["cluster_by"]:
+        builder = builder.clusterBy(*opts["cluster_by"])
+    if opts["location"]:
+        builder = builder.location(opts["location"])
+    for k, v in opts["props"].items():
+        builder = builder.property(k, v)
+    if opts["comment"]:
+        builder = builder.comment(opts["comment"])
     builder.execute()
 
 
