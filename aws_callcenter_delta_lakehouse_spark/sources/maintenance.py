@@ -33,12 +33,26 @@ from .fs import get_fs as _fs
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
 
+# engine sidecar directories whose parquet is NOT table data: deletion
+# vectors, change-data-feed records, and the exported external-reader
+# log's hardlinked history files (_delta_history can dwarf live data on
+# a versioned-export table — counting it made compact() compute n_out
+# from inflated bytes and silently no-op, review r12)
+_NON_DATA_DIRS = frozenset(
+    {
+        managed_table._DV_DIR,
+        managed_table._CDF_DIR,
+        managed_table._DELTA_LOG_DIR,
+        managed_table._DELTA_HISTORY_DIR,
+    }
+)
+
+
 def table_file_stats(path: str) -> dict[str, int]:
     files = [
         f
         for f in _fs().glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        # the _dv deletion-vector sidecar is positions metadata, not data
-        if _fs().isfile(f) and managed_table._DV_DIR not in f.split(os.sep)
+        if _fs().isfile(f) and _NON_DATA_DIRS.isdisjoint(f.split(os.sep))
     ]
     total = sum(_fs().getsize(f) for f in files)
     return {"n_files": len(files), "total_bytes": total}
@@ -116,6 +130,37 @@ def _scrub_cdf(spark: SparkSession, snap: str, match) -> int:
     return int(n)
 
 
+def _refresh_external_exports(
+    spark: SparkSession, path: str, shed_root: bool = False
+) -> None:
+    """After a compaction changed data files, external-reader artifacts
+    must not outlive the files they name (review r12). Partition-scoped
+    swaps leave the table ROOT untouched, so an exported ``_delta_log``
+    / ``_delta_history`` / symlink manifest still references retired
+    files — ``shed_root=True`` deletes them (the manifest's documented
+    contract is fail-loud-on-stale; deleting beats naming dead files).
+    Whole-table swaps shed them by construction (staging never carries
+    them). Tables with ``delta.logExport.auto`` then re-export — the
+    caller runs this INSIDE the compaction lock window, so the
+    no-torn-export rule (round 10) holds."""
+    mt_ = managed_table
+    if shed_root:
+        for d in (
+            mt_._DELTA_LOG_DIR,
+            mt_._DELTA_HISTORY_DIR,
+            "_symlink_format_manifest",
+        ):
+            full = os.path.join(path, d)
+            if _fs().isdir(full):
+                _fs().rmtree(full)
+    marker = mt_._read_marker(path)
+    if (marker.get("properties") or {}).get(mt_._LOG_EXPORT_PROP):
+        try:
+            export_delta_log(spark, path, versioned=True)
+        except mt_.ProtocolError:  # pragma: no cover - reader features
+            pass
+
+
 def _require_no_dv(path: str, op: str) -> None:
     """File-carrying maintenance ops (partition-scoped compact,
     binpack) hardlink existing data files into the next snapshot while
@@ -179,6 +224,13 @@ def compact(
     and must reference partition columns only. Without ``where`` the
     whole table is rewritten via the same stage-and-swap as MERGE.
     """
+    # COMPACTION NEVER UN-PARTITIONS (same rule merge_upsert got in r8):
+    # an empty partition_by falls back to the marker's layout — passing
+    # the default used to silently flatten a Hive-partitioned table
+    # (review r12). Changing layout is commit_overwrite's job.
+    partition_by = tuple(partition_by) or tuple(
+        managed_table._read_marker(path).get("partition_by", ()) or ()
+    )
     if where:
         return _compact_partitions(spark, path, partition_by, target_file_bytes, where)
 
@@ -215,6 +267,9 @@ def compact(
         _fs().rename_dir(path, backup)
         _fs().rename_dir(staging, path)
         _fs().rmtree(backup)
+        # the swap shed any exported _delta_log (staging never carries
+        # it): re-export inside the lock on auto-export tables
+        _refresh_external_exports(spark, path)
     if not partition_by:  # manifests index flat tables only
         _refresh_skipping_indexes(spark, path)
     return {"before": stats, "after": table_file_stats(path)}
@@ -410,6 +465,66 @@ def _compact_partitions(
             _fs().rename_dir(staged_dir, subdir)
             _fs().rmtree(backup)
         _fs().rmtree(staging)
+        # partition swaps leave the table ROOT untouched — an exported
+        # log / manifest at the root still names the files the swaps
+        # just retired: shed them (re-export when auto), inside the lock
+        _refresh_external_exports(spark, path, shed_root=True)
+    return {"before": before, "after": table_file_stats(path)}
+
+
+def _optimize_clustered(
+    spark: SparkSession,
+    path: str,
+    layout_fn,
+    manifest_cols: list[str],
+    target_file_bytes: int,
+    op: str,
+) -> dict:
+    """Shared OPTIMIZE-commit contract for the clustering rewrites
+    (review r12: optimize_zorder / optimize_hilbert were 50-line
+    copy-pastes — the commit kwargs below were fixed twice in rounds
+    9-10 and must never diverge again). ``layout_fn(df, n_out)``
+    returns the clustered frame; the rewrite routes through
+    ``commit_overwrite``: atomic stage-and-swap, version bump (the
+    pre-image stays time-travel readable), constraints carried,
+    crash-healed by ``recover``. Unpartitioned tables only —
+    clustering *within* hive partitions is ``compact(where=)`` /
+    ``optimize_zorder_partitions``."""
+    from .layout import write_stats_manifest
+
+    marker = managed_table._read_marker(path)
+    if marker.get("partition_by"):
+        raise ValueError(
+            f"{op} supports unpartitioned tables; for hive-partitioned "
+            "tables compact partition dirs individually"
+        )
+    before = table_file_stats(path)
+    df = managed_table._read_logical(spark, path)  # keep __row_id through the rewrite
+    n_out = max(1, before["total_bytes"] // target_file_bytes)
+    clustered = layout_fn(df, int(n_out))
+    managed_table.commit_overwrite(
+        clustered, path, keys=marker.get("keys", []), auto_optimize=False,
+        # pin the version the rewrite was derived from: a commit landing
+        # mid-optimize must make the OPTIMIZE lose loudly, never be
+        # clobbered by a last-writer-wins overwrite (round 10)
+        expected_version=int(marker.get("version", 0)),
+        # OPTIMIZE preserves rows: allowed on appendOnly tables
+        _append_only_ok=True,
+        # OPTIMIZE preserves data, so it must preserve the table's txn
+        # metadata too — resetting it would re-arm exactly-once sinks'
+        # last_epoch and replay committed epochs after a(n auto-)
+        # optimize lands mid-stream
+        txn=marker.get("txn") or None,
+        # ...and on a CDF table its change record is EMPTY (rows moved
+        # files, none changed) — without a sidecar table_changes would
+        # refuse every range crossing the optimize version
+        changes=(
+            df.limit(0).withColumn("_change_type", F.lit("insert"))
+            if managed_table._cdf_on(marker)
+            else None
+        ),
+    )
+    write_stats_manifest(path, manifest_cols)
     return {"before": before, "after": table_file_stats(path)}
 
 
@@ -427,53 +542,17 @@ def optimize_zorder(
     predicates on ANY of the clustered columns prune most files — the
     multi-column data-skipping layout one sort key can't give.
 
-    Routes through ``managed_table.commit_overwrite``: the rewrite is
-    atomic (stage-and-swap), bumps the table version (the pre-image
-    stays time-travel readable), carries constraints forward, and is
-    crash-healed by ``recover``. Unpartitioned tables only — Z-ordering
-    *within* hive partitions would need a per-directory rewrite like
-    ``compact(where=)``.
-
     At 100 TB this runs as one range-shuffle on the (cheap, computed)
     Morton key + a sorted write — the same cost profile as Delta's
-    OPTIMIZE, and it never touches the driver."""
+    OPTIMIZE, and it never touches the driver. Commit contract:
+    :func:`_optimize_clustered`."""
     from ..operators.layout import zorder_layout
-    from .layout import write_stats_manifest
 
-    marker = managed_table._read_marker(path)
-    if marker.get("partition_by"):
-        raise ValueError(
-            "optimize_zorder supports unpartitioned tables; for "
-            "hive-partitioned tables compact partition dirs individually"
-        )
-    before = table_file_stats(path)
-    df = managed_table._read_logical(spark, path)  # keep __row_id through the rewrite
-    n_out = max(1, before["total_bytes"] // target_file_bytes)
-    clustered = zorder_layout(df, list(cols), int(n_out), bits)
-    managed_table.commit_overwrite(
-        clustered, path, keys=marker.get("keys", []), auto_optimize=False,
-        # pin the version the rewrite was derived from: a commit landing
-        # mid-optimize must make the OPTIMIZE lose loudly, never be
-        # clobbered by a last-writer-wins overwrite (round 10)
-        expected_version=int(marker.get("version", 0)),
-        # OPTIMIZE preserves rows: allowed on appendOnly tables
-        _append_only_ok=True,
-        # OPTIMIZE preserves data, so it must preserve the table's txn
-        # metadata too — resetting it would re-arm exactly-once sinks'
-        # last_epoch and replay committed epochs after a(n auto-)
-        # optimize lands mid-stream
-        txn=marker.get("txn") or None,
-        # ...and on a CDF table its change record is EMPTY (rows moved
-        # files, none changed) — without a sidecar table_changes would
-        # refuse every range crossing the optimize version
-        changes=(
-            df.limit(0).withColumn("_change_type", F.lit("insert"))
-            if managed_table._cdf_on(marker)
-            else None
-        ),
+    return _optimize_clustered(
+        spark, path,
+        lambda df, n_out: zorder_layout(df, list(cols), n_out, bits),
+        list(cols), target_file_bytes, "optimize_zorder",
     )
-    write_stats_manifest(path, list(cols))
-    return {"before": before, "after": table_file_stats(path)}
 
 
 def optimize_hilbert(
@@ -486,48 +565,18 @@ def optimize_hilbert(
 ) -> dict:
     """``optimize_zorder``'s liquid-style sibling: rewrite the managed
     table clustered on the HILBERT index of ``(x, y)``
-    (``operators/layout.hilbert_layout``) — same atomic
-    commit_overwrite protocol, same refreshed skipping manifest,
+    (``operators/layout.hilbert_layout``) — same commit contract
+    (:func:`_optimize_clustered`), same refreshed skipping manifest,
     tighter per-file bounding boxes than the Morton interleave (no
     seam jumps), which is why newer clustering schemes prefer the
     Hilbert curve. Unpartitioned tables only, like optimize_zorder."""
     from ..operators.layout import hilbert_layout
-    from .layout import write_stats_manifest
 
-    marker = managed_table._read_marker(path)
-    if marker.get("partition_by"):
-        raise ValueError(
-            "optimize_hilbert supports unpartitioned tables; for "
-            "hive-partitioned tables compact partition dirs individually"
-        )
-    before = table_file_stats(path)
-    df = managed_table._read_logical(spark, path)  # keep __row_id through the rewrite
-    n_out = max(1, before["total_bytes"] // target_file_bytes)
-    clustered = hilbert_layout(df, x, y, int(n_out), order)
-    managed_table.commit_overwrite(
-        clustered, path, keys=marker.get("keys", []), auto_optimize=False,
-        # pin the version the rewrite was derived from: a commit landing
-        # mid-optimize must make the OPTIMIZE lose loudly, never be
-        # clobbered by a last-writer-wins overwrite (round 10)
-        expected_version=int(marker.get("version", 0)),
-        # OPTIMIZE preserves rows: allowed on appendOnly tables
-        _append_only_ok=True,
-        # OPTIMIZE preserves data, so it must preserve the table's txn
-        # metadata too — resetting it would re-arm exactly-once sinks'
-        # last_epoch and replay committed epochs after a(n auto-)
-        # optimize lands mid-stream
-        txn=marker.get("txn") or None,
-        # ...and on a CDF table its change record is EMPTY (rows moved
-        # files, none changed) — without a sidecar table_changes would
-        # refuse every range crossing the optimize version
-        changes=(
-            df.limit(0).withColumn("_change_type", F.lit("insert"))
-            if managed_table._cdf_on(marker)
-            else None
-        ),
+    return _optimize_clustered(
+        spark, path,
+        lambda df, n_out: hilbert_layout(df, x, y, n_out, order),
+        [x, y], target_file_bytes, "optimize_hilbert",
     )
-    write_stats_manifest(path, [x, y])
-    return {"before": before, "after": table_file_stats(path)}
 
 
 def purge_rows(
@@ -548,11 +597,14 @@ def purge_rows(
     Semantics:
     - rows where the condition is TRUE are erased everywhere; NULL
       keeps (SQL DELETE semantics), matching ``delete_where``;
-    - the condition references LOGICAL column names; snapshots written
-      before a rename are filtered through their own column mapping
-      and rewritten under their original physical names, so
-      ``read(version=)`` output is unchanged apart from the erased
-      rows;
+    - the condition references LOGICAL column names as served by each
+      snapshot — pre-rename snapshots keep their as-written schema
+      (``rename_column`` is live-marker-only), exactly like
+      ``read(version=)``, so a predicate naming a post-rename column
+      does not resolve on them. The PRE-FLIGHT pass below verifies the
+      predicate analyzes on EVERY retained snapshot and aborts before
+      any mutation otherwise (review r12: a mid-loop resolution error
+      used to leave a partial erasure);
     - physical payloads of DROPPED columns are also scrubbed from the
       rewritten snapshots (a dropped PII column must not survive in
       history — that is the point of a purge);
@@ -560,6 +612,15 @@ def purge_rows(
       (untouched files, no rewrite);
     - each snapshot's marker keeps its original ``ts`` (read_as_of
       ordering intact) with refreshed row/file stats.
+
+    Concurrency (review r12): the history rewrites, sidecar scrubs and
+    export scrub run under the table's COMMIT LOCK — the in-place
+    mutations preserve version AND commit ts by design, so the commit
+    protocol's CAS cannot see them; the lock is the only serialization
+    against a publish interleaving the swap dance. A writer whose
+    staging was HARDLINK-prepared before the purge and publishes after
+    can still carry pre-scrub change sidecars — run purges in a quiet
+    window, or re-run the purge (it is idempotent).
 
     Scale shape: one filtered rewrite per retained snapshot that
     actually contains matches — the same cost Delta pays to rewrite
@@ -570,10 +631,57 @@ def purge_rows(
     cond = F.expr(condition) if isinstance(condition, str) else condition
     match = F.coalesce(cond, F.lit(False))
 
+    def _hist_snap(v: int) -> str:
+        return os.path.join(mt._history_dir(path), f"v{v:06d}")
+
+    # staging/backup dirs are SIBLINGS of the __history dir — a name
+    # inside __history starting with 'v' used to crash list_versions
+    # (review r12) — and vacuum's path__* sweep still collects strays
+    def _stage_dir(v: int) -> str:
+        return f"{mt._history_dir(path)}__purge_v{v:06d}"
+
+    def _backup_dir(v: int) -> str:
+        return f"{mt._history_dir(path)}__purgeold_v{v:06d}"
+
+    # heal a previous purge's crash window: a backup with no snapshot
+    # means the crash hit between the two renames — restore it; a
+    # backup WITH a snapshot crashed after the swap — drop it. Heal
+    # candidates come from the BACKUP/STAGING dirs on disk, never from
+    # list_versions (a renamed-away snapshot is invisible there)
+    for backup in _fs().glob(f"{mt._history_dir(path)}__purgeold_v*"):
+        v = int(os.path.basename(backup).rsplit("_v", 1)[-1])
+        snap = _hist_snap(v)
+        if not _fs().isdir(snap):
+            _fs().rename_dir(backup, snap)
+        else:
+            _fs().rmtree(backup)
+    for staging in _fs().glob(f"{mt._history_dir(path)}__purge_v*"):
+        _fs().rmtree(staging)
+
     # a purge must not silently SHRINK retention: default the delete's
     # history window to however many versions the table currently keeps
     if max_history is None:
         max_history = max(len(mt.list_versions(path)), 1)
+
+    # PRE-FLIGHT: the predicate must analyze on every retained
+    # snapshot's own logical schema BEFORE anything mutates
+    live = mt.table_version(path)
+    for v in mt.list_versions(path):
+        snap = path if v == live else _hist_snap(v)
+        marker = mt._read_marker(snap)
+        logical = mt._apply_column_mapping(
+            mt._read_physical(spark, snap), marker
+        )
+        try:
+            logical.filter(match).schema  # analysis only, no job
+        except Exception as e:
+            raise ValueError(
+                f"purge_rows: the condition does not resolve on retained "
+                f"version {v} of {path} (snapshots keep their as-written "
+                f"schema; a post-rename column name does not exist there). "
+                f"Nothing was purged. Original error: {e}"
+            ) from None
+
     live_removed = mt.read(spark, path).filter(match).count()
     if live_removed:
         mt.delete_where(spark, path, cond, max_history=max_history)
@@ -581,77 +689,79 @@ def purge_rows(
 
     rewritten = 0
     history_removed = 0
-    for v in mt.list_versions(path):
-        if v == live:
-            continue
-        snap = os.path.join(mt._history_dir(path), f"v{v:06d}")
-        marker = mt._read_marker(snap)
-        # DV-aware: a retained snapshot committed by a deletion-vector
-        # delete keeps its soft-deleted rows in the files — reading raw
-        # parquet would resurrect them into the purged rewrite
-        raw = mt._read_physical(spark, snap)
-        logical = mt._apply_column_mapping(raw, marker)
-        n_match = logical.filter(match).count()
-        if n_match == 0:
-            continue
-        keep = logical.filter(~match)
-        # rewrite under the snapshot's own PHYSICAL names so
-        # read(version=) serves exactly what it did before, minus rows
-        mapping = marker.get("column_mapping", {})
-        back = {log: phys for log, phys in mapping.items() if log in keep.columns}
-        if back:
-            keep = keep.withColumnsRenamed(back)
-        staging = f"{snap}__purge"
-        if _fs().isdir(staging):  # pragma: no cover - leftover from crash
-            _fs().rmtree(staging)
-        writer = keep.write.mode("overwrite")
-        if marker.get("partition_by"):
-            writer = writer.partitionBy(*marker["partition_by"])
-        writer.parquet(staging)
-        # the rewrite replaces the whole snapshot dir: carry the change
-        # sidecar (the final scrub pass below erases matching rows from
-        # every retained sidecar, this one included)
-        _carry_cdf(snap, staging)
-        new_marker = dict(marker)
-        new_marker["dropped_columns"] = []  # payloads scrubbed for real
-        # the purged rewrite materializes any deletion vector (fresh
-        # files, no _dv sidecar) — a carried dv flag would point reads
-        # at a sidecar that no longer exists
-        new_marker.pop("dv", None)
-        new_marker["stats"] = mt._snapshot_stats(staging)
-        mt._replace_marker(staging, new_marker)  # keeps the original ts
-        backup = f"{snap}__purge_old"
-        _fs().rename_dir(snap, backup)
-        _fs().rename_dir(staging, snap)
-        _fs().rmtree(backup)
-        rewritten += 1
-        history_removed += n_match
-    # change-data sidecars can hold the erased rows even when the
-    # snapshot's data does not (a delete's own change record IS the
-    # deleted rows — including the erasure delete this purge just
-    # committed): scrub every retained sidecar, live included
     cdf_scrubbed = 0
-    live = mt.table_version(path)
-    for v in mt.list_versions(path):
-        snap = path if v == live else os.path.join(
-            mt._history_dir(path), f"v{v:06d}"
-        )
-        cdf_scrubbed += _scrub_cdf(spark, snap, match)
-    # an exported external-reader log hardlinks RETAINED-version files
-    # under the live snapshot (_delta_history) — those links keep the
-    # pre-purge bytes alive after the in-place history rewrites. Scrub
-    # the export wholesale; re-export if the table auto-exports.
-    exported = False
-    for d in (mt._DELTA_LOG_DIR, mt._DELTA_HISTORY_DIR):
-        full = os.path.join(path, d)
-        if _fs().isdir(full):
-            _fs().rmtree(full)
-            exported = True
-    live_marker = mt._read_marker(path) or {}
-    if exported and (live_marker.get("properties") or {}).get(
-        mt._LOG_EXPORT_PROP
-    ):
-        export_delta_log(spark, path, versioned=True)
+    # the commit lock serializes the in-place history/sidecar mutation
+    # against concurrent publishes (delete_where above took — and
+    # released — its own lock; _commit_lock is not reentrant)
+    with mt._commit_lock(path):
+        for v in mt.list_versions(path):
+            if v == live:
+                continue
+            snap = _hist_snap(v)
+            marker = mt._read_marker(snap)
+            # DV-aware: a retained snapshot committed by a deletion-vector
+            # delete keeps its soft-deleted rows in the files — reading raw
+            # parquet would resurrect them into the purged rewrite
+            raw = mt._read_physical(spark, snap)
+            logical = mt._apply_column_mapping(raw, marker)
+            n_match = logical.filter(match).count()
+            if n_match == 0:
+                continue
+            keep = logical.filter(~match)
+            # rewrite under the snapshot's own PHYSICAL names so
+            # read(version=) serves exactly what it did before, minus rows
+            mapping = marker.get("column_mapping", {})
+            back = {log: phys for log, phys in mapping.items() if log in keep.columns}
+            if back:
+                keep = keep.withColumnsRenamed(back)
+            staging = _stage_dir(v)
+            if _fs().isdir(staging):  # pragma: no cover - leftover from crash
+                _fs().rmtree(staging)
+            writer = keep.write.mode("overwrite")
+            if marker.get("partition_by"):
+                writer = writer.partitionBy(*marker["partition_by"])
+            writer.parquet(staging)
+            # the rewrite replaces the whole snapshot dir: carry the change
+            # sidecar (the final scrub pass below erases matching rows from
+            # every retained sidecar, this one included)
+            _carry_cdf(snap, staging)
+            new_marker = dict(marker)
+            new_marker["dropped_columns"] = []  # payloads scrubbed for real
+            # the purged rewrite materializes any deletion vector (fresh
+            # files, no _dv sidecar) — a carried dv flag would point reads
+            # at a sidecar that no longer exists
+            new_marker.pop("dv", None)
+            new_marker["stats"] = mt._snapshot_stats(staging)
+            mt._replace_marker(staging, new_marker)  # keeps the original ts
+            backup = _backup_dir(v)
+            _fs().rename_dir(snap, backup)
+            _fs().rename_dir(staging, snap)
+            _fs().rmtree(backup)
+            rewritten += 1
+            history_removed += n_match
+        # change-data sidecars can hold the erased rows even when the
+        # snapshot's data does not (a delete's own change record IS the
+        # deleted rows — including the erasure delete this purge just
+        # committed): scrub every retained sidecar, live included
+        live = mt.table_version(path)
+        for v in mt.list_versions(path):
+            snap = path if v == live else _hist_snap(v)
+            cdf_scrubbed += _scrub_cdf(spark, snap, match)
+        # an exported external-reader log hardlinks RETAINED-version files
+        # under the live snapshot (_delta_history) — those links keep the
+        # pre-purge bytes alive after the in-place history rewrites. Scrub
+        # the export wholesale; re-export if the table auto-exports.
+        exported = False
+        for d in (mt._DELTA_LOG_DIR, mt._DELTA_HISTORY_DIR):
+            full = os.path.join(path, d)
+            if _fs().isdir(full):
+                _fs().rmtree(full)
+                exported = True
+        live_marker = mt._read_marker(path) or {}
+        if exported and (live_marker.get("properties") or {}).get(
+            mt._LOG_EXPORT_PROP
+        ):
+            export_delta_log(spark, path, versioned=True)
     return {
         "live_removed": int(live_removed),
         "history_rewritten": rewritten,
@@ -700,6 +810,12 @@ def vacuum(
     removed = []
     for leftover in sorted(_fs().glob(f"{path}__*")):
         if retain_history and leftover == f"{path}__history":
+            continue
+        if leftover == path + managed_table._SQL_VIEW_CANARY_SUFFIX:
+            # the registered-SQL-view canary is LIVE metadata, not a
+            # leftover: sweeping it spuriously invalidates every
+            # registered view in every session (review r12) — only
+            # reader-feature commits may delete it
             continue
         base = os.path.basename(leftover)
         lockbase = os.path.basename(path + managed_table._LOCK_SUFFIX)
@@ -884,14 +1000,24 @@ def compact_binpack(
                 seq += 1
     _fs().rmtree(bin_staging)
     # metadata-preserving marker (see compact): binpack rewrites bytes,
-    # never the logical table
-    managed_table._write_marker_like(staging, marker, ())
+    # never the logical table — and it carries files PHYSICALLY, so the
+    # pending logical-schema metadata (column_mapping / dropped_columns
+    # / added_columns) must carry too or a rename un-renames, dropped
+    # payloads resurrect, and declared ADD COLUMNs vanish (review r12)
+    managed_table._write_marker_like(
+        staging, marker, (), carry_schema_metadata=True
+    )
 
     with _compaction_swap_guard(path, base_version, staging):
         backup = f"{path}__compact_old_{_uuid.uuid4().hex[:8]}"
         _fs().rename_dir(path, backup)
         _fs().rename_dir(staging, path)
         _fs().rmtree(backup)
+        # staging never carried an exported _delta_log — re-export
+        # inside the lock on auto-export tables (the autoCompact hook
+        # runs AFTER _checked_publish's in-lock export, which this swap
+        # just shed)
+        _refresh_external_exports(spark, path)
     _refresh_skipping_indexes(spark, path)
     return {
         "before": before,

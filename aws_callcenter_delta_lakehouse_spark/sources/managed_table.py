@@ -368,14 +368,49 @@ def _write_marker(
 
 
 def _write_marker_like(
-    staging: str, live_marker: dict, partition_by: Sequence[str] | None = None
+    staging: str,
+    live_marker: dict,
+    partition_by: Sequence[str] | None = None,
+    carry_schema_metadata: bool = False,
 ) -> None:
     """Marker for a DATA-PRESERVING rewrite (compaction): carry every
     piece of table metadata forward — version, ``txn`` (exactly-once
     sinks read ``last_epoch`` from it: resetting it would replay
     epochs), constraints, generated/identity declarations, the PK flag.
     Only ts and the snapshot stats are new. Delta's OPTIMIZE likewise
-    rewrites files without touching the table's logical metadata."""
+    rewrites files without touching the table's logical metadata.
+
+    ``carry_schema_metadata``: rewrites that carry data files
+    PHYSICALLY (binpack hardlinks) must also carry the pending logical-
+    schema metadata — ``column_mapping`` / ``dropped_columns`` /
+    ``added_columns`` — or a rename silently un-renames, dropped
+    payloads resurrect, and a declared ADD COLUMN vanishes (review
+    r12). Rewrites that MATERIALIZE the logical schema (full compact
+    reads ``_read_logical`` first) leave it False: their new files
+    already carry logical names, so the metadata is spent."""
+    extra = {
+        k: live_marker[k]
+        # schema_json: a data-preserving rewrite of an EMPTY
+        # table stays empty, so the marker-held schema carries.
+        # last_rewrite_version: OPTIMIZE/compaction preserve the
+        # logical data, so the append-rebase watermark carries —
+        # a racing blind append still commutes across them
+        for k in (
+            "has_cdf",
+            "row_tracking",
+            "schema_json",
+            "last_rewrite_version",
+        )
+        if live_marker.get(k)
+    }
+    if carry_schema_metadata:
+        extra.update(
+            {
+                k: live_marker[k]
+                for k in ("column_mapping", "dropped_columns", "added_columns")
+                if live_marker.get(k)
+            }
+        )
     _write_marker(
         staging,
         live_marker.get("keys", ()),
@@ -393,24 +428,7 @@ def _write_marker_like(
         # keep the version's change-feed availability flag (the sidecar
         # dir itself is hardlink-carried by the compaction paths) and
         # the row-tracking high-water mark
-        extra=(
-            {
-                k: live_marker[k]
-                # schema_json: a data-preserving rewrite of an EMPTY
-                # table stays empty, so the marker-held schema carries.
-                # last_rewrite_version: OPTIMIZE/compaction preserve the
-                # logical data, so the append-rebase watermark carries —
-                # a racing blind append still commutes across them
-                for k in (
-                    "has_cdf",
-                    "row_tracking",
-                    "schema_json",
-                    "last_rewrite_version",
-                )
-                if live_marker.get(k)
-            }
-            or None
-        ),
+        extra=extra or None,
     )
 
 
@@ -604,11 +622,18 @@ def recover(path: str) -> None:
 
 
 def list_versions(path: str) -> list[int]:
-    """Readable versions: retained history snapshots + the live one."""
+    """Readable versions: retained history snapshots + the live one.
+    Only exact ``v{N}`` names count — a maintenance staging/backup dir
+    that happens to start with 'v' must never crash (or pollute) the
+    version listing."""
     hist = _history_dir(path)
     out = []
     if _fs().isdir(hist):
-        out = sorted(int(d[1:]) for d in _fs().listdir(hist) if d.startswith("v"))
+        out = sorted(
+            int(d[1:])
+            for d in _fs().listdir(hist)
+            if d.startswith("v") and d[1:].isdigit()
+        )
     return out + [table_version(path)]
 
 

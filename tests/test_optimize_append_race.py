@@ -57,11 +57,11 @@ def test_binpack_swap_aborts_when_append_lands_mid_staging(
     orig = mt._write_marker_like
     fired = []
 
-    def hook(staging, marker, partition_by=None):
+    def hook(staging, marker, partition_by=None, **kw):
         if not fired:  # one-shot: the racer lands while binpack stages
             fired.append(1)
             _append(spark, path, 1000, 1010)
-        return orig(staging, marker, partition_by)
+        return orig(staging, marker, partition_by, **kw)
 
     monkeypatch.setattr(mt, "_write_marker_like", hook)
     with pytest.raises(mt.ConcurrentWriteError, match="compaction"):
@@ -86,11 +86,11 @@ def test_full_compact_swap_aborts_on_mid_staging_commit(
     orig = mt._write_marker_like
     fired = []
 
-    def hook(staging, marker, partition_by=None):
+    def hook(staging, marker, partition_by=None, **kw):
         if not fired:
             fired.append(1)
             mt.delete_where(spark, path, "id >= 50")  # a REWRITE racer
-        return orig(staging, marker, partition_by)
+        return orig(staging, marker, partition_by, **kw)
 
     monkeypatch.setattr(mt, "_write_marker_like", hook)
     with pytest.raises(mt.ConcurrentWriteError, match="compaction"):
@@ -132,14 +132,14 @@ def test_autocompact_race_never_fails_the_triggering_append(
     orig = mt._write_marker_like
     state = {"fired": False}
 
-    def hook(staging, marker, partition_by=None):
+    def hook(staging, marker, partition_by=None, **kw):
         if not state["fired"]:
             state["fired"] = True
             # racer B: lands while A's autoCompact binpack is staging.
             # B's own autoCompact hook also runs (recursion bounded by
             # the one-shot flag) — it may compact successfully.
             _append(spark, path, 3000, 3010)
-        return orig(staging, marker, partition_by)
+        return orig(staging, marker, partition_by, **kw)
 
     monkeypatch.setattr(mt, "_write_marker_like", hook)
     # append A: crosses the threshold, triggers autoCompact, whose swap
