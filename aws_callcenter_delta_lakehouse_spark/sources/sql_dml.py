@@ -1374,14 +1374,16 @@ def _mask_literals(s: str) -> str:
 def _sub_refs(pattern: re.Pattern, stmt: str, repl) -> str:
     """Regex substitution that never fires inside string literals:
     iterate matches over the masked text, splice replacements into the
-    original. ``repl(match, stmt)`` returns the replacement string or
-    None to leave that segment untouched; it must take group TEXT from
-    ``stmt`` by span, not from the (masked) match object."""
+    original. ``repl(match, stmt, masked)`` returns the replacement
+    string or None to leave that segment untouched; it must take group
+    TEXT from ``stmt`` by span, not from the (masked) match object
+    (``masked`` is for position-based lookahead, e.g. alias
+    detection)."""
     masked = _mask_literals(stmt)
     out: list[str] = []
     last = 0
     for m in pattern.finditer(masked):
-        rep = repl(m, stmt)
+        rep = repl(m, stmt, masked)
         if rep is None:
             continue
         out.append(stmt[last : m.start()])
@@ -1403,6 +1405,53 @@ def _ref_view(df: DataFrame, prefix: str, views: list[str] | None) -> str:
     return view
 
 
+def _last_segment(spelling: str) -> str:
+    """Last dot-separated segment of an identifier AS WRITTEN — dots
+    inside backticks don't split (`` `pdb.tbl` `` is ONE segment)."""
+    segs: list[str] = []
+    cur: list[str] = []
+    inq = False
+    for c in spelling:
+        if c == "`":
+            inq = not inq
+            continue
+        if c == "." and not inq:
+            segs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    segs.append("".join(cur))
+    return segs[-1]
+
+
+def _alias_clause(masked: str, pos: int, spelling: str) -> str:
+    """`` AS `seg` `` when the relation reference ending at ``pos``
+    carries no explicit alias. Splicing a temp view in place of a name
+    otherwise LOSES the name as a column qualifier: Spark keeps a
+    relation's name as its implicit alias, so ``SELECT solo.id FROM
+    solo`` must keep resolving after ``solo`` becomes ``__bn_...``
+    (round-13 fuzz find: a TVF CTE joined back to a bare registry name
+    broke on the ON clause's qualified columns). A reference that
+    carries its own alias keeps it — in real SQL the alias then
+    REPLACES the name as the only valid qualifier, so adding one would
+    be wrong there. Qualification by the FULL multi-part name
+    (``pdb.tbl.id``) is not preserved — only the last segment, which is
+    the common form."""
+    am = _ALIAS_CONT_RE.match(masked, pos)
+    if am:
+        nxt = am.group("a").replace("`", "").lower()
+        if nxt not in _NOT_ALIAS:
+            return ""  # explicit alias present — it owns qualification
+        if nxt == "tablesample":
+            # Spark grammar: sample BEFORE alias (`t TABLESAMPLE(...)
+            # x` parses, `t AS x TABLESAMPLE(...)` does not) — inserting
+            # here would be a syntax error, so the qualifier is dropped
+            # (probe-verified; PIVOT/UNPIVOT accept a preceding alias)
+            return ""
+    seg = _last_segment(spelling).replace("`", "``")
+    return f" AS `{seg}`"
+
+
 _TT_RE = re.compile(
     rf"\b(?P<kw>FROM|JOIN)\s+(?P<name>{_IDENT})\s+"
     r"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
@@ -1422,7 +1471,7 @@ def _rewrite_time_travel(
     Names that do not resolve in the registry are left untouched
     (Spark's own catalog may know them)."""
 
-    def _sub(m: re.Match, orig: str) -> str | None:
+    def _sub(m: re.Match, orig: str, masked: str) -> str | None:
         name = orig[m.start("name") : m.end("name")].replace("`", "")
         try:
             path = _resolve(spark, name, registry_dir)
@@ -1435,7 +1484,13 @@ def _rewrite_time_travel(
             df = managed_table.read_as_of(
                 spark, path, _parse_ts_utc(pin.strip("'"))
             )
-        return f"{m.group('kw')} {_ref_view(df, '__tt', views)}"
+        # Delta keeps the table name as the pinned relation's implicit
+        # alias (`SELECT t.id FROM t VERSION AS OF 0` resolves) — so
+        # must the splice, unless the reference carries its own alias
+        tail = _alias_clause(
+            masked, m.end(), orig[m.start("name") : m.end("name")]
+        )
+        return f"{m.group('kw')} {_ref_view(df, '__tt', views)}{tail}"
 
     return _sub_refs(_TT_RE, stmt, _sub)
 
@@ -1461,7 +1516,7 @@ def _rewrite_metadata_tables(
     Unresolvable names are left untouched."""
     from .metadata_tables import METADATA_KINDS
 
-    def _sub(m: re.Match, orig: str) -> str | None:
+    def _sub(m: re.Match, orig: str, masked: str) -> str | None:
         name = orig[m.start("name") : m.end("name")].replace("`", "")
         try:
             path = _resolve(spark, name, registry_dir)
@@ -1506,7 +1561,7 @@ def _rewrite_table_changes_tvf(
     unknown table is always an error, never something Spark's catalog
     can serve."""
 
-    def _sub(m: re.Match, orig: str) -> str | None:
+    def _sub(m: re.Match, orig: str, masked: str) -> str | None:
         name = orig[m.start("name") + 1 : m.end("name") - 1]
         path = _resolve(spark, name, registry_dir)
 
@@ -1559,8 +1614,12 @@ _BARE_RE = re.compile(
 
 # a CTE definition: `name AS (` — nothing else in a read statement has
 # an identifier directly followed by AS-open-paren (select-list aliases
-# are `expr AS name`, table aliases come AFTER the relation)
-_CTE_DEF_RE = re.compile(rf"\b(?P<cte>{_IDENT})\s+AS\s*\(", re.I)
+# are `expr AS name`, table aliases come AFTER the relation). NB the
+# lookbehind, not \b: \b never fires before a BACKTICKED name (space ->
+# backtick is no word boundary), so `WITH `x` AS (...)` would go
+# unexcluded and a same-named registry table would wrongly shadow the
+# CTE (round-13 fuzz find)
+_CTE_DEF_RE = re.compile(rf"(?<![\w$.`])(?P<cte>{_IDENT})\s+AS\s*\(", re.I)
 
 # keywords that legitimately precede a '(' that opens a SUBQUERY (or
 # grouping) rather than a function call — used to classify parens so a
@@ -1678,7 +1737,11 @@ def _rewrite_bare_names(
             depth_at.append(_d)
     cte_names: dict[str, int] = {}  # name -> shallowest definition depth
     for cm_ in _CTE_DEF_RE.finditer(masked):
-        nm_ = masked[cm_.start("cte") : cm_.end("cte")].replace("`", "").lower()
+        # name from the ORIGINAL by span, never from masked: backticks
+        # are mask-quotes, so a backtick-quoted CTE name reads as NULs
+        # in masked text and the exclusion would silently miss it
+        # (round-13 fuzz find — the r11 span-extraction trap, here too)
+        nm_ = stmt[cm_.start("cte") : cm_.end("cte")].replace("`", "").lower()
         d_ = depth_at[cm_.start("cte")]
         cte_names[nm_] = min(cte_names.get(nm_, d_), d_)
 
@@ -1748,7 +1811,14 @@ def _rewrite_bare_names(
                 nm = stmt[cm.start("name") : cm.end("name")].replace("`", "")
                 rep2 = _resolve_ref(nm, cm.start("name"))
                 if rep2 is not None:
-                    repls.append((cm.start("name"), cm.end("name"), rep2))
+                    tail = _alias_clause(
+                        masked,
+                        cm.end("name"),
+                        stmt[cm.start("name") : cm.end("name")],
+                    )
+                    repls.append(
+                        (cm.start("name"), cm.end("name"), rep2 + tail)
+                    )
                 pos = cm.end()
                 continue
             pm = _COMMA_PAREN_RE.match(masked, pos)
@@ -1770,7 +1840,10 @@ def _rewrite_bare_names(
         name = stmt[m.start("name") : m.end("name")].replace("`", "")
         rep = _resolve_ref(name, m.start("name"))
         if rep is not None:
-            repls.append((m.start(), m.end(), f"{m.group('kw')} {rep}"))
+            tail = _alias_clause(
+                masked, m.end(), stmt[m.start("name") : m.end("name")]
+            )
+            repls.append((m.start(), m.end(), f"{m.group('kw')} {rep}{tail}"))
         if m.group("kw").upper() == "FROM":
             _scan_comma_list(m.end())
     # a relation list can also START with a parenthesized subquery /

@@ -295,6 +295,32 @@ def test_global_running_sum_never_single_partition(spark):
     assert "SinglePartition" not in p, p
 
 
+def test_offsets_two_level_exact_at_high_p(spark):
+    """r12 verdict item 2: _offsets was O(P^2); the two-level rewrite
+    must stay exact at a partition count far above anything the local
+    suite exercises (P=1337, deliberately not a square or power of two,
+    with gaps in the pid sequence as AQE coalescing can produce), keep
+    both joins broadcast, and plan no Window/SinglePartition node."""
+    from aws_callcenter_delta_lakehouse_spark.operators.prefix import _offsets
+
+    pids = [i for i in range(1337) if i % 97 != 3]  # gapped pid space
+    totals = spark.createDataFrame(
+        [(p, (p * 7919) % 1000 - 500) for p in pids], "`__pid` int, `__ptotal` long"
+    )
+    off = _offsets(totals, num_partitions=1337)
+    got = {r["__pid"]: r["__offset"] for r in off.collect()}
+    run, want = 0, {}
+    for p in pids:
+        want[p] = run
+        run += (p * 7919) % 1000 - 500
+    assert got == want
+    plan = off._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Window" not in plan, plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+
+
 def test_global_running_sum_backends_agree(spark):
     from aws_callcenter_delta_lakehouse_spark.plans.all import REGISTRY as R
 
