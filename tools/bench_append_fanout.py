@@ -58,14 +58,23 @@ def main() -> None:
                     for f in os.listdir(snap)
                     if f.endswith(".parquet") and not f.startswith("_")
                 ][0]
+                # spread clones across fresh source inodes: ext4 caps
+                # links/inode at ~65000, and the timed append links
+                # every name AGAIN into the staged snapshot (2x names
+                # per inode) — 20k per inode leaves ample headroom.
+                # (A real table never gets near this: each data file is
+                # its own inode, linked once per retained snapshot.)
+                cur = os.path.join(snap, src)
                 for i in range(width - 1):
-                    os.link(
-                        os.path.join(snap, src),
-                        os.path.join(snap, f"clone-{i:06d}-{src}"),
-                    )
+                    dst = os.path.join(snap, f"clone-{i:06d}.parquet")
+                    if i % 20_000 == 19_999:
+                        shutil.copyfile(cur, dst)
+                        cur = dst
+                    else:
+                        os.link(cur, dst)
             add = spark.createDataFrame([(10**9, 7)], "id LONG, v LONG").coalesce(1)
             t0 = time.perf_counter()
-            mt.append_rows(add, path)
+            mt.append_rows(spark, add, path)
             dt = time.perf_counter() - t0
             results[str(width)] = {
                 "append_sec": round(dt, 3),
@@ -81,8 +90,14 @@ def main() -> None:
         probe = os.path.join(d1, "f0")
         with open(probe, "wb") as fh:
             fh.write(b"x" * 1024)
+        cur = probe
         for i in range(1, 100_000):
-            os.link(probe, os.path.join(d1, f"f{i}"))
+            dst = os.path.join(d1, f"f{i}")
+            if i % 20_000 == 19_999:  # stay far below the EMLINK cap
+                shutil.copyfile(cur, dst)
+                cur = dst
+            else:
+                os.link(cur, dst)
         names = os.listdir(d1)
         t0 = time.perf_counter()
         for n in names:
