@@ -19,6 +19,13 @@ on path within the source). Set growth is bounded by source-file
 count; ``reset_copy_into(path)`` clears it when a source directory is
 recycled.
 
+Concurrency contract: idempotency is per-INVOCATION-sequence, not
+per-file-across-writers — two copy_into calls racing on the SAME
+source both see the pre-commit loaded set and would double-load
+(blind appends commute, so neither loses the CAS). Run one COPY INTO
+writer per table, the same single-ingestor shape as the reference's
+scheduled Glue job; crash-retry of that one writer is safe.
+
 Scale shape: listing is driver metadata; the data read is one Spark
 scan of ONLY the new files; the append is the O(appended) hardlink
 commit. Schema: columns are aligned to the table BY NAME and cast to

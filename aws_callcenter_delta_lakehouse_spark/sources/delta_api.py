@@ -839,6 +839,20 @@ class DeltaTableBuilder:
             try:
                 bound = txn_catalog.resolve_table_name(registry, self._name)
             except txn_catalog.TableNameError:
+                # "unbound" and "bound to a VIEW" raise the same error
+                # type — distinguishing matters: treating a view name as
+                # unbound would commit a whole table snapshot and only
+                # fail afterwards at the name binding (round 13)
+                try:
+                    entry = txn_catalog.resolve_entry(registry, self._name)
+                except txn_catalog.TableNameError:
+                    entry = {}
+                if "view_sql" in entry:
+                    raise ValueError(
+                        f"{self._name!r} is a registered VIEW — a table "
+                        "cannot be created under a view name (DROP VIEW "
+                        "first)"
+                    )
                 bound = None
             if self._path is None:
                 # managed placement: data lives under the registry's

@@ -155,7 +155,16 @@ def create_agg_mv(
             "refresh would be a recompute"
         )
     base_version = mt.table_version(base_path)
-    mv = mt.read(spark, base_path).groupBy(*group_cols).agg(*_agg_exprs(aggs))
+    # PIN the bootstrap scan to the probed version: a base commit landing
+    # between this probe and the scan's evaluation would otherwise build
+    # an MV reflecting v_new while the cursor records v_old — the next
+    # refresh then re-applies (v_old, v_new] and double-counts. read()
+    # serves a pinned version from __history when the head has moved.
+    mv = (
+        mt.read(spark, base_path, version=base_version)
+        .groupBy(*group_cols)
+        .agg(*_agg_exprs(aggs))
+    )
     mt.commit_overwrite(
         mv,
         mv_path,
@@ -205,7 +214,12 @@ def refresh_agg_mv(
         # untouched groups keep their stored row, vanished groups
         # produce no fresh row and leave the MV
         touched = ch.select(*group_cols).distinct()
-        base = mt.read(spark, base_path)
+        # pinned to ``cur`` (the cursor this refresh records): a base
+        # commit racing the refresh would otherwise recompute touched
+        # groups at a NEWER state than the cursor claims — idempotent
+        # (the next refresh re-touches them) but version-inconsistent
+        # until it runs
+        base = mt.read(spark, base_path, version=cur)
         fresh = (
             base.join(touched, on=_nullsafe(base, touched, group_cols), how="left_semi")
             .groupBy(*group_cols)

@@ -423,6 +423,28 @@ def make_table_stream_source():
         except ValueError:
             return "string"
 
+    def _unify_pval_type(raws) -> str:
+        """The ladder applied across ALL observed dir values of one
+        partition column (Spark scans every partition value before
+        typing; inferring from the first file alone crashed the worker
+        when a later dir's value didn't parse as the first one's type —
+        `part=1` sorts before `part=x`, int(\"x\") throws). Numerics
+        promote int -> bigint -> double; date merges only with date;
+        any other mix (or all-NULL) falls back to string."""
+        _NUM = {"int": 0, "bigint": 1, "double": 2}
+        best: str | None = None
+        for raw in raws:
+            if raw is None:
+                continue
+            t = _pval_type(raw)
+            if best is None or best == t:
+                best = t
+            elif best in _NUM and t in _NUM:
+                best = t if _NUM[t] > _NUM[best] else best
+            else:
+                return "string"
+        return best or "string"
+
     def _typed_pval(raw, ddl: str):
         import datetime as _dt
         from urllib.parse import unquote as _unquote
@@ -505,12 +527,11 @@ def make_table_stream_source():
             if partition_by:
                 # Hive layout: partition values live in dir names, not
                 # files — synthesize them LAST (the batch-read order),
-                # types inferred from the first file's dir components
-                pvals = _file_pvals(path, files[0])
+                # each column's type unified over EVERY file's dir value
+                all_pvals = [_file_pvals(path, f) for f in files]
                 for c in partition_by:
-                    raw = pvals.get(c)
                     cols.append(
-                        (c, _pval_type(raw) if raw is not None else "string",
+                        (c, _unify_pval_type(p.get(c) for p in all_pvals),
                          None)
                     )
         cols = [c for c in cols if c[0] != _ROWID]
@@ -594,10 +615,37 @@ def make_table_stream_source():
                 )
                 import pyarrow.parquet as _pq
 
-                # classify the commit from the (changes-bounded) sidecar:
-                # ONLY the _change_type column crosses to the driver
+                # classify the commit from the (changes-bounded) sidecar.
+                # Footer min/max stats answer the common case — an
+                # insert-only commit — in O(1) per file; only a file the
+                # stats can't clear (mixed types, or stats absent) reads
+                # its _change_type column to the driver (needed anyway
+                # for the error/skip message's exact type set)
                 types: set = set()
                 for f in files:
+                    md = _pq.read_metadata(f)
+                    mins, maxs = set(), set()
+                    for rg in range(md.num_row_groups):
+                        grp = md.row_group(rg)
+                        st = next(
+                            (
+                                grp.column(i).statistics
+                                for i in range(grp.num_columns)
+                                if grp.column(i).path_in_schema
+                                == "_change_type"
+                            ),
+                            None,
+                        )
+                        if st is None or not st.has_min_max:
+                            mins, maxs = None, None
+                            break
+                        mn, mx = st.min, st.max
+                        # physical BYTE_ARRAY stats may surface as bytes
+                        mins.add(mn.decode() if isinstance(mn, bytes) else mn)
+                        maxs.add(mx.decode() if isinstance(mx, bytes) else mx)
+                    if mins is not None and mins == maxs and len(mins) == 1:
+                        types.update(mins)
+                        continue
                     types.update(
                         _pq.read_table(f, columns=["_change_type"])
                         .column(0)

@@ -619,6 +619,21 @@ def _parse_table_options(rest: str, marks) -> dict:
     return out
 
 
+def _refuse_view_target(registry: str, name: str) -> None:
+    """Raise when ``name`` is bound to a VIEW: every CREATE-TABLE shape
+    (column-list DDL, CTAS, CLONE) must refuse BEFORE any data or
+    binding work — a view can never become a table implicitly."""
+    try:
+        entry = txn_catalog.resolve_entry(registry, name)
+    except txn_catalog.TableNameError:
+        return
+    if "view_sql" in entry:
+        raise SqlDmlError(
+            f"{name!r} is a registered VIEW — a table cannot be "
+            "created under a view name (DROP VIEW first)"
+        )
+
+
 def _table_placement(
     spark: SparkSession,
     name: str,
@@ -634,6 +649,11 @@ def _table_placement(
     try:
         bound = txn_catalog.resolve_table_name(registry, name)
     except txn_catalog.TableNameError:
+        # distinguish "unbound" from "bound to a VIEW": resolve raises
+        # the same error type for both, and treating a view as unbound
+        # would let CTAS write a whole snapshot before failing at bind
+        # time (orphaned data, late error) — refuse upfront instead
+        _refuse_view_target(registry, name)
         bound = None
     path = location or bound or os.path.join(registry, "tables", name)
     if bound is not None and os.path.abspath(bound) != os.path.abspath(path):
@@ -820,6 +840,11 @@ def _create_table(spark: SparkSession, stmt: str, registry_dir: str | None):
         )
     cols_body = stmt[m.end() : close - 1]
     rest_body = stmt[close:]
+    # view-bound names refuse here too (the builder has its own guard,
+    # but this one raises the front-end's error type)
+    _refuse_view_target(
+        _registry_dir(spark, registry_dir), m.group("name").replace("`", "")
+    )
     if m.group("replace"):
         builder = DeltaTable.createOrReplace(spark)
     elif m.group("ine"):

@@ -625,40 +625,53 @@ def foreach_batch_lsh_index(
             last = int(tc.catalog_txn(catalog_dir).get("last_epoch", -1))
             if epoch_id <= last:
                 return  # replayed batch: the whole transaction landed
-        sh = shingle(
-            batch_df, id_col, text_col, n, distinct=True
-        ).localCheckpoint(eager=False)
-        sigs = minhash_signature(sh, id_col, num_hashes)
-        buckets = lsh_band_buckets(sigs, id_col, bands, num_hashes // bands)
-        txn = {"last_epoch": int(epoch_id)}
-        if catalog_dir is not None:
-            # merge into the (catalog-pinned) previous index, then
-            # publish both refreshed snapshots in one pointer flip
-            manifest = tc.read_manifest(catalog_dir)
-            updates = {}
-            for tbl, df, keys in (
-                ("buckets", buckets, (id_col, "band", "bucket")),
-                ("shingles", sh, (id_col, "sh")),
+        # persist (NOT localCheckpoint): the shingle frame is consumed
+        # twice (signature chain + the shingle-table merge), but this
+        # closure runs once PER MICRO-BATCH for the stream's lifetime —
+        # localCheckpoint blocks are RDD persistence with no DataFrame
+        # handle to release, so every epoch would pin another batch of
+        # blocks in executor memory (the perf-trap-4 leak, continuous
+        # edition). persist() gives the same single-evaluation and is
+        # released in the finally.
+        sh = shingle(batch_df, id_col, text_col, n, distinct=True).persist()
+        try:
+            sigs = minhash_signature(sh, id_col, num_hashes)
+            buckets = lsh_band_buckets(
+                sigs, id_col, bands, num_hashes // bands
+            )
+            txn = {"last_epoch": int(epoch_id)}
+            if catalog_dir is not None:
+                # merge into the (catalog-pinned) previous index, then
+                # publish both refreshed snapshots in one pointer flip
+                manifest = tc.read_manifest(catalog_dir)
+                updates = {}
+                for tbl, df, keys in (
+                    ("buckets", buckets, (id_col, "band", "bucket")),
+                    ("shingles", sh, (id_col, "sh")),
+                ):
+                    path = {
+                        "buckets": buckets_path, "shingles": shingles_path
+                    }[tbl]
+                    if tbl in manifest:
+                        old = tc.read_table(spark, catalog_dir, tbl)
+                        # key-level upsert semantics, like the merge mode
+                        df = old.unionByName(df).dropDuplicates(list(keys))
+                    updates[tbl] = (df, path, keys)
+                tc.commit_tables(updates, catalog_dir, txn=txn)
+                return
+            for path, df, keys in (
+                (buckets_path, buckets, (id_col, "band", "bucket")),
+                (shingles_path, sh, (id_col, "sh")),
             ):
-                path = {"buckets": buckets_path, "shingles": shingles_path}[tbl]
-                if tbl in manifest:
-                    old = tc.read_table(spark, catalog_dir, tbl)
-                    # key-level upsert semantics, like the merge mode
-                    df = old.unionByName(df).dropDuplicates(list(keys))
-                updates[tbl] = (df, path, keys)
-            tc.commit_tables(updates, catalog_dir, txn=txn)
-            return
-        for path, df, keys in (
-            (buckets_path, buckets, (id_col, "band", "bucket")),
-            (shingles_path, sh, (id_col, "sh")),
-        ):
-            last = int(mt.table_txn(path).get("last_epoch", -1))
-            if epoch_id <= last:
-                continue  # this table already has the replayed batch
-            if mt.is_table(spark, path):
-                mt.merge_upsert(spark, path, df, keys=keys, txn=txn)
-            else:
-                mt.commit_overwrite(df, path, keys=tuple(keys), txn=txn)
+                last = int(mt.table_txn(path).get("last_epoch", -1))
+                if epoch_id <= last:
+                    continue  # this table already has the replayed batch
+                if mt.is_table(spark, path):
+                    mt.merge_upsert(spark, path, df, keys=keys, txn=txn)
+                else:
+                    mt.commit_overwrite(df, path, keys=tuple(keys), txn=txn)
+        finally:
+            sh.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -1271,3 +1271,31 @@ def test_view_canary_same_session_and_ddl_invalidation(spark, tmp_path):
 
     # reads by the engine still serve the renamed schema fine
     assert "label" in mt.read(spark, path).columns
+
+
+def test_builder_refuses_view_bound_name(spark, tmp_path):
+    """A name bound to a logical VIEW refuses table creation UPFRONT
+    (round 13): resolve_table_name raises the same error for 'unbound'
+    and 'bound to a view', and treating the view as unbound committed a
+    whole empty-table snapshot before failing at the name binding."""
+    import os
+
+    from aws_callcenter_delta_lakehouse_spark.sources import txn_catalog as tc
+
+    registry = str(tmp_path / "registry")
+    tc.register_view_name(registry, "db.v", "SELECT 1 AS one")
+    spark.conf.set("spark.managedTable.nameRegistry", registry)
+    try:
+        for mode in ("create", "createIfNotExists", "createOrReplace"):
+            with pytest.raises(ValueError, match="registered VIEW"):
+                (
+                    getattr(DeltaTable, mode)(spark)
+                    .tableName("db.v")
+                    .addColumn("id", "bigint")
+                    .execute()
+                )
+        # no orphaned snapshot at the managed placement, binding intact
+        assert not os.path.isdir(os.path.join(registry, "tables", "db.v"))
+        assert tc.list_view_names(registry) == {"db.v": "SELECT 1 AS one"}
+    finally:
+        spark.conf.unset("spark.managedTable.nameRegistry")

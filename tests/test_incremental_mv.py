@@ -409,3 +409,37 @@ def test_refresh_over_blind_appends(spark, tmp_path):
     assert out["refreshed"] is True
     assert _mv_state(spark, mv) == _recompute(spark, base)
     assert mt.table_txn(mv)["mv_base_version"] == mt.table_version(base)
+
+
+def test_bootstrap_pins_probed_base_version(spark, tmp_path, monkeypatch):
+    """create_agg_mv evaluates its base scan INSIDE commit_overwrite —
+    a base commit landing between the version probe and that evaluation
+    must not leak into the bootstrapped MV (round 13: the scan is now
+    pinned to the probed version; unpinned, the MV reflected v_new with
+    the cursor at v_old and the next refresh double-applied v_new's
+    changes). Injected interleaving, same style as test_table_race."""
+    base = str(tmp_path / "b")
+    mvp = str(tmp_path / "mv")
+    _base(spark, base)
+    real = mt.commit_overwrite
+
+    def racing(df, path, **kw):
+        if path == mvp and not getattr(racing, "fired", False):
+            racing.fired = True
+            mt.append_rows(
+                spark,
+                spark.createDataFrame([(99, "a", 700)], ["id", "grp", "cents"]),
+                base,
+            )
+        return real(df, path, **kw)
+
+    monkeypatch.setattr(imv.mt, "commit_overwrite", racing)
+    out = imv.create_agg_mv(spark, base, mvp, ["grp"], AGGS)
+    monkeypatch.undo()
+    assert racing.fired
+    # the MV reflects the PROBED version, not the racing append
+    assert out["base_version"] == mt.table_txn(mvp)["mv_base_version"]
+    assert mt.table_txn(mvp)["mv_base_version"] == mt.table_version(base) - 1
+    # one refresh lands the append exactly once
+    assert imv.refresh_agg_mv(spark, base, mvp)["refreshed"] is True
+    assert _mv_state(spark, mvp) == _recompute(spark, base)

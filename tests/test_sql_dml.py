@@ -704,3 +704,33 @@ def test_metadata_verbs_fall_through_to_spark(spark, named_table):
         assert rows  # Spark served it
     finally:
         spark.catalog.dropTempView("plainv")
+
+
+def test_ctas_refuses_view_name_upfront(spark, named_table):
+    """CREATE TABLE under a VIEW-bound name must refuse BEFORE writing
+    any data (round 13): resolve_table_name raises the same error type
+    for 'unbound' and 'bound to a view', and treating the view as
+    unbound let CTAS commit a whole orphaned snapshot to the warehouse
+    path before failing at bind time."""
+    import os
+
+    _name, _path, registry = named_table
+    sql_dml.sql(
+        spark, "CREATE VIEW sqldb.accv AS SELECT id FROM sqldb.accounts"
+    )
+    for stmt in (
+        "CREATE TABLE sqldb.accv AS SELECT 1 AS x",
+        "CREATE TABLE sqldb.accv (x INT) USING delta",
+        "CREATE TABLE sqldb.accv SHALLOW CLONE sqldb.accounts",
+    ):
+        with pytest.raises(SqlDmlError, match="registered VIEW"):
+            sql_dml.sql(spark, stmt)
+    # no orphaned snapshot at the managed placement
+    assert not os.path.isdir(os.path.join(registry, "tables", "sqldb.accv"))
+    # the view binding is intact
+    assert (
+        sql_dml.sql(spark, "SELECT count(*) AS n FROM sqldb.accv")
+        .collect()[0]
+        .n
+        == 3
+    )

@@ -283,3 +283,106 @@ def test_update_delete_statements_match_python(
     finally:
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(f"{path}__history", ignore_errors=True)
+
+
+# --- INSERT INTO / OVERWRITE fuzz (same menu-mirror scheme) -------------------
+
+# spellings of the column list + the tuple positions they draw from
+_INS_COLS = [
+    (None, ("id", "v", "note")),
+    ("(id, v, note)", ("id", "v", "note")),
+    ("(id, note, v)", ("id", "note", "v")),
+    ("(id, v)", ("id", "v")),
+    ("(id)", ("id",)),
+]
+_POS = {"id": 0, "v": 1, "note": 2}
+
+
+def _lit(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def _ins_row(cols, r):
+    """Full (id, v, note) row from the named-column subset of ``r`` —
+    omitted columns are NULL (the ANSI INSERT contract)."""
+    full = {"id": None, "v": None, "note": None}
+    for c in cols:
+        full[c] = r[_POS[c]]
+    return (full["id"], full["v"], full["note"])
+
+
+_ins_notes = st.sampled_from(["a", "a THEN b", "WHEN MATCHED", "it's, fine"])
+_ins_row_st = st.tuples(
+    st.integers(0, 7), st.integers(0, 100), _ins_notes
+)
+_ins_rows = st.lists(_ins_row_st, min_size=1, max_size=5)
+
+
+@given(
+    tgt=_rows,
+    src=_ins_rows,
+    cols_i=st.sampled_from(range(len(_INS_COLS))),
+    verb=st.sampled_from(["INTO", "OVERWRITE", "OVERWRITE TABLE"]),
+    kind=st.sampled_from(["values", "select_values", "with_cte", "select_self"]),
+)
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.function_scoped_fixture,
+        HealthCheck.too_slow,
+    ],
+)
+def test_insert_statements_match_python(
+    spark, merge_env, tgt, src, cols_i, verb, kind
+):
+    col_sql, cols = _INS_COLS[cols_i]
+    if kind == "select_self":
+        col_sql, cols = None, ("id", "v", "note")
+    name = f"ins_{uuid.uuid4().hex[:10]}"
+    path = os.path.join(merge_env, name)
+    registry = os.path.join(merge_env, "reg")
+    mt.commit_overwrite(
+        spark.createDataFrame(tgt or [], "id INT, v INT, note STRING"),
+        path,
+        keys=("id",),
+    )
+    txn_catalog.register_table_name(registry, name, path)
+    try:
+        tuples_sql = ", ".join(
+            "(" + ", ".join(_lit(r[_POS[c]]) for c in cols) + ")" for r in src
+        )
+        if kind == "values":
+            source_sql = f"VALUES {tuples_sql}"
+        elif kind == "select_values":
+            source_sql = (
+                f"SELECT * FROM (VALUES {tuples_sql}) "
+                f"AS x({', '.join(cols)})"
+            )
+        elif kind == "with_cte":
+            source_sql = (
+                f"WITH feed AS (SELECT * FROM (VALUES {tuples_sql}) "
+                f"AS x({', '.join(cols)})) SELECT * FROM feed"
+            )
+        else:  # select_self: source is the TARGET's own pre-state
+            source_sql = f"SELECT id + 100 AS id, v, note FROM {name}"
+        stmt = (
+            f"INSERT {verb} {name}"
+            + (f" {col_sql}" if col_sql else "")
+            + f" {source_sql}"
+        )
+        if kind == "select_self":
+            inserted = [(i + 100, v, n) for i, v, n in tgt]
+        else:
+            inserted = [_ins_row(cols, r) for r in src]
+        want = inserted if verb.startswith("OVERWRITE") else list(tgt) + inserted
+        sql_dml.sql(spark, stmt)
+        got = [(r.id, r.v, r.note) for r in mt.read(spark, path).collect()]
+        assert sorted(got, key=repr) == sorted(want, key=repr), stmt
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(f"{path}__history", ignore_errors=True)

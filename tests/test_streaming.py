@@ -491,6 +491,9 @@ def test_lsh_index_sink_probe_and_replay(spark, tmp_path):
         )
         return foreach_batch_lsh_index(stream, idx, checkpoint=ckpt)
 
+    before_rdds = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
     q = _start()
     try:
         _feed(a, "a")
@@ -499,6 +502,14 @@ def test_lsh_index_sink_probe_and_replay(spark, tmp_path):
         q.processAllAvailable()
     finally:
         q.stop()
+    # the per-batch shingle materialization must RELEASE its blocks
+    # (round 13: localCheckpoint leaked one RDD per epoch for the
+    # stream's lifetime — persist/unpersist is scoped to the batch)
+    leaked = (
+        set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        - before_rdds
+    )
+    assert not leaked, f"micro-batch left persistent RDDs behind: {leaked}"
 
     # probe a near-dup of doc 1 (one word changed) against the index
     probe = spark.createDataFrame(

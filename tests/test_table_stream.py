@@ -385,3 +385,37 @@ def test_partitioned_stream_null_and_string_partitions(spark, tmp_path):
         (r.id, r.region) for r in spark.table(sink).collect()
     )
     assert got == [(1, "us east"), (2, None), (3, "eu/west")]
+
+
+def test_partitioned_stream_mixed_looking_string_partition(spark, tmp_path):
+    """Partition type inference scans EVERY dir value (round 13): a
+    string partition whose lexicographically-first dir value looks
+    numeric (`part=1` sorts before `part=x`) used to infer int from the
+    first file alone and crash the worker on int("x") — the ladder now
+    unifies across files and falls back to string."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "1"), (2, "7"), (3, "x")], "id INT, part STRING"
+    )
+    mt.commit_overwrite(
+        df, path, keys=("id",), partition_by=("part",),
+        properties={"enableChangeDataFeed": True},
+    )
+    spark.dataSource.register(make_table_stream_source())
+    sink = f"tstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("managed_table_stream")
+        .option("path", path)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted((r.id, r.part) for r in spark.table(sink).collect())
+    assert got == [(1, "1"), (2, "7"), (3, "x")]
+    assert dict(spark.table(sink).dtypes)["part"] == "string"
