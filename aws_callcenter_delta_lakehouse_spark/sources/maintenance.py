@@ -260,7 +260,13 @@ def compact(
     # compaction preserves data, so it must preserve the logical table
     # too — a bare marker here would reset the exactly-once sinks'
     # last_epoch and drop CHECK constraints
-    managed_table._write_marker_like(staging, live_marker, partition_by)
+    managed_table._write_marker_like(
+        staging, live_marker, partition_by,
+        # a partitioned rewrite of a 0-row table emits no files at all:
+        # record the logical schema so the swap can't strand the table
+        # unreadable (round-13 soak find, binpack sibling)
+        schema_json_fallback=df.schema.json(),
+    )
 
     with _compaction_swap_guard(path, base_version, staging):
         backup = f"{path}__compact_old_{_uuid.uuid4().hex[:8]}"
@@ -732,6 +738,14 @@ def purge_rows(
             # at a sidecar that no longer exists
             new_marker.pop("dv", None)
             new_marker["stats"] = mt._snapshot_stats(staging)
+            if not mt._staging_data_files(staging):
+                # a purge that matches EVERY row of a partitioned
+                # snapshot writes zero files (partitionBy of nothing):
+                # record schema-in-log or read(version=) dies on this
+                # version forever (round-13 binpack sibling). ``keep``
+                # is already renamed back to PHYSICAL names, so its
+                # schema is exactly what the files would have carried.
+                new_marker.setdefault("schema_json", keep.schema.json())
             mt._replace_marker(staging, new_marker)  # keeps the original ts
             backup = _backup_dir(v)
             _fs().rename_dir(snap, backup)
@@ -971,14 +985,11 @@ def compact_binpack(
     bin_map = F.create_map(
         *[F.lit(x) for f, i in file_to_bin for x in (f, i)]
     )
-    smalls_df = (
-        spark.read.parquet(*[f for f, _s in smalls])
-        .withColumn(
-            "__bin",
-            bin_map[F.element_at(F.split(F.input_file_name(), "/"), -1)],
-        )
-        .repartition(max(len(bins), 1), "__bin")
-    )
+    raw_smalls = spark.read.parquet(*[f for f, _s in smalls])
+    smalls_df = raw_smalls.withColumn(
+        "__bin",
+        bin_map[F.element_at(F.split(F.input_file_name(), "/"), -1)],
+    ).repartition(max(len(bins), 1), "__bin")
     bin_staging = f"{staging}__bins"
     smalls_df.write.mode("overwrite").partitionBy("__bin").parquet(bin_staging)
     seq = 0
@@ -1005,7 +1016,13 @@ def compact_binpack(
     # / added_columns) must carry too or a rename un-renames, dropped
     # payloads resurrect, and declared ADD COLUMNs vanish (review r12)
     managed_table._write_marker_like(
-        staging, marker, (), carry_schema_metadata=True
+        staging, marker, (), carry_schema_metadata=True,
+        # 0-row smalls + no carried bigs emit ZERO files (partitionBy
+        # of nothing writes nothing): record the PHYSICAL schema so the
+        # swapped snapshot stays readable (round-13 soak find). Raw
+        # read schema = the files' physical layout, which the pending
+        # column metadata carried above still applies to.
+        schema_json_fallback=raw_smalls.schema.json(),
     )
 
     with _compaction_swap_guard(path, base_version, staging):

@@ -367,11 +367,24 @@ def _write_marker(
     _fs().write_atomic(os.path.join(path, _MARKER), json.dumps(payload))
 
 
+def _staging_data_files(staging: str) -> list[str]:
+    """Data parquet files of a staged snapshot (Hive layout included;
+    sidecar dirs — underscore-prefixed components — excluded)."""
+    out = []
+    for f in _fs().glob(os.path.join(staging, "**", "*.parquet"), recursive=True):
+        rel = os.path.relpath(f, staging)
+        if any(p.startswith("_") for p in rel.split(os.sep)[:-1]):
+            continue
+        out.append(f)
+    return out
+
+
 def _write_marker_like(
     staging: str,
     live_marker: dict,
     partition_by: Sequence[str] | None = None,
     carry_schema_metadata: bool = False,
+    schema_json_fallback: str | None = None,
 ) -> None:
     """Marker for a DATA-PRESERVING rewrite (compaction): carry every
     piece of table metadata forward — version, ``txn`` (exactly-once
@@ -411,6 +424,19 @@ def _write_marker_like(
                 if live_marker.get(k)
             }
         )
+    if (
+        "schema_json" not in extra
+        and schema_json_fallback
+        and not _staging_data_files(staging)
+    ):
+        # round-13 soak find: a compaction of a 0-row table whose
+        # snapshot still held empty-FOOTER files (the unpartitioned
+        # delete-all shape) can emit ZERO files (partitioned writes of
+        # nothing write nothing) — without schema-in-log the swap
+        # strands the table unreadable (UNABLE_TO_INFER_SCHEMA). The
+        # caller passes the pre-rewrite schema; it is recorded exactly
+        # as a zero-file commit_overwrite would record it.
+        extra["schema_json"] = schema_json_fallback
     _write_marker(
         staging,
         live_marker.get("keys", ()),

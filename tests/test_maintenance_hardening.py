@@ -213,3 +213,93 @@ def test_purge_preflight_aborts_before_mutation(spark, tmp_path):
     for v, n in hist_before.items():
         assert mt.read(spark, path, version=v).count() == n
     assert mt.read(spark, path).filter("label = 's1'").count() == 1
+
+
+def test_binpack_of_emptied_table_stays_readable(spark, tmp_path):
+    """Round-13 soak find: delete-all leaves empty-FOOTER parquet files
+    (readable); a later binpack coalesces them into ZERO files
+    (partitionBy of nothing writes nothing) and the metadata-preserving
+    marker carried no schema — the swap stranded the table with
+    UNABLE_TO_INFER_SCHEMA forever. The marker now records the physical
+    schema as schema-in-log when staging holds no data files."""
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string"
+        ),
+        path,
+        keys=("id",),
+        properties={"enableChangeDataFeed": True},
+    )
+    mt.delete_where(spark, path, F.lit(True), max_history=10)
+    # a no-match DV update appends a second empty file — the exact
+    # soak interleaving (>= 2 smalls, so binpack proceeds)
+    mt.update_where(
+        spark, path, F.col("id") < 0, {"v": F.lit("x")},
+        max_history=10, deletion_vectors=True,
+    )
+    out = maintenance.compact_binpack(spark, path, target_file_bytes=1 << 20)
+    assert out["after"]["n_files"] == 0 or out["rewritten"] >= 0
+    got = mt.read(spark, path)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["id", "v"]
+    # and the table still accepts new data afterwards
+    mt.merge_upsert(
+        spark, path,
+        spark.createDataFrame([(1, "a")], "id long, v string"),
+        keys=("id",), max_history=10,
+    )
+    assert {(r.id, r.v) for r in mt.read(spark, path).collect()} == {(1, "a")}
+
+
+def test_materialize_all_dv_partitioned_stays_readable(spark, tmp_path):
+    """compact()'s sibling of the binpack find: REORG PURGE of a
+    PARTITIONED table whose deletion vector covers every row rewrites
+    0 rows — a partitioned write of nothing emits no files — and the
+    carried marker held no schema. The logical-schema fallback keeps
+    the emptied table readable."""
+    path = str(tmp_path / "t")
+    mt.commit_overwrite(
+        spark.createDataFrame(
+            [(i, "ab"[i % 2], f"v{i}") for i in range(8)],
+            "id long, p string, v string",
+        ),
+        path,
+        keys=("id",),
+        partition_by=["p"],
+    )
+    mt.delete_where(
+        spark, path, F.lit(True), max_history=10, deletion_vectors=True
+    )
+    assert mt.read(spark, path).count() == 0  # DV-masked, files intact
+    out = maintenance.materialize_deletes(spark, path)
+    assert out["materialized"] is True
+    got = mt.read(spark, path)
+    assert got.count() == 0
+    assert set(got.columns) == {"id", "p", "v"}
+
+
+def test_purge_emptying_partitioned_history_snapshot_stays_readable(
+    spark, tmp_path
+):
+    """purge_rows sibling of the binpack find: a purge matching EVERY
+    row of a retained PARTITIONED snapshot rewrites it to zero files —
+    schema-in-log now keeps that history version readable."""
+    path = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(i, "ab"[i % 2], "pii") for i in range(6)],
+        "id long, p string, tag string",
+    )
+    mt.commit_overwrite(v0, path, keys=("id",), partition_by=["p"])
+    v1 = spark.createDataFrame(
+        [(i, "ab"[i % 2], "clean") for i in range(10, 14)],
+        "id long, p string, tag string",
+    )
+    mt.commit_overwrite(v1, path, keys=("id",), partition_by=["p"],
+                        max_history=10)
+    out = maintenance.purge_rows(spark, path, "tag = 'pii'")
+    assert out["history_rewritten"] == 1
+    hist = mt.read(spark, path, version=0)
+    assert hist.count() == 0  # fully erased, but still readable
+    assert set(hist.columns) == {"id", "p", "tag"}
+    assert {r.id for r in mt.read(spark, path).collect()} == {10, 11, 12, 13}

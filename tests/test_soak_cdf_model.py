@@ -26,7 +26,11 @@ import pytest
 
 from aws_callcenter_delta_lakehouse_spark.sources import managed_table as mt
 
-N_OPS = 22
+# depth matters: the round-13 compaction-of-emptied-table find needed a
+# 60-op interleaving (delete-all -> no-match DV update -> binpack) that
+# a 22-op run never composed; 40 balances coverage against battery time
+# (one-off sweeps at other seeds/depths run before each round's freeze)
+N_OPS = 40
 SEED = 20260816
 H = 200  # retain everything: the fold reads back to the creation commit
 
