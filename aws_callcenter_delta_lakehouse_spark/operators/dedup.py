@@ -22,6 +22,18 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 
+def _materialize_once(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint UNLESS the frame is already a materialized
+    RDD scan (an earlier checkpoint) — a second checkpoint would copy
+    the blocks for nothing. Multi-referenced subtrees must be cut
+    exactly once: Spark never reuses non-exchange subtrees across plan
+    branches, so an uncut shingle/signature pipeline re-executes per
+    reference (guide §2.4; measured 4x on dedup_minhash_lsh r13)."""
+    if df._jdf.queryExecution().analyzed().getClass().getSimpleName() == "LogicalRDD":
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Keep one row (the min id) per duplicate group — a deterministic
     ``dropDuplicates``. One hash-aggregate shuffle on the key."""
@@ -88,9 +100,19 @@ def jaccard_pairs(
             "unblocked shared-shingle self-join is quadratic in the "
             "documents sharing a hot shingle"
         )
+    # the shingle table feeds sizes + the df-cap agg + both pair-join
+    # sides — cut it once (no-op when the caller already checkpointed)
+    shingles = _materialize_once(shingles)
     # true set sizes — computed BEFORE any df cap
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     if candidates is not None:
+        # The candidate plan is referenced THREE times below (both arms
+        # of the cand_docs union + the pair semi-join); Spark does not
+        # reuse non-exchange subtrees across branches, so an
+        # unmaterialized candidate pipeline (typically the whole
+        # MinHash-LSH banding) would re-execute per reference.
+        # Materialize it once — candidates are a tiny (d1, d2) table.
+        candidates = candidates.localCheckpoint(eager=False)
         # prune the shingle set to candidate docs BEFORE the pair join —
         # at scale this is the difference between |candidates| work and
         # |corpus|^2 work.
@@ -153,6 +175,9 @@ def containment_pairs(
             "shared-shingle self-join is quadratic in the documents "
             "sharing a hot shingle"
         )
+    # sizes + df-cap agg + both directional join sides read the shingle
+    # table — cut it once (guide §2.4)
+    shingles = _materialize_once(shingles)
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("n"))
     hot = (
         shingles.groupBy("sh")
@@ -229,6 +254,9 @@ def prefix_filter_pairs(
     p, q = int(threshold_num), int(threshold_den)
     if not (0 < p <= q):
         raise ValueError("threshold must be a fraction in (0, 1]")
+    # the raw shingle pipeline feeds both the frequency agg and the
+    # per-doc ordering join — cut it once (guide §2.4)
+    shingles = _materialize_once(shingles)
     freq = shingles.groupBy("sh").agg(F.count("*").alias("__df"))
     ordered = (
         shingles.join(freq, on="sh")
@@ -393,7 +421,13 @@ def lsh_candidates(
     become a candidate pair. P(candidate | jaccard=s) = 1-(1-s^r)^b —
     16x4 gives ~.9998 recall at s=0.9. Shuffle = (doc, band) rows, then
     pairs within buckets only."""
-    buckets = lsh_band_buckets(signatures, id_col, bands, rows_per_band)
+    # Materialize the banded buckets once: the self-join below consumes
+    # the SAME subtree on both sides, and without a cut the entire
+    # shingle -> 64-hash signature pipeline executes twice (once per
+    # join side — broadcast vs stream sides never share a subtree).
+    buckets = lsh_band_buckets(signatures, id_col, bands, rows_per_band).localCheckpoint(
+        eager=False
+    )
     l = buckets.select(F.col(id_col).alias("d1"), "band", "bucket")
     r = buckets.select(F.col(id_col).alias("d2"), "band", "bucket")
     return (
@@ -464,7 +498,11 @@ def minhash_lsh_probe_pairs(
         eager=False
     )
     new_sigs = minhash_signature(new_sh, id_col, num_hashes)
-    new_buckets = lsh_band_buckets(new_sigs, id_col, bands, rows_per_band)
+    # referenced twice (probe union + the probing side of the bucket
+    # join) — cut once so the arriving shard is signatured once
+    new_buckets = lsh_band_buckets(
+        new_sigs, id_col, bands, rows_per_band
+    ).localCheckpoint(eager=False)
     probe_side = index_buckets.unionByName(new_buckets)
     cands = (
         new_buckets.select(F.col(id_col).alias("__new"), "band", "bucket")
@@ -590,8 +628,12 @@ def simhash_near_pairs(
             for c in range(chunks)
         ]
     )
-    buckets = fps.select(id_col, "simhash", F.explode(chunk_structs).alias("cb")).select(
-        id_col, "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.bucket").alias("bucket")
+    # cut once: the self-join consumes this subtree on both sides, and
+    # uncut the whole word-hash + 60-column sum aggregate runs twice
+    buckets = _materialize_once(
+        fps.select(id_col, "simhash", F.explode(chunk_structs).alias("cb")).select(
+            id_col, "simhash", F.col("cb.chunk").alias("chunk"), F.col("cb.bucket").alias("bucket")
+        )
     )
     l = buckets.select(F.col(id_col).alias("d1"), F.col("simhash").alias("s1"), "chunk", "bucket")
     r = buckets.select(F.col(id_col).alias("d2"), F.col("simhash").alias("s2"), "chunk", "bucket")
@@ -659,8 +701,10 @@ def substring_duplicate_spans(
             lambda i: _whash(F.concat_ws("\x1f", F.slice("__w", i + 1, k))),
         ).alias("__wh"),
     )
-    wins = warr.select(
-        id_col, "__n", F.posexplode_outer("__wh").alias("pos", "wh")
+    # cut once: the duplicated-hash aggregate AND the join-back both
+    # read the window table; uncut, every k-token window is hashed twice
+    wins = _materialize_once(
+        warr.select(id_col, "__n", F.posexplode_outer("__wh").alias("pos", "wh"))
     )
     dup_hashes = (
         wins.groupBy("wh")
@@ -733,13 +777,15 @@ def hamming_near_pairs(
             for c in range(chunks)
         ]
     )
-    buckets = df.select(
-        id_col, hash_col, F.explode(chunk_structs).alias("cb")
-    ).select(
-        id_col,
-        hash_col,
-        F.col("cb.chunk").alias("chunk"),
-        F.col("cb.bucket").alias("bucket"),
+    # cut once: both self-join sides consume this subtree; uncut, the
+    # caller's fingerprint pipeline (aHash, simhash, ...) runs twice
+    buckets = _materialize_once(
+        df.select(id_col, hash_col, F.explode(chunk_structs).alias("cb")).select(
+            id_col,
+            hash_col,
+            F.col("cb.chunk").alias("chunk"),
+            F.col("cb.bucket").alias("bucket"),
+        )
     )
     l = buckets.select(
         F.col(id_col).alias("d1"), F.col(hash_col).alias("h1"),
@@ -810,8 +856,12 @@ def edit1_pairs(
     ).select(
         "__id", "__t", F.array_distinct("__vars").alias("__vars")
     )
-    exploded = with_vars.filter(F.size("__vars") > 0).select(
-        "__id", "__t", F.explode_outer("__vars").alias("__v")
+    # cut once: both candidate-join sides read the variant table; uncut,
+    # the deletion-neighborhood generation runs twice
+    exploded = _materialize_once(
+        with_vars.filter(F.size("__vars") > 0).select(
+            "__id", "__t", F.explode_outer("__vars").alias("__v")
+        )
     )
     a = exploded.select(
         F.col("__v"), F.col("__id").alias("d1"), F.col("__t").alias("t1")

@@ -137,18 +137,30 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_BANDS)
         ]
     )
-    buckets = sigs.select("doc_id", F.explode(band_keys).alias("bkt"))
+    # cut the 16x(md5+conv) signature pipeline once: the bucket
+    # self-join consumes the same subtree on both sides (r13 opt —
+    # unmaterialized, it executed twice)
+    buckets = sigs.select(
+        "doc_id", F.explode(band_keys).alias("bkt")
+    ).localCheckpoint(eager=False)
     left = buckets.select(F.col("doc_id").alias("d1"), "bkt")
     right = buckets.select(F.col("doc_id").alias("d2"), "bkt")
+    # cands / truth each feed two consumers below (the hits join + their
+    # own count) — materialize so neither pipeline re-executes
     cands = (
         left.join(right, "bkt")
         .filter(F.col("d1") < F.col("d2"))
         .select("d1", "d2")
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    truth = jaccard_pairs(
-        sh, "doc_id", candidates=None, threshold=0.5, max_shingle_df=10
-    ).select("d1", "d2")
+    truth = (
+        jaccard_pairs(
+            sh, "doc_id", candidates=None, threshold=0.5, max_shingle_df=10
+        )
+        .select("d1", "d2")
+        .localCheckpoint(eager=False)
+    )
     hits = cands.join(truth, ["d1", "d2"])
     nt = truth.agg(F.count("*").alias("n_true"))
     nc = cands.agg(F.count("*").alias("n_candidates"))

@@ -130,7 +130,11 @@ def decontaminate_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(_BANDS)
         ]
     )
-    buckets = sigs.select("doc_id", F.explode(band_keys).alias("bkt"))
+    # cut the 16x(md5+conv) signature pipeline once: the corpus/bench
+    # split below consumes the same subtree twice (r13 opt)
+    buckets = sigs.select(
+        "doc_id", F.explode(band_keys).alias("bkt")
+    ).localCheckpoint(eager=False)
     is_bench = F.col("doc_id") % 17 == 0
     corpus_bk = buckets.filter(~is_bench).select(
         F.col("doc_id").alias("cid"), "bkt"
