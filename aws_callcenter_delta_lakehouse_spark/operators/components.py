@@ -28,6 +28,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _cut_once(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint unless the frame is already a materialized
+    RDD scan. Edge lists arrive as (often expensive) derivation
+    pipelines and get referenced twice by the symmetrizing unions below
+    — Spark re-executes non-exchange subtrees per reference, so the cut
+    halves the edge-derivation work (r13 opt, guide §2.4)."""
+    if df._jdf.queryExecution().analyzed().getClass().getSimpleName() == "LogicalRDD":
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 class ConvergenceError(RuntimeError):
     """Label propagation exhausted max_iterations without converging —
     the returned labels would be silently WRONG (partially propagated)."""
@@ -67,7 +78,9 @@ def connected_components(
 
     # Materialize the edge list ONCE — without this every iteration
     # re-executes the (possibly expensive) upstream plan that produced
-    # the edges, e.g. a full MinHash-LSH pipeline.
+    # the edges, e.g. a full MinHash-LSH pipeline. The input itself is
+    # ALSO cut first: the symmetrizing union references it twice.
+    edges = _cut_once(edges)
     sym = _materialize(
         edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
         .union(edges.select(F.col(dst).alias("v"), F.col(src).alias("u")))
@@ -149,10 +162,18 @@ def pagerank(
         e.select(F.col("s").alias("v")).union(e.select(F.col("d").alias("v"))).distinct()
     )
     n = vertices.count()
-    out_deg = e.groupBy("s").agg(F.count("*").alias("out_deg"))
+    # loop-invariant: materialize once — the per-iteration dangling
+    # probe AND the contribution join both read it (uncut, the degree
+    # aggregate re-ran twice per iteration; r13 opt)
+    out_deg = _materialize(e.groupBy("s").agg(F.count("*").alias("out_deg")))
     ranks = vertices.withColumn("rank", F.lit(1.0))
 
     for _ in range(iterations):
+        # NOTE (r13 opt): contribs is consumed twice (dangling probe +
+        # contribution join). A per-iteration materialization was tried
+        # and measured SLOWER (extra job per round outweighs the
+        # re-joined rank⋈out_deg, which reads two already-materialized
+        # inputs) — left unmaterialized deliberately.
         contribs = (
             ranks.join(out_deg, ranks["v"] == out_deg["s"], how="left")
             .select(
@@ -210,6 +231,10 @@ def triangle_count(edges: DataFrame, a_col: str = "s1", b_col: str = "s2") -> Da
     the source vertex, and the closing-edge join. Returns a single-row
     (n_triangles) DataFrame — only a scalar reaches the driver."""
     u, v = F.col("__u"), F.col("__v")
+    # cut the (possibly expensive) edge derivation once: it feeds both
+    # arms of the degree union AND the orientation join — uncut, the
+    # caller's edge pipeline executes three times (r13 opt, guide §2.4)
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col(a_col).alias("__x"))
         .unionAll(edges.select(F.col(b_col).alias("__x")))
@@ -222,11 +247,13 @@ def triangle_count(edges: DataFrame, a_col: str = "s1", b_col: str = "s2") -> Da
     )
     ra = F.struct(F.col("__da").alias("d"), F.col(a_col).cast("long").alias("i"))
     rb = F.struct(F.col("__db").alias("d"), F.col(b_col).cast("long").alias("i"))
+    # oriented feeds the wedge self-join (both sides) and the closing-
+    # edge join — cut it once too (3 references)
     oriented = withdeg.select(
         F.when(ra < rb, F.col(a_col)).otherwise(F.col(b_col)).alias("__u"),
         F.when(ra < rb, F.col(b_col)).otherwise(F.col(a_col)).alias("__v"),
         F.when(ra < rb, rb).otherwise(ra).alias("__rv"),
-    )
+    ).localCheckpoint(eager=False)
     a = oriented.select(u.alias("__wu"), v.alias("__x1"), F.col("__rv").alias("__r1"))
     b = oriented.select(u.alias("__wu2"), v.alias("__x2"), F.col("__rv").alias("__r2"))
     wedges = a.join(
@@ -273,6 +300,8 @@ def kcore(
         )
 
     # undirected: symmetrize once, self-loops contribute nothing to core
+    # (input cut first — the union references it twice)
+    edges = _cut_once(edges)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -286,7 +315,11 @@ def kcore(
     prev_edges = live.count()
     for _ in range(max_iterations):
         deg = live.groupBy("a").agg(F.count("*").alias("degree"))
-        keep = deg.filter(F.col("degree") >= k).select("a")
+        # materialized: both semi-joins below consume the survivor set —
+        # uncut, the degree aggregate ran twice per peel round (r13 opt)
+        keep = deg.filter(F.col("degree") >= k).select("a").localCheckpoint(
+            eager=False
+        )
         live = _truncate(
             live.join(keep, on="a", how="left_semi").join(
                 keep.withColumnRenamed("a", "b"), on="b", how="left_semi"
@@ -344,6 +377,7 @@ def label_propagation(
     def _materialize(df: DataFrame) -> DataFrame:
         return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
 
+    edges = _cut_once(edges)  # the symmetrizing union reads it twice
     sym = _materialize(
         edges.select(F.col(src).alias("v"), F.col(dst).alias("u"))
         .union(edges.select(F.col(dst).alias("v"), F.col(src).alias("u")))

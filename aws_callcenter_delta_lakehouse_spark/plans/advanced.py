@@ -464,10 +464,13 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical cross-engine, so the float ORDER BY cannot diverge.
     Aliased self-join per the round-10 trap (shared-lineage equality
     would degenerate to trivially-true)."""
+    # cut once: li feeds the degree agg AND both pair self-join sides —
+    # uncut, the distinct shuffle ran 3x per execution (r13 opt)
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = li.groupBy("l_suppkey").agg(F.count("*").cast("bigint").alias("n"))
     pairs = (

@@ -167,6 +167,9 @@ def graph_community_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
         )
         .agg(F.count("*").alias("w"))
+        # cut once: the p95 threshold probe AND the edge filter both
+        # read it — uncut, the projection self-join ran twice (r13 opt)
+        .localCheckpoint(eager=False)
     )
     thr = copurchase.agg(
         F.expr("percentile(w, 0.95)").alias("__thr")

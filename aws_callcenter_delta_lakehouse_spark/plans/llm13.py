@@ -70,10 +70,13 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ranked cut is TakeOrderedAndProject. Lift's float division is
     computed once per surviving pair from exact integer counts and
     rounded before ranking (p1, p2 break ties)."""
+    # cut once: items feeds the support agg, the n_orders scalar AND the
+    # frequent-item join — uncut, the distinct shuffle ran 4x (r13 opt)
     items = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     freq = (
         items.groupBy("pk")
@@ -81,7 +84,8 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_item") >= _MIN_SUPPORT)
     )
     n = items.agg(F.countDistinct("ok").alias("n_orders"))
-    fitems = items.join(F.broadcast(freq), "pk")
+    # cut once: both pair-join sides read the frequent-item slice
+    fitems = items.join(F.broadcast(freq), "pk").localCheckpoint(eager=False)
     a = fitems.select("ok", F.col("pk").alias("p1"), F.col("n_item").alias("n1"))
     b = fitems.select("ok", F.col("pk").alias("p2"), F.col("n_item").alias("n2"))
     pairs = (
@@ -139,13 +143,21 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum(min(degree, cap)²). Floats: each pair's score sums IDENTICAL
     ln-reciprocal terms on both engines; rounded before the ranked cut,
     ids break ties."""
+    # cut once: edges feeds the degree agg AND the hub-filter join;
+    # small feeds both pair-join sides (r13 opt — uncut, the distinct
+    # shuffle ran 4x per execution)
     edges = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("ok").agg(F.count("*").alias("d"))
-    small = edges.join(deg, "ok").filter(F.col("d") <= _AA_MAX_BASKET)
+    small = (
+        edges.join(deg, "ok")
+        .filter(F.col("d") <= _AA_MAX_BASKET)
+        .localCheckpoint(eager=False)
+    )
     a = small.select("ok", F.col("sk").alias("s1"), "d")
     b = small.select("ok", F.col("sk").alias("s2"))
     scored = (
@@ -356,6 +368,9 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("ok").alias("__w"))
         .filter(F.col("__w") >= 5)
         .select("s1", "s2")
+        # cut once: the symmetrizing union reads e0 twice — uncut, the
+        # co-supply self-join + countDistinct ran twice (r13 opt)
+        .localCheckpoint(eager=False)
     )
     und = e0.select(F.col("s1").alias("src"), F.col("s2").alias("dst")).unionAll(
         e0.select(F.col("s2").alias("src"), F.col("s1").alias("dst"))
@@ -598,6 +613,8 @@ def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("ok").alias("__w"))
         .filter(F.col("__w") >= 5)
         .select("s1", "s2")
+        # cut once: the symmetrizing union reads e0 twice (r13 opt)
+        .localCheckpoint(eager=False)
     )
     und = e0.select(
         F.col("s1").alias("src"), F.col("s2").alias("dst")
