@@ -89,9 +89,12 @@ def language_id(
     that hit the profile, bag semantics) and pick the argmax
     (score desc, lang asc). Join fans out by |langs| — the profile side
     is tiny, so Spark broadcasts it."""
+    # cut once: the token-count agg and the profile-hit join both read
+    # the exploded token table — uncut, the corpus word explode ran
+    # twice per scoring pass (r13 opt, guide §2.4)
     toks = df.select(
         id_col, F.explode(_words(F.col(text_col))).alias("word")
-    )
+    ).localCheckpoint(eager=False)
     n_tokens = toks.groupBy(id_col).agg(F.count("*").alias("n"))
     hits = (
         toks.join(F.broadcast(profiles), on="word")

@@ -621,14 +621,18 @@ def recsys_item_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor_jaccard discipline), item degrees broadcast; the cosine
     is one sqrt over an exact integer product, identical cross-engine,
     so the float ORDER BY cannot diverge."""
+    # cut once: li feeds the degree agg AND both co-occurrence self-join
+    # sides; deg feeds both rank joins — uncut, the distinct shuffle ran
+    # 5x per execution (r13 opt, SQL-metric evidence)
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = li.groupBy("l_partkey").agg(
         F.count("*").cast("bigint").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     co = (
         li.alias("a")
         .join(

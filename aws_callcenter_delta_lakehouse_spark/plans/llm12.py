@@ -212,7 +212,12 @@ def _rank_small(df: DataFrame, score: str, id_col: str, rank_col: str) -> DataFr
     """Dense 1..n rank by (score DESC, id ASC) over an ALREADY
     top-k-limited DataFrame — triangular broadcast self-join instead of
     an unpartitioned window, so no single-partition WindowExec exists
-    anywhere in the plan (k<=20 rows -> <=400 broadcast pairs)."""
+    anywhere in the plan (k<=20 rows -> <=400 broadcast pairs).
+
+    The input is cut once (r13 opt): both self-join sides consume it,
+    and uncut the ENTIRE retrieval leg (BM25 / cosine pipeline)
+    executed twice per ranking."""
+    df = df.localCheckpoint(eager=False)
     other = df.select(
         F.col(score).alias("__s2"), F.col(id_col).alias("__id2")
     )
@@ -232,11 +237,14 @@ def _bm25_top(spark: SparkSession, sf_dir: str, terms, k1=1.2, b=0.75) -> DataFr
     )
     docs = docs.select("doc_id", "words", F.size("words").alias("dl"))
     stats = docs.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    # cut once: tf feeds the document-frequency agg AND the score join —
+    # uncut, the corpus explode+filter ran twice (r13 opt)
     tf = (
         docs.select("doc_id", "dl", F.explode("words").alias("term"))
         .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.any_value("dl").alias("dl"))
+        .localCheckpoint(eager=False)
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (

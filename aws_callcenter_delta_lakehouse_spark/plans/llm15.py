@@ -310,12 +310,18 @@ def dq_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type").isin("view", "purchase"))
         .select("event_type", "value")
     )
+    # cut once: c feeds the prefix-sum chain AND the totals agg (the
+    # r12-s2 rule — checkpoint BEFORE prefix.py, at the caller); r is
+    # consumed by the diff projection whose result feeds both the max
+    # probe and the argmax filter (r13 opt — uncut, the double
+    # prefix-sum chain executed twice)
     c = ev.groupBy("value").agg(
         F.count(F.when(F.col("event_type") == "view", 1)).alias("ca"),
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("cb"),
-    )
+    ).localCheckpoint(eager=False)
     r = global_running_sum(c, ["value"], "ca", "cum_a", num_partitions=32)
     r = global_running_sum(r, ["value"], "cb", "cum_b", num_partitions=32)
+    r = r.localCheckpoint(eager=False)
     t = c.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
     d = r.join(F.broadcast(t), F.lit(True)).select(
         "value",

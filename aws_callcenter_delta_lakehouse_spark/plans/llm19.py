@@ -178,7 +178,10 @@ def corpus_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingle
 
     docs = load_table_parallel(spark, sf_dir, "documents")
-    sh = shingle(docs, "source", "text", n=3, distinct=True)
+    # cut once: sh feeds sizes + both pair-join sides (3 refs — r13 opt)
+    sh = shingle(docs, "source", "text", n=3, distinct=True).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("source").agg(F.count("*").alias("n"))
     a = sh.select(F.col("source").alias("s1"), "sh")
     b = sh.select(F.col("source").alias("s2"), "sh")
