@@ -268,13 +268,18 @@ def pq_topk(
     pinned against ``brute_force_topk`` in tests. ``checkpoint_dir``
     threads through to :func:`pq_train`."""
     d_sub = dim // m
+    # normalize the corpus ONCE and cut: training and encoding both
+    # consume it — uncut, the full corpus normalization ran twice
+    # (r13 opt, guide §2.4); identical math (pq_train(normalize=True)
+    # computes exactly this frame internally)
+    normed = _normalize(corpus, [id_col], vec_col).localCheckpoint(eager=False)
     codebook = pq_train(
-        corpus, id_col, vec_col, dim, m, num_codes, iterations,
-        checkpoint_dir=checkpoint_dir,
+        normed, id_col, vec_col, dim, m, num_codes, iterations,
+        checkpoint_dir=checkpoint_dir, normalize=False,
     )
-    encoded = pq_encode(
-        _normalize(corpus, [id_col], vec_col), codebook, id_col, vec_col, dim, m
-    ).select(id_col, "codes")
+    encoded = pq_encode(normed, codebook, id_col, vec_col, dim, m).select(
+        id_col, "codes"
+    )
 
     # query needs no normalization: its norm scales every ADC score by
     # the same positive constant and cannot change the ranking
@@ -368,7 +373,9 @@ def ivfpq_topk(
     )
 
     d_sub = dim // m
-    normed = _normalize(corpus, [id_col], vec_col)
+    # cut once: the coarse-centroid head and the assignment projection
+    # both consume the normalized corpus (r13 opt)
+    normed = _normalize(corpus, [id_col], vec_col).localCheckpoint(eager=False)
     centroids, _ = ivf_index(normed, id_col, vec_col, num_centroids)
     if refine_iterations > 0:
         centroids = kmeans_refine(
@@ -385,7 +392,10 @@ def ivfpq_topk(
         F.transform(
             "centroid_vec", lambda x: x.cast("double") / F.col("__n")
         ).alias("centroid_vec"),
-    )
+        # cut once (16 rows): cn is broadcast at four sites (assignment,
+        # residual join, probe selection, probe decomposition) — uncut,
+        # each broadcast re-derived the centroid head pipeline
+    ).localCheckpoint(eager=False)
     assigned = _assign(normed, cn, id_col, vec_col)
     resid = assigned.join(F.broadcast(cn), "centroid_id").select(
         id_col,

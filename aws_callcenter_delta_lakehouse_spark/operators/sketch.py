@@ -120,7 +120,10 @@ def cms_heavy_hitters(
     candidate-filtered stream. N is read off the sketch itself (each
     row of the grid sums to N), so no extra count pass.
     """
-    toks = toks.select(F.col(term_col).alias("term"))
+    # cut the token stream once: the sketch build, the vocabulary
+    # distinct AND the exact pass all consume it — uncut, the corpus
+    # tokenize/explode ran 3x per execution (r13 opt, guide §2.4)
+    toks = toks.select(F.col(term_col).alias("term")).localCheckpoint(eager=False)
     # tiny (<= depth*width rows) and consumed three times below —
     # materialize once instead of re-scanning the corpus per consumer
     sketch = cms_build(toks, "term", depth=depth, width=width).localCheckpoint(

@@ -61,6 +61,8 @@ def duplicated_ngram_spans(
     words = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("l")
     ).where(F.size("l") >= n)
+    # cut once: grams feeds the corpus occurrence count AND the mapback
+    # join — uncut, the gram explode ran twice (r13 opt, guide §2.4)
     grams = words.select(
         id_col,
         F.explode(
@@ -69,7 +71,7 @@ def duplicated_ngram_spans(
                 lambda i: F.array_join(F.slice("l", i, n), " "),
             )
         ).alias("gram"),
-    )
+    ).localCheckpoint(eager=False)
     dup = (
         grams.groupBy("gram")
         .agg(F.count("*").alias("occ"))
@@ -160,12 +162,15 @@ def segment_dedup(
     every chunk was seen earlier come back with ``n_kept = 0`` and an
     empty string (the caller's filter decides their fate).
     """
+    # cut once: the first-occurrence aggregate AND the keep-flag join
+    # both read the chunk table — uncut, the whole content-defined
+    # chunking (explode + window + reassembly agg) ran twice (r13 opt)
     chunks = cdc_chunks(df, id_col, text_col, divisor).select(
         id_col,
         "chunk_id",
         "chunk_text",
         (F.col(id_col) * 100000 + F.col("chunk_id")).alias("__pos_key"),
-    )
+    ).localCheckpoint(eager=False)
     first = chunks.groupBy("chunk_text").agg(F.min("__pos_key").alias("__first"))
     kept_flag = chunks.join(first, "chunk_text").withColumn(
         "__keep", (F.col("__pos_key") == F.col("__first")).cast("int")

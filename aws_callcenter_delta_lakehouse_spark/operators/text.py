@@ -461,9 +461,13 @@ def rake_keywords(
     )
     nonstop = words.filter(~F.col("__w").isin(*[s for s in stopwords]))
     w_run = Window.partitionBy("__id").orderBy("__pos")
+    # cut the multi-referenced stages once each (r13 opt, guide §2.4):
+    # runs feeds plen + members, plen feeds members + scored, members
+    # feeds wstats + pscore — uncut, the tokenize/window pipeline ran
+    # up to 6x per execution (SQL-metric evidence)
     runs = nonstop.withColumn(
         "__grp", F.col("__pos") - F.row_number().over(w_run)
-    )
+    ).localCheckpoint(eager=False)
     plen = runs.groupBy("__id", "__grp").agg(
         F.count("*").alias("__plen"),
         F.array_join(
@@ -473,10 +477,10 @@ def rake_keywords(
             ),
             " ",
         ).alias("phrase"),
-    )
+    ).localCheckpoint(eager=False)
     members = runs.join(
         plen.select("__id", "__grp", "__plen"), on=["__id", "__grp"]
-    )
+    ).localCheckpoint(eager=False)
     wstats = members.groupBy("__w").agg(
         F.count("*").cast("bigint").alias("__freq"),
         F.sum("__plen").cast("bigint").alias("__deg"),

@@ -721,7 +721,11 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     default."""
     from ..operators.similarity import ivf_topk
 
-    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    # cut once: the corpus feeds the seed head, every Lloyd pass, the
+    # final assignment AND the query slice (r13 opt)
+    emb = load_table_parallel(spark, sf_dir, "embeddings").localCheckpoint(
+        eager=False
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )

@@ -220,7 +220,10 @@ def text_bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
             )
         ).alias("bg"),
-    ).select("doc_id", "bg.w1", "bg.w2")
+    ).select("doc_id", "bg.w1", "bg.w2").localCheckpoint(eager=False)
+    # (cut once — r13 opt: big feeds the bigram counts, unigram counts,
+    # vocab scalar AND the scoring join; uncut the corpus bigram explode
+    # ran 4x per execution)
     cb = big.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     cu = big.groupBy("w1").agg(F.count("*").alias("c1"))
     v = big.agg(F.countDistinct("w2").alias("vocab"))

@@ -404,11 +404,13 @@ def sketch_kmv_rolling_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the identical estimate."""
     from ..operators.sketch import kmv_estimate, kmv_merge, kmv_sketch
 
+    # cut once: ev feeds the daily sketch build AND the day spine —
+    # uncut, the events scan ran twice (r13 opt)
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",
         "user_id",
         F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("dayn"),
-    )
+    ).localCheckpoint(eager=False)
     daily = kmv_sketch(ev, "user_id", ["event_type", "dayn"], k=256, portable=True)
     spine = ev.select("dayn").distinct().withColumnRenamed("dayn", "wend")
     contrib = daily.select(
