@@ -193,6 +193,9 @@ def tfidf_top_terms(
     terms = df.select(
         id_col, F.explode(_words(F.col(text_col))).alias("term")
     )
+    # NOTE (r13 opt): tf feeds two consumers, but its aggregate ends at
+    # an exchange both branches share — ReusedExchange already dedupes
+    # it; an explicit cut was tried and measured SLOWER.
     tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = (
         tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -353,6 +356,9 @@ def unigram_logprob(
     dictionary); scoring is one word-keyed join + one doc-keyed
     aggregate. The corpus total enters the model as a broadcast
     scalar."""
+    # NOTE (r13 opt): words feeds the LM agg and the scoring join; a
+    # materializing cut was tried and measured SLOWER (re-exploding is
+    # cheaper than writing+reading the exploded blocks).
     words = df.select(
         F.col(id_col), F.explode(_words(F.col(text_col))).alias("word")
     )

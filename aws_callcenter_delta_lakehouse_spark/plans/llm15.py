@@ -474,9 +474,11 @@ def tpch_rf_refresh_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..sources import managed_table as mt
 
+    # cut once (r13 opt): orders feeds the initial load, the RF1 batch
+    # and the merge-source re-evaluations — uncut it scanned 7x
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"
-    )
+    ).localCheckpoint(eager=False)
     path = tempfile.mkdtemp(prefix="tpch_rf_") + "/orders"
     mt.initial_write(orders, path, keys=("o_orderkey",))
     # RF1: a new-sales batch (keys offset past the live range)

@@ -286,12 +286,14 @@ def layout_zone_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     The zone rollup is one aggregate per layout; the overlap join runs
     on 32-row metadata, never on rows — exactly how a real advisor
     reads the stats manifest, not the table."""
+    # cut once (r13 opt): li feeds the min/max probe AND both synthetic
+    # layouts — uncut, the lineitem scan ran 3x
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.datediff(
             F.to_date("l_shipdate"), F.lit("1970-01-01").cast("date")
         ).alias("day"),
-    )
+    ).localCheckpoint(eager=False)
     mm = li.agg(
         F.min("day").alias("mind"), F.max("day").alias("maxd")
     )

@@ -128,7 +128,11 @@ def corpus_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "source", F.explode(F.split("text", " ")).alias("w")
     )
-    sc = words.groupBy("source", "w").agg(F.count("*").alias("c"))
+    # cut once: sc feeds the per-source totals, global word counts,
+    # global total AND the scoring join (4 refs — r13 opt)
+    sc = words.groupBy("source", "w").agg(F.count("*").alias("c")).localCheckpoint(
+        eager=False
+    )
     st = sc.groupBy("source").agg(F.sum("c").alias("t"))
     gc = sc.groupBy("w").agg(F.sum("c").alias("g"))
     gt = sc.agg(F.sum("c").alias("gt"))
