@@ -186,12 +186,23 @@ def main() -> None:
     # way) — bump N until the slot is free instead.
     import glob
 
+    def _round_no(name: str, prefix: str) -> int | None:
+        # "BENCH_r13.json" -> 13; variant files like "BENCH_r13_c8.json"
+        # (the driver's low-core-count scaling run) are not plain round
+        # numbers and must not crash the inference (they did once: the
+        # int() parse died on "13_c8" AFTER the sweep finished, losing
+        # the printed JSON line)
+        stem = name[len(prefix):].split(".")[0]
+        return int(stem) if stem.isdigit() else None
+
     rounds = [
-        int(os.path.basename(p)[len("BENCH_r"):].split(".")[0])
-        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
-    ] + [
-        int(os.path.basename(p)[len("BENCH_DETAIL_r"):].split(".")[0])
-        for p in glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))
+        r
+        for pat, prefix in (
+            ("BENCH_r*.json", "BENCH_r"),
+            ("BENCH_DETAIL_r*.json", "BENCH_DETAIL_r"),
+        )
+        for p in glob.glob(os.path.join(here, pat))
+        if (r := _round_no(os.path.basename(p), prefix)) is not None
     ]
     rnd = (max(rounds) + 1) if rounds else 1
     while os.path.exists(os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")):
