@@ -29,14 +29,15 @@ from pyspark.sql import functions as F
 
 
 def _cut_once(df: DataFrame) -> DataFrame:
-    """Lazy localCheckpoint unless the frame is already a materialized
-    RDD scan. Edge lists arrive as (often expensive) derivation
-    pipelines and get referenced twice by the symmetrizing unions below
-    — Spark re-executes non-exchange subtrees per reference, so the cut
-    halves the edge-derivation work (r13 opt, guide §2.4)."""
-    if df._jdf.queryExecution().analyzed().getClass().getSimpleName() == "LogicalRDD":
-        return df
-    return df.localCheckpoint(eager=False)
+    """Cut a multi-referenced edge derivation exactly once — Spark
+    re-executes non-exchange subtrees per reference, so the cut halves
+    the edge-derivation work (r13 opt, guide §2.4). Delegates to the
+    shared :func:`operators.materialize.cut_once` (reliable-checkpoint
+    capable via ``spark.managedTable.cutCheckpointDir``, releasable via
+    ``materialize.release_cuts`` — r13 verdict item 3)."""
+    from .materialize import cut_once
+
+    return cut_once(df)
 
 
 class ConvergenceError(RuntimeError):
@@ -234,7 +235,7 @@ def triangle_count(edges: DataFrame, a_col: str = "s1", b_col: str = "s2") -> Da
     # cut the (possibly expensive) edge derivation once: it feeds both
     # arms of the degree union AND the orientation join — uncut, the
     # caller's edge pipeline executes three times (r13 opt, guide §2.4)
-    edges = edges.localCheckpoint(eager=False)
+    edges = _cut_once(edges)
     deg = (
         edges.select(F.col(a_col).alias("__x"))
         .unionAll(edges.select(F.col(b_col).alias("__x")))
@@ -253,7 +254,8 @@ def triangle_count(edges: DataFrame, a_col: str = "s1", b_col: str = "s2") -> Da
         F.when(ra < rb, F.col(a_col)).otherwise(F.col(b_col)).alias("__u"),
         F.when(ra < rb, F.col(b_col)).otherwise(F.col(a_col)).alias("__v"),
         F.when(ra < rb, rb).otherwise(ra).alias("__rv"),
-    ).localCheckpoint(eager=False)
+    )
+    oriented = _cut_once(oriented)
     a = oriented.select(u.alias("__wu"), v.alias("__x1"), F.col("__rv").alias("__r1"))
     b = oriented.select(u.alias("__wu2"), v.alias("__x2"), F.col("__rv").alias("__r2"))
     wedges = a.join(
@@ -315,16 +317,20 @@ def kcore(
     prev_edges = live.count()
     for _ in range(max_iterations):
         deg = live.groupBy("a").agg(F.count("*").alias("degree"))
-        # materialized: both semi-joins below consume the survivor set —
-        # uncut, the degree aggregate ran twice per peel round (r13 opt)
-        keep = deg.filter(F.col("degree") >= k).select("a").localCheckpoint(
-            eager=False
-        )
+        # persist/unpersist per round: both semi-joins below consume the
+        # survivor set — uncached, the degree aggregate ran twice per
+        # peel round (r13 opt). persist (not localCheckpoint) because a
+        # long peel would otherwise pin one unreleasable survivor-set
+        # copy PER ROUND for the session's lifetime (r13 advice);
+        # _truncate(live) is EAGER, so keep is fully consumed before the
+        # unpersist below.
+        keep = deg.filter(F.col("degree") >= k).select("a").persist()
         live = _truncate(
             live.join(keep, on="a", how="left_semi").join(
                 keep.withColumnRenamed("a", "b"), on="b", how="left_semi"
             )
         )
+        keep.unpersist()
         n_edges = live.count()
         if n_edges == prev_edges:
             return (

@@ -23,15 +23,17 @@ from pyspark.sql import functions as F
 
 
 def _materialize_once(df: DataFrame) -> DataFrame:
-    """Lazy localCheckpoint UNLESS the frame is already a materialized
-    RDD scan (an earlier checkpoint) — a second checkpoint would copy
-    the blocks for nothing. Multi-referenced subtrees must be cut
-    exactly once: Spark never reuses non-exchange subtrees across plan
-    branches, so an uncut shingle/signature pipeline re-executes per
-    reference (guide §2.4; measured 4x on dedup_minhash_lsh r13)."""
-    if df._jdf.queryExecution().analyzed().getClass().getSimpleName() == "LogicalRDD":
-        return df
-    return df.localCheckpoint(eager=False)
+    """Cut a multi-referenced subtree exactly once: Spark never reuses
+    non-exchange subtrees across plan branches, so an uncut
+    shingle/signature pipeline re-executes per reference (guide §2.4;
+    measured 4x on dedup_minhash_lsh r13). Delegates to the shared
+    :func:`operators.materialize.cut_once` — reliable-checkpoint
+    capable via the ``spark.managedTable.cutCheckpointDir`` session
+    conf, releasable via ``materialize.release_cuts`` (r13 verdict
+    item 3)."""
+    from .materialize import cut_once
+
+    return cut_once(df)
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
@@ -112,7 +114,7 @@ def jaccard_pairs(
         # unmaterialized candidate pipeline (typically the whole
         # MinHash-LSH banding) would re-execute per reference.
         # Materialize it once — candidates are a tiny (d1, d2) table.
-        candidates = candidates.localCheckpoint(eager=False)
+        candidates = _materialize_once(candidates)
         # prune the shingle set to candidate docs BEFORE the pair join —
         # at scale this is the difference between |candidates| work and
         # |corpus|^2 work.
@@ -274,7 +276,8 @@ def prefix_filter_pairs(
             F.size("__o").alias("__n"),
         )
     )
-    ordered = ordered.localCheckpoint()  # consumed by prefix + both verify joins
+    # consumed by prefix + both verify joins
+    ordered = _materialize_once(ordered)
     prefix_len = F.expr(f"__n - ((__n * {p} + {q - 1}) DIV {q}) + 1")
     prefix = ordered.select(
         F.col(id_col),
@@ -425,8 +428,8 @@ def lsh_candidates(
     # the SAME subtree on both sides, and without a cut the entire
     # shingle -> 64-hash signature pipeline executes twice (once per
     # join side — broadcast vs stream sides never share a subtree).
-    buckets = lsh_band_buckets(signatures, id_col, bands, rows_per_band).localCheckpoint(
-        eager=False
+    buckets = _materialize_once(
+        lsh_band_buckets(signatures, id_col, bands, rows_per_band)
     )
     l = buckets.select(F.col(id_col).alias("d1"), "band", "bucket")
     r = buckets.select(F.col(id_col).alias("d2"), "band", "bucket")
@@ -455,9 +458,7 @@ def minhash_lsh_dedup_pairs(
     # min() over duplicates equals min() over the distinct set, so the
     # distinct table (which Jaccard needs anyway) is materialized once
     # instead of re-scanning + re-shingling the corpus per consumer.
-    sh = shingle(df, id_col, text_col, n, distinct=True).localCheckpoint(
-        eager=False
-    )
+    sh = _materialize_once(shingle(df, id_col, text_col, n, distinct=True))
     sigs = minhash_signature(sh, id_col, num_hashes)
     cands = lsh_candidates(sigs, id_col, bands, num_hashes // bands)
     return jaccard_pairs(sh, id_col, candidates=cands, threshold=threshold)
@@ -494,15 +495,15 @@ def minhash_lsh_probe_pairs(
     rows_per_band = num_hashes // bands
     # shingle the (small) arriving shard once; reused by signatures and
     # the verify union below
-    new_sh = shingle(incoming, id_col, text_col, n, distinct=True).localCheckpoint(
-        eager=False
+    new_sh = _materialize_once(
+        shingle(incoming, id_col, text_col, n, distinct=True)
     )
     new_sigs = minhash_signature(new_sh, id_col, num_hashes)
     # referenced twice (probe union + the probing side of the bucket
     # join) — cut once so the arriving shard is signatured once
-    new_buckets = lsh_band_buckets(
-        new_sigs, id_col, bands, rows_per_band
-    ).localCheckpoint(eager=False)
+    new_buckets = _materialize_once(
+        lsh_band_buckets(new_sigs, id_col, bands, rows_per_band)
+    )
     probe_side = index_buckets.unionByName(new_buckets)
     cands = (
         new_buckets.select(F.col(id_col).alias("__new"), "band", "bucket")
@@ -535,8 +536,8 @@ def minhash_lsh_incremental_pairs(
     builds the index tables inline from ``indexed`` (production stores
     them; ``tests/test_llm_operators.py`` exercises the stored-index
     path through a managed table)."""
-    idx_sh = shingle(indexed, id_col, text_col, n, distinct=True).localCheckpoint(
-        eager=False
+    idx_sh = _materialize_once(
+        shingle(indexed, id_col, text_col, n, distinct=True)
     )
     sigs = minhash_signature(idx_sh, id_col, num_hashes)
     return minhash_lsh_probe_pairs(

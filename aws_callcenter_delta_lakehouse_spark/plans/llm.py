@@ -721,11 +721,14 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     default."""
     from ..operators.similarity import ivf_topk
 
-    # cut once: the corpus feeds the seed head, every Lloyd pass, the
-    # final assignment AND the query slice (r13 opt)
-    emb = load_table_parallel(spark, sf_dir, "embeddings").localCheckpoint(
-        eager=False
-    )
+    # NOTE (r14 re-adjudication of the r13 corpus cut): an A/B probe on
+    # an idle host measured the localCheckpoint of the corpus NEUTRAL
+    # (cold 13.3s cut / 12.6s uncut; warm 3.9 / 3.5) — the table is one
+    # tiny parquet and recompute-per-reference is cheaper than block
+    # writes. Reverted; this query's bench swings (3.4-28.9s on
+    # IDENTICAL code across r24/r26/r27) are the interpreted HOF
+    # vector math paying cold-JIT per sweep position, not plan cost.
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )

@@ -217,7 +217,9 @@ def _rank_small(df: DataFrame, score: str, id_col: str, rank_col: str) -> DataFr
     The input is cut once (r13 opt): both self-join sides consume it,
     and uncut the ENTIRE retrieval leg (BM25 / cosine pipeline)
     executed twice per ranking."""
-    df = df.localCheckpoint(eager=False)
+    from ..operators.materialize import cut_once
+
+    df = cut_once(df)
     other = df.select(
         F.col(score).alias("__s2"), F.col(id_col).alias("__id2")
     )
@@ -244,8 +246,10 @@ def _bm25_top(spark: SparkSession, sf_dir: str, terms, k1=1.2, b=0.75) -> DataFr
         .filter(F.col("term").isin(*terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.any_value("dl").alias("dl"))
-        .localCheckpoint(eager=False)
     )
+    from ..operators.materialize import cut_once as _cut
+
+    tf = _cut(tf)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
