@@ -587,34 +587,6 @@ def _marker_valid(dirpath: str) -> bool:
         return False
 
 
-def _enforce_constraints(
-    spark: SparkSession, staging: str, constraints: dict
-) -> None:
-    """Validate a STAGED snapshot against the table's CHECK constraints
-    before the swap — ONE scan of the staged parquet (column-pruned to
-    the union of constraint inputs) evaluates every constraint as a
-    conditional aggregate; the input plan is never re-executed."""
-    if not constraints:
-        return
-    staged = spark.read.parquet(staging)
-    items = sorted(constraints.items())
-    counts = staged.agg(
-        *[
-            F.sum(F.expr(expr).eqNullSafe(F.lit(False)).cast("long")).alias(
-                f"__c{i}"
-            )
-            for i, (_, expr) in enumerate(items)
-        ]
-    ).first()
-    for i, (name, expr) in enumerate(items):
-        if (counts[f"__c{i}"] or 0) > 0:
-            _fs().rmtree(staging)
-            raise ConstraintViolationError(
-                f"write violates CHECK constraint {name!r} ({expr}) for "
-                f"{counts[f'__c{i}']} row(s); commit aborted, table unchanged"
-            )
-
-
 def recover(path: str) -> None:
     """Crash recovery for the stage-and-swap window. The commit protocol
     is: (1) write the full snapshot + marker into ``<path>__staging_T``,
@@ -1827,50 +1799,79 @@ def commit_overwrite(
     # declared empty frame (Delta's schema-in-log)
     staged_stats = _snapshot_stats(staging)
     staged_empty = int(staged_stats["n_files"]) == 0
-    if not staged_empty:
-        _enforce_constraints(df.sparkSession, staging, constraints)
-    if uk and not staged_empty:
-        # key-pruned duplicate existence probe over the staged snapshot
-        dup = (
-            df.sparkSession.read.parquet(staging)
-            .groupBy(*key_list)
-            .agg(F.count("*").alias("__n"))
-            .filter(F.col("__n") > 1)
+    # ONE batched probe over the staged snapshot (r13 verdict item 6):
+    # CHECK constraints, the PRIMARY-KEY duplicate-existence test,
+    # identity high-water maxes and the row-id max were 2-4 serial
+    # Spark actions, each its own scan of the staged parquet; every
+    # probe is a plain aggregate, so they fuse into a single
+    # column-pruned agg job. The still-reads-WRITTEN-files discipline
+    # is unchanged. Only the rare FAILURE path pays a second job (the
+    # key-grouped probe that names the offending tuple).
+    c_items = sorted(constraints.items())
+    probe_cols = [
+        F.sum(F.expr(expr).eqNullSafe(F.lit(False)).cast("long")).alias(
+            f"__c{i}"
         )
-        offender = dup.select(*key_list).limit(1).collect()
-        if offender:
-            _fs().rmtree(staging)
-            raise ConstraintViolationError(
-                f"write violates PRIMARY KEY {key_list} — duplicate key "
-                f"tuple {tuple(offender[0])}; commit aborted, table "
-                "unchanged"
-            )
-    if id_cols and not staged_empty:  # advance high-water from the STAGED snapshot (one
-        # column-pruned max; the value commits atomically in the marker)
+        for i, (_, expr) in enumerate(c_items)
+    ]
+    if uk:
+        # duplicate EXISTENCE == n_rows > n_distinct_keys; the struct
+        # wrapper keeps NULL-keyed rows countable (aggregation hashing
+        # is null-safe per field, same grouping as GROUP BY keys)
+        probe_cols.append(F.count(F.lit(1)).alias("__n_rows"))
+        probe_cols.append(
+            F.count_distinct(
+                F.struct(*[F.col(k) for k in key_list])
+            ).alias("__n_keys")
+        )
+    id_names = sorted(id_cols)
+    probe_cols += [
+        F.max(c).alias(f"__idmax_{i}") for i, c in enumerate(id_names)
+    ]
+    if tracking:
+        probe_cols.append(F.max(_ROWID_COL).alias("__rowid_max"))
+    if probe_cols and not staged_empty:
         staged = df.sparkSession.read.parquet(staging)
-        maxes = staged.agg(
-            *[F.max(c).alias(c) for c in sorted(id_cols)]
-        ).first()
+        probe = staged.agg(*probe_cols).first()
+        for i, (name, expr) in enumerate(c_items):
+            if (probe[f"__c{i}"] or 0) > 0:
+                _fs().rmtree(staging)
+                raise ConstraintViolationError(
+                    f"write violates CHECK constraint {name!r} ({expr}) "
+                    f"for {probe[f'__c{i}']} row(s); commit aborted, "
+                    "table unchanged"
+                )
+        if uk and probe["__n_rows"] != probe["__n_keys"]:
+            # failure path only: key-grouped probe names the offender
+            dup = (
+                staged.groupBy(*key_list)
+                .agg(F.count("*").alias("__n"))
+                .filter(F.col("__n") > 1)
+            )
+            offender = dup.select(*key_list).limit(1).collect()
+            if offender:
+                _fs().rmtree(staging)
+                raise ConstraintViolationError(
+                    f"write violates PRIMARY KEY {key_list} — duplicate "
+                    f"key tuple {tuple(offender[0])}; commit aborted, "
+                    "table unchanged"
+                )
         # monotonic: max(staged, previous) — a DELETE of the newest rows
         # or a RESTORE to an older snapshot must never hand already-
         # issued identity values out again (the Delta identity contract:
         # the high watermark survives data rollback)
         id_cols = {
             c: {**spec, "high_water": max(
-                int(maxes[c]), int(spec["high_water"])
-            ) if maxes[c] is not None else int(spec["high_water"])}
+                int(probe[f"__idmax_{id_names.index(c)}"]),
+                int(spec["high_water"]),
+            ) if probe[f"__idmax_{id_names.index(c)}"] is not None
+                else int(spec["high_water"])}
             for c, spec in id_cols.items()
         }
-    if tracking and not staged_empty:
-        # monotonic like identity: a RESTORE or delete-of-newest must
-        # never hand out an already-issued row id again
-        staged_max = (
-            df.sparkSession.read.parquet(staging)
-            .agg(F.max(_ROWID_COL))
-            .first()[0]
-        )
-        if staged_max is not None:
-            row_hw = max(row_hw, int(staged_max))
+        if tracking and probe["__rowid_max"] is not None:
+            # monotonic like identity: a RESTORE or delete-of-newest
+            # must never hand out an already-issued row id again
+            row_hw = max(row_hw, int(probe["__rowid_max"]))
     # skipping-manifest sidecars carry forward as the table's INDEX
     # DECLARATION; the STATS manifest is then rebuilt from the staged
     # footers right here (Delta collects file stats at write for the
@@ -2586,6 +2587,15 @@ def _delete_where_dv(
         )
     hit = F.coalesce(cond, F.lit(False))
     matched = logical.filter(hit)
+    # the CDF record and the DV position write both re-execute the
+    # matched scan (full read + anti-join + filter) — cache it for the
+    # commit's scope so the table is scanned once (guide §2.4); persist
+    # (not localCheckpoint) so the blocks are released right after the
+    # writes. Matched rows are a small fraction of the table, so the
+    # cache is far cheaper than a second scan at any scale.
+    cache_matched = _cdf_on(marker)
+    if cache_matched:
+        matched = matched.persist()
     positions = matched.select(_DV_FILE_COL, _DV_IDX_COL)
     if marker.get("dv"):
         positions = positions.unionByName(
@@ -2597,15 +2607,21 @@ def _delete_where_dv(
     staging = f"{path}__staging_{tag}"
     _link_snapshot_files(path, staging)
     has_cdf = False
-    if _cdf_on(marker):
-        _write_cdf(
-            matched.drop(_DV_FILE_COL, _DV_IDX_COL).withColumn(
-                "_change_type", F.lit("delete")
-            ),
-            staging,
+    try:
+        if _cdf_on(marker):
+            _write_cdf(
+                matched.drop(_DV_FILE_COL, _DV_IDX_COL).withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                staging,
+            )
+            has_cdf = True
+        positions.write.mode("overwrite").parquet(
+            os.path.join(staging, _DV_DIR)
         )
-        has_cdf = True
-    positions.write.mode("overwrite").parquet(os.path.join(staging, _DV_DIR))
+    finally:
+        if cache_matched:
+            matched.unpersist()
 
     import pyarrow.parquet as _pq
 
@@ -2789,7 +2805,12 @@ def _update_where_dv(
             F.broadcast(old_dv), [_DV_FILE_COL, _DV_IDX_COL], "left_anti"
         )
     hit = F.coalesce(cond, F.lit(False))
-    matched = logical.filter(hit)
+    # matched feeds the constraint agg, the CDF pre/post record (two
+    # union arms), the post-image append AND the position write — up to
+    # five executions of the full scan+anti-join+filter lineage. Cache
+    # it for the commit's scope (one scan; released in the finally at
+    # the end of the function — guide §2.4).
+    matched = logical.filter(hit).persist()
     positions = matched.select(_DV_FILE_COL, _DV_IDX_COL)
     if marker.get("dv"):
         positions = positions.unionByName(
@@ -2814,6 +2835,7 @@ def _update_where_dv(
         ).first()
         for i, (name, expr) in enumerate(items):
             if counts is not None and (counts[f"__c{i}"] or 0) > 0:
+                matched.unpersist()  # abort path: release the cache
                 raise ConstraintViolationError(
                     f"update violates CHECK constraint {name!r} ({expr}) "
                     f"for {counts[f'__c{i}']} row(s); commit aborted, "
@@ -2856,6 +2878,7 @@ def _update_where_dv(
     positions.distinct().write.mode("overwrite").parquet(
         os.path.join(staging, _DV_DIR)
     )
+    matched.unpersist()  # last consumer done — release the commit cache
 
     import pyarrow.parquet as _pq
 

@@ -181,14 +181,15 @@ def make_table_changes_stream_source():
         )
 
     class _CdfStreamReader(DataSourceStreamReader):
-        def __init__(self, options, data_cols):
+        def __init__(self, options, pa_schema):
             self.path = options["path"]
             self.start = options.get("startingversion")
-            # declared output order for the data columns: sidecar files
-            # across versions may order (or, under schema evolution,
-            # miss) columns differently — rows must align to the
-            # DECLARED schema, not the file's layout
-            self.data_cols = data_cols
+            # the DECLARED schema as arrow types (computed driver-side;
+            # workers have no SparkSession): sidecar files across
+            # versions may order (or, under schema evolution, miss)
+            # columns differently — read() aligns to this, not the
+            # file's layout
+            self.pa_schema = pa_schema
 
         def initialOffset(self):
             if self.start is not None:
@@ -231,17 +232,37 @@ def make_table_changes_stream_source():
             return parts or [InputPartition((None, 0, 0.0))]
 
         def read(self, partition):
+            # rows cross the JVM boundary as ARROW RECORD BATCHES, not
+            # pickled tuples (guide §4.1): columns re-slice/cast
+            # columnar-side, the two per-commit constants synthesize as
+            # constant arrays — O(changes) stays, the per-row pickle
+            # tax goes
             fpath, version, ts = partition.value
             if fpath is None:
                 return
+            import pyarrow as pa
             import pyarrow.parquet as _pq
 
             table = _pq.read_table(fpath)
-            for batch in table.to_batches():
-                for r in batch.to_pylist():
-                    yield tuple(
-                        r.get(c) for c in self.data_cols
-                    ) + (version, ts)
+            names = set(table.schema.names)
+            n = table.num_rows
+            arrays = []
+            for field in self.pa_schema:
+                if field.name == "_commit_version":
+                    arrays.append(pa.array([version] * n).cast(field.type))
+                elif field.name == "_commit_timestamp":
+                    arrays.append(pa.array([ts] * n).cast(field.type))
+                elif field.name in names:
+                    col = table.column(field.name)
+                    arrays.append(
+                        col if col.type == field.type else col.cast(field.type)
+                    )
+                else:
+                    # a sidecar written before a schema evolution misses
+                    # the column: align to the DECLARED schema (the row
+                    # path's r.get(c) -> None, columnar)
+                    arrays.append(pa.nulls(n, type=field.type))
+            yield from pa.table(arrays, schema=self.pa_schema).to_batches()
 
         def commit(self, end):
             pass
@@ -300,11 +321,9 @@ def make_table_changes_stream_source():
             )
 
         def streamReader(self, schema):
-            names = [f.name for f in schema.fields]
-            return _CdfStreamReader(
-                self.options,
-                [n for n in names if n not in ("_commit_version", "_commit_timestamp")],
-            )
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            return _CdfStreamReader(self.options, to_arrow_schema(schema))
 
     return TableChangesStream
 
@@ -540,9 +559,13 @@ def make_table_stream_source():
         return cols
 
     class _TableStreamReader(DataSourceStreamReader):
-        def __init__(self, options, cols):
+        def __init__(self, options, cols, pa_schema):
             self.path = options["path"]
             self.cols = cols
+            # the DECLARED schema as arrow types, computed driver-side
+            # (pyspark's own worker-side conversion target) so read()
+            # can align/cast file columns without a SparkSession
+            self.pa_schema = pa_schema
             self.starting = options.get("startingversion")
             self.ignore_changes = (
                 str(options.get("ignorechanges", "false")).lower() == "true"
@@ -677,17 +700,24 @@ def make_table_stream_source():
 
         def read(self, partition):
             # runs in a Python WORKER: keep the body self-contained
-            # (no factory-closure references — CLAUDE.md trap 2)
+            # (no factory-closure references — CLAUDE.md trap 2).
+            # Rows cross the JVM boundary as ARROW RECORD BATCHES, not
+            # pickled tuples (guide §4.1): the parquet columns are
+            # re-sliced/cast columnar-side and never materialize as
+            # Python objects — at snapshot scale (every file of a
+            # 100 TB table flows through here once) the per-row pickle
+            # tax was the dominant cost of the source.
             kind, fpath, extra = partition.value
             if kind == "noop":
                 return
             import datetime as _dt
             from urllib.parse import unquote as _unq
 
+            import pyarrow as pa
+            import pyarrow.compute as pc
             import pyarrow.parquet as _pq
 
             cols = self.cols
-            allowed = extra if kind == "cdf" else ()
             typed_pvals = {}
             if kind == "snap" and extra:
                 # Hive dir values -> the declared partition-column types
@@ -706,20 +736,33 @@ def make_table_stream_source():
                     else:
                         typed_pvals[c] = _unq(raw)
             table = _pq.read_table(fpath)
-            names = set(table.schema.names)
-            for batch in table.to_batches():
-                for r in batch.to_pylist():
-                    if kind == "cdf" and r.get("_change_type") not in allowed:
-                        continue
-                    # columns a file predates take their declared
-                    # DEFAULT — same rule as the batch read path;
-                    # partition columns come from the dir values
-                    yield tuple(
-                        r.get(c)
-                        if c in names
-                        else typed_pvals.get(c, d)
-                        for c, _t, d in cols
+            if kind == "cdf":
+                table = table.filter(
+                    pc.is_in(
+                        table.column("_change_type"),
+                        value_set=pa.array(list(extra), type=pa.string()),
                     )
+                )
+            names = set(table.schema.names)
+            n = table.num_rows
+            defaults = {c: d for c, _t, d in cols}
+            arrays = []
+            for field in self.pa_schema:
+                if field.name in names:
+                    col = table.column(field.name)
+                    arrays.append(
+                        col if col.type == field.type else col.cast(field.type)
+                    )
+                    continue
+                # columns a file predates take their declared DEFAULT —
+                # same rule as the batch read path; partition columns
+                # come from the dir values
+                val = typed_pvals.get(field.name, defaults.get(field.name))
+                if val is None:
+                    arrays.append(pa.nulls(n, type=field.type))
+                else:
+                    arrays.append(pa.array([val] * n).cast(field.type))
+            yield from pa.table(arrays, schema=self.pa_schema).to_batches()
 
         def commit(self, end):
             pass
@@ -736,8 +779,12 @@ def make_table_stream_source():
             )
 
         def streamReader(self, schema):
+            from pyspark.sql.pandas.types import to_arrow_schema
+
             return _TableStreamReader(
-                self.options, _logical_cols(self.options["path"])
+                self.options,
+                _logical_cols(self.options["path"]),
+                to_arrow_schema(schema),
             )
 
     return ManagedTableStream
