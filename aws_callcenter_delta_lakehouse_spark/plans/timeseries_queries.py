@@ -279,7 +279,13 @@ def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     only, and every stage is a plain hash shuffle that scales with
     |active| × 7, never with set sizes. Window ends are the observed
     active days (same spine both engines)."""
-    active = (
+    from ..operators.materialize import cut_once
+
+    # cut once: active feeds the fan-out AND the day spine — uncut, the
+    # spine branch's inner distinct collapses (RemoveRedundantAggregates)
+    # into its own events scan + agg, so the events scan and the 3-col
+    # distinct ran TWICE (no shared exchange between the branches)
+    active = cut_once(
         load_table(spark, sf_dir, "events")
         .select(
             "event_type",
