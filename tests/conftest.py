@@ -10,5 +10,10 @@ SF01 = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", shuffle_partitions=8)
+    # local[8], NOT the bench's local[$SPARK_GRAFT_CPUS]: test frames are
+    # tiny, so at 32 cores task-scheduling overhead dominates (measured
+    # 1.6x slower on test_dml). Scaling behavior is the bench's job; the
+    # suite's job is semantics. Tests that need their own topology
+    # (cross-process races) build their own sessions.
+    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
     yield s

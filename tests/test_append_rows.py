@@ -248,6 +248,7 @@ def test_append_crash_serves_old_or_new(spark, tmp_path, monkeypatch, crash_at):
     assert {(r.id, r.bal) for r in mt.read(spark, path).collect()} == post
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 def test_foreach_batch_append_sink_exactly_once(spark, tmp_path):
     """The streaming append sink: batches land as blind appends, a
     replayed epoch (same checkpoint, restarted query) is skipped, and
@@ -287,6 +288,7 @@ def test_foreach_batch_append_sink_exactly_once(spark, tmp_path):
     assert "last_epoch" in mt.table_txn(target)
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 def test_append_auto_compact_property(spark, tmp_path):
     """Delta autoCompact: continuous appends accrete one small file set
     per commit; the table property triggers a data-preserving binpack

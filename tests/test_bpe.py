@@ -4,6 +4,8 @@ merges with lexicographic tie-break)."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter
 
 from aws_callcenter_delta_lakehouse_spark.catalog import load_table
@@ -44,6 +46,7 @@ def _python_bpe(word_freqs: dict[str, int], rounds: int):
     return merges
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 def test_bpe_matches_python_reference(spark):
     docs = load_table(spark, SF001, "documents")
     got = sorted(
@@ -92,6 +95,7 @@ def _python_apply(word_freqs: dict[str, int], merges):
     return counts
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 def test_bpe_apply_matches_python_reference(spark):
     from pyspark.sql import functions as F
 
@@ -114,6 +118,7 @@ def test_bpe_apply_matches_python_reference(spark):
     assert toks == dict(want)
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 def test_bpe_train_reliable_checkpoint_parity(spark, tmp_path):
     # checkpoint_dir mode (reliable df.checkpoint, cluster-safe) must
     # produce byte-identical merges to the localCheckpoint fast path

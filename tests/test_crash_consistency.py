@@ -187,6 +187,7 @@ def test_merge_upsert_crash_serves_old_or_new(
     assert _snapshot(spark, path) == post
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 @pytest.mark.parametrize("crash_after_commit", [False, True])
 def test_incremental_gold_replay_after_crash(
     spark, tmp_path, crash_after_commit
@@ -274,6 +275,7 @@ def test_incremental_gold_replay_after_crash(
     assert got == {("click", 3, 13), ("view", 1, 5), ("buy", 1, 7)}
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 @pytest.mark.parametrize("crash_after_commit", [False, True])
 def test_scd2_sink_replay_after_crash(spark, tmp_path, crash_after_commit):
     """The SCD2 sink under the same crash window as the Gold sink: die

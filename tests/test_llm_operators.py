@@ -136,6 +136,7 @@ def test_prefix_filter_exact_matches_bruteforce(spark):
     assert (1, 2) in got and (1, 3) not in got
 
 
+@pytest.mark.slow  # quality-property ratchet: operator semantics stay covered by the oracle battery
 def test_ann_topk_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF001, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
@@ -251,6 +252,7 @@ def test_ivf_topk_recall(spark):
     assert out.filter(F.col("q_id") == F.col("vec_id")).count() == 10
 
 
+@pytest.mark.slow  # quality-property ratchet: operator semantics stay covered by the oracle battery
 def test_kmeans_refine_reduces_quantization_error(spark):
     """Lloyd iterations must move centroids toward cluster means:
     mean cosine similarity of each vector to its assigned centroid
@@ -327,6 +329,7 @@ def test_join_how_restrictions_are_loud(spark):
     assert salted_join(l, l, on=["k"], how="left_anti").count() == 0
 
 
+@pytest.mark.slow  # quality-property ratchet: operator semantics stay covered by the oracle battery
 def test_cosine_near_dup_lsh_catches_constructed_dups(spark):
     """LSH-blocked embedding dedup: near-identical vectors (cos ~0.999)
     are caught; orthogonal vectors are not; and the blocked-exact path
@@ -356,6 +359,7 @@ def test_cosine_near_dup_lsh_catches_constructed_dups(spark):
     assert {(r.d1, r.d2) for r in blocked.collect()} == {(1, 2)}
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 def test_multiprobe_ann_improves_recall(spark):
     from aws_callcenter_delta_lakehouse_spark.operators.similarity import (
         ann_topk, brute_force_topk,
@@ -559,6 +563,7 @@ def test_audio_windows_framing_math(spark):
     assert all(r.rms > 0 for r in rows)
 
 
+@pytest.mark.slow  # quality-property ratchet: operator semantics stay covered by the oracle battery
 def test_pagerank_invariants(spark):
     """Sum of ranks == n_vertices; a uniform cycle is rank-1 everywhere;
     a star's center outranks its leaves."""

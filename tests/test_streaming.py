@@ -3,6 +3,8 @@ sink (the streaming analogue of the reference's batch late-data MERGE)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from aws_callcenter_delta_lakehouse_spark.sources import managed_table
@@ -60,6 +62,7 @@ def test_foreach_batch_upsert(spark, tmp_path):
     assert g == w
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 def test_foreach_batch_upsert_handles_restart(spark, tmp_path):
     """Re-running the same stream against an existing table must merge,
     not duplicate (idempotent reprocessing, reference quirk Q6 analogue)."""
@@ -83,6 +86,7 @@ def test_foreach_batch_upsert_handles_restart(spark, tmp_path):
     assert managed_table.read(spark, target).count() == first
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     """applyInPandasWithState carries per-key state across micro-batches
     (forced via maxFilesPerTrigger=1 over two files)."""
@@ -449,6 +453,7 @@ def test_progress_listener_captures_batch_metrics(spark, tmp_path):
     assert got.batches >= 2
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 def test_lsh_index_sink_probe_and_replay(spark, tmp_path):
     """The streaming LSH-index sink: two document micro-batches build
     the persistent band-bucket + shingle tables; a later probe shard
@@ -536,6 +541,7 @@ def test_lsh_index_sink_probe_and_replay(spark, tmp_path):
     assert mt.table_txn(idx + "_shingles")["last_epoch"] == e_s
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 def test_lsh_index_sink_catalog_mode_atomic_and_replays(
     spark, tmp_path, monkeypatch
 ):

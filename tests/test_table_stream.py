@@ -67,6 +67,7 @@ def _drain(spark, path, **options):
     )
 
 
+@pytest.mark.slow  # redundancy-class battery: covered by faster siblings in the default run
 def test_snapshot_then_insert_tail(spark, tmp_path):
     """First batch = the full snapshot; a later insert-only merge is
     tailed from its sidecar; total equals the live table exactly."""
